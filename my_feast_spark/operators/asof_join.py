@@ -1,0 +1,239 @@
+"""Point-in-time (as-of) join — the engine's flagship operator.
+
+Semantics match the reference's generated retrieval SQL (the 4-stage CTE
+pipeline printed at CASE.MD:339-502 / Untitled.ipynb:698-860):
+
+  * for every entity row (join_keys..., entity event_timestamp) attach the
+    feature row with the greatest feature event_timestamp <= entity
+    timestamp (inclusive boundary, CASE.MD:415);
+  * ties on feature event_timestamp are broken by greatest
+    created_timestamp — "late re-ingestion wins" (CASE.MD:431-438,453-456);
+  * an optional TTL discards features older than entity_ts - ttl
+    (CASE.MD:385-386);
+  * the entity dataframe is left-preserved: entities with no qualifying
+    history get NULL features (CASE.MD:486-501);
+  * duplicate entity rows are preserved in the output (the reference dedups
+    for the join and re-expands via its row_unique_id; net effect is
+    identical).
+
+Implementation — scale-first
+----------------------------
+The reference executes this as an *inequality join* (feature.ts <=
+entity.ts AND feature.key = entity.key) followed by a ROW_NUMBER window.
+On Spark that inequality conjunct degrades the join to
+O(|entities_per_key| x |history_per_key|) work per key before the window
+throws most of it away — fine at demo scale, catastrophic at 100 TB.
+
+Default strategy here is ``union_window`` ("last observation carried
+forward"): tag feature rows and entity rows, union them, and run a single
+``last(payload, ignorenulls=True)`` window per join key ordered by
+(timestamp, is_entity, created). Cost: ONE shuffle of (features + probes)
+on the join key + a sort within partitions — linear, no quadratic blowup,
+and the created-timestamp tie-break falls out of the sort order for free
+(among equal timestamps the last-sorted feature row has the max created).
+Feature payloads ride in a single struct so NULL feature values do not
+leak older rows' values (per-column LOCF would).
+
+``range_join`` (the reference's literal plan: non-equi join + window
+top-1) is kept for small entity dataframes where Catalyst broadcasts the
+probe side — useful when |probes| << |history| and history is huge but
+per-key fan-out is small.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_TS = "__mfs_ts"
+_IS_PROBE = "__mfs_is_probe"
+_CREATED = "__mfs_created"
+_PAYLOAD = "__mfs_payload"
+_FEAT_TS = "__mfs_feat_ts"
+_ROW_ID = "__mfs_row_id"
+
+
+def _ttl_seconds(ttl) -> float | None:
+    if ttl is None:
+        return None
+    if isinstance(ttl, _dt.timedelta):
+        return ttl.total_seconds()
+    return float(ttl)
+
+
+def point_in_time_join(
+    entity_df: DataFrame,
+    feature_df: DataFrame,
+    join_keys: Sequence[str],
+    *,
+    event_ts_col: str = "event_timestamp",
+    entity_ts_col: str | None = None,
+    created_ts_col: str | None = None,
+    ttl=None,
+    features: Sequence[str] | None = None,
+    feature_view_name: str | None = None,
+    full_feature_names: bool = False,
+    include_feature_ts: bool = False,
+    strategy: str = "union_window",
+) -> DataFrame:
+    """As-of join ``entity_df`` against ``feature_df``.
+
+    Parameters
+    ----------
+    entity_df : probe rows — ``join_keys`` + ``entity_ts_col`` + arbitrary
+        passthrough columns (all preserved).
+    feature_df : history — ``join_keys`` + ``event_ts_col`` +
+        optional ``created_ts_col`` + feature columns.
+    ttl : ``datetime.timedelta`` or seconds; features strictly older than
+        ``entity_ts - ttl`` are discarded (NULLed), matching the
+        reference's TTL lower bound.
+    features : feature columns to attach; default = all non-key,
+        non-timestamp columns of ``feature_df``.
+    full_feature_names : prefix output features ``<view>__<feature>``
+        (the reference's ``full_feature_names=True`` retrieval mode).
+    include_feature_ts : also emit ``<prefix>event_timestamp`` of the
+        matched feature row (handy for debugging/tests).
+    """
+    entity_ts_col = entity_ts_col or event_ts_col
+    join_keys = list(join_keys)
+    if not join_keys:
+        raise ValueError("point_in_time_join requires at least one join key")
+
+    if features is None:
+        skip = set(join_keys) | {event_ts_col, created_ts_col}
+        features = [c for c in feature_df.columns if c not in skip]
+    features = list(features)
+
+    prefix = f"{feature_view_name}__" if (full_feature_names and feature_view_name) else ""
+    out_names = {f: prefix + f for f in features}
+    entity_cols = [c for c in entity_df.columns]
+    collisions = set(out_names.values()) & set(entity_cols)
+    if collisions:
+        raise ValueError(
+            f"feature output columns collide with entity columns: {sorted(collisions)}; "
+            "pass full_feature_names=True with a feature_view_name"
+        )
+
+    if strategy == "union_window":
+        out = _union_window(
+            entity_df, feature_df, join_keys, event_ts_col, entity_ts_col,
+            created_ts_col, _ttl_seconds(ttl), features,
+        )
+    elif strategy == "range_join":
+        out = _range_join(
+            entity_df, feature_df, join_keys, event_ts_col, entity_ts_col,
+            created_ts_col, _ttl_seconds(ttl), features,
+        )
+    else:
+        raise ValueError(f"unknown strategy: {strategy!r}")
+
+    # Unpack payload struct -> named feature columns (cast-free).
+    sel = [F.col(c) for c in entity_cols]
+    for f in features:
+        sel.append(F.col(f"{_PAYLOAD}.{f}").alias(out_names[f]))
+    if include_feature_ts:
+        sel.append(F.col(f"{_PAYLOAD}.{_FEAT_TS}").alias(prefix + "feature_event_timestamp"))
+    return out.select(*sel)
+
+
+def _payload_struct(feature_df, features, event_ts_col):
+    return F.struct(
+        *[F.col(f) for f in features],
+        F.col(event_ts_col).alias(_FEAT_TS),
+    )
+
+
+def _apply_ttl(df: DataFrame, entity_ts_col: str, ttl_s: float | None) -> DataFrame:
+    """NULL the payload when the matched feature is older than the TTL."""
+    if ttl_s is None:
+        return df
+    keep = F.col(f"{_PAYLOAD}.{_FEAT_TS}") >= (
+        F.col(entity_ts_col) - F.expr(f"INTERVAL {int(ttl_s)} SECOND")
+    )
+    return df.withColumn(
+        _PAYLOAD, F.when(keep, F.col(_PAYLOAD)).otherwise(F.lit(None))
+    )
+
+
+def _union_window(
+    entity_df, feature_df, join_keys, event_ts_col, entity_ts_col,
+    created_ts_col, ttl_s, features,
+):
+    entity_payload_cols = [
+        c for c in entity_df.columns if c not in join_keys and c != entity_ts_col
+    ]
+
+    created = (
+        F.col(created_ts_col) if created_ts_col else F.lit(None).cast("timestamp")
+    )
+    feat_side = feature_df.select(
+        *[F.col(k) for k in join_keys],
+        F.col(event_ts_col).alias(_TS),
+        F.lit(0).alias(_IS_PROBE),
+        created.alias(_CREATED),
+        _payload_struct(feature_df, features, event_ts_col).alias(_PAYLOAD),
+        *[F.lit(None).cast(entity_df.schema[c].dataType).alias(c) for c in entity_payload_cols],
+    )
+    probe_side = entity_df.select(
+        *[F.col(k) for k in join_keys],
+        F.col(entity_ts_col).alias(_TS),
+        F.lit(1).alias(_IS_PROBE),
+        F.lit(None).cast("timestamp").alias(_CREATED),
+        F.lit(None).cast(feat_side.schema[_PAYLOAD].dataType).alias(_PAYLOAD),
+        *[F.col(c) for c in entity_payload_cols],
+    )
+
+    unioned = feat_side.unionByName(probe_side)
+    # Feature rows sort BEFORE probe rows at equal timestamps => the `<=`
+    # boundary is inclusive; (ts asc, created asc) ordering makes "last
+    # non-null payload" = max event_ts then max created — J2+J3 in one sort.
+    w = (
+        Window.partitionBy(*join_keys)
+        .orderBy(F.col(_TS).asc(), F.col(_IS_PROBE).asc(), F.col(_CREATED).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(_PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w))
+    probes = carried.filter(F.col(_IS_PROBE) == 1).withColumnRenamed(_TS, entity_ts_col)
+    probes = _apply_ttl(probes, entity_ts_col, ttl_s)
+    return probes
+
+
+def _range_join(
+    entity_df, feature_df, join_keys, event_ts_col, entity_ts_col,
+    created_ts_col, ttl_s, features,
+):
+    """The reference's literal plan: non-equi join + ROW_NUMBER top-1.
+
+    Left-preserved via LEFT join; the window then keeps the best candidate
+    per original entity row (surrogate monotonic id — the reference's
+    CONCAT(keys, ts) row id is only consumed for uniqueness, CASE.MD:345-357).
+    """
+    e = entity_df.withColumn(_ROW_ID, F.monotonically_increasing_id())
+    created = (
+        F.col(created_ts_col) if created_ts_col else F.lit(None).cast("timestamp")
+    )
+    f = feature_df.select(
+        *[F.col(k).alias(f"__f_{k}") for k in join_keys],
+        F.col(event_ts_col).alias(_TS),
+        created.alias(_CREATED),
+        _payload_struct(feature_df, features, event_ts_col).alias(_PAYLOAD),
+    )
+    cond = F.lit(True)
+    for k in join_keys:
+        cond = cond & (F.col(f"__f_{k}") == F.col(k))
+    cond = cond & (F.col(_TS) <= F.col(entity_ts_col))
+    if ttl_s is not None:
+        cond = cond & (
+            F.col(_TS) >= F.col(entity_ts_col) - F.expr(f"INTERVAL {int(ttl_s)} SECOND")
+        )
+    joined = e.join(f, on=cond, how="left")
+    w = Window.partitionBy(_ROW_ID).orderBy(F.col(_TS).desc_nulls_last(), F.col(_CREATED).desc_nulls_last())
+    best = (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", _TS, _CREATED, _ROW_ID, *[f"__f_{k}" for k in join_keys])
+    )
+    return best

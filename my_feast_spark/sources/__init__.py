@@ -1,0 +1,19 @@
+from my_feast_spark.sources.readers import (
+    load_table,
+    load_tables,
+    map_pivot,
+    parse_json_column,
+    read_csv_header,
+    read_parquet,
+)
+from my_feast_spark.sources.writers import write_partitioned
+
+__all__ = [
+    "load_table",
+    "load_tables",
+    "read_parquet",
+    "read_csv_header",
+    "map_pivot",
+    "parse_json_column",
+    "write_partitioned",
+]

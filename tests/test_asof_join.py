@@ -1,0 +1,134 @@
+"""Golden tests for the point-in-time join (SURVEY §5.2 edge cases).
+
+Hand-computed fixtures cover: inclusive <= boundary, created-timestamp
+tie-break (late re-ingestion), probe-before-history NULLs, TTL expiry,
+duplicate probe rows, entity passthrough columns, and strategy parity
+(union_window vs range_join must agree).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+
+from my_feast_spark.operators import point_in_time_join
+
+TS = dt.datetime
+
+
+def _features(spark):
+    # entity_id, event_timestamp, created, value
+    rows = [
+        # plain history for e1
+        Row(entity_id="e1", event_timestamp=TS(2024, 1, 1, 10), created=TS(2024, 1, 1, 10, 5), value=1.0),
+        Row(entity_id="e1", event_timestamp=TS(2024, 1, 1, 12), created=TS(2024, 1, 1, 12, 5), value=2.0),
+        # late re-ingestion: same event ts, newer created, different value
+        Row(entity_id="e1", event_timestamp=TS(2024, 1, 1, 12), created=TS(2024, 1, 1, 18, 0), value=22.0),
+        Row(entity_id="e1", event_timestamp=TS(2024, 1, 1, 14), created=TS(2024, 1, 1, 14, 5), value=3.0),
+        # e2: history entirely after its probes
+        Row(entity_id="e2", event_timestamp=TS(2024, 1, 5, 0), created=TS(2024, 1, 5, 0), value=9.0),
+        # e3: old history (TTL case)
+        Row(entity_id="e3", event_timestamp=TS(2024, 1, 1, 0), created=TS(2024, 1, 1, 0), value=7.0),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def _probes(spark):
+    rows = [
+        Row(entity_id="e1", event_timestamp=TS(2024, 1, 1, 12), tag="exact-boundary"),
+        Row(entity_id="e1", event_timestamp=TS(2024, 1, 1, 13), tag="between"),
+        Row(entity_id="e1", event_timestamp=TS(2024, 1, 1, 9), tag="before-history"),
+        Row(entity_id="e1", event_timestamp=TS(2024, 1, 1, 13), tag="dup-a"),
+        Row(entity_id="e2", event_timestamp=TS(2024, 1, 1, 12), tag="no-history-yet"),
+        Row(entity_id="e3", event_timestamp=TS(2024, 1, 10, 0), tag="ttl-expired"),
+        Row(entity_id="e4", event_timestamp=TS(2024, 1, 1, 12), tag="unknown-entity"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def _run(spark, strategy, ttl=None):
+    out = point_in_time_join(
+        _probes(spark),
+        _features(spark),
+        ["entity_id"],
+        created_ts_col="created",
+        ttl=ttl,
+        strategy=strategy,
+    )
+    return {(r.entity_id, r.event_timestamp, r.tag): r.value for r in out.collect()}
+
+
+@pytest.mark.parametrize("strategy", ["union_window", "range_join"])
+def test_pit_semantics(spark, strategy):
+    got = _run(spark, strategy)
+    # inclusive boundary + created tie-break: probe at 12:00 sees the
+    # late-re-ingested 22.0, not 2.0
+    assert got[("e1", TS(2024, 1, 1, 12), "exact-boundary")] == 22.0
+    # between 12 and 14 -> still the 12:00 (re-ingested) row
+    assert got[("e1", TS(2024, 1, 1, 13), "between")] == 22.0
+    assert got[("e1", TS(2024, 1, 1, 13), "dup-a")] == 22.0
+    # probe before any history -> NULL (left-preserved)
+    assert got[("e1", TS(2024, 1, 1, 9), "before-history")] is None
+    # e2's history starts later -> NULL
+    assert got[("e2", TS(2024, 1, 1, 12), "no-history-yet")] is None
+    # unknown entity -> row preserved, NULL feature
+    assert got[("e4", TS(2024, 1, 1, 12), "unknown-entity")] is None
+    # without TTL, e3 sees its old row
+    assert got[("e3", TS(2024, 1, 10, 0), "ttl-expired")] == 7.0
+    assert len(got) == 7
+
+
+@pytest.mark.parametrize("strategy", ["union_window", "range_join"])
+def test_pit_ttl(spark, strategy):
+    got = _run(spark, strategy, ttl=dt.timedelta(days=2))
+    # e3's only row is 9 days before the probe -> TTL-expired -> NULL
+    assert got[("e3", TS(2024, 1, 10, 0), "ttl-expired")] is None
+    # fresh rows unaffected
+    assert got[("e1", TS(2024, 1, 1, 13), "between")] == 22.0
+
+
+def test_duplicate_probe_rows_preserved(spark):
+    probes = spark.createDataFrame(
+        [Row(entity_id="e1", event_timestamp=TS(2024, 1, 1, 13), tag="d")] * 3
+    )
+    out = point_in_time_join(
+        probes, _features(spark), ["entity_id"], created_ts_col="created"
+    )
+    rows = out.collect()
+    assert len(rows) == 3
+    assert all(r.value == 22.0 for r in rows)
+
+
+def test_full_feature_names_and_feature_ts(spark):
+    out = point_in_time_join(
+        _probes(spark), _features(spark), ["entity_id"],
+        created_ts_col="created",
+        feature_view_name="fv", full_feature_names=True, include_feature_ts=True,
+    )
+    assert "fv__value" in out.columns
+    assert "fv__feature_event_timestamp" in out.columns
+    row = {(r.entity_id, r.tag): r for r in out.collect()}
+    assert row[("e1", "between")].fv__feature_event_timestamp == TS(2024, 1, 1, 12)
+
+
+def test_null_feature_value_does_not_leak_older_row(spark):
+    # A NULL in the winning feature row must stay NULL (struct payload
+    # semantics), not fall back to an older non-null value.
+    feats = spark.createDataFrame([
+        Row(entity_id="e1", event_timestamp=TS(2024, 1, 1, 10), created=TS(2024, 1, 1, 10), value=1.0),
+        Row(entity_id="e1", event_timestamp=TS(2024, 1, 1, 12), created=TS(2024, 1, 1, 12), value=None),
+    ])
+    probes = spark.createDataFrame([Row(entity_id="e1", event_timestamp=TS(2024, 1, 1, 13))])
+    out = point_in_time_join(probes, feats, ["entity_id"], created_ts_col="created",
+                             include_feature_ts=True)
+    r = out.collect()[0]
+    assert r.value is None
+    assert r.feature_event_timestamp == TS(2024, 1, 1, 12)
+
+
+def test_collision_raises(spark):
+    probes = _probes(spark).withColumnRenamed("tag", "value")
+    with pytest.raises(ValueError, match="collide"):
+        point_in_time_join(probes, _features(spark), ["entity_id"], created_ts_col="created")
