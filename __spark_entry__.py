@@ -1,38 +1,48 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship point-in-time retrieval on sf0.001;
+``queries()``/``oracle_sql()`` expose the operator inventory (SURVEY §2)
+over the driver test tables, implemented in ``my_feast_spark.workload``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from my_feast_spark import workload  # noqa: E402
+from my_feast_spark.session import apply_runtime_confs  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Hourly per-user feature aggregation + point-in-time join with TTL —
+    the reference's gold-build + get_historical_features critical path.
+    """
+    apply_runtime_confs(spark)
+    return workload.q_pit_user_features(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    out = {}
+    for name, (fn, _sql) in workload.QUERIES.items():
+        def _wrap(spark, sf_dir, _fn=fn):
+            apply_runtime_confs(spark)
+            return _fn(spark, sf_dir)
+        out[name] = _wrap
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (None-valued entries omitted →
+    driver records a weaker rows-only check)."""
+    return {
+        name: sql for name, (_fn, sql) in workload.QUERIES.items() if sql is not None
+    }

