@@ -1,0 +1,31 @@
+"""Scalar expression helpers — native rewrites of the reference's UDFs.
+
+The reference's only Python UDF (U1, chicago_weather_hourly_fs.py:22-29)
+priority-collapses an array<string> of precipitation types. A row-at-a-time
+Python UDF blocks codegen and predicate pushdown; the same semantics are a
+pure Column expression — JVM-side, pushdown-friendly, ~100x cheaper at
+scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def priority_collapse(col: Column, priorities: list[str], default: str) -> Column:
+    """First priority value present in the array wins, else default.
+
+    ``priority_collapse(c, ["snow", "rain"], "no")`` == the reference's
+    ``precipitation(_set)`` UDF: snow > rain > no.
+    """
+    expr = F.lit(default)
+    for p in reversed(priorities):
+        expr = F.when(F.array_contains(col, p), p).otherwise(expr)
+    return expr
+
+
+def hour_bucket(col: Column) -> Column:
+    """Typed hour truncation — replaces the reference's
+    ``date_format(ts, 'yyyy-MM-dd HH:00:00')`` string idiom (F3)."""
+    return F.date_trunc("hour", col)

@@ -1,0 +1,103 @@
+"""Text-analysis expressions for training-data pipelines.
+
+All pure Column expressions (JVM-side, whole-stage-codegen friendly) —
+no Python UDFs in the hot path. Designed for the 100 TB document-corpus
+case: every function is a per-row projection, embarrassingly parallel,
+no shuffle.
+
+  * tokens / token_count — whitespace tokenization (the BPE-ish regex
+    variant splits punctuation too);
+  * doc_fingerprint — md5 of whitespace-normalized lowercase text
+    (exact-dup key);
+  * quality_features — length / lexical-diversity / stopword-ratio
+    signals;
+  * lang_scores — tiny-stopword-list language-ID heuristic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: minimal per-language stopword lists for the heuristic scorer
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "los"],
+    "fr": ["le", "la", "les", "et", "un", "des"],
+    "de": ["der", "die", "das", "und", "ein", "zu"],
+}
+
+
+def tokens(text: Column, bpe_ish: bool = False) -> Column:
+    """Whitespace tokens; ``bpe_ish=True`` also splits off punctuation
+    runs (a cheap stand-in for subword tokenization's word-boundary
+    behavior)."""
+    if bpe_ish:
+        # split letters/digits/punctuation-run boundaries
+        normalized = F.regexp_replace(text, r"([^\w\s]+)", r" $1 ")
+    else:
+        normalized = text
+    return F.split(F.trim(normalized), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """md5 of lower + whitespace-collapsed text — the exact-dup key."""
+    normalized = F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+    return F.md5(F.encode(normalized, "UTF-8"))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Quality signals as named expressions (caller selects/aliases)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    stop = F.array([F.lit(s) for s in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    return {
+        "n_chars": F.length(text),
+        "n_tokens": n,
+        "n_distinct_tokens": F.size(F.array_distinct(toks)),
+        "lexical_diversity": F.round(
+            F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1)), 4
+        ),
+        "stopword_ratio": F.round(n_stop / F.greatest(n, F.lit(1)), 4),
+        "mean_token_len": F.round(
+            (F.length(F.trim(text)) - (n - F.lit(1)))
+            / F.greatest(n, F.lit(1)).cast("double"),
+            4,
+        ),
+    }
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts; argmax = predicted language."""
+    toks = tokens(F.lower(text))
+    out: dict[str, Column] = {}
+    for lang, words in LANG_STOPWORDS.items():
+        arr = F.array([F.lit(w) for w in words])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return out
+
+
+#: tie-break priority for lang_id (first wins on equal scores)
+LANG_PRIORITY = ["en", "es", "fr", "de"]
+
+
+def lang_id(text: Column, default: str = "und") -> Column:
+    """Predicted language = highest stopword-hit count; ties broken by
+    LANG_PRIORITY order; 'und' when no list scores a hit. Expressed as an
+    explicit CASE chain so a SQL oracle can mirror it verbatim."""
+    scores = lang_scores(text)
+    expr = F.lit(default)
+    for i in range(len(LANG_PRIORITY) - 1, -1, -1):
+        lang = LANG_PRIORITY[i]
+        cond = scores[lang] > 0
+        for other in LANG_PRIORITY[i + 1:]:
+            cond = cond & (scores[lang] >= scores[other])
+        for earlier in LANG_PRIORITY[:i]:
+            cond = cond & (scores[lang] > scores[earlier])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr

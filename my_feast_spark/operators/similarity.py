@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  * cosine_topk — brute-force exact top-k: broadcast the (small) query
+    set against the corpus scan; dot products via native higher-order
+    array functions (zip_with + aggregate — sequential fold, so results
+    are bit-deterministic), window top-k per query. Per-corpus-row work
+    is O(|queries| * dim) with NO shuffle of the corpus — the right
+    baseline up to a few thousand queries even at huge corpus size.
+  * ann_lsh_topk — random-hyperplane LSH: H deterministic hyperplanes ->
+    H sign bits -> buckets; candidates only from the query's bucket
+    (optionally multi-probe by flipping bits); exact re-rank of
+    candidates. Sub-linear candidate volume at corpus scale; recall
+    depends on H and probes.
+
+Embedding-cosine near-dup detection composes cosine_topk with a
+threshold filter (see workload.q_embedding_near_dupes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def with_unit_norm(df: DataFrame, vec_col: str, out_col: str = "__unit") -> DataFrame:
+    """Pre-normalize embeddings (double precision) so cosine = dot."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return df.withColumn(out_col, F.transform(v, lambda x: x / _norm(v)))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    exclude_self: bool = True,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, sim, rank).
+
+    ``queries``/``corpus``: DataFrames with (id, vec_col). Ranking is by
+    (rounded sim DESC, neighbor id ASC) — fully deterministic.
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+    )
+    joined = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    sims = joined.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+            sim_decimals,
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (numpy PCG64, fixed seed)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_planes, dim)).tolist()
+
+
+def lsh_bucket(vec_col, planes: list[list[float]]):
+    """Sign-bit bucket id of a vector against fixed hyperplanes."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        dot = _dot(F.transform(vec_col, lambda x: x.cast("double")), arr)
+        bucket = bucket.bitwiseOR(
+            F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    return bucket
+
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_planes: int = 8,
+    dim: int = 64,
+    exclude_self: bool = True,
+    sim_decimals: int = 6,
+    seed: int = 42,
+    probe_radius: int = 1,
+) -> DataFrame:
+    """Approximate top-k: bucket both sides by hyperplane sign bits, rank
+    only within the query's probed buckets. 2^num_planes buckets — at
+    corpus scale each bucket holds ~N/2^H rows, and the bucket equi-join
+    replaces the cross join.
+
+    ``probe_radius``: multi-probe LSH — each query also probes buckets
+    within this hamming distance of its own (radius 1 = flip each sign
+    bit once, H+1 probes). The classic recall lever: raising it trades
+    candidate volume for recall without re-hashing the corpus.
+    """
+    planes = _hyperplanes(dim, num_planes, seed)
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    ).withColumn("bucket", lsh_bucket(F.col("qv"), planes))
+    masks = [0]
+    if probe_radius >= 1:
+        masks += [1 << i for i in range(num_planes)]
+    if probe_radius >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(num_planes)
+            for j in range(i + 1, num_planes)
+        ]
+    if len(masks) > 1:
+        flips = [F.col("bucket").bitwiseXOR(F.lit(m).cast("long")) for m in masks]
+        q = q.withColumn("bucket", F.explode(F.array(*flips)))
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+    ).withColumn("bucket", lsh_bucket(F.col("cv"), planes))
+    joined = c.join(F.broadcast(q), "bucket")
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    sims = joined.select(
+        "query_id", "neighbor_id",
+        F.round(
+            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+            sim_decimals,
+        ).alias("sim"),
+    ).dropDuplicates(["query_id", "neighbor_id"])  # multi-probe overlap
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

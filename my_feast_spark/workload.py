@@ -498,3 +498,282 @@ QUERIES: dict[str, tuple] = {
     "top_spenders": (q_top_spenders, SQL_TOP_SPENDERS),
     "part_brand_stats": (q_part_brand_stats, SQL_PART_BRAND_STATS),
 }
+
+
+# =========================================================================
+# Extensions: text analysis (north-star operators over `documents`)
+# =========================================================================
+
+def q_token_stats(spark, sf_dir):
+    """Token counting + length stats per document — pure projections,
+    no shuffle (scales linearly with corpus size)."""
+    from my_feast_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_text"),
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(
+            (F.length(F.trim(F.col("text"))) - (n - F.lit(1)))
+            / F.greatest(n, F.lit(1)).cast("double"),
+            4,
+        ).alias("mean_token_len"),
+    )
+
+
+SQL_TOKEN_STATS = """
+WITH t AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS n_chars_text,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens,
+       round((length(trim(text)) - (len(toks) - 1)) / greatest(len(toks), 1), 4)
+         AS mean_token_len
+FROM t
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    """Document quality scoring: length + lexical diversity + stopword
+    ratio composite (the heuristic-filter stage of a training-data
+    pipeline)."""
+    from my_feast_spark.functions.text import LANG_STOPWORDS, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    n = F.greatest(F.size(toks), F.lit(1))
+    stop = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    diversity = F.size(F.array_distinct(toks)) / n.cast("double")
+    len_score = F.least(F.size(toks) / F.lit(100.0), F.lit(1.0))
+    stop_ratio = n_stop / n.cast("double")
+    return docs.select(
+        "doc_id",
+        F.round(diversity, 4).alias("lexical_diversity"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(
+            0.4 * len_score + 0.4 * diversity + 0.2 * stop_ratio, 4
+        ).alias("quality_score"),
+    )
+
+
+SQL_QUALITY_SCORE = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         greatest(len(toks), 1) AS n,
+         len(list_distinct(toks)) AS nd,
+         len(list_filter(toks, x -> list_contains(
+             ['the', 'a', 'and', 'of', 'to', 'in', 'is'], x))) AS ns,
+         least(len(toks) / 100.0, 1.0) AS len_score
+  FROM t
+)
+SELECT doc_id,
+       round(nd / CAST(n AS DOUBLE), 4) AS lexical_diversity,
+       round(ns / CAST(n AS DOUBLE), 4) AS stopword_ratio,
+       round(0.4 * len_score + 0.4 * (nd / CAST(n AS DOUBLE))
+             + 0.2 * (ns / CAST(n AS DOUBLE)), 4) AS quality_score
+FROM s
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic: per-language stopword hit counts + argmax
+    prediction (ties broken by priority order en>es>fr>de)."""
+    from my_feast_spark.functions.text import lang_id, lang_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    scores = lang_scores(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[scores[lang].alias(f"hits_{lang}") for lang in ("en", "es", "fr", "de")],
+        lang_id(F.col("text")).alias("pred_lang"),
+    )
+
+
+SQL_LANG_ID = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    CAST(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is'], x))) AS INTEGER) AS hits_en,
+    CAST(len(list_filter(toks, x -> list_contains(['el','la','de','que','y','los'], x))) AS INTEGER) AS hits_es,
+    CAST(len(list_filter(toks, x -> list_contains(['le','la','les','et','un','des'], x))) AS INTEGER) AS hits_fr,
+    CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ein','zu'], x))) AS INTEGER) AS hits_de
+  FROM t
+)
+SELECT doc_id, hits_en, hits_es, hits_fr, hits_de,
+  CASE
+    WHEN hits_en > 0 AND hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_de THEN 'en'
+    WHEN hits_es > 0 AND hits_es >= hits_fr AND hits_es >= hits_de AND hits_es > hits_en THEN 'es'
+    WHEN hits_fr > 0 AND hits_fr >= hits_de AND hits_fr > hits_en AND hits_fr > hits_es THEN 'fr'
+    WHEN hits_de > 0 AND hits_de > hits_en AND hits_de > hits_es AND hits_de > hits_fr THEN 'de'
+    ELSE 'und' END AS pred_lang
+FROM s
+"""
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    """Document fingerprinting: md5 over whitespace-normalized lowercase
+    text (exact-dup content key)."""
+    from my_feast_spark.functions.text import doc_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+SQL_DOC_FINGERPRINTS = """
+SELECT doc_id,
+       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+FROM documents
+"""
+
+
+# =========================================================================
+# Extensions: deduplication (exact / n-gram Jaccard / MinHash / SimHash)
+# =========================================================================
+
+def q_exact_dedup_docs(spark, sf_dir):
+    """Exact dedup groups: hash-groupBy on the content fingerprint."""
+    from my_feast_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", "text")
+
+
+SQL_EXACT_DEDUP_DOCS = """
+SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+       min(doc_id) AS keeper_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_jaccard_dup_pairs(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs (shingle join)."""
+    from my_feast_spark.operators.dedup import jaccard_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_dup_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+SQL_JACCARD_DUP_PAIRS = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks WHERE len(t) >= 3
+), ex AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh)
+SELECT doc_a, doc_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
+"""
+
+
+def q_minhash_dup_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified (scale path).
+
+    No SQL oracle (xxhash64 banding is Spark-specific); the driver
+    records a rows-only check, and tests/test_dedup.py asserts recall
+    against the exact jaccard_dup_pairs result."""
+    from my_feast_spark.operators.dedup import minhash_lsh_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_dup_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+def q_simhash_dup_pairs(spark, sf_dir):
+    """SimHash hamming<=3 near-dup pairs (pigeonhole banding). Rows-only
+    check (xxhash64-based fingerprint has no DuckDB equivalent)."""
+    from my_feast_spark.operators.dedup import simhash_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+# =========================================================================
+# Extensions: similarity search over embeddings
+# =========================================================================
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-5 neighbors for the first 20 vectors
+    (broadcast queries x corpus scan; deterministic fold-order dots)."""
+    from my_feast_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    return cosine_topk(q, c, k=5)
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 20
+), c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+), sims AS (
+  SELECT query_id, neighbor_id,
+         round(list_inner_product(qv, cv)
+               / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))),
+               6) AS sim
+  FROM c, q WHERE neighbor_id != query_id
+), r AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Approximate top-5 via random-hyperplane LSH buckets (the corpus-
+    scale path; recall measured against q_cosine_topk in tests).
+    Rows-only check."""
+    from my_feast_spark.operators.similarity import ann_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    return ann_lsh_topk(q, c, k=5, num_planes=4, probe_radius=2)
+
+
+QUERIES.update({
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "doc_fingerprints": (q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
+    "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
+    "jaccard_dup_pairs": (q_jaccard_dup_pairs, SQL_JACCARD_DUP_PAIRS),
+    "minhash_dup_pairs": (q_minhash_dup_pairs, None),
+    "simhash_dup_pairs": (q_simhash_dup_pairs, None),
+    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "ann_lsh_topk": (q_ann_lsh_topk, None),
+})

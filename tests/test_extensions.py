@@ -1,0 +1,133 @@
+"""Tests for the training-data-pipeline extension operators.
+
+The approximate operators (MinHash-LSH, SimHash, hyperplane-LSH ANN) have
+no SQL oracle; here they are held against their exact counterparts:
+recall/precision bounds that would catch a broken banding or hash scheme.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from my_feast_spark.functions.scalar import priority_collapse
+from my_feast_spark.functions.text import doc_fingerprint, lang_id
+from my_feast_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_dup_pairs,
+    minhash_lsh_dup_pairs,
+    simhash_dup_pairs,
+)
+from my_feast_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_dedup_finds_planted_copies(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="hello  world"),
+        Row(doc_id=2, text="Hello world "),     # same after normalization
+        Row(doc_id=3, text="something else"),
+    ])
+    out = {r.keeper_id: r.n_copies for r in exact_dedup(df, "doc_id", "text").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_jaccard_pairs_on_real_docs(spark, docs):
+    pairs = jaccard_dup_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    # the driver corpus plants 25 near-dup pairs (verified via DuckDB)
+    assert len(pairs) == 25
+    assert all(r.jaccard >= 0.9 for r in pairs)
+    assert all(r.doc_a < r.doc_b for r in pairs)
+
+
+def test_minhash_lsh_recall(spark, docs):
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_dup_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    approx = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_dup_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    # precision 1 by construction (exact verify); recall ~1 at j>=0.9
+    assert approx <= exact
+    assert len(approx) >= 0.9 * len(exact)
+
+
+def test_simhash_pairs_detect_near_dups(spark, docs):
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_dup_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    sim = {(r.doc_a, r.doc_b) for r in simhash_dup_pairs(docs, "doc_id", "text", max_hamming=10).collect()}
+    # near-identical token multisets -> tiny hamming distance; most planted
+    # pairs must surface, and hamming<=10 on 64 bits is a strong signal
+    assert len(sim & exact) >= 0.6 * len(exact)
+
+
+def test_cosine_topk_shape_and_selfexclusion(spark, emb):
+    q = emb.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    out = cosine_topk(q, c, k=3).collect()
+    assert len(out) == 15
+    assert all(r.neighbor_id != r.query_id for r in out)
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        sims = [r.sim for r in sorted(rows, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_ann_lsh_recall_vs_exact(spark, emb):
+    q = emb.where(F.col("vec_id") < 20).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(q, c, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in ann_lsh_topk(q, c, k=5, num_planes=4, probe_radius=2).collect()}
+    # labeled clusters -> same-bucket neighbors dominate; require material recall
+    assert len(approx & exact) / len(exact) >= 0.6
+
+
+def test_priority_collapse_matches_reference_udf(spark):
+    df = spark.createDataFrame([
+        Row(id=1, s=["no", "rain", "snow"]),
+        Row(id=2, s=["rain", "no"]),
+        Row(id=3, s=["no"]),
+        Row(id=4, s=[]),
+    ])
+    out = {
+        r.id: r.p
+        for r in df.select(
+            "id", priority_collapse(F.col("s"), ["snow", "rain"], "no").alias("p")
+        ).collect()
+    }
+    assert out == {1: "snow", 2: "rain", 3: "no", 4: "no"}
+
+
+def test_lang_id_priority_ties(spark):
+    df = spark.createDataFrame([
+        Row(id=1, text="the la der"),          # 1 en, 1 es(la)+1 fr(la)? -> en wins tie
+        Row(id=2, text="xyzzy qwerty"),        # no hits -> und
+        Row(id=3, text="el la de que y los"),  # es
+    ])
+    out = {r.id: r.l for r in df.select("id", lang_id(F.col("text")).alias("l")).collect()}
+    assert out[2] == "und"
+    assert out[3] == "es"
+    assert out[1] == "en"
+
+
+def test_doc_fingerprint_normalizes(spark):
+    df = spark.createDataFrame([Row(a="Hello   World"), Row(a="hello world")])
+    fps = [r.f for r in df.select(doc_fingerprint(F.col("a")).alias("f")).collect()]
+    assert fps[0] == fps[1]
