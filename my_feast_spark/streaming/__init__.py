@@ -1,0 +1,17 @@
+from my_feast_spark.streaming.ingest import (
+    capture_to_parquet,
+    read_event_stream,
+    run_to_memory_table,
+    sessionize,
+    streaming_dedup,
+    tumbling_window_agg,
+)
+
+__all__ = [
+    "capture_to_parquet",
+    "read_event_stream",
+    "run_to_memory_table",
+    "sessionize",
+    "streaming_dedup",
+    "tumbling_window_agg",
+]

@@ -1,0 +1,271 @@
+"""Structured Streaming ingest — the reference's capture semantics, Spark-native.
+
+The reference's streaming story (SURVEY §2.9) is: async producer → Event Hub
+→ platform capture into Avro files on a 3-minute tumbling window → batch jobs
+pick the files up (CASE.MD:98-107; infra/cloud/fs-cloud/ingest_weather_chicago.py:20-55).
+Here that whole path is one Structured Streaming pipeline:
+
+    readStream (file source)  →  watermark + tumbling window agg
+                              →  writeStream (parquet capture / memory)
+
+Scale notes (1000-executor / 100 TB target):
+  * The file source lists incrementally (``maxFilesPerTrigger`` bounds a
+    micro-batch); state for windows/dedup lives in the state store, sized by
+    ``spark.sql.shuffle.partitions`` — set it to O(executor cores).
+  * Watermarks bound state: windows older than (max event time − delay) are
+    evicted, so state is O(active windows × keys), not O(history).
+  * For big state (sessionization over many users) switch the state store to
+    RocksDB: ``spark.sql.streaming.stateStore.providerClass =
+    ...RocksDBStateStoreProvider`` — spills to local disk instead of heap.
+  * ``Trigger.AvailableNow`` drains the backlog with bounded batches and
+    stops — the batch-parity mode used by tests and the oracle comparison.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+from typing import Callable, Iterable, Mapping, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_memory_table_ids = itertools.count()
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    *,
+    fmt: str = "parquet",
+    schema: T.StructType | str | None = None,
+    path_glob: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source ``readStream`` (the capture-directory consumer, S11).
+
+    Streaming file sources require an explicit schema; when ``schema`` is
+    None it is inferred from a one-off batch read of the same path (driver-
+    side metadata only). ``max_files_per_trigger`` bounds micro-batch size —
+    the knob that keeps a 100 TB backlog from becoming one giant batch.
+    """
+    reader = spark.readStream.format(fmt)
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    if schema is None:
+        batch = spark.read.format(fmt)
+        if path_glob:
+            batch = batch.option("pathGlobFilter", path_glob)
+        schema = batch.load(path).schema
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.schema(schema).load(path)
+
+
+def tumbling_window_agg(
+    sdf: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    group_cols: Sequence[str],
+    aggs: Sequence[Column],
+    *,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation — the 3-minute-capture /
+    hourly-gold semantics (CASE.MD:107; chicago_weather_hourly_fs.py:38-43)
+    as one streaming operator.
+
+    Watermark bounds state and admits late rows up to ``watermark_delay``;
+    the window struct is flattened to ``bucket_ts`` (window start) so the
+    output schema matches the batch gold tables.
+    """
+    return (
+        sdf.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(F.col(ts_col), window_duration), *group_cols)
+        .agg(*aggs)
+        .withColumn("bucket_ts", F.col("window.start"))
+        .drop("window")
+    )
+
+
+def streaming_dedup(
+    sdf: DataFrame,
+    keys: Sequence[str],
+    *,
+    ts_col: str | None = None,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming duplicate elimination (the reference defers this to batch
+    PIT dedup — SURVEY §2.9; here it is available at ingest time too).
+
+    With ``ts_col`` set, the watermark bounds dedup state: keys older than
+    the watermark are evicted, so state does not grow with the full history.
+    """
+    if ts_col is not None:
+        sdf = sdf.withWatermark(ts_col, watermark_delay)
+        return sdf.dropDuplicates([*keys, ts_col])
+    return sdf.dropDuplicates(list(keys))
+
+
+# --------------------------------------------------------------------------
+# Custom stateful operator: gap-based sessionization (applyInPandasWithState)
+# --------------------------------------------------------------------------
+
+SESSION_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_start", T.TimestampType()),
+    T.StructField("session_end", T.TimestampType()),
+    T.StructField("n_events", T.LongType()),
+])
+
+_STATE_SCHEMA = T.StructType([
+    T.StructField("start_us", T.LongType()),
+    T.StructField("last_us", T.LongType()),
+    T.StructField("n", T.LongType()),
+])
+
+
+def _session_fn(gap_us: int, timeout_close: bool) -> Callable:
+    def fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = last_us = n = None
+        closed: list[tuple] = []
+        for pdf in pdfs:
+            # event-time order within the group; micro-batch boundaries are
+            # handled by carrying (start, last, n) in the state store
+            ts = pdf["ts"].sort_values()
+            for t in ts:
+                t_us = t.value // 1_000  # pandas ns → µs
+                if start_us is None:
+                    start_us, last_us, n = t_us, t_us, 1
+                elif t_us - last_us > gap_us:
+                    closed.append((user_id, start_us, last_us, n))
+                    start_us, last_us, n = t_us, t_us, 1
+                else:
+                    last_us, n = t_us, n + 1
+        if state.hasTimedOut or start_us is None:
+            if start_us is not None:
+                closed.append((user_id, start_us, last_us, n))
+            state.remove()
+        else:
+            state.update((start_us, last_us, n))
+            if timeout_close:
+                state.setTimeoutDuration(gap_us // 1_000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": pd.to_datetime([c[1] for c in closed], unit="us"),
+                    "session_end": pd.to_datetime([c[2] for c in closed], unit="us"),
+                    "n_events": [c[3] for c in closed],
+                }
+            )
+
+    return fn
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    timeout_close: bool = False,
+) -> DataFrame:
+    """Gap-based sessionization as a custom stateful streaming operator
+    (``applyInPandasWithState``) — the §2.9 extension the reference lacks.
+
+    Groups events per user; a session closes after ``gap_minutes`` of
+    event-time inactivity. Output: one row per CLOSED session. State per
+    user is three longs — O(active users), independent of history length.
+
+    ``timeout_close=True`` additionally closes idle sessions via a
+    processing-time timeout — the long-running-deployment mode. Leave it
+    False for drain-and-stop runs (Trigger.AvailableNow): with a timeout
+    registered, the query keeps scheduling empty micro-batches waiting for
+    wall-clock timeouts and never terminates.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    sel = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).cast("timestamp").alias("ts"),
+    )
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_close
+        else GroupStateTimeout.NoTimeout
+    )
+    return sel.groupBy("user_id").applyInPandasWithState(
+        _session_fn(gap_us, timeout_close),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout_conf,
+    )
+
+
+# --------------------------------------------------------------------------
+# Sinks / runners
+# --------------------------------------------------------------------------
+
+def capture_to_parquet(
+    sdf: DataFrame,
+    path: str,
+    checkpoint: str,
+    *,
+    trigger_interval: str | None = "3 minutes",
+    available_now: bool = False,
+    partition_by: Sequence[str] = (),
+):
+    """The capture sink: micro-batched parquet files, tumbling trigger —
+    Spark-native equivalent of Event Hub Capture's 3-minute Avro windows
+    (CASE.MD:107). Returns the started StreamingQuery."""
+    writer = (
+        sdf.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_interval:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()
+
+
+def run_to_memory_table(
+    sdf: DataFrame,
+    spark: SparkSession,
+    *,
+    output_mode: str = "complete",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Drain a streaming DataFrame with ``Trigger.AvailableNow`` into an
+    in-memory table and return it as a batch DataFrame — the batch-parity
+    runner used by tests and the DuckDB oracle comparison."""
+    name = f"mfs_stream_{next(_memory_table_ids)}"
+    ckpt = tempfile.mkdtemp(prefix="mfs_ckpt_")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", os.path.join(ckpt, name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+    return spark.table(name)

@@ -765,7 +765,127 @@ def q_ann_lsh_topk(spark, sf_dir):
     return ann_lsh_topk(q, c, k=5, num_planes=4, probe_radius=2)
 
 
+# =========================================================================
+# Structured Streaming (SURVEY §2.9): capture-window ingest semantics
+# =========================================================================
+
+def _event_stream(spark, sf_dir):
+    """readStream over the events table with the nanos→micros normalization
+    (same contract as sources.load_table, streaming edition)."""
+    from my_feast_spark.streaming import read_event_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = read_event_stream(spark, sf_dir, path_glob="events.parquet")
+    if "ts" in stream.columns and dict(stream.dtypes)["ts"] == "bigint":
+        # integer div: float /1000 loses ulps on ns-scale epochs (> 2^53)
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
+def q_streaming_hourly_agg(spark, sf_dir):
+    """Watermarked tumbling-window hourly aggregation as a STREAMING job,
+    drained with Trigger.AvailableNow — the Spark-native replacement for
+    the reference's Event-Hub-capture → batch-gold path (CASE.MD:98-107).
+    Result is identical to the batch hourly gold build by construction."""
+    from my_feast_spark.streaming import run_to_memory_table, tumbling_window_agg
+
+    stream = _event_stream(spark, sf_dir)
+    agg = tumbling_window_agg(
+        stream, "ts", "1 hour", ["event_type"],
+        [
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.count(F.lit(1)).alias("cnt_events"),
+        ],
+        watermark_delay="2 hours",
+    )
+    out = run_to_memory_table(agg, spark, output_mode="complete")
+    return out.select(
+        F.col("bucket_ts").cast("timestamp_ntz").alias("bucket_ts"),
+        "event_type", "avg_value", "cnt_events",
+    )
+
+
+SQL_STREAMING_HOURLY_AGG = """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_ts, event_type,
+       round(avg(value), 4) AS avg_value,
+       CAST(count(*) AS BIGINT) AS cnt_events
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming duplicate elimination with watermark-bounded state
+    (ingest-time dedup of (user, hour) keys; the reference defers this to
+    the batch PIT dedup — SURVEY §2.9)."""
+    from my_feast_spark.streaming import run_to_memory_table, streaming_dedup
+
+    stream = _event_stream(spark, sf_dir)
+    keyed = stream.select(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+    )
+    deduped = streaming_dedup(
+        keyed, ["user_id"], ts_col="bucket_ts", watermark_delay="2 hours"
+    )
+    out = run_to_memory_table(deduped, spark, output_mode="append")
+    return out.select(
+        "user_id", F.col("bucket_ts").cast("timestamp_ntz").alias("bucket_ts")
+    )
+
+
+SQL_STREAMING_DEDUP = """
+SELECT DISTINCT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_ts
+FROM events
+"""
+
+
+def q_streaming_sessionize(spark, sf_dir):
+    """Custom stateful streaming operator: gap-based sessionization via
+    applyInPandasWithState (30-min inactivity gap). AvailableNow emits only
+    CLOSED sessions (open tails stay in state), so the oracle excludes each
+    user's final session."""
+    from my_feast_spark.streaming import run_to_memory_table, sessionize
+
+    stream = _event_stream(spark, sf_dir)
+    sessions = sessionize(stream, gap_minutes=30)
+    out = run_to_memory_table(sessions, spark, output_mode="append")
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    )
+
+
+SQL_STREAMING_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+), g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_start
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess
+  FROM g
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s
+GROUP BY user_id, sess
+QUALIFY sess < max(sess) OVER (PARTITION BY user_id)
+"""
+
+
 QUERIES.update({
+    "streaming_hourly_agg": (q_streaming_hourly_agg, SQL_STREAMING_HOURLY_AGG),
+    "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
+    "streaming_sessionize": (q_streaming_sessionize, SQL_STREAMING_SESSIONIZE),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "lang_id": (q_lang_id, SQL_LANG_ID),
