@@ -13,7 +13,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+# Python workers (mapInPandas/applyInPandasWithState) resolve pickled
+# closures without this package, but keep it importable there too in case
+# a future operator pickles a module-level reference.
+os.environ["PYTHONPATH"] = (
+    _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+).rstrip(os.pathsep)
 
 from my_feast_spark import workload  # noqa: E402
 from my_feast_spark.session import apply_runtime_confs  # noqa: E402

@@ -1,0 +1,215 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The design (per the 100 TB training-data-pipeline target):
+
+  * An *asset table* is an ordinary DataFrame with a ``content: binary``
+    column plus typed metadata columns — Parquet stores the blobs inline
+    (chunked, columnar), so scans prune metadata-only queries to the
+    metadata columns and never touch the bytes (``ReadSchema`` shows the
+    pruning; keep blobs in their own column for that reason).
+  * Decode / feature-extract / resize / frame-sample run as Arrow-batched
+    ``mapInPandas`` operators: Spark streams record batches into Python,
+    one worker per partition — the only boundary per batch is one Arrow
+    transfer. ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds peak
+    memory when blobs are large; repartition the asset table by size
+    before heavy decode stages so work balances across executors.
+  * The actual image/audio codecs are NOT in this container. The decode
+    core is therefore STUBBED: a deterministic fake codec (``MFIM`` header:
+    magic + width + height + channels, then payload bytes) exercises the
+    full Spark plumbing — schema, Arrow batching, partitioning — and a
+    real-codec path is gated behind an import-try that raises
+    ``NotImplementedError`` with a clear marker.
+
+Header layout (big-endian u32 after 4-byte magic)::
+
+    bytes 0-3    b"MFIM"
+    bytes 4-7    width
+    bytes 8-11   height
+    bytes 12-15  channels
+    bytes 16..   payload
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAGIC = b"MFIM"
+
+ASSET_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("content", T.BinaryType()),
+])
+
+DECODED_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("payload_md5", T.StringType()),
+])
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame", T.BinaryType()),
+])
+
+
+def encode_fake_image_assets(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    *,
+    width_col=None,
+    height_col=None,
+    channels: int = 3,
+) -> DataFrame:
+    """Build an asset table from any string payload — JVM-side only.
+
+    The header is assembled natively (hex-format + unhex + binary concat),
+    so asset construction is whole-stage-codegen'd and never leaves the
+    executor JVM. Defaults derive deterministic fake dimensions from the
+    payload length / id (the shape a real ingest would read from EXIF).
+    """
+    width = width_col if width_col is not None else (F.length(payload_col) % 640) + 1
+    height = height_col if height_col is not None else (F.col(id_col) % 480 + 1)
+    header = F.unhex(
+        F.concat(
+            F.lit(MAGIC.hex()),
+            F.format_string("%08x", width.cast("int")),
+            F.format_string("%08x", height.cast("int")),
+            F.format_string("%08x", F.lit(channels)),
+        )
+    )
+    return df.select(
+        F.col(id_col).cast("long").alias("asset_id"),
+        F.lit("image").alias("kind"),
+        F.concat(header, F.encode(F.col(payload_col), "UTF-8")).alias("content"),
+    )
+
+
+def _make_parser():
+    """Header parser built as a closure so worker-side pickles are
+    self-contained: nested functions serialize by value (with captured
+    cells), never by my_feast_spark import — executors only need stdlib
+    + pandas, not this package on their PYTHONPATH."""
+    magic = MAGIC
+
+    def parse(b: bytes) -> tuple[int, int, int, bytes]:
+        if b[:4] != magic:
+            raise ValueError("not an MFIM asset (real codecs are stubbed — "
+                             "see module docstring)")
+        w, h, c = struct.unpack(">III", b[4:16])
+        return w, h, c, b[16:]
+
+    return parse
+
+
+def decode_assets(assets: DataFrame, *, real_codec: bool = False) -> DataFrame:
+    """Decode + feature-extract over an asset table via ``mapInPandas``.
+
+    One Arrow batch in → one pandas batch out; no shuffle. Emits typed
+    metadata + payload digest per asset. ``real_codec=True`` selects the
+    actual image library path, which is NOT AVAILABLE in this container —
+    it raises ``NotImplementedError`` (clearly-marked stub; the Spark-side
+    plumbing is identical either way).
+    """
+    if real_codec:
+        try:
+            import PIL  # noqa: F401
+        except ImportError:
+            raise NotImplementedError(
+                "STUB: real image decode needs Pillow/libvips, not present "
+                "in this environment; use the deterministic MFIM fake codec "
+                "(real_codec=False) — the Spark plumbing is the same."
+            )
+
+    _parse = _make_parser()
+
+    def decode(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for asset_id, kind, content in zip(
+                pdf["asset_id"], pdf["kind"], pdf["content"]
+            ):
+                b = bytes(content)
+                w, h, c, payload = _parse(b)
+                recs.append((
+                    asset_id, kind, w, h, c, len(b),
+                    hashlib.md5(payload).hexdigest(),
+                ))
+            yield pd.DataFrame(
+                recs,
+                columns=["asset_id", "kind", "width", "height", "channels",
+                         "n_bytes", "payload_md5"],
+            )
+
+    return assets.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize every image asset to (width, height) — ``mapInPandas``.
+
+    The fake codec "resizes" by rewriting the header and truncating or
+    tiling the payload to width*height bytes: deterministic, preserves the
+    batch/schema contract of a real resampler. A real implementation
+    swaps only the inner function (PIL/opencv per batch)."""
+    target = width * height
+    _parse = _make_parser()
+    magic = MAGIC
+
+    def resize(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for asset_id, kind, content in zip(
+                pdf["asset_id"], pdf["kind"], pdf["content"]
+            ):
+                b = bytes(content)
+                _w, _h, c, payload = _parse(b)
+                reps = -(-target // max(len(payload), 1))
+                body = (payload * reps)[:target]
+                hdr = magic + struct.pack(">III", width, height, c)
+                out.append((asset_id, kind, hdr + body))
+            yield pd.DataFrame(out, columns=["asset_id", "kind", "content"])
+
+    return assets.mapInPandas(resize, schema=ASSET_SCHEMA)
+
+
+def sample_frames(
+    assets: DataFrame, *, frame_bytes: int = 64, every_k: int = 10
+) -> DataFrame:
+    """Video frame sampling shape: explode each asset's payload into every
+    k-th fixed-size chunk ("frame") — one row per sampled frame.
+
+    Output cardinality grows, so this is a flatMap-shaped ``mapInPandas``;
+    at scale, follow with ``repartition`` if downstream stages are
+    frame-parallel. Real frame extraction (ffmpeg/pyav) is stubbed by the
+    deterministic byte-chunk fake — same schema, same batch contract."""
+
+    _parse = _make_parser()
+
+    def sample(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                b = bytes(content)
+                _w, _h, _c, payload = _parse(b)
+                n_frames = len(payload) // frame_bytes
+                for idx, f_i in enumerate(range(0, n_frames, every_k)):
+                    out.append((
+                        asset_id, idx,
+                        payload[f_i * frame_bytes:(f_i + 1) * frame_bytes],
+                    ))
+            yield pd.DataFrame(out, columns=["asset_id", "frame_idx", "frame"])
+
+    return assets.mapInPandas(sample, schema=FRAME_SCHEMA)

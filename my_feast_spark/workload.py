@@ -712,6 +712,36 @@ def q_simhash_dup_pairs(spark, sf_dir):
 
 
 # =========================================================================
+# Extensions: multimodal columns (binary assets + mapInPandas decode)
+# =========================================================================
+
+def q_multimodal_decode(spark, sf_dir):
+    """Binary asset round-trip: documents.text → MFIM binary envelope
+    (JVM-side encode) → Arrow-batched mapInPandas decode + feature
+    extraction. Proves the multimodal plumbing end-to-end: the oracle
+    recomputes every decoded field from the source text."""
+    from my_feast_spark.multimodal import decode_assets, encode_fake_image_assets
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = encode_fake_image_assets(docs, "doc_id", "text")
+    return decode_assets(assets).select(
+        "asset_id", "kind", "width", "height", "channels",
+        "n_bytes", "payload_md5",
+    )
+
+
+SQL_MULTIMODAL_DECODE = """
+SELECT doc_id AS asset_id, 'image' AS kind,
+       CAST((length(text) % 640) + 1 AS INTEGER) AS width,
+       CAST((doc_id % 480) + 1 AS INTEGER) AS height,
+       3 AS channels,
+       CAST(16 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+"""
+
+
+# =========================================================================
 # Extensions: similarity search over embeddings
 # =========================================================================
 
@@ -896,4 +926,5 @@ QUERIES.update({
     "simhash_dup_pairs": (q_simhash_dup_pairs, None),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
 })

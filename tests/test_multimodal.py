@@ -1,0 +1,71 @@
+"""Multimodal asset plumbing tests: binary envelope round-trip, Arrow batch
+shapes, resize/frame-sample contracts, and the real-codec stub gate."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import pytest
+from pyspark.sql import Row
+
+from my_feast_spark.multimodal import (
+    MAGIC,
+    decode_assets,
+    encode_fake_image_assets,
+    resize_images,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="hello multimodal world " * 20),
+        Row(doc_id=2, text="tiny"),
+        Row(doc_id=481, text="x" * 700),  # height wraps: 481 % 480 + 1 = 2
+    ])
+    return encode_fake_image_assets(df, "doc_id", "text")
+
+
+def test_envelope_layout(assets):
+    r = {x.asset_id: bytes(x.content) for x in assets.collect()}
+    b = r[2]
+    assert b[:4] == MAGIC
+    w, h, c = struct.unpack(">III", b[4:16])
+    assert (w, h, c) == (len("tiny") % 640 + 1, 2 % 480 + 1, 3)
+    assert b[16:] == b"tiny"
+
+
+def test_decode_roundtrip(assets):
+    out = {r.asset_id: r for r in decode_assets(assets).collect()}
+    assert out[1].width == len("hello multimodal world " * 20) % 640 + 1
+    assert out[481].height == 2
+    assert out[2].n_bytes == 16 + 4
+    assert out[2].payload_md5 == hashlib.md5(b"tiny").hexdigest()
+
+
+def test_resize_rewrites_header_and_sizes_payload(assets):
+    out = {r.asset_id: bytes(r.content) for r in resize_images(assets, 8, 4).collect()}
+    for b in out.values():
+        w, h, _c = struct.unpack(">III", b[4:16])
+        assert (w, h) == (8, 4)
+        assert len(b) == 16 + 8 * 4
+    # tiling: short payloads repeat deterministically
+    assert out[2][16:] == (b"tiny" * 8)[:32]
+
+
+def test_sample_frames_shape(assets):
+    frames = sample_frames(assets, frame_bytes=16, every_k=2).collect()
+    by_asset = {}
+    for r in frames:
+        by_asset.setdefault(r.asset_id, []).append(r)
+        assert len(bytes(r.frame)) == 16
+    # 700-byte payload -> 43 full frames -> every 2nd -> 22 samples
+    assert len(by_asset[481]) == 22
+    assert [r.frame_idx for r in sorted(by_asset[481], key=lambda r: r.frame_idx)] == list(range(22))
+
+
+def test_real_codec_is_clearly_stubbed(assets):
+    with pytest.raises(NotImplementedError, match="STUB"):
+        decode_assets(assets, real_codec=True)
