@@ -85,6 +85,78 @@ def cosine_topk(
     )
 
 
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.9,
+    num_planes: int | None = None,
+    num_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, sim) with
+    id_a < id_b and cosine >= threshold — the semantic-dedup tier of a
+    training-data pipeline.
+
+    ``num_planes=None``: exact — all-pairs self-join (O(N²) candidate
+    volume; only for modest N or verification). With ``num_planes=H``:
+    random-hyperplane LSH blocking with OR-amplification — ``num_tables``
+    independent H-bit sign buckets; a pair is a candidate if it collides
+    in ANY table, then exact cosine verify. Precision stays 1.0; recall =
+    1-(1-p^H)^L where p = 1-acos(sim)/π — e.g. sim 0.9 → ~1.0, sim 0.4,
+    H=4, L=8 → ~0.75. Candidate volume ~L·N²/2^H under uniform buckets;
+    tune H up for scale, L up for recall.
+    """
+    e = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    if num_planes is not None:
+        buckets = []
+        for t in range(num_tables):
+            planes = _hyperplanes(dim, num_planes, seed + t)
+            buckets.append(
+                F.struct(
+                    F.lit(t).alias("table"),
+                    lsh_bucket(F.col("v"), planes).alias("bucket"),
+                )
+            )
+        e = e.select(
+            "id", "v", F.explode(F.array(*buckets)).alias("tb")
+        ).select("id", "v", "tb.table", "tb.bucket")
+        a, b = e.alias("a"), e.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.table") == F.col("b.table"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        a, b = e.alias("a"), e.alias("b")
+        cand = a.join(b, F.col("a.id") < F.col("b.id")).select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
+        )
+    pairs = cand.select(
+        "id_a", "id_b",
+        F.round(
+            _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+            sim_decimals,
+        ).alias("sim"),
+    )
+    return pairs.filter(F.col("sim") >= threshold)
+
+
 def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (numpy PCG64, fixed seed)."""
     import numpy as np

@@ -912,7 +912,69 @@ QUALIFY sess < max(sess) OVER (PARTITION BY user_id)
 """
 
 
+def q_map_pivot_props(spark, sf_dir):
+    """P3/F8/F9: JSON payload → map column → dynamic key discovery
+    (explode/distinct/collect two-job op) → map-pivot to typed columns —
+    the silver-layer schema-on-read idiom
+    (chicago_taxi_trips_silver.ipynb:39-48)."""
+    from my_feast_spark.sources.readers import map_pivot
+
+    events = _t(spark, sf_dir, "events")
+    mapped = events.select(
+        "event_id", F.from_json("props", "map<string,string>").alias("props_map")
+    )
+    out = map_pivot(mapped, "props_map", keys=None, keep=["event_id"])
+    # discovered keys become typed columns; the test corpus carries one key
+    cols = [F.col(c).cast("int").alias(c) for c in out.columns if c != "event_id"]
+    return out.select("event_id", *cols)
+
+
+SQL_MAP_PIVOT_PROPS = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events
+"""
+
+
+def q_embedding_near_dupes(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact all-pairs verify; the
+    LSH-blocked scale path is embedding_near_dupes_lsh)."""
+    from my_feast_spark.operators.similarity import embedding_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+
+
+SQL_EMBEDDING_NEAR_DUPES = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_inner_product(a.v, b.v)
+             / (sqrt(list_inner_product(a.v, a.v))
+                * sqrt(list_inner_product(b.v, b.v))), 6) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_inner_product(a.v, b.v)
+            / (sqrt(list_inner_product(a.v, a.v))
+               * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.4
+"""
+
+
+def q_embedding_near_dupes_lsh(spark, sf_dir):
+    """LSH-blocked embedding near-dup (the corpus-scale path: sign-bucket
+    equi-join replaces the N² self-join; precision 1, recall measured
+    against the exact query in tests). Rows-only check."""
+    from my_feast_spark.operators.similarity import embedding_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, num_planes=4
+    )
+
+
 QUERIES.update({
+    "map_pivot_props": (q_map_pivot_props, SQL_MAP_PIVOT_PROPS),
+    "embedding_near_dupes": (q_embedding_near_dupes, SQL_EMBEDDING_NEAR_DUPES),
+    "embedding_near_dupes_lsh": (q_embedding_near_dupes_lsh, None),
     "streaming_hourly_agg": (q_streaming_hourly_agg, SQL_STREAMING_HOURLY_AGG),
     "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
     "streaming_sessionize": (q_streaming_sessionize, SQL_STREAMING_SESSIONIZE),

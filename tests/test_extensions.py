@@ -131,3 +131,25 @@ def test_doc_fingerprint_normalizes(spark):
     df = spark.createDataFrame([Row(a="Hello   World"), Row(a="hello world")])
     fps = [r.f for r in df.select(doc_fingerprint(F.col("a")).alias("f")).collect()]
     assert fps[0] == fps[1]
+
+
+def test_embedding_dup_pairs_exact_vs_lsh_recall(spark, emb):
+    from my_feast_spark.operators.similarity import embedding_dup_pairs
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.4
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in embedding_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.4, num_planes=4
+        ).collect()
+    }
+    assert exact, "exact pass should find the >=0.4 pairs"
+    # precision 1: every LSH pair is a true pair
+    assert lsh <= exact
+    # recall 1-(1-p^4)^8 with p=1-acos(0.4)/pi ≈ 0.75 at the 0.4 floor
+    assert len(lsh) / len(exact) >= 0.5
