@@ -41,6 +41,13 @@ def main() -> None:
     extra = [q for q in workload.QUERIES if q not in BENCH_QUERIES]
     names = BENCH_QUERIES + extra
 
+    # warm-up: input scans + first-job scheduling/codegen overhead, so the
+    # per-query numbers measure the queries, not JVM cold start
+    from my_feast_spark.sources.readers import TESTDATA_TABLES, load_table
+
+    for t in TESTDATA_TABLES:
+        load_table(spark, sf_dir, t).count()
+
     timings: dict[str, float] = {}
     for name in names:
         fn = workload.QUERIES[name][0]

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from my_feast_spark.functions.text import doc_fingerprint, tokens
+from my_feast_spark.sources.readers import spread_partitions
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -45,9 +46,13 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _with_shingles(df, id_col, text_col, n):
-    """doc -> distinct word n-gram shingle array (docs with < n tokens drop)."""
+    """doc -> distinct word n-gram shingle array (docs with < n tokens drop).
+
+    Input is spread to cluster parallelism first: shingling is CPU-bound
+    and a small single-file corpus would otherwise run on one core."""
     return (
-        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
+        spread_partitions(df)
+        .select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
         .withColumn("__toks", tokens(F.lower(F.col("__text"))))
         .filter(F.size("__toks") >= n)
         .withColumn("sh", shingles_from_tokens(n))
@@ -86,7 +91,12 @@ def jaccard_dup_pairs(
     """
     sh = _with_shingles(df, id_col, text_col, n)
     sizes = sh.select("doc", F.size("sh").alias("n_sh"))
-    exploded = sh.select("doc", F.explode("sh").alias("shingle"))
+    # join/shuffle on the 64-bit shingle hash, not the string: ~an order
+    # of magnitude less shuffle volume and cheaper key compares; exact up
+    # to xxhash64 collisions (~N_shingles^2 / 2^64 — negligible)
+    exploded = sh.select(
+        "doc", F.explode("sh").alias("__s")
+    ).select("doc", F.xxhash64("__s").alias("shingle"))
     if max_shingle_freq is not None:
         hot = (
             exploded.groupBy("shingle")
@@ -119,17 +129,24 @@ def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, *, n: int = 3, num_hashes: int = 64
 ) -> DataFrame:
     """MinHash signature per doc: num_hashes columns ``mh_i`` =
-    min(xxhash64(i, shingle)) over the doc's shingles. One explode + one
-    groupBy; partial aggregation keeps the shuffle tiny (num_hashes longs
-    per doc)."""
-    exploded = _with_shingles(df, id_col, text_col, n).select(
-        "doc", F.explode("sh").alias("shingle")
-    )
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+    min(xxhash64(i, shingle)) over the doc's shingles.
+
+    Computed per-ROW over the shingle array (array_min ∘ transform) —
+    zero shuffle and fully codegen'd, vs. the textbook explode+groupBy
+    which shuffles |doc|×|shingles| rows to re-group what was already
+    grouped."""
+    sh = _with_shingles(df, id_col, text_col, n)
+
+    def hasher(i):
+        # NB: must be a 1-arg lambda — transform() treats a second lambda
+        # parameter as the array index and would shadow a default arg
+        return lambda s: F.xxhash64(F.lit(i), s)
+
+    cols = [
+        F.array_min(F.transform(F.col("sh"), hasher(i))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return exploded.groupBy("doc").agg(*aggs)
+    return sh.select("doc", *cols)
 
 
 def minhash_lsh_dup_pairs(
@@ -187,7 +204,9 @@ def minhash_lsh_dup_pairs(
     # exact verify: jaccard over full shingle sets, restricted to candidates
     sh = _with_shingles(df, id_col, text_col, n)
     sizes = sh.select("doc", F.size("sh").alias("n_sh"))
-    exploded = sh.select("doc", F.explode("sh").alias("shingle"))
+    exploded = sh.select(
+        "doc", F.explode("sh").alias("__s")
+    ).select("doc", F.xxhash64("__s").alias("shingle"))
     ea = exploded.select(F.col("doc").alias("doc_a"), "shingle")
     eb = exploded.select(F.col("doc").alias("doc_b"), "shingle")
     inter = (
@@ -213,7 +232,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 64) -> Dat
     bit b over xxhash64(token) of all tokens. Explode + single groupBy
     with ``bits`` small sums (partial agg keeps it cheap)."""
     tok = (
-        df.select(F.col(id_col).alias("doc"), tokens(F.lower(F.col(text_col))).alias("t"))
+        spread_partitions(df)
+        .select(F.col(id_col).alias("doc"), tokens(F.lower(F.col(text_col))).alias("t"))
         .select("doc", F.explode("t").alias("token"))
         .withColumn("h", F.xxhash64("token"))
     )

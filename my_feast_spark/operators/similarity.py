@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from my_feast_spark.sources.readers import spread_partitions
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -58,14 +60,17 @@ def cosine_topk(
     ``queries``/``corpus``: DataFrames with (id, vec_col). Ranking is by
     (rounded sim DESC, neighbor id ASC) — fully deterministic.
     """
+    # norms are per-ROW: compute once before the pair join, not per pair
+    # (same float ops on the same inputs -> bit-identical sim, 3x less
+    # per-pair work than folding dot+norm+norm inside the join)
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
-    )
-    c = corpus.select(
+    ).withColumn("qn", _norm(F.col("qv")))
+    c = spread_partitions(corpus).select(
         F.col(corpus_id).alias("neighbor_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
-    )
+    ).withColumn("cn", _norm(F.col("cv")))
     joined = c.crossJoin(F.broadcast(q))
     if exclude_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
@@ -73,7 +78,7 @@ def cosine_topk(
         "query_id",
         "neighbor_id",
         F.round(
-            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+            _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
             sim_decimals,
         ).alias("sim"),
     )
@@ -110,10 +115,10 @@ def embedding_dup_pairs(
     H=4, L=8 → ~0.75. Candidate volume ~L·N²/2^H under uniform buckets;
     tune H up for scale, L up for recall.
     """
-    e = df.select(
+    e = spread_partitions(df).select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    )
+    ).withColumn("n", _norm(F.col("v")))
     if num_planes is not None:
         buckets = []
         for t in range(num_tables):
@@ -125,8 +130,8 @@ def embedding_dup_pairs(
                 )
             )
         e = e.select(
-            "id", "v", F.explode(F.array(*buckets)).alias("tb")
-        ).select("id", "v", "tb.table", "tb.bucket")
+            "id", "v", "n", F.explode(F.array(*buckets)).alias("tb")
+        ).select("id", "v", "n", "tb.table", "tb.bucket")
         a, b = e.alias("a"), e.alias("b")
         cand = (
             a.join(
@@ -138,6 +143,7 @@ def embedding_dup_pairs(
             .select(
                 F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                 F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
+                F.col("a.n").alias("na"), F.col("b.n").alias("nb"),
             )
             .dropDuplicates(["id_a", "id_b"])
         )
@@ -146,11 +152,12 @@ def embedding_dup_pairs(
         cand = a.join(b, F.col("a.id") < F.col("b.id")).select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
             F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
+            F.col("a.n").alias("na"), F.col("b.n").alias("nb"),
         )
     pairs = cand.select(
         "id_a", "id_b",
         F.round(
-            _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
             sim_decimals,
         ).alias("sim"),
     )
@@ -206,7 +213,9 @@ def ann_lsh_topk(
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
-    ).withColumn("bucket", lsh_bucket(F.col("qv"), planes))
+    ).withColumn("qn", _norm(F.col("qv"))).withColumn(
+        "bucket", lsh_bucket(F.col("qv"), planes)
+    )
     masks = [0]
     if probe_radius >= 1:
         masks += [1 << i for i in range(num_planes)]
@@ -219,17 +228,19 @@ def ann_lsh_topk(
     if len(masks) > 1:
         flips = [F.col("bucket").bitwiseXOR(F.lit(m).cast("long")) for m in masks]
         q = q.withColumn("bucket", F.explode(F.array(*flips)))
-    c = corpus.select(
+    c = spread_partitions(corpus).select(
         F.col(corpus_id).alias("neighbor_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
-    ).withColumn("bucket", lsh_bucket(F.col("cv"), planes))
+    ).withColumn("cn", _norm(F.col("cv"))).withColumn(
+        "bucket", lsh_bucket(F.col("cv"), planes)
+    )
     joined = c.join(F.broadcast(q), "bucket")
     if exclude_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
     sims = joined.select(
         "query_id", "neighbor_id",
         F.round(
-            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+            _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
             sim_decimals,
         ).alias("sim"),
     ).dropDuplicates(["query_id", "neighbor_id"])  # multi-probe overlap

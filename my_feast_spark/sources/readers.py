@@ -55,6 +55,22 @@ def load_tables(spark: SparkSession, sf_dir: str, names: Sequence[str] = TESTDAT
     return {n: load_table(spark, sf_dir, n) for n in names}
 
 
+def spread_partitions(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Ensure a DataFrame has at least cluster-parallelism partitions.
+
+    Small parquet inputs arrive as 1-2 partitions (one file <
+    ``maxPartitionBytes``), which serializes CPU-bound operators (shingling,
+    pairwise similarity) onto one core. At real scale the scan itself is
+    wide and this is a no-op — the repartition only fires when the input
+    is narrower than ``defaultParallelism``, so large scans keep their
+    pushdown-friendly layout and never pay the extra shuffle."""
+    sc = df.sparkSession.sparkContext
+    target = min_parallelism or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def flatten_struct(df: DataFrame, struct_col: str, keep: Sequence[str] = ()) -> DataFrame:
     """P2: ``selectExpr("value.*", "created")``-style struct flatten
     (chicago_weather_silver.py:17-18)."""
