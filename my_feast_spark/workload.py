@@ -912,6 +912,146 @@ QUALIFY sess < max(sess) OVER (PARTITION BY user_id)
 """
 
 
+def q_datetime_functions(spark, sf_dir):
+    """F1-F5: to_date / date_format hour-bucket string / unix_timestamp /
+    from_unixtime round-trip — the reference's timestamp idioms
+    (ingest_taxy.py:71; chicago_weather_hourly_fs.py:35-53)."""
+    events = _t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    return events.select(
+        "event_id",
+        F.to_date("ts").alias("event_date"),
+        F.date_format("ts", "yyyy-MM-dd HH:00:00").alias("hour_str"),
+        F.unix_timestamp(hour).alias("hour_epoch"),
+        F.from_unixtime(F.unix_timestamp(hour), "yyyy-MM-dd HH:mm:ss").alias("hour_rt"),
+    )
+
+
+SQL_DATETIME_FUNCTIONS = """
+SELECT event_id,
+       CAST(ts AS DATE) AS event_date,
+       strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:00:00') AS hour_str,
+       CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hour_epoch,
+       strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                '%Y-%m-%d %H:%M:%S') AS hour_rt
+FROM events
+"""
+
+
+def q_struct_flatten(spark, sf_dir):
+    """F6+P2: JSON payload → typed struct → ``select("value.*")`` flatten
+    (chicago_weather_bronze.py:43-45; chicago_weather_silver.py:17-18)."""
+    from my_feast_spark.sources.readers import flatten_struct
+
+    events = _t(spark, sf_dir, "events")
+    parsed = events.select(
+        "event_id", F.from_json("props", "struct<k:int>").alias("value")
+    )
+    return flatten_struct(parsed, "value", keep=["event_id"])
+
+
+SQL_STRUCT_FLATTEN = """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, event_id
+FROM events
+"""
+
+
+def q_priority_collapse_types(spark, sf_dir):
+    """U1 as a native expression: collect_set per user + priority collapse
+    (purchase > signup > other) — the reference's precipitation UDF
+    rewritten pushdown-friendly (chicago_weather_hourly_fs.py:22-29)."""
+    from my_feast_spark.functions.scalar import priority_collapse
+
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(F.collect_set("event_type").alias("types"))
+        .select(
+            "user_id",
+            priority_collapse(F.col("types"), ["purchase", "signup"], "other")
+            .alias("top_action"),
+        )
+    )
+
+
+SQL_PRIORITY_COLLAPSE_TYPES = """
+SELECT user_id,
+       CASE WHEN list_contains(list(DISTINCT event_type), 'purchase') THEN 'purchase'
+            WHEN list_contains(list(DISTINCT event_type), 'signup') THEN 'signup'
+            ELSE 'other' END AS top_action
+FROM events GROUP BY user_id
+"""
+
+
+def q_feature_store_retrieval(spark, sf_dir):
+    """M1-M5 end-to-end: gold build → registry apply → FeatureStore.
+    get_historical_features (the full API path, not the raw operator) —
+    registry + gold table live in a scratch dir, the retrieval itself is
+    the same PIT plan the oracle models."""
+    import tempfile
+
+    from my_feast_spark.core import Entity, Feature, FeatureStore, FeatureView, FileSource
+
+    events = _t(spark, sf_dir, "events")
+    gold = (
+        events.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("bucket_ts"))
+        .agg(
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.count(F.lit(1)).alias("cnt_events"),
+        )
+    )
+    scratch = tempfile.mkdtemp(prefix="mfs_store_")
+    gold_path = f"{scratch}/gold"
+    gold.write.mode("overwrite").parquet(gold_path)
+
+    fs = FeatureStore(f"{scratch}/repo", spark=spark)
+    fs.apply([
+        Entity(name="user", value_type="INT64", join_keys=["user_id"]),
+        FeatureView(
+            name="user_hourly",
+            entities=["user"],
+            features=[Feature("avg_value", "DOUBLE"), Feature("cnt_events", "INT64")],
+            source=FileSource(path=gold_path, timestamp_field="bucket_ts"),
+            ttl=dt.timedelta(days=2),
+        ),
+    ])
+    probes = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("event_timestamp")
+    )
+    out = fs.get_historical_features(
+        probes, ["user_hourly:avg_value", "user_hourly:cnt_events"]
+    ).to_spark_df()
+    return out.select(
+        "event_id", "user_id",
+        F.col("event_timestamp").cast("timestamp_ntz").alias("event_timestamp"),
+        "avg_value", "cnt_events",
+    )
+
+
+SQL_FEATURE_STORE_RETRIEVAL = """
+WITH feat AS (
+  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_ts,
+         round(avg(value), 4) AS avg_value,
+         CAST(count(*) AS BIGINT) AS cnt_events
+  FROM events GROUP BY 1, 2
+), probe AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS event_timestamp
+  FROM events WHERE event_type = 'purchase'
+), j AS (
+  SELECT p.event_id, p.user_id, p.event_timestamp,
+         f.avg_value, f.cnt_events,
+         row_number() OVER (PARTITION BY p.event_id ORDER BY f.bucket_ts DESC) AS rn
+  FROM probe p
+  LEFT JOIN feat f
+    ON f.user_id = p.user_id
+   AND f.bucket_ts <= p.event_timestamp
+   AND f.bucket_ts >= p.event_timestamp - INTERVAL 2 DAY
+)
+SELECT event_id, user_id, event_timestamp, avg_value, cnt_events
+FROM j WHERE rn = 1
+"""
+
+
 def q_map_pivot_props(spark, sf_dir):
     """P3/F8/F9: JSON payload → map column → dynamic key discovery
     (explode/distinct/collect two-job op) → map-pivot to typed columns —
@@ -972,6 +1112,10 @@ def q_embedding_near_dupes_lsh(spark, sf_dir):
 
 
 QUERIES.update({
+    "datetime_functions": (q_datetime_functions, SQL_DATETIME_FUNCTIONS),
+    "struct_flatten": (q_struct_flatten, SQL_STRUCT_FLATTEN),
+    "priority_collapse_types": (q_priority_collapse_types, SQL_PRIORITY_COLLAPSE_TYPES),
+    "feature_store_retrieval": (q_feature_store_retrieval, SQL_FEATURE_STORE_RETRIEVAL),
     "map_pivot_props": (q_map_pivot_props, SQL_MAP_PIVOT_PROPS),
     "embedding_near_dupes": (q_embedding_near_dupes, SQL_EMBEDDING_NEAR_DUPES),
     "embedding_near_dupes_lsh": (q_embedding_near_dupes_lsh, None),
