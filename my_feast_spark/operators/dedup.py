@@ -89,7 +89,9 @@ def jaccard_dup_pairs(
     whose every shared shingle is hot can be missed (documented recall
     trade; None = fully exact).
     """
-    sh = _with_shingles(df, id_col, text_col, n)
+    # persist: the shingle relation feeds both self-join branches and the
+    # size lookup — without it Spark re-tokenizes the corpus per branch
+    sh = _with_shingles(df, id_col, text_col, n).persist()
     sizes = sh.select("doc", F.size("sh").alias("n_sh"))
     # join/shuffle on the 64-bit shingle hash, not the string: ~an order
     # of magnitude less shuffle volume and cheaper key compares; exact up
@@ -135,8 +137,12 @@ def minhash_signatures(
     zero shuffle and fully codegen'd, vs. the textbook explode+groupBy
     which shuffles |doc|×|shingles| rows to re-group what was already
     grouped."""
-    sh = _with_shingles(df, id_col, text_col, n)
+    return _signatures_from_shingles(
+        _with_shingles(df, id_col, text_col, n), num_hashes
+    )
 
+
+def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
     def hasher(i):
         # NB: must be a 1-arg lambda — transform() treats a second lambda
         # parameter as the array index and would shadow a default arg
@@ -172,7 +178,9 @@ def minhash_lsh_dup_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
+    # ONE persisted shingle relation feeds signatures AND the exact verify
+    sh = _with_shingles(df, id_col, text_col, n).persist()
+    sig = _signatures_from_shingles(sh, num_hashes)
     band_rows = sig.select(
         "doc",
         F.explode(
@@ -202,7 +210,6 @@ def minhash_lsh_dup_pairs(
         .distinct()
     )
     # exact verify: jaccard over full shingle sets, restricted to candidates
-    sh = _with_shingles(df, id_col, text_col, n)
     sizes = sh.select("doc", F.size("sh").alias("n_sh"))
     exploded = sh.select(
         "doc", F.explode("sh").alias("__s")
