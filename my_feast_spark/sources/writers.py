@@ -15,6 +15,35 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int,
+    *,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Save as a bucketed (and optionally sorted) catalog table.
+
+    Bucketing is the co-located-join lever at 100 TB: two tables bucketed
+    the same way on the join key join with NO Exchange (and with
+    ``sort_cols`` no Sort) — the shuffle is paid once at write time and
+    amortized over every subsequent join/aggregation on that key. Worth it
+    for the big fact tables (events history, feature gold) that are joined
+    repeatedly by the PIT retrieval; pointless for one-shot reads.
+    """
+    bucket_cols = list(bucket_cols)
+    writer = df.write.mode(mode).format(fmt).bucketBy(
+        num_buckets, bucket_cols[0], *bucket_cols[1:]
+    )
+    if sort_cols:
+        sort_cols = list(sort_cols)
+        writer = writer.sortBy(sort_cols[0], *sort_cols[1:])
+    writer.saveAsTable(table)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
