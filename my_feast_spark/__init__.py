@@ -12,8 +12,22 @@ the physical plan; Python stays on the driver except for a small number of
 Arrow-batched Pandas UDFs in the extension operators.
 """
 
+from my_feast_spark.core import Entity, Feature, FeatureStore, FeatureView, FileSource
+from my_feast_spark.operators.aggregations import latest_per_key, time_bucket_agg
+from my_feast_spark.operators.asof_join import point_in_time_join
 from my_feast_spark.session import get_session, session_confs
 
-__all__ = ["get_session", "session_confs"]
+__all__ = [
+    "Entity",
+    "Feature",
+    "FeatureStore",
+    "FeatureView",
+    "FileSource",
+    "get_session",
+    "latest_per_key",
+    "point_in_time_join",
+    "session_confs",
+    "time_bucket_agg",
+]
 
 __version__ = "0.1.0"

@@ -1,3 +1,4 @@
+from my_feast_spark.streaming.online import materialize_stream
 from my_feast_spark.streaming.ingest import (
     capture_to_parquet,
     read_event_stream,
@@ -9,6 +10,7 @@ from my_feast_spark.streaming.ingest import (
 
 __all__ = [
     "capture_to_parquet",
+    "materialize_stream",
     "read_event_stream",
     "run_to_memory_table",
     "sessionize",

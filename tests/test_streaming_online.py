@@ -1,0 +1,81 @@
+"""Streaming materialization test: foreachBatch merge keeps the online
+snapshot at latest-per-entity as new gold files arrive."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+
+from my_feast_spark.core import Entity, Feature, FeatureStore, FeatureView, FileSource
+from my_feast_spark.streaming import materialize_stream, read_event_stream
+
+TS = dt.datetime
+
+
+@pytest.fixture()
+def gold_dir(spark, tmp_path):
+    d = str(tmp_path / "gold_stream")
+    batch1 = spark.createDataFrame([
+        Row(driver_id="d1", event_timestamp=TS(2024, 1, 1, 10), avg_fare=10.0),
+        Row(driver_id="d2", event_timestamp=TS(2024, 1, 1, 10), avg_fare=7.0),
+    ])
+    batch1.write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_materialize_stream_tracks_latest(spark, gold_dir, tmp_path):
+    fs = FeatureStore(str(tmp_path / "repo"), spark=spark)
+    fs.apply([
+        Entity(name="driver", value_type="STRING", join_keys=["driver_id"]),
+        FeatureView(
+            name="driver_hourly",
+            entities=["driver"],
+            features=[Feature("avg_fare", "DOUBLE")],
+            source=FileSource(path=gold_dir, timestamp_field="event_timestamp"),
+        ),
+    ])
+
+    stream = read_event_stream(spark, gold_dir)
+    q = materialize_stream(
+        fs, "driver_hourly", stream,
+        checkpoint=str(tmp_path / "ckpt"), available_now=True,
+    )
+    q.awaitTermination(120)
+
+    out = fs.get_online_features(
+        [{"driver_id": "d1"}, {"driver_id": "d2"}], ["driver_hourly:avg_fare"]
+    )
+    assert out["avg_fare"] == [10.0, 7.0]
+
+    # a later capture file arrives: d1 advances, d3 appears
+    spark.createDataFrame([
+        Row(driver_id="d1", event_timestamp=TS(2024, 1, 1, 12), avg_fare=12.5),
+        Row(driver_id="d3", event_timestamp=TS(2024, 1, 1, 12), avg_fare=3.0),
+    ]).write.mode("append").parquet(gold_dir)
+
+    q2 = materialize_stream(
+        fs, "driver_hourly", read_event_stream(spark, gold_dir),
+        checkpoint=str(tmp_path / "ckpt"), available_now=True,
+    )
+    q2.awaitTermination(120)
+
+    out = fs.get_online_features(
+        [{"driver_id": "d1"}, {"driver_id": "d2"}, {"driver_id": "d3"}],
+        ["driver_hourly:avg_fare"],
+    )
+    # d1 advanced to the newer hour; d2 unchanged (merge, not replace)
+    assert out["avg_fare"] == [12.5, 7.0, 3.0]
+
+    # an OLD row arriving late must not regress the snapshot
+    spark.createDataFrame([
+        Row(driver_id="d1", event_timestamp=TS(2024, 1, 1, 9), avg_fare=1.0),
+    ]).write.mode("append").parquet(gold_dir)
+    q3 = materialize_stream(
+        fs, "driver_hourly", read_event_stream(spark, gold_dir),
+        checkpoint=str(tmp_path / "ckpt"), available_now=True,
+    )
+    q3.awaitTermination(120)
+    out = fs.get_online_features([{"driver_id": "d1"}], ["driver_hourly:avg_fare"])
+    assert out["avg_fare"] == [12.5]
