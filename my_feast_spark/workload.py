@@ -912,6 +912,29 @@ QUALIFY sess < max(sess) OVER (PARTITION BY user_id)
 """
 
 
+def q_value_percentiles(spark, sf_dir):
+    """Exact percentiles per group (linear interpolation) — the
+    distribution-profiling agg of a data-quality pipeline. Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share interpolation
+    semantics, so this is oracle-exact. At scale swap for
+    ``percentile_approx`` (t-digest sketch, mergeable partial aggs)."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+SQL_VALUE_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY 1
+"""
+
+
 def q_datetime_functions(spark, sf_dir):
     """F1-F5: to_date / date_format hour-bucket string / unix_timestamp /
     from_unixtime round-trip — the reference's timestamp idioms
@@ -1112,6 +1135,7 @@ def q_embedding_near_dupes_lsh(spark, sf_dir):
 
 
 QUERIES.update({
+    "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES),
     "datetime_functions": (q_datetime_functions, SQL_DATETIME_FUNCTIONS),
     "struct_flatten": (q_struct_flatten, SQL_STRUCT_FLATTEN),
     "priority_collapse_types": (q_priority_collapse_types, SQL_PRIORITY_COLLAPSE_TYPES),

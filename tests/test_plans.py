@@ -1,0 +1,54 @@
+"""Plan-shape regression tests: the scale properties claimed in README
+(pushdown, pruning, broadcast dims, no Python in the hot path) asserted
+against the actual optimized plans so a refactor can't silently lose them."""
+
+from __future__ import annotations
+
+import pytest
+
+from my_feast_spark import workload
+from tests.conftest import SF_DIR_ORACLE
+
+
+def _formatted(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    df = workload.q_pricing_summary(spark, SF_DIR_ORACLE)
+    plan = _formatted(df)
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate reached the scan
+    # projection pruning: untouched wide columns never leave parquet
+    assert "l_comment" not in plan and "l_shipmode" not in plan
+
+
+def test_dim_joins_broadcast(spark):
+    plan = _formatted(workload.q_regional_revenue(spark, SF_DIR_ORACLE))
+    assert plan.count("BroadcastHashJoin") >= 3  # customer/nation/region dims
+    assert "SortMergeJoin" not in plan
+
+
+def test_pit_join_is_single_window_no_range_join(spark):
+    """The flagship must stay on the linear union+window plan: one window,
+    no nested-loop/cartesian fallback from the `<=` conjunct."""
+    plan = _formatted(workload.q_pit_user_features(spark, SF_DIR_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_native_queries_have_no_python_udfs(spark):
+    """Everything except the intentionally-Python operators (multimodal,
+    sessionize) must stay JVM-side."""
+    python_ok = {"multimodal_decode", "streaming_sessionize",
+                 "streaming_hourly_agg", "streaming_dedup"}
+    for name, (fn, _sql) in workload.QUERIES.items():
+        if name in python_ok or name.startswith("streaming"):
+            continue
+        plan = _formatted(fn(spark, SF_DIR_ORACLE))
+        assert "BatchEvalPython" not in plan, f"{name} runs a row-wise Python UDF"
+        assert "ArrowEvalPython" not in plan or name in python_ok, (
+            f"{name} unexpectedly runs a Pandas UDF"
+        )
