@@ -135,40 +135,52 @@ def _session_fn(gap_us: int, timeout_close: bool) -> Callable:
         pdfs: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterable[pd.DataFrame]:
+        import numpy as np
+
         (user_id,) = key
-        if state.exists:
-            start_us, last_us, n = state.get
-        else:
-            start_us = last_us = n = None
+        # vectorized: gather the whole group's batch, sort ONCE across all
+        # Arrow chunks (per-chunk order is not globally sorted), then find
+        # session breaks with a single diff — no per-row Python loop
+        chunks = [
+            pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            for pdf in pdfs
+        ]
+        ts = (
+            np.sort(np.concatenate(chunks))
+            if chunks
+            else np.empty(0, dtype="int64")
+        )
+        carry = tuple(state.get) if state.exists else None
         closed: list[tuple] = []
-        for pdf in pdfs:
-            # event-time order within the group; micro-batch boundaries are
-            # handled by carrying (start, last, n) in the state store
-            ts = pdf["ts"].sort_values()
-            for t in ts:
-                t_us = t.value // 1_000  # pandas ns → µs
-                if start_us is None:
-                    start_us, last_us, n = t_us, t_us, 1
-                elif t_us - last_us > gap_us:
-                    closed.append((user_id, start_us, last_us, n))
-                    start_us, last_us, n = t_us, t_us, 1
+        if ts.size:
+            breaks = np.nonzero(np.diff(ts) > gap_us)[0]
+            segs = np.split(ts, breaks + 1)
+            sessions = [(int(s[0]), int(s[-1]), int(s.size)) for s in segs]
+            if carry is not None:
+                c_start, c_last, c_n = carry
+                if sessions[0][0] - c_last <= gap_us:
+                    s0 = sessions[0]
+                    sessions[0] = (c_start, s0[1], c_n + s0[2])
                 else:
-                    last_us, n = t_us, n + 1
-        if state.hasTimedOut or start_us is None:
-            if start_us is not None:
-                closed.append((user_id, start_us, last_us, n))
+                    closed.append((c_start, c_last, c_n))
+            closed.extend(sessions[:-1])
+            carry = sessions[-1]
+        if state.hasTimedOut or carry is None:
+            if carry is not None:
+                closed.append(carry)
+                carry = None
             state.remove()
         else:
-            state.update((start_us, last_us, n))
+            state.update(carry)
             if timeout_close:
                 state.setTimeoutDuration(gap_us // 1_000)
         if closed:
             yield pd.DataFrame(
                 {
-                    "user_id": [c[0] for c in closed],
-                    "session_start": pd.to_datetime([c[1] for c in closed], unit="us"),
-                    "session_end": pd.to_datetime([c[2] for c in closed], unit="us"),
-                    "n_events": [c[3] for c in closed],
+                    "user_id": [user_id] * len(closed),
+                    "session_start": pd.to_datetime([c[0] for c in closed], unit="us"),
+                    "session_end": pd.to_datetime([c[1] for c in closed], unit="us"),
+                    "n_events": [c[2] for c in closed],
                 }
             )
 
