@@ -38,6 +38,15 @@ leak older rows' values (per-column LOCF would).
 top-1) is kept for small entity dataframes where Catalyst broadcasts the
 probe side — useful when |probes| << |history| and history is huge but
 per-key fan-out is small.
+
+Scale caveat: the union_window shuffle partitions by join key, so one
+pathologically hot entity (millions of rows for a single key) lands in
+one task — AQE cannot split a window partition the way it splits a
+skewed join. Mitigations at that scale: pre-filter history to the probe
+time range (partition pruning on the feature table's date partitions
+does this for free), or slice by (key, coarse time bucket) with
+boundary-carry rows. Neither is needed at the reference's per-entity
+cardinalities (hourly rows per taxi).
 """
 
 from __future__ import annotations
