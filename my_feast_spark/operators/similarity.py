@@ -164,6 +164,89 @@ def embedding_dup_pairs(
     return pairs.filter(F.col("sim") >= threshold)
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 3,
+    exclude_self: bool = True,
+    sim_decimals: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans-partition the corpus,
+    rank each query only against its ``nprobe`` nearest cells.
+
+    The second ANN family next to hyperplane LSH (``ann_lsh_topk``):
+    data-adaptive cells follow the embedding distribution, so cell sizes
+    are balanced where LSH sign-buckets can collapse under correlated
+    dims. Candidate volume ~ nprobe/num_centroids of the corpus per query.
+    Training cost is one KMeans fit (MLlib, sampled at huge N); at scale
+    persist the centroids and reuse them across query batches.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = spread_partitions(corpus).select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+    ).withColumn("cn", _norm(F.col("cv")))
+    train = c.select(array_to_vector("cv").alias("features"))
+    model = KMeans(k=num_centroids, seed=seed, featuresCol="features").fit(train)
+    centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+
+    def cell_dists(v):
+        # squared L2 to each centroid, as one array expression
+        return F.array(*[
+            F.aggregate(
+                F.zip_with(v, F.array(*[F.lit(x) for x in ctr]),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+            for ctr in centroids
+        ])
+
+    c = c.withColumn("__d", cell_dists(F.col("cv"))).withColumn(
+        "cell", F.expr("int(array_position(__d, array_min(__d)) - 1)")
+    ).drop("__d")
+
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    ).withColumn("qn", _norm(F.col("qv"))).withColumn(
+        "__d", cell_dists(F.col("qv"))
+    )
+    # nprobe nearest cells per query: sort (dist, idx) structs, take prefix
+    q = q.withColumn(
+        "cell",
+        F.explode(F.expr(
+            f"transform(slice(array_sort(arrays_zip(__d, "
+            f"sequence(0, {len(centroids) - 1}))), 1, {nprobe}), s -> int(s['1']))"
+        )),
+    ).drop("__d")
+
+    joined = c.join(F.broadcast(q), "cell")
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    sims = joined.select(
+        "query_id", "neighbor_id",
+        F.round(
+            _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+            sim_decimals,
+        ).alias("sim"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (numpy PCG64, fixed seed)."""
     import numpy as np

@@ -795,6 +795,20 @@ def q_ann_lsh_topk(spark, sf_dir):
     return ann_lsh_topk(q, c, k=5, num_planes=4, probe_radius=2)
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF approximate top-5: KMeans cells + nprobe search — the
+    data-adaptive ANN family next to hyperplane LSH. Rows-only check
+    (KMeans cells have no SQL equivalent); recall vs exact in tests."""
+    from my_feast_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    return ivf_topk(q, c, k=5, num_centroids=16, nprobe=6)
+
+
 # =========================================================================
 # Structured Streaming (SURVEY §2.9): capture-window ingest semantics
 # =========================================================================
@@ -1156,5 +1170,6 @@ QUERIES.update({
     "simhash_dup_pairs": (q_simhash_dup_pairs, None),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "ivf_topk": (q_ivf_topk, None),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
 })

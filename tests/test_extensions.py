@@ -153,3 +153,22 @@ def test_embedding_dup_pairs_exact_vs_lsh_recall(spark, emb):
     assert lsh <= exact
     # recall 1-(1-p^4)^8 with p=1-acos(0.4)/pi ≈ 0.75 at the 0.4 floor
     assert len(lsh) / len(exact) >= 0.5
+
+
+def test_ivf_topk_recall_vs_exact(spark, emb):
+    from my_feast_spark.operators.similarity import cosine_topk, ivf_topk
+
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    exact = {}
+    for r in cosine_topk(q, c, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in ivf_topk(q, c, k=5, num_centroids=16, nprobe=6).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recall = sum(
+        len(exact[qid] & approx.get(qid, set())) for qid in exact
+    ) / sum(len(v) for v in exact.values())
+    assert recall >= 0.6  # nprobe=6/16 cells on unclustered vectors
