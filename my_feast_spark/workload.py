@@ -926,6 +926,24 @@ QUALIFY sess < max(sess) OVER (PARTITION BY user_id)
 """
 
 
+def q_event_types_salted(spark, sf_dir):
+    """Salted two-stage collect_set (the hot-key-safe form of A2's set
+    aggregation): groupBy(key, salt) partial sets, then per-key union —
+    result-identical to the direct aggregation."""
+    from my_feast_spark.operators.skew import salted_collect_set
+
+    events = _t(spark, sf_dir, "events")
+    return salted_collect_set(
+        events, ["user_id"], "event_type", num_salts=8, out_col="event_types"
+    )
+
+
+SQL_EVENT_TYPES_SALTED = """
+SELECT user_id, list_sort(list(DISTINCT event_type)) AS event_types
+FROM events GROUP BY user_id
+"""
+
+
 def q_value_percentiles(spark, sf_dir):
     """Exact percentiles per group (linear interpolation) — the
     distribution-profiling agg of a data-quality pipeline. Spark
@@ -1149,6 +1167,7 @@ def q_embedding_near_dupes_lsh(spark, sf_dir):
 
 
 QUERIES.update({
+    "event_types_salted": (q_event_types_salted, SQL_EVENT_TYPES_SALTED),
     "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES),
     "datetime_functions": (q_datetime_functions, SQL_DATETIME_FUNCTIONS),
     "struct_flatten": (q_struct_flatten, SQL_STRUCT_FLATTEN),
