@@ -52,9 +52,16 @@ def write_partitioned(
     mode: str = "overwrite",
     fmt: str = "parquet",
     repartition: bool = True,
+    sort_within: Sequence[str] = (),
 ) -> None:
+    """``sort_within``: cluster rows inside each file by these columns
+    (e.g. the event timestamp) so parquet row-group min/max statistics
+    become selective — readers with a time predicate skip whole row
+    groups. Costs one sort at write time, pays on every pruned scan."""
     partition_cols = list(partition_cols)
     out = df.repartition(*partition_cols) if (repartition and partition_cols) else df
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
     writer = out.write.mode(mode).format(fmt)
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)

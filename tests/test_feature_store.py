@@ -109,3 +109,38 @@ def test_materialize_and_online_lookup(store):
         "materialization_intervals"
     ]
     assert len(intervals) == 1
+
+
+def test_multi_view_retrieval_merge(store, spark, tmp_path):
+    """J5: two feature views over different sources merge left-to-right
+    onto the same probe set; a probe missing from one view's history gets
+    NULLs for that view only (CASE.MD:486-501)."""
+    from my_feast_spark.core import Entity, Feature, FeatureView, FileSource
+
+    ratings = spark.createDataFrame([
+        Row(driver_id="d1", event_timestamp=TS(2024, 1, 1, 11), rating=4.5),
+        # d2 has NO rating history
+    ])
+    path = str(tmp_path / "ratings")
+    ratings.write.parquet(path)
+    store.apply([
+        FeatureView(
+            name="driver_ratings",
+            entities=["driver"],
+            features=[Feature("rating", "DOUBLE")],
+            source=FileSource(path=path, timestamp_field="event_timestamp"),
+        ),
+    ])
+    probes = spark.createDataFrame([
+        Row(driver_id="d1", event_timestamp=TS(2024, 1, 1, 13)),
+        Row(driver_id="d2", event_timestamp=TS(2024, 1, 1, 13)),
+    ])
+    out = store.get_historical_features(
+        probes,
+        ["driver_hourly:avg_fare", "driver_ratings:rating"],
+    ).to_spark_df()
+    rows = {r.driver_id: r for r in out.collect()}
+    assert rows["d1"].avg_fare == pytest.approx(99.0)   # late re-ingest wins
+    assert rows["d1"].rating == 4.5
+    assert rows["d2"].avg_fare == pytest.approx(7.0)    # has fares...
+    assert rows["d2"].rating is None                    # ...but no ratings
