@@ -457,6 +457,38 @@ LIMIT 10
 """
 
 
+def q_promo_revenue(spark, sf_dir):
+    """Conditional aggregation over a fact-dim join (TPC-H Q14 shape):
+    CASE-WHEN inside SUM, date range pushed to the lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), disc_price).otherwise(0.0)
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit(dt.datetime(1995, 9, 1)))
+            & (F.col("l_shipdate") < F.lit(dt.datetime(1996, 9, 1)))
+        )
+        .join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(disc_price), 4).alias("promo_pct"),
+            F.round(F.sum(disc_price), 2).alias("total_revenue"),
+        )
+    )
+
+
+SQL_PROMO_REVENUE = """
+SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+  AND l_shipdate < TIMESTAMP '1996-09-01'
+"""
+
+
 def q_part_brand_stats(spark, sf_dir):
     """A3: min/max/avg/count multi-aggregate (trip_stats_fv.ipynb:297-306)."""
     part = _t(spark, sf_dir, "part")
@@ -497,6 +529,7 @@ QUERIES: dict[str, tuple] = {
     "order_priority_count": (q_order_priority_count, SQL_ORDER_PRIORITY_COUNT),
     "top_spenders": (q_top_spenders, SQL_TOP_SPENDERS),
     "part_brand_stats": (q_part_brand_stats, SQL_PART_BRAND_STATS),
+    "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE),
 }
 
 
