@@ -195,8 +195,14 @@ def ivf_topk(
         F.col(corpus_id).alias("neighbor_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
     ).withColumn("cn", _norm(F.col("cv")))
-    train = c.select(array_to_vector("cv").alias("features"))
-    model = KMeans(k=num_centroids, seed=seed, featuresCol="features").fit(train)
+    # cells need rough balance, not convergence — cap iterations (an IVF
+    # index trains centroids on a sample and freezes them anyway); train
+    # on few partitions: each KMeans iteration is a job, and tiny tasks
+    # make the fit scheduler-bound
+    c = c.withColumn("features", array_to_vector("cv"))
+    model = KMeans(
+        k=num_centroids, seed=seed, maxIter=8, featuresCol="features"
+    ).fit(c.select("features").coalesce(4))
     centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
 
     def cell_dists(v):
@@ -210,9 +216,13 @@ def ivf_topk(
             for ctr in centroids
         ])
 
-    c = c.withColumn("__d", cell_dists(F.col("cv"))).withColumn(
-        "cell", F.expr("int(array_position(__d, array_min(__d)) - 1)")
-    ).drop("__d")
+    # corpus assignment via MLlib predict (JVM-side), not an expression
+    # fold over every centroid per row
+    c = (
+        model.transform(c)
+        .withColumn("cell", F.col(model.getPredictionCol()).cast("int"))
+        .drop("features", model.getPredictionCol())
+    )
 
     q = queries.select(
         F.col(query_id).alias("query_id"),
