@@ -1,0 +1,14 @@
+"""Smoke the end-to-end demo script (the reference's notebook flow)."""
+
+from __future__ import annotations
+
+
+def test_demo_runs_end_to_end(spark, tmp_path):
+    from examples.feature_store_demo import main
+
+    out = main("/root/testdata/sf0.001", str(tmp_path))
+    assert out["views"] == ["user_events_hourly"]
+    assert out["entities"] == ["user"]
+    assert out["historical_rows"] > 0
+    assert len(out["online"]["avg_value"]) == 3
+    assert all(v is not None for v in out["online"]["avg_value"])
