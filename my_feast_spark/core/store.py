@@ -74,12 +74,18 @@ class FeatureStore:
     # --- historical retrieval (M5) ------------------------------------------
     def get_historical_features(
         self,
-        entity_df: DataFrame,
+        entity_df,
         features: Sequence[str],
         *,
         entity_ts_col: str = "event_timestamp",
         full_feature_names: bool = False,
     ) -> RetrievalJob:
+        """``entity_df`` may be a Spark DataFrame or a pandas DataFrame —
+        the reference's notebooks pass pandas (entity df built in pandas at
+        get_hist_feat.ipynb:596-609; Spark dfs downcast via toPandas(),
+        explore_features.ipynb:426-431), so both are first-class here."""
+        if not isinstance(entity_df, DataFrame):  # pandas path (Arrow)
+            entity_df = self.spark.createDataFrame(entity_df)
         views = {fv.name: fv for fv in self.registry.list_feature_views()}
         join_keys = {e.name: e.join_keys for e in self.registry.list_entities()}
         df = build_historical_retrieval(

@@ -66,11 +66,14 @@ _ROW_ID = "__mfs_row_id"
 
 
 def _ttl_seconds(ttl) -> float | None:
+    """Feast semantics: ttl=0 (or timedelta(0)) means NO expiry — the
+    reference's generated SQL elides the TTL lower bound entirely when
+    ttl=0 (CASE.MD:385-386 describes the bound; the captured query at
+    Untitled.ipynb:766-782 omits it because ttl was 0)."""
     if ttl is None:
         return None
-    if isinstance(ttl, _dt.timedelta):
-        return ttl.total_seconds()
-    return float(ttl)
+    seconds = ttl.total_seconds() if isinstance(ttl, _dt.timedelta) else float(ttl)
+    return seconds if seconds > 0 else None
 
 
 def point_in_time_join(

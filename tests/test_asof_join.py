@@ -132,3 +132,30 @@ def test_collision_raises(spark):
     probes = _probes(spark).withColumnRenamed("tag", "value")
     with pytest.raises(ValueError, match="collide"):
         point_in_time_join(probes, _features(spark), ["entity_id"], created_ts_col="created")
+
+
+def test_ttl_zero_means_no_expiry(spark):
+    """Feast semantics: ttl=0 disables the lower bound (the reference's
+    generated SQL omits it when ttl=0) — old features must still match."""
+    import datetime as dt
+    from pyspark.sql import Row
+    from my_feast_spark.operators.asof_join import point_in_time_join
+
+    feats = spark.createDataFrame([
+        Row(k="a", fts=dt.datetime(2024, 1, 1), val=1.0),
+    ])
+    probes = spark.createDataFrame([
+        Row(k="a", pts=dt.datetime(2024, 6, 1)),  # 5 months later
+    ])
+    for ttl in (dt.timedelta(0), 0, None):
+        out = point_in_time_join(
+            probes, feats, ["k"], event_ts_col="fts", entity_ts_col="pts",
+            ttl=ttl, features=["val"],
+        ).collect()
+        assert out[0].val == 1.0, f"ttl={ttl!r} must not expire history"
+    # and a REAL ttl still does
+    out = point_in_time_join(
+        probes, feats, ["k"], event_ts_col="fts", entity_ts_col="pts",
+        ttl=dt.timedelta(days=2), features=["val"],
+    ).collect()
+    assert out[0].val is None

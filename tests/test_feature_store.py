@@ -144,3 +144,18 @@ def test_multi_view_retrieval_merge(store, spark, tmp_path):
     assert rows["d1"].rating == 4.5
     assert rows["d2"].avg_fare == pytest.approx(7.0)    # has fares...
     assert rows["d2"].rating is None                    # ...but no ratings
+
+
+def test_historical_retrieval_accepts_pandas_entity_df(store):
+    import pandas as pd
+
+    entity_pdf = pd.DataFrame({
+        "driver_id": ["d1", "d2"],
+        "event_timestamp": [TS(2024, 1, 1, 13), TS(2024, 1, 1, 13)],
+    })
+    out = store.get_historical_features(
+        entity_pdf, ["driver_hourly:avg_fare"]
+    ).to_spark_df()
+    rows = {r.driver_id: r.avg_fare for r in out.collect()}
+    assert rows["d1"] == pytest.approx(99.0)
+    assert rows["d2"] == pytest.approx(7.0)
