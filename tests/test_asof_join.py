@@ -159,3 +159,31 @@ def test_ttl_zero_means_no_expiry(spark):
         ttl=dt.timedelta(days=2), features=["val"],
     ).collect()
     assert out[0].val is None
+
+
+def test_composite_join_keys(spark):
+    """Multi-column entity keys (Entity.join_keys can be several columns):
+    matching must require ALL keys equal."""
+    import datetime as dt
+    from pyspark.sql import Row
+    from my_feast_spark.operators.asof_join import point_in_time_join
+
+    feats = spark.createDataFrame([
+        Row(region="us", dev="ios", fts=dt.datetime(2024, 1, 1, 10), val=1.0),
+        Row(region="us", dev="and", fts=dt.datetime(2024, 1, 1, 10), val=2.0),
+        Row(region="eu", dev="ios", fts=dt.datetime(2024, 1, 1, 10), val=3.0),
+    ])
+    probes = spark.createDataFrame([
+        Row(region="us", dev="ios", pts=dt.datetime(2024, 1, 1, 12)),
+        Row(region="eu", dev="and", pts=dt.datetime(2024, 1, 1, 12)),  # no match
+    ])
+    for strategy in ("union_window", "range_join"):
+        out = {
+            (r.region, r.dev): r.val
+            for r in point_in_time_join(
+                probes, feats, ["region", "dev"],
+                event_ts_col="fts", entity_ts_col="pts",
+                features=["val"], strategy=strategy,
+            ).collect()
+        }
+        assert out == {("us", "ios"): 1.0, ("eu", "and"): None}
