@@ -1,0 +1,79 @@
+"""Training-data pipeline walkthrough — the extension operators chained
+the way a real corpus-preparation job runs them.
+
+Stage order matters at scale: cheap linear passes first, pair-generating
+passes only on what survives:
+
+  1. text analysis  — token stats, language ID, quality score (linear)
+  2. quality gate   — drop short/low-quality docs (linear)
+  3. exact dedup    — fingerprint groupBy, keep one per content (linear)
+  4. near-dup       — MinHash-LSH over the keepers only (sub-quadratic)
+  5. embedding pass — near-dup pairs by cosine over the keepers' vectors
+
+Run:  python examples/training_data_pipeline_demo.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from my_feast_spark import get_session
+from my_feast_spark.functions.text import lang_id, quality_features
+from my_feast_spark.operators.dedup import exact_dedup, minhash_lsh_dup_pairs
+from my_feast_spark.operators.similarity import embedding_dup_pairs
+from my_feast_spark.sources.readers import load_table
+
+
+def main(sf_dir: str = "/root/testdata/sf0.01") -> dict:
+    spark = get_session(app_name="training-data-pipeline-demo")
+    docs = load_table(spark, sf_dir, "documents")
+    n_input = docs.count()
+
+    # 1-2: per-doc signals + quality gate (pure projections, no shuffle)
+    q = quality_features(F.col("text"))
+    scored = docs.select(
+        "doc_id", "text",
+        lang_id(F.col("text")).alias("pred_lang"),
+        q["n_tokens"].alias("n_tokens"),
+        q["lexical_diversity"].alias("lexical_diversity"),
+    )
+    kept = scored.where(
+        (F.col("n_tokens") >= 5) & (F.col("lexical_diversity") > 0.2)
+    )
+    n_kept = kept.count()
+
+    # 3: exact dedup — one keeper per distinct content
+    groups = exact_dedup(kept, "doc_id", "text")
+    keepers = kept.join(
+        groups.select(F.col("keeper_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    n_unique = keepers.count()
+
+    # 4: near-dup over the deduplicated survivors only
+    near = minhash_lsh_dup_pairs(keepers, "doc_id", "text", n=3, threshold=0.5)
+    n_near_pairs = near.count()
+
+    # 5: embedding-level near-dups (semantic tier)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_sem_pairs = embedding_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, num_planes=4
+    ).count()
+
+    out = {
+        "input_docs": n_input,
+        "after_quality_gate": n_kept,
+        "after_exact_dedup": n_unique,
+        "near_dup_pairs": n_near_pairs,
+        "semantic_dup_pairs": n_sem_pairs,
+    }
+    print(out)
+    return out
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])

@@ -12,3 +12,14 @@ def test_demo_runs_end_to_end(spark, tmp_path):
     assert out["historical_rows"] > 0
     assert len(out["online"]["avg_value"]) == 3
     assert all(v is not None for v in out["online"]["avg_value"])
+
+
+def test_training_pipeline_demo_runs(spark):
+    from examples.training_data_pipeline_demo import main
+
+    out = main("/root/testdata/sf0.01")
+    assert out["input_docs"] == 500
+    assert 0 < out["after_quality_gate"] <= 500
+    assert 0 < out["after_exact_dedup"] <= out["after_quality_gate"]
+    assert out["near_dup_pairs"] >= 0
+    assert out["semantic_dup_pairs"] > 0
