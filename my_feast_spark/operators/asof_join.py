@@ -170,10 +170,27 @@ def _apply_ttl(df: DataFrame, entity_ts_col: str, ttl_s: float | None) -> DataFr
     )
 
 
+def _prune_history(feature_df, entity_df, event_ts_col, entity_ts_col):
+    """The reference's upper-bound optimization (CASE.MD:403): feature
+    rows newer than the newest probe can never match — filter them at the
+    scan. Expressed as a broadcast of the 1-row max-probe-ts aggregate, so
+    it stays in-plan (no driver action) and Catalyst pushes the resulting
+    predicate into the join's input."""
+    max_ts = entity_df.select(
+        F.max(entity_ts_col).alias("__mfs_max_probe_ts")
+    )
+    return (
+        feature_df.join(F.broadcast(max_ts))
+        .filter(F.col(event_ts_col) <= F.col("__mfs_max_probe_ts"))
+        .drop("__mfs_max_probe_ts")
+    )
+
+
 def _union_window(
     entity_df, feature_df, join_keys, event_ts_col, entity_ts_col,
     created_ts_col, ttl_s, features,
 ):
+    feature_df = _prune_history(feature_df, entity_df, event_ts_col, entity_ts_col)
     entity_payload_cols = [
         c for c in entity_df.columns if c not in join_keys and c != entity_ts_col
     ]
@@ -223,6 +240,7 @@ def _range_join(
     per original entity row (surrogate monotonic id — the reference's
     CONCAT(keys, ts) row id is only consumed for uniqueness, CASE.MD:345-357).
     """
+    feature_df = _prune_history(feature_df, entity_df, event_ts_col, entity_ts_col)
     e = entity_df.withColumn(_ROW_ID, F.monotonically_increasing_id())
     created = (
         F.col(created_ts_col) if created_ts_col else F.lit(None).cast("timestamp")

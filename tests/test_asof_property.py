@@ -72,6 +72,12 @@ def _run(spark, feats, probes, ttl=None, with_created=True):
 @given(feats=features_strategy, probes=probes_strategy,
        ttl_hours=st.sampled_from([None, 2, 24]))
 def test_strategies_agree_and_respect_time(spark, feats, probes, ttl_hours):
+    # rows fully tied on (key, event_ts, created) have an UNSPECIFIED
+    # winner (in the reference too) — dedupe so agreement is well-defined
+    dedup = {}
+    for k, t, c, v in feats:
+        dedup[(k, t, c)] = max(v, dedup.get((k, t, c), float("-inf")))
+    feats = [(k, t, c, v) for (k, t, c), v in dedup.items()]
     ttl = dt.timedelta(hours=ttl_hours) if ttl_hours else None
     outs = _run(spark, feats, probes, ttl=ttl)
     assert outs["union_window"] == outs["range_join"]
