@@ -457,6 +457,64 @@ LIMIT 10
 """
 
 
+def q_revenue_rollup(spark, sf_dir):
+    """Hierarchical subtotals via ROLLUP (region → nation → grand total)
+    with grouping_id distinguishing the levels — the drill-down shape of
+    a reporting layer. One shuffle; Spark expands the grouping sets
+    map-side."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().alias("level"),
+        )
+    )
+
+
+SQL_REVENUE_ROLLUP = """
+SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(grouping(r_name) * 2 + grouping(n_name) AS BIGINT) AS level
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_user_value_deltas(spark, sf_dir):
+    """Analytic window functions (lag + running delta) per entity stream —
+    not used by the reference but table-stakes for event analytics; one
+    shuffle on the window key."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return events.select(
+        "event_id", "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta_prev"),
+        F.round(F.lead("value").over(w) - F.col("value"), 2).alias("delta_next"),
+    )
+
+
+SQL_USER_VALUE_DELTAS = """
+SELECT event_id, user_id,
+       round(value - lag(value) OVER w, 2) AS delta_prev,
+       round(lead(value) OVER w - value, 2) AS delta_next
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""
+
+
 def q_promo_revenue(spark, sf_dir):
     """Conditional aggregation over a fact-dim join (TPC-H Q14 shape):
     CASE-WHEN inside SUM, date range pushed to the lineitem scan."""
@@ -530,6 +588,8 @@ QUERIES: dict[str, tuple] = {
     "top_spenders": (q_top_spenders, SQL_TOP_SPENDERS),
     "part_brand_stats": (q_part_brand_stats, SQL_PART_BRAND_STATS),
     "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE),
+    "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
+    "user_value_deltas": (q_user_value_deltas, SQL_USER_VALUE_DELTAS),
 }
 
 
