@@ -457,6 +457,30 @@ LIMIT 10
 """
 
 
+def q_user_cohort_sets(spark, sf_dir):
+    """Set operations (§2.6 — absent in the reference, table-stakes for a
+    complete engine): EXCEPT + INTERSECT + UNION over user cohorts."""
+    events = _t(spark, sf_dir, "events")
+    purchasers = events.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    signups = events.where(F.col("event_type") == "signup").select("user_id").distinct()
+    purchase_only = purchasers.subtract(signups).withColumn(
+        "cohort", F.lit("purchase_only")
+    )
+    both = purchasers.intersect(signups).withColumn("cohort", F.lit("both"))
+    return purchase_only.unionByName(both)
+
+
+SQL_USER_COHORT_SETS = """
+WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+     s AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+SELECT user_id, 'purchase_only' AS cohort
+FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM s)
+UNION ALL
+SELECT user_id, 'both' AS cohort
+FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM s)
+"""
+
+
 def q_revenue_rollup(spark, sf_dir):
     """Hierarchical subtotals via ROLLUP (region → nation → grand total)
     with grouping_id distinguishing the levels — the drill-down shape of
@@ -588,6 +612,7 @@ QUERIES: dict[str, tuple] = {
     "top_spenders": (q_top_spenders, SQL_TOP_SPENDERS),
     "part_brand_stats": (q_part_brand_stats, SQL_PART_BRAND_STATS),
     "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE),
+    "user_cohort_sets": (q_user_cohort_sets, SQL_USER_COHORT_SETS),
     "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
     "user_value_deltas": (q_user_value_deltas, SQL_USER_VALUE_DELTAS),
 }
