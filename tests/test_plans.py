@@ -32,10 +32,21 @@ def test_dim_joins_broadcast(spark):
 
 def test_pit_join_is_single_window_no_range_join(spark):
     """The flagship must stay on the linear union+window plan: one window,
-    no nested-loop/cartesian fallback from the `<=` conjunct."""
+    no nested-loop/cartesian fallback from the `<=` conjunct. The ONE
+    allowed BroadcastNestedLoopJoin is the history-prune's broadcast of
+    the 1-row max-probe-timestamp aggregate (CASE.MD:403) — a scalar
+    filter, not a pair join."""
     plan = _formatted(workload.q_pit_user_features(spark, SF_DIR_ORACLE))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert "__mfs_max_probe_ts" in plan  # the prune is actually in-plan
+    # every non-equi join condition must belong to the scalar prune —
+    # never a probe×history pair join (equi joins print "None" here)
+    import re
+    conds = re.findall(r"Join condition: (.+)", plan)
+    suspicious = [
+        c for c in conds if "__mfs_max_probe_ts" not in c and c.strip() != "None"
+    ]
+    assert not suspicious, f"unexpected non-equi join conditions: {suspicious}"
     assert "RunningWindowFunction" in plan or "Window" in plan
 
 
