@@ -591,6 +591,98 @@ FROM part GROUP BY 1
 """
 
 
+def q_idle_customers_anti(spark, sf_dir):
+    """Anti-join (NOT EXISTS): customers with no 'F'-status order, counted
+    per market segment. Completes the join-type matrix next to the Q4-shape
+    semi join (SURVEY §2.4 "semi/anti ... built-in if needed"). At scale the
+    orders side reduces to a distinct-key projection before the anti join,
+    so the shuffle carries keys only."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    f_custs = (
+        orders.where(F.col("o_orderstatus") == "F")
+        .select("o_custkey").distinct()
+    )
+    return (
+        customer.join(f_custs, customer.c_custkey == f_custs.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+SQL_IDLE_CUSTOMERS_ANTI = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+GROUP BY c_mktsegment
+"""
+
+
+def q_moving_avg_revenue(spark, sf_dir):
+    """Window frame spec (rowsBetween): 7-day trailing moving average over
+    daily order revenue — the frame-spec analytic SURVEY §2.5 lists as
+    absent-in-reference/built-in. Day grain keeps the frame deterministic
+    (one row per day, unique ORDER BY key). The window is a single global
+    series; at scale, partition by a coarser key (e.g. region) to keep the
+    window parallel — here the aggregated input is tiny (~n_days rows)."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date(F.col("o_orderdate")).alias("order_day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("day_revenue"))
+    )
+    w = Window.orderBy("order_day").rowsBetween(-6, 0)
+    return daily.select(
+        "order_day", "day_revenue",
+        F.round(F.avg("day_revenue").over(w), 4).alias("ma7_revenue"),
+    )
+
+
+SQL_MOVING_AVG_REVENUE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS order_day,
+         round(sum(o_totalprice), 2) AS day_revenue
+  FROM orders GROUP BY 1
+)
+SELECT order_day, day_revenue,
+       round(avg(day_revenue) OVER (ORDER BY order_day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7_revenue
+FROM daily
+"""
+
+
+def q_returnflag_cube(spark, sf_dir):
+    """CUBE over (l_returnflag, l_linestatus) with grouping_id — all four
+    grouping-set combinations in one pass (complements the ROLLUP query).
+    Spark and DuckDB both expand the cube before the hash agg; partial
+    aggregation keeps the shuffle at |groups| x 4."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id("l_returnflag", "l_linestatus").alias("gid"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid", "sum_price", "n_rows",
+        )
+    )
+
+
+SQL_RETURNFLAG_CUBE = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 # =========================================================================
 # Registry of (spark_fn, oracle_sql)
 # =========================================================================
@@ -615,6 +707,9 @@ QUERIES: dict[str, tuple] = {
     "user_cohort_sets": (q_user_cohort_sets, SQL_USER_COHORT_SETS),
     "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
     "user_value_deltas": (q_user_value_deltas, SQL_USER_VALUE_DELTAS),
+    "idle_customers_anti": (q_idle_customers_anti, SQL_IDLE_CUSTOMERS_ANTI),
+    "moving_avg_revenue": (q_moving_avg_revenue, SQL_MOVING_AVG_REVENUE),
+    "returnflag_cube": (q_returnflag_cube, SQL_RETURNFLAG_CUBE),
 }
 
 
