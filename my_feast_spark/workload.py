@@ -683,6 +683,66 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def q_small_quantity_revenue(spark, sf_dir):
+    """Correlated scalar subquery (TPC-H Q17 shape): revenue from lineitems
+    whose quantity is below 20% of the per-part average. Decorrelated the
+    Spark-idiomatic way — pre-aggregate per part, then join; the aggregate
+    side is |parts| rows, so Catalyst broadcasts it and the big lineitem
+    scan streams through map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(part_avg), "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+SQL_SMALL_QUANTITY_REVENUE = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+WHERE l_quantity < (
+  SELECT 0.2 * avg(l_quantity) FROM lineitem WHERE l_partkey = l.l_partkey
+)
+"""
+
+
+def q_customer_balance_deciles(spark, sf_dir):
+    """ntile window: decile of each customer by account balance, summarized
+    as per-decile min/max/count. Deterministic because the ORDER BY key
+    (c_acctbal, c_custkey) is unique. A global ntile is a single-partition
+    window — fine for |customers| summaries; at 100 TB, compute decile
+    boundaries with approx percentiles and bucket by range instead."""
+    customer = _t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return (
+        customer.select(
+            "c_acctbal", F.ntile(10).over(w).alias("decile")
+        )
+        .groupBy("decile")
+        .agg(
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+SQL_CUSTOMER_BALANCE_DECILES = """
+WITH d AS (
+  SELECT c_acctbal,
+         ntile(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS decile
+  FROM customer
+)
+SELECT decile, round(min(c_acctbal), 2) AS min_bal,
+       round(max(c_acctbal), 2) AS max_bal,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM d GROUP BY decile
+"""
+
+
 # =========================================================================
 # Registry of (spark_fn, oracle_sql)
 # =========================================================================
@@ -710,6 +770,8 @@ QUERIES: dict[str, tuple] = {
     "idle_customers_anti": (q_idle_customers_anti, SQL_IDLE_CUSTOMERS_ANTI),
     "moving_avg_revenue": (q_moving_avg_revenue, SQL_MOVING_AVG_REVENUE),
     "returnflag_cube": (q_returnflag_cube, SQL_RETURNFLAG_CUBE),
+    "small_quantity_revenue": (q_small_quantity_revenue, SQL_SMALL_QUANTITY_REVENUE),
+    "customer_balance_deciles": (q_customer_balance_deciles, SQL_CUSTOMER_BALANCE_DECILES),
 }
 
 
