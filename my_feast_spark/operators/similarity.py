@@ -19,6 +19,8 @@ threshold filter (see workload.q_embedding_near_dupes).
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from my_feast_spark.sources.readers import spread_partitions
@@ -120,20 +122,24 @@ def embedding_dup_pairs(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     ).withColumn("n", _norm(F.col("v")))
     if num_planes is not None:
-        buckets = []
-        for t in range(num_tables):
-            planes = _hyperplanes(dim, num_planes, seed + t)
-            buckets.append(
-                F.struct(
-                    F.lit(t).alias("table"),
-                    lsh_bucket(F.col("v"), planes).alias("bucket"),
-                )
-            )
+        bucket_udf = _lsh_buckets_udf(
+            [_hyperplanes(dim, num_planes, seed + t) for t in range(num_tables)]
+        )
+        # persist: the bucketed relation feeds BOTH sides of the self-join;
+        # without it the pandas-UDF bucketing stage runs twice (same
+        # precedent as the persisted shingle relation in operators/dedup.py)
         e = e.select(
-            "id", "v", "n", F.explode(F.array(*buckets)).alias("tb")
-        ).select("id", "v", "n", "tb.table", "tb.bucket")
+            "id", "v", "n", F.posexplode(bucket_udf(F.col("v"))).alias("table", "bucket")
+        ).persist()
         a, b = e.alias("a"), e.alias("b")
-        cand = (
+        # Verify-then-dedup: compute the cosine inside the bucket join's
+        # projection and threshold it BEFORE the pair dedup, so the dedup
+        # shuffle carries only surviving (id_a, id_b, sim) triples instead
+        # of every candidate with two full embedding arrays. A pair that
+        # collides in k tables costs k dot products (JVM-side, cheap) but
+        # shuffles once — at corpus scale the shuffle, not the FMA, is the
+        # bottleneck.
+        return (
             a.join(
                 b,
                 (F.col("a.table") == F.col("b.table"))
@@ -142,9 +148,13 @@ def embedding_dup_pairs(
             )
             .select(
                 F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
-                F.col("a.n").alias("na"), F.col("b.n").alias("nb"),
+                F.round(
+                    _dot(F.col("a.v"), F.col("b.v"))
+                    / (F.col("a.n") * F.col("b.n")),
+                    sim_decimals,
+                ).alias("sim"),
             )
+            .filter(F.col("sim") >= threshold)
             .dropDuplicates(["id_a", "id_b"])
         )
     else:
@@ -263,6 +273,37 @@ def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]
 
     rng = np.random.default_rng(seed)
     return rng.standard_normal((num_planes, dim)).tolist()
+
+
+def _lsh_buckets_udf(planes_tables):
+    """Arrow-vectorized bucket computation for multi-table LSH.
+
+    ``planes_tables`` is an (L, H, dim) nested list — L independent tables
+    of H hyperplanes. Returns a pandas_udf mapping an embedding to its L
+    sign-bit bucket ids in ONE numpy matmul per Arrow batch. The
+    expression-tree alternative (L*H separate ``aggregate(zip_with(...))``
+    dots over literal arrays) is interpreted per-row AND costs seconds of
+    Catalyst planning for the ~L*H*dim-literal tree — the one place in
+    this module where a pandas UDF beats built-ins at every scale.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.asarray(planes_tables, dtype=np.float64)  # (L, H, dim)
+    n_tables, n_planes, _dim = mat.shape
+    flat = mat.reshape(n_tables * n_planes, _dim).T  # (dim, L*H)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def buckets(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        vecs = np.vstack([np.asarray(v, dtype=np.float64) for v in col])
+        signs = (vecs @ flat) >= 0.0  # (n, L*H)
+        ids = (signs.reshape(len(col), n_tables, n_planes) * weights).sum(axis=2)
+        return pd.Series(list(ids))
+
+    return buckets
 
 
 def lsh_bucket(vec_col, planes: list[list[float]]):

@@ -54,7 +54,11 @@ def test_native_queries_have_no_python_udfs(spark):
     """Everything except the intentionally-Python operators (multimodal,
     sessionize) must stay JVM-side."""
     python_ok = {"multimodal_decode", "streaming_sessionize",
-                 "streaming_hourly_agg", "streaming_dedup"}
+                 "streaming_hourly_agg", "streaming_dedup",
+                 # multi-table LSH bucketing is a deliberate Arrow-batched
+                 # pandas UDF: one numpy matmul replaces L*H interpreted
+                 # higher-order-function dots (see _lsh_buckets_udf)
+                 "embedding_near_dupes_lsh"}
     for name, (fn, _sql) in workload.QUERIES.items():
         if name in python_ok or name.startswith("streaming"):
             continue
