@@ -333,6 +333,38 @@ FROM r WHERE rn = 1
 """
 
 
+def q_online_lookup(spark, sf_dir):
+    """J6 online point lookup (explore_features.ipynb:608-616): broadcast
+    a small key set against the latest-per-entity snapshot — the
+    get_online_features serving path as a query. The keys side is tiny by
+    construction, so the plan is a BroadcastHashJoin over the snapshot
+    with no shuffle of the big side."""
+    events = _t(spark, sf_dir, "events")
+    snap = latest_per_key(events, ["user_id"], ["ts"], tie_breakers=["event_id"])
+    keys = (
+        events.select("user_id").where(F.col("user_id") % 13 == 0).distinct()
+    )
+    return (
+        snap.join(F.broadcast(keys), "user_id")
+        .select(
+            "user_id", F.col("ts").alias("feature_ts"), "event_type",
+            F.round("value", 2).alias("value"),
+        )
+    )
+
+
+SQL_ONLINE_LOOKUP = """
+WITH r AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS feature_ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, feature_ts, event_type, round(value, 2) AS value
+FROM r WHERE rn = 1 AND user_id % 13 = 0
+"""
+
+
 # =========================================================================
 # Projections / scalar functions (SURVEY §2.2, §2.8)
 # =========================================================================
@@ -757,6 +789,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_entity_rows": (q_dedup_entity_rows, SQL_DEDUP_ENTITY_ROWS),
     "latest_event_per_user": (q_latest_event_per_user, SQL_LATEST_EVENT_PER_USER),
     "online_snapshot": (q_online_snapshot, SQL_ONLINE_SNAPSHOT),
+    "online_lookup": (q_online_lookup, SQL_ONLINE_LOOKUP),
     "json_props_extract": (q_json_props_extract, SQL_JSON_PROPS_EXTRACT),
     "case_decode_coalesce": (q_case_decode_coalesce, SQL_CASE_DECODE_COALESCE),
     "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
