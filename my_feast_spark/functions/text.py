@@ -101,3 +101,32 @@ def lang_id(text: Column, default: str = "und") -> Column:
             cond = cond & (scores[lang] > scores[earlier])
         expr = F.when(cond, F.lit(lang)).otherwise(expr)
     return expr
+
+
+def chunk_tokens(text: Column, *, size: int = 50, stride: int = 25) -> Column:
+    """Overlapping token-window chunks — the context-length splitter of a
+    training-data pipeline. Returns array<struct<start,chunk_text,n_tokens>>
+    with window starts 0, stride, 2*stride, ... < n_tokens; the last chunk
+    may be shorter. Pure per-row expression (sequence + slice + concat_ws):
+    no shuffle, no Python — chunking 100 TB is a map-only stage."""
+    toks = tokens(text)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    return F.transform(
+        starts,
+        lambda s: F.struct(
+            s.cast("int").alias("start"),
+            F.concat_ws(" ", F.slice(toks, s + 1, size)).alias("chunk_text"),
+            F.least(F.lit(size), n - s).cast("int").alias("n_tokens"),
+        ),
+    )
+
+
+def hash_sample(key: Column, *, hex_threshold: str = "1a") -> Column:
+    """Deterministic hash-bucket sampling predicate for reproducible data
+    mixing: keep rows whose md5(key) first-two-hex-chars sort below
+    ``hex_threshold`` (granularity 1/256; '1a' ~ 10.2%). Unlike
+    ``df.sample``, the decision is a pure function of the key — stable
+    across runs, executors, and engines, so a 100 TB re-run (or a DuckDB
+    oracle) selects the exact same rows."""
+    return F.substring(F.md5(F.encode(key.cast("string"), "UTF-8")), 1, 2) < hex_threshold

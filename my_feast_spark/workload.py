@@ -812,6 +812,92 @@ QUERIES: dict[str, tuple] = {
 # Extensions: text analysis (north-star operators over `documents`)
 # =========================================================================
 
+def q_doc_chunks(spark, sf_dir):
+    """Token-window chunking (size 50, stride 25): one row per chunk with
+    its start offset, token count, and content digest. Map-only explode —
+    the shape of a context-length splitter over a 100 TB corpus."""
+    from my_feast_spark.functions.text import chunk_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(chunk_tokens(F.col("text"), size=50, stride=25)).alias("c"),
+        )
+        .select(
+            "doc_id",
+            F.col("c.start").alias("start"),
+            F.md5(F.encode(F.col("c.chunk_text"), "UTF-8")).alias("chunk_md5"),
+            F.col("c.n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+SQL_DOC_CHUNKS = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(len(toks), 1), 25)) AS start
+  FROM t
+)
+SELECT doc_id, CAST(start AS INTEGER) AS start,
+       md5(array_to_string(toks[start + 1:start + 50], ' ')) AS chunk_md5,
+       CAST(least(50, len(toks) - start) AS INTEGER) AS n_tokens
+FROM s
+"""
+
+
+def q_hash_sampled_docs(spark, sf_dir):
+    """Deterministic ~10% hash-bucket sample of the corpus, summarized per
+    language — reproducible data mixing (same rows on every run/engine,
+    unlike df.sample)."""
+    from my_feast_spark.functions.text import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.where(hash_sample(F.col("doc_id")))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+SQL_HASH_SAMPLED_DOCS = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+GROUP BY lang
+"""
+
+
+def q_regex_mentions(spark, sf_dir):
+    """Regex extraction (SURVEY §2.8 lists regex as built-in/unused):
+    per-doc count of keyword mentions via regexp_extract_all."""
+    docs = _t(spark, sf_dir, "documents")
+    pat = r"\b(spark|query|vector)\b"
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 1)).alias("n_mentions"),
+        )
+        .where(F.col("n_mentions") > 0)
+    )
+
+
+SQL_REGEX_MENTIONS = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\\b(spark|query|vector)\\b', 1)) AS INTEGER)
+         AS n_mentions
+FROM documents
+WHERE len(regexp_extract_all(text, '\\b(spark|query|vector)\\b', 1)) > 0
+"""
+
+
 def q_token_stats(spark, sf_dir):
     """Token counting + length stats per document — pure projections,
     no shuffle (scales linearly with corpus size)."""
@@ -1488,6 +1574,9 @@ QUERIES.update({
     "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
     "streaming_sessionize": (q_streaming_sessionize, SQL_STREAMING_SESSIONIZE),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
+    "hash_sampled_docs": (q_hash_sampled_docs, SQL_HASH_SAMPLED_DOCS),
+    "regex_mentions": (q_regex_mentions, SQL_REGEX_MENTIONS),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprints": (q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
