@@ -1139,6 +1139,36 @@ FROM documents
 # Extensions: similarity search over embeddings
 # =========================================================================
 
+def q_label_centroids(spark, sf_dir):
+    """Per-label embedding centroid (elementwise mean over array<float>) —
+    the vector-aggregation shape of IVF/KMeans training. posexplode +
+    groupBy(label, pos) rides Spark's partial aggregation: the shuffle
+    carries |labels| x dim partial sums, not raw vectors; the final
+    array_agg reassembles dim values per label. Returns a digest of the
+    centroid (md5 of rounded values) so the compare stays compact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(F.avg("x"), 6).alias("c"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )
+
+
+SQL_LABEL_CENTROIDS = """
+WITH pos AS (
+  SELECT label, unnest(range(len(embedding))) AS pos, embedding AS emb
+  FROM embeddings
+)
+SELECT label, CAST(pos AS INTEGER) AS pos,
+       round(avg(emb[CAST(pos AS INTEGER) + 1]), 6) AS c,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM pos GROUP BY label, pos
+"""
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force exact cosine top-5 neighbors for the first 20 vectors
     (broadcast queries x corpus scan; deterministic fold-order dots)."""
@@ -1585,6 +1615,7 @@ QUERIES.update({
     "minhash_dup_pairs": (q_minhash_dup_pairs, None),
     "simhash_dup_pairs": (q_simhash_dup_pairs, None),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
     "ivf_topk": (q_ivf_topk, None),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
