@@ -898,6 +898,62 @@ WHERE len(regexp_extract_all(text, '\\b(spark|query|vector)\\b', 1)) > 0
 """
 
 
+def q_top_terms_tfidf(spark, sf_dir):
+    """TF-IDF top-3 terms per doc (for a deterministic doc subset) with
+    GLOBAL document frequencies: tf per (doc, term) rides partial
+    aggregation; the vocabulary df table is tiny and broadcast back onto
+    tf; corpus size enters as a broadcast scalar — no shuffle is ever
+    keyed on anything bigger than (doc, term)."""
+    docs = _t(spark, sf_dir, "documents")
+    from my_feast_spark.functions.text import tokens
+
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.where(F.col("doc_id") % 20 == 0)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "tfidf")
+    )
+
+
+SQL_TOP_TERMS_TFIDF = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * ln((SELECT count(*) FROM documents) / dfreq.df), 6)
+           AS tfidf
+  FROM tf JOIN dfreq USING (term)
+  WHERE tf.doc_id % 20 = 0
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tf, tfidf FROM ranked WHERE rn <= 3
+"""
+
+
 def q_token_stats(spark, sf_dir):
     """Token counting + length stats per document — pure projections,
     no shuffle (scales linearly with corpus size)."""
@@ -1607,6 +1663,7 @@ QUERIES.update({
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "hash_sampled_docs": (q_hash_sampled_docs, SQL_HASH_SAMPLED_DOCS),
     "regex_mentions": (q_regex_mentions, SQL_REGEX_MENTIONS),
+    "top_terms_tfidf": (q_top_terms_tfidf, SQL_TOP_TERMS_TFIDF),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprints": (q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
