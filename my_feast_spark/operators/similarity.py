@@ -195,59 +195,63 @@ def ivf_topk(
     data-adaptive cells follow the embedding distribution, so cell sizes
     are balanced where LSH sign-buckets can collapse under correlated
     dims. Candidate volume ~ nprobe/num_centroids of the corpus per query.
-    Training cost is one KMeans fit (MLlib, sampled at huge N); at scale
-    persist the centroids and reuse them across query batches.
+    Centroids are trained on a driver-side sample (numpy Lloyd
+    iterations, the FAISS-style index build — a distributed fit is one
+    Spark job per iteration, scheduler-bound at any corpus size) and
+    enter the plan as a closure over the assignment UDF; at scale persist
+    them and reuse across query batches.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
     c = spread_partitions(corpus).select(
         F.col(corpus_id).alias("neighbor_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
     ).withColumn("cn", _norm(F.col("cv")))
-    # cells need rough balance, not convergence — cap iterations (an IVF
-    # index trains centroids on a sample and freezes them anyway); train
-    # on few partitions: each KMeans iteration is a job, and tiny tasks
-    # make the fit scheduler-bound
-    c = c.withColumn("features", array_to_vector("cv"))
-    model = KMeans(
-        k=num_centroids, seed=seed, maxIter=8, featuresCol="features"
-    ).fit(c.select("features").coalesce(4))
-    centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
 
-    def cell_dists(v):
-        # squared L2 to each centroid, as one array expression
-        return F.array(*[
-            F.aggregate(
-                F.zip_with(v, F.array(*[F.lit(x) for x in ctr]),
-                           lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0), lambda acc, x: acc + x,
-            )
-            for ctr in centroids
-        ])
+    # Train centroids on a DRIVER-SIDE SAMPLE, the way production IVF
+    # indexes do (sample -> tiny k-means -> frozen centroids): a
+    # distributed fit spends one Spark job per Lloyd iteration, which is
+    # scheduler-bound at any corpus size, while the centroids themselves
+    # are k*dim floats that the executors need broadcast anyway. The
+    # sample is capped at 4096 vectors regardless of corpus size (cells
+    # need rough balance, not convergence).
+    sample = c.select("cv").limit(4096).collect()
+    X = np.asarray([r.cv for r in sample], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    centers = X[rng.choice(len(X), size=min(num_centroids, len(X)), replace=False)].copy()
+    for _ in range(8):
+        d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(len(centers)):
+            members = X[assign == j]
+            if len(members):
+                centers[j] = members.mean(axis=0)
 
-    # corpus assignment via MLlib predict (JVM-side), not an expression
-    # fold over every centroid per row
-    c = (
-        model.transform(c)
-        .withColumn("cell", F.col(model.getPredictionCol()).cast("int"))
-        .drop("features", model.getPredictionCol())
-    )
+    cmat = centers  # (k, dim)
+    c_sq = (cmat ** 2).sum(axis=1)
 
+    def _cell_udf(n_cells: int):
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<int>")
+        def cells(col: pd.Series) -> pd.Series:
+            if len(col) == 0:
+                return pd.Series([], dtype=object)
+            vecs = np.vstack([np.asarray(v, dtype=np.float64) for v in col])
+            d2 = (vecs ** 2).sum(axis=1)[:, None] - 2.0 * (vecs @ cmat.T) + c_sq[None, :]
+            order = np.argsort(d2, axis=1)[:, :n_cells].astype("int32")
+            return pd.Series(list(order))
+
+        return cells
+
+    # corpus rows go to their single nearest cell; queries probe nprobe
+    # cells — both via one Arrow-batched matmul per batch
+    c = c.withColumn("cell", _cell_udf(1)(F.col("cv"))[0])
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
-    ).withColumn("qn", _norm(F.col("qv"))).withColumn(
-        "__d", cell_dists(F.col("qv"))
-    )
-    # nprobe nearest cells per query: sort (dist, idx) structs, take prefix
-    q = q.withColumn(
-        "cell",
-        F.explode(F.expr(
-            f"transform(slice(array_sort(arrays_zip(__d, "
-            f"sequence(0, {len(centroids) - 1}))), 1, {nprobe}), s -> int(s['1']))"
-        )),
-    ).drop("__d")
+    ).withColumn("qn", _norm(F.col("qv")))
+    q = q.withColumn("cell", F.explode(_cell_udf(nprobe)(F.col("qv"))))
 
     joined = c.join(F.broadcast(q), "cell")
     if exclude_self:

@@ -55,10 +55,11 @@ def test_native_queries_have_no_python_udfs(spark):
     sessionize) must stay JVM-side."""
     python_ok = {"multimodal_decode", "streaming_sessionize",
                  "streaming_hourly_agg", "streaming_dedup",
-                 # multi-table LSH bucketing is a deliberate Arrow-batched
-                 # pandas UDF: one numpy matmul replaces L*H interpreted
-                 # higher-order-function dots (see _lsh_buckets_udf)
-                 "embedding_near_dupes_lsh"}
+                 # multi-table LSH bucketing and IVF cell assignment are
+                 # deliberate Arrow-batched pandas UDFs: one numpy matmul
+                 # replaces k*dim interpreted higher-order-function dots
+                 # (see _lsh_buckets_udf / ivf_topk._cell_udf)
+                 "embedding_near_dupes_lsh", "ivf_topk"}
     for name, (fn, _sql) in workload.QUERIES.items():
         if name in python_ok or name.startswith("streaming"):
             continue
