@@ -715,6 +715,68 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def q_event_type_pivot(spark, sf_dir):
+    """Relational PIVOT with an explicit value list: per-user counts of
+    each event type as columns. Pinning the pivot values keeps the schema
+    static (no extra distinct-scan job) and makes the plan a single hash
+    aggregate of conditional counts — the exact shape the SQL oracle
+    mirrors with FILTER clauses."""
+    events = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+        )
+    )
+
+
+SQL_EVENT_TYPE_PIVOT = """
+SELECT user_id,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+def q_lineitem_unpivot(spark, sf_dir):
+    """UNPIVOT/melt: three lineitem measures to (metric, value) rows,
+    aggregated per metric — wide-to-long normalization. Spark's unpivot
+    is a zero-shuffle Expand (rows × n_metrics), so the only shuffle is
+    the final 3-group aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    melted = li.unpivot(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+    return melted.groupBy("metric").agg(
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+SQL_LINEITEM_UNPIVOT = """
+WITH melted AS (
+  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', l_discount FROM lineitem
+)
+SELECT metric, round(avg(value), 4) AS avg_value,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM melted GROUP BY metric
+"""
+
+
 def q_small_quantity_revenue(spark, sf_dir):
     """Correlated scalar subquery (TPC-H Q17 shape): revenue from lineitems
     whose quantity is below 20% of the per-part average. Decorrelated the
@@ -804,6 +866,8 @@ QUERIES: dict[str, tuple] = {
     "moving_avg_revenue": (q_moving_avg_revenue, SQL_MOVING_AVG_REVENUE),
     "returnflag_cube": (q_returnflag_cube, SQL_RETURNFLAG_CUBE),
     "small_quantity_revenue": (q_small_quantity_revenue, SQL_SMALL_QUANTITY_REVENUE),
+    "event_type_pivot": (q_event_type_pivot, SQL_EVENT_TYPE_PIVOT),
+    "lineitem_unpivot": (q_lineitem_unpivot, SQL_LINEITEM_UNPIVOT),
     "customer_balance_deciles": (q_customer_balance_deciles, SQL_CUSTOMER_BALANCE_DECILES),
 }
 
