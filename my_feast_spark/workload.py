@@ -715,6 +715,99 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def q_post_signup_activity(spark, sf_dir):
+    """Banded interval join: for each signup, count the same user's events
+    in the following 24h. The equi conjunct (user_id) keys the shuffle, so
+    Catalyst plans a hash/sort-merge join with the time band as a
+    post-join filter — never a nested-loop; per-user history length bounds
+    the fan-out."""
+    events = _t(spark, sf_dir, "events")
+    signups = events.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("signup_ts"),
+    )
+    acts = events.select("user_id", F.col("ts").alias("act_ts"))
+    return (
+        signups.join(
+            acts,
+            (signups.user_id == acts.user_id)
+            & (F.col("act_ts") > F.col("signup_ts"))
+            & (F.col("act_ts") <= F.col("signup_ts") + F.expr("INTERVAL 24 HOURS")),
+        )
+        .groupBy("signup_id")
+        .agg(F.count(F.lit(1)).alias("n_follow"))
+    )
+
+
+SQL_POST_SIGNUP_ACTIVITY = """
+WITH s AS (
+  SELECT event_id AS signup_id, user_id, CAST(ts AS TIMESTAMP) AS signup_ts
+  FROM events WHERE event_type = 'signup'
+)
+SELECT s.signup_id, CAST(count(*) AS BIGINT) AS n_follow
+FROM s JOIN events e
+  ON e.user_id = s.user_id
+ AND CAST(e.ts AS TIMESTAMP) > s.signup_ts
+ AND CAST(e.ts AS TIMESTAMP) <= s.signup_ts + INTERVAL 24 HOUR
+GROUP BY s.signup_id
+"""
+
+
+def q_batch_sessions(spark, sf_dir):
+    """Batch gap-based sessionization (30-min idle gap): lag-over-user
+    marks session starts, a running sum numbers them, then one aggregate
+    per session. Two window passes over the SAME (user_id, ts) sort order
+    — Catalyst reuses the sort/shuffle — followed by the session-grain
+    aggregate. The batch twin of streaming_sessionize."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = events.select(
+        "user_id", "ts", "event_id",
+        F.when(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w) > 1800 * 1_000_000,
+            1,
+        ).otherwise(0).alias("is_new"),
+    )
+    sessions = marked.withColumn(
+        "session_no", F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    )
+    return (
+        sessions.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+SQL_BATCH_SESSIONS = """
+WITH marked AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                   - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id))
+                   > 1800 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, event_id,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_no
+  FROM marked
+)
+SELECT user_id, session_no,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM numbered GROUP BY user_id, session_no
+"""
+
+
 def q_event_type_pivot(spark, sf_dir):
     """Relational PIVOT with an explicit value list: per-user counts of
     each event type as columns. Pinning the pivot values keeps the schema
@@ -867,6 +960,8 @@ QUERIES: dict[str, tuple] = {
     "returnflag_cube": (q_returnflag_cube, SQL_RETURNFLAG_CUBE),
     "small_quantity_revenue": (q_small_quantity_revenue, SQL_SMALL_QUANTITY_REVENUE),
     "event_type_pivot": (q_event_type_pivot, SQL_EVENT_TYPE_PIVOT),
+    "post_signup_activity": (q_post_signup_activity, SQL_POST_SIGNUP_ACTIVITY),
+    "batch_sessions": (q_batch_sessions, SQL_BATCH_SESSIONS),
     "lineitem_unpivot": (q_lineitem_unpivot, SQL_LINEITEM_UNPIVOT),
     "customer_balance_deciles": (q_customer_balance_deciles, SQL_CUSTOMER_BALANCE_DECILES),
 }
