@@ -15,6 +15,8 @@ import os
 import sys
 import time
 
+import pandas as _pd  # module-level: pandas_udf type hints resolve here
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from my_feast_spark import workload
@@ -47,6 +49,17 @@ def main() -> None:
 
     for t in TESTDATA_TABLES:
         load_table(spark, sf_dir, t).count()
+
+    # ... and the Python/Arrow worker pool: the first pandas-UDF stage of
+    # the session otherwise pays ~100ms/core of worker fork+import inside
+    # whichever query happens to run it first
+    from pyspark.sql.functions import col as _col, pandas_udf as _pandas_udf
+
+    @_pandas_udf("long")
+    def _warm(s: _pd.Series) -> _pd.Series:
+        return s
+
+    spark.range(512).repartition(32).select(_warm(_col("id"))).count()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -125,12 +125,15 @@ def embedding_dup_pairs(
         bucket_udf = _lsh_buckets_udf(
             [_hyperplanes(dim, num_planes, seed + t) for t in range(num_tables)]
         )
-        # persist: the bucketed relation feeds BOTH sides of the self-join;
-        # without it the pandas-UDF bucketing stage runs twice (same
-        # precedent as the persisted shingle relation in operators/dedup.py)
+        # persist + eager materialize: the bucketed relation feeds BOTH
+        # sides of the self-join, and a lazy persist would let the two
+        # join stages race — each recomputing the pandas-UDF bucketing
+        # before the cache is populated. One count() action serializes
+        # that: one UDF pass, then both sides read the cache.
         e = e.select(
             "id", "v", "n", F.posexplode(bucket_udf(F.col("v"))).alias("table", "bucket")
         ).persist()
+        e.count()
         a, b = e.alias("a"), e.alias("b")
         # Verify-then-dedup: compute the cosine inside the bucket join's
         # projection and threshold it BEFORE the pair dedup, so the dedup
