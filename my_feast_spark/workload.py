@@ -1583,6 +1583,42 @@ FROM events GROUP BY user_id
 """
 
 
+def q_length_outlier_filter(spark, sf_dir):
+    """Corpus-quantile outlier filter — the doc-curation gate that drops
+    too-short/too-long documents by GLOBAL P1/P99 length thresholds. The
+    thresholds are a 1-row aggregate broadcast into the filter (no second
+    scan-side shuffle); at 100 TB swap ``percentile`` for
+    ``percentile_approx`` so the threshold agg stays mergeable."""
+    docs = _t(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.expr("percentile(n_chars, 0.01)").alias("lo"),
+        F.expr("percentile(n_chars, 0.99)").alias("hi"),
+    )
+    return (
+        docs.crossJoin(F.broadcast(bounds))
+        .where((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+SQL_LENGTH_OUTLIER_FILTER = """
+WITH bounds AS (
+  SELECT quantile_cont(n_chars, 0.01) AS lo,
+         quantile_cont(n_chars, 0.99) AS hi
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents, bounds
+WHERE n_chars >= lo AND n_chars <= hi
+GROUP BY source
+"""
+
+
 def q_value_percentiles(spark, sf_dir):
     """Exact percentiles per group (linear interpolation) — the
     distribution-profiling agg of a data-quality pipeline. Spark
@@ -1808,6 +1844,7 @@ def q_embedding_near_dupes_lsh(spark, sf_dir):
 QUERIES.update({
     "event_types_salted": (q_event_types_salted, SQL_EVENT_TYPES_SALTED),
     "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES),
+    "length_outlier_filter": (q_length_outlier_filter, SQL_LENGTH_OUTLIER_FILTER),
     "datetime_functions": (q_datetime_functions, SQL_DATETIME_FUNCTIONS),
     "struct_flatten": (q_struct_flatten, SQL_STRUCT_FLATTEN),
     "priority_collapse_types": (q_priority_collapse_types, SQL_PRIORITY_COLLAPSE_TYPES),
