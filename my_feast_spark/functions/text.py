@@ -106,12 +106,20 @@ def lang_id(text: Column, default: str = "und") -> Column:
 def chunk_tokens(text: Column, *, size: int = 50, stride: int = 25) -> Column:
     """Overlapping token-window chunks — the context-length splitter of a
     training-data pipeline. Returns array<struct<start,chunk_text,n_tokens>>
-    with window starts 0, stride, 2*stride, ... < n_tokens; the last chunk
-    may be shorter. Pure per-row expression (sequence + slice + concat_ws):
-    no shuffle, no Python — chunking 100 TB is a map-only stage."""
+    with window starts 0, stride, 2*stride, ... up to the FIRST window that
+    reaches the last token (ceil((n-size)/stride)*stride) — trailing
+    windows whose content is fully contained in the previous one are never
+    emitted (they would be duplicate training text). The last chunk may be
+    shorter. Pure per-row expression (sequence + slice + concat_ws): no
+    shuffle, no Python — chunking 100 TB is a map-only stage."""
     toks = tokens(text)
     n = F.size(toks)
-    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    last_start = F.when(
+        n <= size, F.lit(0)
+    ).otherwise(
+        (F.floor((n - size + stride - 1) / stride) * stride).cast("int")
+    )
+    starts = F.sequence(F.lit(0), last_start, F.lit(stride))
     return F.transform(
         starts,
         lambda s: F.struct(

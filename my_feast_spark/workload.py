@@ -998,7 +998,10 @@ WITH t AS (
   FROM documents
 ), s AS (
   SELECT doc_id, toks,
-         unnest(range(0, greatest(len(toks), 1), 25)) AS start
+         unnest(range(0,
+                      CASE WHEN len(toks) <= 50 THEN 1
+                           ELSE ((len(toks) - 50 + 24) // 25) * 25 + 1 END,
+                      25)) AS start
   FROM t
 )
 SELECT doc_id, CAST(start AS INTEGER) AS start,

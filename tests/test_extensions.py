@@ -172,3 +172,43 @@ def test_ivf_topk_recall_vs_exact(spark, emb):
         len(exact[qid] & approx.get(qid, set())) for qid in exact
     ) / sum(len(v) for v in exact.values())
     assert recall >= 0.6  # nprobe=6/16 cells on unclustered vectors
+
+
+def test_chunk_tokens_edges(spark):
+    from pyspark.sql import functions as F
+
+    from my_feast_spark.functions.text import chunk_tokens
+
+    df = spark.createDataFrame(
+        [(1, "one two three"),                    # shorter than size
+         (2, " ".join(f"t{i}" for i in range(4))),  # exactly size
+         (3, " ".join(f"t{i}" for i in range(9)))],  # size + stride*2 + 1
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r.chunks
+        for r in df.select(
+            "doc_id", chunk_tokens(F.col("text"), size=4, stride=2).alias("chunks")
+        ).collect()
+    }
+    # short doc: single chunk, all tokens, no redundant tail windows
+    assert [(c.start, c.n_tokens) for c in out[1]] == [(0, 3)]
+    assert out[1][0].chunk_text == "one two three"
+    # exact-size doc: one window covers everything
+    assert [(c.start, c.n_tokens) for c in out[2]] == [(0, 4)]
+    # 9 tokens: starts step by stride until the window reaches the tail
+    assert [c.start for c in out[3]] == [0, 2, 4, 6]
+    assert out[3][-1].n_tokens == 3
+
+
+def test_hash_sample_is_deterministic_and_unbiased(spark):
+    from pyspark.sql import functions as F
+
+    from my_feast_spark.functions.text import hash_sample
+
+    df = spark.range(10_000)
+    a = df.where(hash_sample(F.col("id"))).count()
+    b = df.where(hash_sample(F.col("id"))).count()
+    assert a == b  # pure function of the key
+    # '1a' keeps 26/256 ~ 10.2%; binomial 3-sigma on 10k keys ~ +-0.9pp
+    assert 0.07 < a / 10_000 < 0.14
