@@ -68,3 +68,30 @@ def test_native_queries_have_no_python_udfs(spark):
         assert "ArrowEvalPython" not in plan or name in python_ok, (
             f"{name} unexpectedly runs a Pandas UDF"
         )
+
+
+def test_doc_chunks_is_map_only(spark):
+    """Chunking must stay a pure map stage: scan -> generate -> project,
+    no Exchange — a 100 TB corpus chunks without any shuffle."""
+    plan = _formatted(workload.q_doc_chunks(spark, SF_DIR_ORACLE))
+    assert "Exchange" not in plan
+    assert "Generate" in plan
+
+
+def test_anti_and_subquery_joins_broadcast(spark):
+    """The distinct-key side of the anti join and the per-part aggregate
+    of the Q17 shape are both small: they must broadcast, never sort-merge."""
+    anti = _formatted(workload.q_idle_customers_anti(spark, SF_DIR_ORACLE))
+    assert "BroadcastHashJoin" in anti and "LeftAnti" in anti
+    assert "SortMergeJoin" not in anti
+    q17 = _formatted(workload.q_small_quantity_revenue(spark, SF_DIR_ORACLE))
+    assert "BroadcastHashJoin" in q17
+    assert "SortMergeJoin" not in q17
+
+
+def test_unpivot_is_expand_with_single_shuffle(spark):
+    """unpivot lowers to Expand (rows x n_metrics, zero-shuffle); the only
+    Exchange is the final 3-group aggregate."""
+    plan = _formatted(workload.q_lineitem_unpivot(spark, SF_DIR_ORACLE))
+    assert "Expand" in plan
+    assert plan.count("Exchange") <= 2  # agg shuffle (+ AQE read node)
