@@ -5,10 +5,13 @@ Stage order matters at scale: cheap linear passes first, pair-generating
 passes only on what survives:
 
   1. text analysis  — token stats, language ID, quality score (linear)
-  2. quality gate   — drop short/low-quality docs (linear)
+  2. quality gate   — drop short/low-quality docs + corpus-quantile
+                      length outliers (linear; thresholds broadcast)
   3. exact dedup    — fingerprint groupBy, keep one per content (linear)
   4. near-dup       — MinHash-LSH over the keepers only (sub-quadratic)
   5. embedding pass — near-dup pairs by cosine over the keepers' vectors
+  6. emit           — deterministic hash-bucket sample of the survivors,
+                      split into token-window training chunks (map-only)
 
 Run:  python examples/training_data_pipeline_demo.py [sf_dir]
 """
@@ -23,7 +26,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from my_feast_spark import get_session
-from my_feast_spark.functions.text import lang_id, quality_features
+from my_feast_spark.functions.text import (
+    chunk_tokens,
+    hash_sample,
+    lang_id,
+    quality_features,
+)
 from my_feast_spark.operators.dedup import exact_dedup, minhash_lsh_dup_pairs
 from my_feast_spark.operators.similarity import embedding_dup_pairs
 from my_feast_spark.sources.readers import load_table
@@ -45,6 +53,15 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> dict:
     kept = scored.where(
         (F.col("n_tokens") >= 5) & (F.col("lexical_diversity") > 0.2)
     )
+    # corpus-quantile outlier gate: P1/P99 token-length thresholds as a
+    # broadcast 1-row aggregate (no second shuffle of the corpus)
+    bounds = kept.agg(
+        F.expr("percentile(n_tokens, 0.01)").alias("lo"),
+        F.expr("percentile(n_tokens, 0.99)").alias("hi"),
+    )
+    kept = kept.crossJoin(F.broadcast(bounds)).where(
+        (F.col("n_tokens") >= F.col("lo")) & (F.col("n_tokens") <= F.col("hi"))
+    ).drop("lo", "hi")
     n_kept = kept.count()
 
     # 3: exact dedup — one keeper per distinct content
@@ -64,12 +81,22 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         emb, "vec_id", "embedding", threshold=0.4, num_planes=4
     ).count()
 
+    # 6: emit a reproducible ~10% sample of the survivors as training
+    # chunks — both steps are map-only, so this scales with the scan
+    chunks = (
+        keepers.where(hash_sample(F.col("doc_id")))
+        .select("doc_id", F.explode(chunk_tokens(F.col("text"))).alias("c"))
+        .select("doc_id", "c.start", "c.chunk_text", "c.n_tokens")
+    )
+    n_chunks = chunks.count()
+
     out = {
         "input_docs": n_input,
         "after_quality_gate": n_kept,
         "after_exact_dedup": n_unique,
         "near_dup_pairs": n_near_pairs,
         "semantic_dup_pairs": n_sem_pairs,
+        "sampled_training_chunks": n_chunks,
     }
     print(out)
     return out
