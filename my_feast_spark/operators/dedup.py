@@ -208,12 +208,28 @@ def minhash_lsh_dup_pairs(
         )
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .distinct()
+        # persist + eager materialize: candidates feeds the verify join
+        # AND the cand_docs prune below; lazily both consumers would race
+        # and re-run the whole band-join lineage twice
+        .persist()
     )
-    # exact verify: jaccard over full shingle sets, restricted to candidates
+    candidates.count()
+    # exact verify: jaccard over full shingle sets, restricted to candidates.
+    # Semi-join-prune the exploded shingle relation to docs that appear in
+    # ANY candidate pair first: verify cost then scales with |candidate
+    # docs| x shingles, not |corpus| x shingles — at corpus scale the
+    # candidate set is orders of magnitude smaller than the corpus.
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias("doc"))
+        .union(candidates.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
     sizes = sh.select("doc", F.size("sh").alias("n_sh"))
-    exploded = sh.select(
-        "doc", F.explode("sh").alias("__s")
-    ).select("doc", F.xxhash64("__s").alias("shingle"))
+    exploded = (
+        sh.join(cand_docs, "doc", "left_semi")
+        .select("doc", F.explode("sh").alias("__s"))
+        .select("doc", F.xxhash64("__s").alias("shingle"))
+    )
     ea = exploded.select(F.col("doc").alias("doc_a"), "shingle")
     eb = exploded.select(F.col("doc").alias("doc_b"), "shingle")
     inter = (
