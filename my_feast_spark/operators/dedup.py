@@ -26,10 +26,45 @@ layouts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import random as _random
+
+from pyspark.sql import Column, DataFrame, functions as F
 
 from my_feast_spark.functions.text import doc_fingerprint, tokens
 from my_feast_spark.sources.readers import spread_partitions
+
+# --- portable (cross-engine) hash family ---------------------------------
+#: Mersenne prime 2^31 - 1: the modulus of the Carter-Wegman minhash
+#: family below. Coefficients are fixed at import so the Spark plan and a
+#: DuckDB oracle compute IDENTICAL signatures; products stay < 2^62, so
+#: the arithmetic is overflow-free in both engines' signed 64-bit ints.
+MINHASH_P = 2147483647
+_rng = _random.Random(0x5EED)
+MINHASH_A = [_rng.randrange(1, MINHASH_P) for _ in range(64)]
+MINHASH_B = [_rng.randrange(0, MINHASH_P) for _ in range(64)]
+_MASK63 = (1 << 63) - 1
+
+
+def portable_hash64(col: Column) -> Column:
+    """64-bit string hash reproducible outside Spark: the little-endian
+    integer of md5's LOWER 8 bytes — bit-for-bit DuckDB's
+    ``md5_number_lower()``, which lets SQL oracles replay hash-dependent
+    plans (LSH banding, SimHash) exactly. Spark carries it as a signed
+    long with the same 64-bit pattern: bit ops are pattern-identical;
+    mask to 63 bits (``_MASK63``) before arithmetic so signedness never
+    diverges from the oracle's unsigned value. ~8 byte-conv nodes per
+    call vs one xxhash64 — keep xxhash64 for pure-Spark scale paths."""
+    h = F.md5(F.encode(col, "UTF-8"))
+    out = F.lit(0).cast("long")
+    for i in range(8):
+        byte = F.conv(F.substring(h, 17 + 2 * i, 2), 16, 10).cast("long")
+        out = out.bitwiseOR(F.shiftleft(byte, 8 * i))
+    return out
+
+
+def _portable_base(col: Column) -> Column:
+    """Hash reduced into [0, MINHASH_P) — the minhash family's input."""
+    return F.pmod(portable_hash64(col).bitwiseAND(F.lit(_MASK63)), F.lit(MINHASH_P))
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -128,21 +163,50 @@ def jaccard_dup_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, num_hashes: int = 64
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, num_hashes: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per doc: num_hashes columns ``mh_i`` =
-    min(xxhash64(i, shingle)) over the doc's shingles.
+    min(hash_i(shingle)) over the doc's shingles.
 
     Computed per-ROW over the shingle array (array_min ∘ transform) —
     zero shuffle and fully codegen'd, vs. the textbook explode+groupBy
     which shuffles |doc|×|shingles| rows to re-group what was already
-    grouped."""
+    grouped.
+
+    ``hash_fn``: "xxhash64" (default; 64 independent seeded hashes, the
+    cheapest pure-Spark path) or "portable" (one md5-derived base hash +
+    the Carter-Wegman family ``(A_i*base + B_i) % MINHASH_P`` — exactly
+    reproducible in DuckDB, so the whole LSH pipeline is oracle-checkable)."""
     return _signatures_from_shingles(
-        _with_shingles(df, id_col, text_col, n), num_hashes
+        _with_shingles(df, id_col, text_col, n), num_hashes, hash_fn
     )
 
 
-def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
+def _cw_hasher(a: int, b: int):
+    # closure factory: transform() treats a 2-arg lambda's second param as
+    # the array index, so coefficients must be captured here, not defaulted
+    return lambda x: F.pmod(x * F.lit(a) + F.lit(b), F.lit(MINHASH_P))
+
+
+def _signatures_from_shingles(
+    sh: DataFrame, num_hashes: int, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    if hash_fn == "portable":
+        if num_hashes > len(MINHASH_A):
+            raise ValueError(f"portable family has {len(MINHASH_A)} hashes")
+        # one md5 per shingle, then num_hashes cheap modular transforms
+        based = sh.select(
+            "doc", F.transform(F.col("sh"), _portable_base).alias("__base")
+        )
+        cols = [
+            F.array_min(
+                F.transform(F.col("__base"), _cw_hasher(MINHASH_A[i], MINHASH_B[i]))
+            ).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+        return based.select("doc", *cols)
+
     def hasher(i):
         # NB: must be a 1-arg lambda — transform() treats a second lambda
         # parameter as the array index and would shadow a default arg
@@ -165,6 +229,7 @@ def minhash_lsh_dup_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     max_bucket: int = 50,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs via MinHash + banded LSH + exact-Jaccard verify.
 
@@ -174,21 +239,32 @@ def minhash_lsh_dup_pairs(
     degenerate bucket would otherwise go quadratic). Candidates are then
     verified with exact Jaccard on full shingle sets, so precision is 1;
     recall is the LSH capture probability.
+
+    ``hash_fn="portable"`` switches signatures to the md5-based
+    Carter-Wegman family and band signatures to the joined-decimal string
+    of the band's minhashes — every stage then replays bit-identically in
+    DuckDB (see workload.SQL_MINHASH_DUP_PAIRS). xxhash64 stays the
+    default: cheaper per shingle, and band sigs shuffle as 8-byte longs
+    instead of ~40-byte strings.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
     # ONE persisted shingle relation feeds signatures AND the exact verify
     sh = _with_shingles(df, id_col, text_col, n).persist()
-    sig = _signatures_from_shingles(sh, num_hashes)
+    sig = _signatures_from_shingles(sh, num_hashes, hash_fn)
+    if hash_fn == "portable":
+        # equality-only use => the concatenated decimal string IS the sig
+        def band_sig(b):
+            return F.concat_ws(",", *[F.col(f"mh_{b * r + j}") for j in range(r)])
+    else:
+        def band_sig(b):
+            return F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)])
     band_rows = sig.select(
         "doc",
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)]).alias("sig"),
-                )
+                F.struct(F.lit(b).alias("band"), band_sig(b).alias("sig"))
                 for b in range(bands)
             ])
         ).alias("bs"),
@@ -250,15 +326,26 @@ def minhash_lsh_dup_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 64) -> DataFrame:
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, *, bits: int = 64,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """64-bit SimHash per doc: bit b of the fingerprint = majority vote of
-    bit b over xxhash64(token) of all tokens. Explode + single groupBy
-    with ``bits`` small sums (partial agg keeps it cheap)."""
+    bit b over hash(token) of all tokens. Explode + single groupBy
+    with ``bits`` small sums (partial agg keeps it cheap).
+
+    ``hash_fn="portable"`` uses the md5-derived 64-bit hash whose bit
+    pattern DuckDB reproduces (md5_number_lower) — same fingerprints, so
+    hamming distances are oracle-checkable."""
+    token_hash = (
+        portable_hash64(F.col("token")) if hash_fn == "portable"
+        else F.xxhash64("token")
+    )
     tok = (
         spread_partitions(df)
         .select(F.col(id_col).alias("doc"), tokens(F.lower(F.col(text_col))).alias("t"))
         .select("doc", F.explode("t").alias("token"))
-        .withColumn("h", F.xxhash64("token"))
+        .withColumn("h", token_hash)
     )
     votes = [
         F.sum(
@@ -277,14 +364,18 @@ def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 64) -> Dat
 
 
 def simhash_dup_pairs(
-    df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3
+    df: DataFrame, id_col: str, text_col: str, *, max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
     Pigeonhole blocking: 4 x 16-bit chunks — any pair within hamming 3
     shares at least one exact chunk, so candidates come from equi-joins
-    on (chunk_idx, chunk_value), never a cross join."""
-    fp = simhash(df, id_col, text_col)
+    on (chunk_idx, chunk_value), never a cross join. Recall is EXACTLY 1
+    (pigeonhole: <=3 differing bits leave >=1 of 4 chunks untouched), so
+    with ``hash_fn="portable"`` the output equals a brute-force SQL
+    hamming join bit-for-bit."""
+    fp = simhash(df, id_col, text_col, hash_fn=hash_fn)
     chunks = fp.select(
         "doc", "simhash",
         F.explode(
