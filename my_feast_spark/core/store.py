@@ -120,7 +120,10 @@ class FeatureStore:
             order = [src.timestamp_field]
             ties = [src.created_timestamp_column] if src.created_timestamp_column else []
             snap = latest_per_key(df, join_keys, order, tie_breakers=ties)
-            keep = join_keys + [src.timestamp_field] + fv.feature_names()
+            # snapshot layout is shared with streaming materialization
+            # (streaming/online.py merge_batch): created column included so
+            # batch and streaming merges never diverge on schema
+            keep = join_keys + [src.timestamp_field] + ties + fv.feature_names()
             snap.select(*keep).write.mode("overwrite").parquet(
                 self._online_path(view_name)
             )

@@ -39,14 +39,22 @@ top-1) is kept for small entity dataframes where Catalyst broadcasts the
 probe side — useful when |probes| << |history| and history is huge but
 per-key fan-out is small.
 
-Scale caveat: the union_window shuffle partitions by join key, so one
-pathologically hot entity (millions of rows for a single key) lands in
-one task — AQE cannot split a window partition the way it splits a
-skewed join. Mitigations at that scale: pre-filter history to the probe
-time range (partition pruning on the feature table's date partitions
-does this for free), or slice by (key, coarse time bucket) with
-boundary-carry rows. Neither is needed at the reference's per-entity
-cardinalities (hourly rows per taxi).
+``sliced_window`` is the skew-hardened variant of ``union_window``: the
+window partitions by (key, coarse time slice) instead of key alone, so a
+pathologically hot key (millions of rows on ONE key — AQE cannot split a
+window partition the way it splits a skewed join) spreads over
+|slices| tasks. Correctness across slice boundaries comes from
+boundary-carry rows: the latest feature row of every earlier slice is
+pre-reduced per (key, slice) — a relation of at most |keys|×|slices|
+rows — and injected into each probe-bearing slice as its carry-in.
+Results are identical to ``union_window`` (asserted by golden + property
+tests); cost is one extra small shuffle of the per-slice-latest relation.
+
+NULL join keys follow SQL left-join semantics in every strategy: a NULL
+key never matches anything (probe rows with a NULL key pass through with
+NULL features; feature rows with a NULL key are dropped) — Spark window
+partitioning would otherwise group NULLs together and diverge from the
+reference's generated SQL.
 """
 
 from __future__ import annotations
@@ -90,6 +98,7 @@ def point_in_time_join(
     full_feature_names: bool = False,
     include_feature_ts: bool = False,
     strategy: str = "union_window",
+    slice_interval=_dt.timedelta(days=1),
 ) -> DataFrame:
     """As-of join ``entity_df`` against ``feature_df``.
 
@@ -108,6 +117,13 @@ def point_in_time_join(
         (the reference's ``full_feature_names=True`` retrieval mode).
     include_feature_ts : also emit ``<prefix>event_timestamp`` of the
         matched feature row (handy for debugging/tests).
+    strategy : "union_window" (default, linear), "sliced_window" (hot-key
+        safe; see module docstring), or "range_join" (the reference's
+        literal non-equi plan).
+    slice_interval : slice width for ``sliced_window`` — seconds or a
+        ``datetime.timedelta`` (default 1 day). Pick it so a hot key's
+        rows per slice fit one task comfortably; the carry relation costs
+        |keys|×|slices| rows.
     """
     entity_ts_col = entity_ts_col or event_ts_col
     join_keys = list(join_keys)
@@ -133,6 +149,12 @@ def point_in_time_join(
         out = _union_window(
             entity_df, feature_df, join_keys, event_ts_col, entity_ts_col,
             created_ts_col, _ttl_seconds(ttl), features,
+        )
+    elif strategy == "sliced_window":
+        out = _sliced_window(
+            entity_df, feature_df, join_keys, event_ts_col, entity_ts_col,
+            created_ts_col, _ttl_seconds(ttl), features,
+            _slice_seconds(slice_interval),
         )
     elif strategy == "range_join":
         out = _range_join(
@@ -186,11 +208,46 @@ def _prune_history(feature_df, entity_df, event_ts_col, entity_ts_col):
     )
 
 
-def _union_window(
+def _slice_seconds(slice_interval) -> int:
+    s = (
+        slice_interval.total_seconds()
+        if isinstance(slice_interval, _dt.timedelta)
+        else float(slice_interval)
+    )
+    if s <= 0:
+        raise ValueError("slice_interval must be positive")
+    return int(s)
+
+
+def _any_null_key(join_keys):
+    cond = F.lit(False)
+    for k in join_keys:
+        cond = cond | F.col(k).isNull()
+    return cond
+
+
+def _split_null_keys(entity_df, feature_df, join_keys):
+    """SQL left-join NULL semantics: NULL-keyed probes bypass the match
+    (NULL features attached later); NULL-keyed feature rows are dropped —
+    Spark's window partitioning would otherwise co-group NULLs and match
+    them against each other, diverging from the reference's SQL."""
+    any_null = _any_null_key(join_keys)
+    return (
+        entity_df.filter(~any_null),
+        entity_df.filter(any_null),
+        feature_df.filter(~any_null),
+    )
+
+
+def _union_sides(
     entity_df, feature_df, join_keys, event_ts_col, entity_ts_col,
-    created_ts_col, ttl_s, features,
+    created_ts_col, features,
 ):
-    feature_df = _prune_history(feature_df, entity_df, event_ts_col, entity_ts_col)
+    """Tagged (feature ∪ probe) relation + the NULL-keyed probe remainder."""
+    entity_ok, entity_null, feature_df = _split_null_keys(
+        entity_df, feature_df, join_keys
+    )
+    feature_df = _prune_history(feature_df, entity_ok, event_ts_col, entity_ts_col)
     entity_payload_cols = [
         c for c in entity_df.columns if c not in join_keys and c != entity_ts_col
     ]
@@ -206,28 +263,138 @@ def _union_window(
         _payload_struct(feature_df, features, event_ts_col).alias(_PAYLOAD),
         *[F.lit(None).cast(entity_df.schema[c].dataType).alias(c) for c in entity_payload_cols],
     )
-    probe_side = entity_df.select(
-        *[F.col(k) for k in join_keys],
-        F.col(entity_ts_col).alias(_TS),
-        F.lit(1).alias(_IS_PROBE),
-        F.lit(None).cast("timestamp").alias(_CREATED),
-        F.lit(None).cast(feat_side.schema[_PAYLOAD].dataType).alias(_PAYLOAD),
-        *[F.col(c) for c in entity_payload_cols],
-    )
 
-    unioned = feat_side.unionByName(probe_side)
+    def probe_shape(df):
+        return df.select(
+            *[F.col(k) for k in join_keys],
+            F.col(entity_ts_col).alias(_TS),
+            F.lit(1).alias(_IS_PROBE),
+            F.lit(None).cast("timestamp").alias(_CREATED),
+            F.lit(None).cast(feat_side.schema[_PAYLOAD].dataType).alias(_PAYLOAD),
+            *[F.col(c) for c in entity_payload_cols],
+        )
+
+    return feat_side, probe_shape(entity_ok), probe_shape(entity_null)
+
+
+def _window_order():
     # Feature rows sort BEFORE probe rows at equal timestamps => the `<=`
     # boundary is inclusive; (ts asc, created asc) ordering makes "last
     # non-null payload" = max event_ts then max created — J2+J3 in one sort.
+    return (F.col(_TS).asc(), F.col(_IS_PROBE).asc(), F.col(_CREATED).asc())
+
+
+def _union_window(
+    entity_df, feature_df, join_keys, event_ts_col, entity_ts_col,
+    created_ts_col, ttl_s, features,
+):
+    feat_side, probe_side, probe_null = _union_sides(
+        entity_df, feature_df, join_keys, event_ts_col, entity_ts_col,
+        created_ts_col, features,
+    )
+    unioned = feat_side.unionByName(probe_side)
     w = (
         Window.partitionBy(*join_keys)
-        .orderBy(F.col(_TS).asc(), F.col(_IS_PROBE).asc(), F.col(_CREATED).asc())
+        .orderBy(*_window_order())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn(_PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w))
-    probes = carried.filter(F.col(_IS_PROBE) == 1).withColumnRenamed(_TS, entity_ts_col)
+    probes = (
+        carried.filter(F.col(_IS_PROBE) == 1)
+        .unionByName(probe_null)
+        .withColumnRenamed(_TS, entity_ts_col)
+    )
     probes = _apply_ttl(probes, entity_ts_col, ttl_s)
     return probes
+
+
+def _sliced_window(
+    entity_df, feature_df, join_keys, event_ts_col, entity_ts_col,
+    created_ts_col, ttl_s, features, slice_s: int,
+):
+    """union_window partitioned by (key, time slice) with boundary-carry.
+
+    Window state per task is bounded by rows-per-slice instead of
+    rows-per-key — the hot-key mitigation sketched in the module
+    docstring. Three relations meet in the final window:
+
+      * in-slice feature rows and probe rows (slice = ts div slice_s);
+      * one carry-in row per probe-bearing (key, slice): the latest
+        feature row from ANY earlier slice, pre-reduced per (key, slice)
+        and selected with a running window over the tiny per-slice-latest
+        relation (|keys|×|slices| rows, NOT data-sized).
+
+    The carry-in keeps its true feature timestamp (it sorts first within
+    the slice, and TTL still sees the real age)."""
+    feat_side, probe_side, probe_null = _union_sides(
+        entity_df, feature_df, join_keys, event_ts_col, entity_ts_col,
+        created_ts_col, features,
+    )
+    slice_us = int(slice_s) * 1_000_000
+    slice_col = F.floor(
+        F.unix_micros(F.col(_TS).cast("timestamp")) / F.lit(slice_us)
+    ).cast("long")
+    feat_side = feat_side.withColumn("__slice", slice_col)
+    probe_side = probe_side.withColumn("__slice", slice_col)
+
+    # latest feature row per (key, slice) — the boundary-carry candidates
+    w_latest = Window.partitionBy(*join_keys, "__slice").orderBy(
+        F.col(_TS).desc(), F.col(_CREATED).desc_nulls_last()
+    )
+    slice_latest = (
+        feat_side.withColumn("__rn", F.row_number().over(w_latest))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    # Carry-in for probe slice s = latest per-slice-latest row with slice
+    # strictly < s: union NULL-payload marker rows (one per distinct probe
+    # (key, slice)) with the per-slice-latest rows, order markers BEFORE
+    # the same slice's feature row, and take the running last non-null
+    # payload over (unbounded, -1). Both relations are |keys|×|slices|-
+    # sized — one small shuffle, never data-sized.
+    non_key_cols = [
+        c for c in slice_latest.columns if c not in (*join_keys, "__slice")
+    ]
+    markers = probe_side.select(*join_keys, "__slice").distinct().select(
+        *join_keys, "__slice",
+        *[
+            F.lit(None).cast(slice_latest.schema[c].dataType).alias(c)
+            for c in non_key_cols
+        ],
+    ).withColumn("__marker", F.lit(1))
+    tagged = slice_latest.withColumn("__marker", F.lit(0)).unionByName(markers)
+    w_carry = (
+        Window.partitionBy(*join_keys)
+        .orderBy(F.col("__slice").asc(), F.col("__marker").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry_in = (
+        tagged.withColumn(_PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w_carry))
+        .filter((F.col("__marker") == 1) & F.col(_PAYLOAD).isNotNull())
+        # true feature timestamp: sorts before every in-slice row (it is
+        # from an earlier slice) and keeps TTL age exact
+        .withColumn(_TS, F.col(f"{_PAYLOAD}.{_FEAT_TS}"))
+        .withColumn(_IS_PROBE, F.lit(0))
+        .drop("__marker")
+    )
+
+    unioned = (
+        feat_side.unionByName(probe_side)
+        .unionByName(carry_in.select(*feat_side.columns))
+    )
+    w = (
+        Window.partitionBy(*join_keys, "__slice")
+        .orderBy(*_window_order())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(_PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w))
+    probes = (
+        carried.filter(F.col(_IS_PROBE) == 1)
+        .drop("__slice")
+        .unionByName(probe_null)
+        .withColumnRenamed(_TS, entity_ts_col)
+    )
+    return _apply_ttl(probes, entity_ts_col, ttl_s)
 
 
 def _range_join(

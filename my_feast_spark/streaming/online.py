@@ -18,6 +18,7 @@ get_online_features`` either way.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from my_feast_spark.core.store import FeatureStore
 from my_feast_spark.operators.aggregations import latest_per_key
@@ -50,13 +51,28 @@ def materialize_stream(
     spark = fs.spark
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
         fresh = latest_per_key(
             batch_df.select(*keep), join_keys, [src.timestamp_field],
             tie_breakers=ties,
         )
-        try:
-            current = spark.read.parquet(path).select(*keep)
-        except Exception:  # first batch: no snapshot yet
+        # Existence is checked EXPLICITLY: a bare except here once treated
+        # any read/select error as "first batch" and silently rewrote the
+        # snapshot with only the current micro-batch's entities. Real read
+        # errors now propagate and fail the batch (retryable).
+        if os.path.exists(path):
+            current = spark.read.parquet(path)
+            # batch materialize (store.py) may have written a snapshot
+            # without the created column (pre-unification layout): align
+            # instead of discarding everything it holds
+            for c in keep:
+                if c not in current.columns:
+                    current = current.withColumn(
+                        c, F.lit(None).cast(fresh.schema[c].dataType)
+                    )
+            current = current.select(*keep)
+        else:  # first batch: no snapshot yet
             current = None
         if current is not None:
             merged = latest_per_key(

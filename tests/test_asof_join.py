@@ -56,11 +56,13 @@ def _run(spark, strategy, ttl=None):
         created_ts_col="created",
         ttl=ttl,
         strategy=strategy,
+        # odd width so the golden fixtures straddle slice boundaries
+        slice_interval=dt.timedelta(hours=5),
     )
     return {(r.entity_id, r.event_timestamp, r.tag): r.value for r in out.collect()}
 
 
-@pytest.mark.parametrize("strategy", ["union_window", "range_join"])
+@pytest.mark.parametrize("strategy", ["union_window", "sliced_window", "range_join"])
 def test_pit_semantics(spark, strategy):
     got = _run(spark, strategy)
     # inclusive boundary + created tie-break: probe at 12:00 sees the
@@ -80,7 +82,7 @@ def test_pit_semantics(spark, strategy):
     assert len(got) == 7
 
 
-@pytest.mark.parametrize("strategy", ["union_window", "range_join"])
+@pytest.mark.parametrize("strategy", ["union_window", "sliced_window", "range_join"])
 def test_pit_ttl(spark, strategy):
     got = _run(spark, strategy, ttl=dt.timedelta(days=2))
     # e3's only row is 9 days before the probe -> TTL-expired -> NULL
@@ -177,7 +179,7 @@ def test_composite_join_keys(spark):
         Row(region="us", dev="ios", pts=dt.datetime(2024, 1, 1, 12)),
         Row(region="eu", dev="and", pts=dt.datetime(2024, 1, 1, 12)),  # no match
     ])
-    for strategy in ("union_window", "range_join"):
+    for strategy in ("union_window", "sliced_window", "range_join"):
         out = {
             (r.region, r.dev): r.val
             for r in point_in_time_join(
@@ -187,3 +189,58 @@ def test_composite_join_keys(spark):
             ).collect()
         }
         assert out == {("us", "ios"): 1.0, ("eu", "and"): None}
+
+@pytest.mark.parametrize("strategy", ["union_window", "sliced_window", "range_join"])
+def test_null_join_keys_never_match(spark, strategy):
+    """SQL left-join semantics: a NULL key matches NOTHING — NULL-keyed
+    probes pass through with NULL features even when NULL-keyed feature
+    rows exist (Spark window partitioning would otherwise pair them)."""
+    feats = spark.createDataFrame([
+        Row(entity_id=None, event_timestamp=TS(2024, 1, 1, 10), created=TS(2024, 1, 1, 10), value=66.0),
+        Row(entity_id="e1", event_timestamp=TS(2024, 1, 1, 10), created=TS(2024, 1, 1, 10), value=1.0),
+    ])
+    probes = spark.createDataFrame([
+        Row(entity_id=None, event_timestamp=TS(2024, 1, 1, 12), tag="null-key"),
+        Row(entity_id="e1", event_timestamp=TS(2024, 1, 1, 12), tag="real"),
+    ])
+    out = {
+        r.tag: r.value
+        for r in point_in_time_join(
+            probes, feats, ["entity_id"], created_ts_col="created",
+            strategy=strategy, slice_interval=dt.timedelta(hours=5),
+        ).collect()
+    }
+    assert out == {"null-key": None, "real": 1.0}
+
+
+def test_sliced_window_hot_key_boundary_carry(spark):
+    """Deliberately hot key: every row on ONE entity, probes scattered so
+    most slices have no in-slice history — the carry-in must supply the
+    latest earlier-slice feature (incl. the created-ts tie-break winner)."""
+    one_hour = dt.timedelta(hours=1)
+    base = TS(2024, 1, 1, 0)
+    feats = [
+        Row(entity_id="hot", event_timestamp=base + 3 * one_hour,
+            created=base + 3 * one_hour, value=1.0),
+        # same event ts, later created — must win across slice boundaries
+        Row(entity_id="hot", event_timestamp=base + 3 * one_hour,
+            created=base + 9 * one_hour, value=2.0),
+        Row(entity_id="hot", event_timestamp=base + 50 * one_hour,
+            created=base + 50 * one_hour, value=3.0),
+    ]
+    probes = [
+        Row(entity_id="hot", event_timestamp=base + n * one_hour, tag=f"p{n}")
+        for n in (0, 3, 7, 23, 49, 50, 99)
+    ]
+    expected = {"p0": None, "p3": 2.0, "p7": 2.0, "p23": 2.0,
+                "p49": 2.0, "p50": 3.0, "p99": 3.0}
+    for slice_iv in (dt.timedelta(hours=2), dt.timedelta(days=1)):
+        out = {
+            r.tag: r.value
+            for r in point_in_time_join(
+                spark.createDataFrame(probes), spark.createDataFrame(feats),
+                ["entity_id"], created_ts_col="created",
+                strategy="sliced_window", slice_interval=slice_iv,
+            ).collect()
+        }
+        assert out == expected, slice_iv

@@ -79,3 +79,51 @@ def test_materialize_stream_tracks_latest(spark, gold_dir, tmp_path):
     q3.awaitTermination(120)
     out = fs.get_online_features([{"driver_id": "d1"}], ["driver_hourly:avg_fare"])
     assert out["avg_fare"] == [12.5]
+
+def test_batch_then_stream_materialize_preserves_entities(spark, tmp_path):
+    """Regression: batch materialize writes the snapshot (WITH a created
+    column on the view), then streaming materialization of a later capture
+    must MERGE — entities absent from the micro-batch must survive. The
+    old bare-except treated the schema mismatch as 'first batch' and
+    silently dropped them."""
+    gold = str(tmp_path / "gold")
+    spark.createDataFrame([
+        Row(driver_id="d1", event_timestamp=TS(2024, 1, 1, 10),
+            created=TS(2024, 1, 1, 10, 5), avg_fare=10.0),
+        Row(driver_id="d2", event_timestamp=TS(2024, 1, 1, 10),
+            created=TS(2024, 1, 1, 10, 5), avg_fare=7.0),
+    ]).write.mode("overwrite").parquet(gold)
+
+    fs = FeatureStore(str(tmp_path / "repo"), spark=spark)
+    fs.apply([
+        Entity(name="driver", value_type="STRING", join_keys=["driver_id"]),
+        FeatureView(
+            name="driver_hourly",
+            entities=["driver"],
+            features=[Feature("avg_fare", "DOUBLE")],
+            source=FileSource(
+                path=gold, timestamp_field="event_timestamp",
+                created_timestamp_column="created",
+            ),
+        ),
+    ])
+    fs.materialize(TS(2024, 1, 1), TS(2024, 1, 2), ["driver_hourly"])
+    out = fs.get_online_features(
+        [{"driver_id": "d1"}, {"driver_id": "d2"}], ["driver_hourly:avg_fare"]
+    )
+    assert out["avg_fare"] == [10.0, 7.0]
+
+    # new capture: only d1 advances — d2 must NOT vanish
+    spark.createDataFrame([
+        Row(driver_id="d1", event_timestamp=TS(2024, 1, 1, 12),
+            created=TS(2024, 1, 1, 12, 5), avg_fare=12.5),
+    ]).write.mode("append").parquet(gold)
+    q = materialize_stream(
+        fs, "driver_hourly", read_event_stream(spark, gold),
+        checkpoint=str(tmp_path / "ckpt2"), available_now=True,
+    )
+    q.awaitTermination(120)
+    out = fs.get_online_features(
+        [{"driver_id": "d1"}, {"driver_id": "d2"}], ["driver_hourly:avg_fare"]
+    )
+    assert out["avg_fare"] == [12.5, 7.0]
