@@ -177,6 +177,54 @@ def embedding_dup_pairs(
     return pairs.filter(F.col("sim") >= threshold)
 
 
+def make_cell_assigner(centers):
+    """Nearest-centroid assignment as a self-contained closure (the repo's
+    worker-pickle pattern — serializes by value, executors never import
+    this package). ``assign(vecs, n_cells) -> (n, n_cells) int32`` of
+    nearest-cell ids.
+
+    Deliberately NOT a BLAS matmul: the per-centroid ``((v-c)^2).sum(axis=1)``
+    row reduction is bit-deterministic regardless of the batch row-count,
+    so executor Arrow batches of any size and the oracle generator's
+    single full-table pass agree exactly (BLAS gemm blocking is
+    shape-dependent, which can flip argmin on near-ties). argsort is
+    ``kind='stable'`` for the same reason.
+    """
+    import numpy as np
+
+    cmat = np.asarray(centers, dtype=np.float64)
+
+    def assign(vecs, n_cells: int):
+        vecs = np.asarray(vecs, dtype=np.float64)
+        d2 = np.empty((vecs.shape[0], len(cmat)), dtype=np.float64)
+        for j in range(len(cmat)):
+            diff = vecs - cmat[j]
+            d2[:, j] = (diff * diff).sum(axis=1)
+        return np.argsort(d2, axis=1, kind="stable")[:, :n_cells].astype("int32")
+
+    return assign
+
+
+def train_ivf_centroids(X, num_centroids: int, *, seed: int = 42, iters: int = 8):
+    """Driver-side Lloyd k-means over a bounded sample — the FAISS-style
+    IVF index build. Pure numpy with shape-stable reductions; shared by
+    ``ivf_topk`` and the workload's DuckDB oracle generator so both derive
+    bit-identical centroids from the same (id-ordered) sample.
+    """
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    centers = X[rng.choice(len(X), size=min(num_centroids, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        assign = make_cell_assigner(centers)(X, 1)[:, 0]
+        for j in range(len(centers)):
+            members = X[assign == j]
+            if len(members):
+                centers[j] = members.mean(axis=0)
+    return centers
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -217,21 +265,14 @@ def ivf_topk(
     # scheduler-bound at any corpus size, while the centroids themselves
     # are k*dim floats that the executors need broadcast anyway. The
     # sample is capped at 4096 vectors regardless of corpus size (cells
-    # need rough balance, not convergence).
-    sample = c.select("cv").limit(4096).collect()
+    # need rough balance, not convergence). Sorted by id so the sample —
+    # and therefore the trained centroids — is a pure function of the
+    # corpus, replayable by the DuckDB oracle generator (a TopK plan, not
+    # a global sort: orderBy+limit -> TakeOrderedAndProject).
+    sample = c.orderBy("neighbor_id").select("cv").limit(4096).collect()
     X = np.asarray([r.cv for r in sample], dtype=np.float64)
-    rng = np.random.default_rng(seed)
-    centers = X[rng.choice(len(X), size=min(num_centroids, len(X)), replace=False)].copy()
-    for _ in range(8):
-        d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for j in range(len(centers)):
-            members = X[assign == j]
-            if len(members):
-                centers[j] = members.mean(axis=0)
-
-    cmat = centers  # (k, dim)
-    c_sq = (cmat ** 2).sum(axis=1)
+    cmat = train_ivf_centroids(X, num_centroids, seed=seed)  # (k, dim)
+    assigner = make_cell_assigner(cmat)
 
     def _cell_udf(n_cells: int):
         from pyspark.sql.functions import pandas_udf
@@ -241,9 +282,7 @@ def ivf_topk(
             if len(col) == 0:
                 return pd.Series([], dtype=object)
             vecs = np.vstack([np.asarray(v, dtype=np.float64) for v in col])
-            d2 = (vecs ** 2).sum(axis=1)[:, None] - 2.0 * (vecs @ cmat.T) + c_sq[None, :]
-            order = np.argsort(d2, axis=1)[:, :n_cells].astype("int32")
-            return pd.Series(list(order))
+            return pd.Series(list(assigner(vecs, n_cells)))
 
         return cells
 
@@ -282,12 +321,39 @@ def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]
     return rng.standard_normal((num_planes, dim)).tolist()
 
 
-def _lsh_buckets_udf(planes_tables):
-    """Arrow-vectorized bucket computation for multi-table LSH.
+def make_lsh_bucketer(planes_tables):
+    """Vectorized multi-table LSH bucketing as a self-contained closure:
+    ``bucket_ids(vecs) -> (n, L) int64`` sign-bit bucket ids for L
+    independent H-plane tables.
 
-    ``planes_tables`` is an (L, H, dim) nested list — L independent tables
-    of H hyperplanes. Returns a pandas_udf mapping an embedding to its L
-    sign-bit bucket ids in ONE numpy matmul per Arrow batch. The
+    Per-plane ``(vecs * plane).sum(axis=1)`` row reductions instead of one
+    BLAS matmul: numpy's pairwise sum over the (fixed-length, contiguous)
+    dim axis is bit-identical for any batch row-count, so executor Arrow
+    batches and the oracle generator's single full-table pass compute the
+    SAME sign bits — a matmul's blocking is shape-dependent and a dot
+    within rounding distance of 0 could flip sign between the two. L*H
+    passes over an (n, dim) batch is still vectorized and cheap.
+    """
+    import numpy as np
+
+    mat = np.asarray(planes_tables, dtype=np.float64)  # (L, H, dim)
+    n_tables, n_planes, _dim = mat.shape
+    flat = mat.reshape(n_tables * n_planes, _dim)  # (L*H, dim)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def bucket_ids(vecs):
+        vecs = np.asarray(vecs, dtype=np.float64)
+        n = vecs.shape[0]
+        signs = np.empty((n, len(flat)), dtype=bool)
+        for p in range(len(flat)):
+            signs[:, p] = (vecs * flat[p]).sum(axis=1) >= 0.0
+        return (signs.reshape(n, n_tables, n_planes) * weights).sum(axis=2)
+
+    return bucket_ids
+
+
+def _lsh_buckets_udf(planes_tables):
+    """Arrow-batched pandas_udf over ``make_lsh_bucketer``. The
     expression-tree alternative (L*H separate ``aggregate(zip_with(...))``
     dots over literal arrays) is interpreted per-row AND costs seconds of
     Catalyst planning for the ~L*H*dim-literal tree — the one place in
@@ -296,19 +362,14 @@ def _lsh_buckets_udf(planes_tables):
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    mat = np.asarray(planes_tables, dtype=np.float64)  # (L, H, dim)
-    n_tables, n_planes, _dim = mat.shape
-    flat = mat.reshape(n_tables * n_planes, _dim).T  # (dim, L*H)
-    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    bucket_ids = make_lsh_bucketer(planes_tables)
 
     @pandas_udf("array<long>")
     def buckets(col: pd.Series) -> pd.Series:
         if len(col) == 0:
             return pd.Series([], dtype=object)
         vecs = np.vstack([np.asarray(v, dtype=np.float64) for v in col])
-        signs = (vecs @ flat) >= 0.0  # (n, L*H)
-        ids = (signs.reshape(len(col), n_tables, n_planes) * weights).sum(axis=2)
-        return pd.Series(list(ids))
+        return pd.Series(list(bucket_ids(vecs)))
 
     return buckets
 
