@@ -29,3 +29,24 @@ def hour_bucket(col: Column) -> Column:
     """Typed hour truncation — replaces the reference's
     ``date_format(ts, 'yyyy-MM-dd HH:00:00')`` string idiom (F3)."""
     return F.date_trunc("hour", col)
+
+
+def percentile_agg(
+    col: Column | str, probability: float, *, exact: bool = False,
+    accuracy: int = 10000,
+) -> Column:
+    """Percentile aggregate with a scale-safe DEFAULT: ``percentile_approx``
+    (mergeable quantile sketch — bounded memory per partial agg, relative
+    error ~1/accuracy) unless ``exact=True`` (Spark ``percentile``, which
+    buffers every value per group; a single-group corpus quantile is an
+    executor OOM at 100 TB).
+
+    The workload queries pass ``exact=True`` because the DuckDB oracle's
+    ``quantile_cont`` shares exact linear-interpolation semantics — the
+    sketch does not hash-match across engines. That is a small-SF parity
+    choice; any scale run keeps the default.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if exact:
+        return F.percentile(c, F.lit(probability))
+    return F.percentile_approx(c, F.lit(probability), F.lit(accuracy))

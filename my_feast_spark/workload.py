@@ -1045,9 +1045,16 @@ WHERE len(regexp_extract_all(text, '\\b(spark|query|vector)\\b', 1)) > 0
 def q_top_terms_tfidf(spark, sf_dir):
     """TF-IDF top-3 terms per doc (for a deterministic doc subset) with
     GLOBAL document frequencies: tf per (doc, term) rides partial
-    aggregation; the vocabulary df table is tiny and broadcast back onto
-    tf; corpus size enters as a broadcast scalar — no shuffle is ever
-    keyed on anything bigger than (doc, term)."""
+    aggregation; corpus size enters as a broadcast scalar — no shuffle is
+    ever keyed on anything bigger than (doc, term).
+
+    The document-frequency relation spans the CORPUS vocabulary, which
+    does not broadcast at web scale. Two guards: (1) df is semi-join
+    pruned to the scored subset's terms first (build side ∝ the query
+    subset, not the corpus — plan-pinned in tests/test_plans.py); (2) no
+    broadcast hint on the pruned df — Catalyst/AQE's size threshold picks
+    broadcast at small SF and falls back to a shuffle join when the
+    pruned vocabulary is still too big."""
     docs = _t(spark, sf_dir, "documents")
     from my_feast_spark.functions.text import tokens
 
@@ -1057,9 +1064,12 @@ def q_top_terms_tfidf(spark, sf_dir):
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf_sub = tf.where(F.col("doc_id") % 20 == 0)
+    sub_terms = tf_sub.select("term").distinct()
+    dfreq_pruned = dfreq.join(sub_terms, "term", "left_semi")
     scored = (
-        tf.where(F.col("doc_id") % 20 == 0)
-        .join(F.broadcast(dfreq), "term")
+        tf_sub
+        .join(dfreq_pruned, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
@@ -1827,12 +1837,16 @@ def q_length_outlier_filter(spark, sf_dir):
     """Corpus-quantile outlier filter — the doc-curation gate that drops
     too-short/too-long documents by GLOBAL P1/P99 length thresholds. The
     thresholds are a 1-row aggregate broadcast into the filter (no second
-    scan-side shuffle); at 100 TB swap ``percentile`` for
-    ``percentile_approx`` so the threshold agg stays mergeable."""
+    scan-side shuffle). ``exact=True`` only for DuckDB quantile_cont
+    parity at oracle SF — functions.scalar.percentile_agg defaults to the
+    mergeable ``percentile_approx`` sketch, the 100 TB path (the exact
+    single-group percentile buffers the whole corpus on one executor)."""
+    from my_feast_spark.functions.scalar import percentile_agg
+
     docs = _t(spark, sf_dir, "documents")
     bounds = docs.agg(
-        F.expr("percentile(n_chars, 0.01)").alias("lo"),
-        F.expr("percentile(n_chars, 0.99)").alias("hi"),
+        percentile_agg("n_chars", 0.01, exact=True).alias("lo"),
+        percentile_agg("n_chars", 0.99, exact=True).alias("hi"),
     )
     return (
         docs.crossJoin(F.broadcast(bounds))
@@ -1863,13 +1877,16 @@ def q_value_percentiles(spark, sf_dir):
     """Exact percentiles per group (linear interpolation) — the
     distribution-profiling agg of a data-quality pipeline. Spark
     ``percentile`` and DuckDB ``quantile_cont`` share interpolation
-    semantics, so this is oracle-exact. At scale swap for
-    ``percentile_approx`` (t-digest sketch, mergeable partial aggs)."""
+    semantics, so ``exact=True`` is oracle-exact; the library default
+    (functions.scalar.percentile_agg) is the mergeable
+    ``percentile_approx`` sketch for scale runs."""
+    from my_feast_spark.functions.scalar import percentile_agg
+
     events = _t(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
-        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        F.round(percentile_agg("value", 0.5, exact=True), 4).alias("p50"),
+        F.round(percentile_agg("value", 0.9, exact=True), 4).alias("p90"),
+        F.round(percentile_agg("value", 0.99, exact=True), 4).alias("p99"),
     )
 
 

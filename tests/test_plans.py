@@ -89,6 +89,32 @@ def test_anti_and_subquery_joins_broadcast(spark):
     assert "SortMergeJoin" not in q17
 
 
+def test_percentile_default_is_mergeable_sketch(spark):
+    """functions.scalar.percentile_agg must default to the approx sketch
+    (mergeable partial aggs) — the exact percentile buffers every value
+    per group, an executor OOM for the single-group corpus quantile at
+    100 TB. The workload queries opt into exact=True ONLY for DuckDB
+    quantile_cont parity at oracle SF."""
+    from my_feast_spark.functions.scalar import percentile_agg
+    from my_feast_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    approx = _formatted(docs.agg(percentile_agg("n_chars", 0.99)))
+    assert "percentile_approx" in approx
+    exact = _formatted(docs.agg(percentile_agg("n_chars", 0.99, exact=True)))
+    assert "percentile_approx" not in exact
+
+
+def test_tfidf_df_build_side_is_pruned(spark):
+    """The document-frequency relation spans the corpus vocabulary and
+    must never be hint-forced onto the broadcast side: the plan has to
+    show (a) the semi-join prune down to the scored subset's terms, and
+    (b) the df join left to Catalyst/AQE size logic (broadcast here at
+    small SF is fine — the point is no unconditional hint)."""
+    plan = _formatted(workload.q_top_terms_tfidf(spark, SF_DIR_ORACLE))
+    assert "LeftSemi" in plan  # df pruned to subset vocabulary
+
+
 def test_unpivot_is_expand_with_single_shuffle(spark):
     """unpivot lowers to Expand (rows x n_metrics, zero-shuffle); the only
     Exchange is the final 3-group aggregate."""

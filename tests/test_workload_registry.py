@@ -1,0 +1,57 @@
+"""Guard the driver-adjudication window (workload.QUERIES ordering).
+
+The driver writes CORRECTNESS rows for the FIRST ADJUDICATION_WINDOW
+entries of queries() only; anything past that silently loses its
+round-over-round correctness row. These tests make window membership an
+explicit, reviewed decision: growing the registry or reordering it must
+update the expected rotation here, never silently drop coverage.
+"""
+
+from __future__ import annotations
+
+from my_feast_spark import workload
+
+# Round-3 rotation: set-op extras (last adjudicated round 1) are IN the
+# window; the scalar-shape queries (adjudicated rounds 1 AND 2) sit in
+# the tail this round. Next round swaps them back.
+ROTATION_TAIL = {
+    "json_props_extract",
+    "case_decode_coalesce",
+    "map_pivot_props",
+    "struct_flatten",
+    "datetime_functions",
+    "regional_revenue",
+    "order_priority_count",
+    "top_spenders",
+    "promo_revenue",
+}
+
+SETOP_EXTRAS = {
+    "user_cohort_sets",
+    "moving_avg_revenue",
+    "returnflag_cube",
+    "small_quantity_revenue",
+    "event_type_pivot",
+    "post_signup_activity",
+    "batch_sessions",
+    "lineitem_unpivot",
+    "customer_balance_deciles",
+}
+
+
+def test_window_contains_rotated_in_queries():
+    window = list(workload.QUERIES)[: workload.ADJUDICATION_WINDOW]
+    assert SETOP_EXTRAS <= set(window)
+
+
+def test_tail_is_exactly_the_declared_rotation():
+    tail = list(workload.QUERIES)[workload.ADJUDICATION_WINDOW:]
+    assert set(tail) == ROTATION_TAIL, (
+        "adjudication-window overflow changed: update the rotation plan "
+        "in workload.py and here explicitly"
+    )
+
+
+def test_every_query_is_oracle_backed():
+    missing = [name for name, (_fn, sql) in workload.QUERIES.items() if sql is None]
+    assert not missing, f"queries without a DuckDB oracle: {missing}"
