@@ -2039,6 +2039,81 @@ FROM j WHERE rn = 1
 """
 
 
+def _avro_capture_dir(sf_dir: str) -> str:
+    """Build (once per sf_dir) an Event-Hub-capture-style Avro fixture:
+    a bounded, deterministic events subset written as 4 container files
+    (deflate, nullable-union props column) under the repo warehouse dir.
+    Content-addressable: same input rows -> byte-identical files, so the
+    cache never goes stale for the immutable testdata dirs."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from my_feast_spark.sources.avro_io import write_avro_file
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(repo_root, "spark-warehouse", f"avro_capture_{key}")
+    done = os.path.join(out, "_SUCCESS")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "value", "props"],
+    )
+    # the event_id bound keeps the driver-side fixture build O(1) in SF
+    rows = sorted(
+        (r for r in t.to_pylist() if r["event_id"] % 7 == 0 and r["event_id"] < 70000),
+        key=lambda r: r["event_id"],
+    )
+    schema = {
+        "type": "record",
+        "name": "EventCapture",
+        "fields": [
+            {"name": "event_id", "type": "long"},
+            {"name": "user_id", "type": "long"},
+            {"name": "event_type", "type": "string"},
+            {"name": "value", "type": "double"},
+            {"name": "props", "type": ["null", "string"]},
+        ],
+    }
+    n_files = 4
+    for i in range(n_files):
+        write_avro_file(
+            os.path.join(out, f"part-{i}.avro"), schema, rows[i::n_files]
+        )
+    open(done, "w").close()
+    return out
+
+
+def q_avro_scan(spark, sf_dir):
+    """S5 end-to-end: scan Event-Hub-capture-style Avro container files
+    (sources.avro_io.avro_scan — native spark-avro when the jar is
+    present, Spark-distributed pure-Python decode otherwise) and build
+    the bronze→silver aggregate. The fixture is a deterministic events
+    subset, so the DuckDB oracle computes the same aggregate straight
+    from the events view — a full hash check on the decode path.
+    Reference: chicago_weather_bronze.py:10-12."""
+    from my_feast_spark.sources.avro_io import avro_scan
+
+    cap = avro_scan(spark, _avro_capture_dir(sf_dir))
+    return cap.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.count("props").alias("n_props"),
+    )
+
+
+SQL_AVRO_SCAN = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       CAST(count(props) AS BIGINT) AS n_props
+FROM events WHERE event_id % 7 = 0 AND event_id < 70000
+GROUP BY 1
+"""
+
+
 def q_map_pivot_props(spark, sf_dir):
     """P3/F8/F9: JSON payload → map column → dynamic key discovery
     (explode/distinct/collect two-job op) → map-pivot to typed columns —
@@ -2214,9 +2289,9 @@ QUERIES: dict[str, tuple] = {
     "online_snapshot": (q_online_snapshot, SQL_ONLINE_SNAPSHOT),
     "online_lookup": (q_online_lookup, SQL_ONLINE_LOOKUP),
     "feature_store_retrieval": (q_feature_store_retrieval, SQL_FEATURE_STORE_RETRIEVAL),
+    "avro_scan": (q_avro_scan, SQL_AVRO_SCAN),
     "priority_collapse_types": (q_priority_collapse_types, SQL_PRIORITY_COLLAPSE_TYPES),
     "part_brand_stats": (q_part_brand_stats, SQL_PART_BRAND_STATS),
-    "user_value_deltas": (q_user_value_deltas, SQL_USER_VALUE_DELTAS),
     "streaming_hourly_agg": (q_streaming_hourly_agg, SQL_STREAMING_HOURLY_AGG),
     "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
     "streaming_sessionize": (q_streaming_sessionize, SQL_STREAMING_SESSIONIZE),
@@ -2244,4 +2319,5 @@ QUERIES: dict[str, tuple] = {
     "order_priority_count": (q_order_priority_count, SQL_ORDER_PRIORITY_COUNT),
     "top_spenders": (q_top_spenders, SQL_TOP_SPENDERS),
     "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE),
+    "user_value_deltas": (q_user_value_deltas, SQL_USER_VALUE_DELTAS),
 }

@@ -24,6 +24,7 @@ ROTATION_TAIL = {
     "order_priority_count",
     "top_spenders",
     "promo_revenue",
+    "user_value_deltas",
 }
 
 SETOP_EXTRAS = {
