@@ -38,10 +38,23 @@ from my_feast_spark.session import apply_runtime_confs
 
 class FeatureStore:
     def __init__(self, repo_path: str, spark: SparkSession | None = None,
-                 project: str = "default"):
+                 project: str | None = None):
         self.repo_path = repo_path
         os.makedirs(repo_path, exist_ok=True)
-        self.registry = Registry(os.path.join(repo_path, "registry.json"), project)
+        # M1: feature_store.yaml drives project/registry/store settings
+        # (station_reads_hourly_fs/feature_store.yaml:1-10); an explicit
+        # constructor project still wins, absent both -> "default".
+        from my_feast_spark.core.config import load_repo_config
+
+        self.config = load_repo_config(repo_path)
+        if project is None:
+            project = self.config.project if self.config else "default"
+        registry_path = (
+            self.config.registry_path
+            if self.config and self.config.registry_path
+            else os.path.join(repo_path, "registry.json")
+        )
+        self.registry = Registry(registry_path, project)
         self._spark = spark
 
     @property
@@ -50,7 +63,17 @@ class FeatureStore:
             from my_feast_spark.session import get_session
 
             self._spark = get_session()
-        return apply_runtime_confs(self._spark)
+        spark = apply_runtime_confs(self._spark)
+        # offline_store.spark_conf from feature_store.yaml (the on-prem
+        # reference repos set session confs there): runtime confs only —
+        # static JVM confs cannot change on a live session.
+        if self.config:
+            for k, v in self.config.spark_conf.items():
+                try:
+                    spark.conf.set(k, str(v))
+                except Exception:
+                    pass  # static conf on a live session; documented skip
+        return spark
 
     # --- registry passthrough (M2-M4) --------------------------------------
     def apply(self, objects: Iterable) -> None:

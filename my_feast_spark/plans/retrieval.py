@@ -59,6 +59,20 @@ class RetrievalJob:
             self._df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
         )
 
+    @property
+    def query(self) -> str:
+        """Textual-plan accessor named for parity with the reference's
+        ``job.query`` (the generated SQL, Untitled.ipynb:675-698). Spark
+        declares plans rather than SQL strings, so this exposes the same
+        information in plan form."""
+        return self.plan
+
+    def to_pandas_on_spark(self):
+        """Distributed pandas API over the retrieval result (S14 —
+        get_hist_feat.ipynb:418 ``to_pandas_on_spark``): unlike
+        ``to_df()`` nothing is collected to the driver."""
+        return self._df.pandas_api()
+
     def explain(self, mode: str = "formatted") -> None:
         self._df.explain(mode)
 

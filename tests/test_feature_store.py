@@ -159,3 +159,63 @@ def test_historical_retrieval_accepts_pandas_entity_df(store):
     rows = {r.driver_id: r.avg_fare for r in out.collect()}
     assert rows["d1"] == pytest.approx(99.0)
     assert rows["d2"] == pytest.approx(7.0)
+
+
+def test_repo_config_yaml_round_trip(spark, tmp_path):
+    """M1: feature_store.yaml drives project / registry path / store
+    settings (station_reads_hourly_fs/feature_store.yaml shape)."""
+    repo = tmp_path / "yamlrepo"
+    repo.mkdir()
+    (repo / "feature_store.yaml").write_text(
+        "project: yaml_project\n"
+        "provider: local\n"
+        "registry: data/my_registry.json\n"
+        "online_store:\n"
+        "    type: parquet\n"
+        "offline_store:\n"
+        "    type: spark\n"
+        "    spark_conf:\n"
+        "        spark.sql.session.timeZone: \"UTC\"\n"
+    )
+    fs = FeatureStore(str(repo), spark=spark)
+    assert fs.registry.project == "yaml_project"
+    assert fs.registry.path.endswith("data/my_registry.json")
+    fs.apply([Entity(name="driver", value_type="STRING", join_keys=["driver_id"])])
+    assert (repo / "data" / "my_registry.json").exists()
+    # spark_conf applied at session attach
+    assert fs.spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    # explicit constructor project still wins over yaml
+    fs2 = FeatureStore(str(repo), spark=spark, project="explicit")
+    assert fs2.registry.project == "explicit"
+
+
+def test_repo_config_nonlocal_fallbacks(spark, tmp_path):
+    """The reference's yaml points registry/online at blob/redis; those
+    fall back to local parquet-backed equivalents LOUDLY (warnings)."""
+    repo = tmp_path / "cloudrepo"
+    repo.mkdir()
+    (repo / "feature_store.yaml").write_text(
+        "project: cloudish\n"
+        "registry:\n"
+        "  registry_store_type: some.remote.RegistryStore\n"
+        "  path: \"https://example.invalid/feast/registry.db\"\n"
+        "online_store:\n"
+        "    type: redis\n"
+        "    connection_string: \"example.invalid:6379\"\n"
+    )
+    fs = FeatureStore(str(repo), spark=spark)
+    assert fs.registry.project == "cloudish"
+    assert fs.registry.path == str(repo / "registry.json")  # local fallback
+    assert len(fs.config.warnings) == 2
+
+
+def test_retrieval_job_query_and_pandas_on_spark(store, spark):
+    """M5/S14 parity: job.query (textual plan, the reference's generated-
+    SQL accessor) and to_pandas_on_spark (distributed pandas API)."""
+    entity_df = spark.createDataFrame(
+        [Row(driver_id="d1", event_timestamp=TS(2024, 1, 1, 13))]
+    )
+    job = store.get_historical_features(entity_df, ["driver_hourly:avg_fare"])
+    assert job.query == job.plan and "Physical Plan" in job.query
+    psdf = job.to_pandas_on_spark()
+    assert psdf["avg_fare"].to_list() == [99.0]
