@@ -214,8 +214,12 @@ def _slice_seconds(slice_interval) -> int:
         if isinstance(slice_interval, _dt.timedelta)
         else float(slice_interval)
     )
-    if s <= 0:
-        raise ValueError("slice_interval must be positive")
+    # sub-second intervals would truncate to 0 and divide the slice-id
+    # expression by zero, silently disabling the skew protection
+    if int(s) < 1:
+        raise ValueError(
+            f"slice_interval must be >= 1 second, got {slice_interval!r}"
+        )
     return int(s)
 
 

@@ -48,6 +48,18 @@ def materialize_stream(
     ties = [src.created_timestamp_column] if src.created_timestamp_column else []
     keep = join_keys + [src.timestamp_field] + ties + fv.feature_names()
     path = fs._online_path(view_name)
+    # The merge below checks snapshot existence and swaps directories with
+    # local-filesystem calls (os.path.exists / shutil.move). On a
+    # non-local URI those would report "absent" every batch and silently
+    # degrade the merge to an overwrite losing all other entities — the
+    # exact data-loss mode the explicit existence check exists to prevent.
+    # Fail loudly instead; a remote online store belongs behind a real
+    # KV/Delta sink (module docstring).
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            f"materialize_stream requires a local online-store path, got "
+            f"{path!r}; use a KV/Delta-backed online store for remote URIs"
+        )
     spark = fs.spark
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:

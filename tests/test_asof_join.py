@@ -244,3 +244,21 @@ def test_sliced_window_hot_key_boundary_carry(spark):
             ).collect()
         }
         assert out == expected, slice_iv
+
+
+def test_sliced_window_rejects_subsecond_interval(spark):
+    """slice_interval < 1s would int-truncate to 0 and divide the slice-id
+    expression by zero — silently un-slicing the skew protection. Must
+    raise instead."""
+    feats = spark.createDataFrame([
+        Row(entity_id="a", event_timestamp=TS(2024, 1, 1, 1), value=1.0)
+    ])
+    probes = spark.createDataFrame([
+        Row(entity_id="a", event_timestamp=TS(2024, 1, 1, 2))
+    ])
+    for bad in (0.5, dt.timedelta(milliseconds=250), 0, -3):
+        with pytest.raises(ValueError, match="slice_interval"):
+            point_in_time_join(
+                probes, feats, ["entity_id"],
+                strategy="sliced_window", slice_interval=bad,
+            )
