@@ -1294,7 +1294,7 @@ WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
 """
 
 
-def q_minhash_dup_pairs(spark, sf_dir):
+def q_minhash_dup_pairs(spark, sf_dir, *, hash_fn="portable"):
     """MinHash+LSH near-dup pairs, exact-Jaccard verified (scale path).
 
     hash_fn="portable" (md5-derived Carter-Wegman family) makes every
@@ -1302,12 +1302,13 @@ def q_minhash_dup_pairs(spark, sf_dir):
     verify — bit-reproducible in DuckDB, so the oracle replays the FULL
     pipeline (SQL_MINHASH_DUP_PAIRS) rather than a weaker rows-only
     check. The pure-Spark scale path keeps xxhash64 (cheaper; recall
-    behavior identical — asserted in tests/test_extensions.py)."""
+    behavior identical — asserted in tests/test_extensions.py); bench.py
+    times BOTH so the recorded number reflects the 100 TB path."""
     from my_feast_spark.operators.dedup import minhash_lsh_dup_pairs
 
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_dup_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.5, hash_fn="portable"
+        docs, "doc_id", "text", n=3, threshold=0.5, hash_fn=hash_fn
     )
 
 
@@ -1376,16 +1377,17 @@ WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= {threshold}
 SQL_MINHASH_DUP_PAIRS = _sql_minhash_dup_pairs()
 
 
-def q_simhash_dup_pairs(spark, sf_dir):
+def q_simhash_dup_pairs(spark, sf_dir, *, hash_fn="portable"):
     """SimHash hamming<=3 near-dup pairs (pigeonhole banding). Pigeonhole
     recall is exactly 1, and hash_fn="portable" gives DuckDB the same
     bit patterns (md5_number_lower) — so the oracle is a brute-force
-    hamming join and must match bit-for-bit."""
+    hamming join and must match bit-for-bit. bench.py also times the
+    xxhash64 scale default."""
     from my_feast_spark.operators.dedup import simhash_dup_pairs
 
     docs = _t(spark, sf_dir, "documents")
     return simhash_dup_pairs(
-        docs, "doc_id", "text", max_hamming=3, hash_fn="portable"
+        docs, "doc_id", "text", max_hamming=3, hash_fn=hash_fn
     )
 
 
