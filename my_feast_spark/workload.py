@@ -1453,6 +1453,37 @@ FROM documents
 """
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """Video-shaped frame sampling: every 10th 64-byte chunk of the
+    fake-codec payload, one row per sampled frame (cardinality-expanding
+    mapInPandas — multimodal.sample_frames), rolled up to per-asset frame
+    stats. The oracle recomputes the sampled-frame count and the first
+    frame's digest straight from the source text (the corpus is ASCII,
+    so byte slices == char slices in both engines)."""
+    from my_feast_spark.multimodal import encode_fake_image_assets, sample_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    frames = sample_frames(
+        encode_fake_image_assets(docs, "doc_id", "text"),
+        frame_bytes=64, every_k=10,
+    )
+    return frames.groupBy("asset_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max(
+            F.when(F.col("frame_idx") == 0, F.md5(F.col("frame")))
+        ).alias("first_frame_md5"),
+    )
+
+
+SQL_MULTIMODAL_FRAMES = """
+SELECT doc_id AS asset_id,
+       CAST(((octet_length(encode(text)) // 64) + 9) // 10 AS BIGINT) AS n_frames,
+       md5(substring(text, 1, 64)) AS first_frame_md5
+FROM documents
+WHERE octet_length(encode(text)) >= 64
+"""
+
+
 # =========================================================================
 # Extensions: similarity search over embeddings
 # =========================================================================
@@ -1771,6 +1802,41 @@ def q_streaming_dedup(spark, sf_dir):
 SQL_STREAMING_DEDUP = """
 SELECT DISTINCT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_ts
 FROM events
+"""
+
+
+def q_stream_capture_files(spark, sf_dir):
+    """S11 end-to-end: the capture sink (streaming/ingest.py
+    capture_to_parquet — the Spark-native stand-in for Event Hub
+    Capture's 3-minute file windows, CASE.MD:107) drained with
+    AvailableNow into a fresh directory, the captured files read back and
+    aggregated. The oracle computes the same aggregate from the events
+    view, so file capture is value-checked, not just smoke-run."""
+    import tempfile
+
+    from my_feast_spark.streaming import capture_to_parquet
+
+    stream = _event_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    out = tempfile.mkdtemp(prefix="mfs_capture_out_")
+    ckpt = tempfile.mkdtemp(prefix="mfs_capture_ckpt_")
+    q = capture_to_parquet(
+        stream, out, ckpt, available_now=True, trigger_interval=None
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+    cap = spark.read.parquet(out)
+    return cap.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+SQL_STREAM_CAPTURE_FILES = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1
 """
 
 
@@ -2322,4 +2388,7 @@ QUERIES: dict[str, tuple] = {
     "top_spenders": (q_top_spenders, SQL_TOP_SPENDERS),
     "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE),
     "user_value_deltas": (q_user_value_deltas, SQL_USER_VALUE_DELTAS),
+    # --- new this round, queued for the next window rotation --------------
+    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
+    "stream_capture_files": (q_stream_capture_files, SQL_STREAM_CAPTURE_FILES),
 }

@@ -53,7 +53,8 @@ def test_pit_join_is_single_window_no_range_join(spark):
 def test_native_queries_have_no_python_udfs(spark):
     """Everything except the intentionally-Python operators (multimodal,
     sessionize) must stay JVM-side."""
-    python_ok = {"multimodal_decode", "streaming_sessionize",
+    python_ok = {"multimodal_decode", "multimodal_frames",
+                 "stream_capture_files", "streaming_sessionize",
                  "streaming_hourly_agg", "streaming_dedup",
                  # multi-table LSH bucketing and IVF cell assignment are
                  # deliberate Arrow-batched pandas UDFs: one numpy matmul

@@ -25,6 +25,9 @@ ROTATION_TAIL = {
     "top_spenders",
     "promo_revenue",
     "user_value_deltas",
+    # new this round — first in line for the next window rotation
+    "multimodal_frames",
+    "stream_capture_files",
 }
 
 SETOP_EXTRAS = {
