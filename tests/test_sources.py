@@ -138,3 +138,40 @@ def test_delta_round_trip_gated(spark, tmp_path):
         pytest.skip(f"delta-spark not on the classpath: {type(exc).__name__}")
     src = FileSource(path=path, timestamp_field="k", file_format="delta")
     assert src.load(spark).count() == 5
+
+
+def test_paginated_reader_stages_and_scans(spark, tmp_path):
+    """S1: offset/limit API walk -> bounded driver buffering -> staged
+    parquet chunks -> ordinary distributed scan (the Socrata ingest
+    shape, driver-paged by necessity, Spark-scanned after)."""
+    from my_feast_spark.sources.paginated import read_paginated
+
+    records = [
+        {"trip_id": i, "vendor": f"v{i % 3}", "fare": 1.5 * i} for i in range(2500)
+    ]
+
+    calls = []
+
+    def fetch_page(offset):
+        calls.append(offset)
+        return records[offset:offset + 1000]
+
+    df = read_paginated(
+        spark, fetch_page, str(tmp_path / "stage"),
+        schema="trip_id long, vendor string, fare double",
+        stage_every=1000,
+    )
+    assert calls == [0, 1000, 2000, 2500]  # serial cursor, ends on empty page
+    assert df.count() == 2500
+    assert dict(df.dtypes) == {"trip_id": "bigint", "vendor": "string", "fare": "double"}
+    # staged as multiple chunks -> the scan parallelizes like any bronze table
+    assert len(list((tmp_path / "stage").glob("chunk=*"))) == 3
+    assert df.where(F.col("trip_id") == 1234).collect()[0].fare == 1851.0
+
+    # max_records cap (the reference's bounded backfill)
+    df2 = read_paginated(
+        spark, lambda off: records[off:off + 1000], str(tmp_path / "stage2"),
+        schema="trip_id long, vendor string, fare double",
+        stage_every=1000, max_records=1500,
+    )
+    assert df2.count() == 1500
