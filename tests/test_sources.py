@@ -175,3 +175,61 @@ def test_paginated_reader_stages_and_scans(spark, tmp_path):
         stage_every=1000, max_records=1500,
     )
     assert df2.count() == 1500
+
+
+def test_avro_codec_property_roundtrip():
+    """Property check over the supported type lattice: any row set of
+    int64/double/text/bytes/bool/nullable-string round-trips exactly
+    through both codecs (zigzag varints, IEEE packing, utf-8 lengths)."""
+    from hypothesis import given, settings, strategies as st
+
+    from my_feast_spark.sources.avro_io import make_container_decoder, write_avro_file
+
+    schema = {
+        "type": "record", "name": "P",
+        "fields": [
+            {"name": "i", "type": "long"},
+            {"name": "d", "type": "double"},
+            {"name": "s", "type": "string"},
+            {"name": "b", "type": "bytes"},
+            {"name": "f", "type": "boolean"},
+            {"name": "n", "type": ["null", "string"]},
+        ],
+    }
+    row = st.fixed_dictionaries({
+        "i": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        "d": st.floats(allow_nan=False),
+        "s": st.text(max_size=40),
+        "b": st.binary(max_size=40),
+        "f": st.booleans(),
+        "n": st.none() | st.text(max_size=10),
+    })
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(row, max_size=12), st.sampled_from(["null", "deflate"]))
+    def check(rows, codec):
+        import os, tempfile
+        p = os.path.join(tempfile.mkdtemp(), "p.avro")
+        write_avro_file(p, schema, rows, codec=codec, records_per_block=5)
+        with open(p, "rb") as fh:
+            _s, recs = make_container_decoder()(fh.read())
+        assert recs == rows
+
+    check()
+
+
+def test_avro_codec_inf_nan_doubles():
+    import math
+    import os, tempfile
+    from my_feast_spark.sources.avro_io import make_container_decoder, write_avro_file
+
+    schema = {"type": "record", "name": "N",
+              "fields": [{"name": "d", "type": "double"}]}
+    p = os.path.join(tempfile.mkdtemp(), "n.avro")
+    write_avro_file(p, schema, [{"d": float("inf")}, {"d": float("-inf")},
+                                {"d": float("nan")}, {"d": -0.0}])
+    with open(p, "rb") as fh:
+        _s, recs = make_container_decoder()(fh.read())
+    assert recs[0]["d"] == float("inf") and recs[1]["d"] == float("-inf")
+    assert math.isnan(recs[2]["d"])
+    assert recs[3]["d"] == 0.0 and math.copysign(1, recs[3]["d"]) == -1.0
