@@ -116,6 +116,19 @@ def test_tfidf_df_build_side_is_pruned(spark):
     assert "LeftSemi" in plan  # df pruned to subset vocabulary
 
 
+def test_avro_fallback_scan_shape(spark):
+    """The pure-Python Avro path must keep the scale shape: the binaryFile
+    scan reads ONLY the content column (no paths/lengths shipped through
+    Python), the decode is one MapInPandas stage, and aggregation is
+    partial before the single exchange."""
+    plan = _formatted(workload.q_avro_scan(spark, SF_DIR_ORACLE))
+    if "Scan binaryFile" not in plan:
+        return  # native spark-avro took over: same downstream plan
+    assert "ReadSchema: struct<content:binary>" in plan
+    assert plan.count("MapInPandas") == 1
+    assert "partial_count" in plan and plan.count("Exchange") <= 2
+
+
 def test_unpivot_is_expand_with_single_shuffle(spark):
     """unpivot lowers to Expand (rows x n_metrics, zero-shuffle); the only
     Exchange is the final 3-group aggregate."""
