@@ -23,3 +23,13 @@ def test_training_pipeline_demo_runs(spark):
     assert 0 < out["after_exact_dedup"] <= out["after_quality_gate"]
     assert out["near_dup_pairs"] >= 0
     assert out["semantic_dup_pairs"] > 0
+
+
+def test_bronze_ingest_demo_runs(spark, tmp_path):
+    from examples.bronze_ingest_demo import main
+
+    out = main(str(tmp_path))
+    assert out["bronze_rows"] == 800
+    assert out["bronze_by_src"] == {"api": 450, "capture": 300, "csv": 50}
+    assert 0 < out["silver_rows"] <= 4 * 9 * 3  # stations x days x months
+    assert out["partitions"] >= 9
