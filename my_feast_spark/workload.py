@@ -1377,6 +1377,38 @@ WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= {threshold}
 SQL_MINHASH_DUP_PAIRS = _sql_minhash_dup_pairs()
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive near-dup clusters over the MinHash-LSH pair graph —
+    connected components by iterative min-label propagation
+    (operators/graph.py), so curation can keep ONE canonical doc per
+    variant group instead of making unsound pairwise keep decisions.
+    The oracle recomputes the same components with a recursive CTE over
+    the identical portable-hash pair SQL: a fully hash-matched check for
+    an inherently iterative algorithm."""
+    from my_feast_spark.operators.graph import connected_components
+
+    pairs = q_minhash_dup_pairs(spark, sf_dir)
+    return connected_components(
+        pairs, "doc_a", "doc_b", out_id="doc_id", out_label="cluster_id"
+    )
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({SQL_MINHASH_DUP_PAIRS}),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(id, label) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, r.label FROM sym s JOIN reach r ON s.b = r.id
+)
+SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+FROM reach GROUP BY 1
+"""
+
+
 def q_simhash_dup_pairs(spark, sf_dir, *, hash_fn="portable"):
     """SimHash hamming<=3 near-dup pairs (pigeonhole banding). Pigeonhole
     recall is exactly 1, and hash_fn="portable" gives DuckDB the same
@@ -2391,4 +2423,5 @@ QUERIES: dict[str, tuple] = {
     # --- new this round, queued for the next window rotation --------------
     "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
     "stream_capture_files": (q_stream_capture_files, SQL_STREAM_CAPTURE_FILES),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
 }

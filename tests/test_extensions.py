@@ -212,3 +212,33 @@ def test_hash_sample_is_deterministic_and_unbiased(spark):
     assert a == b  # pure function of the key
     # '1a' keeps 26/256 ~ 10.2%; binomial 3-sigma on 10k keys ~ +-0.9pp
     assert 0.07 < a / 10_000 < 0.14
+
+
+def test_connected_components_golden(spark):
+    """Chain + pair + triangle: components are transitive closures with
+    min-id labels; vertices only ever appear via edges."""
+    from pyspark.sql import Row
+
+    from my_feast_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([
+        Row(id_a=1, id_b=2), Row(id_a=2, id_b=3),          # chain 1-2-3
+        Row(id_a=10, id_b=11),                              # pair
+        Row(id_a=20, id_b=21), Row(id_a=21, id_b=22),
+        Row(id_a=20, id_b=22),                              # triangle
+    ])
+    got = {r.id: r.cluster_id for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-vertex path needs ~diameter rounds of min-label propagation —
+    must converge (not hit max_iter) and label everything with vertex 0."""
+    from pyspark.sql import Row
+
+    from my_feast_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(11)])
+    rows = connected_components(edges).collect()
+    assert len(rows) == 12
+    assert {r.cluster_id for r in rows} == {0}

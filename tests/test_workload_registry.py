@@ -28,6 +28,7 @@ ROTATION_TAIL = {
     # new this round — first in line for the next window rotation
     "multimodal_frames",
     "stream_capture_files",
+    "dedup_clusters",
 }
 
 SETOP_EXTRAS = {
