@@ -130,6 +130,76 @@ def chunk_tokens(text: Column, *, size: int = 50, stride: int = 25) -> Column:
     )
 
 
+def repetition_features(text: Column) -> dict[str, Column]:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
+    fraction of tokens accounted for by the single most frequent token,
+    and the fraction of duplicate word 2-grams. Highly repetitive
+    documents (boilerplate, keyword stuffing, generation loops) score
+    high on both and get filtered before training.
+
+    Pure per-row array expressions — a 100 TB repetition sweep is a
+    map-only stage with no shuffle. top_token_frac is O(distinct x
+    total) per row, fine at document token counts; for book-length
+    inputs chunk first (``chunk_tokens``).
+    """
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    two_grams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat(
+            F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+        ),
+    )
+    return {
+        "n_tokens": n,
+        "top_token_frac": F.round(top_count / F.greatest(n, F.lit(1)), 4),
+        "dup_2gram_frac": F.when(n < 2, F.lit(0.0)).otherwise(
+            F.round(
+                (F.size(two_grams) - F.size(F.array_distinct(two_grams)))
+                / F.size(two_grams),
+                4,
+            )
+        ),
+    }
+
+
+#: PII patterns shared by redact_pii / pii_counts and the SQL oracles.
+#: RE2-compatible on purpose (character classes + \b only, no
+#: lookarounds) so Java regex (Spark) and RE2 (DuckDB) match the same
+#: spans. Redaction applies them in THIS dict order.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (named expressions; caller aliases)."""
+    return {
+        kind: F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII span with ``[KIND]``, applying PII_PATTERNS in
+    dict order so overlapping matches resolve deterministically (the
+    email pattern requires an alphabetic TLD, so a numeric-host address
+    like user@10.0.0.1 keeps its local part and redacts the host as
+    [IPV4]). Chained regexp_replace — per-row, map-only at any scale."""
+    out = text
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"[{kind.upper()}]")
+    return out
+
+
 def hash_sample(key: Column, *, hex_threshold: str = "1a") -> Column:
     """Deterministic hash-bucket sampling predicate for reproducible data
     mixing: keep rows whose md5(key) first-two-hex-chars sort below

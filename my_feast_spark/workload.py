@@ -2328,6 +2328,140 @@ WHERE round(list_inner_product(a.v, b2.v)
 SQL_EMBEDDING_NEAR_DUPES_LSH = _sql_embedding_near_dupes_lsh()
 
 
+def q_contamination_report(spark, sf_dir):
+    """Benchmark decontamination: training docs (doc_id % 50 != 0) that
+    share >= 1 distinct word 4-gram with the benchmark split
+    (doc_id % 50 == 0). The benchmark shingle set is broadcast — the
+    corpus side never shuffles on the shingle key."""
+    from my_feast_spark.operators.decontamination import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return contamination_report(train, bench, "doc_id", "text", n=4)
+
+
+SQL_CONTAMINATION_REPORT = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t) - 3, 0) + 1),
+         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+  FROM toks WHERE len(t) >= 4
+), tr AS (
+  SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 50 <> 0
+), be AS (
+  SELECT DISTINCT doc_id AS bench_id, unnest(s) AS g FROM sh WHERE doc_id % 50 = 0
+)
+SELECT tr.doc_id,
+       CAST(count(DISTINCT tr.g) AS BIGINT) AS n_hit_ngrams,
+       CAST(count(DISTINCT be.bench_id) AS BIGINT) AS n_bench_docs
+FROM tr JOIN be ON tr.g = be.g
+GROUP BY tr.doc_id
+HAVING count(DISTINCT tr.g) >= 1
+"""
+
+
+def q_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition signals + keep flag (map-only filter
+    stage: no shuffle at any corpus size)."""
+    from my_feast_spark.functions.text import repetition_features
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = repetition_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["top_token_frac"].alias("top_token_frac"),
+        feats["dup_2gram_frac"].alias("dup_2gram_frac"),
+        (
+            (feats["top_token_frac"] <= 0.12) & (feats["dup_2gram_frac"] <= 0.05)
+        ).cast("int").alias("keep"),
+    )
+
+
+SQL_REPETITION_FILTER = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+), sig AS (
+  SELECT doc_id, len(t) AS n,
+    round(list_max(list_transform(list_distinct(t),
+          x -> len(list_filter(t, y -> y = x)))) / greatest(len(t), 1), 4)
+      AS top_token_frac,
+    CASE WHEN len(t) < 2 THEN 0.0 ELSE
+      round((len(t) - 1 - len(list_distinct(list_transform(range(1, len(t)),
+            i -> t[i] || ' ' || t[i+1])))) / (len(t) - 1.0), 4)
+    END AS dup_2gram_frac
+  FROM toks
+)
+SELECT doc_id, CAST(n AS INT) AS n_tokens, top_token_frac, dup_2gram_frac,
+       CAST(top_token_frac <= 0.12 AND dup_2gram_frac <= 0.05 AS INT) AS keep
+FROM sig
+"""
+
+
+def q_pii_redaction(spark, sf_dir):
+    """PII scrubbing: deterministic synthetic PII (email / IPv4 / phone,
+    gated per doc_id so counts vary) is appended in-query, then counted
+    and redacted with the shared RE2-compatible patterns. The oracle
+    replays the same augmentation + regex chain, verifying exact span
+    replacement via the redacted-text md5. Per-row regexp_replace —
+    map-only at any scale."""
+    from my_feast_spark.functions.text import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    email_part = F.when(
+        did % 3 != 0,
+        F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    ip_part = F.when(
+        did % 2 == 0,
+        F.concat(F.lit(" from 10.1."), (did % 256).cast("string"), F.lit(".7")),
+    ).otherwise(F.lit(""))
+    phone_part = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit(" call 555-"),
+            F.lpad((did % 1000).cast("string"), 3, "0"),
+            F.lit("-0199"),
+        ),
+    ).otherwise(F.lit(""))
+    aug = F.concat(F.col("text"), email_part, ip_part, phone_part)
+    counts = pii_counts(aug)
+    return docs.select(
+        "doc_id",
+        counts["email"].alias("n_emails"),
+        counts["ipv4"].alias("n_ips"),
+        counts["phone"].alias("n_phones"),
+        F.md5(F.encode(redact_pii(aug), "UTF-8")).alias("redacted_md5"),
+    )
+
+
+SQL_PII_REDACTION = r"""
+WITH aug AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 <> 0
+            THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 2 = 0
+            THEN ' from 10.1.' || (doc_id % 256) || '.7' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                 || '-0199' ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS INT) AS n_phones,
+  md5(regexp_replace(regexp_replace(regexp_replace(t,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g'),
+      '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g')) AS redacted_md5
+FROM aug
+"""
+
+
 # =========================================================================
 # Query registry.
 #
@@ -2381,21 +2515,22 @@ QUERIES: dict[str, tuple] = {
     "top_terms_tfidf": (q_top_terms_tfidf, SQL_TOP_TERMS_TFIDF),
     "length_outlier_filter": (q_length_outlier_filter, SQL_LENGTH_OUTLIER_FILTER),
     "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES),
+    # --- new this round: never adjudicated, so in-window by policy --------
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
+    "stream_capture_files": (q_stream_capture_files, SQL_STREAM_CAPTURE_FILES),
+    "contamination_report": (q_contamination_report, SQL_CONTAMINATION_REPORT),
+    "repetition_filter": (q_repetition_filter, SQL_REPETITION_FILTER),
+    "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
     # --- tier 3: reference-parity surface ---------------------------------
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
-    "filtered_agg": (q_filtered_agg, SQL_FILTERED_AGG),
-    "dedup_entity_rows": (q_dedup_entity_rows, SQL_DEDUP_ENTITY_ROWS),
-    "latest_event_per_user": (q_latest_event_per_user, SQL_LATEST_EVENT_PER_USER),
     "online_snapshot": (q_online_snapshot, SQL_ONLINE_SNAPSHOT),
     "online_lookup": (q_online_lookup, SQL_ONLINE_LOOKUP),
     "feature_store_retrieval": (q_feature_store_retrieval, SQL_FEATURE_STORE_RETRIEVAL),
     "avro_scan": (q_avro_scan, SQL_AVRO_SCAN),
-    "priority_collapse_types": (q_priority_collapse_types, SQL_PRIORITY_COLLAPSE_TYPES),
-    "part_brand_stats": (q_part_brand_stats, SQL_PART_BRAND_STATS),
     "streaming_hourly_agg": (q_streaming_hourly_agg, SQL_STREAMING_HOURLY_AGG),
     "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
     "streaming_sessionize": (q_streaming_sessionize, SQL_STREAMING_SESSIONIZE),
-    "idle_customers_anti": (q_idle_customers_anti, SQL_IDLE_CUSTOMERS_ANTI),
     "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
     # --- §2.6 set-op extras: rotated INTO the window for round 3 (their
     # last CORRECTNESS rows are from round 1) -----------------------------
@@ -2410,6 +2545,12 @@ QUERIES: dict[str, tuple] = {
     "customer_balance_deciles": (q_customer_balance_deciles, SQL_CUSTOMER_BALANCE_DECILES),
     # --- rotation tail: adjudicated green in rounds 1 AND 2, swapped out
     # for round 3; still checked by tests/test_oracle_parity.py every run --
+    "filtered_agg": (q_filtered_agg, SQL_FILTERED_AGG),
+    "dedup_entity_rows": (q_dedup_entity_rows, SQL_DEDUP_ENTITY_ROWS),
+    "latest_event_per_user": (q_latest_event_per_user, SQL_LATEST_EVENT_PER_USER),
+    "priority_collapse_types": (q_priority_collapse_types, SQL_PRIORITY_COLLAPSE_TYPES),
+    "part_brand_stats": (q_part_brand_stats, SQL_PART_BRAND_STATS),
+    "idle_customers_anti": (q_idle_customers_anti, SQL_IDLE_CUSTOMERS_ANTI),
     "json_props_extract": (q_json_props_extract, SQL_JSON_PROPS_EXTRACT),
     "case_decode_coalesce": (q_case_decode_coalesce, SQL_CASE_DECODE_COALESCE),
     "map_pivot_props": (q_map_pivot_props, SQL_MAP_PIVOT_PROPS),
@@ -2420,8 +2561,4 @@ QUERIES: dict[str, tuple] = {
     "top_spenders": (q_top_spenders, SQL_TOP_SPENDERS),
     "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE),
     "user_value_deltas": (q_user_value_deltas, SQL_USER_VALUE_DELTAS),
-    # --- new this round, queued for the next window rotation --------------
-    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
-    "stream_capture_files": (q_stream_capture_files, SQL_STREAM_CAPTURE_FILES),
-    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
 }

@@ -242,3 +242,109 @@ def test_connected_components_long_chain_converges(spark):
     rows = connected_components(edges).collect()
     assert len(rows) == 12
     assert {r.cluster_id for r in rows} == {0}
+
+
+def test_contamination_report_semantics(spark):
+    """Planted overlap: a train doc sharing a 4-gram with a bench doc is
+    flagged with the right hit counts; disjoint docs are not."""
+    from pyspark.sql import Row
+
+    from my_feast_spark.operators.decontamination import contamination_report
+
+    train = spark.createDataFrame([
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, text="completely unrelated words only here now"),
+        # shares a 4-gram with BOTH bench docs
+        Row(doc_id=3, text="alpha beta gamma delta and quick brown fox jumps"),
+    ])
+    bench = spark.createDataFrame([
+        Row(doc_id=100, text="we ask about the quick brown fox jumps today"),
+        Row(doc_id=101, text="alpha beta gamma delta epsilon"),
+    ])
+    got = {
+        r.doc_id: (r.n_hit_ngrams, r.n_bench_docs)
+        for r in contamination_report(train, bench, "doc_id", "text", n=4).collect()
+    }
+    assert 2 not in got
+    # doc 1: 'the quick brown fox' 'quick brown fox jumps' hit bench 100
+    assert got[1] == (2, 1)
+    # doc 3: 'alpha beta gamma delta' (bench 101) + 'quick brown fox jumps' (100)
+    assert got[3] == (2, 2)
+    # min_hits prunes the single-hit doc
+    got2 = {
+        r.doc_id
+        for r in contamination_report(
+            train, bench, "doc_id", "text", n=4, min_hits=2
+        ).collect()
+    }
+    assert got2 == {1, 3}
+
+
+def test_contamination_broadcasts_bench_side(spark):
+    """The benchmark shingle set must be on the broadcast side — the
+    corpus never shuffles on the (skewed) shingle key."""
+    from my_feast_spark import workload
+
+    df = workload.QUERIES["contamination_report"][0](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_repetition_features_edges(spark):
+    """Single-token doc: no 2-grams, top fraction 1. Fully repeated doc:
+    everything duplicated."""
+    from pyspark.sql import Row
+
+    from my_feast_spark.functions.text import repetition_features
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="solo"),
+        Row(doc_id=2, text="spam spam spam spam"),
+        Row(doc_id=3, text="all four tokens differ"),
+    ])
+    feats = repetition_features(F.col("text"))
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            feats["n_tokens"].alias("n_tokens"),
+            feats["top_token_frac"].alias("top"),
+            feats["dup_2gram_frac"].alias("dup2"),
+        ).collect()
+    }
+    assert (rows[1].n_tokens, rows[1].top, rows[1].dup2) == (1, 1.0, 0.0)
+    # 'spam spam' appears 3 times as a 2-gram: 2 of 3 are duplicates
+    assert (rows[2].top, rows[2].dup2) == (1.0, round(2 / 3, 4))
+    assert (rows[3].top, rows[3].dup2) == (0.25, 0.0)
+
+
+def test_pii_redaction_order_and_counts(spark):
+    """All three kinds count + redact; a numeric-host address is NOT an
+    email (alphabetic TLD required) — its host redacts as an ip."""
+    from pyspark.sql import Row
+
+    from my_feast_spark.functions.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame([
+        Row(id=1, text="mail bob@corp.example.com host 192.168.0.7 dial 555-123-4567"),
+        Row(id=2, text="no pii at all in this row"),
+        Row(id=3, text="numeric host user@10.0.0.1 stays partial"),
+    ])
+    counts = pii_counts(F.col("text"))
+    got = {
+        r.id: r
+        for r in df.select(
+            "id",
+            counts["email"].alias("e"),
+            counts["ipv4"].alias("i"),
+            counts["phone"].alias("p"),
+            redact_pii(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert (got[1].e, got[1].i, got[1].p) == (1, 1, 1)
+    assert got[1].red == "mail [EMAIL] host [IPV4] dial [PHONE]"
+    assert (got[2].e, got[2].i, got[2].p) == (0, 0, 0)
+    assert got[2].red == "no pii at all in this row"
+    assert (got[3].e, got[3].i) == (0, 1)
+    assert got[3].red == "numeric host user@[IPV4] stays partial"

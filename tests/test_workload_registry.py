@@ -25,10 +25,27 @@ ROTATION_TAIL = {
     "top_spenders",
     "promo_revenue",
     "user_value_deltas",
-    # new this round — first in line for the next window rotation
+    # demoted mid-round-3 to make window room for the six queries that
+    # had NO adjudication row yet (dedup_clusters, multimodal_frames,
+    # stream_capture_files, contamination_report, repetition_filter,
+    # pii_redaction); all six demotions were green in rounds 1 AND 2
+    "filtered_agg",
+    "dedup_entity_rows",
+    "latest_event_per_user",
+    "priority_collapse_types",
+    "part_brand_stats",
+    "idle_customers_anti",
+}
+
+#: queries that have never had a CORRECTNESS row — must be in-window
+NEVER_ADJUDICATED = {
+    "dedup_clusters",
     "multimodal_frames",
     "stream_capture_files",
-    "dedup_clusters",
+    "contamination_report",
+    "repetition_filter",
+    "pii_redaction",
+    "avro_scan",
 }
 
 SETOP_EXTRAS = {
@@ -47,6 +64,11 @@ SETOP_EXTRAS = {
 def test_window_contains_rotated_in_queries():
     window = list(workload.QUERIES)[: workload.ADJUDICATION_WINDOW]
     assert SETOP_EXTRAS <= set(window)
+
+
+def test_window_contains_every_never_adjudicated_query():
+    window = list(workload.QUERIES)[: workload.ADJUDICATION_WINDOW]
+    assert NEVER_ADJUDICATED <= set(window)
 
 
 def test_tail_is_exactly_the_declared_rotation():
