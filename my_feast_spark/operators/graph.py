@@ -25,7 +25,17 @@ blocks, more rounds math; not needed for the duplicate-cluster shape.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
+
+#: target edges per partition inside the propagation loop — the edge
+#: graph is orders of magnitude smaller than the corpus that produced
+#: it, so the loop re-partitions to match ITS size, not the corpus scan
+#: parallelism (at 32 default partitions, a few-hundred-edge graph pays
+#: ~32x scheduler overhead per round for nothing; with billions of
+#: edges the cap below keeps the session default).
+_EDGES_PER_PARTITION = 100_000
 
 
 def connected_components(
@@ -39,36 +49,48 @@ def connected_components(
 ) -> DataFrame:
     """(vertex, component) for every vertex appearing in ``edges``;
     the component id is the minimum vertex id in the component."""
+    spark = edges.sparkSession
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
     sym = sym.localCheckpoint()
+    # Size loop parallelism to the materialized edge count (one cheap
+    # count over the checkpoint), capped at the session default.
+    default_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_edges = sym.count()
+    loop_p = max(1, min(default_p, math.ceil(n_edges / _EDGES_PER_PARTITION)))
+    if loop_p < default_p:
+        sym = sym.repartition(loop_p, "b").localCheckpoint()
     labels = (
         sym.select(F.col("a").alias("id")).distinct()
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    # Convergence check: per-vertex labels are monotonically
+    # non-increasing, so the EXACT label sum (decimal — no long
+    # overflow at any vertex count) strictly decreases until the
+    # fixpoint; an unchanged sum means no label moved. One tiny
+    # aggregate per round instead of a labels-vs-labels join + count.
+    label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = labels.agg(label_sum).collect()[0][0]
     for _ in range(max_iter):
         neighbor_labels = sym.join(
             labels.withColumnRenamed("id", "b"), "b"
         ).select(F.col("a").alias("id"), "label")
         new_labels = (
             labels.union(neighbor_labels)
+            .repartition(loop_p, "id")
             .groupBy("id")
             .agg(F.min("label").alias("label"))
             .localCheckpoint()  # eager: also truncates lineage per round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_sum = new_labels.agg(label_sum).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(
         F.col("id").alias(out_id), F.col("label").alias(out_label)
     )
