@@ -47,12 +47,21 @@ def contamination_report(
     bench_id = bench_id_col or id_col
     bench_text = bench_text_col or text_col
 
-    train_sh = _with_shingles(train_df, id_col, text_col, n).select(
-        F.col("doc").alias("doc_id"), F.explode("sh").alias("shingle")
+    # explode_outer, NOT explode: plain explode makes Catalyst infer a
+    # size(sh) > 0 predicate and push it below the shingle projection,
+    # re-evaluating the whole (interpreted, higher-order) shingle
+    # expression several times per input row inside the scan filter —
+    # measured ~6x slower end-to-end. The arrays are non-empty by the
+    # >= n-token filter anyway; the null guard keeps semantics identical.
+    train_sh = (
+        _with_shingles(train_df, id_col, text_col, n)
+        .select(F.col("doc").alias("doc_id"), F.explode_outer("sh").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
     )
     bench_sh = (
         _with_shingles(bench_df, bench_id, bench_text, n)
-        .select(F.col("doc").alias("bench_id"), F.explode("sh").alias("shingle"))
+        .select(F.col("doc").alias("bench_id"), F.explode_outer("sh").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
         .distinct()
     )
     # Benchmark side is small by construction — broadcast it so the

@@ -2462,6 +2462,72 @@ FROM aug
 """
 
 
+def q_stratified_sample_docs(spark, sf_dir):
+    """Deterministic stratified sampling for corpus mixing: down-weight
+    the dominant language to 30%, keep the rest at 50% — the keep
+    decision is a pure function of (doc_id, salt), so the oracle replays
+    it bit-for-bit and re-runs never reshuffle the sample."""
+    from my_feast_spark.operators.sampling import sample_bucket, stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = {"en": 0.3, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.5}
+    sampled = stratified_sample(docs, "lang", rates, "doc_id", salt="mix")
+    return sampled.select(
+        "doc_id", "lang", sample_bucket(F.col("doc_id"), salt="mix").alias("bucket")
+    )
+
+
+SQL_STRATIFIED_SAMPLE_DOCS = """
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST((md5_number_lower(CAST(doc_id AS VARCHAR) || ':mix')
+               & 9223372036854775807) % 1000000 AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, bucket FROM b
+WHERE bucket < CASE lang WHEN 'en' THEN 300000
+                         WHEN 'de' THEN 500000 WHEN 'es' THEN 500000
+                         WHEN 'fr' THEN 500000 WHEN 'zh' THEN 500000
+                         ELSE 0 END
+"""
+
+
+def q_corpus_mixture(spark, sf_dir):
+    """Token-budget mixture report: docs, tokens, and token share per
+    language — what a mixing step consumes to pick stratified rates.
+    The share window runs over the POST-aggregation relation (one row
+    per stratum), so the single-partition exchange is a few rows at any
+    corpus size."""
+    from my_feast_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / total, 4).alias("token_share"),
+    )
+
+
+SQL_CORPUS_MIXTURE = """
+WITH agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+)
+SELECT lang, n_docs, n_tokens,
+       round(n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE), 4) AS token_share
+FROM agg
+"""
+
+
 # =========================================================================
 # Query registry.
 #
@@ -2476,9 +2542,12 @@ FROM aug
 #   4. ROTATION TAIL: with >50 oracle-backed queries, the last few are
 #      unadjudicated each round. Queries rotate between the tail and the
 #      window every round so nothing goes two consecutive rounds without
-#      a fresh CORRECTNESS row (round 2 adjudicated the scalar-shape
-#      queries now in the tail; round 3 swaps the §2.6 set-op extras back
-#      in). Everything in the tail stays oracle-backed and covered by
+#      a fresh CORRECTNESS row, and a query that has NEVER had a
+#      CORRECTNESS row is always in-window (round 3: the new
+#      decontamination / repetition / PII / sampling / mixture / CC /
+#      multimodal-frames / capture-sink / avro queries are in; the
+#      twice-green scalar and simple-shape queries sit out). Everything
+#      in the tail stays oracle-backed and covered by
 #      tests/test_oracle_parity.py, which checks ALL queries regardless
 #      of window position. tests/test_workload_registry.py pins the
 #      window contents so rotation is explicit, never accidental.
@@ -2510,7 +2579,6 @@ QUERIES: dict[str, tuple] = {
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprints": (q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
-    "hash_sampled_docs": (q_hash_sampled_docs, SQL_HASH_SAMPLED_DOCS),
     "regex_mentions": (q_regex_mentions, SQL_REGEX_MENTIONS),
     "top_terms_tfidf": (q_top_terms_tfidf, SQL_TOP_TERMS_TFIDF),
     "length_outlier_filter": (q_length_outlier_filter, SQL_LENGTH_OUTLIER_FILTER),
@@ -2522,6 +2590,8 @@ QUERIES: dict[str, tuple] = {
     "contamination_report": (q_contamination_report, SQL_CONTAMINATION_REPORT),
     "repetition_filter": (q_repetition_filter, SQL_REPETITION_FILTER),
     "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
+    "stratified_sample_docs": (q_stratified_sample_docs, SQL_STRATIFIED_SAMPLE_DOCS),
+    "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
     # --- tier 3: reference-parity surface ---------------------------------
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "online_snapshot": (q_online_snapshot, SQL_ONLINE_SNAPSHOT),
@@ -2531,7 +2601,6 @@ QUERIES: dict[str, tuple] = {
     "streaming_hourly_agg": (q_streaming_hourly_agg, SQL_STREAMING_HOURLY_AGG),
     "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
     "streaming_sessionize": (q_streaming_sessionize, SQL_STREAMING_SESSIONIZE),
-    "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
     # --- §2.6 set-op extras: rotated INTO the window for round 3 (their
     # last CORRECTNESS rows are from round 1) -----------------------------
     "user_cohort_sets": (q_user_cohort_sets, SQL_USER_COHORT_SETS),
@@ -2543,8 +2612,11 @@ QUERIES: dict[str, tuple] = {
     "batch_sessions": (q_batch_sessions, SQL_BATCH_SESSIONS),
     "lineitem_unpivot": (q_lineitem_unpivot, SQL_LINEITEM_UNPIVOT),
     "customer_balance_deciles": (q_customer_balance_deciles, SQL_CUSTOMER_BALANCE_DECILES),
-    # --- rotation tail: adjudicated green in rounds 1 AND 2, swapped out
+    # --- rotation tail (+ hash_sampled_docs / revenue_rollup, demoted
+    # for the stratified-sampling and mixture queries): adjudicated green in rounds 1 AND 2, swapped out
     # for round 3; still checked by tests/test_oracle_parity.py every run --
+    "hash_sampled_docs": (q_hash_sampled_docs, SQL_HASH_SAMPLED_DOCS),
+    "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
     "filtered_agg": (q_filtered_agg, SQL_FILTERED_AGG),
     "dedup_entity_rows": (q_dedup_entity_rows, SQL_DEDUP_ENTITY_ROWS),
     "latest_event_per_user": (q_latest_event_per_user, SQL_LATEST_EVENT_PER_USER),

@@ -348,3 +348,46 @@ def test_pii_redaction_order_and_counts(spark):
     assert got[2].red == "no pii at all in this row"
     assert (got[3].e, got[3].i) == (0, 1)
     assert got[3].red == "numeric host user@[IPV4] stays partial"
+
+
+def test_stratified_sample_is_deterministic_nested_and_independent(spark):
+    """Keep decisions are pure functions of (key, salt): re-runs agree,
+    a lower rate selects a subset of a higher rate, and retuning one
+    stratum never changes another stratum's selection."""
+    from my_feast_spark.operators.sampling import stratified_sample
+
+    df = (
+        spark.range(4_000)
+        .withColumn("stratum", F.when(F.col("id") % 2 == 0, "a").otherwise("b"))
+    )
+
+    def ids(rates):
+        return {
+            (r.id, r.stratum)
+            for r in stratified_sample(df, "stratum", rates, "id").collect()
+        }
+
+    half = ids({"a": 0.5, "b": 0.5})
+    assert half == ids({"a": 0.5, "b": 0.5})  # deterministic
+    tenth = ids({"a": 0.1, "b": 0.1})
+    assert tenth <= half  # nested: lower rate is a subset
+    # binomial 3-sigma on 2k keys/stratum: 0.5 +- 0.034, 0.1 +- 0.02
+    assert 0.45 < len(half) / 4_000 < 0.55
+    assert 0.07 < len(tenth) / 4_000 < 0.13
+    # stratum independence: changing b's rate leaves a's sample alone
+    a_only = {t for t in ids({"a": 0.5, "b": 0.9}) if t[1] == "a"}
+    assert a_only == {t for t in half if t[1] == "a"}
+    # unmapped strata use default_rate=0.0
+    assert ids({"a": 0.5}) == {t for t in half if t[1] == "a"}
+
+
+def test_stratified_sample_salt_draws_independent_samples(spark):
+    """Different salts give (near-)independent samples — the train/val
+    split use case: overlap of two 50% draws is ~25%, not 50%."""
+    from my_feast_spark.operators.sampling import sample_bucket
+
+    df = spark.range(4_000)
+    a = {r.id for r in df.where(sample_bucket(F.col("id"), salt="s1") < 500_000).collect()}
+    b = {r.id for r in df.where(sample_bucket(F.col("id"), salt="s2") < 500_000).collect()}
+    overlap = len(a & b) / 4_000
+    assert 0.18 < overlap < 0.32

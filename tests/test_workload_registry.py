@@ -30,6 +30,8 @@ ROTATION_TAIL = {
     # stream_capture_files, contamination_report, repetition_filter,
     # pii_redaction); all six demotions were green in rounds 1 AND 2
     "filtered_agg",
+    "hash_sampled_docs",
+    "revenue_rollup",
     "dedup_entity_rows",
     "latest_event_per_user",
     "priority_collapse_types",
@@ -45,6 +47,8 @@ NEVER_ADJUDICATED = {
     "contamination_report",
     "repetition_filter",
     "pii_redaction",
+    "stratified_sample_docs",
+    "corpus_mixture",
     "avro_scan",
 }
 
