@@ -344,7 +344,10 @@ def simhash(
     tok = (
         spread_partitions(df)
         .select(F.col(id_col).alias("doc"), tokens(F.lower(F.col(text_col))).alias("t"))
-        .select("doc", F.explode("t").alias("token"))
+        # explode_outer: avoids the inferred size>0 predicate re-running
+        # the tokenizer in the scan filter (tokens are never empty)
+        .select("doc", F.explode_outer("t").alias("token"))
+        .filter(F.col("token").isNotNull())
         .withColumn("h", token_hash)
     )
     votes = [

@@ -960,11 +960,16 @@ def q_doc_chunks(spark, sf_dir):
     from my_feast_spark.functions.text import chunk_tokens
 
     docs = _t(spark, sf_dir, "documents")
+    # explode_outer: plain explode's inferred size>0 predicate would
+    # re-evaluate the whole chunk_tokens HOF expression inside the scan
+    # filter (see operators/decontamination.py); chunk arrays are never
+    # empty, so the null-guard keeps semantics identical.
     return (
         docs.select(
             "doc_id",
-            F.explode(chunk_tokens(F.col("text"), size=50, stride=25)).alias("c"),
+            F.explode_outer(chunk_tokens(F.col("text"), size=50, stride=25)).alias("c"),
         )
+        .filter(F.col("c").isNotNull())
         .select(
             "doc_id",
             F.col("c.start").alias("start"),
@@ -1059,8 +1064,8 @@ def q_top_terms_tfidf(spark, sf_dir):
     from my_feast_spark.functions.text import tokens
 
     tok = docs.select(
-        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
-    )
+        "doc_id", F.explode_outer(tokens(F.lower(F.col("text")))).alias("term")
+    ).filter(F.col("term").isNotNull())
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
