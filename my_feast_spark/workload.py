@@ -2533,6 +2533,86 @@ FROM agg
 """
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """The training-data curation path END-TO-END as one plan: exact
+    dedup (keep the min-id doc per fingerprint) -> repetition filter ->
+    deterministic stratified sample -> per-doc token/chunk accounting.
+    Every stage is the library operator the standalone queries use, so
+    this is the composition a real pipeline runs — and the oracle
+    replays the whole chain hash-for-hash. Plan shape: ONE shuffle
+    total (the fingerprint window for dedup — a keeper-set join-back
+    would be a second corpus-sized exchange); every other stage is a
+    per-row projection/filter (map-only)."""
+    from pyspark.sql import Window
+
+    from my_feast_spark.functions.text import (
+        chunk_tokens,
+        doc_fingerprint,
+        repetition_features,
+        token_count,
+    )
+    from my_feast_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(doc_fingerprint(F.col("text"))).orderBy("doc_id")
+    deduped = (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    feats = repetition_features(F.col("text"))
+    clean = deduped.filter(
+        (feats["top_token_frac"] <= 0.12) & (feats["dup_2gram_frac"] <= 0.05)
+    )
+    rates = {"en": 0.3, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.5}
+    sampled = stratified_sample(clean, "lang", rates, "doc_id", salt="mix")
+    return sampled.select(
+        "doc_id",
+        "lang",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.size(chunk_tokens(F.col("text"), size=50, stride=25)).alias("n_chunks"),
+    )
+
+
+SQL_CURATION_PIPELINE = """
+WITH fp AS (
+  SELECT doc_id, lang, text,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+  FROM documents
+), dedup AS (
+  SELECT doc_id, lang, text FROM fp
+  QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1
+), toks AS (
+  SELECT doc_id, lang, text,
+         string_split_regex(trim(lower(text)), '\\s+') AS t,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM dedup
+), clean AS (
+  SELECT doc_id, lang, text, n_tokens FROM toks
+  WHERE round(list_max(list_transform(list_distinct(t),
+            x -> len(list_filter(t, y -> y = x)))) / greatest(len(t), 1), 4)
+        <= 0.12
+    AND (CASE WHEN len(t) < 2 THEN 0.0 ELSE
+          round((len(t) - 1 - len(list_distinct(list_transform(range(1, len(t)),
+                i -> t[i] || ' ' || t[i+1])))) / (len(t) - 1.0), 4)
+         END) <= 0.05
+), sampled AS (
+  SELECT doc_id, lang, n_tokens FROM clean
+  WHERE CAST((md5_number_lower(CAST(doc_id AS VARCHAR) || ':mix')
+              & 9223372036854775807) % 1000000 AS BIGINT)
+        < CASE lang WHEN 'en' THEN 300000
+                    WHEN 'de' THEN 500000 WHEN 'es' THEN 500000
+                    WHEN 'fr' THEN 500000 WHEN 'zh' THEN 500000
+                    ELSE 0 END
+)
+SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(CASE WHEN n_tokens <= 50 THEN 1
+                 ELSE CAST(floor((n_tokens - 50 + 24) / 25) AS BIGINT) + 1
+            END AS INT) AS n_chunks
+FROM sampled
+"""
+
+
 # =========================================================================
 # Query registry.
 #
@@ -2580,7 +2660,6 @@ QUERIES: dict[str, tuple] = {
     "embedding_near_dupes_lsh": (q_embedding_near_dupes_lsh, SQL_EMBEDDING_NEAR_DUPES_LSH),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
-    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprints": (q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
@@ -2597,6 +2676,7 @@ QUERIES: dict[str, tuple] = {
     "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
     "stratified_sample_docs": (q_stratified_sample_docs, SQL_STRATIFIED_SAMPLE_DOCS),
     "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
+    "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     # --- tier 3: reference-parity surface ---------------------------------
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "online_snapshot": (q_online_snapshot, SQL_ONLINE_SNAPSHOT),
@@ -2620,6 +2700,7 @@ QUERIES: dict[str, tuple] = {
     # --- rotation tail (+ hash_sampled_docs / revenue_rollup, demoted
     # for the stratified-sampling and mixture queries): adjudicated green in rounds 1 AND 2, swapped out
     # for round 3; still checked by tests/test_oracle_parity.py every run --
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "hash_sampled_docs": (q_hash_sampled_docs, SQL_HASH_SAMPLED_DOCS),
     "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
     "filtered_agg": (q_filtered_agg, SQL_FILTERED_AGG),

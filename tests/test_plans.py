@@ -138,3 +138,15 @@ def test_unpivot_is_expand_with_single_shuffle(spark):
     plan = _formatted(workload.q_lineitem_unpivot(spark, SF_DIR_ORACLE))
     assert "Expand" in plan
     assert plan.count("Exchange") <= 2  # agg shuffle (+ AQE read node)
+
+
+def test_curation_pipeline_is_single_shuffle(spark):
+    """Dedup-filter-sample-chunk composition must pay exactly one
+    exchange (the fingerprint window); a keeper-set join-back would add
+    a second corpus-sized shuffle and a join."""
+    import re
+
+    plan = _formatted(workload.q_curation_pipeline(spark, SF_DIR_ORACLE))
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, plan
+    assert "Join" not in plan

@@ -30,6 +30,7 @@ ROTATION_TAIL = {
     # stream_capture_files, contamination_report, repetition_filter,
     # pii_redaction); all six demotions were green in rounds 1 AND 2
     "filtered_agg",
+    "token_stats",
     "hash_sampled_docs",
     "revenue_rollup",
     "dedup_entity_rows",
@@ -49,6 +50,7 @@ NEVER_ADJUDICATED = {
     "pii_redaction",
     "stratified_sample_docs",
     "corpus_mixture",
+    "curation_pipeline",
     "avro_scan",
 }
 
