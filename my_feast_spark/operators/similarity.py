@@ -177,18 +177,24 @@ def embedding_dup_pairs(
     return pairs.filter(F.col("sim") >= threshold)
 
 
-def make_cell_assigner(centers):
+def make_cell_assigner(centers, *, deterministic: bool = True):
     """Nearest-centroid assignment as a self-contained closure (the repo's
     worker-pickle pattern — serializes by value, executors never import
     this package). ``assign(vecs, n_cells) -> (n, n_cells) int32`` of
     nearest-cell ids.
 
-    Deliberately NOT a BLAS matmul: the per-centroid ``((v-c)^2).sum(axis=1)``
-    row reduction is bit-deterministic regardless of the batch row-count,
-    so executor Arrow batches of any size and the oracle generator's
-    single full-table pass agree exactly (BLAS gemm blocking is
-    shape-dependent, which can flip argmin on near-ties). argsort is
-    ``kind='stable'`` for the same reason.
+    ``deterministic=True`` (default — all oracle-adjudicated runs): the
+    per-centroid ``((v-c)^2).sum(axis=1)`` row reduction is
+    bit-deterministic regardless of the batch row-count, so executor
+    Arrow batches of any size and the oracle generator's single
+    full-table pass agree exactly (BLAS gemm blocking is shape-dependent,
+    which can flip argmin on near-ties). argsort is ``kind='stable'`` for
+    the same reason.
+
+    ``deterministic=False``: one BLAS gemm per batch
+    (``d2 = |v|^2 - 2 v @ C^T + |c|^2``) — the production fast path
+    (~2-3x on wide batches); ranking can differ from the deterministic
+    path only on exact distance ties.
     """
     import numpy as np
 
@@ -196,10 +202,17 @@ def make_cell_assigner(centers):
 
     def assign(vecs, n_cells: int):
         vecs = np.asarray(vecs, dtype=np.float64)
-        d2 = np.empty((vecs.shape[0], len(cmat)), dtype=np.float64)
-        for j in range(len(cmat)):
-            diff = vecs - cmat[j]
-            d2[:, j] = (diff * diff).sum(axis=1)
+        if deterministic:
+            d2 = np.empty((vecs.shape[0], len(cmat)), dtype=np.float64)
+            for j in range(len(cmat)):
+                diff = vecs - cmat[j]
+                d2[:, j] = (diff * diff).sum(axis=1)
+        else:
+            d2 = (
+                (vecs * vecs).sum(axis=1, keepdims=True)
+                - 2.0 * (vecs @ cmat.T)
+                + (cmat * cmat).sum(axis=1)
+            )
         return np.argsort(d2, axis=1, kind="stable")[:, :n_cells].astype("int32")
 
     return assign

@@ -960,10 +960,15 @@ def q_doc_chunks(spark, sf_dir):
     from my_feast_spark.functions.text import chunk_tokens
 
     docs = _t(spark, sf_dir, "documents")
-    # explode_outer: plain explode's inferred size>0 predicate would
-    # re-evaluate the whole chunk_tokens HOF expression inside the scan
-    # filter (see operators/decontamination.py); chunk arrays are never
-    # empty, so the null-guard keeps semantics identical.
+    # explode_outer: plain explode's inferred size>0 predicate re-evaluates
+    # the chunk_tokens expression inside the scan filter (see
+    # operators/decontamination.py); chunk arrays are never empty, so the
+    # null-guard keeps semantics identical. (The r3 0.63->1.68s drift on
+    # this query was NOT the explode variant: chunk_tokens used to embed
+    # the tokenization inside its transform lambda, re-splitting the text
+    # once per chunk on the interpreted path — functions/text.py `let`
+    # now binds the token array once per row, and a pinned-order
+    # interleaved A/B shows both explode variants warm at ~0.4s at sf0.1.)
     return (
         docs.select(
             "doc_id",
@@ -2537,41 +2542,17 @@ def q_curation_pipeline(spark, sf_dir):
     """The training-data curation path END-TO-END as one plan: exact
     dedup (keep the min-id doc per fingerprint) -> repetition filter ->
     deterministic stratified sample -> per-doc token/chunk accounting.
-    Every stage is the library operator the standalone queries use, so
-    this is the composition a real pipeline runs — and the oracle
-    replays the whole chain hash-for-hash. Plan shape: ONE shuffle
-    total (the fingerprint window for dedup — a keeper-set join-back
-    would be a second corpus-sized exchange); every other stage is a
+    Delegates to the library operator (``operators/curation.py``) so the
+    composition users import is exactly what the oracle adjudicates.
+    Plan shape: ONE shuffle total (the fingerprint window for dedup),
+    ONE tokenization per document (projected before the window, carried
+    through the shuffle in place of the text); every other stage is a
     per-row projection/filter (map-only)."""
-    from pyspark.sql import Window
-
-    from my_feast_spark.functions.text import (
-        chunk_tokens,
-        doc_fingerprint,
-        repetition_features,
-        token_count,
-    )
-    from my_feast_spark.operators.sampling import stratified_sample
+    from my_feast_spark.operators.curation import CurationConfig, curate
 
     docs = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy(doc_fingerprint(F.col("text"))).orderBy("doc_id")
-    deduped = (
-        docs.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
-    feats = repetition_features(F.col("text"))
-    clean = deduped.filter(
-        (feats["top_token_frac"] <= 0.12) & (feats["dup_2gram_frac"] <= 0.05)
-    )
     rates = {"en": 0.3, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.5}
-    sampled = stratified_sample(clean, "lang", rates, "doc_id", salt="mix")
-    return sampled.select(
-        "doc_id",
-        "lang",
-        token_count(F.col("text")).alias("n_tokens"),
-        F.size(chunk_tokens(F.col("text"), size=50, stride=25)).alias("n_chunks"),
-    )
+    return curate(docs, CurationConfig(sample_rates=rates))
 
 
 SQL_CURATION_PIPELINE = """
