@@ -41,7 +41,6 @@ def main() -> None:
     spark = get_session(app_name="my_feast_spark-bench")
 
     extra = [q for q in workload.QUERIES if q not in BENCH_QUERIES]
-    names = BENCH_QUERIES + extra
 
     # warm-up: input scans + first-job scheduling/codegen overhead, so the
     # per-query numbers measure the queries, not JVM cold start
@@ -61,32 +60,69 @@ def main() -> None:
 
     spark.range(512).repartition(32).select(_warm(_col("id"))).count()
 
+    # Pinned execution order (headline first, then alphabetical — stable
+    # across registry reorderings) and min-of-2 per query, so
+    # round-over-round drift is attributable to code, not run order or a
+    # one-off GC/JIT pause. The per-run pair is reported as "spread".
+    names = BENCH_QUERIES + sorted(extra)
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+
+    def timed(name, thunk):
+        runs = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            thunk()
+            runs.append(round(time.monotonic() - t0, 3))
+        timings[name] = min(runs)
+        spread[name] = runs
+
     for name in names:
         fn = workload.QUERIES[name][0]
-        t0 = time.monotonic()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.monotonic() - t0, 3)
-        _ = n
+        timed(name, lambda: fn(spark, sf_dir).count())
 
-    # The registry runs minhash/simhash with the portable md5 hash family
-    # (oracle parity: ~8 byte-conv nodes per hash). The library/scale
-    # default is xxhash64 — time it too, so the recorded numbers include
-    # what a 100 TB run would actually pay.
-    for name, fn in (
-        ("minhash_dup_pairs_xxhash64", workload.q_minhash_dup_pairs),
-        ("simhash_dup_pairs_xxhash64", workload.q_simhash_dup_pairs),
+    # Scale-default variants of the adjudicated queries: the registry
+    # runs minhash/simhash with the portable md5 hash family and the ANN
+    # queries with the bit-deterministic (oracle-replayable) numpy
+    # reductions; a 100 TB run would use xxhash64 and BLAS gemm — time
+    # those too, so the recorded numbers include what production pays.
+    for name, thunk in (
+        ("minhash_dup_pairs_xxhash64",
+         lambda: workload.q_minhash_dup_pairs(spark, sf_dir, hash_fn="xxhash64").count()),
+        ("simhash_dup_pairs_xxhash64",
+         lambda: workload.q_simhash_dup_pairs(spark, sf_dir, hash_fn="xxhash64").count()),
+        ("ivf_topk_blas",
+         lambda: workload.q_ivf_topk(spark, sf_dir, deterministic=False).count()),
+        ("embedding_near_dupes_lsh_blas",
+         lambda: workload.q_embedding_near_dupes_lsh(spark, sf_dir, deterministic=False).count()),
     ):
-        t0 = time.monotonic()
-        fn(spark, sf_dir, hash_fn="xxhash64").count()
-        timings[name] = round(time.monotonic() - t0, 3)
+        timed(name, thunk)
+
+    # Map-only projection queries: `.count()` lets Catalyst prune every
+    # computed column, so the loop above times only their scan. Force
+    # full evaluation (crc32-sum over all columns) for the text tier so
+    # the bench records what computing the features actually costs.
+    from pyspark.sql import functions as F
+
+    for name in ("repetition_filter", "quality_score", "lang_id",
+                 "pii_redaction", "doc_fingerprints"):
+        fn = workload.QUERIES[name][0]
+
+        def full_eval(fn=fn):
+            df = fn(spark, sf_dir)
+            df.agg(F.sum(F.crc32(F.concat_ws(
+                ",", *[F.col(c).cast("string") for c in df.columns]
+            )))).collect()
+
+        timed(name + "_evaluated", full_eval)
+
     total = round(sum(timings[q] for q in BENCH_QUERIES), 3)
     print(json.dumps({
         "metric": "headline_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

@@ -103,6 +103,7 @@ def embedding_dup_pairs(
     dim: int = 64,
     seed: int = 42,
     sim_decimals: int = 6,
+    deterministic: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, sim) with
     id_a < id_b and cosine >= threshold — the semantic-dedup tier of a
@@ -123,7 +124,8 @@ def embedding_dup_pairs(
     ).withColumn("n", _norm(F.col("v")))
     if num_planes is not None:
         bucket_udf = _lsh_buckets_udf(
-            [_hyperplanes(dim, num_planes, seed + t) for t in range(num_tables)]
+            [_hyperplanes(dim, num_planes, seed + t) for t in range(num_tables)],
+            deterministic=deterministic,
         )
         # persist + eager materialize: the bucketed relation feeds BOTH
         # sides of the self-join, and a lazy persist would let the two
@@ -251,6 +253,7 @@ def ivf_topk(
     exclude_self: bool = True,
     sim_decimals: int = 6,
     seed: int = 42,
+    deterministic: bool = True,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: KMeans-partition the corpus,
     rank each query only against its ``nprobe`` nearest cells.
@@ -285,7 +288,7 @@ def ivf_topk(
     sample = c.orderBy("neighbor_id").select("cv").limit(4096).collect()
     X = np.asarray([r.cv for r in sample], dtype=np.float64)
     cmat = train_ivf_centroids(X, num_centroids, seed=seed)  # (k, dim)
-    assigner = make_cell_assigner(cmat)
+    assigner = make_cell_assigner(cmat, deterministic=deterministic)
 
     def _cell_udf(n_cells: int):
         from pyspark.sql.functions import pandas_udf
@@ -334,18 +337,24 @@ def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]
     return rng.standard_normal((num_planes, dim)).tolist()
 
 
-def make_lsh_bucketer(planes_tables):
+def make_lsh_bucketer(planes_tables, *, deterministic: bool = True):
     """Vectorized multi-table LSH bucketing as a self-contained closure:
     ``bucket_ids(vecs) -> (n, L) int64`` sign-bit bucket ids for L
     independent H-plane tables.
 
-    Per-plane ``(vecs * plane).sum(axis=1)`` row reductions instead of one
-    BLAS matmul: numpy's pairwise sum over the (fixed-length, contiguous)
-    dim axis is bit-identical for any batch row-count, so executor Arrow
-    batches and the oracle generator's single full-table pass compute the
-    SAME sign bits — a matmul's blocking is shape-dependent and a dot
-    within rounding distance of 0 could flip sign between the two. L*H
-    passes over an (n, dim) batch is still vectorized and cheap.
+    ``deterministic=True`` (default — all oracle-adjudicated runs):
+    per-plane ``(vecs * plane).sum(axis=1)`` row reductions instead of
+    one BLAS matmul: numpy's pairwise sum over the (fixed-length,
+    contiguous) dim axis is bit-identical for any batch row-count, so
+    executor Arrow batches and the oracle generator's single full-table
+    pass compute the SAME sign bits — a matmul's blocking is
+    shape-dependent and a dot within rounding distance of 0 could flip
+    sign between the two. L*H passes over an (n, dim) batch is still
+    vectorized and cheap.
+
+    ``deterministic=False``: one ``vecs @ flat.T`` gemm per batch — the
+    production fast path; sign bits can differ from the deterministic
+    path only for dots within float rounding of exactly 0.
     """
     import numpy as np
 
@@ -357,15 +366,18 @@ def make_lsh_bucketer(planes_tables):
     def bucket_ids(vecs):
         vecs = np.asarray(vecs, dtype=np.float64)
         n = vecs.shape[0]
-        signs = np.empty((n, len(flat)), dtype=bool)
-        for p in range(len(flat)):
-            signs[:, p] = (vecs * flat[p]).sum(axis=1) >= 0.0
+        if deterministic:
+            signs = np.empty((n, len(flat)), dtype=bool)
+            for p in range(len(flat)):
+                signs[:, p] = (vecs * flat[p]).sum(axis=1) >= 0.0
+        else:
+            signs = (vecs @ flat.T) >= 0.0
         return (signs.reshape(n, n_tables, n_planes) * weights).sum(axis=2)
 
     return bucket_ids
 
 
-def _lsh_buckets_udf(planes_tables):
+def _lsh_buckets_udf(planes_tables, *, deterministic: bool = True):
     """Arrow-batched pandas_udf over ``make_lsh_bucketer``. The
     expression-tree alternative (L*H separate ``aggregate(zip_with(...))``
     dots over literal arrays) is interpreted per-row AND costs seconds of
@@ -375,7 +387,7 @@ def _lsh_buckets_udf(planes_tables):
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    bucket_ids = make_lsh_bucketer(planes_tables)
+    bucket_ids = make_lsh_bucketer(planes_tables, deterministic=deterministic)
 
     @pandas_udf("array<long>")
     def buckets(col: pd.Series) -> pd.Series:

@@ -43,18 +43,35 @@ def session_confs(shuffle_partitions: int | None = None) -> dict[str, str]:
     return confs
 
 
-def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+def apply_runtime_confs(
+    spark: SparkSession, warnings: list[str] | None = None
+) -> SparkSession:
     """Apply the engine's runtime-settable confs to an existing session.
 
     Used when the caller (e.g. the verification driver) owns the session.
-    All confs in RUNTIME_CONFS are SQL confs and runtime-settable.
+    All confs in RUNTIME_CONFS are SQL confs and runtime-settable — but a
+    session can still reject one (static conf on some build, a conf
+    locked by the cluster admin). Silently skipping a
+    determinism-critical conf like the UTC timezone would corrupt
+    results downstream, so every rejection is recorded: appended to the
+    caller's ``warnings`` list when given, and always kept on the
+    session as ``last_conf_warnings`` (mirroring ``core/config.py``'s
+    warning-attribute pattern).
     """
+    rejected: list[str] = []
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
-        except Exception:  # static conf on some build — best effort
-            pass
+        except Exception as exc:
+            rejected.append(f"conf {k}={v} rejected: {exc}")
+    if warnings is not None:
+        warnings.extend(rejected)
+    apply_runtime_confs.last_conf_warnings = rejected
     return spark
+
+
+#: rejections from the most recent apply_runtime_confs call
+apply_runtime_confs.last_conf_warnings = []
 
 
 def get_session(

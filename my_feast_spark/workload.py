@@ -1323,10 +1323,13 @@ def q_minhash_dup_pairs(spark, sf_dir, *, hash_fn="portable"):
 
 
 def _sql_minhash_dup_pairs(
-    *, num_hashes=64, bands=16, max_bucket=50, threshold=0.5
+    *, num_hashes=64, bands=16, max_bucket=50, threshold=0.5,
+    source="documents",
 ) -> str:
     """DuckDB replay of the minhash LSH pipeline — generated so the
-    banding coefficients are THE ones the Spark plan uses."""
+    banding coefficients are THE ones the Spark plan uses. ``source``
+    lets the full-curation oracle run the same replay over an upstream
+    CTE instead of the raw table."""
     from my_feast_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
 
     r = num_hashes // bands
@@ -1343,30 +1346,30 @@ def _sql_minhash_dup_pairs(
     )
     return f"""
 WITH toks AS (
-  SELECT doc_id AS doc, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
-), sh AS (
+  SELECT doc_id AS doc, string_split_regex(trim(lower(text)), '\\s+') AS t FROM {source}
+), sh AS MATERIALIZED (
   SELECT doc, list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
   FROM toks WHERE len(t) >= 3
-), based AS (
+), based AS MATERIALIZED (
   SELECT doc, s, list_transform(s, sg ->
          CAST((md5_number_lower(sg) & 9223372036854775807) % {MINHASH_P} AS BIGINT)) AS bases
   FROM sh
 ), sigs AS (
   SELECT doc, {mh}
   FROM based
-), band_rows AS (
+), band_rows AS MATERIALIZED (
   {band_selects}
 ), ok AS (
   SELECT band, sig FROM band_rows GROUP BY band, sig HAVING count(*) <= {max_bucket}
-), br AS (
+), br AS MATERIALIZED (
   SELECT band_rows.* FROM band_rows JOIN ok USING (band, sig)
-), cand AS (
+), cand AS MATERIALIZED (
   SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
   FROM br a JOIN br b ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc
 ), cd AS (
   SELECT doc_a AS doc FROM cand UNION SELECT doc_b FROM cand
-), ex AS (
+), ex AS MATERIALIZED (
   SELECT doc, unnest(s) AS shingle FROM sh WHERE doc IN (SELECT doc FROM cd)
 ), inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS n_inter
@@ -1681,12 +1684,15 @@ SQL_ANN_LSH_TOPK = _sql_ann_lsh_topk()
 ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
-def q_ivf_topk(spark, sf_dir):
+def q_ivf_topk(spark, sf_dir, *, deterministic=True):
     """IVF approximate top-5: KMeans cells + nprobe search — the
     data-adaptive ANN family next to hyperplane LSH. Centroids are a pure
     function of the id-ordered capped sample + fixed seed, so the DuckDB
     oracle retrains them and replays the full cell-probe pipeline exactly
-    (see _sql_ivf_topk); recall vs exact additionally measured in tests."""
+    (see _sql_ivf_topk); recall vs exact additionally measured in tests.
+    ``deterministic=False`` switches cell assignment to the BLAS gemm
+    fast path (production default at scale; bench times it alongside —
+    oracle runs stay on the bit-deterministic reduction)."""
     from my_feast_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1694,7 +1700,7 @@ def q_ivf_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
-    return ivf_topk(q, c, k=5, num_centroids=16, nprobe=6)
+    return ivf_topk(q, c, k=5, num_centroids=16, nprobe=6, deterministic=deterministic)
 
 
 def _sql_ivf_topk(*, k=5, num_centroids=16, nprobe=6, seed=42, sample_cap=4096):
@@ -2271,17 +2277,20 @@ WHERE round(list_inner_product(a.v, b.v)
 """
 
 
-def q_embedding_near_dupes_lsh(spark, sf_dir):
+def q_embedding_near_dupes_lsh(spark, sf_dir, *, deterministic=True):
     """LSH-blocked embedding near-dup (the corpus-scale path: sign-bucket
     equi-join replaces the N² self-join; precision 1, recall additionally
     measured against the exact query in tests). The hyperplane tables are
     deterministic (fixed seeds), so the DuckDB oracle replays the exact
-    multi-table bucket join + verify — a full hash check, not rows-only."""
+    multi-table bucket join + verify — a full hash check, not rows-only.
+    ``deterministic=False`` = BLAS-gemm bucketing (scale default; benched
+    alongside — oracle runs keep the bit-deterministic reduction)."""
     from my_feast_spark.operators.similarity import embedding_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_dup_pairs(
-        emb, "vec_id", "embedding", threshold=0.4, num_planes=4
+        emb, "vec_id", "embedding", threshold=0.4, num_planes=4,
+        deterministic=deterministic,
     )
 
 
@@ -2594,6 +2603,119 @@ FROM sampled
 """
 
 
+def q_curation_pipeline_full(spark, sf_dir):
+    """EVERY curation stage in one plan: exact dedup -> benchmark
+    decontamination (4-gram overlap vs the doc_id%50==0 eval split) ->
+    MinHash-LSH near-dup clustering with per-cluster representative
+    pruning -> repetition filter -> stratified sample -> accounting.
+    This is ``operators/curation.curate`` with both optional stages on;
+    the oracle replays the whole chain — including the banded-LSH
+    pipeline and a recursive-CTE connected components — hash-for-hash
+    (portable hash family for replayability; the 100 TB run flips
+    ``near_dup_hash_fn`` to xxhash64).
+
+    Scale shape: one corpus shuffle (dedup window); decontamination adds
+    a broadcast semi-join vs the (tiny) benchmark shingle set + one
+    re-agg on the hit subset; near-dup adds the banded bucket joins over
+    the deduped corpus and an anti-join against the (small) dropped-id
+    set; repetition/sample stay map-only."""
+    from my_feast_spark.operators.curation import CurationConfig, curate
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    cfg = CurationConfig(
+        sample_rates={"en": 0.3, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.5},
+        decontaminate_ngram=4,
+        near_dup="minhash",
+        near_dup_hash_fn="portable",
+    )
+    return curate(train, cfg, benchmark_df=bench)
+
+
+SQL_CURATION_PIPELINE_FULL = f"""
+WITH RECURSIVE
+fp0 AS (
+  SELECT doc_id, lang, text,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+  FROM documents WHERE doc_id % 50 <> 0
+),
+dedup AS MATERIALIZED (
+  SELECT doc_id, lang, text FROM fp0
+  QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1
+),
+dtoks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM dedup
+),
+dsh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t) - 3, 0) + 1),
+         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+  FROM dtoks WHERE len(t) >= 4
+),
+btoks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents WHERE doc_id % 50 = 0
+),
+bsh AS MATERIALIZED (
+  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, greatest(len(t) - 3, 0) + 1),
+         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS g
+  FROM btoks WHERE len(t) >= 4
+),
+contaminated AS MATERIALIZED (
+  SELECT DISTINCT d.doc_id
+  FROM (SELECT doc_id, unnest(s) AS g FROM dsh) d JOIN bsh USING (g)
+),
+decont AS MATERIALIZED (
+  SELECT * FROM dedup WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+pairs AS ({_sql_minhash_dup_pairs(source="decont")}),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(id, label) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, r.label FROM sym s JOIN reach r ON s.b = r.id
+),
+clusters AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY 1),
+pruned AS (
+  SELECT * FROM decont
+  WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)
+),
+ptoks AS (
+  SELECT doc_id, lang,
+         string_split_regex(trim(lower(text)), '\\s+') AS t,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM pruned
+),
+clean AS (
+  SELECT doc_id, lang, n_tokens FROM ptoks
+  WHERE round(list_max(list_transform(list_distinct(t),
+            x -> len(list_filter(t, y -> y = x)))) / greatest(len(t), 1), 4)
+        <= 0.12
+    AND (CASE WHEN len(t) < 2 THEN 0.0 ELSE
+          round((len(t) - 1 - len(list_distinct(list_transform(range(1, len(t)),
+                i -> t[i] || ' ' || t[i+1])))) / (len(t) - 1.0), 4)
+         END) <= 0.05
+),
+sampled AS (
+  SELECT doc_id, lang, n_tokens FROM clean
+  WHERE CAST((md5_number_lower(CAST(doc_id AS VARCHAR) || ':mix')
+              & 9223372036854775807) % 1000000 AS BIGINT)
+        < CASE lang WHEN 'en' THEN 300000
+                    WHEN 'de' THEN 500000 WHEN 'es' THEN 500000
+                    WHEN 'fr' THEN 500000 WHEN 'zh' THEN 500000
+                    ELSE 0 END
+)
+SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(CASE WHEN n_tokens <= 50 THEN 1
+                 ELSE CAST(floor((n_tokens - 50 + 24) / 25) AS BIGINT) + 1
+            END AS INT) AS n_chunks
+FROM sampled
+"""
+
+
 # =========================================================================
 # Query registry.
 #
@@ -2608,11 +2730,11 @@ FROM sampled
 #   4. ROTATION TAIL: with >50 oracle-backed queries, the last few are
 #      unadjudicated each round. Queries rotate between the tail and the
 #      window every round so nothing goes two consecutive rounds without
-#      a fresh CORRECTNESS row, and a query that has NEVER had a
-#      CORRECTNESS row is always in-window (round 3: the new
-#      decontamination / repetition / PII / sampling / mixture / CC /
-#      multimodal-frames / capture-sink / avro queries are in; the
-#      twice-green scalar and simple-shape queries sit out). Everything
+#      a fresh CORRECTNESS row, and a query that is NEW or whose code
+#      CHANGED this round is always in-window (round 4: the 19 queries
+#      last adjudicated in round 2 are back in; the round-4-changed
+#      curation/repetition/chunking/ANN queries are in; the
+#      round-3-green dedup-pair / ANN-exact / set-op queries sit out). Everything
 #      in the tail stays oracle-backed and covered by
 #      tests/test_oracle_parity.py, which checks ALL queries regardless
 #      of window position. tests/test_workload_registry.py pins the
@@ -2622,42 +2744,33 @@ FROM sampled
 ADJUDICATION_WINDOW = 50
 
 QUERIES: dict[str, tuple] = {
-    # --- tier 1: flagship + core aggregations -----------------------------
+    # --- tier 1: flagship + core aggregations (always in-window) ----------
     "pit_user_features": (q_pit_user_features, SQL_PIT_USER_FEATURES),
     "pit_late_arrival": (q_pit_late_arrival, SQL_PIT_LATE_ARRIVAL),
     "hourly_user_agg": (q_hourly_user_agg, SQL_HOURLY_USER_AGG),
     "hourly_global_agg": (q_hourly_global_agg, SQL_HOURLY_GLOBAL_AGG),
     "event_types_salted": (q_event_types_salted, SQL_EVENT_TYPES_SALTED),
-    # --- tier 2: LLM-pipeline extensions (dedup / similarity / text) ------
-    "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
-    "jaccard_dup_pairs": (q_jaccard_dup_pairs, SQL_JACCARD_DUP_PAIRS),
-    "minhash_dup_pairs": (q_minhash_dup_pairs, SQL_MINHASH_DUP_PAIRS),
-    "simhash_dup_pairs": (q_simhash_dup_pairs, SQL_SIMHASH_DUP_PAIRS),
-    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
-    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
-    "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
-    "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
-    "embedding_near_dupes": (q_embedding_near_dupes, SQL_EMBEDDING_NEAR_DUPES),
-    "embedding_near_dupes_lsh": (q_embedding_near_dupes_lsh, SQL_EMBEDDING_NEAR_DUPES_LSH),
-    "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
+    # --- changed/new in round 4: fresh rows required ----------------------
+    "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
+    "curation_pipeline_full": (q_curation_pipeline_full, SQL_CURATION_PIPELINE_FULL),
+    "repetition_filter": (q_repetition_filter, SQL_REPETITION_FILTER),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
-    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
-    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
+    "embedding_near_dupes_lsh": (q_embedding_near_dupes_lsh, SQL_EMBEDDING_NEAR_DUPES_LSH),
+    # --- curation tier, adjudicated r3, kept in-window --------------------
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
+    "stream_capture_files": (q_stream_capture_files, SQL_STREAM_CAPTURE_FILES),
+    "contamination_report": (q_contamination_report, SQL_CONTAMINATION_REPORT),
+    "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
+    "stratified_sample_docs": (q_stratified_sample_docs, SQL_STRATIFIED_SAMPLE_DOCS),
+    "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
+    # --- text tier remainder ----------------------------------------------
     "doc_fingerprints": (q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
     "regex_mentions": (q_regex_mentions, SQL_REGEX_MENTIONS),
     "top_terms_tfidf": (q_top_terms_tfidf, SQL_TOP_TERMS_TFIDF),
     "length_outlier_filter": (q_length_outlier_filter, SQL_LENGTH_OUTLIER_FILTER),
     "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES),
-    # --- new this round: never adjudicated, so in-window by policy --------
-    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
-    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
-    "stream_capture_files": (q_stream_capture_files, SQL_STREAM_CAPTURE_FILES),
-    "contamination_report": (q_contamination_report, SQL_CONTAMINATION_REPORT),
-    "repetition_filter": (q_repetition_filter, SQL_REPETITION_FILTER),
-    "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
-    "stratified_sample_docs": (q_stratified_sample_docs, SQL_STRATIFIED_SAMPLE_DOCS),
-    "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
-    "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     # --- tier 3: reference-parity surface ---------------------------------
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "online_snapshot": (q_online_snapshot, SQL_ONLINE_SNAPSHOT),
@@ -2667,20 +2780,7 @@ QUERIES: dict[str, tuple] = {
     "streaming_hourly_agg": (q_streaming_hourly_agg, SQL_STREAMING_HOURLY_AGG),
     "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
     "streaming_sessionize": (q_streaming_sessionize, SQL_STREAMING_SESSIONIZE),
-    # --- §2.6 set-op extras: rotated INTO the window for round 3 (their
-    # last CORRECTNESS rows are from round 1) -----------------------------
-    "user_cohort_sets": (q_user_cohort_sets, SQL_USER_COHORT_SETS),
-    "moving_avg_revenue": (q_moving_avg_revenue, SQL_MOVING_AVG_REVENUE),
-    "returnflag_cube": (q_returnflag_cube, SQL_RETURNFLAG_CUBE),
-    "small_quantity_revenue": (q_small_quantity_revenue, SQL_SMALL_QUANTITY_REVENUE),
-    "event_type_pivot": (q_event_type_pivot, SQL_EVENT_TYPE_PIVOT),
-    "post_signup_activity": (q_post_signup_activity, SQL_POST_SIGNUP_ACTIVITY),
-    "batch_sessions": (q_batch_sessions, SQL_BATCH_SESSIONS),
-    "lineitem_unpivot": (q_lineitem_unpivot, SQL_LINEITEM_UNPIVOT),
-    "customer_balance_deciles": (q_customer_balance_deciles, SQL_CUSTOMER_BALANCE_DECILES),
-    # --- rotation tail (+ hash_sampled_docs / revenue_rollup, demoted
-    # for the stratified-sampling and mixture queries): adjudicated green in rounds 1 AND 2, swapped out
-    # for round 3; still checked by tests/test_oracle_parity.py every run --
+    # --- rotated IN for round 4 (last adjudicated round 2) ----------------
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "hash_sampled_docs": (q_hash_sampled_docs, SQL_HASH_SAMPLED_DOCS),
     "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
@@ -2700,4 +2800,26 @@ QUERIES: dict[str, tuple] = {
     "top_spenders": (q_top_spenders, SQL_TOP_SPENDERS),
     "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE),
     "user_value_deltas": (q_user_value_deltas, SQL_USER_VALUE_DELTAS),
+    # --- rotation tail for round 4 (all green in round 3; still checked
+    # every run by tests/test_oracle_parity.py; back in-window round 5) ---
+    "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
+    "jaccard_dup_pairs": (q_jaccard_dup_pairs, SQL_JACCARD_DUP_PAIRS),
+    "minhash_dup_pairs": (q_minhash_dup_pairs, SQL_MINHASH_DUP_PAIRS),
+    "simhash_dup_pairs": (q_simhash_dup_pairs, SQL_SIMHASH_DUP_PAIRS),
+    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+    "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
+    "embedding_near_dupes": (q_embedding_near_dupes, SQL_EMBEDDING_NEAR_DUPES),
+    "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "user_cohort_sets": (q_user_cohort_sets, SQL_USER_COHORT_SETS),
+    "moving_avg_revenue": (q_moving_avg_revenue, SQL_MOVING_AVG_REVENUE),
+    "returnflag_cube": (q_returnflag_cube, SQL_RETURNFLAG_CUBE),
+    "small_quantity_revenue": (q_small_quantity_revenue, SQL_SMALL_QUANTITY_REVENUE),
+    "event_type_pivot": (q_event_type_pivot, SQL_EVENT_TYPE_PIVOT),
+    "post_signup_activity": (q_post_signup_activity, SQL_POST_SIGNUP_ACTIVITY),
+    "batch_sessions": (q_batch_sessions, SQL_BATCH_SESSIONS),
+    "lineitem_unpivot": (q_lineitem_unpivot, SQL_LINEITEM_UNPIVOT),
+    "customer_balance_deciles": (q_customer_balance_deciles, SQL_CUSTOMER_BALANCE_DECILES),
 }

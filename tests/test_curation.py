@@ -1,0 +1,69 @@
+"""curate() — the assembled curation pipeline operator.
+
+The base composition (dedup -> repetition -> sample -> accounting) is
+oracle-adjudicated via workload.q_curation_pipeline; here the optional
+stages (benchmark decontamination, near-dup cluster pruning) are
+exercised on planted data, plus the end-to-end shape on real docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from my_feast_spark.operators.curation import CurationConfig, curate
+
+SF = "/root/testdata/sf0.01"
+
+
+def _doc(i, lang, text):
+    return Row(doc_id=i, lang=lang, text=text)
+
+
+def test_curate_base_stages(spark):
+    df = spark.createDataFrame([
+        _doc(1, "en", "the quick brown fox jumps over the lazy dog"),
+        _doc(2, "en", "The quick  brown fox jumps over the lazy dog"),  # exact dup of 1
+        _doc(3, "en", "spam spam spam spam spam spam spam spam"),       # repetitive
+        _doc(4, "de", "der schnelle braune fuchs springt darüber"),
+    ])
+    out = curate(df, CurationConfig(sample_rates=None, max_top_token_frac=0.3)).collect()
+    ids = {r.doc_id for r in out}
+    assert ids == {1, 4}  # 2 deduped away, 3 repetition-filtered
+    row = {r.doc_id: r for r in out}[1]
+    assert row.n_tokens == 9 and row.n_chunks == 1
+
+
+def test_curate_decontamination_drops_benchmark_overlap(spark):
+    train = spark.createDataFrame([
+        _doc(1, "en", "alpha beta gamma delta epsilon zeta"),
+        _doc(2, "en", "one two three four five six seven"),
+    ])
+    bench = spark.createDataFrame([
+        _doc(100, "en", "alpha beta gamma delta leaked into training"),
+    ])
+    cfg = CurationConfig(sample_rates=None, decontaminate_ngram=4,
+                         max_top_token_frac=0.3)
+    out = curate(train, cfg, benchmark_df=bench).collect()
+    assert {r.doc_id for r in out} == {2}  # doc 1 shares a 4-gram with bench
+
+
+def test_curate_near_dup_prunes_to_cluster_representative(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame([
+        _doc(1, "en", base),
+        _doc(2, "en", base + " extra"),   # near-dup of 1 (high jaccard)
+        _doc(3, "en", "completely different content about spark query planning"),
+    ])
+    cfg = CurationConfig(sample_rates=None, near_dup="minhash",
+                         near_dup_threshold=0.5, max_top_token_frac=0.3)
+    out = curate(df, cfg).collect()
+    # cluster {1,2} keeps min-id 1; 3 untouched
+    assert {r.doc_id for r in out} == {1, 3}
+
+
+def test_curate_real_docs_matches_workload_query(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rates = {"en": 0.3, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.5}
+    out = curate(docs, CurationConfig(sample_rates=rates))
+    assert out.columns == ["doc_id", "lang", "n_tokens", "n_chunks"]
+    assert out.count() == 118  # pinned by the oracle row at sf0.01

@@ -391,3 +391,39 @@ def test_stratified_sample_salt_draws_independent_samples(spark):
     b = {r.id for r in df.where(sample_bucket(F.col("id"), salt="s2") < 500_000).collect()}
     overlap = len(a & b) / 4_000
     assert 0.18 < overlap < 0.32
+
+
+def test_blas_fast_path_matches_deterministic_math():
+    """The production (deterministic=False) gemm paths must agree with
+    the bit-deterministic reductions on real embeddings — divergence is
+    only possible on exact ties, which random float vectors don't hit."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from my_feast_spark.operators.similarity import (
+        _hyperplanes,
+        make_cell_assigner,
+        make_lsh_bucketer,
+        train_ivf_centroids,
+    )
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    V = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+
+    centers = train_ivf_centroids(V[:512], 8)
+    det = make_cell_assigner(centers, deterministic=True)(V, 3)
+    fast = make_cell_assigner(centers, deterministic=False)(V, 3)
+    assert (det == fast).all()
+
+    planes = [_hyperplanes(V.shape[1], 4, seed=42 + i) for i in range(4)]
+    det_b = make_lsh_bucketer(planes, deterministic=True)(V)
+    fast_b = make_lsh_bucketer(planes, deterministic=False)(V)
+    assert (det_b == fast_b).all()
+
+
+def test_ivf_topk_blas_query_runs(spark):
+    from my_feast_spark import workload
+
+    det = workload.q_ivf_topk(spark, SF).collect()
+    fast = workload.q_ivf_topk(spark, SF, deterministic=False).collect()
+    assert sorted(map(tuple, det)) == sorted(map(tuple, fast))

@@ -11,50 +11,21 @@ from __future__ import annotations
 
 from my_feast_spark import workload
 
-# Round-3 rotation: set-op extras (last adjudicated round 1) are IN the
-# window; the scalar-shape queries (adjudicated rounds 1 AND 2) sit in
-# the tail this round. Next round swaps them back.
+# Round-4 rotation: the 19 queries last adjudicated in round 2 are back
+# IN the window; the round-3-green dedup-pair / ANN-exact / set-op
+# queries sit in the tail this round and return in round 5.
 ROTATION_TAIL = {
-    "json_props_extract",
-    "case_decode_coalesce",
-    "map_pivot_props",
-    "struct_flatten",
-    "datetime_functions",
-    "regional_revenue",
-    "order_priority_count",
-    "top_spenders",
-    "promo_revenue",
-    "user_value_deltas",
-    # demoted mid-round-3 to make window room for the six queries that
-    # had NO adjudication row yet (dedup_clusters, multimodal_frames,
-    # stream_capture_files, contamination_report, repetition_filter,
-    # pii_redaction); all six demotions were green in rounds 1 AND 2
-    "filtered_agg",
-    "token_stats",
-    "hash_sampled_docs",
-    "revenue_rollup",
-    "dedup_entity_rows",
-    "latest_event_per_user",
-    "priority_collapse_types",
-    "part_brand_stats",
-    "idle_customers_anti",
-}
-
-#: queries that have never had a CORRECTNESS row — must be in-window
-NEVER_ADJUDICATED = {
-    "dedup_clusters",
-    "multimodal_frames",
-    "stream_capture_files",
-    "contamination_report",
-    "repetition_filter",
-    "pii_redaction",
-    "stratified_sample_docs",
-    "corpus_mixture",
-    "curation_pipeline",
-    "avro_scan",
-}
-
-SETOP_EXTRAS = {
+    "exact_dedup_docs",
+    "jaccard_dup_pairs",
+    "minhash_dup_pairs",
+    "simhash_dup_pairs",
+    "cosine_topk",
+    "ann_lsh_topk",
+    "label_centroids",
+    "embedding_near_dupes",
+    "multimodal_decode",
+    "quality_score",
+    "lang_id",
     "user_cohort_sets",
     "moving_avg_revenue",
     "returnflag_cube",
@@ -66,15 +37,49 @@ SETOP_EXTRAS = {
     "customer_balance_deciles",
 }
 
+#: last adjudicated in round 2 — round 4 MUST give them fresh rows
+ROTATED_IN = {
+    "token_stats",
+    "hash_sampled_docs",
+    "revenue_rollup",
+    "filtered_agg",
+    "dedup_entity_rows",
+    "latest_event_per_user",
+    "priority_collapse_types",
+    "part_brand_stats",
+    "idle_customers_anti",
+    "json_props_extract",
+    "case_decode_coalesce",
+    "map_pivot_props",
+    "struct_flatten",
+    "datetime_functions",
+    "regional_revenue",
+    "order_priority_count",
+    "top_spenders",
+    "promo_revenue",
+    "user_value_deltas",
+}
+
+#: new in round 4, or implementation changed in round 4 — must be
+#: in-window so the change gets an adjudication row
+CHANGED_OR_NEW_THIS_ROUND = {
+    "curation_pipeline",
+    "curation_pipeline_full",
+    "repetition_filter",
+    "doc_chunks",
+    "ivf_topk",
+    "embedding_near_dupes_lsh",
+}
+
 
 def test_window_contains_rotated_in_queries():
     window = list(workload.QUERIES)[: workload.ADJUDICATION_WINDOW]
-    assert SETOP_EXTRAS <= set(window)
+    assert ROTATED_IN <= set(window)
 
 
-def test_window_contains_every_never_adjudicated_query():
+def test_window_contains_every_changed_or_new_query():
     window = list(workload.QUERIES)[: workload.ADJUDICATION_WINDOW]
-    assert NEVER_ADJUDICATED <= set(window)
+    assert CHANGED_OR_NEW_THIS_ROUND <= set(window)
 
 
 def test_tail_is_exactly_the_declared_rotation():
