@@ -17,10 +17,14 @@ count per round — the classic Spark iterative-algorithm shape.
 
 Near-dup graphs are overwhelmingly tiny components (pairs/triangles of
 variants), so diameters are small and the loop converges in a handful
-of rounds. For adversarially long chains or power-law hubs, the
-documented upgrade is the large-star/small-star algorithm (alternating
-star contractions, provably O(log n) rounds) — same join/agg building
-blocks, more rounds math; not needed for the duplicate-cluster shape.
+of rounds. For adversarially long chains or power-law hubs,
+``method="star"`` switches to the large-star/small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond":
+alternating star contractions, O(log^2 n) rounds worst case, ~log n in
+practice) — same agg+join building blocks per round, diameter-free
+round count. Either method RAISES if the round budget runs out: a
+non-converged label set silently merges/splits clusters, and a wrong
+dedup clustering is worse than a failed job.
 """
 
 from __future__ import annotations
@@ -46,9 +50,35 @@ def connected_components(
     max_iter: int = 25,
     out_id: str = "id",
     out_label: str = "cluster_id",
+    method: str = "label",
 ) -> DataFrame:
     """(vertex, component) for every vertex appearing in ``edges``;
-    the component id is the minimum vertex id in the component."""
+    the component id is the minimum vertex id in the component.
+
+    ``method="label"`` (default): min-label propagation — O(component
+    diameter) rounds, the right choice for near-dup graphs (tiny, dense
+    components). ``method="star"``: alternating large-star/small-star
+    contractions — round count grows with log of component size, not
+    diameter, for adversarially long chains / huge components.
+
+    Raises RuntimeError if ``max_iter`` rounds don't reach the fixpoint:
+    non-converged labels silently split clusters (each vertex would keep
+    a label only ``rounds`` hops toward the true minimum), and a wrong
+    dedup clustering is worse than a failed job.
+    """
+    if method == "label":
+        return _cc_min_label(edges, src, dst, max_iter, out_id, out_label)
+    if method == "star":
+        return _cc_two_phase_star(edges, src, dst, max_iter, out_id, out_label)
+    raise ValueError(f"unknown connected-components method: {method!r}")
+
+
+def _loop_partitions(spark, n_edges: int) -> int:
+    default_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(1, min(default_p, math.ceil(n_edges / _EDGES_PER_PARTITION)))
+
+
+def _cc_min_label(edges, src, dst, max_iter, out_id, out_label) -> DataFrame:
     spark = edges.sparkSession
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
@@ -59,8 +89,7 @@ def connected_components(
     # Size loop parallelism to the materialized edge count (one cheap
     # count over the checkpoint), capped at the session default.
     default_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    n_edges = sym.count()
-    loop_p = max(1, min(default_p, math.ceil(n_edges / _EDGES_PER_PARTITION)))
+    loop_p = _loop_partitions(spark, sym.count())
     if loop_p < default_p:
         sym = sym.repartition(loop_p, "b").localCheckpoint()
     labels = (
@@ -89,8 +118,104 @@ def connected_components(
         new_sum = new_labels.agg(label_sum).collect()[0][0]
         labels = new_labels
         if new_sum == prev_sum:
-            break
+            return labels.select(
+                F.col("id").alias(out_id), F.col("label").alias(out_label)
+            )
         prev_sum = new_sum
-    return labels.select(
-        F.col("id").alias(out_id), F.col("label").alias(out_label)
+    raise RuntimeError(
+        f"connected_components(method='label') did not converge in "
+        f"{max_iter} rounds — the graph has a component with diameter > "
+        f"{max_iter}; rerun with method='star' (diameter-free round "
+        f"count) or a larger max_iter"
+    )
+
+
+def _cc_two_phase_star(edges, src, dst, max_iter, out_id, out_label) -> DataFrame:
+    """Kiveris et al. two-phase: alternate large-star (hook every
+    larger neighbor to the neighborhood minimum) and small-star (hook a
+    node and its smaller neighbors to their minimum) until the edge set
+    is a union of disjoint stars centered at component minima.
+
+    Each phase is one groupBy + one join keyed on the star center —
+    identical shuffle shape to a min-label round — but the round count
+    scales with log(component size) instead of diameter. Edges are kept
+    canonical (hi > lo), deduplicated, and checkpointed per round; the
+    fixpoint test compares an exact multiset checksum (count + decimal
+    sums + hash sum), two tiny aggregates per round.
+    """
+    spark = edges.sparkSession
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint()
+    )
+    loop_p = _loop_partitions(spark, e.count())
+
+    def checksum(df):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("hi").cast("decimal(38,0)")).alias("sh"),
+            F.sum(F.col("lo").cast("decimal(38,0)")).alias("sl"),
+            F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)")).alias("sx"),
+        ).collect()[0]
+        return tuple(row)
+
+    def large_star(df):
+        sym = df.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+            df.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        m = (
+            sym.repartition(loop_p, "u")
+            .groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .withColumn("m", F.least(F.col("mv"), F.col("u")))
+            .select("u", "m")
+        )
+        out = (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+        )
+        return out.filter(F.col("hi") != F.col("lo")).distinct().localCheckpoint()
+
+    def small_star(df):
+        # group by the LARGER endpoint; m = min over {u} + smaller
+        # neighbors = min(lo) (u exceeds every lo by construction)
+        m = (
+            df.repartition(loop_p, "hi")
+            .groupBy("hi")
+            .agg(F.min("lo").alias("m"))
+        )
+        j = df.join(m, "hi")
+        rewired = j.filter(F.col("lo") != F.col("m")).select(
+            F.col("lo").alias("hi"), F.col("m").alias("lo")
+        )
+        hooks = m.select(F.col("hi"), F.col("m").alias("lo"))
+        out = rewired.union(hooks)
+        return out.filter(F.col("hi") != F.col("lo")).distinct().localCheckpoint()
+
+    prev = checksum(e)
+    for _ in range(max_iter):
+        e = small_star(large_star(e))
+        cur = checksum(e)
+        if cur == prev:
+            # fixpoint: disjoint stars — every hi points at its
+            # component minimum lo; centers label themselves
+            nodes = e.select(F.col("hi").alias("id"), F.col("lo").alias("label"))
+            roots = e.select(F.col("lo").alias("id")).distinct().withColumn(
+                "label", F.col("id")
+            )
+            return nodes.union(roots).distinct().select(
+                F.col("id").alias(out_id), F.col("label").alias(out_label)
+            )
+        prev = cur
+    raise RuntimeError(
+        f"connected_components(method='star') did not converge in "
+        f"{max_iter} rounds — raise max_iter (round count is "
+        f"logarithmic in component size; this indicates a pathological "
+        f"or adversarial graph)"
     )

@@ -1,0 +1,56 @@
+"""Connected components: min-label vs two-phase star contraction.
+
+The near-dup workload uses the label method (tiny-diameter components);
+the star method exists for adversarial diameters — and non-convergence
+must RAISE, never silently return partial labels (a wrong clustering
+merges/splits dedup groups undetectably).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from my_feast_spark.operators.graph import connected_components
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame([Row(id_a=a, id_b=b) for a, b in pairs])
+
+
+def _labels(df):
+    return {r.id: r.cluster_id for r in df.collect()}
+
+
+def test_star_matches_label_on_mixed_components(spark):
+    # two triangles, one pair, one 5-chain — all small-diameter
+    pairs = [(1, 2), (2, 3), (3, 1), (10, 11), (20, 21), (21, 22),
+             (22, 23), (23, 24), (5, 40)]
+    e = _edges(spark, pairs)
+    lab = _labels(connected_components(e, method="label"))
+    star = _labels(connected_components(e, method="star"))
+    assert lab == star
+    assert star[3] == 1 and star[24] == 20 and star[40] == 5
+
+
+def test_long_chain_label_method_raises_star_converges(spark):
+    # 60-vertex chain: diameter 59 > default max_iter=25 rounds of
+    # 1-hop label propagation — must raise, not return partial labels
+    chain = [(i, i + 1) for i in range(59)]
+    e = _edges(spark, chain)
+    with pytest.raises(RuntimeError, match="method='star'"):
+        connected_components(e, method="label")
+    star = _labels(connected_components(e, method="star"))
+    assert set(star.values()) == {0}
+    assert len(star) == 60
+
+
+def test_label_method_converges_within_budget_on_chain(spark):
+    chain = [(i, i + 1) for i in range(10)]
+    lab = _labels(connected_components(_edges(spark, chain), method="label"))
+    assert set(lab.values()) == {0} and len(lab) == 11
+
+
+def test_unknown_method_rejected(spark):
+    with pytest.raises(ValueError):
+        connected_components(_edges(spark, [(1, 2)]), method="nope")
