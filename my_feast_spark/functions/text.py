@@ -66,30 +66,42 @@ def doc_fingerprint(text: Column) -> Column:
 
 
 def quality_features(text: Column) -> dict[str, Column]:
-    """Quality signals as named expressions (caller selects/aliases)."""
-    toks = tokens(text)
-    n = F.size(toks)
+    """Quality signals as named expressions (caller selects/aliases).
+    Each entry ``let``-binds the token array, so an output column costs
+    one tokenization regardless of how many passes it makes."""
     stop = F.array([F.lit(s) for s in LANG_STOPWORDS["en"]])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+
+    def entry(build):
+        return let(tokens(text), build)
+
     return {
         "n_chars": F.length(text),
-        "n_tokens": n,
-        "n_distinct_tokens": F.size(F.array_distinct(toks)),
-        "lexical_diversity": F.round(
-            F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1)), 4
+        "n_tokens": entry(lambda t: F.size(t)),
+        "n_distinct_tokens": entry(lambda t: F.size(F.array_distinct(t))),
+        "lexical_diversity": entry(
+            lambda t: F.round(
+                F.size(F.array_distinct(t)) / F.greatest(F.size(t), F.lit(1)), 4
+            )
         ),
-        "stopword_ratio": F.round(n_stop / F.greatest(n, F.lit(1)), 4),
-        "mean_token_len": F.round(
-            (F.length(F.trim(text)) - (n - F.lit(1)))
-            / F.greatest(n, F.lit(1)).cast("double"),
-            4,
+        "stopword_ratio": entry(
+            lambda t: F.round(
+                F.size(F.filter(t, lambda x: F.array_contains(stop, x)))
+                / F.greatest(F.size(t), F.lit(1)),
+                4,
+            )
+        ),
+        "mean_token_len": entry(
+            lambda t: F.round(
+                (F.length(F.trim(text)) - (F.size(t) - F.lit(1)))
+                / F.greatest(F.size(t), F.lit(1)).cast("double"),
+                4,
+            )
         ),
     }
 
 
-def lang_scores(text: Column) -> dict[str, Column]:
-    """Per-language stopword-hit counts; argmax = predicted language."""
-    toks = tokens(F.lower(text))
+def _lang_scores_arr(toks: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts over a pre-bound token array."""
     out: dict[str, Column] = {}
     for lang, words in LANG_STOPWORDS.items():
         arr = F.array([F.lit(w) for w in words])
@@ -97,15 +109,26 @@ def lang_scores(text: Column) -> dict[str, Column]:
     return out
 
 
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts; argmax = predicted language.
+    Each entry ``let``-binds the token array (one tokenization per
+    output column)."""
+
+    def entry(lang):
+        return let(tokens(F.lower(text)), lambda t: _lang_scores_arr(t)[lang])
+
+    return {lang: entry(lang) for lang in LANG_STOPWORDS}
+
+
 #: tie-break priority for lang_id (first wins on equal scores)
 LANG_PRIORITY = ["en", "es", "fr", "de"]
 
 
-def lang_id(text: Column, default: str = "und") -> Column:
-    """Predicted language = highest stopword-hit count; ties broken by
-    LANG_PRIORITY order; 'und' when no list scores a hit. Expressed as an
-    explicit CASE chain so a SQL oracle can mirror it verbatim."""
-    scores = lang_scores(text)
+def lang_id_arr(toks: Column, default: str = "und") -> Column:
+    """``lang_id`` over a pre-bound (lowercased) token array — the CASE
+    chain references each language's score several times, so ``toks``
+    must be a cheap reference (projected column or ``let`` binding)."""
+    scores = _lang_scores_arr(toks)
     expr = F.lit(default)
     for i in range(len(LANG_PRIORITY) - 1, -1, -1):
         lang = LANG_PRIORITY[i]
@@ -116,6 +139,15 @@ def lang_id(text: Column, default: str = "und") -> Column:
             cond = cond & (scores[lang] > scores[earlier])
         expr = F.when(cond, F.lit(lang)).otherwise(expr)
     return expr
+
+
+def lang_id(text: Column, default: str = "und") -> Column:
+    """Predicted language = highest stopword-hit count; ties broken by
+    LANG_PRIORITY order; 'und' when no list scores a hit. Expressed as an
+    explicit CASE chain so a SQL oracle can mirror it verbatim; built
+    over one ``let``-bound token array — one tokenization per row
+    instead of one per score reference (~16)."""
+    return let(tokens(F.lower(text)), lambda t: lang_id_arr(t, default))
 
 
 def chunk_token_array(toks: Column, *, size: int = 50, stride: int = 25) -> Column:

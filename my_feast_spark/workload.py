@@ -1161,7 +1161,11 @@ def q_quality_score(spark, sf_dir):
     from my_feast_spark.functions.text import LANG_STOPWORDS, tokens
 
     docs = _t(spark, sf_dir, "documents")
-    toks = tokens(F.lower(F.col("text")))
+    # shared token-array projection: one tokenization feeds every score
+    docs = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("__ltoks")
+    )
+    toks = F.col("__ltoks")
     n = F.greatest(F.size(toks), F.lit(1))
     stop = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
@@ -1202,15 +1206,20 @@ FROM s
 
 def q_lang_id(spark, sf_dir):
     """Language-ID heuristic: per-language stopword hit counts + argmax
-    prediction (ties broken by priority order en>es>fr>de)."""
-    from my_feast_spark.functions.text import lang_id, lang_scores
+    prediction (ties broken by priority order en>es>fr>de). One shared
+    token-array projection feeds all five outputs — one tokenization per
+    row instead of one per column."""
+    from my_feast_spark.functions.text import _lang_scores_arr, lang_id_arr, tokens
 
     docs = _t(spark, sf_dir, "documents")
-    scores = lang_scores(F.col("text"))
-    return docs.select(
+    toked = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("__ltoks")
+    )
+    scores = _lang_scores_arr(F.col("__ltoks"))
+    return toked.select(
         "doc_id",
         *[scores[lang].alias(f"hits_{lang}") for lang in ("en", "es", "fr", "de")],
-        lang_id(F.col("text")).alias("pred_lang"),
+        lang_id_arr(F.col("__ltoks")).alias("pred_lang"),
     )
 
 
@@ -2383,12 +2392,18 @@ HAVING count(DISTINCT tr.g) >= 1
 
 def q_repetition_filter(spark, sf_dir):
     """Gopher-style repetition signals + keep flag (map-only filter
-    stage: no shuffle at any corpus size)."""
-    from my_feast_spark.functions.text import repetition_features
+    stage: no shuffle at any corpus size). The token array is projected
+    ONCE and the five outputs read it as a column reference —
+    CollapseProject keeps the projections separate because the array is
+    non-cheap and multiply referenced."""
+    from my_feast_spark.functions.text import repetition_features_arr, tokens
 
     docs = _t(spark, sf_dir, "documents")
-    feats = repetition_features(F.col("text"))
-    return docs.select(
+    toked = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("__ltoks")
+    )
+    feats = repetition_features_arr(F.col("__ltoks"))
+    return toked.select(
         "doc_id",
         feats["n_tokens"].alias("n_tokens"),
         feats["top_token_frac"].alias("top_token_frac"),

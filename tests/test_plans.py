@@ -150,3 +150,20 @@ def test_curation_pipeline_is_single_shuffle(spark):
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges == 1, plan
     assert "Join" not in plan
+
+
+def test_text_queries_tokenize_once(spark):
+    """The text tier's map-only queries must evaluate the regex
+    tokenization exactly once per row: interpreted HOF lambdas
+    re-evaluate outer trees per element, and without the shared
+    projection / `let` binding these plans held up to ~16 split() calls
+    (see functions/text.py::let)."""
+    for name in ("repetition_filter", "lang_id", "quality_score",
+                 "curation_pipeline"):
+        plan = (
+            workload.QUERIES[name][0](spark, SF_DIR_ORACLE)
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert plan.count("split(") == 1, (
+            f"{name}: {plan.count('split(')} tokenizations in plan"
+        )
