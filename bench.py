@@ -95,6 +95,8 @@ def main() -> None:
          lambda: workload.q_ivf_topk(spark, sf_dir, deterministic=False).count()),
         ("embedding_near_dupes_lsh_blas",
          lambda: workload.q_embedding_near_dupes_lsh(spark, sf_dir, deterministic=False).count()),
+        ("curation_pipeline_full_xxhash64",
+         lambda: workload.q_curation_pipeline_full(spark, sf_dir, hash_fn="xxhash64").count()),
     ):
         timed(name, thunk)
 

@@ -90,6 +90,20 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> dict:
     )
     n_chunks = chunks.count()
 
+    # 7: or as ONE call — the packaged composition (exact dedup ->
+    # optional decontamination / near-dup cluster pruning -> repetition
+    # filter -> stratified sample -> accounting), single corpus shuffle,
+    # one tokenization per doc
+    from my_feast_spark.operators.curation import CurationConfig, curate
+
+    curated = curate(
+        docs,
+        CurationConfig(
+            sample_rates={"en": 0.3, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.5}
+        ),
+    )
+    n_curated = curated.count()
+
     out = {
         "input_docs": n_input,
         "after_quality_gate": n_kept,
@@ -97,6 +111,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "near_dup_pairs": n_near_pairs,
         "semantic_dup_pairs": n_sem_pairs,
         "sampled_training_chunks": n_chunks,
+        "curate_operator_survivors": n_curated,
     }
     print(out)
     return out

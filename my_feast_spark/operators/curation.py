@@ -106,6 +106,16 @@ def curate(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__fp")
     )
+    if needs_text:
+        # The optional stages fan the deduped corpus out to multiple
+        # consumers (contamination train side, the near-dup pair
+        # generator, and the main chain) whose differing column pruning
+        # defeats Spark's ReuseExchange — without a cache each consumer
+        # would re-scan and re-shuffle the corpus. MEMORY_AND_DISK
+        # persist (the default) spills at scale; the near-dup stage's
+        # eager candidate materialization populates it first, so later
+        # consumers read the cache.
+        deduped = deduped.persist()
 
     # 2. benchmark decontamination (optional)
     if benchmark_df is not None:

@@ -53,6 +53,11 @@ def stratified_sample(
     (bucket < round(rate * RESOLUTION)) so engines never disagree on a
     float boundary.
     """
+    for value, rate in {**rates, "<default_rate>": default_rate}.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(
+                f"sampling rate for {value!r} must be in [0, 1], got {rate}"
+            )
     threshold = F.lit(int(round(default_rate * RESOLUTION)))
     for value, rate in rates.items():
         threshold = F.when(

@@ -1124,7 +1124,11 @@ def q_token_stats(spark, sf_dir):
     from my_feast_spark.functions.text import tokens
 
     docs = _t(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
+    # shared token-array projection: one tokenization feeds every stat
+    docs = docs.select(
+        "doc_id", "text", tokens(F.col("text")).alias("__toks")
+    )
+    toks = F.col("__toks")
     n = F.size(toks)
     return docs.select(
         "doc_id",
@@ -2618,7 +2622,7 @@ FROM sampled
 """
 
 
-def q_curation_pipeline_full(spark, sf_dir):
+def q_curation_pipeline_full(spark, sf_dir, *, hash_fn="portable"):
     """EVERY curation stage in one plan: exact dedup -> benchmark
     decontamination (4-gram overlap vs the doc_id%50==0 eval split) ->
     MinHash-LSH near-dup clustering with per-cluster representative
@@ -2627,7 +2631,7 @@ def q_curation_pipeline_full(spark, sf_dir):
     the oracle replays the whole chain — including the banded-LSH
     pipeline and a recursive-CTE connected components — hash-for-hash
     (portable hash family for replayability; the 100 TB run flips
-    ``near_dup_hash_fn`` to xxhash64).
+    ``near_dup_hash_fn`` to xxhash64 — bench times that variant too).
 
     Scale shape: one corpus shuffle (dedup window); decontamination adds
     a broadcast semi-join vs the (tiny) benchmark shingle set + one
@@ -2643,7 +2647,7 @@ def q_curation_pipeline_full(spark, sf_dir):
         sample_rates={"en": 0.3, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.5},
         decontaminate_ngram=4,
         near_dup="minhash",
-        near_dup_hash_fn="portable",
+        near_dup_hash_fn=hash_fn,
     )
     return curate(train, cfg, benchmark_df=bench)
 

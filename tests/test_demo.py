@@ -23,6 +23,7 @@ def test_training_pipeline_demo_runs(spark):
     assert 0 < out["after_exact_dedup"] <= out["after_quality_gate"]
     assert out["near_dup_pairs"] >= 0
     assert out["semantic_dup_pairs"] > 0
+    assert out["curate_operator_survivors"] == 118  # pinned by the oracle row
 
 
 def test_bronze_ingest_demo_runs(spark, tmp_path):

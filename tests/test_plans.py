@@ -167,3 +167,14 @@ def test_text_queries_tokenize_once(spark):
         assert plan.count("split(") == 1, (
             f"{name}: {plan.count('split(')} tokenizations in plan"
         )
+
+
+def test_curation_full_plan_has_no_cartesian_and_antijoins(spark):
+    """The optional stages must compose as anti-joins on the doc id
+    (pruned-id relations), never a pair blowup: no cartesian product,
+    two LeftAnti joins (decontamination + near-dup prune), and the
+    near-dup candidate generation stays on banded equi-joins."""
+    df = workload.q_curation_pipeline_full(spark, SF_DIR_ORACLE)
+    plan = _formatted(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("LeftAnti") >= 2
