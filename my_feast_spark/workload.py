@@ -1052,6 +1052,43 @@ WHERE len(regexp_extract_all(text, '\\b(spark|query|vector)\\b', 1)) > 0
 """
 
 
+def q_corpus_vocab(spark, sf_dir):
+    """Corpus-wide vocabulary: top-50 tokens by total occurrences with
+    document frequency — the vocabulary/stopword-discovery pass of a
+    training-data pipeline. Scale shape: tokenize+explode is map-only;
+    occurrence counting is a two-phase hash aggregate (map-side partials
+    absorb the power-law head before the token-keyed shuffle); document
+    frequency is countDistinct (Expand + re-aggregate, still keyed on
+    token); the top-k lowers to TakeOrderedAndProject, never a global
+    sort."""
+    from my_feast_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode_outer(tokens(F.lower(F.col("text")))).alias("token"),
+    ).filter(F.col("token").isNotNull())
+    agg = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return agg.orderBy(
+        F.col("n_occurrences").desc(), F.col("token").asc()
+    ).limit(50)
+
+
+SQL_CORPUS_VOCAB = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM tok GROUP BY token
+ORDER BY n_occurrences DESC, token ASC LIMIT 50
+"""
+
+
 def q_top_terms_tfidf(spark, sf_dir):
     """TF-IDF top-3 terms per doc (for a deterministic doc subset) with
     GLOBAL document frequencies: tf per (doc, term) rides partial
@@ -2785,7 +2822,7 @@ QUERIES: dict[str, tuple] = {
     "stratified_sample_docs": (q_stratified_sample_docs, SQL_STRATIFIED_SAMPLE_DOCS),
     "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
     # --- text tier remainder ----------------------------------------------
-    "doc_fingerprints": (q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
+    "corpus_vocab": (q_corpus_vocab, SQL_CORPUS_VOCAB),
     "regex_mentions": (q_regex_mentions, SQL_REGEX_MENTIONS),
     "top_terms_tfidf": (q_top_terms_tfidf, SQL_TOP_TERMS_TFIDF),
     "length_outlier_filter": (q_length_outlier_filter, SQL_LENGTH_OUTLIER_FILTER),
@@ -2821,6 +2858,7 @@ QUERIES: dict[str, tuple] = {
     "user_value_deltas": (q_user_value_deltas, SQL_USER_VALUE_DELTAS),
     # --- rotation tail for round 4 (all green in round 3; still checked
     # every run by tests/test_oracle_parity.py; back in-window round 5) ---
+    "doc_fingerprints": (q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
     "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
     "jaccard_dup_pairs": (q_jaccard_dup_pairs, SQL_JACCARD_DUP_PAIRS),
     "minhash_dup_pairs": (q_minhash_dup_pairs, SQL_MINHASH_DUP_PAIRS),

@@ -15,6 +15,7 @@ from my_feast_spark import workload
 # IN the window; the round-3-green dedup-pair / ANN-exact / set-op
 # queries sit in the tail this round and return in round 5.
 ROTATION_TAIL = {
+    "doc_fingerprints",
     "exact_dedup_docs",
     "jaccard_dup_pairs",
     "minhash_dup_pairs",
@@ -63,6 +64,7 @@ ROTATED_IN = {
 #: new in round 4, or implementation changed in round 4 — must be
 #: in-window so the change gets an adjudication row
 CHANGED_OR_NEW_THIS_ROUND = {
+    "corpus_vocab",
     "curation_pipeline",
     "curation_pipeline_full",
     "repetition_filter",
