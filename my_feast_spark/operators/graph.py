@@ -51,6 +51,7 @@ def connected_components(
     out_id: str = "id",
     out_label: str = "cluster_id",
     method: str = "label",
+    driver_max_edges: int = None,
 ) -> DataFrame:
     """(vertex, component) for every vertex appearing in ``edges``;
     the component id is the minimum vertex id in the component.
@@ -65,12 +66,33 @@ def connected_components(
     non-converged labels silently split clusters (each vertex would keep
     a label only ``rounds`` hops toward the true minimum), and a wrong
     dedup clustering is worse than a failed job.
+
+    ``driver_max_edges`` (default ``_DRIVER_CC_MAX_EDGES``): when the
+    MATERIALIZED edge count is at or below this bound, both methods
+    short-circuit to a driver-side union-find — the near-dup pair graph
+    is typically a handful of edges out of a huge corpus, and one
+    distributed round costs more scheduler latency than the whole
+    resolution. Pass 0 to force the distributed path.
     """
+    if driver_max_edges is None:
+        driver_max_edges = _DRIVER_CC_MAX_EDGES
     if method == "label":
-        return _cc_min_label(edges, src, dst, max_iter, out_id, out_label)
+        return _cc_min_label(
+            edges, src, dst, max_iter, out_id, out_label, driver_max_edges
+        )
     if method == "star":
-        return _cc_two_phase_star(edges, src, dst, max_iter, out_id, out_label)
+        return _cc_two_phase_star(
+            edges, src, dst, max_iter, out_id, out_label, driver_max_edges
+        )
     raise ValueError(f"unknown connected-components method: {method!r}")
+
+
+#: edge-count bound for the driver union-find shortcut: 1M edges is a
+#: few tens of MB on the driver and resolves in milliseconds, where the
+#: distributed loop pays several scheduler round-trips per round. The
+#: threshold is checked against the MATERIALIZED edge count, so a
+#: billion-edge graph at corpus scale always takes the distributed path.
+_DRIVER_CC_MAX_EDGES = 1_000_000
 
 
 def _loop_partitions(spark, n_edges: int) -> int:
@@ -78,7 +100,42 @@ def _loop_partitions(spark, n_edges: int) -> int:
     return max(1, min(default_p, math.ceil(n_edges / _EDGES_PER_PARTITION)))
 
 
-def _cc_min_label(edges, src, dst, max_iter, out_id, out_label) -> DataFrame:
+def _cc_driver_union_find(sym, spark, out_id, out_label) -> DataFrame:
+    """Union-find over a driver-collected edge list — the bounded
+    driver-side step for SMALL materialized pair graphs (the near-dup
+    case: a handful of edges out of a huge corpus), where even one
+    distributed round costs more in scheduler latency than the whole
+    resolution. Components get their minimum vertex id as the label,
+    identical to the distributed methods."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in sym.collect():
+        a, b = row[0], row[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN so the root is the component minimum
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(x, find(x)) for x in parent]
+    schema = sym.select(
+        F.col("a").alias(out_id), F.col("a").alias(out_label)
+    ).schema
+    return spark.createDataFrame(rows, schema)
+
+
+def _cc_min_label(
+    edges, src, dst, max_iter, out_id, out_label, driver_max_edges=0
+) -> DataFrame:
     spark = edges.sparkSession
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
@@ -89,7 +146,10 @@ def _cc_min_label(edges, src, dst, max_iter, out_id, out_label) -> DataFrame:
     # Size loop parallelism to the materialized edge count (one cheap
     # count over the checkpoint), capped at the session default.
     default_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    loop_p = _loop_partitions(spark, sym.count())
+    n_edges = sym.count()
+    if n_edges <= 2 * driver_max_edges:  # sym holds both directions
+        return _cc_driver_union_find(sym, spark, out_id, out_label)
+    loop_p = _loop_partitions(spark, n_edges)
     if loop_p < default_p:
         sym = sym.repartition(loop_p, "b").localCheckpoint()
     labels = (
@@ -130,7 +190,9 @@ def _cc_min_label(edges, src, dst, max_iter, out_id, out_label) -> DataFrame:
     )
 
 
-def _cc_two_phase_star(edges, src, dst, max_iter, out_id, out_label) -> DataFrame:
+def _cc_two_phase_star(
+    edges, src, dst, max_iter, out_id, out_label, driver_max_edges=0
+) -> DataFrame:
     """Kiveris et al. two-phase: alternate large-star (hook every
     larger neighbor to the neighborhood minimum) and small-star (hook a
     node and its smaller neighbors to their minimum) until the edge set
@@ -153,7 +215,11 @@ def _cc_two_phase_star(edges, src, dst, max_iter, out_id, out_label) -> DataFram
         .distinct()
         .localCheckpoint()
     )
-    loop_p = _loop_partitions(spark, e.count())
+    n_edges = e.count()
+    if n_edges <= driver_max_edges:
+        sym = e.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
+        return _cc_driver_union_find(sym, spark, out_id, out_label)
+    loop_p = _loop_partitions(spark, n_edges)
 
     def checksum(df):
         row = df.agg(

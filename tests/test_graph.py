@@ -1,9 +1,11 @@
-"""Connected components: min-label vs two-phase star contraction.
+"""Connected components: driver union-find shortcut, min-label loop,
+and two-phase star contraction.
 
-The near-dup workload uses the label method (tiny-diameter components);
-the star method exists for adversarial diameters — and non-convergence
-must RAISE, never silently return partial labels (a wrong clustering
-merges/splits dedup groups undetectably).
+The near-dup workload defaults route tiny materialized pair graphs to a
+driver-side union-find (bounded, deterministic); the distributed paths
+are forced here with driver_max_edges=0. Non-convergence must RAISE,
+never silently return partial labels (a wrong clustering merges/splits
+dedup groups undetectably).
 """
 
 from __future__ import annotations
@@ -12,6 +14,9 @@ import pytest
 from pyspark.sql import Row
 
 from my_feast_spark.operators.graph import connected_components
+
+MIXED = [(1, 2), (2, 3), (3, 1), (10, 11), (20, 21), (21, 22),
+         (22, 23), (23, 24), (5, 40)]
 
 
 def _edges(spark, pairs):
@@ -22,15 +27,13 @@ def _labels(df):
     return {r.id: r.cluster_id for r in df.collect()}
 
 
-def test_star_matches_label_on_mixed_components(spark):
-    # two triangles, one pair, one 5-chain — all small-diameter
-    pairs = [(1, 2), (2, 3), (3, 1), (10, 11), (20, 21), (21, 22),
-             (22, 23), (23, 24), (5, 40)]
-    e = _edges(spark, pairs)
-    lab = _labels(connected_components(e, method="label"))
-    star = _labels(connected_components(e, method="star"))
-    assert lab == star
-    assert star[3] == 1 and star[24] == 20 and star[40] == 5
+def test_all_three_paths_agree_on_mixed_components(spark):
+    e = _edges(spark, MIXED)
+    fast = _labels(connected_components(e))  # driver union-find (default)
+    lab = _labels(connected_components(e, method="label", driver_max_edges=0))
+    star = _labels(connected_components(e, method="star", driver_max_edges=0))
+    assert fast == lab == star
+    assert fast[3] == 1 and fast[24] == 20 and fast[40] == 5
 
 
 def test_long_chain_label_method_raises_star_converges(spark):
@@ -39,15 +42,20 @@ def test_long_chain_label_method_raises_star_converges(spark):
     chain = [(i, i + 1) for i in range(59)]
     e = _edges(spark, chain)
     with pytest.raises(RuntimeError, match="method='star'"):
-        connected_components(e, method="label")
-    star = _labels(connected_components(e, method="star"))
+        connected_components(e, method="label", driver_max_edges=0)
+    star = _labels(connected_components(e, method="star", driver_max_edges=0))
     assert set(star.values()) == {0}
     assert len(star) == 60
+    # the driver shortcut resolves the same chain instantly
+    assert _labels(connected_components(e)) == star
 
 
 def test_label_method_converges_within_budget_on_chain(spark):
     chain = [(i, i + 1) for i in range(10)]
-    lab = _labels(connected_components(_edges(spark, chain), method="label"))
+    lab = _labels(
+        connected_components(_edges(spark, chain), method="label",
+                             driver_max_edges=0)
+    )
     assert set(lab.values()) == {0} and len(lab) == 11
 
 
