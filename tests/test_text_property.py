@@ -42,3 +42,23 @@ def test_repetition_features_match_python_reference(spark, docs):
         assert got[i][0] == n
         assert abs(got[i][1] - top) < 1e-9, (toks, got[i])
         assert abs(got[i][2] - dup) < 1e-9, (toks, got[i])
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=260), min_size=1, max_size=6))
+def test_chunk_count_matches_rendered_chunk_array(spark, token_counts):
+    """chunk_count's arithmetic must equal the length of the actual
+    chunk array chunk_token_array renders, for any token count and a
+    spread of size/stride shapes (it's an independent closed form)."""
+    from my_feast_spark.functions.text import chunk_count, chunk_token_array
+
+    rows = [Row(i=i, toks=["t"] * n) for i, n in enumerate(token_counts)]
+    df = spark.createDataFrame(rows)
+    for size, stride in ((50, 25), (10, 10), (7, 3)):
+        got = df.select(
+            "i",
+            F.size(chunk_token_array(F.col("toks"), size=size, stride=stride)).alias("rendered"),
+            chunk_count(F.col("toks"), size=size, stride=stride).alias("arith"),
+        ).collect()
+        for r in got:
+            assert r.rendered == r.arith, (token_counts[r.i], size, stride, r)
