@@ -89,14 +89,18 @@ def main() -> None:
     for name, thunk in (
         ("minhash_dup_pairs_xxhash64",
          lambda: workload.q_minhash_dup_pairs(spark, sf_dir, hash_fn="xxhash64").count()),
+        ("minhash_dup_pairs_numpy",
+         lambda: workload.q_minhash_dup_pairs(spark, sf_dir, hash_fn="numpy").count()),
         ("simhash_dup_pairs_xxhash64",
          lambda: workload.q_simhash_dup_pairs(spark, sf_dir, hash_fn="xxhash64").count()),
+        ("simhash_dup_pairs_numpy",
+         lambda: workload.q_simhash_dup_pairs(spark, sf_dir, hash_fn="numpy").count()),
         ("ivf_topk_blas",
          lambda: workload.q_ivf_topk(spark, sf_dir, deterministic=False).count()),
         ("embedding_near_dupes_lsh_blas",
          lambda: workload.q_embedding_near_dupes_lsh(spark, sf_dir, deterministic=False).count()),
-        ("curation_pipeline_full_xxhash64",
-         lambda: workload.q_curation_pipeline_full(spark, sf_dir, hash_fn="xxhash64").count()),
+        ("curation_pipeline_full_numpy",
+         lambda: workload.q_curation_pipeline_full(spark, sf_dir, hash_fn="numpy").count()),
     ):
         timed(name, thunk)
 

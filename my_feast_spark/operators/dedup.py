@@ -28,6 +28,8 @@ from __future__ import annotations
 
 import random as _random
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from my_feast_spark.functions.text import doc_fingerprint, tokens
@@ -175,9 +177,11 @@ def minhash_signatures(
     grouped.
 
     ``hash_fn``: "xxhash64" (default; 64 independent seeded hashes, the
-    cheapest pure-Spark path) or "portable" (one md5-derived base hash +
-    the Carter-Wegman family ``(A_i*base + B_i) % MINHASH_P`` — exactly
-    reproducible in DuckDB, so the whole LSH pipeline is oracle-checkable)."""
+    cheapest pure-expression path), "portable" (one md5-derived base
+    hash + the Carter-Wegman family ``(A_i*base + B_i) % MINHASH_P`` —
+    exactly reproducible in DuckDB, so the whole LSH pipeline is
+    oracle-checkable), or "numpy" (one JVM base hash + Arrow-batched
+    vectorized fan-out — fastest at scale, see _signatures_numpy)."""
     return _signatures_from_shingles(
         _with_shingles(df, id_col, text_col, n), num_hashes, hash_fn
     )
@@ -207,6 +211,9 @@ def _signatures_from_shingles(
         ]
         return based.select("doc", *cols)
 
+    if hash_fn == "numpy":
+        return _signatures_numpy(sh, num_hashes)
+
     def hasher(i):
         # NB: must be a 1-arg lambda — transform() treats a second lambda
         # parameter as the array index and would shadow a default arg
@@ -217,6 +224,53 @@ def _signatures_from_shingles(
         for i in range(num_hashes)
     ]
     return sh.select("doc", *cols)
+
+
+def _signatures_numpy(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """Arrow-batched signature fan-out: ONE JVM pass hashes each shingle
+    to int64 (xxhash64), then a vectorized pandas UDF derives all
+    ``num_hashes`` minima per row with a seeded splitmix64 finalizer
+    over the base array. The expression-tree forms pay num_hashes ×
+    num_shingles interpreted lambda evaluations per row (the per-column
+    ``array_min(transform(...))`` is a CodegenFallback HOF) — at 64
+    hashes that is the dominant minhash cost; the numpy fan-out is a
+    handful of uint64 vector ops per row. Same LSH quality family,
+    different bit patterns — so it pairs with the xxhash64 band-sig path
+    and is NOT oracle-replayable (use ``hash_fn="portable"`` for that).
+    Self-contained closure: executors never import this package."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    based = sh.select(
+        "doc", F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("__base")
+    )
+    seeds = (
+        np.arange(1, num_hashes + 1, dtype=np.uint64)
+        * np.uint64(0x9E3779B97F4A7C15)
+    )
+
+    @pandas_udf("array<long>")
+    def sigs(col: pd.Series) -> pd.Series:
+        M1 = np.uint64(0xBF58476D1CE4E5B9)
+        M2 = np.uint64(0x94D049BB133111EB)
+        out = []
+        with np.errstate(over="ignore"):
+            for b in col:
+                # (num_hashes, n_shingles) splitmix64 over base ^ seed_i
+                x = np.asarray(b, dtype=np.int64).astype(np.uint64)[None, :]
+                x = x ^ seeds[:, None]
+                x ^= x >> np.uint64(30)
+                x *= M1
+                x ^= x >> np.uint64(27)
+                x *= M2
+                x ^= x >> np.uint64(31)
+                out.append(x.min(axis=1).astype(np.int64))
+        return pd.Series(out)
+
+    sigd = based.select("doc", sigs(F.col("__base")).alias("__sig"))
+    return sigd.select(
+        "doc", *[F.col("__sig")[i].alias(f"mh_{i}") for i in range(num_hashes)]
+    )
 
 
 def minhash_lsh_dup_pairs(
@@ -336,7 +390,13 @@ def simhash(
 
     ``hash_fn="portable"`` uses the md5-derived 64-bit hash whose bit
     pattern DuckDB reproduces (md5_number_lower) — same fingerprints, so
-    hamming distances are oracle-checkable."""
+    hamming distances are oracle-checkable. ``hash_fn="numpy"`` computes
+    the SAME fingerprints as "xxhash64" (identical token hash + majority
+    rule) as a map-only pass: one JVM tokenize+hash projection, then an
+    Arrow-batched bit-vote per row — no explode, no aggregate, no
+    row blow-up in the map stage."""
+    if hash_fn == "numpy":
+        return _simhash_numpy(df, id_col, text_col, bits)
     token_hash = (
         portable_hash64(F.col("token")) if hash_fn == "portable"
         else F.xxhash64("token")
@@ -364,6 +424,41 @@ def simhash(
         )
         fp = fp.bitwiseOR(bit)
     return agg.select("doc", fp.alias("simhash"))
+
+
+def _simhash_numpy(df, id_col, text_col, bits) -> DataFrame:
+    """Map-only SimHash: per-row token hashes (one JVM pass) -> Arrow
+    batch -> vectorized bit votes -> packed fingerprint. Produces
+    bit-identical fingerprints to ``hash_fn="xxhash64"`` (same token
+    hash, same majority rule) without the explode + 64-sum aggregate:
+    the classic shape pays a |tokens|-row blow-up in the map stage and a
+    per-doc hash aggregate; this is one projection. Self-contained
+    closure — executors never import this package."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    hashed = spread_partitions(df).select(
+        F.col(id_col).alias("doc"),
+        F.transform(
+            tokens(F.lower(F.col(text_col))), lambda t: F.xxhash64(t)
+        ).alias("__h"),
+    )
+
+    @pandas_udf("long")
+    def fingerprint(col: pd.Series) -> pd.Series:
+        shifts = np.arange(bits, dtype=np.uint64)
+        out = np.empty(len(col), dtype=np.int64)
+        for i, hs in enumerate(col):
+            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)[:, None]
+            bit = ((h >> shifts) & np.uint64(1)).astype(np.int64)  # (n, bits)
+            votes = (2 * bit - 1).sum(axis=0)
+            fp = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                fp |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(fp.astype(np.int64))
+        return pd.Series(out)
+
+    return hashed.select("doc", fingerprint(F.col("__h")).alias("simhash"))
 
 
 def simhash_dup_pairs(

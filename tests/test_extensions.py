@@ -427,3 +427,27 @@ def test_ivf_topk_blas_query_runs(spark):
     det = workload.q_ivf_topk(spark, SF).collect()
     fast = workload.q_ivf_topk(spark, SF, deterministic=False).collect()
     assert sorted(map(tuple, det)) == sorted(map(tuple, fast))
+
+
+def test_minhash_numpy_signature_path_matches_xxhash64_pairs(spark, docs):
+    """The vectorized numpy signature fan-out is a different hash family
+    but the same LSH quality: on the planted near-dup corpus (jaccard
+    >= 0.9, capture probability ~1) it must find exactly the pairs the
+    xxhash64 path finds — the exact-Jaccard verify keeps precision 1 in
+    both."""
+    a = {(r.doc_a, r.doc_b) for r in minhash_lsh_dup_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, hash_fn="xxhash64").collect()}
+    b = {(r.doc_a, r.doc_b) for r in minhash_lsh_dup_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, hash_fn="numpy").collect()}
+    assert a == b and len(a) == 25
+
+
+def test_simhash_numpy_fingerprints_bit_identical_to_xxhash64(spark, docs):
+    """The map-only numpy SimHash uses the same token hash and majority
+    rule as the explode+aggregate xxhash64 path — fingerprints must be
+    bit-identical, not just similar."""
+    from my_feast_spark.operators.dedup import simhash
+
+    a = {r.doc: r.simhash for r in simhash(docs, "doc_id", "text", hash_fn="xxhash64").collect()}
+    b = {r.doc: r.simhash for r in simhash(docs, "doc_id", "text", hash_fn="numpy").collect()}
+    assert a == b
