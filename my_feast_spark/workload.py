@@ -2815,8 +2815,8 @@ QUERIES: dict[str, tuple] = {
     "embedding_near_dupes_lsh": (q_embedding_near_dupes_lsh, SQL_EMBEDDING_NEAR_DUPES_LSH),
     # --- curation tier, adjudicated r3, kept in-window --------------------
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
-    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
-    "stream_capture_files": (q_stream_capture_files, SQL_STREAM_CAPTURE_FILES),
+    "minhash_dup_pairs": (q_minhash_dup_pairs, SQL_MINHASH_DUP_PAIRS),
+    "simhash_dup_pairs": (q_simhash_dup_pairs, SQL_SIMHASH_DUP_PAIRS),
     "contamination_report": (q_contamination_report, SQL_CONTAMINATION_REPORT),
     "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
     "stratified_sample_docs": (q_stratified_sample_docs, SQL_STRATIFIED_SAMPLE_DOCS),
@@ -2861,8 +2861,8 @@ QUERIES: dict[str, tuple] = {
     "doc_fingerprints": (q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
     "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
     "jaccard_dup_pairs": (q_jaccard_dup_pairs, SQL_JACCARD_DUP_PAIRS),
-    "minhash_dup_pairs": (q_minhash_dup_pairs, SQL_MINHASH_DUP_PAIRS),
-    "simhash_dup_pairs": (q_simhash_dup_pairs, SQL_SIMHASH_DUP_PAIRS),
+    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
+    "stream_capture_files": (q_stream_capture_files, SQL_STREAM_CAPTURE_FILES),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),

@@ -18,8 +18,8 @@ ROTATION_TAIL = {
     "doc_fingerprints",
     "exact_dedup_docs",
     "jaccard_dup_pairs",
-    "minhash_dup_pairs",
-    "simhash_dup_pairs",
+    "multimodal_frames",
+    "stream_capture_files",
     "cosine_topk",
     "ann_lsh_topk",
     "label_centroids",
@@ -65,6 +65,8 @@ ROTATED_IN = {
 #: in-window so the change gets an adjudication row
 CHANGED_OR_NEW_THIS_ROUND = {
     "corpus_vocab",
+    "minhash_dup_pairs",
+    "simhash_dup_pairs",
     "curation_pipeline",
     "curation_pipeline_full",
     "repetition_filter",
