@@ -2659,6 +2659,117 @@ FROM sampled
 """
 
 
+def q_train_val_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split: the assignment is a
+    pure function of (doc_id, salt) via the portable hash bucket — the
+    same key never changes split across runs, engines, or partition
+    layouts, and a different salt draws an independent split. Summary
+    per split (docs + token budget). Map-only assignment; the only
+    shuffle is the 3-group aggregate."""
+    from my_feast_spark.functions.text import token_count
+    from my_feast_spark.operators.sampling import sample_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    b = sample_bucket(F.col("doc_id"), salt="split")
+    split = (
+        F.when(b < 800_000, F.lit("train"))
+        .when(b < 900_000, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), token_count(F.col("text")).alias("__nt"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt").alias("n_tokens"),
+        )
+    )
+
+
+SQL_TRAIN_VAL_SPLIT = """
+WITH b AS (
+  SELECT CAST((md5_number_lower(CAST(doc_id AS VARCHAR) || ':split')
+               & 9223372036854775807) % 1000000 AS BIGINT) AS bucket,
+         len(string_split_regex(trim(text), '\\s+')) AS nt
+  FROM documents
+)
+SELECT CASE WHEN bucket < 800000 THEN 'train'
+            WHEN bucket < 900000 THEN 'val' ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS n_tokens
+FROM b GROUP BY 1
+"""
+
+
+def q_sequence_packing(spark, sf_dir):
+    """Sequence packing (concat-and-cut): chunks are laid out in a
+    deterministic stream order per shard (doc_id % 8 buckets), the
+    running token offset is a window cumsum, and a chunk belongs to the
+    pack containing its first token (floor(offset / 2048)) — exactly the
+    concatenate-then-split-every-seq_len layout LLM training uses.
+    Output: per (shard, pack) chunk/token counts and doc-id range.
+
+    Scale shape: one shuffle keyed on the shard bucket; the cumsum is a
+    running window WITHIN each shard (at corpus scale use thousands of
+    shards, each a few GB — packs never need a global order); the final
+    aggregate re-uses the same shard partitioning."""
+    from pyspark.sql import Window
+
+    from my_feast_spark.functions.text import chunk_token_array, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = (
+        docs.select(
+            "doc_id",
+            (F.col("doc_id") % 8).alias("shard"),
+            F.explode_outer(
+                chunk_token_array(tokens(F.col("text")), size=50, stride=50)
+            ).alias("c"),
+        )
+        .filter(F.col("c").isNotNull())
+        .select("doc_id", "shard", F.col("c.start").alias("start"),
+                F.col("c.n_tokens").alias("n_tokens"))
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id", "start")
+    offset = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    packed = chunks.withColumn("pack_id", F.floor(offset / 2048))
+    return (
+        packed.groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+SQL_SEQUENCE_PACKING = """
+WITH toks AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+), chunks AS (
+  SELECT doc_id, shard,
+         CAST(u AS BIGINT) AS start,
+         least(50, len(t) - u) AS n_tokens
+  FROM toks, unnest(range(0,
+       CASE WHEN len(t) <= 50 THEN 1
+            ELSE ((len(t) - 50 + 49) // 50) * 50 + 1 END, 50)) AS r(u)
+), offs AS (
+  SELECT doc_id, shard, start, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, start
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS off
+  FROM chunks
+)
+SELECT shard, CAST(floor(off / 2048) AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM offs GROUP BY 1, 2
+"""
+
+
 def q_curation_pipeline_full(spark, sf_dir, *, hash_fn="portable"):
     """EVERY curation stage in one plan: exact dedup -> benchmark
     decontamination (4-gram overlap vs the doc_id%50==0 eval split) ->
@@ -2809,6 +2920,8 @@ QUERIES: dict[str, tuple] = {
     # --- changed/new in round 4: fresh rows required ----------------------
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "curation_pipeline_full": (q_curation_pipeline_full, SQL_CURATION_PIPELINE_FULL),
+    "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
+    "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     "repetition_filter": (q_repetition_filter, SQL_REPETITION_FILTER),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
@@ -2817,7 +2930,6 @@ QUERIES: dict[str, tuple] = {
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "minhash_dup_pairs": (q_minhash_dup_pairs, SQL_MINHASH_DUP_PAIRS),
     "simhash_dup_pairs": (q_simhash_dup_pairs, SQL_SIMHASH_DUP_PAIRS),
-    "contamination_report": (q_contamination_report, SQL_CONTAMINATION_REPORT),
     "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
     "stratified_sample_docs": (q_stratified_sample_docs, SQL_STRATIFIED_SAMPLE_DOCS),
     "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
@@ -2832,7 +2944,6 @@ QUERIES: dict[str, tuple] = {
     "online_snapshot": (q_online_snapshot, SQL_ONLINE_SNAPSHOT),
     "online_lookup": (q_online_lookup, SQL_ONLINE_LOOKUP),
     "feature_store_retrieval": (q_feature_store_retrieval, SQL_FEATURE_STORE_RETRIEVAL),
-    "avro_scan": (q_avro_scan, SQL_AVRO_SCAN),
     "streaming_hourly_agg": (q_streaming_hourly_agg, SQL_STREAMING_HOURLY_AGG),
     "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
     "streaming_sessionize": (q_streaming_sessionize, SQL_STREAMING_SESSIONIZE),
@@ -2861,6 +2972,8 @@ QUERIES: dict[str, tuple] = {
     "doc_fingerprints": (q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
     "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
     "jaccard_dup_pairs": (q_jaccard_dup_pairs, SQL_JACCARD_DUP_PAIRS),
+    "contamination_report": (q_contamination_report, SQL_CONTAMINATION_REPORT),
+    "avro_scan": (q_avro_scan, SQL_AVRO_SCAN),
     "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
     "stream_capture_files": (q_stream_capture_files, SQL_STREAM_CAPTURE_FILES),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),

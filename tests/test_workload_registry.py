@@ -15,6 +15,8 @@ from my_feast_spark import workload
 # IN the window; the round-3-green dedup-pair / ANN-exact / set-op
 # queries sit in the tail this round and return in round 5.
 ROTATION_TAIL = {
+    "contamination_report",
+    "avro_scan",
     "doc_fingerprints",
     "exact_dedup_docs",
     "jaccard_dup_pairs",
@@ -65,6 +67,8 @@ ROTATED_IN = {
 #: in-window so the change gets an adjudication row
 CHANGED_OR_NEW_THIS_ROUND = {
     "corpus_vocab",
+    "train_val_split",
+    "sequence_packing",
     "minhash_dup_pairs",
     "simhash_dup_pairs",
     "curation_pipeline",
