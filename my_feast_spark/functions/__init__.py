@@ -1,8 +1,16 @@
 from my_feast_spark.functions.scalar import hour_bucket, priority_collapse
 from my_feast_spark.functions.text import (
+    chunk_count,
+    chunk_token_array,
+    chunk_tokens,
     doc_fingerprint,
+    lang_id,
     lang_scores,
+    let,
     quality_features,
+    redact_pii,
+    repetition_features,
+    repetition_features_arr,
     tokens,
 )
 
@@ -10,7 +18,15 @@ __all__ = [
     "priority_collapse",
     "hour_bucket",
     "tokens",
+    "let",
     "doc_fingerprint",
     "quality_features",
     "lang_scores",
+    "lang_id",
+    "chunk_tokens",
+    "chunk_token_array",
+    "chunk_count",
+    "repetition_features",
+    "repetition_features_arr",
+    "redact_pii",
 ]

@@ -1,4 +1,16 @@
-from my_feast_spark.operators.asof_join import point_in_time_join
 from my_feast_spark.operators.aggregations import latest_per_key, time_bucket_agg
+from my_feast_spark.operators.asof_join import point_in_time_join
+from my_feast_spark.operators.curation import CurationConfig, curate
+from my_feast_spark.operators.graph import connected_components
+from my_feast_spark.operators.sampling import sample_bucket, stratified_sample
 
-__all__ = ["point_in_time_join", "time_bucket_agg", "latest_per_key"]
+__all__ = [
+    "point_in_time_join",
+    "time_bucket_agg",
+    "latest_per_key",
+    "curate",
+    "CurationConfig",
+    "connected_components",
+    "stratified_sample",
+    "sample_bucket",
+]
