@@ -451,3 +451,32 @@ def test_simhash_numpy_fingerprints_bit_identical_to_xxhash64(spark, docs):
     a = {r.doc: r.simhash for r in simhash(docs, "doc_id", "text", hash_fn="xxhash64").collect()}
     b = {r.doc: r.simhash for r in simhash(docs, "doc_id", "text", hash_fn="numpy").collect()}
     assert a == b
+
+
+def test_text_functions_on_degenerate_inputs(spark):
+    """Empty and whitespace-only documents must not divide by zero or
+    emit nulls anywhere in the text tier (split of '' yields [''], so
+    n_tokens >= 1 by construction — pinned here)."""
+    from my_feast_spark.functions.text import (
+        chunk_count, chunk_tokens, quality_features, repetition_features,
+    )
+
+    df = spark.createDataFrame([
+        Row(i=1, text=""), Row(i=2, text="   "), Row(i=3, text="x"),
+    ])
+    q = quality_features(F.col("text"))
+    r = repetition_features(F.col("text"))
+    out = df.select(
+        "i",
+        q["n_tokens"].alias("qn"),
+        q["lexical_diversity"].alias("div"),
+        q["stopword_ratio"].alias("stop"),
+        r["top_token_frac"].alias("top"),
+        r["dup_2gram_frac"].alias("dup"),
+        F.size(chunk_tokens(F.col("text"))).alias("nc"),
+        chunk_count(F.split(F.trim(F.col("text")), r"\s+")).alias("cc"),
+    ).collect()
+    for row in out:
+        assert row.qn == 1 and row.nc == 1 and row.cc == 1, row
+        assert row.dup == 0.0 and row.top == 1.0, row
+        assert None not in tuple(row), row
