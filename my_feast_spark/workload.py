@@ -1089,6 +1089,71 @@ ORDER BY n_occurrences DESC, token ASC LIMIT 50
 """
 
 
+def q_vocab_encode(spark, sf_dir):
+    """Vocabulary encoding: map each document's tokens to integer ids
+    from the corpus top-20 vocabulary (rank by occurrences desc, token
+    asc), out-of-vocabulary -> -1 — the tokenizer-encode step of a
+    training pipeline. The vocabulary is collected to the driver
+    (BOUNDED: vocab_size rows — the IVF-sample pattern) and enters the
+    plan as a map literal, so encoding is a map-only transform over the
+    projected token array; no join ever touches the corpus. Output is
+    per-doc token/OOV counts and an order-sensitive digest of the id
+    sequence, so the oracle verifies the exact encoding."""
+    from my_feast_spark.functions.text import tokens
+
+    vocab_size = 20
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("__ltoks")
+    )
+    top = (
+        toked.select(F.explode("__ltoks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(vocab_size)
+        .collect()
+    )
+    vocab = {r.token: i for i, r in enumerate(top)}
+    vmap = F.create_map(*[F.lit(x) for kv in vocab.items() for x in kv])
+    ids = F.transform(
+        F.col("__ltoks"), lambda t: F.coalesce(vmap[t], F.lit(-1))
+    )
+    return toked.select(
+        "doc_id",
+        F.size("__ltoks").alias("n_tokens"),
+        F.size(F.filter(ids, lambda i: i == -1)).alias("n_oov"),
+        F.md5(
+            F.encode(F.concat_ws(",", F.transform(ids, lambda i: i.cast("string"))), "UTF-8")
+        ).alias("ids_md5"),
+    )
+
+
+SQL_VOCAB_ENCODE = """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+), vocab AS (
+  SELECT token, CAST(row_number() OVER (ORDER BY n DESC, token ASC) - 1 AS INT) AS id
+  FROM (
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(t) AS token FROM tok)
+    GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+  )
+), flat AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS ord, t[i] AS token
+  FROM tok, unnest(range(1, len(t) + 1)) AS r(i)
+), enc AS (
+  SELECT f.doc_id, f.ord, COALESCE(v.id, -1) AS id
+  FROM flat f LEFT JOIN vocab v USING (token)
+)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_tokens,
+       CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS INT) AS n_oov,
+       md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY ord)) AS ids_md5
+FROM enc GROUP BY doc_id
+"""
+
+
 def q_top_terms_tfidf(spark, sf_dir):
     """TF-IDF top-3 terms per doc (for a deterministic doc subset) with
     GLOBAL document frequencies: tf per (doc, term) rides partial
@@ -2935,13 +3000,13 @@ QUERIES: dict[str, tuple] = {
     "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
     # --- text tier remainder ----------------------------------------------
     "corpus_vocab": (q_corpus_vocab, SQL_CORPUS_VOCAB),
+    "vocab_encode": (q_vocab_encode, SQL_VOCAB_ENCODE),
     "regex_mentions": (q_regex_mentions, SQL_REGEX_MENTIONS),
     "top_terms_tfidf": (q_top_terms_tfidf, SQL_TOP_TERMS_TFIDF),
     "length_outlier_filter": (q_length_outlier_filter, SQL_LENGTH_OUTLIER_FILTER),
     "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES),
     # --- tier 3: reference-parity surface ---------------------------------
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
-    "online_snapshot": (q_online_snapshot, SQL_ONLINE_SNAPSHOT),
     "online_lookup": (q_online_lookup, SQL_ONLINE_LOOKUP),
     "feature_store_retrieval": (q_feature_store_retrieval, SQL_FEATURE_STORE_RETRIEVAL),
     "streaming_hourly_agg": (q_streaming_hourly_agg, SQL_STREAMING_HOURLY_AGG),
@@ -2972,6 +3037,7 @@ QUERIES: dict[str, tuple] = {
     "doc_fingerprints": (q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
     "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
     "jaccard_dup_pairs": (q_jaccard_dup_pairs, SQL_JACCARD_DUP_PAIRS),
+    "online_snapshot": (q_online_snapshot, SQL_ONLINE_SNAPSHOT),
     "contamination_report": (q_contamination_report, SQL_CONTAMINATION_REPORT),
     "avro_scan": (q_avro_scan, SQL_AVRO_SCAN),
     "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),

@@ -15,6 +15,7 @@ from my_feast_spark import workload
 # IN the window; the round-3-green dedup-pair / ANN-exact / set-op
 # queries sit in the tail this round and return in round 5.
 ROTATION_TAIL = {
+    "online_snapshot",
     "contamination_report",
     "avro_scan",
     "doc_fingerprints",
@@ -67,6 +68,7 @@ ROTATED_IN = {
 #: in-window so the change gets an adjudication row
 CHANGED_OR_NEW_THIS_ROUND = {
     "corpus_vocab",
+    "vocab_encode",
     "train_val_split",
     "sequence_packing",
     "minhash_dup_pairs",
