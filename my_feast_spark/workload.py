@@ -3001,8 +3001,8 @@ QUERIES: dict[str, tuple] = {
     # --- text tier remainder ----------------------------------------------
     "corpus_vocab": (q_corpus_vocab, SQL_CORPUS_VOCAB),
     "vocab_encode": (q_vocab_encode, SQL_VOCAB_ENCODE),
-    "regex_mentions": (q_regex_mentions, SQL_REGEX_MENTIONS),
-    "top_terms_tfidf": (q_top_terms_tfidf, SQL_TOP_TERMS_TFIDF),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
     "length_outlier_filter": (q_length_outlier_filter, SQL_LENGTH_OUTLIER_FILTER),
     "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES),
     # --- tier 3: reference-parity surface ---------------------------------
@@ -3047,8 +3047,8 @@ QUERIES: dict[str, tuple] = {
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "embedding_near_dupes": (q_embedding_near_dupes, SQL_EMBEDDING_NEAR_DUPES),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
-    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
-    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "regex_mentions": (q_regex_mentions, SQL_REGEX_MENTIONS),
+    "top_terms_tfidf": (q_top_terms_tfidf, SQL_TOP_TERMS_TFIDF),
     "user_cohort_sets": (q_user_cohort_sets, SQL_USER_COHORT_SETS),
     "moving_avg_revenue": (q_moving_avg_revenue, SQL_MOVING_AVG_REVENUE),
     "returnflag_cube": (q_returnflag_cube, SQL_RETURNFLAG_CUBE),

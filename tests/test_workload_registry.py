@@ -28,8 +28,8 @@ ROTATION_TAIL = {
     "label_centroids",
     "embedding_near_dupes",
     "multimodal_decode",
-    "quality_score",
-    "lang_id",
+    "regex_mentions",
+    "top_terms_tfidf",
     "user_cohort_sets",
     "moving_avg_revenue",
     "returnflag_cube",
@@ -68,6 +68,8 @@ ROTATED_IN = {
 #: in-window so the change gets an adjudication row
 CHANGED_OR_NEW_THIS_ROUND = {
     "corpus_vocab",
+    "quality_score",
+    "lang_id",
     "vocab_encode",
     "train_val_split",
     "sequence_packing",
