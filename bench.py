@@ -69,11 +69,17 @@ def main() -> None:
     spread: dict[str, list[float]] = {}
 
     def timed(name, thunk):
+        # min-of-2, but only where a second run can change the story:
+        # sub-0.75s queries are overhead-dominated and a re-run would
+        # just double the bench wall time for noise (the driver may run
+        # the whole bench several times itself)
         runs = []
         for _ in range(2):
             t0 = time.monotonic()
             thunk()
             runs.append(round(time.monotonic() - t0, 3))
+            if runs[0] < 0.75:
+                break
         timings[name] = min(runs)
         spread[name] = runs
 
