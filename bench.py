@@ -129,12 +129,16 @@ def main() -> None:
         timed(name + "_evaluated", full_eval)
 
     total = round(sum(timings[q] for q in BENCH_QUERIES), 3)
+    # Headline keys (metric/value/sf) LAST: the driver's capture keeps
+    # only the TAIL of stdout, so when the line is long enough to be
+    # truncated, the headline must sit at the end to survive (r4 lost
+    # its official number to the old value-first ordering).
     print(json.dumps({
-        "metric": "headline_total_sec",
-        "value": total,
-        "unit": "sec",
         "queries": timings,
         "spread": spread,
+        "unit": "sec",
+        "metric": "headline_total_sec",
+        "value": total,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

@@ -63,7 +63,8 @@ class FeatureStore:
             from my_feast_spark.session import get_session
 
             self._spark = get_session()
-        spark = apply_runtime_confs(self._spark)
+        spark = self._spark
+        apply_runtime_confs(spark)
         # offline_store.spark_conf from feature_store.yaml (the on-prem
         # reference repos set session confs there): runtime confs only —
         # static JVM confs cannot change on a live session.

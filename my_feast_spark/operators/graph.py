@@ -51,7 +51,7 @@ def connected_components(
     out_id: str = "id",
     out_label: str = "cluster_id",
     method: str = "label",
-    driver_max_edges: int = None,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """(vertex, component) for every vertex appearing in ``edges``;
     the component id is the minimum vertex id in the component.
@@ -68,11 +68,13 @@ def connected_components(
     dedup clustering is worse than a failed job.
 
     ``driver_max_edges`` (default ``_DRIVER_CC_MAX_EDGES``): when the
-    MATERIALIZED edge count is at or below this bound, both methods
-    short-circuit to a driver-side union-find — the near-dup pair graph
-    is typically a handful of edges out of a huge corpus, and one
-    distributed round costs more scheduler latency than the whole
-    resolution. Pass 0 to force the distributed path.
+    MATERIALIZED edge count — canonicalized (hi, lo), self-loops
+    dropped, deduplicated; the same definition under both methods — is
+    at or below this bound, both methods short-circuit to a driver-side
+    union-find — the near-dup pair graph is typically a handful of
+    edges out of a huge corpus, and one distributed round costs more
+    scheduler latency than the whole resolution. Pass 0 to force the
+    distributed path.
     """
     if driver_max_edges is None:
         driver_max_edges = _DRIVER_CC_MAX_EDGES
@@ -127,8 +129,13 @@ def _cc_driver_union_find(sym, spark, out_id, out_label) -> DataFrame:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
     rows = [(x, find(x)) for x in parent]
+    # Label type = the COMMON type of both endpoints (coalesce forces
+    # Catalyst's least-common-type resolution): labels propagate across
+    # src and dst, so deriving both fields from the src column alone
+    # could overflow the narrower type on mixed-width id columns.
+    common = F.coalesce(F.col("a"), F.col("b"))
     schema = sym.select(
-        F.col("a").alias(out_id), F.col("a").alias(out_label)
+        common.alias(out_id), common.alias(out_label)
     ).schema
     return spark.createDataFrame(rows, schema)
 
@@ -137,19 +144,30 @@ def _cc_min_label(
     edges, src, dst, max_iter, out_id, out_label, driver_max_edges=0
 ) -> DataFrame:
     spark = edges.sparkSession
-    sym = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).union(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    # Canonicalize (hi, lo), drop self-loops, deduplicate BEFORE
+    # symmetrizing: duplicate input edges would otherwise both inflate
+    # the loop's join fan-out and make the driver-shortcut threshold
+    # mean something different here than under method="star" (both
+    # methods now compare the same deduplicated edge count).
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint()
     )
-    sym = sym.localCheckpoint()
-    # Size loop parallelism to the materialized edge count (one cheap
-    # count over the checkpoint), capped at the session default.
-    default_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    n_edges = sym.count()
-    if n_edges <= 2 * driver_max_edges:  # sym holds both directions
+    n_edges = e.count()
+    sym = e.select(F.col("hi").alias("a"), F.col("lo").alias("b")).union(
+        e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    )
+    if n_edges <= driver_max_edges:
         return _cc_driver_union_find(sym, spark, out_id, out_label)
-    loop_p = _loop_partitions(spark, n_edges)
+    # Size loop parallelism to the materialized edge count, capped at
+    # the session default.
+    default_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    loop_p = _loop_partitions(spark, 2 * n_edges)
     if loop_p < default_p:
         sym = sym.repartition(loop_p, "b").localCheckpoint()
     labels = (

@@ -45,18 +45,19 @@ def session_confs(shuffle_partitions: int | None = None) -> dict[str, str]:
 
 def apply_runtime_confs(
     spark: SparkSession, warnings: list[str] | None = None
-) -> SparkSession:
-    """Apply the engine's runtime-settable confs to an existing session.
+) -> list[str]:
+    """Apply the engine's runtime-settable confs to an existing session;
+    returns the list of rejected confs (empty when all applied).
 
     Used when the caller (e.g. the verification driver) owns the session.
     All confs in RUNTIME_CONFS are SQL confs and runtime-settable — but a
     session can still reject one (static conf on some build, a conf
     locked by the cluster admin). Silently skipping a
     determinism-critical conf like the UTC timezone would corrupt
-    results downstream, so every rejection is recorded: appended to the
-    caller's ``warnings`` list when given, and always kept on the
-    session as ``last_conf_warnings`` (mirroring ``core/config.py``'s
-    warning-attribute pattern).
+    results downstream, so every rejection is reported: returned, and
+    also appended to the caller's ``warnings`` list when given (for
+    callers accumulating warnings across several setup steps). No
+    process-global state — concurrent sessions each get their own list.
     """
     rejected: list[str] = []
     for k, v in RUNTIME_CONFS.items():
@@ -66,12 +67,7 @@ def apply_runtime_confs(
             rejected.append(f"conf {k}={v} rejected: {exc}")
     if warnings is not None:
         warnings.extend(rejected)
-    apply_runtime_confs.last_conf_warnings = rejected
-    return spark
-
-
-#: rejections from the most recent apply_runtime_confs call
-apply_runtime_confs.last_conf_warnings = []
+    return rejected
 
 
 def get_session(

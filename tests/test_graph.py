@@ -62,3 +62,38 @@ def test_label_method_converges_within_budget_on_chain(spark):
 def test_unknown_method_rejected(spark):
     with pytest.raises(ValueError):
         connected_components(_edges(spark, [(1, 2)]), method="nope")
+
+
+def test_mixed_width_id_columns_widen_label_type(spark):
+    # src INT, dst BIGINT: labels propagate across both endpoints, so
+    # the output schema must take the COMMON (wider) type — deriving it
+    # from the src column alone would overflow int on a long-only label
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField, StructType,
+    )
+
+    big = 2**40
+    schema = StructType([
+        StructField("id_a", IntegerType()),
+        StructField("id_b", LongType()),
+    ])
+    e = spark.createDataFrame([(1, big), (2, big + 1), (1, 2)], schema)
+    for kwargs in ({}, {"method": "label", "driver_max_edges": 0},
+                   {"method": "star", "driver_max_edges": 0}):
+        out = connected_components(e, **kwargs)
+        types = {f.name: f.dataType for f in out.schema.fields}
+        assert isinstance(types["id"], LongType), kwargs
+        assert isinstance(types["cluster_id"], LongType), kwargs
+        labels = _labels(out)
+        assert labels == {1: 1, 2: 1, big: 1, big + 1: 1}, kwargs
+
+
+def test_duplicate_edges_do_not_change_shortcut_threshold(spark):
+    # 3 distinct edges repeated 4x each: the deduplicated count (3) is
+    # what both methods compare against driver_max_edges — a bound of 3
+    # must take the driver shortcut (identical labels either way)
+    pairs = [(1, 2), (2, 3), (10, 11)] * 4
+    e = _edges(spark, pairs)
+    lab = _labels(connected_components(e, method="label", driver_max_edges=3))
+    star = _labels(connected_components(e, method="star", driver_max_edges=3))
+    assert lab == star == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
