@@ -20,17 +20,27 @@ operator.
   6. accounting    — per-doc token and chunk counts for the mixture
                      report (pure arithmetic, no chunk text rendered).
 
-Scale notes. The token array is projected ONCE, before the dedup
-window, and carried through the single corpus shuffle in place of
-re-tokenizing per stage — stages 4-6 consume the projected column, and
-because the repetition predicate references a non-partition column it
-can never be pushed below the window and re-expanded into duplicate
-token computations. The optional stages (2, 3) anti-join on the doc id
-only: the contaminated-id and non-representative-id relations are
-orders of magnitude smaller than the corpus (AQE broadcasts them when
-they fit), and the corpus side keeps its dedup partitioning. Raw text
-is carried past the window only when an optional stage needs to
-re-shingle it.
+Scale notes. The LOWERCASED token array is projected ONCE, before the
+dedup window, and carried through the single corpus shuffle in place of
+the text: the repetition filter (4) and accounting (6) consume it
+directly, and the optional shingle consumers (2, 3) shingle from it via
+``tokens_col`` — raw text never crosses the shuffle at all, and no
+stage re-tokenizes. Because the repetition predicate references a
+non-partition column it can never be pushed below the window and
+re-expanded into duplicate token computations.
+
+When optional stages are on, the narrow deduped relation
+``(id, stratum, __ltoks)`` is persisted only for the duration of this
+call: the optional stages are resolved EAGERLY into a (small)
+dropped-id relation pinned with ``localCheckpoint``, then every cache —
+including the ones the near-dup pair generator owns — is released
+before returning. The final plan is the dedup window plus ONE anti-join
+against the materialized dropped ids (AQE broadcasts them when small):
+no corpus-sized cache outlives the call, the cached bytes during it are
+the token arrays alone (no text, no fingerprint), and downstream
+consumption re-derives the window from the source scan — the shape you
+want at 100 TB, where holding a corpus-sized cache through the
+consuming job is worse than one extra scan.
 """
 
 from __future__ import annotations
@@ -85,19 +95,18 @@ def curate(
     ``(id, stratum, n_tokens, n_chunks)`` of the surviving documents."""
     cfg = config or CurationConfig()
     did, text, stratum = cfg.id_col, cfg.text_col, cfg.stratum_col
-    needs_text = benchmark_df is not None or cfg.near_dup is not None
+    optional_stages = benchmark_df is not None or cfg.near_dup is not None
 
-    # Tokenize ONCE, before the dedup shuffle: every later stage reads
-    # the projected array (roughly the bytes of the text it replaces).
-    staged_cols = [
+    # Tokenize ONCE (lowercased — every consumer wants the lowered
+    # form; token COUNTS are lowering-invariant), before the dedup
+    # shuffle: later stages read the projected array in place of the
+    # text, which never crosses the shuffle.
+    staged = df.select(
         F.col(did),
         F.col(stratum),
         doc_fingerprint(F.col(text)).alias("__fp"),
-        tokens(F.col(text)).alias("__toks"),
-    ]
-    if needs_text:
-        staged_cols.insert(2, F.col(text))
-    staged = df.select(*staged_cols)
+        tokens(F.lower(F.col(text))).alias("__ltoks"),
+    )
 
     # 1. exact dedup: min-id doc per fingerprint, one corpus shuffle
     w = Window.partitionBy("__fp").orderBy(did)
@@ -106,57 +115,94 @@ def curate(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__fp")
     )
-    if needs_text:
-        # The optional stages fan the deduped corpus out to multiple
-        # consumers (contamination train side, the near-dup pair
-        # generator, and the main chain) whose differing column pruning
-        # defeats Spark's ReuseExchange — without a cache each consumer
-        # would re-scan and re-shuffle the corpus. MEMORY_AND_DISK
-        # persist (the default) spills at scale; the near-dup stage's
-        # eager candidate materialization populates it first, so later
-        # consumers read the cache.
+
+    if optional_stages:
+        # The optional stages fan the deduped corpus out to extra
+        # shingle consumers (contamination train side, the near-dup
+        # pair generator) — cache the NARROW relation so each consumer
+        # reads token arrays instead of re-running the window, resolve
+        # them eagerly into a small dropped-id set, then release every
+        # cache before returning (see module docstring).
         deduped = deduped.persist()
+        # Materialize the cache up front: both optional stages read it,
+        # and the contamination job below runs CONCURRENTLY with the
+        # near-dup stages — racing two jobs into an unpopulated cache
+        # would compute the window once per job.
+        deduped.count()
+        drops: list[DataFrame] = []
+        pair_caches: list[DataFrame] = []
+        contaminated_fut = None
 
-    # 2. benchmark decontamination (optional)
-    if benchmark_df is not None:
-        from my_feast_spark.operators.decontamination import contamination_report
+        # 2. benchmark decontamination (optional) — launched on a
+        #    worker thread: its broadcast semi-join and the near-dup
+        #    LSH stages are independent jobs over the same cached
+        #    input, and neither saturates the cluster alone (Spark's
+        #    scheduler interleaves concurrent jobs' stages).
+        if benchmark_df is not None:
+            from concurrent.futures import ThreadPoolExecutor
 
-        contaminated = contamination_report(
-            deduped,
-            benchmark_df,
-            did,
-            text,
-            n=cfg.decontaminate_ngram,
-            min_hits=cfg.decontaminate_min_hits,
-        ).select(F.col("doc_id").alias(did))
-        deduped = deduped.join(contaminated, did, "left_anti")
+            from my_feast_spark.operators.decontamination import (
+                contamination_report,
+            )
 
-    # 3. near-dup cluster pruning (optional): pairs -> components ->
-    #    drop everything but each cluster's min-id representative
-    if cfg.near_dup is not None:
-        if cfg.near_dup != "minhash":
-            raise ValueError(f"unknown near_dup method: {cfg.near_dup!r}")
-        from my_feast_spark.operators.dedup import minhash_lsh_dup_pairs
-        from my_feast_spark.operators.graph import connected_components
+            contaminated = contamination_report(
+                deduped,
+                benchmark_df,
+                did,
+                text,
+                n=cfg.decontaminate_ngram,
+                min_hits=cfg.decontaminate_min_hits,
+                train_tokens_col="__ltoks",
+            ).select(F.col("doc_id").alias(did))
+            pool = ThreadPoolExecutor(max_workers=1)
+            contaminated_fut = pool.submit(contaminated.localCheckpoint)
+            pool.shutdown(wait=False)
 
-        pairs = minhash_lsh_dup_pairs(
-            deduped,
-            did,
-            text,
-            n=cfg.near_dup_shingle_n,
-            threshold=cfg.near_dup_threshold,
-            hash_fn=cfg.near_dup_hash_fn,
-            **cfg.near_dup_kwargs,
-        )
-        clusters = connected_components(pairs, "doc_a", "doc_b")
-        dropped = clusters.filter(F.col("id") != F.col("cluster_id")).select(
-            F.col("id").alias(did)
-        )
-        deduped = deduped.join(dropped, did, "left_anti")
+        # 3. near-dup cluster pruning (optional): pairs -> components ->
+        #    drop everything but each cluster's min-id representative
+        if cfg.near_dup is not None:
+            if cfg.near_dup != "minhash":
+                raise ValueError(f"unknown near_dup method: {cfg.near_dup!r}")
+            from my_feast_spark.operators.dedup import minhash_lsh_dup_pairs
+            from my_feast_spark.operators.graph import connected_components
 
-    # 4. repetition filter — map-only; predicate on __toks cannot cross
-    #    the dedup window, so the projected array is never re-expanded
-    feats = repetition_features_arr(F.transform(F.col("__toks"), F.lower))
+            pairs = minhash_lsh_dup_pairs(
+                deduped,
+                did,
+                text,
+                n=cfg.near_dup_shingle_n,
+                threshold=cfg.near_dup_threshold,
+                hash_fn=cfg.near_dup_hash_fn,
+                tokens_col="__ltoks",
+                **cfg.near_dup_kwargs,
+            )
+            pair_caches = list(getattr(pairs, "_owned_caches", ()))
+            # connected_components materializes the pairs internally
+            # (checkpointed edges / driver union-find)
+            clusters = connected_components(pairs, "doc_a", "doc_b")
+            drops.append(
+                clusters.filter(F.col("id") != F.col("cluster_id")).select(
+                    F.col("id").alias(did)
+                )
+            )
+
+        # Pin the (small) dropped-id union eagerly, then drop every
+        # cache: the returned plan must not depend on session-lifetime
+        # cached blocks (repeated curate() calls in one session would
+        # otherwise accumulate them).
+        if contaminated_fut is not None:
+            drops.insert(0, contaminated_fut.result())
+        drop_ids = drops[0] if len(drops) == 1 else drops[0].union(drops[1])
+        drop_ids = drop_ids.localCheckpoint()
+        for c in pair_caches:
+            c.unpersist()
+        deduped.unpersist()
+        deduped = deduped.join(drop_ids, did, "left_anti")
+
+    # 4. repetition filter — map-only over the projected (lowered)
+    #    token array; the predicate cannot cross the dedup window, so
+    #    the array is never re-expanded into repeated tokenizations
+    feats = repetition_features_arr(F.col("__ltoks"))
     clean = deduped.filter(
         (feats["top_token_frac"] <= cfg.max_top_token_frac)
         & (feats["dup_2gram_frac"] <= cfg.max_dup_2gram_frac)
@@ -177,8 +223,8 @@ def curate(
     return clean.select(
         did,
         stratum,
-        F.size(F.col("__toks")).alias("n_tokens"),
+        F.size(F.col("__ltoks")).alias("n_tokens"),
         chunk_count(
-            F.col("__toks"), size=cfg.chunk_size, stride=cfg.chunk_stride
+            F.col("__ltoks"), size=cfg.chunk_size, stride=cfg.chunk_stride
         ).alias("n_chunks"),
     )

@@ -31,6 +31,7 @@ def contamination_report(
     bench_text_col: str | None = None,
     n: int = 5,
     min_hits: int = 1,
+    train_tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-training-document contamination report.
 
@@ -42,7 +43,9 @@ def contamination_report(
 
     Tokenization/shingling matches the dedup tier (lowercase, whitespace
     split, distinct word n-grams) so contamination uses the same text
-    normalization as near-dup detection.
+    normalization as near-dup detection. ``train_tokens_col`` names a
+    pre-lowercased token-array column on the train side to shingle from
+    without re-tokenizing (the curation pipeline's tokenize-once path).
     """
     bench_id = bench_id_col or id_col
     bench_text = bench_text_col or text_col
@@ -54,7 +57,7 @@ def contamination_report(
     # measured ~6x slower end-to-end. The arrays are non-empty by the
     # >= n-token filter anyway; the null guard keeps semantics identical.
     train_sh = (
-        _with_shingles(train_df, id_col, text_col, n)
+        _with_shingles(train_df, id_col, text_col, n, train_tokens_col)
         .select(F.col("doc").alias("doc_id"), F.explode_outer("sh").alias("shingle"))
         .filter(F.col("shingle").isNotNull())
     )

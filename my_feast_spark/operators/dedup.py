@@ -82,16 +82,28 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _with_shingles(df, id_col, text_col, n):
+def _with_shingles(df, id_col, text_col, n, tokens_col=None):
     """doc -> distinct word n-gram shingle array (docs with < n tokens drop).
 
     Input is spread to cluster parallelism first: shingling is CPU-bound
-    and a small single-file corpus would otherwise run on one core."""
+    and a small single-file corpus would otherwise run on one core.
+
+    ``tokens_col`` names an ALREADY-LOWERCASED token-array column to
+    shingle from instead of re-tokenizing ``text_col`` — the
+    tokenize-once path for pipelines (curation) that project the token
+    array a single time and fan it out to several shingle consumers.
+    """
+    base = spread_partitions(df)
+    if tokens_col is not None:
+        base = base.select(
+            F.col(id_col).alias("doc"), F.col(tokens_col).alias("__toks")
+        )
+    else:
+        base = base.select(
+            F.col(id_col).alias("doc"), F.col(text_col).alias("__text")
+        ).withColumn("__toks", tokens(F.lower(F.col("__text"))))
     return (
-        spread_partitions(df)
-        .select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
-        .withColumn("__toks", tokens(F.lower(F.col("__text"))))
-        .filter(F.size("__toks") >= n)
+        base.filter(F.size("__toks") >= n)
         .withColumn("sh", shingles_from_tokens(n))
         .select("doc", "sh")
     )
@@ -153,7 +165,7 @@ def jaccard_dup_pairs(
     )
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
+    out = (
         inter.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn(
             "jaccard",
@@ -162,6 +174,8 @@ def jaccard_dup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    out._owned_caches = [sh]
+    return out
 
 
 def minhash_signatures(
@@ -199,10 +213,19 @@ def _signatures_from_shingles(
     if hash_fn == "portable":
         if num_hashes > len(MINHASH_A):
             raise ValueError(f"portable family has {len(MINHASH_A)} hashes")
-        # one md5 per shingle, then num_hashes cheap modular transforms
+        # one md5 per shingle (JVM, bit-exact vs the oracle), then the
+        # Carter-Wegman fan-out vectorized in ONE Arrow batch: numpy
+        # int64 arithmetic is exact for (a*x + b) % P (products < 2^62),
+        # so the signatures are IDENTICAL to the expression form below —
+        # which paid num_hashes interpreted HOF passes per row (the
+        # dominant minhash cost, ~3.5x the whole pipeline at sf0.1).
         based = sh.select(
             "doc", F.transform(F.col("sh"), _portable_base).alias("__base")
         )
+        try:
+            return _cw_signatures_numpy(based, num_hashes)
+        except ImportError:  # pragma: no cover - numpy is baked in
+            pass
         cols = [
             F.array_min(
                 F.transform(F.col("__base"), _cw_hasher(MINHASH_A[i], MINHASH_B[i]))
@@ -224,6 +247,34 @@ def _signatures_from_shingles(
         for i in range(num_hashes)
     ]
     return sh.select("doc", *cols)
+
+
+def _cw_signatures_numpy(based: DataFrame, num_hashes: int) -> DataFrame:
+    """Vectorized Carter-Wegman minima over the pre-hashed ``__base``
+    arrays — bit-identical to the expression form (exact int64 ops:
+    a, x < MINHASH_P = 2^31 - 1, so a*x + b < 2^62 + 2^31 never
+    overflows a signed 64-bit int), one Arrow batch instead of
+    ``num_hashes`` interpreted ``array_min(transform(...))`` passes.
+    Self-contained closure: executors never import this package."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    A = np.array(MINHASH_A[:num_hashes], dtype=np.int64)[:, None]
+    B = np.array(MINHASH_B[:num_hashes], dtype=np.int64)[:, None]
+    P = np.int64(MINHASH_P)
+
+    @pandas_udf("array<long>")
+    def sigs(col: pd.Series) -> pd.Series:
+        out = []
+        for b in col:
+            x = np.asarray(b, dtype=np.int64)[None, :]  # (1, n_shingles)
+            out.append(((A * x + B) % P).min(axis=1))
+        return pd.Series(out)
+
+    sigd = based.select("doc", sigs(F.col("__base")).alias("__sig"))
+    return sigd.select(
+        "doc", *[F.col("__sig")[i].alias(f"mh_{i}") for i in range(num_hashes)]
+    )
 
 
 def _signatures_numpy(sh: DataFrame, num_hashes: int) -> DataFrame:
@@ -284,6 +335,7 @@ def minhash_lsh_dup_pairs(
     threshold: float = 0.5,
     max_bucket: int = 50,
     hash_fn: str = "xxhash64",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash + banded LSH + exact-Jaccard verify.
 
@@ -300,13 +352,27 @@ def minhash_lsh_dup_pairs(
     DuckDB (see workload.SQL_MINHASH_DUP_PAIRS). xxhash64 stays the
     default: cheaper per shingle, and band sigs shuffle as 8-byte longs
     instead of ~40-byte strings.
+
+    ``tokens_col``: pre-lowercased token-array column to shingle from
+    (skips re-tokenizing ``text_col`` — see ``_with_shingles``).
+
+    The returned DataFrame carries its internal persisted relations in
+    a ``_owned_caches`` attribute: a caller that fully materializes the
+    pairs (e.g. the curation pipeline feeding connected components) can
+    unpersist them instead of leaving session-lifetime cached blocks.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
     # ONE persisted shingle relation feeds signatures AND the exact verify
-    sh = _with_shingles(df, id_col, text_col, n).persist()
-    sig = _signatures_from_shingles(sh, num_hashes, hash_fn)
+    sh = _with_shingles(df, id_col, text_col, n, tokens_col).persist()
+    # The signature relation fans out 4 ways (bucket-size agg, the
+    # prune join, both self-join sides) — without a persist the whole
+    # signature computation re-runs per consumer (~4x, measured the
+    # dominant LSH cost). It is also the SMALLEST relation in the
+    # pipeline: n_docs x (id + num_hashes longs) ~ 0.5 KB/doc, orders
+    # of magnitude under the corpus, so caching it is the scale move.
+    sig = _signatures_from_shingles(sh, num_hashes, hash_fn).persist()
     if hash_fn == "portable":
         # equality-only use => the concatenated decimal string IS the sig
         def band_sig(b):
@@ -369,7 +435,7 @@ def minhash_lsh_dup_pairs(
     )
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
+    out = (
         inter.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn(
             "jaccard",
@@ -378,6 +444,8 @@ def minhash_lsh_dup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    out._owned_caches = [sh, sig, candidates]
+    return out
 
 
 def simhash(

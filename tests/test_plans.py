@@ -60,7 +60,12 @@ def test_native_queries_have_no_python_udfs(spark):
                  # deliberate Arrow-batched pandas UDFs: one numpy matmul
                  # replaces k*dim interpreted higher-order-function dots
                  # (see _lsh_buckets_udf / ivf_topk._cell_udf)
-                 "embedding_near_dupes_lsh", "ivf_topk"}
+                 "embedding_near_dupes_lsh", "ivf_topk",
+                 # the portable minhash family fans out through ONE
+                 # Arrow batch of exact int64 Carter-Wegman minima —
+                 # bit-identical to the expression form, ~64x fewer
+                 # interpreted HOF passes (see _cw_signatures_numpy)
+                 "minhash_dup_pairs"}
     for name, (fn, _sql) in workload.QUERIES.items():
         if name in python_ok or name.startswith("streaming"):
             continue
@@ -170,11 +175,32 @@ def test_text_queries_tokenize_once(spark):
 
 
 def test_curation_full_plan_has_no_cartesian_and_antijoins(spark):
-    """The optional stages must compose as anti-joins on the doc id
-    (pruned-id relations), never a pair blowup: no cartesian product,
-    two LeftAnti joins (decontamination + near-dup prune), and the
-    near-dup candidate generation stays on banded equi-joins."""
+    """The optional stages resolve eagerly into ONE materialized
+    dropped-id relation; the returned plan must be the dedup window plus
+    a single anti-join against it (checkpointed RDD scan) — never a pair
+    blowup, and never a dependency on session-lifetime cached blocks
+    (the pipeline unpersists everything before returning)."""
     df = workload.q_curation_pipeline_full(spark, SF_DIR_ORACLE)
     plan = _formatted(df)
     assert "CartesianProduct" not in plan
-    assert plan.count("LeftAnti") >= 2
+    assert plan.count("LeftAnti") >= 1
+    assert "Scan ExistingRDD" in plan  # drop ids are pinned, not re-derived
+    assert "InMemoryTableScan" not in plan  # no cache dependency survives
+    # exactly one corpus tokenization crosses the (single) dedup window
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("split(") == 1
+
+
+def test_curate_releases_all_caches(spark):
+    """curate() with optional stages on must leave ZERO DataFrame caches
+    behind — repeated calls in a long-lived session (the bench runs the
+    full pipeline several times) would otherwise accumulate
+    corpus-sized cached blocks for the session lifetime. (The tiny
+    dropped-id localCheckpoint is RDD-level pinning owned by the
+    returned plan, not a cacheManager entry.)"""
+    spark.catalog.clearCache()  # isolate from other tests' cached plans
+    df = workload.q_curation_pipeline_full(spark, SF_DIR_ORACLE)
+    df.count()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "curate left persisted DataFrames in the cacheManager"
+    )

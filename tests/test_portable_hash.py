@@ -59,6 +59,35 @@ def test_carter_wegman_family_is_overflow_free():
     assert len(set(MINHASH_A)) == len(MINHASH_A) == 64
 
 
+def test_cw_numpy_fanout_matches_expression_form(spark):
+    # the Arrow-batched Carter-Wegman fan-out must be BIT-IDENTICAL to
+    # the pure-expression form — it feeds the oracle-replayed LSH
+    from my_feast_spark.operators.dedup import (
+        _cw_hasher,
+        _cw_signatures_numpy,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [s + f" {i}", s]) for i, s in enumerate(SAMPLES)], ["doc", "sh"]
+    )
+    based = df.select(
+        "doc", F.transform(F.col("sh"), _portable_base).alias("__base")
+    )
+    n = 64
+    expr_cols = [
+        F.array_min(
+            F.transform(F.col("__base"), _cw_hasher(MINHASH_A[i], MINHASH_B[i]))
+        ).alias(f"mh_{i}")
+        for i in range(n)
+    ]
+    expected = {r["doc"]: r for r in based.select("doc", *expr_cols).collect()}
+    got = {r["doc"]: r for r in _cw_signatures_numpy(based, n).collect()}
+    assert set(got) == set(expected)
+    for doc, row in got.items():
+        for i in range(n):
+            assert row[f"mh_{i}"] == expected[doc][f"mh_{i}"], (doc, i)
+
+
 @pytest.mark.parametrize("hash_fn", ["xxhash64", "portable"])
 def test_simhash_dup_pairs_families_agree_on_exact_dupes(spark, hash_fn):
     # identical docs have hamming 0 under ANY hash family
