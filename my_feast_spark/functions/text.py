@@ -174,6 +174,28 @@ def chunk_token_array(toks: Column, *, size: int = 50, stride: int = 25) -> Colu
     )
 
 
+def chunk_array(arr: Column, *, size: int = 50, stride: int = 25) -> Column:
+    """Raw-slice variant of ``chunk_token_array`` for NON-string element
+    types (token-id sequences): array<struct<start:int, chunk:array<T>>>
+    with the same window-start semantics, no text rendering. ``arr``
+    must be a cheap reference (projected column or ``let`` binding) —
+    the lambda slices it per chunk (see ``let``)."""
+    n = F.size(arr)
+    last_start = F.when(
+        n <= size, F.lit(0)
+    ).otherwise(
+        (F.floor((n - size + stride - 1) / stride) * stride).cast("int")
+    )
+    starts = F.sequence(F.lit(0), last_start, F.lit(stride))
+    return F.transform(
+        starts,
+        lambda s: F.struct(
+            s.cast("int").alias("start"),
+            F.slice(arr, s + 1, size).alias("chunk"),
+        ),
+    )
+
+
 def chunk_tokens(text: Column, *, size: int = 50, stride: int = 25) -> Column:
     """Overlapping token-window chunks — the context-length splitter of a
     training-data pipeline. Returns array<struct<start,chunk_text,n_tokens>>

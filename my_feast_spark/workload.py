@@ -1089,6 +1089,21 @@ ORDER BY n_occurrences DESC, token ASC LIMIT 50
 """
 
 
+def _vocab_encode_digest(encoded, ids_col="ids"):
+    """Per-doc accounting over an encoded id-array relation: token/OOV
+    counts and the order-sensitive md5 digest of the id sequence, so
+    the oracle verifies the EXACT encoding (values and order)."""
+    ids = F.col(ids_col)
+    return encoded.select(
+        "doc_id",
+        F.size(ids).alias("n_tokens"),
+        F.size(F.filter(ids, lambda i: i == -1)).alias("n_oov"),
+        F.md5(
+            F.encode(F.concat_ws(",", F.transform(ids, lambda i: i.cast("string"))), "UTF-8")
+        ).alias("ids_md5"),
+    )
+
+
 def q_vocab_encode(spark, sf_dir):
     """Vocabulary encoding: map each document's tokens to integer ids
     from the corpus top-20 vocabulary (rank by occurrences desc, token
@@ -1096,36 +1111,52 @@ def q_vocab_encode(spark, sf_dir):
     training pipeline. The vocabulary is collected to the driver
     (BOUNDED: vocab_size rows — the IVF-sample pattern) and enters the
     plan as a map literal, so encoding is a map-only transform over the
-    projected token array; no join ever touches the corpus. Output is
-    per-doc token/OOV counts and an order-sensitive digest of the id
-    sequence, so the oracle verifies the exact encoding."""
+    projected token array; no join ever touches the corpus. Right for
+    small vocabularies; ``q_vocab_encode_join`` is the large-vocabulary
+    variant of the SAME encoding."""
     from my_feast_spark.functions.text import tokens
+    from my_feast_spark.operators.vocab import (
+        encode_ids_map_literal,
+        token_vocabulary,
+    )
 
-    vocab_size = 20
     docs = _t(spark, sf_dir, "documents")
     toked = docs.select(
         "doc_id", tokens(F.lower(F.col("text"))).alias("__ltoks")
     )
-    top = (
-        toked.select(F.explode("__ltoks").alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), F.col("token").asc())
-        .limit(vocab_size)
-        .collect()
+    vocab = {
+        r.token: r.id
+        for r in token_vocabulary(toked, "__ltoks", 20).collect()
+    }
+    return _vocab_encode_digest(
+        encode_ids_map_literal(toked, "doc_id", "__ltoks", vocab)
     )
-    vocab = {r.token: i for i, r in enumerate(top)}
-    vmap = F.create_map(*[F.lit(x) for kv in vocab.items() for x in kv])
-    ids = F.transform(
-        F.col("__ltoks"), lambda t: F.coalesce(vmap[t], F.lit(-1))
+
+
+def q_vocab_encode_join(spark, sf_dir):
+    """The LARGE-vocabulary encode: same encoding as ``q_vocab_encode``
+    (same top-20 vocabulary, same digest — the oracle SQL is literally
+    shared), but the vocabulary never touches the driver or the plan
+    tree: tokens are exploded with position, broadcast-left-joined
+    against the (token, id) relation, and re-aggregated in order. A
+    100k-token vocabulary as a ``create_map`` literal explodes the
+    expression tree; as a broadcast table it ships once per executor —
+    this is the shape that survives real tokenizer vocabularies.
+    Plan-pinned in tests/test_plans.py: BroadcastHashJoin, no literal
+    map."""
+    from my_feast_spark.functions.text import tokens
+    from my_feast_spark.operators.vocab import (
+        encode_ids_broadcast_join,
+        token_vocabulary,
     )
-    return toked.select(
-        "doc_id",
-        F.size("__ltoks").alias("n_tokens"),
-        F.size(F.filter(ids, lambda i: i == -1)).alias("n_oov"),
-        F.md5(
-            F.encode(F.concat_ws(",", F.transform(ids, lambda i: i.cast("string"))), "UTF-8")
-        ).alias("ids_md5"),
+
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("__ltoks")
+    )
+    vocab_df = token_vocabulary(toked, "__ltoks", 20)
+    return _vocab_encode_digest(
+        encode_ids_broadcast_join(toked, "doc_id", "__ltoks", vocab_df)
     )
 
 
@@ -1152,6 +1183,9 @@ SELECT doc_id,
        md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY ord)) AS ids_md5
 FROM enc GROUP BY doc_id
 """
+
+#: the join variant computes the IDENTICAL encoding — one oracle serves both
+SQL_VOCAB_ENCODE_JOIN = SQL_VOCAB_ENCODE
 
 
 def q_top_terms_tfidf(spark, sf_dir):
@@ -2835,6 +2869,103 @@ FROM offs GROUP BY 1, 2
 """
 
 
+def q_packed_sequences(spark, sf_dir):
+    """The TRAINING-READY output of sequence packing: per (shard, pack)
+    the actual packed token-ID stream — ``q_sequence_packing``'s layout
+    (same shards, same per-shard running-offset pack assignment)
+    composed with the vocabulary encode (top-20 vocab, OOV -> -1),
+    verified by an order-sensitive digest of the concatenated ids.
+
+    Scale shape: encode + chunking are map-only (the id array is
+    ``let``-bound, so the vocab transform runs once per doc, not once
+    per chunk); the only shuffles are the per-SHARD window cumsum and
+    the (shard, pack) re-aggregation — no global order, no corpus-wide
+    window, same as the accounting query. Pack reassembly sorts each
+    pack's own chunk list (bounded: seq_len/chunk_size structs)."""
+    from my_feast_spark.functions.text import chunk_array, let, tokens
+    from my_feast_spark.operators.vocab import token_vocabulary
+
+    size, seq_len = 50, 2048
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("__ltoks")
+    )
+    vocab = {
+        r.token: r.id
+        for r in token_vocabulary(toked, "__ltoks", 20).collect()
+    }
+    vmap = F.create_map(*[F.lit(x) for kv in vocab.items() for x in kv])
+    ids_expr = F.transform(
+        F.col("__ltoks"), lambda t: F.coalesce(vmap[t], F.lit(-1))
+    )
+    chunks = (
+        toked.select(
+            "doc_id",
+            (F.col("doc_id") % 8).alias("shard"),
+            F.explode_outer(
+                let(ids_expr,
+                    lambda ids: chunk_array(ids, size=size, stride=size))
+            ).alias("c"),
+        )
+        .filter(F.col("c").isNotNull())
+        .select("doc_id", "shard", F.col("c.start").alias("start"),
+                F.col("c.chunk").alias("chunk_ids"))
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id", "start")
+    n = F.size("chunk_ids")
+    offset = F.sum(n).over(w) - n
+    packed = chunks.withColumn("pack_id", F.floor(offset / seq_len))
+    stream = F.flatten(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "start", "chunk_ids"))),
+            lambda s: F.transform(s["chunk_ids"], lambda i: i.cast("string")),
+        )
+    )
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(n).alias("n_tokens"),
+        F.md5(F.encode(F.concat_ws(",", stream), "UTF-8")).alias("ids_md5"),
+    )
+
+
+SQL_PACKED_SEQUENCES = """
+WITH tok AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), vocab AS (
+  SELECT token, CAST(row_number() OVER (ORDER BY n DESC, token ASC) - 1 AS INT) AS id
+  FROM (
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(t) AS token FROM tok)
+    GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+  )
+), flat AS (
+  SELECT doc_id, shard, CAST(i AS BIGINT) AS ord, t[i] AS token
+  FROM tok, unnest(range(1, len(t) + 1)) AS r(i)
+), enc AS (
+  SELECT f.doc_id, f.shard, f.ord, COALESCE(v.id, -1) AS id
+  FROM flat f LEFT JOIN vocab v USING (token)
+), chunks AS (
+  -- stride = size = 50: chunk start of a token is (ord-1) // 50 * 50,
+  -- exactly chunk_array's non-overlapping window starts
+  SELECT doc_id, shard, CAST((ord - 1) // 50 * 50 AS INT) AS start,
+         list(id ORDER BY ord) AS ids, count(*) AS n
+  FROM enc GROUP BY 1, 2, 3
+), offs AS (
+  SELECT doc_id, shard, start, ids, n,
+         sum(n) OVER (PARTITION BY shard ORDER BY doc_id, start
+                      ROWS UNBOUNDED PRECEDING) - n AS off
+  FROM chunks
+)
+SELECT shard, CAST(floor(off / 2048) AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       md5(string_agg(array_to_string(ids, ','), ',' ORDER BY doc_id, start)) AS ids_md5
+FROM offs GROUP BY 1, 2
+"""
+
+
 def q_curation_pipeline_full(spark, sf_dir, *, hash_fn="portable"):
     """EVERY curation stage in one plan: exact dedup -> benchmark
     decontamination (4-gram overlap vs the doc_id%50==0 eval split) ->
@@ -2963,11 +3094,12 @@ FROM sampled
 #      unadjudicated each round. Queries rotate between the tail and the
 #      window every round so nothing goes two consecutive rounds without
 #      a fresh CORRECTNESS row, and a query that is NEW or whose code
-#      CHANGED this round is always in-window (round 4: the 19 queries
-#      last adjudicated in round 2 are back in; the round-4-changed
-#      curation/repetition/chunking/ANN queries are in; the
-#      round-3-green dedup-pair / ANN-exact / set-op queries sit out). Everything
-#      in the tail stays oracle-backed and covered by
+#      CHANGED this round is always in-window (round 5: the 24 queries
+#      last adjudicated in round 3 are back in; the round-5-changed
+#      curation/minhash/CC/vocab queries and the new
+#      vocab_encode_join/packed_sequences are in; a subset of the
+#      round-4-green, round-5-unchanged queries sits out one round).
+#      Everything in the tail stays oracle-backed and covered by
 #      tests/test_oracle_parity.py, which checks ALL queries regardless
 #      of window position. tests/test_workload_registry.py pins the
 #      window contents so rotation is explicit, never accidental.
@@ -2982,58 +3114,15 @@ QUERIES: dict[str, tuple] = {
     "hourly_user_agg": (q_hourly_user_agg, SQL_HOURLY_USER_AGG),
     "hourly_global_agg": (q_hourly_global_agg, SQL_HOURLY_GLOBAL_AGG),
     "event_types_salted": (q_event_types_salted, SQL_EVENT_TYPES_SALTED),
-    # --- changed/new in round 4: fresh rows required ----------------------
+    # --- changed/new in round 5: fresh rows required ----------------------
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "curation_pipeline_full": (q_curation_pipeline_full, SQL_CURATION_PIPELINE_FULL),
-    "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
-    "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
-    "repetition_filter": (q_repetition_filter, SQL_REPETITION_FILTER),
-    "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
-    "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
-    "embedding_near_dupes_lsh": (q_embedding_near_dupes_lsh, SQL_EMBEDDING_NEAR_DUPES_LSH),
-    # --- curation tier, adjudicated r3, kept in-window --------------------
-    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "minhash_dup_pairs": (q_minhash_dup_pairs, SQL_MINHASH_DUP_PAIRS),
-    "simhash_dup_pairs": (q_simhash_dup_pairs, SQL_SIMHASH_DUP_PAIRS),
-    "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
-    "stratified_sample_docs": (q_stratified_sample_docs, SQL_STRATIFIED_SAMPLE_DOCS),
-    "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
-    # --- text tier remainder ----------------------------------------------
-    "corpus_vocab": (q_corpus_vocab, SQL_CORPUS_VOCAB),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "vocab_encode": (q_vocab_encode, SQL_VOCAB_ENCODE),
-    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
-    "lang_id": (q_lang_id, SQL_LANG_ID),
-    "length_outlier_filter": (q_length_outlier_filter, SQL_LENGTH_OUTLIER_FILTER),
-    "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES),
-    # --- tier 3: reference-parity surface ---------------------------------
-    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
-    "online_lookup": (q_online_lookup, SQL_ONLINE_LOOKUP),
-    "feature_store_retrieval": (q_feature_store_retrieval, SQL_FEATURE_STORE_RETRIEVAL),
-    "streaming_hourly_agg": (q_streaming_hourly_agg, SQL_STREAMING_HOURLY_AGG),
-    "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
-    "streaming_sessionize": (q_streaming_sessionize, SQL_STREAMING_SESSIONIZE),
-    # --- rotated IN for round 4 (last adjudicated round 2) ----------------
-    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
-    "hash_sampled_docs": (q_hash_sampled_docs, SQL_HASH_SAMPLED_DOCS),
-    "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
-    "filtered_agg": (q_filtered_agg, SQL_FILTERED_AGG),
-    "dedup_entity_rows": (q_dedup_entity_rows, SQL_DEDUP_ENTITY_ROWS),
-    "latest_event_per_user": (q_latest_event_per_user, SQL_LATEST_EVENT_PER_USER),
-    "priority_collapse_types": (q_priority_collapse_types, SQL_PRIORITY_COLLAPSE_TYPES),
-    "part_brand_stats": (q_part_brand_stats, SQL_PART_BRAND_STATS),
-    "idle_customers_anti": (q_idle_customers_anti, SQL_IDLE_CUSTOMERS_ANTI),
-    "json_props_extract": (q_json_props_extract, SQL_JSON_PROPS_EXTRACT),
-    "case_decode_coalesce": (q_case_decode_coalesce, SQL_CASE_DECODE_COALESCE),
-    "map_pivot_props": (q_map_pivot_props, SQL_MAP_PIVOT_PROPS),
-    "struct_flatten": (q_struct_flatten, SQL_STRUCT_FLATTEN),
-    "datetime_functions": (q_datetime_functions, SQL_DATETIME_FUNCTIONS),
-    "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
-    "order_priority_count": (q_order_priority_count, SQL_ORDER_PRIORITY_COUNT),
-    "top_spenders": (q_top_spenders, SQL_TOP_SPENDERS),
-    "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE),
-    "user_value_deltas": (q_user_value_deltas, SQL_USER_VALUE_DELTAS),
-    # --- rotation tail for round 4 (all green in round 3; still checked
-    # every run by tests/test_oracle_parity.py; back in-window round 5) ---
+    "vocab_encode_join": (q_vocab_encode_join, SQL_VOCAB_ENCODE_JOIN),
+    "packed_sequences": (q_packed_sequences, SQL_PACKED_SEQUENCES),
+    # --- rotated IN for round 5 (last adjudicated round 3) ----------------
     "doc_fingerprints": (q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
     "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
     "jaccard_dup_pairs": (q_jaccard_dup_pairs, SQL_JACCARD_DUP_PAIRS),
@@ -3058,4 +3147,48 @@ QUERIES: dict[str, tuple] = {
     "batch_sessions": (q_batch_sessions, SQL_BATCH_SESSIONS),
     "lineitem_unpivot": (q_lineitem_unpivot, SQL_LINEITEM_UNPIVOT),
     "customer_balance_deciles": (q_customer_balance_deciles, SQL_CUSTOMER_BALANCE_DECILES),
+    # --- r4-green, kept in-window (strong standing signal) ----------------
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "online_lookup": (q_online_lookup, SQL_ONLINE_LOOKUP),
+    "feature_store_retrieval": (q_feature_store_retrieval, SQL_FEATURE_STORE_RETRIEVAL),
+    "streaming_hourly_agg": (q_streaming_hourly_agg, SQL_STREAMING_HOURLY_AGG),
+    "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
+    "streaming_sessionize": (q_streaming_sessionize, SQL_STREAMING_SESSIONIZE),
+    "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
+    "stratified_sample_docs": (q_stratified_sample_docs, SQL_STRATIFIED_SAMPLE_DOCS),
+    "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
+    "corpus_vocab": (q_corpus_vocab, SQL_CORPUS_VOCAB),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "repetition_filter": (q_repetition_filter, SQL_REPETITION_FILTER),
+    "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
+    # --- rotation tail for round 5 (all green in round 4, unchanged in
+    # round 5; still value-checked every run by tests/test_oracle_parity.py;
+    # back in-window round 6) ----------------------------------------------
+    "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
+    "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
+    "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
+    "embedding_near_dupes_lsh": (q_embedding_near_dupes_lsh, SQL_EMBEDDING_NEAR_DUPES_LSH),
+    "simhash_dup_pairs": (q_simhash_dup_pairs, SQL_SIMHASH_DUP_PAIRS),
+    "length_outlier_filter": (q_length_outlier_filter, SQL_LENGTH_OUTLIER_FILTER),
+    "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "hash_sampled_docs": (q_hash_sampled_docs, SQL_HASH_SAMPLED_DOCS),
+    "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
+    "filtered_agg": (q_filtered_agg, SQL_FILTERED_AGG),
+    "dedup_entity_rows": (q_dedup_entity_rows, SQL_DEDUP_ENTITY_ROWS),
+    "latest_event_per_user": (q_latest_event_per_user, SQL_LATEST_EVENT_PER_USER),
+    "priority_collapse_types": (q_priority_collapse_types, SQL_PRIORITY_COLLAPSE_TYPES),
+    "part_brand_stats": (q_part_brand_stats, SQL_PART_BRAND_STATS),
+    "idle_customers_anti": (q_idle_customers_anti, SQL_IDLE_CUSTOMERS_ANTI),
+    "json_props_extract": (q_json_props_extract, SQL_JSON_PROPS_EXTRACT),
+    "case_decode_coalesce": (q_case_decode_coalesce, SQL_CASE_DECODE_COALESCE),
+    "map_pivot_props": (q_map_pivot_props, SQL_MAP_PIVOT_PROPS),
+    "struct_flatten": (q_struct_flatten, SQL_STRUCT_FLATTEN),
+    "datetime_functions": (q_datetime_functions, SQL_DATETIME_FUNCTIONS),
+    "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
+    "order_priority_count": (q_order_priority_count, SQL_ORDER_PRIORITY_COUNT),
+    "top_spenders": (q_top_spenders, SQL_TOP_SPENDERS),
+    "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE),
+    "user_value_deltas": (q_user_value_deltas, SQL_USER_VALUE_DELTAS),
 }

@@ -480,3 +480,29 @@ def test_text_functions_on_degenerate_inputs(spark):
         assert row.qn == 1 and row.nc == 1 and row.cc == 1, row
         assert row.dup == 0.0 and row.top == 1.0, row
         assert None not in tuple(row), row
+
+
+def test_vocab_encode_variants_produce_identical_encodings(spark):
+    # the map-literal (small-vocab) and broadcast-join (large-vocab)
+    # strategies are the SAME encoding — every doc's digest must agree
+    from my_feast_spark import workload
+
+    lit = workload.q_vocab_encode(spark, SF).collect()
+    join = workload.q_vocab_encode_join(spark, SF).collect()
+    assert sorted(map(tuple, lit)) == sorted(map(tuple, join))
+
+
+def test_packed_sequences_consistent_with_accounting(spark):
+    # the packed-output query must describe the same layout as the
+    # accounting query: identical (shard, pack) chunk/token counts
+    from my_feast_spark import workload
+
+    acct = {
+        (r.shard, r.pack_id): (r.n_chunks, r.n_tokens)
+        for r in workload.q_sequence_packing(spark, SF).collect()
+    }
+    packed = {
+        (r.shard, r.pack_id): (r.n_chunks, r.n_tokens)
+        for r in workload.q_packed_sequences(spark, SF).collect()
+    }
+    assert packed == acct

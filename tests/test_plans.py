@@ -145,6 +145,20 @@ def test_unpivot_is_expand_with_single_shuffle(spark):
     assert plan.count("Exchange") <= 2  # agg shuffle (+ AQE read node)
 
 
+def test_vocab_encode_join_broadcasts_vocabulary(spark):
+    """The large-vocabulary encode must ship the vocabulary as a
+    broadcast table — never a create_map literal in the expression tree
+    (a 100k-entry literal explodes plan size/codegen), and never a
+    shuffle join on the token key (hot tokens skew it)."""
+    df = workload.q_vocab_encode_join(spark, SF_DIR_ORACLE)
+    plan = _formatted(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the vocabulary must not appear as an expression-tree literal
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "keys: [" not in opt, "vocabulary leaked into a map literal"
+
+
 def test_curation_pipeline_is_single_shuffle(spark):
     """Dedup-filter-sample-chunk composition must pay exactly one
     exchange (the fingerprint window); a keeper-set join-back would add

@@ -11,38 +11,17 @@ from __future__ import annotations
 
 from my_feast_spark import workload
 
-# Round-4 rotation: the 19 queries last adjudicated in round 2 are back
-# IN the window; the round-3-green dedup-pair / ANN-exact / set-op
-# queries sit in the tail this round and return in round 5.
+# Round-5 rotation: the 24 queries last adjudicated in round 3 are back
+# IN the window; a subset of the round-4-green, round-5-unchanged
+# queries sits in the tail this round and returns in round 6.
 ROTATION_TAIL = {
-    "online_snapshot",
-    "contamination_report",
-    "avro_scan",
-    "doc_fingerprints",
-    "exact_dedup_docs",
-    "jaccard_dup_pairs",
-    "multimodal_frames",
-    "stream_capture_files",
-    "cosine_topk",
-    "ann_lsh_topk",
-    "label_centroids",
-    "embedding_near_dupes",
-    "multimodal_decode",
-    "regex_mentions",
-    "top_terms_tfidf",
-    "user_cohort_sets",
-    "moving_avg_revenue",
-    "returnflag_cube",
-    "small_quantity_revenue",
-    "event_type_pivot",
-    "post_signup_activity",
-    "batch_sessions",
-    "lineitem_unpivot",
-    "customer_balance_deciles",
-}
-
-#: last adjudicated in round 2 — round 4 MUST give them fresh rows
-ROTATED_IN = {
+    "train_val_split",
+    "sequence_packing",
+    "ivf_topk",
+    "embedding_near_dupes_lsh",
+    "simhash_dup_pairs",
+    "length_outlier_filter",
+    "value_percentiles",
     "token_stats",
     "hash_sampled_docs",
     "revenue_rollup",
@@ -64,23 +43,44 @@ ROTATED_IN = {
     "user_value_deltas",
 }
 
-#: new in round 4, or implementation changed in round 4 — must be
+#: last adjudicated in round 3 — round 5 MUST give them fresh rows
+ROTATED_IN = {
+    "doc_fingerprints",
+    "exact_dedup_docs",
+    "jaccard_dup_pairs",
+    "online_snapshot",
+    "contamination_report",
+    "avro_scan",
+    "multimodal_frames",
+    "stream_capture_files",
+    "cosine_topk",
+    "ann_lsh_topk",
+    "label_centroids",
+    "embedding_near_dupes",
+    "multimodal_decode",
+    "regex_mentions",
+    "top_terms_tfidf",
+    "user_cohort_sets",
+    "moving_avg_revenue",
+    "returnflag_cube",
+    "small_quantity_revenue",
+    "event_type_pivot",
+    "post_signup_activity",
+    "batch_sessions",
+    "lineitem_unpivot",
+    "customer_balance_deciles",
+}
+
+#: new in round 5, or implementation changed in round 5 — must be
 #: in-window so the change gets an adjudication row
 CHANGED_OR_NEW_THIS_ROUND = {
-    "corpus_vocab",
-    "quality_score",
-    "lang_id",
-    "vocab_encode",
-    "train_val_split",
-    "sequence_packing",
-    "minhash_dup_pairs",
-    "simhash_dup_pairs",
     "curation_pipeline",
     "curation_pipeline_full",
-    "repetition_filter",
-    "doc_chunks",
-    "ivf_topk",
-    "embedding_near_dupes_lsh",
+    "minhash_dup_pairs",
+    "dedup_clusters",
+    "vocab_encode",
+    "vocab_encode_join",
+    "packed_sequences",
 }
 
 
