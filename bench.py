@@ -128,6 +128,29 @@ def main() -> None:
 
         timed(name + "_evaluated", full_eval)
 
+    # PIT hot-key skew probe: remap ~20% of events onto ONE synthetic
+    # key on both sides of an as-of self-join. union_window puts that
+    # key's entire combined probe+history stream into a single window
+    # task (the straggler shape at corpus scale); sliced_window splits
+    # it by (key, day slice) with boundary carry. Recording both makes
+    # the skew-variant claim a measured number, not a design note.
+    from my_feast_spark.operators.asof_join import point_in_time_join
+
+    ev = load_table(spark, sf_dir, "events")
+    hot = ev.withColumn(
+        "user_id",
+        F.when(F.pmod(F.xxhash64("event_id"), F.lit(5)) == 0, F.lit(-1))
+        .otherwise(F.col("user_id")),
+    )
+    feat = hot.select("user_id", "ts", "value")
+    probes = hot.select("user_id", F.col("ts").alias("probe_ts"), "event_id")
+    for name, strat in (("pit_skew_union_window", "union_window"),
+                        ("pit_skew_sliced_window", "sliced_window")):
+        timed(name, lambda strat=strat: point_in_time_join(
+            probes, feat, ["user_id"],
+            event_ts_col="ts", entity_ts_col="probe_ts", strategy=strat,
+        ).count())
+
     total = round(sum(timings[q] for q in BENCH_QUERIES), 3)
     # Headline keys (metric/value/sf) LAST: the driver's capture keeps
     # only the TAIL of stdout, so when the line is long enough to be
