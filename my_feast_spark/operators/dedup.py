@@ -390,23 +390,36 @@ def minhash_lsh_dup_pairs(
         ).alias("bs"),
     ).select("doc", "bs.band", "bs.sig")
 
+    # Candidate generation: one bucket-size aggregate prunes SINGLETON
+    # buckets (the overwhelming majority — they can't pair) and hot
+    # buckets (> max_bucket) while the relation is still (band, sig,
+    # count) longs; only then are the surviving rows re-grouped and
+    # each bucket's (sorted, <= max_bucket) member list expanded to
+    # pairs map-side. vs the textbook band self-join this shuffles
+    # band_rows once instead of twice, never materializes the join
+    # blow-up, and the per-group state is bounded by max_bucket ids —
+    # the size filter runs BEFORE any member list is collected.
     bucket_sizes = band_rows.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("bc"))
-    small = bucket_sizes.filter(F.col("bc") <= max_bucket).select("band", "sig")
-    band_rows_ok = band_rows.join(small, ["band", "sig"])
-    x = band_rows_ok.alias("x")
-    y = band_rows_ok.alias("y")
+    small = bucket_sizes.filter(
+        (F.col("bc") <= max_bucket) & (F.col("bc") >= 2)
+    ).select("band", "sig")
+    buckets = (
+        band_rows.join(small, ["band", "sig"])
+        .groupBy("band", "sig")  # reuses the join's partitioning: no new exchange
+        .agg(F.sort_array(F.collect_list("doc")).alias("docs"))
+    )
+    pair_arr = F.expr(
+        "transform(docs, (x, i) -> "
+        "transform(slice(docs, i + 2, size(docs) - i - 1), "
+        "y -> struct(x AS doc_a, y AS doc_b)))"
+    )
     candidates = (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.sig") == F.col("y.sig"))
-            & (F.col("x.doc") < F.col("y.doc")),
-        )
-        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        buckets.select(F.explode(F.flatten(pair_arr)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
         # persist + eager materialize: candidates feeds the verify join
         # AND the cand_docs prune below; lazily both consumers would race
-        # and re-run the whole band-join lineage twice
+        # and re-run the whole banding lineage twice
         .persist()
     )
     candidates.count()
