@@ -553,8 +553,14 @@ def simhash_dup_pairs(
     on (chunk_idx, chunk_value), never a cross join. Recall is EXACTLY 1
     (pigeonhole: <=3 differing bits leave >=1 of 4 chunks untouched), so
     with ``hash_fn="portable"`` the output equals a brute-force SQL
-    hamming join bit-for-bit."""
-    fp = simhash(df, id_col, text_col, hash_fn=hash_fn)
+    hamming join bit-for-bit.
+
+    The fingerprint relation (doc, simhash — 16 bytes/row, orders of
+    magnitude under the corpus) is persisted: both chunk-join sides
+    read it, and without the persist the whole tokenize+hash+vote
+    pipeline runs twice. The returned DataFrame exposes it via
+    ``_owned_caches`` (see ``minhash_lsh_dup_pairs``)."""
+    fp = simhash(df, id_col, text_col, hash_fn=hash_fn).persist()
     chunks = fp.select(
         "doc", "simhash",
         F.explode(
@@ -588,4 +594,5 @@ def simhash_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+    pairs._owned_caches = [fp]
     return pairs
