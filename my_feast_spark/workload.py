@@ -2690,6 +2690,108 @@ def q_corpus_mixture(spark, sf_dir):
     )
 
 
+def q_mixture_temperature(spark, sf_dir):
+    """Temperature-based multilingual sampling weights (the mT5 / XLM-R
+    recipe): raw token share p_l per language is flattened to
+    w_l ∝ p_l^alpha and renormalized, boosting low-resource strata;
+    expected per-language tokens under a 1M-token budget round out the
+    mixing plan. alpha is pinned to 0.5 so the exponent is ``sqrt`` —
+    IEEE-exactly-rounded in BOTH engines, unlike general ``pow`` whose
+    last-ulp differences could flip a rounded digit in the oracle
+    compare. Same scale shape as corpus_mixture: corpus-wide map +
+    one per-stratum aggregate; the share window runs over the
+    few-row post-aggregation relation."""
+    from my_feast_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()
+    p = F.col("n_tokens") / F.sum("n_tokens").over(w_all)
+    flat = agg.withColumn("__w", F.sqrt(p)).withColumn(
+        "token_share", F.round(p, 6)
+    )
+    share = F.col("__w") / F.sum("__w").over(w_all)
+    return flat.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "token_share",
+        F.round(share, 6).alias("sample_share"),
+        F.round(share * 1_000_000, 0).cast("long").alias("expected_tokens"),
+    )
+
+
+SQL_MIXTURE_TEMPERATURE = """
+WITH agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+), flat AS (
+  SELECT lang, n_docs, n_tokens,
+         round(n_tokens / sum(n_tokens) OVER (), 6) AS token_share,
+         sqrt(n_tokens / sum(n_tokens) OVER ()) AS w
+  FROM agg
+)
+SELECT lang, n_docs, n_tokens, token_share,
+       round(w / sum(w) OVER (), 6) AS sample_share,
+       CAST(round(w / sum(w) OVER () * 1000000, 0) AS BIGINT) AS expected_tokens
+FROM flat
+"""
+
+
+def q_length_bucket_batches(spark, sf_dir):
+    """Sequence-length bucketed batching: docs binned into power-of-two
+    token-length buckets (bucket = binary digit count of n_tokens —
+    EXACT integer arithmetic via base-2 string length, immune to the
+    float-log2 boundary errors at exact powers of two), then per-bucket
+    batch accounting at a fixed 8192-token batch budget padded to the
+    bucket cap — the standard length-bucketing prep that keeps padding
+    waste bounded. Map-only binning + one small aggregate."""
+    from my_feast_spark.functions.text import token_count
+
+    budget = 8192
+    docs = _t(spark, sf_dir, "documents")
+    n = token_count(F.col("text"))
+    bucket = F.length(F.conv(n.cast("string"), 10, 2)).cast("int")
+    binned = docs.select(n.alias("__nt"), bucket.alias("bucket"))
+    # 2^bucket as a column: double pow is exact for any bucket <= 53
+    cap = F.pow(F.lit(2.0), F.col("bucket").cast("double")).cast("long")
+    per_batch = F.greatest(F.floor(F.lit(budget) / cap), F.lit(1))
+    return (
+        binned.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt").alias("n_tokens"),
+        )
+        .select(
+            "bucket",
+            cap.cast("long").alias("max_len"),
+            "n_docs",
+            "n_tokens",
+            F.ceil(F.col("n_docs") / per_batch).cast("long").alias("n_batches"),
+        )
+    )
+
+
+SQL_LENGTH_BUCKET_BATCHES = """
+WITH binned AS (
+  SELECT len(string_split_regex(trim(text), '\\s+')) AS nt,
+         CAST(length(bin(len(string_split_regex(trim(text), '\\s+')))) AS INT) AS bucket
+  FROM documents
+), agg AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(nt) AS BIGINT) AS n_tokens
+  FROM binned GROUP BY bucket
+)
+SELECT bucket, CAST(2 ** bucket AS BIGINT) AS max_len, n_docs, n_tokens,
+       CAST(ceil(n_docs / greatest(8192 // (2 ** bucket), 1)) AS BIGINT) AS n_batches
+FROM agg
+"""
+
+
 SQL_CORPUS_MIXTURE = """
 WITH agg AS (
   SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
@@ -3122,6 +3224,8 @@ QUERIES: dict[str, tuple] = {
     "vocab_encode": (q_vocab_encode, SQL_VOCAB_ENCODE),
     "vocab_encode_join": (q_vocab_encode_join, SQL_VOCAB_ENCODE_JOIN),
     "packed_sequences": (q_packed_sequences, SQL_PACKED_SEQUENCES),
+    "mixture_temperature": (q_mixture_temperature, SQL_MIXTURE_TEMPERATURE),
+    "length_bucket_batches": (q_length_bucket_batches, SQL_LENGTH_BUCKET_BATCHES),
     # --- rotated IN for round 5 (last adjudicated round 3) ----------------
     "doc_fingerprints": (q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
     "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
@@ -3154,8 +3258,6 @@ QUERIES: dict[str, tuple] = {
     "streaming_hourly_agg": (q_streaming_hourly_agg, SQL_STREAMING_HOURLY_AGG),
     "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
     "streaming_sessionize": (q_streaming_sessionize, SQL_STREAMING_SESSIONIZE),
-    "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
-    "stratified_sample_docs": (q_stratified_sample_docs, SQL_STRATIFIED_SAMPLE_DOCS),
     "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
     "corpus_vocab": (q_corpus_vocab, SQL_CORPUS_VOCAB),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
@@ -3165,6 +3267,8 @@ QUERIES: dict[str, tuple] = {
     # --- rotation tail for round 5 (all green in round 4, unchanged in
     # round 5; still value-checked every run by tests/test_oracle_parity.py;
     # back in-window round 6) ----------------------------------------------
+    "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
+    "stratified_sample_docs": (q_stratified_sample_docs, SQL_STRATIFIED_SAMPLE_DOCS),
     "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
     "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),

@@ -15,6 +15,8 @@ from my_feast_spark import workload
 # IN the window; a subset of the round-4-green, round-5-unchanged
 # queries sits in the tail this round and returns in round 6.
 ROTATION_TAIL = {
+    "pii_redaction",
+    "stratified_sample_docs",
     "train_val_split",
     "sequence_packing",
     "ivf_topk",
@@ -81,6 +83,8 @@ CHANGED_OR_NEW_THIS_ROUND = {
     "vocab_encode",
     "vocab_encode_join",
     "packed_sequences",
+    "mixture_temperature",
+    "length_bucket_batches",
 }
 
 
