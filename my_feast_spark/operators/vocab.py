@@ -35,7 +35,12 @@ def token_vocabulary(df: DataFrame, tokens_col: str, size: int) -> DataFrame:
     sort); the rank window runs over the ALREADY-LIMITED relation, so
     its single-partition exchange is bounded by ``size``."""
     top = (
-        df.select(F.explode(tokens_col).alias("token"))
+        # explode_outer + null guard, NOT explode: plain explode makes
+        # Catalyst infer a size>0 predicate pushed below the token
+        # projection, re-evaluating the tokenizer per input row in the
+        # scan filter (see operators/decontamination.py)
+        df.select(F.explode_outer(tokens_col).alias("token"))
+        .filter(F.col("token").isNotNull())
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("token").asc())

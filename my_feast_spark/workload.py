@@ -2754,9 +2754,13 @@ def q_length_bucket_batches(spark, sf_dir):
 
     budget = 8192
     docs = _t(spark, sf_dir, "documents")
-    n = token_count(F.col("text"))
-    bucket = F.length(F.conv(n.cast("string"), 10, 2)).cast("int")
-    binned = docs.select(n.alias("__nt"), bucket.alias("bucket"))
+    # bucket derives from the PROJECTED count — building it from a
+    # second token_count expression would tokenize every row twice
+    binned = docs.select(token_count(F.col("text")).alias("__nt")).select(
+        "__nt",
+        F.length(F.conv(F.col("__nt").cast("string"), 10, 2))
+        .cast("int").alias("bucket"),
+    )
     # 2^bucket as a column: double pow is exact for any bucket <= 53
     cap = F.pow(F.lit(2.0), F.col("bucket").cast("double")).cast("long")
     per_batch = F.greatest(F.floor(F.lit(budget) / cap), F.lit(1))

@@ -177,14 +177,20 @@ def test_text_queries_tokenize_once(spark):
     re-evaluate outer trees per element, and without the shared
     projection / `let` binding these plans held up to ~16 split() calls
     (see functions/text.py::let)."""
-    for name in ("repetition_filter", "lang_id", "quality_score",
-                 "curation_pipeline"):
+    # vocab_encode_join's 2 = one per job side (vocab-build scan +
+    # encode scan), the inherent minimum for a two-pass encode
+    for name, expected in (("repetition_filter", 1), ("lang_id", 1),
+                           ("quality_score", 1), ("curation_pipeline", 1),
+                           ("packed_sequences", 1), ("mixture_temperature", 1),
+                           ("length_bucket_batches", 1), ("corpus_vocab", 1),
+                           ("vocab_encode_join", 2)):
         plan = (
             workload.QUERIES[name][0](spark, SF_DIR_ORACLE)
             ._jdf.queryExecution().optimizedPlan().toString()
         )
-        assert plan.count("split(") == 1, (
-            f"{name}: {plan.count('split(')} tokenizations in plan"
+        assert plan.count("split(") == expected, (
+            f"{name}: {plan.count('split(')} tokenizations in plan "
+            f"(expected {expected})"
         )
 
 
