@@ -62,3 +62,66 @@ def test_chunk_count_matches_rendered_chunk_array(spark, token_counts):
         ).collect()
         for r in got:
             assert r.rendered == r.arith, (token_counts[r.i], size, stride, r)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=120), min_size=1, max_size=5))
+def test_chunk_array_agrees_with_chunk_token_array(spark, token_counts):
+    """chunk_array (raw slices) and chunk_token_array (rendered text)
+    must emit the same windows: same starts, and each raw chunk joined
+    with spaces equals the rendered chunk_text."""
+    from my_feast_spark.functions.text import chunk_array, chunk_token_array
+
+    rows = [
+        Row(i=i, toks=[f"t{j}" for j in range(n)])
+        for i, n in enumerate(token_counts)
+    ]
+    df = spark.createDataFrame(rows)
+    for size, stride in ((50, 25), (8, 8), (7, 3)):
+        got = df.select(
+            "i",
+            chunk_array(F.col("toks"), size=size, stride=stride).alias("raw"),
+            chunk_token_array(F.col("toks"), size=size, stride=stride).alias("txt"),
+        ).collect()
+        for r in got:
+            assert [c.start for c in r.raw] == [c.start for c in r.txt]
+            for raw_c, txt_c in zip(r.raw, r.txt):
+                assert " ".join(raw_c.chunk) == txt_c.chunk_text
+                assert len(raw_c.chunk) == txt_c.n_tokens
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=1, max_size=12),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_encode_strategies_agree_on_arbitrary_docs(spark, docs):
+    """The map-literal and broadcast-join encodes are one encoding: for
+    arbitrary token streams and the vocabulary built from them, both
+    strategies must produce identical id arrays (OOV included — the
+    vocab is truncated so some tokens fall out)."""
+    from my_feast_spark.operators.vocab import (
+        encode_ids_broadcast_join,
+        encode_ids_map_literal,
+        token_vocabulary,
+    )
+
+    rows = [Row(i=i, toks=list(t)) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows)
+    vocab_df = token_vocabulary(df, "toks", 3)
+    vocab = {r.token: r.id for r in vocab_df.collect()}
+    lit = {
+        r.i: list(r.ids)
+        for r in encode_ids_map_literal(df, "i", "toks", vocab).collect()
+    }
+    join = {
+        r.i: list(r.ids)
+        for r in encode_ids_broadcast_join(df, "i", "toks", vocab_df).collect()
+    }
+    assert lit == join
+    # and the encoding is the obvious one
+    for i, toks in enumerate(docs):
+        assert lit[i] == [vocab.get(t, -1) for t in toks]
