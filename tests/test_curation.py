@@ -67,3 +67,19 @@ def test_curate_real_docs_matches_workload_query(spark):
     out = curate(docs, CurationConfig(sample_rates=rates))
     assert out.columns == ["doc_id", "lang", "n_tokens", "n_chunks"]
     assert out.count() == 118  # pinned by the oracle row at sf0.01
+
+
+def test_curate_near_dup_stage_with_no_duplicates_is_identity(spark):
+    # near-dup pruning over a corpus with zero near-dups must drop
+    # nothing (empty pair graph -> empty cluster relation -> no-op anti
+    # join), and still release every cache
+    df = spark.createDataFrame([
+        _doc(1, "en", "alpha beta gamma delta epsilon"),
+        _doc(2, "en", "one two three four five six"),
+    ])
+    spark.catalog.clearCache()
+    cfg = CurationConfig(sample_rates=None, near_dup="minhash",
+                         max_top_token_frac=0.5)
+    out = curate(df, cfg)
+    assert {r.doc_id for r in out.collect()} == {1, 2}
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

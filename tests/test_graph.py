@@ -97,3 +97,10 @@ def test_duplicate_edges_do_not_change_shortcut_threshold(spark):
     lab = _labels(connected_components(e, method="label", driver_max_edges=3))
     star = _labels(connected_components(e, method="star", driver_max_edges=3))
     assert lab == star == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_empty_edge_set_yields_empty_labels(spark):
+    e = spark.createDataFrame([], "id_a long, id_b long")
+    for kwargs in ({}, {"method": "label", "driver_max_edges": 0},
+                   {"method": "star", "driver_max_edges": 0}):
+        assert connected_components(e, **kwargs).count() == 0, kwargs
