@@ -15,6 +15,7 @@ from my_feast_spark import workload
 # IN the window; a subset of the round-4-green, round-5-unchanged
 # queries sits in the tail this round and returns in round 6.
 ROTATION_TAIL = {
+    "corpus_mixture",
     "pii_redaction",
     "stratified_sample_docs",
     "train_val_split",
@@ -85,6 +86,7 @@ CHANGED_OR_NEW_THIS_ROUND = {
     "packed_sequences",
     "mixture_temperature",
     "length_bucket_batches",
+    "token_rarity",
 }
 
 
