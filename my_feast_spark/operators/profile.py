@@ -1,0 +1,56 @@
+"""Dataset profiling — the schema-health pass a pipeline runs before
+training: per-column null counts and distinct cardinalities in ONE scan.
+
+Scale shape: a single aggregate over the table — map-side partials
+absorb everything, the reduce is one row. Cardinalities default to
+``approx_count_distinct`` (HyperLogLog++, fixed-size sketch per column,
+mergeable — the only sane answer at 100 TB); ``exact=True`` switches to
+``count(DISTINCT col)``, which Catalyst lowers to one Expand over the
+profiled columns (row multiplication x n_columns before the partial
+aggregate) — the oracle-parity path, priced accordingly. The wide
+one-row result is unpivoted driver-side into the long (column, stats)
+relation via a literal stack — no second job, no shuffle.
+
+No counterpart in the reference (its profiling is notebook
+``.describe()`` calls); this is the engine-level primitive those
+notebooks would need at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def column_profile(
+    df: DataFrame, columns: list[str] | None = None, *, exact: bool = False
+) -> DataFrame:
+    """Profile ``columns`` (default: all) of ``df`` in one pass.
+
+    Returns one row per column, sorted by name:
+      ``column`` | ``n_rows`` | ``n_nulls`` | ``n_distinct``
+
+    ``n_distinct`` counts non-null values; approximate by default
+    (HLL++, rsd 5%), exact when ``exact=True`` (the engine-independent
+    number an oracle can verify).
+    """
+    cols = sorted(columns) if columns is not None else sorted(df.columns)
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in DataFrame: {missing}")
+
+    ndv = F.countDistinct if exact else F.approx_count_distinct
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        aggs.append(ndv(F.col(c)).alias(f"__nd_{c}"))
+    one = df.agg(*aggs)
+
+    # unpivot the one-row wide aggregate with a literal stack: n triples
+    # of (name, nulls, distinct) — pure projection, no extra pass
+    triples = ", ".join(
+        f"'{c}', __n_rows - __nn_{c}, __nd_{c}" for c in cols
+    )
+    return one.selectExpr(
+        "__n_rows AS n_rows",
+        f"stack({len(cols)}, {triples}) AS (column, n_nulls, n_distinct)",
+    ).select("column", "n_rows", "n_nulls", "n_distinct")

@@ -21,7 +21,7 @@ shuffle, and it pushes below wide transforms like any other predicate.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from my_feast_spark.operators.dedup import _MASK63, portable_hash64
 
@@ -64,3 +64,41 @@ def stratified_sample(
             F.col(stratum_col) == value, F.lit(int(round(rate * RESOLUTION)))
         ).otherwise(threshold)
     return df.filter(sample_bucket(F.col(key_col), salt=salt) < threshold)
+
+
+def shuffle_layout(
+    df: DataFrame, key_col: str, *, n_shards: int = 8, salt: str = "shuffle"
+) -> DataFrame:
+    """Deterministic global training-order shuffle: assign every row a
+    ``shard_id`` and a dense in-shard ``shard_pos`` from the portable
+    hash of ``key:salt`` — the "shuffle the corpus once, then stream
+    shards sequentially" layout every epoch-ordered training run needs.
+
+    Unlike ``df.orderBy(rand())`` the layout is a pure function of the
+    key: re-runs, engine changes, and partition-layout changes all
+    produce the SAME order, and changing ``salt`` draws an independent
+    permutation (epoch reshuffle without rewriting the corpus logic).
+
+    Scale shape: the hash/shard assignment is map-only; positions come
+    from ONE row_number window partitioned by ``shard_id`` — a single
+    hash-exchange on the shard key plus an in-shard sort, never a
+    global total-order sort. ``n_shards`` should be sized so a shard is
+    a write-bundle (hundreds at 100 TB), which also bounds each sort.
+    Ties on the 63-bit hash are broken by the key itself, so the order
+    is total and engine-independent.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = F.col(key_col)
+    h = portable_hash64(
+        F.concat(key.cast("string"), F.lit(":" + salt))
+    ).bitwiseAND(F.lit(_MASK63))
+    shard = F.pmod(h, F.lit(n_shards)).cast("int")
+    with_shard = df.withColumn("__h", h).withColumn("shard_id", shard)
+    w = Window.partitionBy("shard_id").orderBy(F.col("__h"), key)
+    return (
+        with_shard.withColumn(
+            "shard_pos", (F.row_number().over(w) - 1).cast("long")
+        )
+        .drop("__h")
+    )

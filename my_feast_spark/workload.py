@@ -2857,6 +2857,228 @@ FROM agg
 """
 
 
+def q_bpe_pair_counts(spark, sf_dir):
+    """Adjacent-token-pair frequencies, top-40 — the inner loop of BPE
+    tokenizer training (each merge round promotes the most frequent
+    adjacent pair; this is one round's count table over the corpus).
+    Scale shape: pair rendering is a per-row zip of the token array
+    with its own 1-shifted slice (map-only, one tokenization per doc),
+    then the same two-phase hash aggregate + TakeOrderedAndProject as
+    the vocabulary pass — the power-law head collapses map-side, the
+    top-k never sorts globally."""
+    from my_feast_spark.functions.text import let, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.explode_outer(
+            let(
+                tokens(F.lower(F.col("text"))),
+                lambda t: F.when(
+                    F.size(t) >= 2,
+                    F.zip_with(
+                        F.slice(t, 1, F.size(t) - 1),
+                        F.slice(t, 2, F.size(t) - 1),
+                        lambda a, b: F.concat(a, F.lit(" "), b),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            )
+        ).alias("pair")
+    ).filter(F.col("pair").isNotNull())
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+        .limit(40)
+    )
+
+
+SQL_BPE_PAIR_COUNTS = """
+WITH tok AS (
+  SELECT string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+), pr AS (
+  SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+         i -> t[i] || ' ' || t[i+1])) AS pair
+  FROM tok WHERE len(t) >= 2
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM pr GROUP BY pair
+ORDER BY n_occurrences DESC, pair ASC LIMIT 40
+"""
+
+
+def q_boilerplate_ngrams(spark, sf_dir):
+    """Boilerplate detection: word-5-grams shared by >= 3 distinct
+    documents, ranked by document frequency — the cross-document
+    repeated-span report (headers, footers, license blurbs) a curation
+    pipeline uses to strip template text (the CCNet/RefinedWeb
+    boilerplate pass). Reuses the dedup tier's shingle machinery:
+    explode is map-only, document frequency is a countDistinct keyed on
+    the shingle, the >= 3 filter drops the long tail BEFORE the top-k,
+    and the top-30 lowers to TakeOrderedAndProject."""
+    from my_feast_spark.functions.text import let, tokens
+
+    n, min_docs = 5, 3
+
+    def _shingles(t):
+        # guard short docs inline (a projected-column filter would
+        # re-inline the tokenization — this keeps ONE split() per row)
+        return F.when(
+            F.size(t) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(t, i + j) for j in range(n)]
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode_outer(
+            let(tokens(F.lower(F.col("text"))), _shingles)
+        ).alias("shingle"),
+    ).filter(F.col("shingle").isNotNull())
+    return (
+        sh.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.col("n_docs").desc(), F.col("shingle").asc())
+        .limit(30)
+    )
+
+
+SQL_BOILERPLATE_NGRAMS = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+), ex AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 4, 0) + 1),
+         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))
+         AS shingle
+  FROM toks WHERE len(t) >= 5
+)
+SELECT shingle, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM ex GROUP BY shingle HAVING count(DISTINCT doc_id) >= 3
+ORDER BY n_docs DESC, shingle ASC LIMIT 30
+"""
+
+
+def q_global_shuffle(spark, sf_dir):
+    """Deterministic corpus shuffle layout: every document gets a
+    (shard_id, shard_pos) from the portable hash of doc_id — the
+    epoch-ordering pass that replaces ``orderBy(rand())`` with a
+    reproducible permutation (same layout on re-run, on a different
+    partitioning, or in the DuckDB oracle). One hash-exchange on the
+    shard key + per-shard sort; no global total order anywhere —
+    see operators/sampling.py::shuffle_layout."""
+    from my_feast_spark.operators.sampling import shuffle_layout
+
+    docs = _t(spark, sf_dir, "documents")
+    return shuffle_layout(docs, "doc_id", n_shards=8, salt="shuffle").select(
+        "doc_id", "shard_id", "shard_pos"
+    )
+
+
+SQL_GLOBAL_SHUFFLE = """
+WITH h AS (
+  SELECT doc_id,
+         (md5_number_lower(CAST(doc_id AS VARCHAR) || ':shuffle')
+          & 9223372036854775807) AS hv
+  FROM documents
+)
+SELECT doc_id, CAST(hv % 8 AS INT) AS shard_id,
+       CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1
+            AS BIGINT) AS shard_pos
+FROM h
+"""
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental-ingest dedup: an incoming batch (a deterministic
+    ~20% hash-slice of the corpus, standing in for "today's crawl") is
+    anti-joined on content fingerprint against the already-ingested
+    base, keeping only genuinely new content — the production shape
+    where dedup runs per-ingest against an accumulated fingerprint
+    index instead of re-deduping the whole corpus. Scale shape: base
+    fingerprints reduce to a distinct relation keyed on the join key
+    (in production this IS the stored index scan), and LeftAnti
+    shuffles only the small batch; AQE broadcasts whichever side is
+    small enough."""
+    from my_feast_spark.functions.text import doc_fingerprint
+    from my_feast_spark.operators.sampling import RESOLUTION, sample_bucket
+
+    threshold = RESOLUTION // 5
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+        (sample_bucket(F.col("doc_id"), salt="incr") < threshold).alias(
+            "__incoming"
+        ),
+    )
+    base = fp.filter(~F.col("__incoming")).select("fingerprint").distinct()
+    batch = fp.filter(F.col("__incoming"))
+    return batch.join(base, "fingerprint", "left_anti").select(
+        "doc_id", "fingerprint"
+    )
+
+
+SQL_INCREMENTAL_DEDUP = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+         CAST((md5_number_lower(CAST(doc_id AS VARCHAR) || ':incr')
+               & 9223372036854775807) % 1000000 AS BIGINT) < 200000 AS incoming
+  FROM documents
+)
+SELECT doc_id, fingerprint FROM fp b
+WHERE incoming AND NOT EXISTS (
+  SELECT 1 FROM fp o WHERE NOT o.incoming AND o.fingerprint = b.fingerprint
+)
+"""
+
+
+def q_column_profile(spark, sf_dir):
+    """Per-column dataset profile of the orders table (null counts +
+    distinct cardinalities) in ONE scan — the schema-health pass before
+    training. exact=True here so the oracle verifies real numbers; the
+    scale default is the HLL++ sketch — see
+    operators/profile.py::column_profile."""
+    from my_feast_spark.operators.profile import column_profile
+
+    orders = _t(spark, sf_dir, "orders")
+    return column_profile(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+         "o_totalprice", "o_orderdate"],
+        exact=True,
+    )
+
+
+SQL_COLUMN_PROFILE = """
+SELECT 'o_custkey' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(o_custkey) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct FROM orders
+UNION ALL
+SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+       count(DISTINCT o_orderdate) FROM orders
+UNION ALL
+SELECT 'o_orderkey', count(*), count(*) - count(o_orderkey),
+       count(DISTINCT o_orderkey) FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+       count(DISTINCT o_orderpriority) FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+       count(DISTINCT o_orderstatus) FROM orders
+UNION ALL
+SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+       count(DISTINCT o_totalprice) FROM orders
+"""
+
+
 def q_curation_pipeline(spark, sf_dir):
     """The training-data curation path END-TO-END as one plan: exact
     dedup (keep the min-id doc per fingerprint) -> repetition filter ->
@@ -3252,8 +3474,10 @@ FROM sampled
 #      CHANGED this round is always in-window (round 5: the 24 queries
 #      last adjudicated in round 3 are back in; the round-5-changed
 #      curation/minhash/CC/vocab queries and the new
-#      vocab_encode_join/packed_sequences are in; a subset of the
-#      round-4-green, round-5-unchanged queries sits out one round).
+#      vocab_encode_join/packed_sequences/bpe_pair_counts/
+#      boilerplate_ngrams/global_shuffle/incremental_dedup/
+#      column_profile are in; a subset of the round-4-green,
+#      round-5-unchanged queries sits out one round).
 #      Everything in the tail stays oracle-backed and covered by
 #      tests/test_oracle_parity.py, which checks ALL queries regardless
 #      of window position. tests/test_workload_registry.py pins the
@@ -3280,6 +3504,11 @@ QUERIES: dict[str, tuple] = {
     "mixture_temperature": (q_mixture_temperature, SQL_MIXTURE_TEMPERATURE),
     "length_bucket_batches": (q_length_bucket_batches, SQL_LENGTH_BUCKET_BATCHES),
     "token_rarity": (q_token_rarity, SQL_TOKEN_RARITY),
+    "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
+    "boilerplate_ngrams": (q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS),
+    "global_shuffle": (q_global_shuffle, SQL_GLOBAL_SHUFFLE),
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+    "column_profile": (q_column_profile, SQL_COLUMN_PROFILE),
     # --- rotated IN for round 5 (last adjudicated round 3) ----------------
     "doc_fingerprints": (q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
     "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
@@ -3307,19 +3536,19 @@ QUERIES: dict[str, tuple] = {
     "customer_balance_deciles": (q_customer_balance_deciles, SQL_CUSTOMER_BALANCE_DECILES),
     # --- r4-green, kept in-window (strong standing signal) ----------------
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
-    "online_lookup": (q_online_lookup, SQL_ONLINE_LOOKUP),
     "feature_store_retrieval": (q_feature_store_retrieval, SQL_FEATURE_STORE_RETRIEVAL),
     "streaming_hourly_agg": (q_streaming_hourly_agg, SQL_STREAMING_HOURLY_AGG),
-    "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
     "streaming_sessionize": (q_streaming_sessionize, SQL_STREAMING_SESSIONIZE),
     "corpus_vocab": (q_corpus_vocab, SQL_CORPUS_VOCAB),
-    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
-    "lang_id": (q_lang_id, SQL_LANG_ID),
     "repetition_filter": (q_repetition_filter, SQL_REPETITION_FILTER),
-    "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     # --- rotation tail for round 5 (all green in round 4, unchanged in
     # round 5; still value-checked every run by tests/test_oracle_parity.py;
     # back in-window round 6) ----------------------------------------------
+    "online_lookup": (q_online_lookup, SQL_ONLINE_LOOKUP),
+    "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
     "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
     "stratified_sample_docs": (q_stratified_sample_docs, SQL_STRATIFIED_SAMPLE_DOCS),

@@ -506,3 +506,56 @@ def test_packed_sequences_consistent_with_accounting(spark):
         for r in workload.q_packed_sequences(spark, SF).collect()
     }
     assert packed == acct
+
+
+def test_shuffle_layout_is_dense_deterministic_and_salt_independent(spark, docs):
+    from my_feast_spark.operators.sampling import shuffle_layout
+
+    a = shuffle_layout(docs, "doc_id", n_shards=4, salt="e0")
+    rows = a.select("doc_id", "shard_id", "shard_pos").collect()
+    assert len(rows) == docs.count()
+    # positions are dense 0..n-1 within every shard
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard_id, []).append(r.shard_pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), f"shard {shard} not dense"
+    # pure function of the key: a re-run gives the identical layout
+    again = {
+        (r.doc_id): (r.shard_id, r.shard_pos)
+        for r in shuffle_layout(docs, "doc_id", n_shards=4, salt="e0")
+        .select("doc_id", "shard_id", "shard_pos").collect()
+    }
+    assert all((r.doc_id) in again and again[r.doc_id] == (r.shard_id, r.shard_pos)
+               for r in rows)
+    # a different salt draws a genuinely different permutation
+    other = {
+        r.doc_id: (r.shard_id, r.shard_pos)
+        for r in shuffle_layout(docs, "doc_id", n_shards=4, salt="e1")
+        .select("doc_id", "shard_id", "shard_pos").collect()
+    }
+    assert any(other[r.doc_id] != (r.shard_id, r.shard_pos) for r in rows)
+
+
+def test_shuffle_layout_rejects_bad_shard_count(spark, docs):
+    from my_feast_spark.operators.sampling import shuffle_layout
+
+    with pytest.raises(ValueError, match="n_shards"):
+        shuffle_layout(docs, "doc_id", n_shards=0)
+
+
+def test_column_profile_counts_and_validation(spark):
+    from my_feast_spark.operators.profile import column_profile
+
+    df = spark.createDataFrame(
+        [Row(a=1, b="x"), Row(a=1, b=None), Row(a=2, b="y")]
+    )
+    out = {r["column"]: r for r in column_profile(df, exact=True).collect()}
+    assert set(out) == {"a", "b"}
+    assert out["a"].n_rows == 3 and out["a"].n_nulls == 0 and out["a"].n_distinct == 2
+    assert out["b"].n_nulls == 1 and out["b"].n_distinct == 2
+    # approx default still returns a row per column with exact null counts
+    approx = {r["column"]: r for r in column_profile(df).collect()}
+    assert approx["b"].n_nulls == 1
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        column_profile(df, ["a", "nope"])

@@ -183,6 +183,7 @@ def test_text_queries_tokenize_once(spark):
                            ("quality_score", 1), ("curation_pipeline", 1),
                            ("packed_sequences", 1), ("mixture_temperature", 1),
                            ("length_bucket_batches", 1), ("corpus_vocab", 1),
+                           ("bpe_pair_counts", 1), ("boilerplate_ngrams", 1),
                            ("vocab_encode_join", 2)):
         plan = (
             workload.QUERIES[name][0](spark, SF_DIR_ORACLE)
@@ -224,3 +225,24 @@ def test_curate_releases_all_caches(spark):
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
         "curate left persisted DataFrames in the cacheManager"
     )
+
+
+def test_global_shuffle_is_single_exchange(spark):
+    """The shuffle layout must be ONE hash-exchange on the shard key
+    plus an in-shard sort — never a global total-order sort (no
+    rangepartitioning anywhere). (Formatted plans print each node twice:
+    tree + detail section — count the numbered detail entries.)"""
+    import re
+
+    plan = _formatted(workload.q_global_shuffle(spark, SF_DIR_ORACLE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_column_profile_is_single_scan(spark):
+    """The profiler reads the table ONCE regardless of column count:
+    one FileScan, partial aggregates, one-row reduce."""
+    import re
+
+    plan = _formatted(workload.q_column_profile(spark, SF_DIR_ORACLE))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1

@@ -15,6 +15,11 @@ from my_feast_spark import workload
 # IN the window; a subset of the round-4-green, round-5-unchanged
 # queries sits in the tail this round and returns in round 6.
 ROTATION_TAIL = {
+    "online_lookup",
+    "streaming_dedup",
+    "quality_score",
+    "lang_id",
+    "doc_chunks",
     "corpus_mixture",
     "pii_redaction",
     "stratified_sample_docs",
@@ -87,6 +92,11 @@ CHANGED_OR_NEW_THIS_ROUND = {
     "mixture_temperature",
     "length_bucket_batches",
     "token_rarity",
+    "bpe_pair_counts",
+    "boilerplate_ngrams",
+    "global_shuffle",
+    "incremental_dedup",
+    "column_profile",
 }
 
 
