@@ -2,7 +2,12 @@ from my_feast_spark.operators.aggregations import latest_per_key, time_bucket_ag
 from my_feast_spark.operators.asof_join import point_in_time_join
 from my_feast_spark.operators.curation import CurationConfig, curate
 from my_feast_spark.operators.graph import connected_components
-from my_feast_spark.operators.sampling import sample_bucket, stratified_sample
+from my_feast_spark.operators.profile import column_profile
+from my_feast_spark.operators.sampling import (
+    sample_bucket,
+    shuffle_layout,
+    stratified_sample,
+)
 
 __all__ = [
     "point_in_time_join",
@@ -13,4 +18,6 @@ __all__ = [
     "connected_components",
     "stratified_sample",
     "sample_bucket",
+    "shuffle_layout",
+    "column_profile",
 ]

@@ -1571,6 +1571,64 @@ FROM reach GROUP BY 1
 """
 
 
+def q_cluster_keep_longest(spark, sf_dir):
+    """Canonical-document selection per near-dup cluster — the keep
+    policy that turns cluster labels into curation decisions: keep the
+    LONGEST member (tie -> min doc_id), the standard "fullest variant
+    wins" rule for near-dup groups where min-id would throw away the
+    most complete copy. Scale shape: the cluster relation covers only
+    docs that appear in some pair (a small fraction of the corpus), so
+    the metadata join broadcasts under AQE; rank + member accounting
+    share ONE hash-exchange on cluster_id (the window's partitioning is
+    reused by the aggregate)."""
+    from my_feast_spark.operators.graph import connected_components
+
+    pairs = q_minhash_dup_pairs(spark, sf_dir)
+    clusters = connected_components(
+        pairs, "doc_a", "doc_b", out_id="doc_id", out_label="cluster_id"
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    member = clusters.join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        member.withColumn("__rn", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.max(F.when(F.col("__rn") == 1, F.col("doc_id"))).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+SQL_CLUSTER_KEEP_LONGEST = f"""
+WITH RECURSIVE pairs AS ({SQL_MINHASH_DUP_PAIRS}),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(id, label) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, r.label FROM sym s JOIN reach r ON s.b = r.id
+),
+cl AS (SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+       FROM reach GROUP BY 1),
+m AS (SELECT cluster_id, d.doc_id, d.n_chars
+      FROM cl JOIN documents d USING (doc_id)),
+r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                   ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM m)
+SELECT cluster_id,
+       CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS keeper_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM r GROUP BY cluster_id
+"""
+
+
 def q_simhash_dup_pairs(spark, sf_dir, *, hash_fn="portable"):
     """SimHash hamming<=3 near-dup pairs (pigeonhole banding). Pigeonhole
     recall is exactly 1, and hash_fn="portable" gives DuckDB the same
@@ -3476,7 +3534,7 @@ FROM sampled
 #      curation/minhash/CC/vocab queries and the new
 #      vocab_encode_join/packed_sequences/bpe_pair_counts/
 #      boilerplate_ngrams/global_shuffle/incremental_dedup/
-#      column_profile are in; a subset of the round-4-green,
+#      column_profile/cluster_keep_longest are in; a subset of the round-4-green,
 #      round-5-unchanged queries sits out one round).
 #      Everything in the tail stays oracle-backed and covered by
 #      tests/test_oracle_parity.py, which checks ALL queries regardless
@@ -3509,6 +3567,7 @@ QUERIES: dict[str, tuple] = {
     "global_shuffle": (q_global_shuffle, SQL_GLOBAL_SHUFFLE),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "column_profile": (q_column_profile, SQL_COLUMN_PROFILE),
+    "cluster_keep_longest": (q_cluster_keep_longest, SQL_CLUSTER_KEEP_LONGEST),
     # --- rotated IN for round 5 (last adjudicated round 3) ----------------
     "doc_fingerprints": (q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
     "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
@@ -3539,11 +3598,11 @@ QUERIES: dict[str, tuple] = {
     "feature_store_retrieval": (q_feature_store_retrieval, SQL_FEATURE_STORE_RETRIEVAL),
     "streaming_hourly_agg": (q_streaming_hourly_agg, SQL_STREAMING_HOURLY_AGG),
     "streaming_sessionize": (q_streaming_sessionize, SQL_STREAMING_SESSIONIZE),
-    "corpus_vocab": (q_corpus_vocab, SQL_CORPUS_VOCAB),
     "repetition_filter": (q_repetition_filter, SQL_REPETITION_FILTER),
     # --- rotation tail for round 5 (all green in round 4, unchanged in
     # round 5; still value-checked every run by tests/test_oracle_parity.py;
     # back in-window round 6) ----------------------------------------------
+    "corpus_vocab": (q_corpus_vocab, SQL_CORPUS_VOCAB),
     "online_lookup": (q_online_lookup, SQL_ONLINE_LOOKUP),
     "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),

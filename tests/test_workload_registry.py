@@ -15,6 +15,7 @@ from my_feast_spark import workload
 # IN the window; a subset of the round-4-green, round-5-unchanged
 # queries sits in the tail this round and returns in round 6.
 ROTATION_TAIL = {
+    "corpus_vocab",
     "online_lookup",
     "streaming_dedup",
     "quality_score",
@@ -97,6 +98,7 @@ CHANGED_OR_NEW_THIS_ROUND = {
     "global_shuffle",
     "incremental_dedup",
     "column_profile",
+    "cluster_keep_longest",
 }
 
 
