@@ -54,3 +54,53 @@ def column_profile(
         "__n_rows AS n_rows",
         f"stack({len(cols)}, {triples}) AS (column, n_nulls, n_distinct)",
     ).select("column", "n_rows", "n_nulls", "n_distinct")
+
+
+def profile_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    columns: list[str] | None = None,
+    *,
+    exact: bool = False,
+) -> DataFrame:
+    """Schema-drift report between two snapshots of the same table
+    (yesterday's batch vs today's, upstream vs downstream of a
+    migration): per-column null FRACTIONS and distinct cardinalities
+    side by side, with deltas — the check a pipeline runs before
+    blessing a new drop of training data.
+
+    Fractions (not raw counts) are compared because the snapshots
+    usually differ in row count. Each side is ONE scan (see
+    ``column_profile``); the final join is over n_columns rows —
+    driver-trivial at any data scale.
+    """
+    a = column_profile(df_a, columns, exact=exact)
+    b = column_profile(df_b, columns, exact=exact)
+    null_frac = lambda side: (  # noqa: E731 — tiny local expr builder
+        F.round(F.col(f"n_nulls_{side}") / F.col(f"n_rows_{side}"), 6)
+    )
+    joined = (
+        a.select(
+            "column",
+            F.col("n_rows").alias("n_rows_a"),
+            F.col("n_nulls").alias("n_nulls_a"),
+            F.col("n_distinct").alias("n_distinct_a"),
+        ).join(
+            b.select(
+                "column",
+                F.col("n_rows").alias("n_rows_b"),
+                F.col("n_nulls").alias("n_nulls_b"),
+                F.col("n_distinct").alias("n_distinct_b"),
+            ),
+            "column",
+        )
+    )
+    return joined.select(
+        "column",
+        null_frac("a").alias("null_frac_a"),
+        null_frac("b").alias("null_frac_b"),
+        F.round(null_frac("b") - null_frac("a"), 6).alias("null_frac_delta"),
+        "n_distinct_a",
+        "n_distinct_b",
+        (F.col("n_distinct_b") - F.col("n_distinct_a")).alias("n_distinct_delta"),
+    )

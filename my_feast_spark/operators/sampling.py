@@ -66,6 +66,42 @@ def stratified_sample(
     return df.filter(sample_bucket(F.col(key_col), salt=salt) < threshold)
 
 
+def ksample_per_stratum(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    k: int,
+    *,
+    salt: str = "ksample",
+) -> DataFrame:
+    """Deterministic fixed-SIZE sample: the k rows with the smallest
+    portable-hash buckets per stratum (tie -> key order) — the
+    "exactly k eval docs per language" primitive, where
+    ``stratified_sample``'s fixed-RATE semantics can't promise a count.
+
+    Like every sampler here the selection is a pure function of the
+    key: re-runs and engines agree, and growing a stratum only ever
+    displaces its current members from rank k downward (prefix-stable
+    in the hash order, so refreshes churn minimally).
+
+    Scale shape: ONE hash-exchange on the stratum + per-stratum sort
+    (rank k is a row_number window, lowered to a running window — no
+    global sort, no driver collection). Strata counts are typically
+    modest (languages, sources); a stratum with billions of rows still
+    sorts only within its partition group.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = Window.partitionBy(stratum_col).orderBy(
+        sample_bucket(F.col(key_col), salt=salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .drop("__rank")
+    )
+
+
 def shuffle_layout(
     df: DataFrame, key_col: str, *, n_shards: int = 8, salt: str = "shuffle"
 ) -> DataFrame:

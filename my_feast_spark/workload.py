@@ -3137,6 +3137,87 @@ SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
 """
 
 
+def q_stratum_ksample(spark, sf_dir):
+    """Deterministic fixed-SIZE per-stratum sample: exactly the 10
+    smallest-hash docs per language — eval-set construction, where a
+    fixed RATE can't promise a count. One exchange on the stratum +
+    per-stratum rank; selection is a pure function of doc_id so both
+    engines (and any re-run) pick the identical rows — see
+    operators/sampling.py::ksample_per_stratum."""
+    from my_feast_spark.operators.sampling import ksample_per_stratum
+
+    docs = _t(spark, sf_dir, "documents")
+    return ksample_per_stratum(docs, "lang", "doc_id", 10).select(
+        "lang", "doc_id", "source"
+    )
+
+
+SQL_STRATUM_KSAMPLE = """
+WITH b AS (
+  SELECT lang, doc_id, source,
+         CAST((md5_number_lower(CAST(doc_id AS VARCHAR) || ':ksample')
+               & 9223372036854775807) % 1000000 AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT lang, doc_id, source FROM b
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) <= 10
+"""
+
+
+def q_profile_drift(spark, sf_dir):
+    """A/B schema-drift report between two deterministic halves of the
+    orders table (even vs odd order keys standing in for yesterday's
+    vs today's batch): per-column null fractions and exact distinct
+    cardinalities side by side with deltas — the pre-training data
+    health check. Each side is one scan; the join is n_columns rows —
+    see operators/profile.py::profile_drift."""
+    from my_feast_spark.operators.profile import profile_drift
+
+    orders = _t(spark, sf_dir, "orders")
+    return profile_drift(
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        orders.filter(F.col("o_orderkey") % 2 == 1),
+        ["o_custkey", "o_orderstatus", "o_totalprice"],
+        exact=True,
+    )
+
+
+SQL_PROFILE_DRIFT = """
+WITH a AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+b AS (SELECT * FROM orders WHERE o_orderkey % 2 = 1),
+pa AS (
+  SELECT 'o_custkey' AS col, count(*) AS nr,
+         count(*) - count(o_custkey) AS nn,
+         count(DISTINCT o_custkey) AS nd FROM a
+  UNION ALL
+  SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+         count(DISTINCT o_orderstatus) FROM a
+  UNION ALL
+  SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+         count(DISTINCT o_totalprice) FROM a
+), pb AS (
+  SELECT 'o_custkey' AS col, count(*) AS nr,
+         count(*) - count(o_custkey) AS nn,
+         count(DISTINCT o_custkey) AS nd FROM b
+  UNION ALL
+  SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+         count(DISTINCT o_orderstatus) FROM b
+  UNION ALL
+  SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+         count(DISTINCT o_totalprice) FROM b
+)
+SELECT pa.col AS "column",
+       round(CAST(pa.nn AS DOUBLE) / pa.nr, 6) AS null_frac_a,
+       round(CAST(pb.nn AS DOUBLE) / pb.nr, 6) AS null_frac_b,
+       round(round(CAST(pb.nn AS DOUBLE) / pb.nr, 6)
+             - round(CAST(pa.nn AS DOUBLE) / pa.nr, 6), 6) AS null_frac_delta,
+       CAST(pa.nd AS BIGINT) AS n_distinct_a,
+       CAST(pb.nd AS BIGINT) AS n_distinct_b,
+       CAST(pb.nd - pa.nd AS BIGINT) AS n_distinct_delta
+FROM pa JOIN pb ON pa.col = pb.col
+"""
+
+
 def q_curation_pipeline(spark, sf_dir):
     """The training-data curation path END-TO-END as one plan: exact
     dedup (keep the min-id doc per fingerprint) -> repetition filter ->
@@ -3534,7 +3615,8 @@ FROM sampled
 #      curation/minhash/CC/vocab queries and the new
 #      vocab_encode_join/packed_sequences/bpe_pair_counts/
 #      boilerplate_ngrams/global_shuffle/incremental_dedup/
-#      column_profile/cluster_keep_longest are in; a subset of the round-4-green,
+#      column_profile/cluster_keep_longest/stratum_ksample/
+#      profile_drift are in; a subset of the round-4-green,
 #      round-5-unchanged queries sits out one round).
 #      Everything in the tail stays oracle-backed and covered by
 #      tests/test_oracle_parity.py, which checks ALL queries regardless
@@ -3568,6 +3650,8 @@ QUERIES: dict[str, tuple] = {
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "column_profile": (q_column_profile, SQL_COLUMN_PROFILE),
     "cluster_keep_longest": (q_cluster_keep_longest, SQL_CLUSTER_KEEP_LONGEST),
+    "stratum_ksample": (q_stratum_ksample, SQL_STRATUM_KSAMPLE),
+    "profile_drift": (q_profile_drift, SQL_PROFILE_DRIFT),
     # --- rotated IN for round 5 (last adjudicated round 3) ----------------
     "doc_fingerprints": (q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
     "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
@@ -3596,12 +3680,12 @@ QUERIES: dict[str, tuple] = {
     # --- r4-green, kept in-window (strong standing signal) ----------------
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "feature_store_retrieval": (q_feature_store_retrieval, SQL_FEATURE_STORE_RETRIEVAL),
-    "streaming_hourly_agg": (q_streaming_hourly_agg, SQL_STREAMING_HOURLY_AGG),
     "streaming_sessionize": (q_streaming_sessionize, SQL_STREAMING_SESSIONIZE),
-    "repetition_filter": (q_repetition_filter, SQL_REPETITION_FILTER),
     # --- rotation tail for round 5 (all green in round 4, unchanged in
     # round 5; still value-checked every run by tests/test_oracle_parity.py;
     # back in-window round 6) ----------------------------------------------
+    "streaming_hourly_agg": (q_streaming_hourly_agg, SQL_STREAMING_HOURLY_AGG),
+    "repetition_filter": (q_repetition_filter, SQL_REPETITION_FILTER),
     "corpus_vocab": (q_corpus_vocab, SQL_CORPUS_VOCAB),
     "online_lookup": (q_online_lookup, SQL_ONLINE_LOOKUP),
     "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),

@@ -559,3 +559,36 @@ def test_column_profile_counts_and_validation(spark):
     assert approx["b"].n_nulls == 1
     with pytest.raises(ValueError, match="not in DataFrame"):
         column_profile(df, ["a", "nope"])
+
+
+def test_ksample_per_stratum_exact_counts_and_prefix_stability(spark, docs):
+    from my_feast_spark.operators.sampling import ksample_per_stratum
+
+    k5 = ksample_per_stratum(docs, "lang", "doc_id", 5)
+    counts = {r.lang: r.n for r in k5.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    full = {r.lang: r.n for r in docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in counts.items():
+        assert n == min(5, full[lang]), (lang, n, full[lang])
+    # prefix-stable: the k=5 sample is a subset of the k=10 sample
+    ids5 = {(r.lang, r.doc_id) for r in k5.select("lang", "doc_id").collect()}
+    ids10 = {(r.lang, r.doc_id) for r in
+             ksample_per_stratum(docs, "lang", "doc_id", 10)
+             .select("lang", "doc_id").collect()}
+    assert ids5 <= ids10
+    with pytest.raises(ValueError, match="k must be"):
+        ksample_per_stratum(docs, "lang", "doc_id", 0)
+
+
+def test_profile_drift_detects_injected_nulls(spark):
+    from my_feast_spark.operators.profile import profile_drift
+
+    a = spark.createDataFrame([Row(x=i, y="v") for i in range(10)])
+    b = spark.createDataFrame(
+        [Row(x=i, y=None if i % 2 == 0 else "v") for i in range(10)]
+    )
+    out = {r["column"]: r for r in profile_drift(a, b, exact=True).collect()}
+    assert out["y"].null_frac_a == 0.0 and out["y"].null_frac_b == 0.5
+    assert out["y"].null_frac_delta == 0.5
+    assert out["x"].n_distinct_delta == 0

@@ -15,6 +15,8 @@ from my_feast_spark import workload
 # IN the window; a subset of the round-4-green, round-5-unchanged
 # queries sits in the tail this round and returns in round 6.
 ROTATION_TAIL = {
+    "streaming_hourly_agg",
+    "repetition_filter",
     "corpus_vocab",
     "online_lookup",
     "streaming_dedup",
@@ -99,6 +101,8 @@ CHANGED_OR_NEW_THIS_ROUND = {
     "incremental_dedup",
     "column_profile",
     "cluster_keep_longest",
+    "stratum_ksample",
+    "profile_drift",
 }
 
 
