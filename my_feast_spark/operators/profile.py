@@ -46,14 +46,22 @@ def column_profile(
     one = df.agg(*aggs)
 
     # unpivot the one-row wide aggregate with a literal stack: n triples
-    # of (name, nulls, distinct) — pure projection, no extra pass
-    triples = ", ".join(
-        f"'{c}', __n_rows - __nn_{c}, __nd_{c}" for c in cols
+    # of (name, nulls, distinct) — pure projection, no extra pass.
+    # Column objects, not a selectExpr string: names with spaces/quotes
+    # must not be parsed as SQL.
+    n_rows = F.col("__n_rows")
+    triples: list = []
+    for c in cols:
+        triples += [F.lit(c), n_rows - F.col(f"__nn_{c}"), F.col(f"__nd_{c}")]
+    return (
+        one.select(
+            n_rows.alias("n_rows"),
+            F.stack(F.lit(len(cols)), *triples).alias(
+                "column", "n_nulls", "n_distinct"
+            ),
+        )
+        .select("column", "n_rows", "n_nulls", "n_distinct")
     )
-    return one.selectExpr(
-        "__n_rows AS n_rows",
-        f"stack({len(cols)}, {triples}) AS (column, n_nulls, n_distinct)",
-    ).select("column", "n_rows", "n_nulls", "n_distinct")
 
 
 def profile_drift(

@@ -559,6 +559,10 @@ def test_column_profile_counts_and_validation(spark):
     assert approx["b"].n_nulls == 1
     with pytest.raises(ValueError, match="not in DataFrame"):
         column_profile(df, ["a", "nope"])
+    # names with spaces/quotes must not be parsed as SQL
+    weird = spark.createDataFrame([Row(**{"weird name": 1, "q'uote": 2})])
+    assert {r["column"] for r in column_profile(weird, exact=True).collect()} \
+        == {"weird name", "q'uote"}
 
 
 def test_ksample_per_stratum_exact_counts_and_prefix_stability(spark, docs):
@@ -592,3 +596,24 @@ def test_profile_drift_detects_injected_nulls(spark):
     assert out["y"].null_frac_a == 0.0 and out["y"].null_frac_b == 0.5
     assert out["y"].null_frac_delta == 0.5
     assert out["x"].n_distinct_delta == 0
+
+
+def test_shuffle_layout_composes_with_partitioned_shard_write(spark, docs, tmp_path):
+    """The training-order layout lands as ONE partitioned write: each
+    shard directory holds a contiguous, densely-numbered slice of the
+    corpus — the file bundles an epoch-ordered loader streams in turn."""
+    from my_feast_spark.operators.sampling import shuffle_layout
+    from my_feast_spark.sources.writers import write_partitioned
+
+    laid = shuffle_layout(docs.select("doc_id"), "doc_id", n_shards=4)
+    write_partitioned(laid, str(tmp_path / "shards"), ["shard_id"])
+    back = spark.read.parquet(str(tmp_path / "shards"))
+    assert sorted(r.shard_id for r in back.select("shard_id").distinct().collect()) \
+        == [0, 1, 2, 3]
+    assert back.count() == docs.count()
+    # every shard's positions survive the round-trip dense
+    for r in back.groupBy("shard_id").agg(
+        F.min("shard_pos").alias("lo"), F.max("shard_pos").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect():
+        assert r.lo == 0 and r.hi == r.n - 1

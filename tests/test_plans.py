@@ -246,3 +246,13 @@ def test_column_profile_is_single_scan(spark):
 
     plan = _formatted(workload.q_column_profile(spark, SF_DIR_ORACLE))
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_stratum_ksample_is_single_exchange(spark):
+    """Fixed-size per-stratum sampling must rank inside ONE stratum
+    hash-exchange — no global sort, no second shuffle."""
+    import re
+
+    plan = _formatted(workload.q_stratum_ksample(spark, SF_DIR_ORACLE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "rangepartitioning" not in plan.lower()
