@@ -34,3 +34,13 @@ def test_bronze_ingest_demo_runs(spark, tmp_path):
     assert out["bronze_by_src"] == {"api": 450, "capture": 300, "csv": 50}
     assert 0 < out["silver_rows"] <= 4 * 9 * 3  # stations x days x months
     assert out["partitions"] >= 9
+
+
+def test_shard_emit_demo_runs(spark, tmp_path):
+    from examples.shard_emit_demo import main
+
+    out = main("/root/testdata/sf0.01", str(tmp_path / "shards"))
+    assert out["n_shards"] == 4
+    assert out["n_sequences"] == sum(out["per_shard"].values())
+    assert out["n_sequences"] > 500  # every doc yields >= 1 sequence
+    assert out["total_tokens"] > 0
