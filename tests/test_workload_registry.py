@@ -15,6 +15,9 @@ from my_feast_spark import workload
 # IN the window; a subset of the round-4-green, round-5-unchanged
 # queries sits in the tail this round and returns in round 6.
 ROTATION_TAIL = {
+    "pricing_summary",
+    "feature_store_retrieval",
+    "streaming_sessionize",
     "streaming_hourly_agg",
     "repetition_filter",
     "corpus_vocab",
@@ -103,6 +106,9 @@ CHANGED_OR_NEW_THIS_ROUND = {
     "cluster_keep_longest",
     "stratum_ksample",
     "profile_drift",
+    "scd2_user_state",
+    "token_pmi",
+    "inverted_index",
 }
 
 
