@@ -256,3 +256,37 @@ def test_stratum_ksample_is_single_exchange(spark):
     plan = _formatted(workload.q_stratum_ksample(spark, SF_DIR_ORACLE))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_scd2_single_exchange_shared_sort(spark):
+    """The SCD2 interval build must pay ONE user_id exchange: the
+    change-point lag() and the interval-closing lead() stack on the
+    same (user_id, ts, event_id) sort order, so Catalyst reuses the
+    Exchange (the second Window re-sorts at most the filtered rows)."""
+    import re
+
+    plan = _formatted(workload.q_scd2_user_state(spark, SF_DIR_ORACLE))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_inverted_index_caps_before_collect(spark):
+    """Posting arrays must be capped BEFORE collect_list materializes
+    them: the row_number filter has to sit under the aggregate (visible
+    as a Filter on the window column), and the df-count join stays
+    broadcast (vocab-sized build side)."""
+    plan = _formatted(workload.q_inverted_index(spark, SF_DIR_ORACLE))
+    assert "row_number" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_token_pmi_broadcasts_count_tables(spark):
+    """Both unigram-count joins and both grand-total joins must
+    broadcast (vocab-sized / single-row build sides) — the pair-count
+    relation is the only big side and must never shuffle for a join."""
+    plan = _formatted(workload.q_token_pmi(spark, SF_DIR_ORACLE))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("BroadcastNestedLoopJoin") >= 2  # single-row totals
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
