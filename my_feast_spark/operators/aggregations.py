@@ -81,3 +81,51 @@ def latest_per_key(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    state_col: str,
+    *,
+    tie_breakers: Sequence[str] = (),
+    out_state: str = "state",
+    out_from: str = "valid_from",
+    out_to: str = "valid_to",
+    out_current: str = "is_current",
+) -> DataFrame:
+    """Collapse a per-key event stream into SCD Type-2 intervals:
+    ``(keys..., state, valid_from, valid_to, is_current)``.
+
+    Consecutive rows (ordered by ``ts_col`` then ``tie_breakers``) with
+    the same ``state_col`` value merge into one interval; each interval
+    closes at the NEXT state change (``valid_to`` is NULL and
+    ``is_current`` true for the open tail). The materialized form of
+    the reference's latest-version semantics (CASE.MD:431-464): a PIT
+    lookup against the output is a plain range predicate
+    ``valid_from <= ts AND (valid_to IS NULL OR ts < valid_to)``.
+
+    Scale shape: ONE shuffle on ``keys``; the change-point lag() and the
+    interval-closing lead() stack on the same sort order, so Catalyst
+    reuses the Exchange and the second Window only re-sorts the
+    (smaller) change-point relation. Pass ``tie_breakers`` whenever
+    ``ts_col`` can tie, or the collapse order is engine-dependent.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in tie_breakers]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    changes = (
+        df.withColumn("__prev_state", F.lag(state_col).over(w))
+        .filter(
+            F.col("__prev_state").isNull()
+            | (F.col("__prev_state") != F.col(state_col))
+        )
+        .drop("__prev_state")
+    )
+    return changes.select(
+        *keys,
+        F.col(state_col).alias(out_state),
+        F.col(ts_col).alias(out_from),
+        F.lead(ts_col).over(w).alias(out_to),
+        F.lead(ts_col).over(w).isNull().alias(out_current),
+    )

@@ -3607,21 +3607,13 @@ def q_scd2_user_state(spark, sf_dir):
     Catalyst reuses the Exchange and only re-sorts the (smaller)
     filtered relation. Ties broken by event_id so both engines collapse
     identically."""
+    from my_feast_spark.operators.aggregations import scd2_intervals
+
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    changes = (
-        ev.withColumn("__prev", F.lag("event_type").over(w))
-        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col("event_type")))
-        .drop("__prev")
-    )
-    return changes.select(
-        "user_id",
-        F.col("event_type").alias("state"),
-        F.col("ts").alias("valid_from"),
-        F.lead("ts").over(w).alias("valid_to"),
-        F.lead("ts").over(w).isNull().alias("is_current"),
+    return scd2_intervals(
+        ev, ["user_id"], "ts", "event_type", tie_breakers=["event_id"]
     )
 
 

@@ -1,0 +1,87 @@
+"""Property-based SCD Type-2 invariants.
+
+hypothesis generates random keyed event streams (coarse timestamp grid so
+ties are frequent); for every case the `scd2_intervals` output must:
+  * exactly equal a pandas collapse of consecutive states in
+    (ts, tie_breaker) order — the independent oracle;
+  * partition each key's timeline: intervals sorted by valid_from chain
+    (valid_to == next valid_from), exactly one open (is_current) tail;
+  * never emit two consecutive intervals with the same state.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from my_feast_spark.operators.aggregations import scd2_intervals
+
+T0 = dt.datetime(2024, 1, 1)
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),      # key
+        st.integers(min_value=0, max_value=24),     # hour (ties frequent)
+        st.sampled_from(["a", "b", "c"]),           # state
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _expected(rows):
+    """Pandas oracle: sort by (key, ts, event_id), collapse consecutive
+    duplicate states per key, close each interval at the next change."""
+    df = pd.DataFrame(rows, columns=["key", "ts", "event_id", "state"])
+    df = df.sort_values(["key", "ts", "event_id"]).reset_index(drop=True)
+    out = []
+    for key, g in df.groupby("key"):
+        changes = []
+        prev = None
+        for _, r in g.iterrows():
+            if prev is None or r["state"] != prev:
+                changes.append((r["state"], r["ts"]))
+            prev = r["state"]
+        for i, (state, vfrom) in enumerate(changes):
+            vto = changes[i + 1][1] if i + 1 < len(changes) else None
+            out.append((key, state, vfrom, vto, vto is None))
+    return sorted(out, key=lambda t: (t[0], t[2], t[1]))
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(events=events_strategy)
+def test_scd2_matches_pandas_collapse(spark, events):
+    rows = [
+        (k, T0 + dt.timedelta(hours=h), i, s)
+        for i, (k, h, s) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, schema="key long, ts timestamp, event_id long, state string"
+    )
+    got = sorted(
+        (
+            (r["key"], r["state"], r["valid_from"], r["valid_to"],
+             r["is_current"])
+            for r in scd2_intervals(
+                df, ["key"], "ts", "state", tie_breakers=["event_id"]
+            ).collect()
+        ),
+        key=lambda t: (t[0], t[2], t[1]),
+    )
+    assert got == _expected(rows)
+
+    # timeline partition invariants per key
+    by_key: dict = {}
+    for key, state, vfrom, vto, cur in got:
+        by_key.setdefault(key, []).append((vfrom, vto, state, cur))
+    for key, ivals in by_key.items():
+        ivals.sort()
+        assert sum(1 for _, vto, _, cur in ivals if cur) == 1
+        assert ivals[-1][1] is None and ivals[-1][3]
+        for (f1, t1, s1, _), (f2, _, s2, _) in zip(ivals, ivals[1:]):
+            assert t1 == f2, "intervals must chain without gaps"
+            assert s1 != s2, "consecutive intervals must change state"
+            assert f1 <= t1
