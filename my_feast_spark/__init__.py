@@ -13,7 +13,7 @@ Arrow-batched Pandas UDFs in the extension operators.
 """
 
 from my_feast_spark.core import Entity, Feature, FeatureStore, FeatureView, FileSource
-from my_feast_spark.operators.aggregations import latest_per_key, time_bucket_agg
+from my_feast_spark.operators.aggregations import latest_per_key, scd2_intervals, time_bucket_agg
 from my_feast_spark.operators.asof_join import point_in_time_join
 from my_feast_spark.session import get_session, session_confs
 
@@ -25,6 +25,7 @@ __all__ = [
     "FileSource",
     "get_session",
     "latest_per_key",
+    "scd2_intervals",
     "point_in_time_join",
     "session_confs",
     "time_bucket_agg",
