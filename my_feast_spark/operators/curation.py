@@ -187,15 +187,30 @@ def curate(
             )
 
         # Pin the (small) dropped-id union eagerly, then drop every
-        # cache: the returned plan must not depend on session-lifetime
-        # cached blocks (repeated curate() calls in one session would
-        # otherwise accumulate them).
+        # cache AND every upstream checkpoint: once drop_ids holds the
+        # materialized id set, the contamination checkpoint and the
+        # cluster-label checkpoint connected_components handed back are
+        # dead weight (localCheckpoint pins blocks for the session
+        # lifetime — repeated curate() calls would otherwise accumulate
+        # them). Only drop_ids itself stays pinned: the returned plan
+        # anti-joins against it, so it must outlive this call.
+        from my_feast_spark.operators.graph import release_checkpoint
+
+        spent_checkpoints: list[DataFrame] = []
         if contaminated_fut is not None:
-            drops.insert(0, contaminated_fut.result())
+            contaminated_ck = contaminated_fut.result()
+            drops.insert(0, contaminated_ck)
+            spent_checkpoints.append(contaminated_ck)
+        if cfg.near_dup is not None:
+            spent_checkpoints.extend(
+                getattr(clusters, "_owned_checkpoints", ())
+            )
         drop_ids = drops[0] if len(drops) == 1 else drops[0].union(drops[1])
         drop_ids = drop_ids.localCheckpoint()
         for c in pair_caches:
             c.unpersist()
+        for c in spent_checkpoints:
+            release_checkpoint(c)
         deduped.unpersist()
         deduped = deduped.join(drop_ids, did, "left_anti")
 

@@ -42,6 +42,33 @@ from pyspark.sql import DataFrame, functions as F
 _EDGES_PER_PARTITION = 100_000
 
 
+def release_checkpoint(df: DataFrame) -> bool:
+    """Drop the blocks pinned by ``df``'s ``localCheckpoint``.
+
+    ``localCheckpoint`` pins its blocks for the session lifetime —
+    ``Dataset.unpersist``/``spark.catalog`` can't see them, so an
+    iterative algorithm that checkpoints per round leaks every round's
+    blocks unless it releases them explicitly. CAUTION: the frame (and
+    anything derived from it) becomes UNUSABLE — the checkpoint
+    truncated its lineage, so dropped blocks cannot be recomputed.
+    Release is per-frame (the exact pinned RDD is resolved from the
+    frame's own plan), so concurrent checkpoints owned by other threads
+    are never touched.
+
+    Returns True if a pinned RDD was found and released.
+    """
+    plan = df._jdf.queryExecution().analyzed()
+    if plan.getClass().getSimpleName() != "LogicalRDD":
+        return False
+    rid = plan.rdd().id()
+    jmap = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
+    jrdd = jmap.get(rid)
+    if jrdd is None:
+        return False
+    jrdd.unpersist(False)
+    return True
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -75,6 +102,14 @@ def connected_components(
     edges out of a huge corpus, and one distributed round costs more
     scheduler latency than the whole resolution. Pass 0 to force the
     distributed path.
+
+    Block ownership: every intermediate ``localCheckpoint`` (edges,
+    per-round labels) is released before returning. On the distributed
+    path the RESULT still depends on the final round's checkpoint; that
+    frame is handed back as ``result._owned_checkpoints`` so a caller
+    that materializes the labels elsewhere can ``release_checkpoint``
+    it (the curation pipeline does). The driver union-find path returns
+    plain driver rows and pins nothing.
     """
     if driver_max_edges is None:
         driver_max_edges = _DRIVER_CC_MAX_EDGES
@@ -144,6 +179,7 @@ def _cc_min_label(
     edges, src, dst, max_iter, out_id, out_label, driver_max_edges=0
 ) -> DataFrame:
     spark = edges.sparkSession
+    owned: list[DataFrame] = []  # every checkpoint THIS call pinned
     # Canonicalize (hi, lo), drop self-loops, deduplicate BEFORE
     # symmetrizing: duplicate input edges would otherwise both inflate
     # the loop's join fan-out and make the driver-shortcut threshold
@@ -158,23 +194,31 @@ def _cc_min_label(
         .distinct()
         .localCheckpoint()
     )
+    owned.append(e)
     n_edges = e.count()
     sym = e.select(F.col("hi").alias("a"), F.col("lo").alias("b")).union(
         e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     )
     if n_edges <= driver_max_edges:
-        return _cc_driver_union_find(sym, spark, out_id, out_label)
+        out = _cc_driver_union_find(sym, spark, out_id, out_label)
+        # union-find already collected the edges; the result is plain
+        # driver rows — nothing pinned needs to outlive this call
+        for c in owned:
+            release_checkpoint(c)
+        return out
     # Size loop parallelism to the materialized edge count, capped at
     # the session default.
     default_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     loop_p = _loop_partitions(spark, 2 * n_edges)
     if loop_p < default_p:
         sym = sym.repartition(loop_p, "b").localCheckpoint()
+        owned.append(sym)
     labels = (
         sym.select(F.col("a").alias("id")).distinct()
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    owned.append(labels)
     # Convergence check: per-vertex labels are monotonically
     # non-increasing, so the EXACT label sum (decimal — no long
     # overflow at any vertex count) strictly decreases until the
@@ -193,13 +237,25 @@ def _cc_min_label(
             .agg(F.min("label").alias("label"))
             .localCheckpoint()  # eager: also truncates lineage per round
         )
+        owned.append(new_labels)
         new_sum = new_labels.agg(label_sum).collect()[0][0]
         labels = new_labels
         if new_sum == prev_sum:
-            return labels.select(
+            # the result depends ONLY on the final round's checkpoint —
+            # release the edges, the sliced sym, and every earlier
+            # round's label blocks; the kept one is handed to the
+            # caller via _owned_checkpoints (see connected_components)
+            for c in owned:
+                if c is not labels:
+                    release_checkpoint(c)
+            out = labels.select(
                 F.col("id").alias(out_id), F.col("label").alias(out_label)
             )
+            out._owned_checkpoints = [labels]
+            return out
         prev_sum = new_sum
+    for c in owned:
+        release_checkpoint(c)
     raise RuntimeError(
         f"connected_components(method='label') did not converge in "
         f"{max_iter} rounds — the graph has a component with diameter > "
@@ -224,6 +280,7 @@ def _cc_two_phase_star(
     sums + hash sum), two tiny aggregates per round.
     """
     spark = edges.sparkSession
+    owned: list[DataFrame] = []  # every checkpoint THIS call pinned
     e = (
         edges.select(
             F.greatest(F.col(src), F.col(dst)).alias("hi"),
@@ -233,10 +290,14 @@ def _cc_two_phase_star(
         .distinct()
         .localCheckpoint()
     )
+    owned.append(e)
     n_edges = e.count()
     if n_edges <= driver_max_edges:
         sym = e.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
-        return _cc_driver_union_find(sym, spark, out_id, out_label)
+        out = _cc_driver_union_find(sym, spark, out_id, out_label)
+        for c in owned:
+            release_checkpoint(c)
+        return out
     loop_p = _loop_partitions(spark, n_edges)
 
     def checksum(df):
@@ -264,7 +325,9 @@ def _cc_two_phase_star(
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
         )
-        return out.filter(F.col("hi") != F.col("lo")).distinct().localCheckpoint()
+        ck = out.filter(F.col("hi") != F.col("lo")).distinct().localCheckpoint()
+        owned.append(ck)
+        return ck
 
     def small_star(df):
         # group by the LARGER endpoint; m = min over {u} + smaller
@@ -280,7 +343,9 @@ def _cc_two_phase_star(
         )
         hooks = m.select(F.col("hi"), F.col("m").alias("lo"))
         out = rewired.union(hooks)
-        return out.filter(F.col("hi") != F.col("lo")).distinct().localCheckpoint()
+        ck = out.filter(F.col("hi") != F.col("lo")).distinct().localCheckpoint()
+        owned.append(ck)
+        return ck
 
     prev = checksum(e)
     for _ in range(max_iter):
@@ -288,15 +353,25 @@ def _cc_two_phase_star(
         cur = checksum(e)
         if cur == prev:
             # fixpoint: disjoint stars — every hi points at its
-            # component minimum lo; centers label themselves
+            # component minimum lo; centers label themselves. The
+            # result depends ONLY on the final round's edge checkpoint
+            # — release every earlier round's blocks; the kept one is
+            # handed to the caller via _owned_checkpoints
+            for c in owned:
+                if c is not e:
+                    release_checkpoint(c)
             nodes = e.select(F.col("hi").alias("id"), F.col("lo").alias("label"))
             roots = e.select(F.col("lo").alias("id")).distinct().withColumn(
                 "label", F.col("id")
             )
-            return nodes.union(roots).distinct().select(
+            out = nodes.union(roots).distinct().select(
                 F.col("id").alias(out_id), F.col("label").alias(out_label)
             )
+            out._owned_checkpoints = [e]
+            return out
         prev = cur
+    for c in owned:
+        release_checkpoint(c)
     raise RuntimeError(
         f"connected_components(method='star') did not converge in "
         f"{max_iter} rounds — raise max_iter (round count is "

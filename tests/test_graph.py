@@ -104,3 +104,72 @@ def test_empty_edge_set_yields_empty_labels(spark):
     for kwargs in ({}, {"method": "label", "driver_max_edges": 0},
                    {"method": "star", "driver_max_edges": 0}):
         assert connected_components(e, **kwargs).count() == 0, kwargs
+
+
+def test_connected_components_releases_checkpoints(spark):
+    """Repeated CC calls must not accumulate pinned blocks: the driver
+    union-find path pins nothing; the forced-distributed path pins
+    exactly the final-round labels checkpoint, which it hands back via
+    _owned_checkpoints for the caller to release."""
+    from my_feast_spark.operators.graph import release_checkpoint
+
+    def pinned():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    base = pinned()
+    for _ in range(3):  # driver shortcut path
+        connected_components(edges, "id_a", "id_b").collect()
+    # growth-only compare: Spark's ContextCleaner may drop OTHER tests'
+    # GC'd RDDs concurrently, so `pinned()` can shrink below base
+    assert pinned() - base == set(), "driver-path CC leaked pinned RDDs"
+
+    for method in ("label", "star"):  # forced distributed path
+        out = connected_components(
+            edges, "id_a", "id_b", method=method, driver_max_edges=0
+        )
+        out.collect()
+        ck = getattr(out, "_owned_checkpoints", None)
+        assert ck, "distributed CC must hand back its result checkpoint"
+        assert len(pinned() - base) == 1, (
+            f"{method}: exactly the result checkpoint should stay pinned"
+        )
+        for c in ck:
+            assert release_checkpoint(c)
+        assert pinned() - base == set(), f"{method}: release left pinned RDDs"
+
+
+def test_curate_releases_checkpoints_and_caches(spark):
+    """Back-to-back full-pipeline curate() calls accumulate ONLY the
+    per-call dropped-id checkpoint their returned plans anti-join
+    against — contamination/cluster checkpoints and all caches are
+    released before curate() returns."""
+    from my_feast_spark.operators.curation import CurationConfig, curate
+    from my_feast_spark.sources.readers import load_table
+    from tests.conftest import SF_DIR_ORACLE
+
+    def pinned():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    docs = load_table(spark, SF_DIR_ORACLE, "documents")
+    bench = docs.filter("doc_id % 50 = 0").select("doc_id", "text")
+    train = docs.filter("doc_id % 50 <> 0")
+    cfg = CurationConfig(
+        id_col="doc_id", text_col="text", stratum_col="lang",
+        near_dup="minhash",
+    )
+    base = pinned()
+    counts = []
+    for _ in range(2):
+        curate(train, config=cfg, benchmark_df=bench).count()
+        counts.append(len(pinned() - base))
+    assert counts[0] == 1, f"first curate() left {counts[0]} pinned RDDs"
+    # the first call's drop_ids may already have been reclaimed by the
+    # ContextCleaner (its Python frame went unreferenced), so the second
+    # call leaves at most its own checkpoint plus the not-yet-collected
+    # first one — never contamination/cluster/cache blocks on top
+    assert counts[1] <= 2, f"second curate() left {counts[1]} pinned RDDs"
