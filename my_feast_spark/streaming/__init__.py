@@ -1,6 +1,7 @@
 from my_feast_spark.streaming.online import materialize_stream
 from my_feast_spark.streaming.ingest import (
     capture_to_parquet,
+    dedup_ingest_stream,
     read_event_stream,
     run_to_memory_table,
     sessionize,
@@ -10,6 +11,7 @@ from my_feast_spark.streaming.ingest import (
 
 __all__ = [
     "capture_to_parquet",
+    "dedup_ingest_stream",
     "materialize_stream",
     "read_event_stream",
     "run_to_memory_table",

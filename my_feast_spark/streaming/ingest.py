@@ -29,7 +29,7 @@ import tempfile
 from typing import Callable, Iterable, Mapping, Sequence
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -281,3 +281,81 @@ def run_to_memory_table(
     if not q.awaitTermination(timeout_sec):
         q.stop()
     return spark.table(name)
+
+
+def dedup_ingest_stream(
+    sdf: DataFrame,
+    *,
+    out_path: str,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = False,
+    trigger_interval: str | None = None,
+):
+    """Continuously ingest documents with exact dedup against everything
+    already accepted — the streaming form of the incremental-ingest
+    anti-join (workload.q_incremental_dedup): each micro-batch keeps the
+    min-id document per content fingerprint, drops fingerprints the
+    accumulated index has seen, appends survivors to ``out_path`` and
+    their fingerprints to ``index_path``.
+
+    Crash safety: ``foreachBatch`` replays a batch after failure
+    (at-least-once), so both sinks write to a ``batch_id=N``
+    subdirectory with ``overwrite`` — a replay rewrites the same
+    partition instead of appending duplicates, making the ingest
+    effectively exactly-once.
+
+    Scale shape: the index scan reads ONE column (the fingerprint) and
+    the anti-join shuffles only the (small) micro-batch against it
+    under AQE; at corpus scale, write the index bucketed by fingerprint
+    (sources/writers.py::write_bucketed_table) so the per-batch
+    anti-join is co-located and shuffle-free on the index side.
+    Returns the started StreamingQuery.
+    """
+    from my_feast_spark.functions.text import doc_fingerprint
+
+    spark = sdf.sparkSession
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        fp = batch_df.select(
+            F.col(id_col), F.col(text_col),
+            doc_fingerprint(F.col(text_col)).alias("fingerprint"),
+        )
+        # in-batch dedup: deterministic min-id winner per fingerprint
+        w = Window.partitionBy("fingerprint").orderBy(id_col)
+        fresh = (
+            fp.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if os.path.exists(index_path) and any(
+            not e.name.startswith((".", "_"))
+            for e in os.scandir(index_path)
+        ):
+            seen = spark.read.parquet(index_path).select("fingerprint")
+            fresh = fresh.join(seen, "fingerprint", "left_anti")
+        # idempotent per-batch partition: a replayed batch overwrites
+        # its own directory instead of double-appending
+        fresh.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch_id={batch_id}")
+        )
+        spark.read.parquet(
+            os.path.join(out_path, f"batch_id={batch_id}")
+        ).select("fingerprint").write.mode("overwrite").parquet(
+            os.path.join(index_path, f"batch_id={batch_id}")
+        )
+
+    writer = (
+        sdf.writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_interval:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()

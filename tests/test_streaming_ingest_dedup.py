@@ -1,0 +1,54 @@
+"""Streaming incremental-dedup ingest: each micro-batch anti-joins its
+content fingerprints against the accumulated index, so re-crawled
+content never lands twice — across batches OR across restarts."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row
+
+from my_feast_spark.streaming.ingest import dedup_ingest_stream
+
+
+def _run_available(spark, in_dir, out, idx, ckpt):
+    sdf = spark.readStream.schema("doc_id long, text string").parquet(in_dir)
+    q = dedup_ingest_stream(
+        sdf, out_path=out, index_path=idx, checkpoint=ckpt,
+        available_now=True,
+    )
+    assert q.awaitTermination(120)
+
+
+def test_dedup_ingest_drops_recrawled_content(spark, tmp_path):
+    in_dir = str(tmp_path / "incoming")
+    out = str(tmp_path / "corpus")
+    idx = str(tmp_path / "fp_index")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    # crawl 1: one in-batch duplicate pair (ids 1/2 same text)
+    spark.createDataFrame([
+        Row(doc_id=1, text="alpha beta gamma"),
+        Row(doc_id=2, text="alpha beta gamma"),
+        Row(doc_id=3, text="delta epsilon"),
+    ]).coalesce(1).write.mode("append").parquet(in_dir)
+    _run_available(spark, in_dir, out, idx, ckpt)
+
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {1, 3}, "in-batch dup must keep the min-id winner"
+
+    # crawl 2: one re-crawl of batch-1 content + one genuinely new doc
+    spark.createDataFrame([
+        Row(doc_id=10, text="alpha beta gamma"),   # seen in crawl 1
+        Row(doc_id=11, text="zeta eta theta"),      # new
+    ]).coalesce(1).write.mode("append").parquet(in_dir)
+    _run_available(spark, in_dir, out, idx, ckpt)
+
+    rows = spark.read.parquet(out).collect()
+    assert {r.doc_id for r in rows} == {1, 3, 11}
+    # index holds exactly the accepted fingerprints
+    fps = [r.fingerprint for r in spark.read.parquet(idx).collect()]
+    assert sorted(fps) == sorted({r.fingerprint for r in rows})
+    # every accepted fingerprint is unique corpus-wide
+    assert len({r.fingerprint for r in rows}) == len(rows)
