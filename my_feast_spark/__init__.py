@@ -13,7 +13,12 @@ Arrow-batched Pandas UDFs in the extension operators.
 """
 
 from my_feast_spark.core import Entity, Feature, FeatureStore, FeatureView, FileSource
-from my_feast_spark.operators.aggregations import latest_per_key, scd2_intervals, time_bucket_agg
+from my_feast_spark.operators.aggregations import (
+    latest_per_key,
+    scd2_intervals,
+    scd2_lookup,
+    time_bucket_agg,
+)
 from my_feast_spark.operators.asof_join import point_in_time_join
 from my_feast_spark.session import get_session, session_confs
 
@@ -26,6 +31,7 @@ __all__ = [
     "get_session",
     "latest_per_key",
     "scd2_intervals",
+    "scd2_lookup",
     "point_in_time_join",
     "session_confs",
     "time_bucket_agg",

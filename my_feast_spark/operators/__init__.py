@@ -1,4 +1,9 @@
-from my_feast_spark.operators.aggregations import latest_per_key, scd2_intervals, time_bucket_agg
+from my_feast_spark.operators.aggregations import (
+    latest_per_key,
+    scd2_intervals,
+    scd2_lookup,
+    time_bucket_agg,
+)
 from my_feast_spark.operators.asof_join import point_in_time_join
 from my_feast_spark.operators.curation import CurationConfig, curate
 from my_feast_spark.operators.graph import connected_components
@@ -14,6 +19,7 @@ __all__ = [
     "time_bucket_agg",
     "latest_per_key",
     "scd2_intervals",
+    "scd2_lookup",
     "curate",
     "CurationConfig",
     "connected_components",

@@ -129,3 +129,44 @@ def scd2_intervals(
         F.lead(ts_col).over(w).alias(out_to),
         F.lead(ts_col).over(w).isNull().alias(out_current),
     )
+
+
+def scd2_lookup(
+    intervals: DataFrame,
+    probes: DataFrame,
+    keys: Sequence[str],
+    probe_ts_col: str,
+    *,
+    state_col: str = "state",
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time state lookup against a materialized SCD2 table:
+    each probe row gains the ``state_col`` whose interval contains its
+    timestamp (``valid_from <= ts AND (valid_to IS NULL OR ts <
+    valid_to)``), NULL when the probe predates every interval.
+
+    This is WHY a feature store materializes `scd2_intervals`: the
+    as-of join's window machinery collapses to an equi-join on the
+    entity keys plus a range predicate — per key the interval set is
+    tiny (one row per state CHANGE, not per event), so the join
+    fan-out is bounded and each probe matches exactly one interval by
+    the timeline-partition invariant. Left-preserving on probes.
+    """
+    cols = [from_col, to_col, state_col]
+    iv = intervals.select(
+        *keys, *[F.col(c).alias(f"__scd2_{c}") for c in cols]
+    )
+    pf, pt, ps = (f"__scd2_{c}" for c in cols)
+    # range predicate INSIDE the left join: the equi part (entity keys)
+    # drives the join strategy, the range conjunct filters matches, and
+    # probes with no containing interval keep a NULL state row — no
+    # post-hoc restore pass (which would mis-handle NULL probe columns)
+    on = (iv[pf] <= probes[probe_ts_col]) & (
+        iv[pt].isNull() | (probes[probe_ts_col] < iv[pt])
+    )
+    for k in keys:
+        on = (probes[k] == iv[k]) & on
+    return probes.join(iv, on, "left").select(
+        *[probes[c] for c in probes.columns], iv[ps].alias(state_col)
+    )

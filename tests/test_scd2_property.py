@@ -85,3 +85,45 @@ def test_scd2_matches_pandas_collapse(spark, events):
             assert t1 == f2, "intervals must chain without gaps"
             assert s1 != s2, "consecutive intervals must change state"
             assert f1 <= t1
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(events=events_strategy,
+       probes=st.lists(st.tuples(st.integers(1, 3), st.integers(0, 26)),
+                       min_size=1, max_size=8))
+def test_scd2_lookup_agrees_with_asof_join(spark, events, probes):
+    """Materialized-interval lookup == query-time as-of join: for every
+    probe, the state whose interval contains the probe timestamp must
+    equal the state of the last event at or before it (pandas oracle);
+    probes predating every event get NULL."""
+    from my_feast_spark.operators.aggregations import scd2_lookup
+
+    rows = [
+        (k, T0 + dt.timedelta(hours=h), i, s)
+        for i, (k, h, s) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, schema="key long, ts timestamp, event_id long, state string"
+    )
+    ivals = scd2_intervals(df, ["key"], "ts", "state",
+                           tie_breakers=["event_id"])
+    pdf = spark.createDataFrame(
+        [(i, k, T0 + dt.timedelta(hours=h)) for i, (k, h) in enumerate(probes)],
+        schema="probe_id long, key long, pts timestamp",
+    )
+    got = {
+        r.probe_id: r.state
+        for r in scd2_lookup(ivals, pdf, ["key"], "pts").collect()
+    }
+    assert len(got) == len(probes), "lookup must be left-preserving"
+
+    # pandas oracle: last event (ts, event_id)-ordered at or before pts
+    import pandas as pd
+    ev = pd.DataFrame(rows, columns=["key", "ts", "event_id", "state"])
+    ev = ev.sort_values(["key", "ts", "event_id"])
+    for i, (k, h) in enumerate(probes):
+        pts = T0 + dt.timedelta(hours=h)
+        g = ev[(ev["key"] == k) & (ev["ts"] <= pts)]
+        want = g.iloc[-1]["state"] if len(g) else None
+        assert got[i] == want, (i, k, pts, got[i], want)
