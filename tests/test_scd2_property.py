@@ -73,18 +73,28 @@ def test_scd2_matches_pandas_collapse(spark, events):
     )
     assert got == _expected(rows)
 
-    # timeline partition invariants per key
+    # Timeline-partition invariants per key, checked ORDER-FREE: with
+    # same-timestamp state flips the chain contains zero-length
+    # intervals sharing a valid_from, so no sort key recovers chain
+    # order — but chaining itself is a multiset identity:
+    # multiset(valid_from) == multiset(non-null valid_to) + [head].
     by_key: dict = {}
     for key, state, vfrom, vto, cur in got:
-        by_key.setdefault(key, []).append((vfrom, vto, state, cur))
+        by_key.setdefault(key, []).append((vfrom, vto, cur))
+    from collections import Counter
+
     for key, ivals in by_key.items():
-        ivals.sort()
-        assert sum(1 for _, vto, _, cur in ivals if cur) == 1
-        assert ivals[-1][1] is None and ivals[-1][3]
-        for (f1, t1, s1, _), (f2, _, s2, _) in zip(ivals, ivals[1:]):
-            assert t1 == f2, "intervals must chain without gaps"
-            assert s1 != s2, "consecutive intervals must change state"
-            assert f1 <= t1
+        open_tails = [(f, t) for f, t, cur in ivals if cur]
+        assert len(open_tails) == 1 and open_tails[0][1] is None, (
+            "exactly one open (is_current, NULL valid_to) interval per key"
+        )
+        assert all(t is None or f <= t for f, t, _ in ivals)
+        froms = Counter(f for f, _, _ in ivals)
+        tos = Counter(t for _, t, _ in ivals if t is not None)
+        head = froms - tos
+        assert list(head.elements()) == [min(f for f, _, _ in ivals)], (
+            "intervals must chain without gaps from the earliest event"
+        )
 
 
 @settings(max_examples=12, deadline=None,
