@@ -44,3 +44,13 @@ def test_shard_emit_demo_runs(spark, tmp_path):
     assert out["n_sequences"] == sum(out["per_shard"].values())
     assert out["n_sequences"] > 500  # every doc yields >= 1 sequence
     assert out["total_tokens"] > 0
+
+
+def test_scd2_state_demo_runs(spark):
+    from examples.scd2_state_demo import main
+
+    out = main("/root/testdata/sf0.001")
+    assert out["events"] == 1000
+    assert 0 < out["intervals"] <= out["events"]
+    assert out["probes_served"] == out["events"]
+    assert out["asof_mismatches"] == 0
