@@ -3641,11 +3641,15 @@ def q_token_pmi(spark, sf_dir):
     """Pointwise mutual information of adjacent token pairs — the
     collocation / phrase-mining signal (Mikolov-style word2vec phrase
     joining uses exactly this count ratio) a tokenizer-training pipeline
-    computes next to the raw BPE pair counts. Scale shape: unigram and
-    pair counts are two independent hash aggregates over the same scan
-    (both map-side-combining on power-law keys); the grand totals are
-    single-row aggregates broadcast into the final projection; the two
-    unigram joins broadcast the (vocab-sized) count table. The top-k
+    computes next to the raw BPE pair counts. Scale shape: the corpus
+    is scanned exactly TWICE — one hash aggregate for unigram counts,
+    one for pair counts (both map-side-combining on power-law keys) —
+    and both count relations are persisted (vocab-sized, NOT
+    corpus-sized), so the grand totals and the two unigram joins read
+    the caches instead of re-running the scans (Catalyst does not
+    reuse a shuffle across separate actions; without the persist this
+    query pays 5 corpus scans). The caches are exposed via
+    ``_owned_caches`` per the repo cache-ownership rule. The top-k
     lowers to TakeOrderedAndProject keyed on the exact integer counts —
     PMI itself is reported rounded but never drives the ordering, so
     float formatting can't flip rows."""
@@ -3656,7 +3660,7 @@ def q_token_pmi(spark, sf_dir):
     toks = docs.select(
         F.explode_outer(tokens(F.lower(F.col("text")))).alias("tok")
     ).filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
-    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok")).persist()
     n_toks = uni.agg(F.sum("n_tok").alias("total_toks"))
 
     pairs = docs.select(
@@ -3680,10 +3684,10 @@ def q_token_pmi(spark, sf_dir):
     ).filter(F.col("pr").isNotNull())
     pc = pairs.groupBy("pr.tok_a", "pr.tok_b").agg(
         F.count(F.lit(1)).alias("n_pair")
-    )
+    ).persist()
     n_pairs = pc.agg(F.sum("n_pair").alias("total_pairs"))
 
-    return (
+    out = (
         pc.filter(F.col("n_pair") >= min_pair)
         .join(F.broadcast(uni.withColumnRenamed("tok", "tok_a")
                           .withColumnRenamed("n_tok", "n_a")), "tok_a")
@@ -3709,6 +3713,8 @@ def q_token_pmi(spark, sf_dir):
         .orderBy(F.col("n_pair").desc(), F.col("tok_a").asc(), F.col("tok_b").asc())
         .limit(40)
     )
+    out._owned_caches = [uni, pc]
+    return out
 
 
 SQL_TOKEN_PMI = """

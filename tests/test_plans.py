@@ -284,9 +284,19 @@ def test_inverted_index_caps_before_collect(spark):
 def test_token_pmi_broadcasts_count_tables(spark):
     """Both unigram-count joins and both grand-total joins must
     broadcast (vocab-sized / single-row build sides) — the pair-count
-    relation is the only big side and must never shuffle for a join."""
-    plan = _formatted(workload.q_token_pmi(spark, SF_DIR_ORACLE))
-    assert plan.count("BroadcastHashJoin") >= 2
-    assert plan.count("BroadcastNestedLoopJoin") >= 2  # single-row totals
-    assert "SortMergeJoin" not in plan
-    assert "CartesianProduct" not in plan
+    relation is the only big side and must never shuffle for a join.
+    The corpus is scanned exactly twice (unigram agg + pair agg); the
+    totals and joins read the persisted vocab-sized count relations."""
+    import re
+
+    df = workload.q_token_pmi(spark, SF_DIR_ORACLE)
+    plan = _formatted(df)
+    try:
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert plan.count("BroadcastNestedLoopJoin") >= 2  # single-row totals
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    finally:
+        for c in df._owned_caches:
+            c.unpersist()
