@@ -1207,7 +1207,10 @@ def q_top_terms_tfidf(spark, sf_dir):
     tok = docs.select(
         "doc_id", F.explode_outer(tokens(F.lower(F.col("text")))).alias("term")
     ).filter(F.col("term").isNotNull())
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf is read three times (df build, scored subset, subset vocab);
+    # without the persist each read re-tokenizes the whole corpus (the
+    # IR-pipeline norm is to materialize the term-frequency table once)
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     tf_sub = tf.where(F.col("doc_id") % 20 == 0)
@@ -1223,11 +1226,13 @@ def q_top_terms_tfidf(spark, sf_dir):
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
-    return (
+    out = (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
         .select("doc_id", "term", "tf", "tfidf")
     )
+    out._owned_caches = [tf]
+    return out
 
 
 SQL_TOP_TERMS_TFIDF = """
