@@ -3624,7 +3624,7 @@ def q_scd2_user_state(spark, sf_dir):
 
 SQL_SCD2_USER_STATE = """
 WITH e AS (
-  SELECT user_id, ts, event_id, event_type,
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS prev
   FROM events
