@@ -3782,11 +3782,17 @@ def q_inverted_index(spark, sf_dir):
         dt.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= cap)
         .groupBy("token")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("postings"))
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("__postings"))
     )
+    # postings rendered as a CSV string: the adjudication harness
+    # value-hashes scalar columns (repo convention — every array-shaped
+    # result ships as a deterministic string/digest)
     return (
         capped.join(F.broadcast(df_counts), "token")
-        .select("token", "df", "postings")
+        .select(
+            "token", "df",
+            F.concat_ws(",", F.col("__postings")).alias("postings"),
+        )
     )
 
 
@@ -3805,7 +3811,7 @@ capped AS (
   FROM dtn
 )
 SELECT c.token, CAST(dfc.df AS BIGINT) AS df,
-       list(doc_id ORDER BY doc_id) AS postings
+       array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
 FROM capped c JOIN dfc ON c.token = dfc.token
 WHERE rn <= 50
 GROUP BY c.token, dfc.df
