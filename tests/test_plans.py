@@ -300,3 +300,22 @@ def test_token_pmi_broadcasts_count_tables(spark):
     finally:
         for c in df._owned_caches:
             c.unpersist()
+
+
+def test_all_queries_return_scalar_only_schemas(spark):
+    """The adjudication harness value-hashes SCALAR columns; array/map/
+    struct results ship as deterministic strings or digests (repo
+    convention — e.g. inverted_index renders postings as CSV, the
+    packed-sequence query as an md5 digest). A composite type in a
+    result schema is an untested compare path — render it instead."""
+    for name, (fn, _sql) in workload.QUERIES.items():
+        df = fn(spark, SF_DIR_ORACLE)
+        bad = [
+            (f.name, f.dataType.simpleString())
+            for f in df.schema
+            if any(t in f.dataType.simpleString()
+                   for t in ("array", "map", "struct"))
+        ]
+        assert not bad, f"{name} returns composite columns: {bad}"
+        for c in getattr(df, "_owned_caches", []):
+            c.unpersist()
