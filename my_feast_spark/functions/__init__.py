@@ -4,6 +4,7 @@ from my_feast_spark.functions.text import (
     chunk_token_array,
     chunk_tokens,
     doc_fingerprint,
+    normalize_text,
     lang_id,
     lang_scores,
     let,
@@ -20,6 +21,7 @@ __all__ = [
     "tokens",
     "let",
     "doc_fingerprint",
+    "normalize_text",
     "quality_features",
     "lang_scores",
     "lang_id",

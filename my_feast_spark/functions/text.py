@@ -65,6 +65,43 @@ def doc_fingerprint(text: Column) -> Column:
     return F.md5(F.encode(normalized, "UTF-8"))
 
 
+#: typographic -> ASCII single-char folds (applied via ONE translate
+#: pass): curly single/double quotes, en/em/horizontal-bar dashes, NBSP
+_FOLD_SRC = "‘’‚‛“”„‟–—― "
+_FOLD_DST = "''''\"\"\"\"--- "
+
+
+def normalize_text(
+    text: Column,
+    *,
+    lower: bool = False,
+    fold_punct: bool = True,
+    strip_controls: bool = True,
+    collapse_ws: bool = True,
+) -> Column:
+    """Canonicalize raw crawl text before tokenization/fingerprinting:
+    fold typographic punctuation to ASCII (curly quotes, dashes, NBSP,
+    ellipsis), strip C0/DEL control characters, collapse whitespace
+    runs, optionally lowercase. Idempotent (property-tested) and pure
+    ``translate``/``regexp_replace`` expressions — map-only,
+    whole-stage codegen, no Python. The 100 TB shape: normalize as the
+    first projection after the scan so every downstream consumer
+    (fingerprint, shingles, quality signals) reads ONE canonical form
+    instead of re-folding per expression.
+    """
+    out = text
+    if fold_punct:
+        out = F.translate(out, _FOLD_SRC, _FOLD_DST)
+        out = F.regexp_replace(out, "…", "...")
+    if strip_controls:
+        out = F.regexp_replace(out, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    if collapse_ws:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    if lower:
+        out = F.lower(out)
+    return out
+
+
 def quality_features(text: Column) -> dict[str, Column]:
     """Quality signals as named expressions (caller selects/aliases).
     Each entry ``let``-binds the token array, so an output column costs

@@ -125,3 +125,52 @@ def test_encode_strategies_agree_on_arbitrary_docs(spark, docs):
     # and the encoding is the obvious one
     for i, toks in enumerate(docs):
         assert lit[i] == [vocab.get(t, -1) for t in toks]
+
+
+class TestNormalizeText:
+    def test_folds_and_collapses(self, spark):
+        from my_feast_spark.functions.text import normalize_text
+        from pyspark.sql import functions as F
+
+        raw = "“Sm‘art’” – café menu\x07 has\t\tspace…"
+        got = spark.range(1).select(
+            normalize_text(F.lit(raw)).alias("t")
+        ).collect()[0]["t"]
+        assert got == "\"Sm'art'\" - café menu has space..."
+
+    def test_idempotent_on_random_text(self, spark):
+        from hypothesis import HealthCheck, given, settings, strategies as st
+        from my_feast_spark.functions.text import normalize_text
+        from pyspark.sql import functions as F
+
+        chars = st.characters(
+            blacklist_categories=("Cs",),  # no lone surrogates
+        )
+
+        @settings(max_examples=20, deadline=None,
+                  suppress_health_check=[HealthCheck.too_slow])
+        @given(texts=st.lists(st.text(chars, max_size=60), min_size=1,
+                              max_size=8))
+        def run(texts):
+            df = spark.createDataFrame([(t,) for t in texts], "raw string")
+            once = df.select(
+                "raw",
+                normalize_text(F.col("raw"), lower=True).alias("n1"),
+            )
+            twice = once.select(
+                "n1", normalize_text(F.col("n1"), lower=True).alias("n2")
+            )
+            for r in twice.collect():
+                assert r["n1"] == r["n2"], repr((r["n1"], r["n2"]))
+
+        run()
+
+    def test_stays_jvm_side(self, spark):
+        from my_feast_spark.functions.text import normalize_text
+        from pyspark.sql import functions as F
+
+        df = spark.range(5).select(
+            normalize_text(F.lit("a b")).alias("t")
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan
