@@ -6,6 +6,7 @@ from my_feast_spark.operators.aggregations import (
 )
 from my_feast_spark.operators.asof_join import point_in_time_join
 from my_feast_spark.operators.curation import CurationConfig, curate
+from my_feast_spark.operators.dedup_eval import lsh_recall_report
 from my_feast_spark.operators.graph import connected_components
 from my_feast_spark.operators.profile import column_profile
 from my_feast_spark.operators.sampling import (
@@ -23,6 +24,7 @@ __all__ = [
     "curate",
     "CurationConfig",
     "connected_components",
+    "lsh_recall_report",
     "stratified_sample",
     "sample_bucket",
     "shuffle_layout",

@@ -617,3 +617,33 @@ def test_shuffle_layout_composes_with_partitioned_shard_write(spark, docs, tmp_p
         F.count(F.lit(1)).alias("n"),
     ).collect():
         assert r.lo == 0 and r.hi == r.n - 1
+
+
+class TestLshRecallReport:
+    def test_report_on_documents(self, spark):
+        from my_feast_spark.operators.dedup_eval import lsh_recall_report
+        from my_feast_spark.sources.readers import load_table
+        from tests.conftest import SF_DIR_ORACLE
+
+        docs = load_table(spark, SF_DIR_ORACLE, "documents")
+        row = lsh_recall_report(
+            docs, "doc_id", "text", sample_rate=0.5, hash_fn="portable",
+        ).collect()[0]
+        assert 0 < row.sample_docs < 500
+        assert row.truth_pairs > 0, "sample should contain dup pairs"
+        # LSH verifies candidates with exact Jaccard: precision is 1
+        assert row.lsh_pairs == row.matched and row.precision == 1.0
+        # synthetic dups are near-identical -> capture prob ~1
+        assert row.recall is not None and row.recall >= 0.9
+
+    def test_paired_sampling_is_deterministic(self, spark):
+        from my_feast_spark.operators.dedup_eval import lsh_recall_report
+        from my_feast_spark.sources.readers import load_table
+        from tests.conftest import SF_DIR_ORACLE
+
+        docs = load_table(spark, SF_DIR_ORACLE, "documents")
+        a = lsh_recall_report(docs, "doc_id", "text", sample_rate=0.3,
+                              hash_fn="portable").collect()[0]
+        b = lsh_recall_report(docs, "doc_id", "text", sample_rate=0.3,
+                              hash_fn="portable").collect()[0]
+        assert a.asDict() == b.asDict()
