@@ -5,6 +5,7 @@ from my_feast_spark.operators.aggregations import (
     time_bucket_agg,
 )
 from my_feast_spark.operators.asof_join import point_in_time_join
+from my_feast_spark.operators.bpe import train_bpe_merges
 from my_feast_spark.operators.curation import CurationConfig, curate
 from my_feast_spark.operators.dedup_eval import lsh_recall_report
 from my_feast_spark.operators.graph import connected_components
@@ -25,6 +26,7 @@ __all__ = [
     "CurationConfig",
     "connected_components",
     "lsh_recall_report",
+    "train_bpe_merges",
     "stratified_sample",
     "sample_bucket",
     "shuffle_layout",

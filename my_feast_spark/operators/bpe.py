@@ -1,0 +1,129 @@
+"""BPE tokenizer training — the full iterative merge loop.
+
+`workload.q_bpe_pair_counts` is ONE round's count table; this module
+runs the actual training loop (Sennrich et al., "Neural Machine
+Translation of Rare Words with Subword Units"): start from characters,
+repeatedly promote the most frequent adjacent symbol pair to a new
+merged symbol, emit the ordered merge list a tokenizer replays at
+encode time.
+
+The scale design hinges on one observation: after the FIRST pass the
+corpus never participates again. The training state is the WORD
+FREQUENCY table — (distinct word, count, symbol array) — which is
+vocabulary-sized, orders of magnitude smaller than the corpus. Each
+round is two small jobs over that table (pair count + argmax, then the
+merge rewrite), localCheckpoint-ed to keep lineage flat and released
+per round via the repo's checkpoint-ownership rule, so a 50k-merge run
+holds exactly one vocabulary-sized block set at any moment. The merge
+rewrite itself is a pure higher-order `aggregate` fold (greedy
+left-to-right, matching the reference algorithm) — no Python in the
+loop; the only driver traffic is one argmax row per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from my_feast_spark.functions.text import tokens
+from my_feast_spark.operators.graph import release_checkpoint
+
+#: end-of-word marker symbol (Sennrich): distinguishes "est"-as-suffix
+#: from "est"-mid-word, and makes word reconstruction unambiguous
+EOW = "</w>"
+
+
+def _adjacent_pairs(sym: Column) -> Column:
+    """array<struct<a,b>> of adjacent symbol pairs (empty for len<2)."""
+    return F.when(
+        F.size(sym) >= 2,
+        F.zip_with(
+            F.slice(sym, 1, F.size(sym) - 1),
+            F.slice(sym, 2, F.size(sym) - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+
+
+def _merge_pair(sym: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right replacement of adjacent (a, b) with a+b —
+    the reference BPE merge semantics (a merge consumes both symbols,
+    so overlapping occurrences like 'aaa' under (a,a) yield [aa, a]).
+    F.get returns NULL (never raises) on the empty accumulator."""
+    return F.aggregate(
+        sym,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.get(acc, F.size(acc) - 1) == F.lit(a)) & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def train_bpe_merges(
+    df: DataFrame,
+    text_col: str,
+    *,
+    rounds: int = 32,
+    min_pair_count: int = 2,
+    lowercase: bool = True,
+) -> list[dict]:
+    """Learn up to ``rounds`` BPE merges from a corpus.
+
+    Returns the ordered merge list, one dict per round:
+    ``{"left", "right", "merged", "count"}`` — the artifact a tokenizer
+    replays at encode time. Stops early when the best remaining pair
+    occurs fewer than ``min_pair_count`` times (weighted by word
+    frequency). Ties on count break lexicographically on (left, right)
+    so training is deterministic across engines and partitionings.
+    """
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    words = (
+        df.select(F.explode_outer(tokens(t)).alias("word"))
+        .filter(F.col("word").isNotNull() & (F.col("word") != ""))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # training state: (count, symbol array) — vocabulary-sized; chars +
+    # end-of-word marker (split on every inter-char boundary)
+    vocab = words.select(
+        "n",
+        F.concat(
+            # split on inter-char boundaries; Spark's split appends a
+            # trailing "" when the pattern matches at end-of-string
+            F.filter(
+                F.split(F.col("word"), "(?!^)"), lambda x: x != ""
+            ),
+            F.array(F.lit(EOW)),
+        ).alias("sym"),
+    ).localCheckpoint()
+
+    merges: list[dict] = []
+    try:
+        for _ in range(rounds):
+            top = (
+                vocab.select("n", F.explode(_adjacent_pairs(F.col("sym"))).alias("p"))
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("n").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["cnt"] < min_pair_count:
+                break
+            a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+            new_vocab = vocab.select(
+                "n", _merge_pair(F.col("sym"), a, b).alias("sym")
+            ).localCheckpoint()
+            release_checkpoint(vocab)
+            vocab = new_vocab
+            merges.append(
+                {"left": a, "right": b, "merged": a + b, "count": cnt}
+            )
+    finally:
+        release_checkpoint(vocab)
+    return merges

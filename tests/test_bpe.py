@@ -1,0 +1,98 @@
+"""BPE trainer vs a pure-Python reference implementation.
+
+The reference mirrors Sennrich et al.'s algorithm: word-frequency
+table, chars + </w> start symbols, per-round weighted pair argmax
+(ties broken lexicographically, matching the operator), greedy
+left-to-right merge. The Spark trainer must reproduce the merge list
+exactly, round for round.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from my_feast_spark.operators.bpe import EOW, train_bpe_merges
+
+
+def _ref_bpe(word_counts: dict[str, int], rounds: int, min_count: int = 2):
+    vocab = {
+        tuple(list(w) + [EOW]): n for w, n in word_counts.items()
+    }
+    merges = []
+    for _ in range(rounds):
+        pairs: Counter = Counter()
+        for sym, n in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        if cnt < min_count:
+            break
+        new_vocab = {}
+        for sym, n in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+        merges.append({"left": a, "right": b, "merged": a + b, "count": cnt})
+    return merges
+
+
+def _corpus_df(spark, word_counts):
+    rows = []
+    doc = []
+    for w, n in word_counts.items():
+        doc.extend([w] * n)
+    # spread the words over a few documents
+    k = max(1, len(doc) // 7)
+    for i in range(0, len(doc), k):
+        rows.append((" ".join(doc[i:i + k]),))
+    return spark.createDataFrame(rows, "text string")
+
+
+def test_matches_reference_on_sennrich_example(spark):
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    got = train_bpe_merges(_corpus_df(spark, wc), "text", rounds=10)
+    want = _ref_bpe(wc, rounds=10)
+    assert got == want
+    # sanity: the classic first merges appear
+    assert {m["merged"] for m in got} >= {"es", "est"}
+
+
+def test_overlapping_runs_merge_greedily(spark):
+    # 'aaaa' under (a,a): greedy left-to-right gives [aa, aa], so round
+    # 2's top pair is (aa, aa) — a chain-merge bug would diverge here
+    wc = {"aaaa": 4, "aab": 3}
+    got = train_bpe_merges(_corpus_df(spark, wc), "text", rounds=4)
+    want = _ref_bpe(wc, rounds=4)
+    assert got == want
+
+
+def test_min_count_stops_training(spark):
+    wc = {"ab": 1, "cd": 1}
+    got = train_bpe_merges(
+        _corpus_df(spark, wc), "text", rounds=5, min_pair_count=3
+    )
+    assert got == []
+
+
+def test_no_pinned_blocks_survive(spark):
+    wc = {"low": 5, "newest": 6}
+    base = {
+        int(k)
+        for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+    train_bpe_merges(_corpus_df(spark, wc), "text", rounds=3)
+    now = {
+        int(k)
+        for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+    assert now - base == set(), "trainer leaked checkpoint blocks"
