@@ -22,6 +22,8 @@ loop; the only driver traffic is one argmax row per round.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -127,3 +129,59 @@ def train_bpe_merges(
     finally:
         release_checkpoint(vocab)
     return merges
+
+
+def apply_bpe_merges(sym: Column, merges: list[dict]) -> Column:
+    """Replay a learned merge list over a symbol array column.
+
+    Pure-expression form: one greedy fold per merge, chained in merge
+    order — right for demo/small merge lists (the expression tree grows
+    linearly with the list). Production tokenizers carry 10k-100k
+    merges; use ``bpe_encode_udf`` there (one Arrow batch pass with a
+    rank dict instead of a 100k-deep expression tree).
+    """
+    out = sym
+    for m in merges:
+        out = _merge_pair(out, m["left"], m["right"])
+    return out
+
+
+def bpe_encode_udf(merges: list[dict]):
+    """Arrow-batched encoder for production-sized merge lists.
+
+    Returns a pandas UDF mapping a WORD column to its space-joined BPE
+    symbols. Implements the standard rank-replay: repeatedly merge the
+    adjacent pair with the lowest merge rank until none applies —
+    equivalent to replaying the merge list in order, but O(word_len *
+    applied_merges) per word instead of O(word_len * total_merges).
+    The rank dict ships once per executor via the closure.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {(m["left"], m["right"]): i for i, m in enumerate(merges)}
+
+    def encode_word(word: str) -> str:
+        sym = list(word) + [EOW]
+        while len(sym) >= 2:
+            best_i, best_r = -1, None
+            for i in range(len(sym) - 1):
+                r = ranks.get((sym[i], sym[i + 1]))
+                if r is not None and (best_r is None or r < best_r):
+                    best_i, best_r = i, r
+            if best_r is None:
+                break
+            sym[best_i:best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+        return " ".join(sym)
+
+    @pandas_udf("string")
+    def encode(col: pd.Series) -> pd.Series:
+        cache: dict = {}
+
+        def enc(w):
+            if w not in cache:
+                cache[w] = encode_word(w)
+            return cache[w]
+
+        return col.map(enc)
+
+    return encode

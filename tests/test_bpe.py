@@ -96,3 +96,34 @@ def test_no_pinned_blocks_survive(spark):
         for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
     }
     assert now - base == set(), "trainer leaked checkpoint blocks"
+
+
+def test_encode_paths_agree_and_roundtrip(spark):
+    """Expression replay (merge order) and the Arrow rank-replay encoder
+    must produce identical symbol sequences; concatenating the symbols
+    and stripping the marker must reconstruct the word."""
+    from pyspark.sql import functions as F
+
+    from my_feast_spark.operators.bpe import (
+        apply_bpe_merges,
+        bpe_encode_udf,
+    )
+
+    wc = {"low": 5, "lower": 2, "lowest": 4, "newest": 6, "widest": 3,
+          "aaaa": 3, "aab": 2}
+    merges = train_bpe_merges(_corpus_df(spark, wc), "text", rounds=8)
+    assert merges
+
+    words = spark.createDataFrame([(w,) for w in wc], "word string")
+    start = F.concat(
+        F.filter(F.split(F.col("word"), "(?!^)"), lambda x: x != ""),
+        F.array(F.lit(EOW)),
+    )
+    both = words.select(
+        "word",
+        F.concat_ws(" ", apply_bpe_merges(start, merges)).alias("via_expr"),
+        bpe_encode_udf(merges)(F.col("word")).alias("via_udf"),
+    ).collect()
+    for r in both:
+        assert r.via_expr == r.via_udf, (r.word, r.via_expr, r.via_udf)
+        assert r.via_expr.replace(" ", "").replace(EOW, "") == r.word
