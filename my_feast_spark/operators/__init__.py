@@ -8,6 +8,7 @@ from my_feast_spark.operators.asof_join import point_in_time_join
 from my_feast_spark.operators.bpe import train_bpe_merges
 from my_feast_spark.operators.curation import CurationConfig, curate
 from my_feast_spark.operators.dedup_eval import lsh_recall_report
+from my_feast_spark.operators.lm import score_docs, train_bigram_lm
 from my_feast_spark.operators.graph import connected_components
 from my_feast_spark.operators.profile import column_profile
 from my_feast_spark.operators.sampling import (
@@ -27,6 +28,8 @@ __all__ = [
     "connected_components",
     "lsh_recall_report",
     "train_bpe_merges",
+    "train_bigram_lm",
+    "score_docs",
     "stratified_sample",
     "sample_bucket",
     "shuffle_layout",

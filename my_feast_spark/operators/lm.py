@@ -1,0 +1,118 @@
+"""N-gram language-model quality scoring — the perplexity filter.
+
+Production curation (CCNet, Gopher, RedPajama) scores every document
+with a small n-gram LM trained on trusted text and drops the
+high-perplexity tail. This module is that loop, Spark-native: train a
+bigram model (two count tables — vocabulary-sized, built in one corpus
+pass each) and score documents with their average per-token log
+probability under add-k smoothing.
+
+Scale shape: the model IS two aggregate tables; training never holds
+more than (vocab + bigram-vocab) rows. Scoring explodes each doc's
+bigrams and joins them to the count tables — both joins are keyed on
+vocabulary-sized relations, so AQE broadcasts them below its threshold
+and shuffle-joins above it; per-doc reduction is one hash aggregate.
+A document containing ONLY out-of-vocabulary tokens still scores
+(smoothing gives unseen events mass), so scoring is total.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from my_feast_spark.functions.text import let, tokens
+
+#: sentinel bigram history for the first token of each document
+BOS = "<s>"
+
+
+@dataclass
+class BigramLM:
+    """Counts + constants needed to score: p(w | h) =
+    (c(h, w) + k) / (c(h) + k * (V + 1)) — add-k over the training
+    vocabulary plus one shared unseen event."""
+
+    unigrams: DataFrame  # (h, c_h): history counts incl. BOS
+    bigrams: DataFrame   # (h, w, c_hw)
+    vocab_size: int
+    k: float
+
+
+def _doc_bigrams(text_col, lowercase: bool):
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    return let(
+        tokens(t),
+        lambda toks: F.when(
+            F.size(toks) >= 1,
+            F.zip_with(
+                F.concat(F.array(F.lit(BOS)), F.slice(toks, 1, F.size(toks) - 1)),
+                toks,
+                lambda h, w: F.struct(h.alias("h"), w.alias("w")),
+            ),
+        ).otherwise(F.array().cast("array<struct<h:string,w:string>>")),
+    )
+
+
+def train_bigram_lm(
+    df: DataFrame,
+    text_col: str,
+    *,
+    k: float = 0.5,
+    lowercase: bool = True,
+) -> BigramLM:
+    """Fit the count tables (two corpus passes: bigrams, then history
+    marginals derived from the bigram table — so the second 'pass' is
+    an aggregate over the vocab-sized counts, not the corpus)."""
+    pairs = df.select(
+        F.explode_outer(_doc_bigrams(text_col, lowercase)).alias("p")
+    ).filter(F.col("p").isNotNull())
+    bigrams = (
+        pairs.groupBy("p.h", "p.w")
+        .agg(F.count(F.lit(1)).alias("c_hw"))
+        .persist()
+    )
+    unigrams = bigrams.groupBy("h").agg(F.sum("c_hw").alias("c_h"))
+    vocab_size = bigrams.select("w").distinct().count()
+    return BigramLM(unigrams=unigrams, bigrams=bigrams,
+                    vocab_size=vocab_size, k=k)
+
+
+def score_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: BigramLM,
+    *,
+    lowercase: bool = True,
+    out_col: str = "avg_logprob",
+) -> DataFrame:
+    """Per-document mean log2 probability under the model (higher =
+    more in-domain). Left joins keep OOV bigrams, which fall back to
+    the smoothed unseen-event probability; token-less documents have no
+    events and are absent from the output (left-join back if needed)."""
+    V1 = model.vocab_size + 1
+    k = model.k
+    ev = df.select(
+        F.col(id_col),
+        F.explode(_doc_bigrams(text_col, lowercase)).alias("p"),
+    ).select(id_col, F.col("p.h").alias("h"), F.col("p.w").alias("w"))
+    scored = (
+        ev.join(model.bigrams, ["h", "w"], "left")
+        .join(model.unigrams, ["h"], "left")
+        .withColumn(
+            "__lp",
+            F.log2(
+                (F.coalesce(F.col("c_hw"), F.lit(0)) + F.lit(k))
+                / (F.coalesce(F.col("c_h"), F.lit(0)) + F.lit(k * V1))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg("__lp"), 4).alias(out_col),
+        F.count("__lp").alias("n_tokens"),
+    )
