@@ -12,6 +12,9 @@ passes only on what survives:
   5. embedding pass — near-dup pairs by cosine over the keepers' vectors
   6. emit           — deterministic hash-bucket sample of the survivors,
                       split into token-window training chunks (map-only)
+  8. model passes   — bigram-LM perplexity scores over the keepers,
+                      LSH-recall audit of the dedup config on a sample,
+                      BPE merges trained on the surviving text
 
 Run:  python examples/training_data_pipeline_demo.py [sf_dir]
 """
@@ -104,6 +107,25 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> dict:
     )
     n_curated = curated.count()
 
+    # 8: model-driven passes over the curated survivors — perplexity
+    # quality scores (CCNet-style), a recall audit of the LSH config,
+    # and tokenizer merges learned from the cleaned text
+    from my_feast_spark.operators import (
+        lsh_recall_report,
+        score_docs,
+        train_bigram_lm,
+        train_bpe_merges,
+    )
+
+    lm = train_bigram_lm(keepers, "text")
+    ppl = score_docs(keepers, "doc_id", "text", lm)
+    n_scored = ppl.count()
+    lm.bigrams.unpersist()
+    recall = lsh_recall_report(
+        keepers, "doc_id", "text", sample_rate=0.5, hash_fn="portable"
+    ).collect()[0]
+    merges = train_bpe_merges(keepers, "text", rounds=8)
+
     out = {
         "input_docs": n_input,
         "after_quality_gate": n_kept,
@@ -112,6 +134,9 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "semantic_dup_pairs": n_sem_pairs,
         "sampled_training_chunks": n_chunks,
         "curate_operator_survivors": n_curated,
+        "lm_scored_docs": n_scored,
+        "lsh_recall_on_sample": recall.recall,
+        "bpe_merges_learned": len(merges),
     }
     print(out)
     return out

@@ -24,6 +24,9 @@ def test_training_pipeline_demo_runs(spark):
     assert out["near_dup_pairs"] >= 0
     assert out["semantic_dup_pairs"] > 0
     assert out["curate_operator_survivors"] == 118  # pinned by the oracle row
+    assert out["lm_scored_docs"] == out["after_exact_dedup"]
+    assert out["lsh_recall_on_sample"] is None or out["lsh_recall_on_sample"] >= 0.9
+    assert out["bpe_merges_learned"] == 8
 
 
 def test_bronze_ingest_demo_runs(spark, tmp_path):
