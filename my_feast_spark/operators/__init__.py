@@ -11,6 +11,7 @@ from my_feast_spark.operators.dedup_eval import lsh_recall_report
 from my_feast_spark.operators.lm import score_docs, train_bigram_lm
 from my_feast_spark.operators.graph import connected_components
 from my_feast_spark.operators.profile import column_profile
+from my_feast_spark.operators.span_dedup import remove_repeated_spans
 from my_feast_spark.operators.sampling import (
     sample_bucket,
     shuffle_layout,
@@ -30,6 +31,7 @@ __all__ = [
     "train_bpe_merges",
     "train_bigram_lm",
     "score_docs",
+    "remove_repeated_spans",
     "stratified_sample",
     "sample_bucket",
     "shuffle_layout",
