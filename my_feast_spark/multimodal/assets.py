@@ -213,3 +213,66 @@ def sample_frames(
             yield pd.DataFrame(out, columns=["asset_id", "frame_idx", "frame"])
 
     return assets.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+def image_dhash(assets: DataFrame) -> DataFrame:
+    """64-bit dHash-style perceptual fingerprint per image asset.
+
+    Real dHash resamples the decoded pixels to a 9x8 grid and emits one
+    bit per horizontally-adjacent brightness comparison. With codecs
+    stubbed, the fake-codec path applies the SAME reduction to the
+    decoded payload byte stream (each of 72 grid cells = the mean of an
+    equal byte slice): locality is preserved — a small payload edit
+    flips only the grid cells it touches, so near-identical assets land
+    within small hamming distance, which is the property the dedup tier
+    needs. One Arrow batch in -> (asset_id, dhash) out, map-only.
+    """
+    _parse = _make_parser()
+
+    def fingerprint(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                _w, _h, _c, payload = _parse(bytes(content))
+                # 9x8 grid means: pad tiny payloads so every cell is fed
+                data = payload if len(payload) >= 72 else (
+                    payload + bytes(72 - len(payload))
+                )
+                n = len(data)
+                cells = [
+                    sum(data[(i * n) // 72:((i + 1) * n) // 72])
+                    / max(((i + 1) * n) // 72 - (i * n) // 72, 1)
+                    for i in range(72)
+                ]
+                bits = 0
+                for row in range(8):
+                    for col in range(8):
+                        left = cells[row * 9 + col]
+                        right = cells[row * 9 + col + 1]
+                        bits = (bits << 1) | (1 if left > right else 0)
+                # to signed 64-bit (Spark LongType)
+                if bits >= 1 << 63:
+                    bits -= 1 << 64
+                ids.append(asset_id)
+                hashes.append(bits)
+            yield pd.DataFrame({"asset_id": ids, "dhash": hashes})
+
+    return assets.mapInPandas(
+        fingerprint, schema="asset_id long, dhash long"
+    )
+
+
+def image_near_dup_pairs(assets: DataFrame, *, max_hamming: int = 6) -> DataFrame:
+    """Perceptual near-duplicate image pairs: dHash fingerprints +
+    the dedup tier's pigeonhole hamming join (8 chunks of 8 bits —
+    recall exactly 1 up to hamming 7, no cross join). The fingerprint
+    relation is 16 bytes/asset and persisted across both join sides;
+    released via ``_owned_caches``."""
+    from my_feast_spark.operators.dedup import hamming_pairs
+
+    fp = image_dhash(assets).persist()
+    pairs = hamming_pairs(
+        fp, "asset_id", "dhash", max_hamming=max_hamming, n_chunks=8
+    )
+    pairs._owned_caches = [fp]
+    return pairs

@@ -561,22 +561,53 @@ def simhash_dup_pairs(
     pipeline runs twice. The returned DataFrame exposes it via
     ``_owned_caches`` (see ``minhash_lsh_dup_pairs``)."""
     fp = simhash(df, id_col, text_col, hash_fn=hash_fn).persist()
+    pairs = hamming_pairs(fp, "doc", "simhash", max_hamming=max_hamming)
+    pairs._owned_caches = [fp]
+    return pairs
+
+
+def hamming_pairs(
+    fp: DataFrame,
+    id_col: str,
+    hash_col: str,
+    *,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """All (id_a, id_b, hamming) pairs with hamming distance <=
+    ``max_hamming`` between 64-bit fingerprints, via pigeonhole chunk
+    blocking: any pair within ``max_hamming`` differing bits leaves at
+    least one of ``n_chunks`` equal-width chunks untouched (requires
+    ``n_chunks > max_hamming``), so candidates come from equi-joins on
+    (chunk_idx, chunk_value) — never a cross join — and recall is
+    EXACTLY 1. Shared by the text simhash tier and the image
+    perceptual-hash tier; pass a persisted/cheap ``fp`` relation (both
+    join sides read it)."""
+    if n_chunks <= max_hamming:
+        raise ValueError(
+            f"pigeonhole needs n_chunks > max_hamming, got {n_chunks} <= "
+            f"{max_hamming}"
+        )
+    if 64 % n_chunks:
+        raise ValueError(f"64 bits must split evenly, got n_chunks={n_chunks}")
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
     chunks = fp.select(
-        "doc", "simhash",
+        F.col(id_col).alias("doc"), F.col(hash_col).alias("fph"),
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("ci"),
-                    F.shiftrightunsigned(F.col("simhash"), i * 16)
-                    .bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                    F.shiftrightunsigned(F.col(hash_col), i * width)
+                    .bitwiseAND(F.lit(mask)).alias("cv"),
                 )
-                for i in range(4)
+                for i in range(n_chunks)
             ])
         ).alias("c"),
-    ).select("doc", "simhash", "c.ci", "c.cv")
+    ).select("doc", "fph", "c.ci", "c.cv")
     a = chunks.alias("a")
     b = chunks.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.ci") == F.col("b.ci"))
@@ -586,13 +617,11 @@ def simhash_dup_pairs(
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col("a.fph").alias("sh_a"),
+            F.col("b.fph").alias("sh_b"),
         )
         .distinct()
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
-    pairs._owned_caches = [fp]
-    return pairs

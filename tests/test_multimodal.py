@@ -69,3 +69,60 @@ def test_sample_frames_shape(assets):
 def test_real_codec_is_clearly_stubbed(assets):
     with pytest.raises(NotImplementedError, match="STUB"):
         decode_assets(assets, real_codec=True)
+
+
+class TestImagePerceptualDedup:
+    def _assets(self, spark, payloads):
+        from my_feast_spark.multimodal.assets import encode_fake_image_assets
+        from pyspark.sql import Row
+
+        df = spark.createDataFrame(
+            [Row(asset_id=i, payload=p) for i, p in enumerate(payloads)]
+        )
+        return encode_fake_image_assets(df, "asset_id", "payload")
+
+    def test_near_identical_images_pair_up(self, spark):
+        from my_feast_spark.multimodal.assets import image_near_dup_pairs
+
+        base = "x" * 300
+        edited = base[:150] + "Y" + base[151:]      # one-byte edit
+        unrelated = "".join(chr(65 + (i * 7) % 26) for i in range(300))
+        pairs = image_near_dup_pairs(
+            self._assets(spark, [base, edited, unrelated])
+        )
+        got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+        assert (0, 1) in got, "one-byte edit must stay within hamming budget"
+        assert not any(2 in p for p in got), "unrelated image paired"
+        for c in pairs._owned_caches:
+            c.unpersist()
+
+    def test_hamming_join_recall_is_exact(self, spark):
+        """Pigeonhole blocking vs brute force on random fingerprints:
+        every pair within the hamming budget must be found."""
+        import itertools
+        import random
+
+        from my_feast_spark.operators.dedup import hamming_pairs
+
+        rng = random.Random(7)
+        base = rng.getrandbits(63)
+        fps = [base]
+        for _ in range(12):  # cluster of small perturbations
+            flips = rng.sample(range(64), rng.randint(1, 8))
+            v = base
+            for f in flips:
+                v ^= 1 << f
+            fps.append(v if v < 1 << 63 else v - (1 << 64))
+        fps += [rng.getrandbits(63) for _ in range(12)]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(fps)], "id long, h long"
+        )
+        got = {(r.doc_a, r.doc_b)
+               for r in hamming_pairs(df, "id", "h", max_hamming=6,
+                                      n_chunks=8).collect()}
+        want = {
+            (i, j)
+            for i, j in itertools.combinations(range(len(fps)), 2)
+            if bin((fps[i] ^ fps[j]) & ((1 << 64) - 1)).count("1") <= 6
+        }
+        assert got == want
