@@ -159,13 +159,21 @@ def main() -> None:
     # build cost itself is the already-timed scd2_user_state query.
     from my_feast_spark.operators.aggregations import scd2_intervals, scd2_lookup
 
-    st_ev = ev.select("user_id", "ts", "event_id", "event_type")
+    # tie-free stream (one event per (user, ts)) so the two lookup
+    # paths are comparable without an event_id tie-break, which the
+    # as-of join doesn't model
+    from my_feast_spark.operators.aggregations import latest_per_key
+
+    st_ev = latest_per_key(
+        ev.select("user_id", "ts", "event_id", "event_type"),
+        ["user_id", "ts"], ["event_id"],
+    )
     st_probes = st_ev.select(
         "user_id", F.col("ts").alias("probe_ts"),
         F.col("event_id").alias("probe_id"),
     )
     timed("state_lookup_asof", lambda: point_in_time_join(
-        st_probes, st_ev.withColumnRenamed("event_id", "__tie"), ["user_id"],
+        st_probes, st_ev.drop("event_id"), ["user_id"],
         event_ts_col="ts", entity_ts_col="probe_ts",
         features=["event_type"],
     ).count())

@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from my_feast_spark import get_session, scd2_intervals, scd2_lookup
+from my_feast_spark import get_session, latest_per_key, scd2_intervals, scd2_lookup
 from my_feast_spark.operators.asof_join import point_in_time_join
 from my_feast_spark.sources.readers import load_table
 
@@ -28,9 +28,18 @@ from my_feast_spark.sources.readers import load_table
 def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
     spark = get_session(app_name="scd2-state-demo")
 
-    # 1. Build: collapse each user's event stream into state intervals
-    events = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "event_type"
+    # 1. Build: collapse each user's event stream into state intervals.
+    # Same-timestamp events are first collapsed to the max-event_id row:
+    # the as-of join used for the cross-check below has no notion of an
+    # event_id tie-break, so the comparison is only well-defined on a
+    # tie-free stream (scd2_intervals itself handles ties via
+    # tie_breakers).
+    events = latest_per_key(
+        load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id", "event_type"
+        ),
+        ["user_id", "ts"],
+        ["event_id"],
     )
     intervals = scd2_intervals(
         events, ["user_id"], "ts", "event_type", tie_breakers=["event_id"]
@@ -46,9 +55,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
     )
     served = scd2_lookup(intervals, probes, ["user_id"], "probe_ts")
 
-    # 3. Cross-check: the as-of join over the raw stream must agree
+    # 3. Cross-check: the as-of join over the (tie-free) stream must agree
     via_asof = point_in_time_join(
-        probes, events.withColumnRenamed("event_id", "__tie"), ["user_id"],
+        probes, events.drop("event_id"), ["user_id"],
         event_ts_col="ts", entity_ts_col="probe_ts",
         features=["event_type"],
     )

@@ -121,9 +121,12 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> dict:
     ppl = score_docs(keepers, "doc_id", "text", lm)
     n_scored = ppl.count()
     lm.bigrams.unpersist()
-    recall = lsh_recall_report(
+    recall_report = lsh_recall_report(
         keepers, "doc_id", "text", sample_rate=0.5, hash_fn="portable"
-    ).collect()[0]
+    )
+    recall = recall_report.collect()[0]
+    for c in recall_report._owned_caches:
+        c.unpersist()
     merges = train_bpe_merges(keepers, "text", rounds=8)
 
     out = {

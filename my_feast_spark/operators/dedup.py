@@ -559,9 +559,25 @@ def simhash_dup_pairs(
     magnitude under the corpus) is persisted: both chunk-join sides
     read it, and without the persist the whole tokenize+hash+vote
     pipeline runs twice. The returned DataFrame exposes it via
-    ``_owned_caches`` (see ``minhash_lsh_dup_pairs``)."""
+    ``_owned_caches`` (see ``minhash_lsh_dup_pairs``).
+
+    The chunk count adapts to the hamming budget (smallest power-of-two
+    divisor of 64 above ``max_hamming``), so recall stays exactly 1 for
+    any budget up to 31 — larger budgets would need 64 single-bit
+    chunks, i.e. a full self-join, and are rejected."""
     fp = simhash(df, id_col, text_col, hash_fn=hash_fn).persist()
-    pairs = hamming_pairs(fp, "doc", "simhash", max_hamming=max_hamming)
+    n_chunks = next(
+        (d for d in (4, 8, 16, 32) if d > max_hamming), None
+    )
+    if n_chunks is None:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs more than 32 chunks — the "
+            "pigeonhole join degenerates to a cross join; use a smaller "
+            "budget"
+        )
+    pairs = hamming_pairs(
+        fp, "doc", "simhash", max_hamming=max_hamming, n_chunks=n_chunks
+    )
     pairs._owned_caches = [fp]
     return pairs
 

@@ -50,17 +50,23 @@ def lsh_recall_report(
     the engine (``sampling.sample_bucket``) — re-running with the same
     salt evaluates the same docs, so config A/B comparisons are paired.
     """
-    cut = int(sample_rate * RESOLUTION)
+    # int(round()) like sampling.stratified_sample — plain int() would
+    # truncate rates that aren't exactly representable (0.29 * 1e6 ->
+    # 289999.99…) and break the same-salt/same-docs pairing guarantee
+    # against the other samplers
+    cut = int(round(sample_rate * RESOLUTION))
     sample = df.filter(sample_bucket(F.col(id_col), salt=salt) < cut)
 
-    truth = jaccard_dup_pairs(
+    truth_pairs_df = jaccard_dup_pairs(
         sample, id_col, text_col, n=n, threshold=threshold
-    ).select("doc_a", "doc_b")
-    lsh = minhash_lsh_dup_pairs(
+    )
+    lsh_pairs_df = minhash_lsh_dup_pairs(
         sample, id_col, text_col, n=n, threshold=threshold,
         num_hashes=num_hashes, bands=bands, max_bucket=max_bucket,
         hash_fn=hash_fn,
-    ).select("doc_a", "doc_b")
+    )
+    truth = truth_pairs_df.select("doc_a", "doc_b")
+    lsh = lsh_pairs_df.select("doc_a", "doc_b")
 
     t = truth.withColumn("__t", F.lit(1))
     l = lsh.withColumn("__l", F.lit(1))
@@ -72,7 +78,7 @@ def lsh_recall_report(
               ).alias("matched"),
     )
     n_sample = sample.select(id_col).distinct().count()
-    return report.select(
+    out = report.select(
         F.lit(n_sample).alias("sample_docs"),
         F.coalesce(F.col("truth_pairs"), F.lit(0)).alias("truth_pairs"),
         F.coalesce(F.col("lsh_pairs"), F.lit(0)).alias("lsh_pairs"),
@@ -86,3 +92,11 @@ def lsh_recall_report(
             F.round(F.col("matched") / F.col("lsh_pairs"), 4),
         ).alias("precision"),
     )
+    # hand the pair generators' persisted relations to the caller per
+    # the repo cache-ownership rule (they'd otherwise pin blocks for
+    # the session lifetime on every A/B evaluation)
+    out._owned_caches = [
+        *getattr(truth_pairs_df, "_owned_caches", ()),
+        *getattr(lsh_pairs_df, "_owned_caches", ()),
+    ]
+    return out

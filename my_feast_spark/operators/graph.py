@@ -179,89 +179,99 @@ def _cc_min_label(
     edges, src, dst, max_iter, out_id, out_label, driver_max_edges=0
 ) -> DataFrame:
     spark = edges.sparkSession
-    owned: list[DataFrame] = []  # every checkpoint THIS call pinned
-    # Canonicalize (hi, lo), drop self-loops, deduplicate BEFORE
-    # symmetrizing: duplicate input edges would otherwise both inflate
-    # the loop's join fan-out and make the driver-shortcut threshold
-    # mean something different here than under method="star" (both
-    # methods now compare the same deduplicated edge count).
-    e = (
-        edges.select(
-            F.greatest(F.col(src), F.col(dst)).alias("hi"),
-            F.least(F.col(src), F.col(dst)).alias("lo"),
-        )
-        .filter(F.col("hi") != F.col("lo"))
-        .distinct()
-        .localCheckpoint()
-    )
-    owned.append(e)
-    n_edges = e.count()
-    sym = e.select(F.col("hi").alias("a"), F.col("lo").alias("b")).union(
-        e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
-    )
-    if n_edges <= driver_max_edges:
-        out = _cc_driver_union_find(sym, spark, out_id, out_label)
-        # union-find already collected the edges; the result is plain
-        # driver rows — nothing pinned needs to outlive this call
-        for c in owned:
-            release_checkpoint(c)
+    # `live` tracks every checkpoint this call has pinned and not yet
+    # released: the PREVIOUS round's labels are released as soon as the
+    # next round's are materialized (peak pinned state = edges + sym +
+    # two label generations, independent of round count), and any
+    # exception releases whatever is still live before propagating.
+    live: list[DataFrame] = []
+
+    def _pin(df):
+        out = df.localCheckpoint()
+        live.append(out)
         return out
-    # Size loop parallelism to the materialized edge count, capped at
-    # the session default.
-    default_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    loop_p = _loop_partitions(spark, 2 * n_edges)
-    if loop_p < default_p:
-        sym = sym.repartition(loop_p, "b").localCheckpoint()
-        owned.append(sym)
-    labels = (
-        sym.select(F.col("a").alias("id")).distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint()
-    )
-    owned.append(labels)
-    # Convergence check: per-vertex labels are monotonically
-    # non-increasing, so the EXACT label sum (decimal — no long
-    # overflow at any vertex count) strictly decreases until the
-    # fixpoint; an unchanged sum means no label moved. One tiny
-    # aggregate per round instead of a labels-vs-labels join + count.
-    label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
-    prev_sum = labels.agg(label_sum).collect()[0][0]
-    for _ in range(max_iter):
-        neighbor_labels = sym.join(
-            labels.withColumnRenamed("id", "b"), "b"
-        ).select(F.col("a").alias("id"), "label")
-        new_labels = (
-            labels.union(neighbor_labels)
-            .repartition(loop_p, "id")
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()  # eager: also truncates lineage per round
-        )
-        owned.append(new_labels)
-        new_sum = new_labels.agg(label_sum).collect()[0][0]
-        labels = new_labels
-        if new_sum == prev_sum:
-            # the result depends ONLY on the final round's checkpoint —
-            # release the edges, the sliced sym, and every earlier
-            # round's label blocks; the kept one is handed to the
-            # caller via _owned_checkpoints (see connected_components)
-            for c in owned:
-                if c is not labels:
-                    release_checkpoint(c)
-            out = labels.select(
-                F.col("id").alias(out_id), F.col("label").alias(out_label)
+
+    def _release(df):
+        release_checkpoint(df)
+        live.remove(df)
+
+    try:
+        # Canonicalize (hi, lo), drop self-loops, deduplicate BEFORE
+        # symmetrizing: duplicate input edges would otherwise both
+        # inflate the loop's join fan-out and make the driver-shortcut
+        # threshold mean something different here than under
+        # method="star" (both methods compare the same deduplicated
+        # edge count).
+        e = _pin(
+            edges.select(
+                F.greatest(F.col(src), F.col(dst)).alias("hi"),
+                F.least(F.col(src), F.col(dst)).alias("lo"),
             )
-            out._owned_checkpoints = [labels]
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        n_edges = e.count()
+        sym = e.select(F.col("hi").alias("a"), F.col("lo").alias("b")).union(
+            e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+        )
+        if n_edges <= driver_max_edges:
+            out = _cc_driver_union_find(sym, spark, out_id, out_label)
+            # union-find already collected the edges; the result is
+            # plain driver rows — nothing pinned outlives this call
+            _release(e)
             return out
-        prev_sum = new_sum
-    for c in owned:
-        release_checkpoint(c)
-    raise RuntimeError(
-        f"connected_components(method='label') did not converge in "
-        f"{max_iter} rounds — the graph has a component with diameter > "
-        f"{max_iter}; rerun with method='star' (diameter-free round "
-        f"count) or a larger max_iter"
-    )
+        # Size loop parallelism to the materialized edge count, capped
+        # at the session default.
+        default_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        loop_p = _loop_partitions(spark, 2 * n_edges)
+        if loop_p < default_p:
+            sym = _pin(sym.repartition(loop_p, "b"))
+        labels = _pin(
+            sym.select(F.col("a").alias("id")).distinct()
+            .withColumn("label", F.col("id"))
+        )
+        # Convergence check: per-vertex labels are monotonically
+        # non-increasing, so the EXACT label sum (decimal — no long
+        # overflow at any vertex count) strictly decreases until the
+        # fixpoint; an unchanged sum means no label moved. One tiny
+        # aggregate per round instead of a labels-vs-labels join+count.
+        label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
+        prev_sum = labels.agg(label_sum).collect()[0][0]
+        for _ in range(max_iter):
+            neighbor_labels = sym.join(
+                labels.withColumnRenamed("id", "b"), "b"
+            ).select(F.col("a").alias("id"), "label")
+            new_labels = _pin(  # eager: also truncates lineage per round
+                labels.union(neighbor_labels)
+                .repartition(loop_p, "id")
+                .groupBy("id")
+                .agg(F.min("label").alias("label"))
+            )
+            new_sum = new_labels.agg(label_sum).collect()[0][0]
+            _release(labels)  # previous round's blocks die here
+            labels = new_labels
+            if new_sum == prev_sum:
+                # the result depends ONLY on the final round's
+                # checkpoint — release the rest; the kept one is handed
+                # to the caller via _owned_checkpoints
+                for c in [c for c in live if c is not labels]:
+                    _release(c)
+                out = labels.select(
+                    F.col("id").alias(out_id), F.col("label").alias(out_label)
+                )
+                out._owned_checkpoints = [labels]
+                return out
+            prev_sum = new_sum
+        raise RuntimeError(
+            f"connected_components(method='label') did not converge in "
+            f"{max_iter} rounds — the graph has a component with diameter "
+            f"> {max_iter}; rerun with method='star' (diameter-free round "
+            f"count) or a larger max_iter"
+        )
+    except BaseException:
+        for c in list(live):
+            release_checkpoint(c)
+        raise
 
 
 def _cc_two_phase_star(
@@ -280,23 +290,46 @@ def _cc_two_phase_star(
     sums + hash sum), two tiny aggregates per round.
     """
     spark = edges.sparkSession
-    owned: list[DataFrame] = []  # every checkpoint THIS call pinned
-    e = (
+    # per-round release discipline + exception safety: see _cc_min_label
+    live: list[DataFrame] = []
+
+    def _pin(df):
+        out = df.localCheckpoint()
+        live.append(out)
+        return out
+
+    def _release(df):
+        release_checkpoint(df)
+        live.remove(df)
+
+    try:
+        return _cc_two_phase_star_body(
+            edges, src, dst, max_iter, out_id, out_label, driver_max_edges,
+            spark, _pin, _release, live,
+        )
+    except BaseException:
+        for c in list(live):
+            release_checkpoint(c)
+        raise
+
+
+def _cc_two_phase_star_body(
+    edges, src, dst, max_iter, out_id, out_label, driver_max_edges,
+    spark, _pin, _release, live,
+) -> DataFrame:
+    e = _pin(
         edges.select(
             F.greatest(F.col(src), F.col(dst)).alias("hi"),
             F.least(F.col(src), F.col(dst)).alias("lo"),
         )
         .filter(F.col("hi") != F.col("lo"))
         .distinct()
-        .localCheckpoint()
     )
-    owned.append(e)
     n_edges = e.count()
     if n_edges <= driver_max_edges:
         sym = e.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
         out = _cc_driver_union_find(sym, spark, out_id, out_label)
-        for c in owned:
-            release_checkpoint(c)
+        _release(e)
         return out
     loop_p = _loop_partitions(spark, n_edges)
 
@@ -325,9 +358,7 @@ def _cc_two_phase_star(
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
         )
-        ck = out.filter(F.col("hi") != F.col("lo")).distinct().localCheckpoint()
-        owned.append(ck)
-        return ck
+        return _pin(out.filter(F.col("hi") != F.col("lo")).distinct())
 
     def small_star(df):
         # group by the LARGER endpoint; m = min over {u} + smaller
@@ -343,23 +374,24 @@ def _cc_two_phase_star(
         )
         hooks = m.select(F.col("hi"), F.col("m").alias("lo"))
         out = rewired.union(hooks)
-        ck = out.filter(F.col("hi") != F.col("lo")).distinct().localCheckpoint()
-        owned.append(ck)
-        return ck
+        return _pin(out.filter(F.col("hi") != F.col("lo")).distinct())
 
     prev = checksum(e)
     for _ in range(max_iter):
-        e = small_star(large_star(e))
+        large = large_star(e)
+        new_e = small_star(large)
+        # the round's output is materialized: its two inputs die here
+        _release(large)
+        _release(e)
+        e = new_e
         cur = checksum(e)
         if cur == prev:
             # fixpoint: disjoint stars — every hi points at its
             # component minimum lo; centers label themselves. The
-            # result depends ONLY on the final round's edge checkpoint
-            # — release every earlier round's blocks; the kept one is
+            # result depends ONLY on the final round's edge checkpoint,
             # handed to the caller via _owned_checkpoints
-            for c in owned:
-                if c is not e:
-                    release_checkpoint(c)
+            for c in [c for c in live if c is not e]:
+                _release(c)
             nodes = e.select(F.col("hi").alias("id"), F.col("lo").alias("label"))
             roots = e.select(F.col("lo").alias("id")).distinct().withColumn(
                 "label", F.col("id")
@@ -370,8 +402,6 @@ def _cc_two_phase_star(
             out._owned_checkpoints = [e]
             return out
         prev = cur
-    for c in owned:
-        release_checkpoint(c)
     raise RuntimeError(
         f"connected_components(method='star') did not converge in "
         f"{max_iter} rounds — raise max_iter (round count is "

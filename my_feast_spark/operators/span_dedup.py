@@ -43,9 +43,13 @@ def _ngram_hashes(toks: Column, n: int) -> Column:
             F.sequence(F.lit(1), F.size(toks) - (n - 1)),
             lambda i: F.struct(
                 i.alias("pos"),
+                # space-separated like every other n-gram build in the
+                # repo: a boundary-free separator would collide windows
+                # that differ only in token boundaries (['ab','c'] vs
+                # ['a','bc']) and cut unshared spans
                 F.xxhash64(
                     F.concat_ws(
-                        "",
+                        " ",
                         *[F.element_at(toks, i + j) for j in range(n)],
                     )
                 ).alias("h"),

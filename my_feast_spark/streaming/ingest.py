@@ -336,7 +336,16 @@ def dedup_ingest_stream(
             not e.name.startswith((".", "_"))
             for e in os.scandir(index_path)
         ):
-            seen = spark.read.parquet(index_path).select("fingerprint")
+            # EXCLUDE this batch's own partition: after a crash between
+            # the sink writes and the streaming commit, foreachBatch
+            # replays the batch — anti-joining it against its own
+            # already-written fingerprints would empty `fresh` and the
+            # overwrite below would destroy the batch's good output
+            seen = (
+                spark.read.parquet(index_path)
+                .filter(F.col("batch_id") != batch_id)
+                .select("fingerprint")
+            )
             fresh = fresh.join(seen, "fingerprint", "left_anti")
         # idempotent per-batch partition: a replayed batch overwrites
         # its own directory instead of double-appending

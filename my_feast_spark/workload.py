@@ -3727,8 +3727,10 @@ WITH tok AS (
   SELECT string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
 ),
 uni AS (
+  -- mirror the Spark side's empty-token filter: splitting an empty or
+  -- whitespace-only document yields [''], which must not count
   SELECT u AS tok, count(*) AS n_tok
-  FROM (SELECT unnest(t) AS u FROM tok) GROUP BY 1
+  FROM (SELECT unnest(t) AS u FROM tok) WHERE u <> '' GROUP BY 1
 ),
 tot AS (SELECT sum(n_tok) AS total_toks FROM uni),
 pr AS (

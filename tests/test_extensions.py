@@ -626,15 +626,19 @@ class TestLshRecallReport:
         from tests.conftest import SF_DIR_ORACLE
 
         docs = load_table(spark, SF_DIR_ORACLE, "documents")
-        row = lsh_recall_report(
+        rep = lsh_recall_report(
             docs, "doc_id", "text", sample_rate=0.5, hash_fn="portable",
-        ).collect()[0]
+        )
+        row = rep.collect()[0]
         assert 0 < row.sample_docs < 500
         assert row.truth_pairs > 0, "sample should contain dup pairs"
         # LSH verifies candidates with exact Jaccard: precision is 1
         assert row.lsh_pairs == row.matched and row.precision == 1.0
         # synthetic dups are near-identical -> capture prob ~1
         assert row.recall is not None and row.recall >= 0.9
+        assert rep._owned_caches  # generators' caches handed to caller
+        for c in rep._owned_caches:
+            c.unpersist()
 
     def test_paired_sampling_is_deterministic(self, spark):
         from my_feast_spark.operators.dedup_eval import lsh_recall_report
@@ -642,8 +646,12 @@ class TestLshRecallReport:
         from tests.conftest import SF_DIR_ORACLE
 
         docs = load_table(spark, SF_DIR_ORACLE, "documents")
-        a = lsh_recall_report(docs, "doc_id", "text", sample_rate=0.3,
-                              hash_fn="portable").collect()[0]
-        b = lsh_recall_report(docs, "doc_id", "text", sample_rate=0.3,
-                              hash_fn="portable").collect()[0]
+        ra = lsh_recall_report(docs, "doc_id", "text", sample_rate=0.3,
+                               hash_fn="portable")
+        rb = lsh_recall_report(docs, "doc_id", "text", sample_rate=0.3,
+                               hash_fn="portable")
+        a, b = ra.collect()[0], rb.collect()[0]
         assert a.asDict() == b.asDict()
+        for rep in (ra, rb):
+            for c in rep._owned_caches:
+                c.unpersist()

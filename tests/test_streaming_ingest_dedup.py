@@ -52,3 +52,28 @@ def test_dedup_ingest_drops_recrawled_content(spark, tmp_path):
     assert sorted(fps) == sorted({r.fingerprint for r in rows})
     # every accepted fingerprint is unique corpus-wide
     assert len({r.fingerprint for r in rows}) == len(rows)
+
+
+def test_batch_replay_does_not_destroy_output(spark, tmp_path):
+    """Crash-replay shape: if a batch's sinks were written but the
+    streaming commit was lost, the batch replays — it must NOT
+    anti-join against its own fingerprints (that would overwrite its
+    output with an empty dataset). Simulated by re-running the same
+    input with a FRESH checkpoint, so batch 0 is processed again."""
+
+    in_dir = str(tmp_path / "incoming")
+    out = str(tmp_path / "corpus")
+    idx = str(tmp_path / "fp_index")
+    os.makedirs(in_dir)
+    spark.createDataFrame([
+        Row(doc_id=1, text="alpha beta"),
+        Row(doc_id=2, text="gamma delta"),
+    ]).coalesce(1).write.mode("append").parquet(in_dir)
+
+    _run_available(spark, in_dir, out, idx, str(tmp_path / "ckpt1"))
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2}
+
+    # replay: same input, fresh checkpoint -> batch_id 0 again
+    _run_available(spark, in_dir, out, idx, str(tmp_path / "ckpt2"))
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2}, f"replay destroyed the batch output: {got}"
