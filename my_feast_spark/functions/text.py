@@ -59,6 +59,22 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+def adjacent_pairs(arr: Column) -> Column:
+    """``array<struct<a,b>>`` of adjacent element pairs (empty below 2
+    elements) — the shared building block of the BPE pair count, token
+    PMI, and bigram queries. ``arr`` is referenced four times (size +
+    two slices); pass a cheap column reference, or ``let``-bind an
+    expensive expression first (see ``let``)."""
+    return F.when(
+        F.size(arr) >= 2,
+        F.zip_with(
+            F.slice(arr, 1, F.size(arr) - 1),
+            F.slice(arr, 2, F.size(arr) - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+
+
 def doc_fingerprint(text: Column) -> Column:
     """md5 of lower + whitespace-collapsed text — the exact-dup key."""
     normalized = F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))

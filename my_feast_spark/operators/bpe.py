@@ -27,24 +27,12 @@ import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from my_feast_spark.functions.text import tokens
+from my_feast_spark.functions.text import adjacent_pairs, tokens
 from my_feast_spark.operators.graph import release_checkpoint
 
 #: end-of-word marker symbol (Sennrich): distinguishes "est"-as-suffix
 #: from "est"-mid-word, and makes word reconstruction unambiguous
 EOW = "</w>"
-
-
-def _adjacent_pairs(sym: Column) -> Column:
-    """array<struct<a,b>> of adjacent symbol pairs (empty for len<2)."""
-    return F.when(
-        F.size(sym) >= 2,
-        F.zip_with(
-            F.slice(sym, 1, F.size(sym) - 1),
-            F.slice(sym, 2, F.size(sym) - 1),
-            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-        ),
-    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
 
 
 def _merge_pair(sym: Column, a: str, b: str) -> Column:
@@ -108,7 +96,7 @@ def train_bpe_merges(
     try:
         for _ in range(rounds):
             top = (
-                vocab.select("n", F.explode(_adjacent_pairs(F.col("sym"))).alias("p"))
+                vocab.select("n", F.explode(adjacent_pairs(F.col("sym"))).alias("p"))
                 .groupBy("p.a", "p.b")
                 .agg(F.sum("n").alias("cnt"))
                 .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())

@@ -303,108 +303,99 @@ def _cc_two_phase_star(
         live.remove(df)
 
     try:
-        return _cc_two_phase_star_body(
-            edges, src, dst, max_iter, out_id, out_label, driver_max_edges,
-            spark, _pin, _release, live,
+        e = _pin(
+            edges.select(
+                F.greatest(F.col(src), F.col(dst)).alias("hi"),
+                F.least(F.col(src), F.col(dst)).alias("lo"),
+            )
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
         )
+        n_edges = e.count()
+        if n_edges <= driver_max_edges:
+            sym = e.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
+            out = _cc_driver_union_find(sym, spark, out_id, out_label)
+            _release(e)
+            return out
+        loop_p = _loop_partitions(spark, n_edges)
+
+        def checksum(df):
+            row = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("hi").cast("decimal(38,0)")).alias("sh"),
+                F.sum(F.col("lo").cast("decimal(38,0)")).alias("sl"),
+                F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)")).alias("sx"),
+            ).collect()[0]
+            return tuple(row)
+
+        def large_star(df):
+            sym = df.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+                df.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+            )
+            m = (
+                sym.repartition(loop_p, "u")
+                .groupBy("u")
+                .agg(F.min("v").alias("mv"))
+                .withColumn("m", F.least(F.col("mv"), F.col("u")))
+                .select("u", "m")
+            )
+            out = (
+                sym.join(m, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            )
+            return _pin(out.filter(F.col("hi") != F.col("lo")).distinct())
+
+        def small_star(df):
+            # group by the LARGER endpoint; m = min over {u} + smaller
+            # neighbors = min(lo) (u exceeds every lo by construction)
+            m = (
+                df.repartition(loop_p, "hi")
+                .groupBy("hi")
+                .agg(F.min("lo").alias("m"))
+            )
+            j = df.join(m, "hi")
+            rewired = j.filter(F.col("lo") != F.col("m")).select(
+                F.col("lo").alias("hi"), F.col("m").alias("lo")
+            )
+            hooks = m.select(F.col("hi"), F.col("m").alias("lo"))
+            out = rewired.union(hooks)
+            return _pin(out.filter(F.col("hi") != F.col("lo")).distinct())
+
+        prev = checksum(e)
+        for _ in range(max_iter):
+            large = large_star(e)
+            new_e = small_star(large)
+            # the round's output is materialized: its two inputs die here
+            _release(large)
+            _release(e)
+            e = new_e
+            cur = checksum(e)
+            if cur == prev:
+                # fixpoint: disjoint stars — every hi points at its
+                # component minimum lo; centers label themselves. The
+                # result depends ONLY on the final round's edge checkpoint,
+                # handed to the caller via _owned_checkpoints
+                for c in [c for c in live if c is not e]:
+                    _release(c)
+                nodes = e.select(F.col("hi").alias("id"), F.col("lo").alias("label"))
+                roots = e.select(F.col("lo").alias("id")).distinct().withColumn(
+                    "label", F.col("id")
+                )
+                out = nodes.union(roots).distinct().select(
+                    F.col("id").alias(out_id), F.col("label").alias(out_label)
+                )
+                out._owned_checkpoints = [e]
+                return out
+            prev = cur
+        raise RuntimeError(
+            f"connected_components(method='star') did not converge in "
+            f"{max_iter} rounds — raise max_iter (round count is "
+            f"logarithmic in component size; this indicates a pathological "
+            f"or adversarial graph)"
+        )
+
     except BaseException:
         for c in list(live):
             release_checkpoint(c)
         raise
-
-
-def _cc_two_phase_star_body(
-    edges, src, dst, max_iter, out_id, out_label, driver_max_edges,
-    spark, _pin, _release, live,
-) -> DataFrame:
-    e = _pin(
-        edges.select(
-            F.greatest(F.col(src), F.col(dst)).alias("hi"),
-            F.least(F.col(src), F.col(dst)).alias("lo"),
-        )
-        .filter(F.col("hi") != F.col("lo"))
-        .distinct()
-    )
-    n_edges = e.count()
-    if n_edges <= driver_max_edges:
-        sym = e.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
-        out = _cc_driver_union_find(sym, spark, out_id, out_label)
-        _release(e)
-        return out
-    loop_p = _loop_partitions(spark, n_edges)
-
-    def checksum(df):
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("hi").cast("decimal(38,0)")).alias("sh"),
-            F.sum(F.col("lo").cast("decimal(38,0)")).alias("sl"),
-            F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)")).alias("sx"),
-        ).collect()[0]
-        return tuple(row)
-
-    def large_star(df):
-        sym = df.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
-            df.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
-        )
-        m = (
-            sym.repartition(loop_p, "u")
-            .groupBy("u")
-            .agg(F.min("v").alias("mv"))
-            .withColumn("m", F.least(F.col("mv"), F.col("u")))
-            .select("u", "m")
-        )
-        out = (
-            sym.join(m, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
-        )
-        return _pin(out.filter(F.col("hi") != F.col("lo")).distinct())
-
-    def small_star(df):
-        # group by the LARGER endpoint; m = min over {u} + smaller
-        # neighbors = min(lo) (u exceeds every lo by construction)
-        m = (
-            df.repartition(loop_p, "hi")
-            .groupBy("hi")
-            .agg(F.min("lo").alias("m"))
-        )
-        j = df.join(m, "hi")
-        rewired = j.filter(F.col("lo") != F.col("m")).select(
-            F.col("lo").alias("hi"), F.col("m").alias("lo")
-        )
-        hooks = m.select(F.col("hi"), F.col("m").alias("lo"))
-        out = rewired.union(hooks)
-        return _pin(out.filter(F.col("hi") != F.col("lo")).distinct())
-
-    prev = checksum(e)
-    for _ in range(max_iter):
-        large = large_star(e)
-        new_e = small_star(large)
-        # the round's output is materialized: its two inputs die here
-        _release(large)
-        _release(e)
-        e = new_e
-        cur = checksum(e)
-        if cur == prev:
-            # fixpoint: disjoint stars — every hi points at its
-            # component minimum lo; centers label themselves. The
-            # result depends ONLY on the final round's edge checkpoint,
-            # handed to the caller via _owned_checkpoints
-            for c in [c for c in live if c is not e]:
-                _release(c)
-            nodes = e.select(F.col("hi").alias("id"), F.col("lo").alias("label"))
-            roots = e.select(F.col("lo").alias("id")).distinct().withColumn(
-                "label", F.col("id")
-            )
-            out = nodes.union(roots).distinct().select(
-                F.col("id").alias(out_id), F.col("label").alias(out_label)
-            )
-            out._owned_checkpoints = [e]
-            return out
-        prev = cur
-    raise RuntimeError(
-        f"connected_components(method='star') did not converge in "
-        f"{max_iter} rounds — raise max_iter (round count is "
-        f"logarithmic in component size; this indicates a pathological "
-        f"or adversarial graph)"
-    )

@@ -3658,7 +3658,7 @@ def q_token_pmi(spark, sf_dir):
     lowers to TakeOrderedAndProject keyed on the exact integer counts —
     PMI itself is reported rounded but never drives the ordering, so
     float formatting can't flip rows."""
-    from my_feast_spark.functions.text import let, tokens
+    from my_feast_spark.functions.text import adjacent_pairs, let, tokens
 
     min_pair = 20
     docs = _t(spark, sf_dir, "documents")
@@ -3670,24 +3670,12 @@ def q_token_pmi(spark, sf_dir):
 
     pairs = docs.select(
         F.explode_outer(
-            let(
-                tokens(F.lower(F.col("text"))),
-                lambda t: F.when(
-                    F.size(t) >= 2,
-                    F.zip_with(
-                        F.slice(t, 1, F.size(t) - 1),
-                        F.slice(t, 2, F.size(t) - 1),
-                        lambda a, b: F.struct(
-                            a.alias("tok_a"), b.alias("tok_b")
-                        ),
-                    ),
-                ).otherwise(
-                    F.array().cast("array<struct<tok_a:string,tok_b:string>>")
-                ),
-            )
+            let(tokens(F.lower(F.col("text"))), adjacent_pairs)
         ).alias("pr")
     ).filter(F.col("pr").isNotNull())
-    pc = pairs.groupBy("pr.tok_a", "pr.tok_b").agg(
+    pc = pairs.groupBy(
+        F.col("pr.a").alias("tok_a"), F.col("pr.b").alias("tok_b")
+    ).agg(
         F.count(F.lit(1)).alias("n_pair")
     ).persist()
     n_pairs = pc.agg(F.sum("n_pair").alias("total_pairs"))
