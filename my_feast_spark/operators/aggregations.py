@@ -87,7 +87,7 @@ def scd2_intervals(
     df: DataFrame,
     keys: Sequence[str],
     ts_col: str,
-    state_col: str,
+    state_col: str | Sequence[str],
     *,
     tie_breakers: Sequence[str] = (),
     out_state: str = "state",
@@ -96,15 +96,18 @@ def scd2_intervals(
     out_current: str = "is_current",
 ) -> DataFrame:
     """Collapse a per-key event stream into SCD Type-2 intervals:
-    ``(keys..., state, valid_from, valid_to, is_current)``.
+    ``(keys..., <state column(s)>, valid_from, valid_to, is_current)``.
 
-    Consecutive rows (ordered by ``ts_col`` then ``tie_breakers``) with
-    the same ``state_col`` value merge into one interval; each interval
-    closes at the NEXT state change (``valid_to`` is NULL and
-    ``is_current`` true for the open tail). The materialized form of
-    the reference's latest-version semantics (CASE.MD:431-464): a PIT
-    lookup against the output is a plain range predicate
-    ``valid_from <= ts AND (valid_to IS NULL OR ts < valid_to)``.
+    ``state_col`` is one column (output aliased to ``out_state``) or a
+    SEQUENCE of attribute columns — the usual dimension-table shape,
+    where an interval closes when ANY attribute changes; multi-column
+    states keep their own names in the output. Consecutive rows
+    (ordered by ``ts_col`` then ``tie_breakers``) with the same state
+    merge into one interval; ``valid_to`` is NULL and ``is_current``
+    true for the open tail. The materialized form of the reference's
+    latest-version semantics (CASE.MD:431-464): a PIT lookup against
+    the output is a plain range predicate ``valid_from <= ts AND
+    (valid_to IS NULL OR ts < valid_to)``.
 
     Scale shape: ONE shuffle on ``keys``; the change-point lag() and the
     interval-closing lead() stack on the same sort order, so Catalyst
@@ -112,19 +115,30 @@ def scd2_intervals(
     (smaller) change-point relation. Pass ``tie_breakers`` whenever
     ``ts_col`` can tie, or the collapse order is engine-dependent.
     """
+    multi = not isinstance(state_col, str)
+    state_cols = list(state_col) if multi else [state_col]
+    # change detection compares the attribute TUPLE; struct equality is
+    # null-safe per field in Spark, so a NULL attribute doesn't force a
+    # spurious change point
+    state_expr = F.struct(*state_cols) if multi else F.col(state_col)
     order = [F.col(ts_col)] + [F.col(c) for c in tie_breakers]
     w = Window.partitionBy(*keys).orderBy(*order)
     changes = (
-        df.withColumn("__prev_state", F.lag(state_col).over(w))
+        df.withColumn("__prev_state", F.lag(state_expr).over(w))
         .filter(
             F.col("__prev_state").isNull()
-            | (F.col("__prev_state") != F.col(state_col))
+            | (F.col("__prev_state") != state_expr)
         )
         .drop("__prev_state")
     )
+    out_states = (
+        [F.col(c) for c in state_cols]
+        if multi
+        else [F.col(state_col).alias(out_state)]
+    )
     return changes.select(
         *keys,
-        F.col(state_col).alias(out_state),
+        *out_states,
         F.col(ts_col).alias(out_from),
         F.lead(ts_col).over(w).alias(out_to),
         F.lead(ts_col).over(w).isNull().alias(out_current),
@@ -137,14 +151,16 @@ def scd2_lookup(
     keys: Sequence[str],
     probe_ts_col: str,
     *,
-    state_col: str = "state",
+    state_col: str | Sequence[str] = "state",
     from_col: str = "valid_from",
     to_col: str = "valid_to",
 ) -> DataFrame:
     """Point-in-time state lookup against a materialized SCD2 table:
-    each probe row gains the ``state_col`` whose interval contains its
-    timestamp (``valid_from <= ts AND (valid_to IS NULL OR ts <
+    each probe row gains the state column(s) whose interval contains
+    its timestamp (``valid_from <= ts AND (valid_to IS NULL OR ts <
     valid_to)``), NULL when the probe predates every interval.
+    ``state_col`` mirrors `scd2_intervals`: one column or the sequence
+    of attribute columns of a multi-attribute dimension.
 
     This is WHY a feature store materializes `scd2_intervals`: the
     as-of join's window machinery collapses to an equi-join on the
@@ -153,11 +169,12 @@ def scd2_lookup(
     fan-out is bounded and each probe matches exactly one interval by
     the timeline-partition invariant. Left-preserving on probes.
     """
-    cols = [from_col, to_col, state_col]
+    state_cols = [state_col] if isinstance(state_col, str) else list(state_col)
+    cols = [from_col, to_col, *state_cols]
     iv = intervals.select(
         *keys, *[F.col(c).alias(f"__scd2_{c}") for c in cols]
     )
-    pf, pt, ps = (f"__scd2_{c}" for c in cols)
+    pf, pt = f"__scd2_{from_col}", f"__scd2_{to_col}"
     # range predicate INSIDE the left join: the equi part (entity keys)
     # drives the join strategy, the range conjunct filters matches, and
     # probes with no containing interval keep a NULL state row — no
@@ -168,5 +185,6 @@ def scd2_lookup(
     for k in keys:
         on = (probes[k] == iv[k]) & on
     return probes.join(iv, on, "left").select(
-        *[probes[c] for c in probes.columns], iv[ps].alias(state_col)
+        *[probes[c] for c in probes.columns],
+        *[iv[f"__scd2_{c}"].alias(c) for c in state_cols],
     )

@@ -15,6 +15,7 @@ import datetime as dt
 
 import pandas as pd
 from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
 
 from my_feast_spark.operators.aggregations import scd2_intervals
 
@@ -137,3 +138,66 @@ def test_scd2_lookup_agrees_with_asof_join(spark, events, probes):
         g = ev[(ev["key"] == k) & (ev["ts"] <= pts)]
         want = g.iloc[-1]["state"] if len(g) else None
         assert got[i] == want, (i, k, pts, got[i], want)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(events=st.lists(
+    st.tuples(st.integers(1, 2), st.integers(0, 20),
+              st.sampled_from(["a", "b"]), st.sampled_from([10, 20])),
+    min_size=1, max_size=16))
+def test_multi_attribute_intervals_close_on_any_change(spark, events):
+    """Dimension-table shape: the interval closes when ANY of the two
+    attributes changes; both attribute columns survive with their own
+    names; lookup returns both. Oracle = single-column collapse over
+    the attribute TUPLE rendered as a string."""
+    from my_feast_spark.operators.aggregations import scd2_lookup
+
+    rows = [
+        (k, T0 + dt.timedelta(hours=h), i, s, v)
+        for i, (k, h, s, v) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        schema="key long, ts timestamp, event_id long, "
+               "plan string, tier int",
+    )
+    def _k(t):
+        # None-safe total order: valid_to may be NULL on the open tail
+        return (t[0], t[1], t[2], t[3], t[4] is None, t[4] or t[3], t[5])
+
+    got = sorted(
+        (
+            (r.key, r.plan, r.tier, r.valid_from, r.valid_to, r.is_current)
+            for r in scd2_intervals(
+                df, ["key"], "ts", ["plan", "tier"], tie_breakers=["event_id"]
+            ).collect()
+        ),
+        key=_k,
+    )
+    # oracle: same collapse over the rendered tuple
+    tup_rows = [(k, t, i, f"{s}|{v}") for k, t, i, s, v in rows]
+    tup_df = spark.createDataFrame(
+        tup_rows, schema="key long, ts timestamp, event_id long, state string"
+    )
+    want = [
+        (r.key, *r.state.split("|"), r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_intervals(
+            tup_df, ["key"], "ts", "state", tie_breakers=["event_id"]
+        ).collect()
+    ]
+    want = sorted(
+        ((k, p, int(t), f, to, cur) for k, p, t, f, to, cur in want), key=_k
+    )
+    assert got == want
+
+    # lookup carries both attribute columns
+    probe = df.select("key", F.col("ts").alias("pts"),
+                      F.col("event_id").alias("pid"))
+    looked = scd2_lookup(
+        scd2_intervals(df, ["key"], "ts", ["plan", "tier"],
+                       tie_breakers=["event_id"]),
+        probe, ["key"], "pts", state_col=["plan", "tier"],
+    )
+    assert set(looked.columns) == {"key", "pts", "pid", "plan", "tier"}
+    assert looked.count() == len(rows)
