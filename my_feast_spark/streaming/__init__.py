@@ -1,4 +1,5 @@
 from my_feast_spark.streaming.online import materialize_stream
+from my_feast_spark.streaming.scd2 import read_scd2_table, scd2_maintain_stream
 from my_feast_spark.streaming.ingest import (
     capture_to_parquet,
     dedup_ingest_stream,
@@ -14,6 +15,8 @@ __all__ = [
     "dedup_ingest_stream",
     "materialize_stream",
     "read_event_stream",
+    "read_scd2_table",
+    "scd2_maintain_stream",
     "run_to_memory_table",
     "sessionize",
     "streaming_dedup",
