@@ -5,8 +5,15 @@ from my_feast_spark.multimodal.assets import (
     FRAME_SCHEMA,
     decode_assets,
     encode_fake_image_assets,
+    image_dhash,
+    image_near_dup_pairs,
     resize_images,
     sample_frames,
+)
+from my_feast_spark.multimodal.audio import (
+    audio_features,
+    encode_fake_audio_assets,
+    segment_silence,
 )
 
 __all__ = [
@@ -14,8 +21,13 @@ __all__ = [
     "MAGIC",
     "DECODED_SCHEMA",
     "FRAME_SCHEMA",
+    "audio_features",
     "decode_assets",
+    "encode_fake_audio_assets",
     "encode_fake_image_assets",
+    "image_dhash",
+    "image_near_dup_pairs",
     "resize_images",
     "sample_frames",
+    "segment_silence",
 ]
