@@ -173,3 +173,28 @@ def bpe_encode_udf(merges: list[dict]):
         return col.map(enc)
 
     return encode
+
+
+def bpe_vocab(df: DataFrame, text_col: str, merges: list[dict],
+              *, lowercase: bool = True) -> list[dict]:
+    """The tokenizer's id table: corpus alphabet first (sorted chars +
+    the end-of-word marker), then merged symbols in merge order — the
+    standard layout, so ids are stable under vocabulary EXTENSION (new
+    merges append, existing ids never shift). Every symbol the encoder
+    can emit for this corpus is covered: encode only outputs base chars,
+    ``EOW``, and merge products. The alphabet scan is one distinct
+    aggregate over exploded chars (alphabet-sized result)."""
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    chars = sorted(
+        r["c"]
+        for r in df.select(
+            F.explode(F.array_distinct(
+                F.filter(F.split(F.concat_ws(" ", tokens(t)), "(?!^)"),
+                         lambda x: (x != "") & (x != " "))
+            )).alias("c")
+        ).distinct().collect()
+    )
+    symbols = chars + [EOW] + [m["merged"] for m in merges]
+    return [{"token_id": i, "symbol": s} for i, s in enumerate(symbols)]

@@ -127,3 +127,30 @@ def test_encode_paths_agree_and_roundtrip(spark):
     for r in both:
         assert r.via_expr == r.via_udf, (r.word, r.via_expr, r.via_udf)
         assert r.via_expr.replace(" ", "").replace(EOW, "") == r.word
+
+
+def test_vocab_covers_every_encoded_symbol(spark):
+    """Every symbol the encoder emits must have an id; alphabet ids
+    precede merge ids and stay stable when training extends."""
+    from pyspark.sql import functions as F
+
+    from my_feast_spark.operators.bpe import bpe_encode_udf, bpe_vocab
+
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    corpus = _corpus_df(spark, wc)
+    merges = train_bpe_merges(corpus, "text", rounds=6)
+    vocab = bpe_vocab(corpus, "text", merges)
+    ids = {v["symbol"]: v["token_id"] for v in vocab}
+    assert len(ids) == len(vocab), "duplicate symbols in vocab"
+
+    encoded = corpus.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+    ).distinct().select(bpe_encode_udf(merges)(F.col("w")).alias("enc"))
+    emitted = {s for r in encoded.collect() for s in r.enc.split(" ")}
+    assert emitted <= set(ids), emitted - set(ids)
+
+    # extension stability: retraining with MORE rounds preserves ids
+    merges2 = train_bpe_merges(corpus, "text", rounds=8)
+    assert merges2[:6] == merges
+    vocab2 = bpe_vocab(corpus, "text", merges2)
+    assert vocab2[: len(vocab)] == vocab
