@@ -68,16 +68,37 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
 
+    from my_feast_spark.operators.graph import release_checkpoint
+
+    def _release(df):
+        # Release the query's owned caches/checkpoints AFTER the clock
+        # stops: pair-generator queries hand their persisted relations
+        # to the caller (the repo cache-ownership rule); without this,
+        # every timed LSH/PMI/TF-IDF call pins another corpus-derived
+        # block set and later queries in the run compete with the
+        # accumulated memory pressure (r5's wild spreads).
+        for c in getattr(df, "_owned_caches", ()):
+            c.unpersist()
+        for c in getattr(df, "_owned_checkpoints", ()):
+            release_checkpoint(c)
+
+    def counted(df):
+        df.count()
+        return df
+
     def timed(name, thunk):
         # min-of-2, but only where a second run can change the story:
         # sub-0.75s queries are overhead-dominated and a re-run would
         # just double the bench wall time for noise (the driver may run
-        # the whole bench several times itself)
+        # the whole bench several times itself). The thunk returns the
+        # result DataFrame so owned caches release between runs.
         runs = []
         for _ in range(2):
             t0 = time.monotonic()
-            thunk()
+            df = thunk()
             runs.append(round(time.monotonic() - t0, 3))
+            if df is not None:
+                _release(df)
             if runs[0] < 0.75:
                 break
         timings[name] = min(runs)
@@ -85,7 +106,7 @@ def main() -> None:
 
     for name in names:
         fn = workload.QUERIES[name][0]
-        timed(name, lambda: fn(spark, sf_dir).count())
+        timed(name, lambda: counted(fn(spark, sf_dir)))
 
     # Scale-default variants of the adjudicated queries: the registry
     # runs minhash/simhash with the portable md5 hash family and the ANN
@@ -94,19 +115,19 @@ def main() -> None:
     # those too, so the recorded numbers include what production pays.
     for name, thunk in (
         ("minhash_dup_pairs_xxhash64",
-         lambda: workload.q_minhash_dup_pairs(spark, sf_dir, hash_fn="xxhash64").count()),
+         lambda: counted(workload.q_minhash_dup_pairs(spark, sf_dir, hash_fn="xxhash64"))),
         ("minhash_dup_pairs_numpy",
-         lambda: workload.q_minhash_dup_pairs(spark, sf_dir, hash_fn="numpy").count()),
+         lambda: counted(workload.q_minhash_dup_pairs(spark, sf_dir, hash_fn="numpy"))),
         ("simhash_dup_pairs_xxhash64",
-         lambda: workload.q_simhash_dup_pairs(spark, sf_dir, hash_fn="xxhash64").count()),
+         lambda: counted(workload.q_simhash_dup_pairs(spark, sf_dir, hash_fn="xxhash64"))),
         ("simhash_dup_pairs_numpy",
-         lambda: workload.q_simhash_dup_pairs(spark, sf_dir, hash_fn="numpy").count()),
+         lambda: counted(workload.q_simhash_dup_pairs(spark, sf_dir, hash_fn="numpy"))),
         ("ivf_topk_blas",
-         lambda: workload.q_ivf_topk(spark, sf_dir, deterministic=False).count()),
+         lambda: counted(workload.q_ivf_topk(spark, sf_dir, deterministic=False))),
         ("embedding_near_dupes_lsh_blas",
-         lambda: workload.q_embedding_near_dupes_lsh(spark, sf_dir, deterministic=False).count()),
+         lambda: counted(workload.q_embedding_near_dupes_lsh(spark, sf_dir, deterministic=False))),
         ("curation_pipeline_full_numpy",
-         lambda: workload.q_curation_pipeline_full(spark, sf_dir, hash_fn="numpy").count()),
+         lambda: counted(workload.q_curation_pipeline_full(spark, sf_dir, hash_fn="numpy"))),
     ):
         timed(name, thunk)
 
@@ -125,6 +146,7 @@ def main() -> None:
             df.agg(F.sum(F.crc32(F.concat_ws(
                 ",", *[F.col(c).cast("string") for c in df.columns]
             )))).collect()
+            return df
 
         timed(name + "_evaluated", full_eval)
 
@@ -146,10 +168,10 @@ def main() -> None:
     probes = hot.select("user_id", F.col("ts").alias("probe_ts"), "event_id")
     for name, strat in (("pit_skew_union_window", "union_window"),
                         ("pit_skew_sliced_window", "sliced_window")):
-        timed(name, lambda strat=strat: point_in_time_join(
+        timed(name, lambda strat=strat: counted(point_in_time_join(
             probes, feat, ["user_id"],
             event_ts_col="ts", entity_ts_col="probe_ts", strategy=strat,
-        ).count())
+        )))
 
     # Materialized-PIT probe: the same state lookup answered (a) at
     # query time by the as-of join over the raw event stream vs (b) by
@@ -172,18 +194,17 @@ def main() -> None:
         "user_id", F.col("ts").alias("probe_ts"),
         F.col("event_id").alias("probe_id"),
     )
-    timed("state_lookup_asof", lambda: point_in_time_join(
+    timed("state_lookup_asof", lambda: counted(point_in_time_join(
         st_probes, st_ev.drop("event_id"), ["user_id"],
         event_ts_col="ts", entity_ts_col="probe_ts",
         features=["event_type"],
-    ).count())
+    )))
     ivals = scd2_intervals(
         st_ev, ["user_id"], "ts", "event_type", tie_breakers=["event_id"]
     ).localCheckpoint()  # materialized table stands in for the stored one
-    timed("state_lookup_scd2", lambda: scd2_lookup(
+    timed("state_lookup_scd2", lambda: counted(scd2_lookup(
         ivals, st_probes, ["user_id"], "probe_ts"
-    ).count())
-    from my_feast_spark.operators.graph import release_checkpoint
+    )))
     release_checkpoint(ivals)
 
     total = round(sum(timings[q] for q in BENCH_QUERIES), 3)

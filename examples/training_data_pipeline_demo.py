@@ -80,9 +80,12 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> dict:
 
     # 5: embedding-level near-dups (semantic tier)
     emb = load_table(spark, sf_dir, "embeddings")
-    n_sem_pairs = embedding_dup_pairs(
+    sem_pairs = embedding_dup_pairs(
         emb, "vec_id", "embedding", threshold=0.4, num_planes=4
-    ).count()
+    )
+    n_sem_pairs = sem_pairs.count()
+    for c in sem_pairs._owned_caches:
+        c.unpersist()
 
     # 6: emit a reproducible ~10% sample of the survivors as training
     # chunks — both steps are map-only, so this scales with the scan

@@ -117,6 +117,10 @@ def embedding_dup_pairs(
     1-(1-p^H)^L where p = 1-acos(sim)/π — e.g. sim 0.9 → ~1.0, sim 0.4,
     H=4, L=8 → ~0.75. Candidate volume ~L·N²/2^H under uniform buckets;
     tune H up for scale, L up for recall.
+
+    LSH result carries ``_owned_caches`` (the persisted bucketed
+    relation feeding both join sides) — callers release it after
+    materializing, per the repo cache-ownership rule.
     """
     e = spread_partitions(df).select(
         F.col(id_col).alias("id"),
@@ -144,7 +148,7 @@ def embedding_dup_pairs(
         # collides in k tables costs k dot products (JVM-side, cheap) but
         # shuffles once — at corpus scale the shuffle, not the FMA, is the
         # bottleneck.
-        return (
+        out = (
             a.join(
                 b,
                 (F.col("a.table") == F.col("b.table"))
@@ -162,6 +166,13 @@ def embedding_dup_pairs(
             .filter(F.col("sim") >= threshold)
             .dropDuplicates(["id_a", "id_b"])
         )
+        # cache-ownership rule (see minhash_lsh_dup_pairs): the persisted
+        # bucketed relation (embeddings exploded x num_tables) is handed
+        # to the caller via _owned_caches — a caller that materializes
+        # the pairs must unpersist it, or every call pins an
+        # embeddings-sized block set for the session lifetime.
+        out._owned_caches = [e]
+        return out
     else:
         a, b = e.alias("a"), e.alias("b")
         cand = a.join(b, F.col("a.id") < F.col("b.id")).select(

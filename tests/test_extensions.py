@@ -142,17 +142,38 @@ def test_embedding_dup_pairs_exact_vs_lsh_recall(spark, emb):
             emb, "vec_id", "embedding", threshold=0.4
         ).collect()
     }
-    lsh = {
-        (r.id_a, r.id_b)
-        for r in embedding_dup_pairs(
-            emb, "vec_id", "embedding", threshold=0.4, num_planes=4
-        ).collect()
-    }
+    lsh_df = embedding_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, num_planes=4
+    )
+    lsh = {(r.id_a, r.id_b) for r in lsh_df.collect()}
+    for c in lsh_df._owned_caches:
+        c.unpersist()
     assert exact, "exact pass should find the >=0.4 pairs"
     # precision 1: every LSH pair is a true pair
     assert lsh <= exact
     # recall 1-(1-p^4)^8 with p=1-acos(0.4)/pi ≈ 0.75 at the 0.4 floor
     assert len(lsh) / len(exact) >= 0.5
+
+
+def test_embedding_dup_pairs_lsh_releases_cleanly(spark, emb):
+    """The LSH path persists the bucketed relation (embeddings exploded
+    x num_tables) to serialize the pandas-UDF bucketing across the two
+    self-join sides; it must hand that cache to the caller via
+    _owned_caches so a materialize+release cycle leaves NO pinned
+    blocks (r5 leaked it: every bench/pipeline call pinned another
+    embeddings-x-L-sized block set for the session lifetime)."""
+    from my_feast_spark.operators.similarity import embedding_dup_pairs
+
+    pairs = embedding_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, num_planes=4
+    )
+    pairs.count()  # materialize: populates the bucket cache
+    assert pairs._owned_caches, "LSH path must expose its persisted relation"
+    for c in pairs._owned_caches:
+        c.unpersist()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "embedding_dup_pairs LSH left persisted DataFrames behind"
+    )
 
 
 def test_ivf_topk_recall_vs_exact(spark, emb):

@@ -55,6 +55,8 @@ def test_oracle_parity(spark, ddb, name):
     sdf = fn(spark, SF_DIR_ORACLE)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
+    for c in getattr(sdf, "_owned_caches", ()):
+        c.unpersist()
 
     res = ddb.sql(sql)
     d_cols = res.columns
