@@ -123,13 +123,21 @@ def scd2_intervals(
     state_expr = F.struct(*state_cols) if multi else F.col(state_col)
     order = [F.col(ts_col)] + [F.col(c) for c in tie_breakers]
     w = Window.partitionBy(*keys).orderBy(*order)
+    # NULL-safe change predicate: `prev != state` evaluates to NULL for
+    # an 'A' -> NULL transition (dropping the change point, so the prior
+    # interval silently absorbs the NULL period) AND `prev IS NULL` fires
+    # on the SECOND consecutive NULL state. eqNullSafe treats NULL as an
+    # ordinary state value; an explicit first-row marker opens the first
+    # interval even when its state is NULL. Both window functions stack
+    # on the same (keys, order) frame — one Exchange, one Sort.
     changes = (
         df.withColumn("__prev_state", F.lag(state_expr).over(w))
+        .withColumn("__rn", F.row_number().over(w))
         .filter(
-            F.col("__prev_state").isNull()
-            | (F.col("__prev_state") != state_expr)
+            (F.col("__rn") == 1)
+            | ~F.col("__prev_state").eqNullSafe(state_expr)
         )
-        .drop("__prev_state")
+        .drop("__prev_state", "__rn")
     )
     out_states = (
         [F.col(c) for c in state_cols]

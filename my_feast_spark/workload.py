@@ -3626,12 +3626,17 @@ SQL_SCD2_USER_STATE = """
 WITH e AS (
   SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-           AS prev
+           AS prev,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
   FROM events
 ),
 chg AS (
+  -- null-safe change predicate mirroring scd2_intervals: IS DISTINCT
+  -- FROM treats a NULL state as an ordinary value; rn = 1 opens the
+  -- first interval even when its state is NULL
   SELECT user_id, ts, event_id, event_type FROM e
-  WHERE prev IS NULL OR prev <> event_type
+  WHERE rn = 1 OR prev IS DISTINCT FROM event_type
 )
 SELECT user_id, event_type AS state, ts AS valid_from,
        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)

