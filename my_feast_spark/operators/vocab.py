@@ -60,10 +60,15 @@ def encode_ids_map_literal(
     doc's tokens under ``vocab`` (OOV -> -1). ``vocab`` is a driver-side
     dict entering the plan as a map literal — small vocabularies only
     (see module docstring)."""
-    vmap = F.create_map(*[F.lit(x) for kv in vocab.items() for x in kv])
-    ids = F.transform(
-        F.col(tokens_col), lambda t: F.coalesce(vmap[t], F.lit(-1))
-    )
+    if vocab:
+        vmap = F.create_map(*[F.lit(x) for kv in vocab.items() for x in kv])
+        lookup = lambda t: F.coalesce(vmap[t], F.lit(-1))  # noqa: E731
+    else:
+        # create_map() with no entries types as map<void,void> and
+        # map()[string-key] fails analysis — an empty vocabulary means
+        # every token is OOV
+        lookup = lambda t: F.lit(-1)  # noqa: E731
+    ids = F.transform(F.col(tokens_col), lookup)
     return df.select(F.col(id_col), ids.alias(out_col))
 
 
@@ -76,14 +81,30 @@ def encode_ids_broadcast_join(
     (position, id) structs restores the sequence). The large-vocabulary
     path: the vocabulary stays out of the expression tree and ships as
     ONE broadcast table per executor."""
+    # posexplode_outer keeps zero-token docs alive as ONE (null, null)
+    # row — that row must survive the groupBy (so the doc encodes at
+    # all) but NOT the re-aggregation (or an empty array becomes [-1],
+    # diverging from the map-literal path, which returns []). collect_
+    # list skips NULL elements, so guarding the struct with the
+    # position's null check drops exactly that row; a NULL input array
+    # (vs empty) re-emits NULL, again matching transform()'s semantics.
     flat = df.select(
-        F.col(id_col), F.posexplode_outer(tokens_col).alias("__ord", "token")
+        F.col(id_col),
+        F.col(tokens_col).isNull().alias("__null_toks"),
+        F.posexplode_outer(tokens_col).alias("__ord", "token"),
     )
     enc = flat.join(F.broadcast(vocab_df), "token", "left").select(
-        id_col, "__ord", F.coalesce(F.col("id"), F.lit(-1)).alias("__id")
+        id_col, "__null_toks", "__ord",
+        F.coalesce(F.col("id"), F.lit(-1)).alias("__id"),
     )
     in_order = F.transform(
-        F.array_sort(F.collect_list(F.struct("__ord", "__id"))),
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("__ord").isNotNull(), F.struct("__ord", "__id"))
+            )
+        ),
         lambda s: s["__id"],
     )
-    return enc.groupBy(id_col).agg(in_order.alias(out_col))
+    return enc.groupBy(id_col).agg(
+        F.when(~F.max("__null_toks"), in_order).alias(out_col)
+    )

@@ -93,7 +93,7 @@ def test_chunk_array_agrees_with_chunk_token_array(spark, token_counts):
 @settings(max_examples=15, deadline=None)
 @given(
     st.lists(
-        st.lists(st.sampled_from("abcdef"), min_size=1, max_size=12),
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=12),
         min_size=1,
         max_size=6,
     )
@@ -109,8 +109,8 @@ def test_encode_strategies_agree_on_arbitrary_docs(spark, docs):
         token_vocabulary,
     )
 
-    rows = [Row(i=i, toks=list(t)) for i, t in enumerate(docs)]
-    df = spark.createDataFrame(rows)
+    rows = [(i, list(t)) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "i int, toks array<string>")
     vocab_df = token_vocabulary(df, "toks", 3)
     vocab = {r.token: r.id for r in vocab_df.collect()}
     lit = {
@@ -125,6 +125,56 @@ def test_encode_strategies_agree_on_arbitrary_docs(spark, docs):
     # and the encoding is the obvious one
     for i, toks in enumerate(docs):
         assert lit[i] == [vocab.get(t, -1) for t in toks]
+
+
+def test_encode_strategies_agree_on_empty_and_null_docs(spark):
+    """r5 defect: posexplode_outer's (null, null) placeholder row for a
+    zero-token doc survived the broadcast-join path as __id = -1, so an
+    empty token array encoded to [-1] while the map-literal path
+    returned []. Both strategies must yield [] for an empty array (incl.
+    the whitespace-only-text tokenization) and NULL for a NULL array."""
+    from pyspark.sql import functions as F
+
+    from my_feast_spark.functions.text import tokens
+    from my_feast_spark.operators.vocab import (
+        encode_ids_broadcast_join,
+        encode_ids_map_literal,
+        token_vocabulary,
+    )
+
+    df = spark.createDataFrame(
+        [(0, ["a", "b", "z"]), (1, []), (2, None)],
+        "i int, toks array<string>",
+    )
+    vocab_df = token_vocabulary(df, "toks", 2)
+    vocab = {r.token: r.id for r in vocab_df.collect()}
+    lit = {
+        r.i: r.ids and list(r.ids)
+        for r in encode_ids_map_literal(df, "i", "toks", vocab).collect()
+    }
+    join = {
+        r.i: r.ids and list(r.ids)
+        for r in encode_ids_broadcast_join(df, "i", "toks", vocab_df).collect()
+    }
+    assert lit == join
+    assert join[0] == [vocab["a"], vocab["b"], -1]
+    assert join[1] == []
+    assert join[2] is None
+
+    # whitespace-only TEXT: tokens() yields [""] (one empty-string
+    # token, OOV) — agreement, not a special case
+    tdf = spark.createDataFrame(
+        [(0, "a b"), (1, "   ")], "i int, text string"
+    ).select("i", tokens(F.col("text")).alias("toks"))
+    lit_t = {
+        r.i: list(r.ids)
+        for r in encode_ids_map_literal(tdf, "i", "toks", vocab).collect()
+    }
+    join_t = {
+        r.i: list(r.ids)
+        for r in encode_ids_broadcast_join(tdf, "i", "toks", vocab_df).collect()
+    }
+    assert lit_t == join_t
 
 
 class TestNormalizeText:
