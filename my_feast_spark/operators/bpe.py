@@ -10,14 +10,22 @@ encode time.
 The scale design hinges on one observation: after the FIRST pass the
 corpus never participates again. The training state is the WORD
 FREQUENCY table — (distinct word, count, symbol array) — which is
-vocabulary-sized, orders of magnitude smaller than the corpus. Each
-round is two small jobs over that table (pair count + argmax, then the
-merge rewrite), localCheckpoint-ed to keep lineage flat and released
-per round via the repo's checkpoint-ownership rule, so a 50k-merge run
-holds exactly one vocabulary-sized block set at any moment. The merge
-rewrite itself is a pure higher-order `aggregate` fold (greedy
-left-to-right, matching the reference algorithm) — no Python in the
-loop; the only driver traffic is one argmax row per round.
+vocabulary-sized, orders of magnitude smaller than the corpus. So the
+default training path is: ONE distributed corpus pass (the
+word-frequency aggregate), collect the vocabulary-sized table, and run
+the merge loop in-process — a production 50k-merge vocabulary is 50k
+in-process rounds instead of ~100k scheduled Spark jobs. Spark stays
+where the data is big: the corpus scan and the encode.
+
+``distributed_rounds=True`` is the escape hatch for a word table that
+genuinely cannot fit on the driver (it fits by construction for any
+natural-language corpus — the table is bounded by the distinct-word
+count, not the corpus): each round is two small jobs over the
+localCheckpoint-ed symbol table (pair count + argmax, then a pure
+higher-order `aggregate` merge fold — no Python), with every
+checkpoint tracked in a live list and released per round, so a run
+holds exactly one vocabulary-sized block set at any moment even if a
+round throws mid-swap.
 """
 
 from __future__ import annotations
@@ -52,6 +60,51 @@ def _merge_pair(sym: Column, a: str, b: str) -> Column:
     )
 
 
+def _merge_word(sym: tuple, a: str, b: str) -> tuple:
+    """Greedy left-to-right merge of adjacent (a, b) — the in-process
+    twin of `_merge_pair` (a merge consumes both symbols)."""
+    out, i = [], 0
+    while i < len(sym):
+        if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
+def _merge_loop_local(
+    vocab: dict, rounds: int, min_pair_count: int
+) -> list[dict]:
+    """The merge loop over the collected word-frequency table:
+    weighted pair argmax (count desc, then (left, right) asc — the
+    same total order the distributed path sorts by), greedy rewrite of
+    only the words that contain the winning pair."""
+    from collections import Counter
+
+    merges: list[dict] = []
+    for _ in range(rounds):
+        pairs: Counter = Counter()
+        for sym, n in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += n
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_pair_count:
+            break
+        new_vocab: dict = {}
+        for sym, n in vocab.items():
+            ns = _merge_word(sym, a, b)
+            new_vocab[ns] = new_vocab.get(ns, 0) + n
+        vocab = new_vocab
+        merges.append(
+            {"left": a, "right": b, "merged": a + b, "count": int(cnt)}
+        )
+    return merges
+
+
 def train_bpe_merges(
     df: DataFrame,
     text_col: str,
@@ -59,6 +112,7 @@ def train_bpe_merges(
     rounds: int = 32,
     min_pair_count: int = 2,
     lowercase: bool = True,
+    distributed_rounds: bool = False,
 ) -> list[dict]:
     """Learn up to ``rounds`` BPE merges from a corpus.
 
@@ -68,6 +122,12 @@ def train_bpe_merges(
     occurs fewer than ``min_pair_count`` times (weighted by word
     frequency). Ties on count break lexicographically on (left, right)
     so training is deterministic across engines and partitionings.
+
+    Default: one distributed corpus pass builds the vocabulary-sized
+    word-frequency table, then the merge loop runs in-process (see
+    module docstring). ``distributed_rounds=True`` keeps the loop on
+    the cluster (2 jobs + 1 argmax row per round) for word tables too
+    big to collect.
     """
     t = F.col(text_col)
     if lowercase:
@@ -78,9 +138,30 @@ def train_bpe_merges(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+    if not distributed_rounds:
+        # the ONLY distributed work: the corpus scan. The collected
+        # state is (distinct word -> count), bounded by vocabulary
+        # size, not corpus size.
+        local_vocab = {
+            tuple(r["word"]) + (EOW,): int(r["n"]) for r in words.collect()
+        }
+        return _merge_loop_local(local_vocab, rounds, min_pair_count)
+
+    # distributed rounds: every checkpoint lives in `live` until
+    # explicitly released, so an exception between pinning new_vocab
+    # and swapping it in cannot leak blocks for the session lifetime
+    # (graph.py's live-list pattern).
+    live: list[DataFrame] = []
+
+    def _pin(frame: DataFrame) -> DataFrame:
+        out = frame.localCheckpoint()
+        live.append(out)
+        return out
+
     # training state: (count, symbol array) — vocabulary-sized; chars +
     # end-of-word marker (split on every inter-char boundary)
-    vocab = words.select(
+    vocab = _pin(words.select(
         "n",
         F.concat(
             # split on inter-char boundaries; Spark's split appends a
@@ -90,7 +171,7 @@ def train_bpe_merges(
             ),
             F.array(F.lit(EOW)),
         ).alias("sym"),
-    ).localCheckpoint()
+    ))
 
     merges: list[dict] = []
     try:
@@ -106,16 +187,18 @@ def train_bpe_merges(
             if not top or top[0]["cnt"] < min_pair_count:
                 break
             a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
-            new_vocab = vocab.select(
+            new_vocab = _pin(vocab.select(
                 "n", _merge_pair(F.col("sym"), a, b).alias("sym")
-            ).localCheckpoint()
+            ))
             release_checkpoint(vocab)
+            live.remove(vocab)
             vocab = new_vocab
             merges.append(
                 {"left": a, "right": b, "merged": a + b, "count": cnt}
             )
     finally:
-        release_checkpoint(vocab)
+        for frame in live:
+            release_checkpoint(frame)
     return merges
 
 
@@ -183,7 +266,12 @@ def bpe_vocab(df: DataFrame, text_col: str, merges: list[dict],
     merges append, existing ids never shift). Every symbol the encoder
     can emit for this corpus is covered: encode only outputs base chars,
     ``EOW``, and merge products. The alphabet scan is one distinct
-    aggregate over exploded chars (alphabet-sized result)."""
+    aggregate over exploded chars (alphabet-sized result).
+
+    Distinct merges can yield the SAME surface string — ('a','bc') and
+    ('ab','c') both produce 'abc' — so symbols deduplicate keeping the
+    FIRST occurrence: the symbol->id map stays unambiguous and ids
+    remain stable under vocabulary extension."""
     t = F.col(text_col)
     if lowercase:
         t = F.lower(t)
@@ -196,5 +284,5 @@ def bpe_vocab(df: DataFrame, text_col: str, merges: list[dict],
             )).alias("c")
         ).distinct().collect()
     )
-    symbols = chars + [EOW] + [m["merged"] for m in merges]
+    symbols = dict.fromkeys(chars + [EOW] + [m["merged"] for m in merges])
     return [{"token_id": i, "symbol": s} for i, s in enumerate(symbols)]

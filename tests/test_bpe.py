@@ -11,7 +11,15 @@ from __future__ import annotations
 
 from collections import Counter
 
+import pytest
+
 from my_feast_spark.operators.bpe import EOW, train_bpe_merges
+
+#: both training paths must produce identical merge lists: the default
+#: driver-side loop (one corpus pass + in-process rounds) and the
+#: distributed escape hatch (2 jobs/round over the checkpointed table)
+BOTH_PATHS = pytest.mark.parametrize("dist", [False, True],
+                                     ids=["driver", "distributed"])
 
 
 def _ref_bpe(word_counts: dict[str, int], rounds: int, min_count: int = 2):
@@ -58,39 +66,47 @@ def _corpus_df(spark, word_counts):
     return spark.createDataFrame(rows, "text string")
 
 
-def test_matches_reference_on_sennrich_example(spark):
+@BOTH_PATHS
+def test_matches_reference_on_sennrich_example(spark, dist):
     wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
-    got = train_bpe_merges(_corpus_df(spark, wc), "text", rounds=10)
+    got = train_bpe_merges(_corpus_df(spark, wc), "text", rounds=10,
+                           distributed_rounds=dist)
     want = _ref_bpe(wc, rounds=10)
     assert got == want
     # sanity: the classic first merges appear
     assert {m["merged"] for m in got} >= {"es", "est"}
 
 
-def test_overlapping_runs_merge_greedily(spark):
+@BOTH_PATHS
+def test_overlapping_runs_merge_greedily(spark, dist):
     # 'aaaa' under (a,a): greedy left-to-right gives [aa, aa], so round
     # 2's top pair is (aa, aa) — a chain-merge bug would diverge here
     wc = {"aaaa": 4, "aab": 3}
-    got = train_bpe_merges(_corpus_df(spark, wc), "text", rounds=4)
+    got = train_bpe_merges(_corpus_df(spark, wc), "text", rounds=4,
+                           distributed_rounds=dist)
     want = _ref_bpe(wc, rounds=4)
     assert got == want
 
 
-def test_min_count_stops_training(spark):
+@BOTH_PATHS
+def test_min_count_stops_training(spark, dist):
     wc = {"ab": 1, "cd": 1}
     got = train_bpe_merges(
-        _corpus_df(spark, wc), "text", rounds=5, min_pair_count=3
+        _corpus_df(spark, wc), "text", rounds=5, min_pair_count=3,
+        distributed_rounds=dist,
     )
     assert got == []
 
 
-def test_no_pinned_blocks_survive(spark):
+@BOTH_PATHS
+def test_no_pinned_blocks_survive(spark, dist):
     wc = {"low": 5, "newest": 6}
     base = {
         int(k)
         for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
     }
-    train_bpe_merges(_corpus_df(spark, wc), "text", rounds=3)
+    train_bpe_merges(_corpus_df(spark, wc), "text", rounds=3,
+                     distributed_rounds=dist)
     now = {
         int(k)
         for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
@@ -154,3 +170,26 @@ def test_vocab_covers_every_encoded_symbol(spark):
     assert merges2[:6] == merges
     vocab2 = bpe_vocab(corpus, "text", merges2)
     assert vocab2[: len(vocab)] == vocab
+
+
+def test_vocab_dedupes_same_surface_merges(spark):
+    """('a','bc') and ('ab','c') both surface as 'abc': the id table
+    must keep ONE entry (first occurrence), ids stay dense and the
+    symbol->id map unambiguous — and still extension-stable."""
+    from my_feast_spark.operators.bpe import bpe_vocab
+
+    corpus = spark.createDataFrame([("abc bc ab",)], "text string")
+    merges = [
+        {"left": "b", "right": "c", "merged": "bc", "count": 3},
+        {"left": "a", "right": "bc", "merged": "abc", "count": 2},
+        {"left": "a", "right": "b", "merged": "ab", "count": 2},
+        {"left": "ab", "right": "c", "merged": "abc", "count": 1},  # dup surface
+    ]
+    vocab = bpe_vocab(corpus, "text", merges)
+    syms = [v["symbol"] for v in vocab]
+    assert len(syms) == len(set(syms)), "duplicate surface symbols"
+    assert [v["token_id"] for v in vocab] == list(range(len(vocab)))
+    # first occurrence wins; truncating the merge list preserves ids
+    vocab_prefix = bpe_vocab(corpus, "text", merges[:3])
+    assert vocab == vocab_prefix + []  # same table: dup added nothing
+    assert syms.index("abc") < syms.index("ab")
