@@ -37,6 +37,25 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 _memory_table_ids = itertools.count()
 
 
+def _fs_nonempty(spark: SparkSession, path: str) -> bool:
+    """True when ``path`` exists and holds at least one non-hidden
+    entry, probed through Spark's Hadoop FileSystem — so ``s3a://``,
+    ``hdfs://`` and ``file://`` index locations all answer correctly.
+    (``os.path`` sees only the driver's local filesystem: for a cloud
+    ``index_path`` it is always False, silently disabling cross-batch
+    dedup instead of erroring.)"""
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if not name.startswith((".", "_")):
+            return True
+    return False
+
+
 def read_event_stream(
     spark: SparkSession,
     path: str,
@@ -332,10 +351,7 @@ def dedup_ingest_stream(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        if os.path.exists(index_path) and any(
-            not e.name.startswith((".", "_"))
-            for e in os.scandir(index_path)
-        ):
+        if _fs_nonempty(spark, index_path):
             # EXCLUDE this batch's own partition: after a crash between
             # the sink writes and the streaming commit, foreachBatch
             # replays the batch — anti-joining it against its own

@@ -77,3 +77,27 @@ def test_batch_replay_does_not_destroy_output(spark, tmp_path):
     _run_available(spark, in_dir, out, idx, str(tmp_path / "ckpt2"))
     got = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert got == {1, 2}, f"replay destroyed the batch output: {got}"
+
+
+def test_fs_nonempty_probes_through_hadoop(spark, tmp_path):
+    """The index probe must go through Hadoop's FileSystem, not
+    os.path: scheme-qualified paths (file://) and hidden-only
+    directories (_SUCCESS, .crc) must answer like the local check did,
+    and non-local schemes get a real probe instead of a silent False."""
+    from my_feast_spark.streaming.ingest import _fs_nonempty
+
+    missing = str(tmp_path / "nope")
+    assert _fs_nonempty(spark, missing) is False
+
+    hidden_only = tmp_path / "hidden"
+    hidden_only.mkdir()
+    (hidden_only / "_SUCCESS").write_text("")
+    (hidden_only / ".part.crc").write_text("")
+    assert _fs_nonempty(spark, str(hidden_only)) is False
+
+    real = tmp_path / "real"
+    real.mkdir()
+    (real / "batch_id=0").mkdir()
+    assert _fs_nonempty(spark, str(real)) is True
+    # scheme-qualified path resolves through the same FileSystem API
+    assert _fs_nonempty(spark, f"file://{real}") is True
