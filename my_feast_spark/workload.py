@@ -3813,6 +3813,203 @@ GROUP BY c.token, dfc.df
 """
 
 
+def q_span_removal(spark, sf_dir):
+    """Cross-document repeated-span REMOVAL (Lee et al. exact-substring
+    dedup at n-gram granularity, operators/span_dedup.py): every 5-gram
+    span occurring in >1 distinct documents is cut, overlapping cuts
+    merge, text is rebuilt from the complement. Scale shape: the n-gram
+    shuffle carries 8-byte xxhash64 values (never text), the hot set is
+    the FILTERED df>1 relation (semi-join prune, AQE-broadcastable),
+    the interval merge + rebuild are per-doc folds. The oracle replays
+    the pipeline on n-gram STRINGS — grouping by the hash and by the
+    gram text agree absent 64-bit collisions."""
+    from my_feast_spark.operators.span_dedup import remove_repeated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_repeated_spans(docs, "doc_id", "text", n=5, max_docs=1).select(
+        "doc_id",
+        F.col("n_cut_tokens").cast("long").alias("n_cut_tokens"),
+        "clean_text",
+    )
+
+
+SQL_SPAN_REMOVAL = r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\s+') AS rt,
+         string_split_regex(trim(lower(text)), '\s+') AS lt
+  FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(u.pos AS INTEGER) AS pos,
+         array_to_string(lt[u.pos:u.pos+4], ' ') AS gram
+  FROM t, UNNEST(generate_series(1, len(lt) - 4)) AS u(pos)
+  WHERE len(lt) >= 5
+),
+hot AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1
+),
+cutpos AS (
+  SELECT DISTINCT g.doc_id, CAST(u.p AS INTEGER) AS p
+  FROM g JOIN hot USING (gram), UNNEST(generate_series(g.pos, g.pos + 4)) AS u(p)
+),
+tok AS (
+  SELECT doc_id, CAST(u.pos AS INTEGER) AS pos, rt[CAST(u.pos AS INTEGER)] AS w
+  FROM t, UNNEST(generate_series(1, len(rt))) AS u(pos)
+),
+kept AS (
+  SELECT k.doc_id, k.pos, k.w
+  FROM tok k LEFT JOIN cutpos c ON k.doc_id = c.doc_id AND k.pos = c.p
+  WHERE c.p IS NULL
+),
+agg AS (
+  SELECT doc_id, array_to_string(list(w ORDER BY pos), ' ') AS clean_text
+  FROM kept GROUP BY doc_id
+),
+ncut AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cut_tokens
+  FROM cutpos GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(n.n_cut_tokens, 0) AS n_cut_tokens,
+       coalesce(a.clean_text, '') AS clean_text
+FROM t LEFT JOIN agg a USING (doc_id) LEFT JOIN ncut n USING (doc_id)
+"""
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style bigram-LM quality scoring (operators/lm.py): train
+    the two count tables in one corpus pass, score every document with
+    its add-k-smoothed mean log2 probability. Scale shape: the model IS
+    two vocab-sized aggregates; scoring joins the exploded bigram
+    events against them (AQE broadcasts below threshold), one hash agg
+    per doc. The bigram count relation is persisted by the trainer and
+    handed to the caller via ``_owned_caches``. Self-scoring the
+    training corpus keeps the oracle self-contained; avg log2 rounds
+    to 4 (partial-agg order differs between engines)."""
+    from my_feast_spark.operators.lm import score_docs, train_bigram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_bigram_lm(docs, "text")
+    out = score_docs(docs, "doc_id", "text", model)
+    out._owned_caches = [model.bigrams]
+    return out
+
+
+SQL_LM_PERPLEXITY = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS lt
+  FROM documents
+),
+ev AS (
+  SELECT doc_id,
+         CASE WHEN CAST(u.pos AS INTEGER) = 1 THEN '<s>'
+              ELSE lt[CAST(u.pos AS INTEGER) - 1] END AS h,
+         lt[CAST(u.pos AS INTEGER)] AS w
+  FROM t, UNNEST(generate_series(1, len(lt))) AS u(pos)
+  WHERE len(lt) >= 1
+),
+big AS (SELECT h, w, count(*) AS c_hw FROM ev GROUP BY h, w),
+uni AS (SELECT h, CAST(sum(c_hw) AS BIGINT) AS c_h FROM big GROUP BY h),
+v AS (SELECT count(DISTINCT w) AS vs FROM big)
+SELECT e.doc_id,
+       round(avg(log2((b.c_hw + 0.5) / (u.c_h + 0.5 * (v.vs + 1)))), 4)
+         AS avg_logprob,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM ev e
+JOIN big b USING (h, w)
+JOIN uni u USING (h)
+CROSS JOIN v
+GROUP BY e.doc_id
+"""
+
+
+def q_bpe_merge_replay(spark, sf_dir, *, rounds=16, top_words=500):
+    """BPE end-to-end: train ``rounds`` merges on the corpus (one
+    distributed word-frequency pass + the in-process merge loop), then
+    encode the top-``top_words`` most frequent words with the
+    pure-expression merge replay (operators/bpe.py::apply_bpe_merges).
+    The oracle retrains the merge list with the SAME pure-Python loop
+    the pytest reference validates (test_bpe.py) over the oracle
+    parquet and injects each word's expected encoding as VALUES
+    literals — so the driver hash adjudicates the Spark expression
+    fold, the word counts, and the top-k against an independent
+    in-process replay (the deterministic-literals oracle pattern of
+    embedding_near_dupes_lsh)."""
+    from my_feast_spark.functions.text import tokens
+    from my_feast_spark.operators.bpe import (
+        EOW,
+        apply_bpe_merges,
+        train_bpe_merges,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs, "text", rounds=rounds)
+    words = (
+        docs.select(
+            F.explode_outer(tokens(F.lower(F.col("text")))).alias("word")
+        )
+        .filter(F.col("word").isNotNull() & (F.col("word") != ""))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("word").asc())
+        .limit(top_words)
+    )
+    start = F.concat(
+        F.filter(F.split(F.col("word"), "(?!^)"), lambda x: x != ""),
+        F.array(F.lit(EOW)),
+    )
+    return words.select(
+        "word",
+        "n_occurrences",
+        F.concat_ws(" ", apply_bpe_merges(start, merges)).alias("bpe"),
+    )
+
+
+def _sql_bpe_merge_replay(*, rounds=16, top_words=500) -> str | None:
+    """Oracle generator: pure-Python word counts + merge training +
+    merge-order replay over the oracle parquet, emitted as VALUES
+    literals. Returns None (rows-only check) if the oracle testdata is
+    absent."""
+    import re
+    from collections import Counter
+
+    from my_feast_spark.operators.bpe import EOW, _merge_loop_local, _merge_word
+
+    path = os.path.join(ORACLE_SF_DIR, "documents.parquet")
+    if not os.path.exists(path):
+        return None
+    import pyarrow.parquet as pq
+
+    wc: Counter = Counter()
+    for txt in pq.read_table(path, columns=["text"]).column("text").to_pylist():
+        for w in re.split(r"\s+", txt.strip().lower()):
+            if w:
+                wc[w] += 1
+    merges = _merge_loop_local(
+        {tuple(w) + (EOW,): n for w, n in wc.items()}, rounds, 2
+    )
+    top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:top_words]
+
+    def enc(word: str) -> str:
+        sym = tuple(word) + (EOW,)
+        for m in merges:
+            sym = _merge_word(sym, m["left"], m["right"])
+        return " ".join(sym)
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    vals = ", ".join(f"('{q(w)}', {n}, '{q(enc(w))}')" for w, n in top)
+    return (
+        "SELECT word, CAST(n_occurrences AS BIGINT) AS n_occurrences, bpe "
+        f"FROM (VALUES {vals}) AS v(word, n_occurrences, bpe)"
+    )
+
+
+SQL_BPE_MERGE_REPLAY = _sql_bpe_merge_replay()
+
+
 # =========================================================================
 # Query registry.
 #
@@ -3828,15 +4025,16 @@ GROUP BY c.token, dfc.df
 #      unadjudicated each round. Queries rotate between the tail and the
 #      window every round so nothing goes two consecutive rounds without
 #      a fresh CORRECTNESS row, and a query that is NEW or whose code
-#      CHANGED this round is always in-window (round 5: the 24 queries
-#      last adjudicated in round 3 are back in; the round-5-changed
-#      curation/minhash/CC/vocab queries and the new
-#      vocab_encode_join/packed_sequences/bpe_pair_counts/
-#      boilerplate_ngrams/global_shuffle/incremental_dedup/
-#      column_profile/cluster_keep_longest/stratum_ksample/
-#      profile_drift/scd2_user_state/token_pmi/inverted_index are in;
-#      a subset of the round-4-green, round-5-unchanged queries sits
-#      out one round).
+#      CHANGED this round is always in-window (round 6: the 37 surviving
+#      r4-tail queries are back in, the r6-changed scd2_user_state /
+#      vocab_encode_join / curation+minhash (cache-release plumbing) and
+#      the NEW span_removal / lm_perplexity / bpe_merge_replay are in;
+#      the 40 queries adjudicated green in round 5 sit out one round).
+#   5. RETIRED: the registry budget is ~100 driver-adjudicated queries;
+#      retired entries are near-duplicates of in-registry coverage
+#      (their operators stay covered by other queries) that keep their
+#      oracle and stay value-checked by tests/test_oracle_parity.py but
+#      are no longer submitted to the driver.
 #      Everything in the tail stays oracle-backed and covered by
 #      tests/test_oracle_parity.py, which checks ALL queries regardless
 #      of window position. tests/test_workload_registry.py pins the
@@ -3852,56 +4050,18 @@ QUERIES: dict[str, tuple] = {
     "hourly_user_agg": (q_hourly_user_agg, SQL_HOURLY_USER_AGG),
     "hourly_global_agg": (q_hourly_global_agg, SQL_HOURLY_GLOBAL_AGG),
     "event_types_salted": (q_event_types_salted, SQL_EVENT_TYPES_SALTED),
-    # --- changed/new in round 5: fresh rows required ----------------------
+    # --- changed in round 6: fresh rows required ---------------------------
+    "scd2_user_state": (q_scd2_user_state, SQL_SCD2_USER_STATE),
+    "vocab_encode_join": (q_vocab_encode_join, SQL_VOCAB_ENCODE_JOIN),
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "curation_pipeline_full": (q_curation_pipeline_full, SQL_CURATION_PIPELINE_FULL),
     "minhash_dup_pairs": (q_minhash_dup_pairs, SQL_MINHASH_DUP_PAIRS),
-    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
-    "vocab_encode": (q_vocab_encode, SQL_VOCAB_ENCODE),
-    "vocab_encode_join": (q_vocab_encode_join, SQL_VOCAB_ENCODE_JOIN),
-    "packed_sequences": (q_packed_sequences, SQL_PACKED_SEQUENCES),
-    "mixture_temperature": (q_mixture_temperature, SQL_MIXTURE_TEMPERATURE),
-    "length_bucket_batches": (q_length_bucket_batches, SQL_LENGTH_BUCKET_BATCHES),
-    "token_rarity": (q_token_rarity, SQL_TOKEN_RARITY),
-    "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
-    "boilerplate_ngrams": (q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS),
-    "global_shuffle": (q_global_shuffle, SQL_GLOBAL_SHUFFLE),
-    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
-    "column_profile": (q_column_profile, SQL_COLUMN_PROFILE),
-    "cluster_keep_longest": (q_cluster_keep_longest, SQL_CLUSTER_KEEP_LONGEST),
-    "stratum_ksample": (q_stratum_ksample, SQL_STRATUM_KSAMPLE),
-    "profile_drift": (q_profile_drift, SQL_PROFILE_DRIFT),
-    "scd2_user_state": (q_scd2_user_state, SQL_SCD2_USER_STATE),
-    "token_pmi": (q_token_pmi, SQL_TOKEN_PMI),
-    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
-    # --- rotated IN for round 5 (last adjudicated round 3) ----------------
-    "doc_fingerprints": (q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
-    "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
-    "jaccard_dup_pairs": (q_jaccard_dup_pairs, SQL_JACCARD_DUP_PAIRS),
-    "online_snapshot": (q_online_snapshot, SQL_ONLINE_SNAPSHOT),
-    "contamination_report": (q_contamination_report, SQL_CONTAMINATION_REPORT),
-    "avro_scan": (q_avro_scan, SQL_AVRO_SCAN),
-    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
-    "stream_capture_files": (q_stream_capture_files, SQL_STREAM_CAPTURE_FILES),
-    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
-    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
-    "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
-    "embedding_near_dupes": (q_embedding_near_dupes, SQL_EMBEDDING_NEAR_DUPES),
-    "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
-    "regex_mentions": (q_regex_mentions, SQL_REGEX_MENTIONS),
-    "top_terms_tfidf": (q_top_terms_tfidf, SQL_TOP_TERMS_TFIDF),
-    "user_cohort_sets": (q_user_cohort_sets, SQL_USER_COHORT_SETS),
-    "moving_avg_revenue": (q_moving_avg_revenue, SQL_MOVING_AVG_REVENUE),
-    "returnflag_cube": (q_returnflag_cube, SQL_RETURNFLAG_CUBE),
-    "small_quantity_revenue": (q_small_quantity_revenue, SQL_SMALL_QUANTITY_REVENUE),
-    "event_type_pivot": (q_event_type_pivot, SQL_EVENT_TYPE_PIVOT),
-    "post_signup_activity": (q_post_signup_activity, SQL_POST_SIGNUP_ACTIVITY),
-    "batch_sessions": (q_batch_sessions, SQL_BATCH_SESSIONS),
-    "lineitem_unpivot": (q_lineitem_unpivot, SQL_LINEITEM_UNPIVOT),
-    "customer_balance_deciles": (q_customer_balance_deciles, SQL_CUSTOMER_BALANCE_DECILES),
-    # --- rotation tail for round 5 (all green in round 4, unchanged in
-    # round 5; still value-checked every run by tests/test_oracle_parity.py;
-    # back in-window round 6) ----------------------------------------------
+    # --- NEW in round 6 (r5 test-only operators promoted to the oracle
+    # registry, replacing the retired near-duplicates) ----------------------
+    "span_removal": (q_span_removal, SQL_SPAN_REMOVAL),
+    "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
+    "bpe_merge_replay": (q_bpe_merge_replay, SQL_BPE_MERGE_REPLAY),
+    # --- rotated IN for round 6 (last adjudicated round 4) ----------------
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "feature_store_retrieval": (q_feature_store_retrieval, SQL_FEATURE_STORE_RETRIEVAL),
     "streaming_sessionize": (q_streaming_sessionize, SQL_STREAMING_SESSIONIZE),
@@ -3926,20 +4086,76 @@ QUERIES: dict[str, tuple] = {
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "hash_sampled_docs": (q_hash_sampled_docs, SQL_HASH_SAMPLED_DOCS),
     "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
-    "filtered_agg": (q_filtered_agg, SQL_FILTERED_AGG),
     "dedup_entity_rows": (q_dedup_entity_rows, SQL_DEDUP_ENTITY_ROWS),
     "latest_event_per_user": (q_latest_event_per_user, SQL_LATEST_EVENT_PER_USER),
     "priority_collapse_types": (q_priority_collapse_types, SQL_PRIORITY_COLLAPSE_TYPES),
     "part_brand_stats": (q_part_brand_stats, SQL_PART_BRAND_STATS),
     "idle_customers_anti": (q_idle_customers_anti, SQL_IDLE_CUSTOMERS_ANTI),
-    "json_props_extract": (q_json_props_extract, SQL_JSON_PROPS_EXTRACT),
     "case_decode_coalesce": (q_case_decode_coalesce, SQL_CASE_DECODE_COALESCE),
     "map_pivot_props": (q_map_pivot_props, SQL_MAP_PIVOT_PROPS),
-    "struct_flatten": (q_struct_flatten, SQL_STRUCT_FLATTEN),
     "datetime_functions": (q_datetime_functions, SQL_DATETIME_FUNCTIONS),
     "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
     "order_priority_count": (q_order_priority_count, SQL_ORDER_PRIORITY_COUNT),
     "top_spenders": (q_top_spenders, SQL_TOP_SPENDERS),
     "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE),
     "user_value_deltas": (q_user_value_deltas, SQL_USER_VALUE_DELTAS),
+    # --- rotation tail for round 6 (all green in round 5, unchanged in
+    # round 6; still value-checked every run by tests/test_oracle_parity.py;
+    # back in-window round 7) ----------------------------------------------
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "vocab_encode": (q_vocab_encode, SQL_VOCAB_ENCODE),
+    "packed_sequences": (q_packed_sequences, SQL_PACKED_SEQUENCES),
+    "mixture_temperature": (q_mixture_temperature, SQL_MIXTURE_TEMPERATURE),
+    "length_bucket_batches": (q_length_bucket_batches, SQL_LENGTH_BUCKET_BATCHES),
+    "token_rarity": (q_token_rarity, SQL_TOKEN_RARITY),
+    "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
+    "boilerplate_ngrams": (q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS),
+    "global_shuffle": (q_global_shuffle, SQL_GLOBAL_SHUFFLE),
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+    "column_profile": (q_column_profile, SQL_COLUMN_PROFILE),
+    "cluster_keep_longest": (q_cluster_keep_longest, SQL_CLUSTER_KEEP_LONGEST),
+    "stratum_ksample": (q_stratum_ksample, SQL_STRATUM_KSAMPLE),
+    "profile_drift": (q_profile_drift, SQL_PROFILE_DRIFT),
+    "token_pmi": (q_token_pmi, SQL_TOKEN_PMI),
+    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
+    "doc_fingerprints": (q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
+    "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
+    "jaccard_dup_pairs": (q_jaccard_dup_pairs, SQL_JACCARD_DUP_PAIRS),
+    "online_snapshot": (q_online_snapshot, SQL_ONLINE_SNAPSHOT),
+    "contamination_report": (q_contamination_report, SQL_CONTAMINATION_REPORT),
+    "avro_scan": (q_avro_scan, SQL_AVRO_SCAN),
+    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
+    "stream_capture_files": (q_stream_capture_files, SQL_STREAM_CAPTURE_FILES),
+    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+    "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
+    "embedding_near_dupes": (q_embedding_near_dupes, SQL_EMBEDDING_NEAR_DUPES),
+    "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
+    "regex_mentions": (q_regex_mentions, SQL_REGEX_MENTIONS),
+    "top_terms_tfidf": (q_top_terms_tfidf, SQL_TOP_TERMS_TFIDF),
+    "user_cohort_sets": (q_user_cohort_sets, SQL_USER_COHORT_SETS),
+    "moving_avg_revenue": (q_moving_avg_revenue, SQL_MOVING_AVG_REVENUE),
+    "returnflag_cube": (q_returnflag_cube, SQL_RETURNFLAG_CUBE),
+    "small_quantity_revenue": (q_small_quantity_revenue, SQL_SMALL_QUANTITY_REVENUE),
+    "event_type_pivot": (q_event_type_pivot, SQL_EVENT_TYPE_PIVOT),
+    "post_signup_activity": (q_post_signup_activity, SQL_POST_SIGNUP_ACTIVITY),
+    "batch_sessions": (q_batch_sessions, SQL_BATCH_SESSIONS),
+    "lineitem_unpivot": (q_lineitem_unpivot, SQL_LINEITEM_UNPIVOT),
+    "customer_balance_deciles": (q_customer_balance_deciles, SQL_CUSTOMER_BALANCE_DECILES),
+}
+
+#: Retired from the driver registry in round 6 (budget: ~100 adjudicated
+#: queries). Each is a near-duplicate of in-registry coverage — their
+#: SURVEY §2 operators stay oracle-checked elsewhere:
+#:   filtered_agg (A4/P5)      -> pricing_summary / small_quantity_revenue
+#:                                (filter-then-agg with range predicates)
+#:   json_props_extract (F6)   -> map_pivot_props (same from_json path)
+#:   struct_flatten (P2/F6)    -> map_pivot_props + multimodal_decode
+#:                                (nested-field projection)
+#: Still value-checked against DuckDB every pytest run via
+#: tests/test_oracle_parity.py.
+RETIRED_QUERIES: dict[str, tuple] = {
+    "filtered_agg": (q_filtered_agg, SQL_FILTERED_AGG),
+    "json_props_extract": (q_json_props_extract, SQL_JSON_PROPS_EXTRACT),
+    "struct_flatten": (q_struct_flatten, SQL_STRUCT_FLATTEN),
 }

@@ -11,54 +11,27 @@ from __future__ import annotations
 
 from my_feast_spark import workload
 
-# Round-5 rotation: the 24 queries last adjudicated in round 3 are back
-# IN the window; a subset of the round-4-green, round-5-unchanged
-# queries sits in the tail this round and returns in round 6.
+# Round-6 rotation: the 37 surviving r4-tail queries are back IN the
+# window (plus tier 1, the r6-changed queries, and the three NEW
+# promotions); the 40 queries adjudicated green in round 5 sit in the
+# tail this round and return in round 7.
 ROTATION_TAIL = {
-    "pricing_summary",
-    "feature_store_retrieval",
-    "streaming_sessionize",
-    "streaming_hourly_agg",
-    "repetition_filter",
-    "corpus_vocab",
-    "online_lookup",
-    "streaming_dedup",
-    "quality_score",
-    "lang_id",
-    "doc_chunks",
-    "corpus_mixture",
-    "pii_redaction",
-    "stratified_sample_docs",
-    "train_val_split",
-    "sequence_packing",
-    "ivf_topk",
-    "embedding_near_dupes_lsh",
-    "simhash_dup_pairs",
-    "length_outlier_filter",
-    "value_percentiles",
-    "token_stats",
-    "hash_sampled_docs",
-    "revenue_rollup",
-    "filtered_agg",
-    "dedup_entity_rows",
-    "latest_event_per_user",
-    "priority_collapse_types",
-    "part_brand_stats",
-    "idle_customers_anti",
-    "json_props_extract",
-    "case_decode_coalesce",
-    "map_pivot_props",
-    "struct_flatten",
-    "datetime_functions",
-    "regional_revenue",
-    "order_priority_count",
-    "top_spenders",
-    "promo_revenue",
-    "user_value_deltas",
-}
-
-#: last adjudicated in round 3 — round 5 MUST give them fresh rows
-ROTATED_IN = {
+    "dedup_clusters",
+    "vocab_encode",
+    "packed_sequences",
+    "mixture_temperature",
+    "length_bucket_batches",
+    "token_rarity",
+    "bpe_pair_counts",
+    "boilerplate_ngrams",
+    "global_shuffle",
+    "incremental_dedup",
+    "column_profile",
+    "cluster_keep_longest",
+    "stratum_ksample",
+    "profile_drift",
+    "token_pmi",
+    "inverted_index",
     "doc_fingerprints",
     "exact_dedup_docs",
     "jaccard_dup_pairs",
@@ -85,31 +58,70 @@ ROTATED_IN = {
     "customer_balance_deciles",
 }
 
-#: new in round 5, or implementation changed in round 5 — must be
+#: last adjudicated in round 4 — round 6 MUST give them fresh rows
+#: (the rotation invariant: nothing sits out two consecutive rounds)
+ROTATED_IN = {
+    "pricing_summary",
+    "feature_store_retrieval",
+    "streaming_sessionize",
+    "streaming_hourly_agg",
+    "repetition_filter",
+    "corpus_vocab",
+    "online_lookup",
+    "streaming_dedup",
+    "quality_score",
+    "lang_id",
+    "doc_chunks",
+    "corpus_mixture",
+    "pii_redaction",
+    "stratified_sample_docs",
+    "train_val_split",
+    "sequence_packing",
+    "ivf_topk",
+    "embedding_near_dupes_lsh",
+    "simhash_dup_pairs",
+    "length_outlier_filter",
+    "value_percentiles",
+    "token_stats",
+    "hash_sampled_docs",
+    "revenue_rollup",
+    "dedup_entity_rows",
+    "latest_event_per_user",
+    "priority_collapse_types",
+    "part_brand_stats",
+    "idle_customers_anti",
+    "case_decode_coalesce",
+    "map_pivot_props",
+    "datetime_functions",
+    "regional_revenue",
+    "order_priority_count",
+    "top_spenders",
+    "promo_revenue",
+    "user_value_deltas",
+}
+
+#: new in round 6, or implementation changed in round 6 — must be
 #: in-window so the change gets an adjudication row
 CHANGED_OR_NEW_THIS_ROUND = {
+    # changed: null-safe SCD2 change detection (+ oracle mirror)
+    "scd2_user_state",
+    # changed: empty/NULL-doc encode agreement
+    "vocab_encode_join",
+    # changed: cache-release plumbing around the near-dup pair generator
     "curation_pipeline",
     "curation_pipeline_full",
     "minhash_dup_pairs",
-    "dedup_clusters",
-    "vocab_encode",
-    "vocab_encode_join",
-    "packed_sequences",
-    "mixture_temperature",
-    "length_bucket_batches",
-    "token_rarity",
-    "bpe_pair_counts",
-    "boilerplate_ngrams",
-    "global_shuffle",
-    "incremental_dedup",
-    "column_profile",
-    "cluster_keep_longest",
-    "stratum_ksample",
-    "profile_drift",
-    "scd2_user_state",
-    "token_pmi",
-    "inverted_index",
+    # changed: LSH _owned_caches exposure
+    "embedding_near_dupes_lsh",
+    # new: r5 test-only operators promoted to the oracle registry
+    "span_removal",
+    "lm_perplexity",
+    "bpe_merge_replay",
 }
+
+#: retired from the driver registry in round 6 — near-duplicates of
+#: in-registry coverage, still oracle-checked by test_oracle_parity.py
+RETIRED_THIS_ROUND = {"filtered_agg", "json_props_extract", "struct_flatten"}
 
 
 def test_window_contains_rotated_in_queries():
@@ -130,6 +142,24 @@ def test_tail_is_exactly_the_declared_rotation():
     )
 
 
+def test_retired_set_is_exactly_the_declared_one():
+    assert set(workload.RETIRED_QUERIES) == RETIRED_THIS_ROUND
+    assert not (set(workload.RETIRED_QUERIES) & set(workload.QUERIES)), (
+        "a query cannot be both retired and registered"
+    )
+
+
+def test_registry_stays_inside_the_driver_budget():
+    # driver budget: ~100 adjudicated queries; the window itself is 50
+    assert len(workload.QUERIES) <= 100
+    assert len(workload.QUERIES) >= workload.ADJUDICATION_WINDOW
+
+
 def test_every_query_is_oracle_backed():
-    missing = [name for name, (_fn, sql) in workload.QUERIES.items() if sql is None]
+    missing = [
+        name
+        for name, (_fn, sql) in {**workload.QUERIES,
+                                 **workload.RETIRED_QUERIES}.items()
+        if sql is None
+    ]
     assert not missing, f"queries without a DuckDB oracle: {missing}"
