@@ -107,7 +107,9 @@ CHANGED_OR_NEW_THIS_ROUND = {
     "scd2_user_state",
     # changed: empty/NULL-doc encode agreement
     "vocab_encode_join",
-    # changed: cache-release plumbing around the near-dup pair generator
+    # re-adjudicated: subject of the r6 lazy-vs-eager candidate
+    # materialization measurement (code unchanged — eager won; see
+    # COVERAGE.md round-6 notes) and the highest-value composites
     "curation_pipeline",
     "curation_pipeline_full",
     "minhash_dup_pairs",
