@@ -6,6 +6,7 @@ from my_feast_spark.operators.aggregations import (
 )
 from my_feast_spark.operators.asof_join import point_in_time_join
 from my_feast_spark.operators.bpe import train_bpe_merges
+from my_feast_spark.operators.classifier import score_nb, train_nb
 from my_feast_spark.operators.curation import CurationConfig, curate
 from my_feast_spark.operators.dedup_eval import lsh_recall_report
 from my_feast_spark.operators.lm import score_docs, train_bigram_lm
@@ -17,6 +18,7 @@ from my_feast_spark.operators.sampling import (
     shuffle_layout,
     stratified_sample,
 )
+from my_feast_spark.operators.similarity import semdedup
 
 __all__ = [
     "point_in_time_join",
@@ -31,6 +33,9 @@ __all__ = [
     "train_bpe_merges",
     "train_bigram_lm",
     "score_docs",
+    "train_nb",
+    "score_nb",
+    "semdedup",
     "remove_repeated_spans",
     "stratified_sample",
     "sample_bucket",

@@ -340,6 +340,93 @@ def ivf_topk(
     )
 
 
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    num_cells: int = 16,
+    threshold: float = 0.9,
+    seed: int = 42,
+    sample_cap: int = 4096,
+    sim_decimals: int = 6,
+    deterministic: bool = True,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", arXiv:2303.09540):
+    semantic dedup by k-means cell blocking — cluster the embeddings,
+    compare cosine ONLY within each cell, and drop every doc that has a
+    higher-priority neighbor at sim >= threshold. Returns
+    ``(id, cell, keep)`` for every input row; survivors are the
+    per-group representatives. Priority = min id (the paper keeps an
+    arbitrary member per duplicate group; min-id is the deterministic
+    choice, matching the curation pipeline's keep policy).
+
+    Scale shape — the reason this exists next to ``embedding_dup_pairs``:
+    LSH blocking needs a threshold-tuned table family, while SemDeDup's
+    cells adapt to the embedding distribution and give O(N²/num_cells)
+    candidate volume with ``num_cells`` grown ~linearly with the corpus
+    (the paper uses 50k clusters for LAION) so per-cell work stays
+    bounded. Centroids train on a bounded id-ordered driver sample and
+    broadcast in the assignment UDF's closure (the FAISS-style index
+    build, see ``ivf_topk``); the bucketed relation persists across its
+    two self-join sides and ships back via ``_owned_caches``.
+    """
+    import numpy as np
+
+    e = spread_partitions(df).select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn("n", _norm(F.col("v")))
+
+    sample = e.orderBy("id").select("v").limit(sample_cap).collect()
+    X = np.asarray([r.v for r in sample], dtype=np.float64)
+    cmat = train_ivf_centroids(X, num_cells, seed=seed)
+    assigner = make_cell_assigner(cmat, deterministic=deterministic)
+
+    def _cell_udf():
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("int")
+        def cell(col: pd.Series) -> pd.Series:
+            if len(col) == 0:
+                return pd.Series([], dtype="int32")
+            vecs = np.vstack([np.asarray(v, dtype=np.float64) for v in col])
+            return pd.Series(assigner(vecs, 1)[:, 0].astype("int32"))
+
+        return cell
+
+    # persist + eager materialize: the celled relation feeds BOTH
+    # self-join sides and the final keep-flag join — one UDF pass, then
+    # every consumer reads the cache (the embedding_dup_pairs pattern)
+    celled = e.withColumn("cell", _cell_udf()(F.col("v"))).persist()
+    celled.count()
+    a, b = celled.alias("a"), celled.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("b.id").alias("id"),
+            F.round(
+                _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")),
+                sim_decimals,
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("id")
+        .distinct()
+    )
+    out = (
+        celled.select("id", "cell")
+        .join(dropped.withColumn("__dropped", F.lit(True)), "id", "left")
+        .select("id", "cell", F.col("__dropped").isNull().alias("keep"))
+    )
+    out._owned_caches = [celled]
+    return out
+
+
 def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (numpy PCG64, fixed seed)."""
     import numpy as np

@@ -4010,6 +4010,132 @@ def _sql_bpe_merge_replay(*, rounds=16, top_words=500) -> str | None:
 SQL_BPE_MERGE_REPLAY = _sql_bpe_merge_replay()
 
 
+def q_nb_quality_score(spark, sf_dir):
+    """Naive-Bayes quality-classifier scoring (operators/classifier.py)
+    — the linear reference-vs-crawl filter of the GPT-3/PaLM data
+    recipes, with lang='en' standing in as the reference class. ONE
+    training pass (per-token class counts — the model IS a vocab-sized
+    aggregate), then scoring = token explode + broadcast llr join + one
+    hash agg per doc. Self-scoring the training corpus keeps the oracle
+    self-contained (OOV fallback covered by tests); log-odds rounds to
+    4 before the sign decision so engines can't split on a float
+    boundary."""
+    from my_feast_spark.operators.classifier import score_nb, train_nb
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.withColumn("__pos", F.col("lang") == "en")
+    model = train_nb(labeled, "text", "__pos")
+    out = score_nb(docs, "doc_id", "text", model)
+    out._owned_caches = list(model.token_llr._owned_caches)
+    return out
+
+
+SQL_NB_QUALITY_SCORE = r"""
+WITH t AS (
+  SELECT doc_id, lang = 'en' AS pos,
+         string_split_regex(trim(lower(text)), '\s+') AS lt
+  FROM documents
+),
+tok AS (SELECT doc_id, pos, unnest(lt) AS token FROM t),
+cnt AS (
+  SELECT token,
+         CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+         CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+  FROM tok GROUP BY token
+),
+tot AS (
+  SELECT CAST(sum(c_pos) AS BIGINT) AS t_pos,
+         CAST(sum(c_neg) AS BIGINT) AS t_neg,
+         count(*) AS v
+  FROM cnt
+),
+pri AS (
+  SELECT log2(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+              / sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)) AS prior
+  FROM documents
+),
+scored AS (
+  SELECT s.doc_id,
+         round(any_value(pri.prior)
+               + sum(log2((c.c_pos + 0.5) / (tot.t_pos + 0.5 * (tot.v + 1)))
+                     - log2((c.c_neg + 0.5) / (tot.t_neg + 0.5 * (tot.v + 1)))),
+               4) AS log_odds,
+         CAST(count(*) AS BIGINT) AS n_tokens
+  FROM tok s JOIN cnt c USING (token) CROSS JOIN tot CROSS JOIN pri
+  GROUP BY s.doc_id
+)
+SELECT doc_id, log_odds, n_tokens,
+       CAST(log_odds > 0 AS INTEGER) AS pred
+FROM scored
+"""
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup — semantic dedup by k-means cell blocking (Abbas et al.
+    2023; operators/similarity.py::semdedup): embeddings cluster into
+    cells, cosine compares ONLY within a cell, any doc with a lower-id
+    same-cell neighbor >= threshold drops. The cell index build is a
+    pure function of the id-ordered capped sample + fixed seed, so the
+    oracle retrains the SAME centroids and injects the per-id cell map
+    as VALUES literals (the ivf_topk pattern), then replays the
+    within-cell pair join and keep policy exactly."""
+    from my_feast_spark.operators.similarity import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = semdedup(emb, "vec_id", "embedding", num_cells=16, threshold=0.4)
+    caches = out._owned_caches
+    out = out.select(F.col("id").alias("vec_id"), "cell", "keep")
+    out._owned_caches = caches
+    return out
+
+
+def _sql_semdedup(*, num_cells=16, threshold=0.4, seed=42, sample_cap=4096):
+    """Oracle generator for q_semdedup: retrain the deterministic cell
+    index from the oracle parquet (same numpy routines the executor UDF
+    runs), inject the id->cell map as literals, replay pairs + keep.
+    Returns None (rows-only) if the oracle testdata is absent."""
+    import numpy as np
+
+    from my_feast_spark.operators.similarity import (
+        make_cell_assigner,
+        train_ivf_centroids,
+    )
+
+    path = os.path.join(ORACLE_SF_DIR, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    emb = t.column("embedding").to_pylist()
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    V = np.asarray([emb[i] for i in order], dtype=np.float64)
+    centers = train_ivf_centroids(V[:sample_cap], num_cells, seed=seed)
+    cells = make_cell_assigner(centers)(V, 1)[:, 0]
+    cell_vals = ", ".join(f"({int(i)}, {int(c)})" for i, c in zip(ids, cells))
+    return f"""
+WITH cellmap(id, cell) AS (VALUES {cell_vals}),
+e AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+c AS (SELECT id, v, cell FROM e JOIN cellmap USING (id)),
+dropped AS (
+  SELECT DISTINCT b.id
+  FROM c a JOIN c b ON a.cell = b.cell AND a.id < b.id
+  WHERE round(list_inner_product(a.v, b.v)
+              / (sqrt(list_inner_product(a.v, a.v))
+                 * sqrt(list_inner_product(b.v, b.v))), 6) >= {threshold}
+)
+SELECT c.id AS vec_id, c.cell, (d.id IS NULL) AS keep
+FROM c LEFT JOIN dropped d ON c.id = d.id
+"""
+
+
+SQL_SEMDEDUP = _sql_semdedup()
+
+
 # =========================================================================
 # Query registry.
 #
@@ -4053,14 +4179,15 @@ QUERIES: dict[str, tuple] = {
     # --- changed in round 6: fresh rows required ---------------------------
     "scd2_user_state": (q_scd2_user_state, SQL_SCD2_USER_STATE),
     "vocab_encode_join": (q_vocab_encode_join, SQL_VOCAB_ENCODE_JOIN),
-    "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "curation_pipeline_full": (q_curation_pipeline_full, SQL_CURATION_PIPELINE_FULL),
-    "minhash_dup_pairs": (q_minhash_dup_pairs, SQL_MINHASH_DUP_PAIRS),
     # --- NEW in round 6 (r5 test-only operators promoted to the oracle
-    # registry, replacing the retired near-duplicates) ----------------------
+    # registry replacing the retired near-duplicates, plus two new
+    # round-6 operators) ----------------------------------------------------
     "span_removal": (q_span_removal, SQL_SPAN_REMOVAL),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "bpe_merge_replay": (q_bpe_merge_replay, SQL_BPE_MERGE_REPLAY),
+    "nb_quality_score": (q_nb_quality_score, SQL_NB_QUALITY_SCORE),
+    "semdedup": (q_semdedup, SQL_SEMDEDUP),
     # --- rotated IN for round 6 (last adjudicated round 4) ----------------
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "feature_store_retrieval": (q_feature_store_retrieval, SQL_FEATURE_STORE_RETRIEVAL),
@@ -4102,6 +4229,8 @@ QUERIES: dict[str, tuple] = {
     # --- rotation tail for round 6 (all green in round 5, unchanged in
     # round 6; still value-checked every run by tests/test_oracle_parity.py;
     # back in-window round 7) ----------------------------------------------
+    "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
+    "minhash_dup_pairs": (q_minhash_dup_pairs, SQL_MINHASH_DUP_PAIRS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "vocab_encode": (q_vocab_encode, SQL_VOCAB_ENCODE),
     "packed_sequences": (q_packed_sequences, SQL_PACKED_SEQUENCES),

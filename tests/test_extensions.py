@@ -164,16 +164,57 @@ def test_embedding_dup_pairs_lsh_releases_cleanly(spark, emb):
     embeddings-x-L-sized block set for the session lifetime)."""
     from my_feast_spark.operators.similarity import embedding_dup_pairs
 
+    def pinned():
+        return {
+            int(k)
+            for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        }
+
+    base = pinned()
     pairs = embedding_dup_pairs(
         emb, "vec_id", "embedding", threshold=0.4, num_planes=4
     )
     pairs.count()  # materialize: populates the bucket cache
     assert pairs._owned_caches, "LSH path must expose its persisted relation"
+    assert pinned() - base, "materialize should have pinned the bucket cache"
     for c in pairs._owned_caches:
-        c.unpersist()
-    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
-        "embedding_dup_pairs LSH left persisted DataFrames behind"
+        c.unpersist(blocking=True)
+    assert pinned() - base == set(), (
+        "embedding_dup_pairs LSH left persisted blocks behind"
     )
+
+
+def test_semdedup_keep_policy_vs_exact(spark, emb):
+    """Every dropped doc must have a lower-id SAME-CELL neighbor at
+    sim >= threshold (verified against the exact all-pairs relation
+    restricted to the cell map); every kept doc must have none. Checks
+    the keep policy and the blocking boundary together, and that the
+    result covers every input row exactly once."""
+    from my_feast_spark.operators.similarity import (
+        embedding_dup_pairs,
+        semdedup,
+    )
+
+    out_df = semdedup(emb, "vec_id", "embedding", num_cells=8, threshold=0.4)
+    rows = out_df.collect()
+    cells = {r.id: r.cell for r in rows}
+    kept = {r.id for r in rows if r.keep}
+    for c in out_df._owned_caches:
+        c.unpersist()
+    assert len(rows) == emb.count(), "one row per input doc"
+
+    exact = embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    same_cell = {
+        (r.id_a, r.id_b)
+        for r in exact.collect()
+        if cells[r.id_a] == cells[r.id_b]
+    }
+    dominated = {b for _a, b in same_cell}
+    assert set(cells) - kept == dominated
+    # blocking is real: some docs survive because their duplicate sits
+    # in another cell (otherwise this is just embedding_dup_pairs)
+    assert any(cells[a] != cells[b] for a, b in
+               {(r.id_a, r.id_b) for r in exact.collect()} - same_cell)
 
 
 def test_ivf_topk_recall_vs_exact(spark, emb):

@@ -16,6 +16,8 @@ from my_feast_spark import workload
 # promotions); the 40 queries adjudicated green in round 5 sit in the
 # tail this round and return in round 7.
 ROTATION_TAIL = {
+    "curation_pipeline",
+    "minhash_dup_pairs",
     "dedup_clusters",
     "vocab_encode",
     "packed_sequences",
@@ -109,16 +111,17 @@ CHANGED_OR_NEW_THIS_ROUND = {
     "vocab_encode_join",
     # re-adjudicated: subject of the r6 lazy-vs-eager candidate
     # materialization measurement (code unchanged — eager won; see
-    # COVERAGE.md round-6 notes) and the highest-value composites
-    "curation_pipeline",
+    # COVERAGE.md round-6 notes), the highest-value composite
     "curation_pipeline_full",
-    "minhash_dup_pairs",
     # changed: LSH _owned_caches exposure
     "embedding_near_dupes_lsh",
     # new: r5 test-only operators promoted to the oracle registry
     "span_removal",
     "lm_perplexity",
     "bpe_merge_replay",
+    # new round-6 operators: NB quality classifier, SemDeDup
+    "nb_quality_score",
+    "semdedup",
 }
 
 #: retired from the driver registry in round 6 — near-duplicates of
