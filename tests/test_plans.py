@@ -65,11 +65,17 @@ def test_native_queries_have_no_python_udfs(spark):
                  # Arrow batch of exact int64 Carter-Wegman minima —
                  # bit-identical to the expression form, ~64x fewer
                  # interpreted HOF passes (see _cw_signatures_numpy)
-                 "minhash_dup_pairs"}
+                 "minhash_dup_pairs",
+                 # SemDeDup's cell assignment is the same deliberate
+                 # Arrow-batched numpy path as ivf_topk
+                 "semdedup"}
     for name, (fn, _sql) in workload.QUERIES.items():
         if name in python_ok or name.startswith("streaming"):
             continue
-        plan = _formatted(fn(spark, SF_DIR_ORACLE))
+        df = fn(spark, SF_DIR_ORACLE)
+        plan = _formatted(df)
+        for c in getattr(df, "_owned_caches", ()):
+            c.unpersist()
         assert "BatchEvalPython" not in plan, f"{name} runs a row-wise Python UDF"
         assert "ArrowEvalPython" not in plan or name in python_ok, (
             f"{name} unexpectedly runs a Pandas UDF"
@@ -297,6 +303,22 @@ def test_token_pmi_broadcasts_count_tables(spark):
         assert "SortMergeJoin" not in plan
         assert "CartesianProduct" not in plan
         assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    finally:
+        for c in df._owned_caches:
+            c.unpersist()
+
+
+def test_nb_score_broadcasts_the_llr_relation(spark):
+    """The per-token log-likelihood-ratio join is the classifier's hot
+    path over the full corpus token stream — its build side is
+    vocab-sized and must broadcast, never shuffle the token stream for
+    a sort-merge join."""
+    df = workload.q_nb_quality_score(spark, SF_DIR_ORACLE)
+    plan = _formatted(df)
+    try:
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
     finally:
         for c in df._owned_caches:
             c.unpersist()
