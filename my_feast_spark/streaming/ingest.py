@@ -384,3 +384,161 @@ def dedup_ingest_stream(
     elif trigger_interval:
         writer = writer.trigger(processingTime=trigger_interval)
     return writer.start()
+
+
+def near_dedup_ingest_stream(
+    sdf: DataFrame,
+    *,
+    out_path: str,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+    available_now: bool = False,
+    trigger_interval: str | None = None,
+):
+    """Streaming NEAR-duplicate ingest — the MinHash twin of
+    ``dedup_ingest_stream``: each micro-batch signs its documents,
+    collides their LSH band buckets against the accumulated signature
+    index, and drops every doc whose signature-estimated Jaccard
+    (fraction of equal minhashes — the standard streaming-side verify;
+    exact shingle verification would mean storing shingle sets) against
+    an already-accepted doc, or a lower-id doc of its own batch, reaches
+    ``threshold``. In-batch policy is pairwise-greedy like
+    ``similarity.semdedup`` — a doc dominated only by an itself-dropped
+    doc still drops, the conservative (over-drop, never under) direction
+    for dedup.
+
+    Index layout under ``index_path``: ``bands/batch_id=N`` holds
+    (doc, band, bsig) collision rows, ``sigs/batch_id=N`` the (doc, sig
+    array) signatures — both derive from the WRITTEN accepted output of
+    their batch, so a crash replay regenerates identical partitions
+    (same idempotent ``batch_id=N`` overwrite contract as the exact
+    ingest; the probe goes through the Hadoop FileSystem so cloud paths
+    work). Short docs (< n tokens) have no shingles, can't collide, and
+    are accepted unconditionally.
+
+    Scale shape: the accumulated band index is read with ONE projected
+    column set and joined against the (small) micro-batch's band rows —
+    AQE broadcasts the batch side; at corpus scale write the index
+    bucketed by (band, bsig) for a co-located collision join. Docs per
+    batch x bands rows shuffle, never the text. Band signatures are
+    xxhash64 over the band's minhashes regardless of ``hash_fn`` (the
+    index is engine-internal; pick hash_fn="portable" only if the
+    SIGNATURES must replay elsewhere). Returns the started
+    StreamingQuery.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    from my_feast_spark.operators.dedup import minhash_signatures
+    from my_feast_spark.operators.graph import release_checkpoint
+
+    spark = sdf.sparkSession
+    bands_dir = os.path.join(index_path, "bands")
+    sigs_dir = os.path.join(index_path, "sigs")
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # one signature pass, pinned for its many consumers (band build,
+        # both verify sides, the index write), released before returning
+        sig = minhash_signatures(
+            batch_df, id_col, text_col, n=n, num_hashes=num_hashes,
+            hash_fn=hash_fn,
+        ).select(
+            "doc",
+            F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig"),
+        ).localCheckpoint()
+        try:
+            band_rows = sig.select(
+                "doc",
+                F.explode(F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(*[
+                            F.element_at(F.col("sig"), b * r + j + 1)
+                            for j in range(r)
+                        ]).alias("bsig"),
+                    )
+                    for b in range(bands)
+                ])).alias("bs"),
+            ).select("doc", "bs.band", "bs.bsig")
+
+            # in-batch candidates: same bucket, lower id dominates
+            a, b2 = band_rows.alias("a"), band_rows.alias("b")
+            cand = (
+                a.join(
+                    b2,
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bsig") == F.col("b.bsig"))
+                    & (F.col("a.doc") < F.col("b.doc")),
+                )
+                .select(F.col("a.doc").alias("dom"), F.col("b.doc").alias("doc"))
+            )
+            all_sigs = sig
+            # cross-batch candidates: collide against the accumulated
+            # index, EXCLUDING this batch's own partitions (crash-replay
+            # safety — see dedup_ingest_stream)
+            if _fs_nonempty(spark, bands_dir):
+                old_bands = (
+                    spark.read.parquet(bands_dir)
+                    .filter(F.col("batch_id") != batch_id)
+                    .select(F.col("doc").alias("dom"), "band", "bsig")
+                )
+                cand = cand.union(
+                    old_bands.join(band_rows, ["band", "bsig"])
+                    .select("dom", "doc")
+                )
+                all_sigs = sig.union(
+                    spark.read.parquet(sigs_dir)
+                    .filter(F.col("batch_id") != batch_id)
+                    .select("doc", "sig")
+                )
+            est_j = F.aggregate(
+                F.zip_with(
+                    F.col("a_sig"), F.col("b_sig"),
+                    lambda x, y: (x == y).cast("int"),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ) / F.lit(num_hashes)
+            dominated = (
+                cand.distinct()
+                .join(all_sigs.select(F.col("doc").alias("dom"),
+                                      F.col("sig").alias("a_sig")), "dom")
+                .join(sig.select("doc", F.col("sig").alias("b_sig")), "doc")
+                .filter(est_j >= threshold)
+                .select(F.col("doc").alias(id_col))
+                .distinct()
+            )
+            accepted = batch_df.join(dominated, id_col, "left_anti")
+            accepted.write.mode("overwrite").parquet(
+                os.path.join(out_path, f"batch_id={batch_id}")
+            )
+            # index entries derive from the WRITTEN output (replay-safe)
+            acc_ids = spark.read.parquet(
+                os.path.join(out_path, f"batch_id={batch_id}")
+            ).select(F.col(id_col).alias("doc"))
+            sig.join(acc_ids, "doc", "left_semi").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(sigs_dir, f"batch_id={batch_id}"))
+            band_rows.join(acc_ids, "doc", "left_semi").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(bands_dir, f"batch_id={batch_id}"))
+        finally:
+            release_checkpoint(sig)
+
+    writer = (
+        sdf.writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_interval:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()
