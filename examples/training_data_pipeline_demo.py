@@ -78,13 +78,20 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> dict:
     near = minhash_lsh_dup_pairs(keepers, "doc_id", "text", n=3, threshold=0.5)
     n_near_pairs = near.count()
 
-    # 5: embedding-level near-dups (semantic tier)
+    # 5: embedding-level near-dups (semantic tier) — the pair view (LSH)
+    # and the decision view (SemDeDup cells + keep policy)
+    from my_feast_spark.operators.similarity import semdedup
+
     emb = load_table(spark, sf_dir, "embeddings")
     sem_pairs = embedding_dup_pairs(
         emb, "vec_id", "embedding", threshold=0.4, num_planes=4
     )
     n_sem_pairs = sem_pairs.count()
     for c in sem_pairs._owned_caches:
+        c.unpersist()
+    sem = semdedup(emb, "vec_id", "embedding", num_cells=16, threshold=0.4)
+    n_sem_keepers = sem.filter(F.col("keep")).count()
+    for c in sem._owned_caches:
         c.unpersist()
 
     # 6: emit a reproducible ~10% sample of the survivors as training
@@ -111,19 +118,34 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> dict:
     n_curated = curated.count()
 
     # 8: model-driven passes over the curated survivors — perplexity
-    # quality scores (CCNet-style), a recall audit of the LSH config,
-    # and tokenizer merges learned from the cleaned text
+    # quality scores (CCNet-style), a Naive-Bayes reference-vs-crawl
+    # classifier, a recall audit of the LSH config, and tokenizer
+    # merges learned from the cleaned text
     from my_feast_spark.operators import (
         lsh_recall_report,
         score_docs,
+        score_nb,
         train_bigram_lm,
         train_bpe_merges,
+        train_nb,
     )
 
     lm = train_bigram_lm(keepers, "text")
     ppl = score_docs(keepers, "doc_id", "text", lm)
     n_scored = ppl.count()
     lm.bigrams.unpersist()
+    # NB quality classifier: the quality-gate survivors stand in as the
+    # positive (reference) class, the gated-out docs as negative
+    labeled = docs.join(
+        kept.select("doc_id").withColumn("__pos", F.lit(True)),
+        "doc_id", "left",
+    ).fillna(False, ["__pos"])
+    nb = train_nb(labeled, "text", "__pos")
+    n_pred_quality = (
+        score_nb(docs, "doc_id", "text", nb).filter(F.col("pred") == 1).count()
+    )
+    for c in nb.token_llr._owned_caches:
+        c.unpersist()
     recall_report = lsh_recall_report(
         keepers, "doc_id", "text", sample_rate=0.5, hash_fn="portable"
     )
@@ -138,9 +160,11 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "after_exact_dedup": n_unique,
         "near_dup_pairs": n_near_pairs,
         "semantic_dup_pairs": n_sem_pairs,
+        "semdedup_keepers": n_sem_keepers,
         "sampled_training_chunks": n_chunks,
         "curate_operator_survivors": n_curated,
         "lm_scored_docs": n_scored,
+        "nb_predicted_quality_docs": n_pred_quality,
         "lsh_recall_on_sample": recall.recall,
         "bpe_merges_learned": len(merges),
     }

@@ -23,8 +23,10 @@ def test_training_pipeline_demo_runs(spark):
     assert 0 < out["after_exact_dedup"] <= out["after_quality_gate"]
     assert out["near_dup_pairs"] >= 0
     assert out["semantic_dup_pairs"] > 0
+    assert 0 < out["semdedup_keepers"] <= 500
     assert out["curate_operator_survivors"] == 118  # pinned by the oracle row
     assert out["lm_scored_docs"] == out["after_exact_dedup"]
+    assert 0 < out["nb_predicted_quality_docs"] <= 500
     assert out["lsh_recall_on_sample"] is None or out["lsh_recall_on_sample"] >= 0.9
     assert out["bpe_merges_learned"] == 8
 
