@@ -11,6 +11,7 @@ from my_feast_spark.operators.curation import CurationConfig, curate
 from my_feast_spark.operators.dedup_eval import lsh_recall_report
 from my_feast_spark.operators.lm import score_docs, train_bigram_lm
 from my_feast_spark.operators.graph import connected_components
+from my_feast_spark.operators.pq import pq_encode, pq_topk, train_pq_codebooks
 from my_feast_spark.operators.profile import column_profile
 from my_feast_spark.operators.span_dedup import remove_repeated_spans
 from my_feast_spark.operators.sampling import (
@@ -36,6 +37,9 @@ __all__ = [
     "train_nb",
     "score_nb",
     "semdedup",
+    "train_pq_codebooks",
+    "pq_encode",
+    "pq_topk",
     "remove_repeated_spans",
     "stratified_sample",
     "sample_bucket",

@@ -45,14 +45,24 @@ def _doc_bigrams(text_col, lowercase: bool):
     t = F.col(text_col)
     if lowercase:
         t = F.lower(t)
+    # index walk over the let-bound token slot, not
+    # zip_with(concat(BOS, slice(...)), toks): building the shifted
+    # history ARRAY per row costs two interpreted array constructions
+    # before the zip even runs — measured 4x slower on first touch
+    # (expression compilation included) and ~25% slower warm at sf0.1.
+    # The size guard stays: sequence(1, 0) would count DOWN.
     return let(
         tokens(t),
         lambda toks: F.when(
             F.size(toks) >= 1,
-            F.zip_with(
-                F.concat(F.array(F.lit(BOS)), F.slice(toks, 1, F.size(toks) - 1)),
-                toks,
-                lambda h, w: F.struct(h.alias("h"), w.alias("w")),
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks)),
+                lambda i: F.struct(
+                    F.when(i == 1, F.lit(BOS))
+                    .otherwise(F.element_at(toks, i - 1))
+                    .alias("h"),
+                    F.element_at(toks, i).alias("w"),
+                ),
             ),
         ).otherwise(F.array().cast("array<struct<h:string,w:string>>")),
     )

@@ -1,0 +1,230 @@
+"""Product quantization — compressed embeddings for billion-scale ANN.
+
+The third ANN family next to hyperplane LSH and IVF (``similarity.py``),
+and the one that changes the STORAGE equation: PQ (Jégou, Douze,
+Schmid, "Product Quantization for Nearest Neighbor Search", TPAMI 2011)
+splits each d-dim vector into ``m`` subvectors, k-means-quantizes each
+subspace to ``k`` centroids, and stores a vector as ``m`` small codes —
+a 64-dim float32 embedding (256 bytes) becomes 8 bytes at m=8, k=256.
+Search uses the asymmetric distance computation (ADC): the query stays
+exact, each corpus vector's distance is the sum of ``m`` table lookups.
+
+Spark mapping, stage by stage:
+
+  * codebook training — driver-side: per-subspace k-means over a
+    bounded id-ordered sample (exactly the ``ivf_topk`` index-build
+    stance: a distributed fit is one job per Lloyd round, scheduler-
+    bound at any corpus size, while the codebooks are m*k*dsub floats
+    the executors need broadcast anyway).
+  * encode — ONE Arrow-batched pass over the corpus (vectorized argmin
+    per subspace); output is (id, codes array<int>), the only relation
+    a 100 TB search tier needs to keep hot.
+  * ADC top-k — NO Python: each query precomputes its (m*k)-float
+    lookup table driver-side, queries+tables broadcast, and the
+    distance is a pure-expression fold over the code array
+    (``element_at(lut, i*k + code_i)``), so the corpus-side scan stays
+    in whole-stage codegen and shuffles nothing.
+
+Vectors are L2-normalized inside encode/search, so squared L2 = 2 -
+2*cosine and ADC ranking matches cosine ranking up to quantization
+error (the standard cosine-via-PQ reduction).
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from my_feast_spark.operators.similarity import train_ivf_centroids
+from my_feast_spark.sources.readers import spread_partitions
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    vec_col: str,
+    *,
+    m: int = 8,
+    k: int = 16,
+    seed: int = 42,
+    sample_cap: int = 4096,
+    id_col: str | None = None,
+):
+    """Per-subspace codebooks as an (m, k, d/m) float64 numpy array,
+    trained on an id-ordered (deterministic — replayable by an oracle
+    generator) capped sample. ``d`` must divide by ``m``."""
+    import numpy as np
+
+    sample = df.select(
+        F.col(vec_col).alias("v"),
+        *([F.col(id_col).alias("sid")] if id_col else []),
+    )
+    if id_col:
+        sample = sample.orderBy("sid")
+    X = np.asarray(
+        [r["v"] for r in sample.limit(sample_cap).collect()], dtype=np.float64
+    )
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    return np.stack([
+        train_ivf_centroids(
+            np.ascontiguousarray(X[:, j * dsub:(j + 1) * dsub]), k,
+            seed=seed + j,
+        )
+        for j in range(m)
+    ])
+
+
+def make_pq_encoder(codebooks, *, deterministic: bool = True):
+    """Vectorized encoder closure: ``encode(vecs) -> (n, m) int32``
+    nearest-centroid codes per subspace (self-contained — executors
+    never import this package). ``deterministic`` mirrors
+    ``make_cell_assigner``: shape-stable row reductions so executor
+    Arrow batches and an oracle generator's full-table pass agree
+    bit-for-bit; False = per-subspace BLAS gemm fast path."""
+    import numpy as np
+
+    cb = np.asarray(codebooks, dtype=np.float64)  # (m, k, dsub)
+    m, k, dsub = cb.shape
+
+    def encode(vecs):
+        vecs = np.asarray(vecs, dtype=np.float64)
+        vecs = vecs / np.maximum(
+            np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12
+        )
+        n = vecs.shape[0]
+        codes = np.empty((n, m), dtype=np.int32)
+        for j in range(m):
+            sub = vecs[:, j * dsub:(j + 1) * dsub]
+            if deterministic:
+                d2 = np.empty((n, k))
+                for c in range(k):
+                    diff = sub - cb[j, c]
+                    d2[:, c] = (diff * diff).sum(axis=1)
+            else:
+                d2 = (
+                    (sub * sub).sum(axis=1, keepdims=True)
+                    - 2.0 * (sub @ cb[j].T)
+                    + (cb[j] * cb[j]).sum(axis=1)
+                )
+            codes[:, j] = np.argmin(d2, axis=1)
+        return codes
+
+    return encode
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks,
+    *,
+    deterministic: bool = True,
+    out_col: str = "codes",
+) -> DataFrame:
+    """(id, codes array<int>): one Arrow pass over the corpus — the
+    compressed search relation (m ints per vector)."""
+    from pyspark.sql.functions import pandas_udf
+
+    encode = make_pq_encoder(codebooks, deterministic=deterministic)
+
+    @pandas_udf("array<int>")
+    def codes(col: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        vecs = np.vstack([np.asarray(v, dtype=np.float64) for v in col])
+        return pd.Series(list(encode(vecs)))
+
+    return spread_partitions(df).select(
+        F.col(id_col), codes(F.col(vec_col)).alias(out_col)
+    )
+
+
+def query_luts(codebooks, vecs):
+    """(n, m*k) float64 ADC lookup tables: row i, slot j*k+c = squared
+    L2 between query i's j-th (normalized) subvector and centroid c.
+    Shared by ``pq_topk`` and the oracle generator so both sides fold
+    the SAME doubles."""
+    import numpy as np
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, kc, dsub = cb.shape
+    vecs = np.asarray(vecs, dtype=np.float64)
+    vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    out = np.empty((vecs.shape[0], m * kc))
+    for i, v in enumerate(vecs):
+        for j in range(m):
+            diff = cb[j] - v[j * dsub:(j + 1) * dsub]
+            out[i, j * kc:(j + 1) * kc] = (diff * diff).sum(axis=1)
+    return out
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus_codes: DataFrame,
+    codebooks,
+    *,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+    k: int = 5,
+    exclude_self: bool = True,
+    dist_decimals: int = 6,
+) -> DataFrame:
+    """ADC top-k: (query_id, neighbor_id, adc_dist, rank) with the
+    SMALLEST approximate squared-L2 distances (= cosine ranking on the
+    normalized vectors). Each query's (m*k)-float lookup table is built
+    driver-side from its exact vector and broadcast with the query; the
+    corpus side folds its code array through the table with pure
+    expressions — no Python, no shuffle of the codes relation beyond
+    the final per-query top-k window."""
+    import numpy as np
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, kc, _dsub = cb.shape
+    qrows = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv")
+    ).collect()
+    tables = query_luts(cb, [r["qv"] for r in qrows])
+    lut_rows = [
+        (r.query_id, [float(x) for x in lut])
+        for r, lut in zip(qrows, tables)
+    ]
+    spark = queries.sparkSession
+    luts = spark.createDataFrame(lut_rows, ["query_id", "__lut"])
+
+    # ADC fold: dist = sum_j lut[j*k + codes[j]] — element_at is 1-based
+    adc = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.element_at(
+                F.col("__lut"),
+                (j * kc + F.element_at(F.col(codes_col), j + 1) + 1).cast("int"),
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    joined = corpus_codes.crossJoin(F.broadcast(luts))
+    if exclude_self:
+        joined = joined.filter(F.col(corpus_id) != F.col("query_id"))
+    dists = joined.select(
+        "query_id",
+        F.col(corpus_id).alias("neighbor_id"),
+        F.round(adc, dist_decimals).alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        dists.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

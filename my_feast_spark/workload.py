@@ -4136,6 +4136,111 @@ FROM c LEFT JOIN dropped d ON c.id = d.id
 SQL_SEMDEDUP = _sql_semdedup()
 
 
+def q_pq_topk(spark, sf_dir, *, deterministic=True):
+    """Product-quantization ANN (operators/pq.py): per-subspace
+    codebooks trained on the bounded id-ordered sample, corpus encoded
+    to m=8 k=16 codes in one Arrow pass (the compressed relation a
+    100 TB search tier keeps hot — 8 ints per vector), asymmetric-
+    distance top-5 as a pure-expression fold over broadcast per-query
+    lookup tables. The oracle retrains the same codebooks, re-encodes
+    with the same shape-stable numpy routine, builds the SAME lut
+    doubles, and injects codes+luts as literals — DuckDB then replays
+    the fold (same left-to-right summation order), the self-exclusion,
+    and the (dist, id) tie order."""
+    from my_feast_spark.operators.pq import pq_encode, pq_topk, train_pq_codebooks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = train_pq_codebooks(emb, "embedding", m=8, k=16, id_col="vec_id")
+    codes = pq_encode(
+        emb, "vec_id", "embedding", cb, deterministic=deterministic
+    ).select(F.col("vec_id").alias("corpus_id"), "codes")
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(q, codes, cb, k=5)
+
+
+def _sql_pq_topk(*, m=8, k=16, topk=5, seed=42, sample_cap=4096):
+    """Oracle generator for q_pq_topk: same deterministic index build,
+    codes and per-query luts injected as VALUES literals (repr floats
+    round-trip exactly), ADC replayed as an explicit in-order 8-term
+    sum. Returns None (rows-only) if the oracle testdata is absent."""
+    import numpy as np
+
+    from my_feast_spark.operators.pq import (
+        make_pq_encoder,
+        query_luts,
+        train_pq_codebooks,
+    )
+
+    path = os.path.join(ORACLE_SF_DIR, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    import pyarrow.parquet as pq_  # noqa: N813 - operator module is `pq`
+
+    t = pq_.read_table(path, columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    emb = t.column("embedding").to_pylist()
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    V = np.asarray([emb[i] for i in order], dtype=np.float64)
+
+    # train on a DataFrame-free replica of train_pq_codebooks: id-ordered
+    # capped sample, same normalization, same per-subspace seeds
+    from my_feast_spark.operators.similarity import train_ivf_centroids
+
+    X = V[:sample_cap].copy()
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    dsub = X.shape[1] // m
+    cb = np.stack([
+        train_ivf_centroids(
+            np.ascontiguousarray(X[:, j * dsub:(j + 1) * dsub]), k,
+            seed=seed + j,
+        )
+        for j in range(m)
+    ])
+    codes = make_pq_encoder(cb)(V)
+    qmask = ids < 20
+    luts = query_luts(cb, V[qmask])
+
+    code_vals = ", ".join(
+        "(" + ", ".join(str(int(x)) for x in (i, *row)) + ")"
+        for i, row in zip(ids, codes)
+    )
+    # CAST the literal list to DOUBLE[]: DuckDB types bare float literals
+    # as DECIMAL and the whole ADC fold would run in decimal arithmetic,
+    # diverging from Spark's double fold
+    lut_vals = ", ".join(
+        f"({int(i)}, CAST(["
+        + ", ".join(repr(float(x)) for x in row)
+        + "] AS DOUBLE[]))"
+        for i, row in zip(ids[qmask], luts)
+    )
+    ccols = ", ".join(f"c{j}" for j in range(m))
+    adc = " + ".join(f"l.lut[{j} * {k} + c.c{j} + 1]" for j in range(m))
+    return f"""
+WITH codes(corpus_id, {ccols}) AS (VALUES {code_vals}),
+luts(query_id, lut) AS (VALUES {lut_vals}),
+d AS (
+  SELECT l.query_id, c.corpus_id AS neighbor_id,
+         round({adc}, 6) AS adc_dist
+  FROM codes c CROSS JOIN luts l
+  WHERE c.corpus_id != l.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+  FROM d
+)
+SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= {topk}
+"""
+
+
+SQL_PQ_TOPK = _sql_pq_topk()
+
+
 # =========================================================================
 # Query registry.
 #
@@ -4179,15 +4284,15 @@ QUERIES: dict[str, tuple] = {
     # --- changed in round 6: fresh rows required ---------------------------
     "scd2_user_state": (q_scd2_user_state, SQL_SCD2_USER_STATE),
     "vocab_encode_join": (q_vocab_encode_join, SQL_VOCAB_ENCODE_JOIN),
-    "curation_pipeline_full": (q_curation_pipeline_full, SQL_CURATION_PIPELINE_FULL),
     # --- NEW in round 6 (r5 test-only operators promoted to the oracle
-    # registry replacing the retired near-duplicates, plus two new
+    # registry replacing the retired near-duplicates, plus three new
     # round-6 operators) ----------------------------------------------------
     "span_removal": (q_span_removal, SQL_SPAN_REMOVAL),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "bpe_merge_replay": (q_bpe_merge_replay, SQL_BPE_MERGE_REPLAY),
     "nb_quality_score": (q_nb_quality_score, SQL_NB_QUALITY_SCORE),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
+    "pq_topk": (q_pq_topk, SQL_PQ_TOPK),
     # --- rotated IN for round 6 (last adjudicated round 4) ----------------
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "feature_store_retrieval": (q_feature_store_retrieval, SQL_FEATURE_STORE_RETRIEVAL),
@@ -4230,6 +4335,7 @@ QUERIES: dict[str, tuple] = {
     # round 6; still value-checked every run by tests/test_oracle_parity.py;
     # back in-window round 7) ----------------------------------------------
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
+    "curation_pipeline_full": (q_curation_pipeline_full, SQL_CURATION_PIPELINE_FULL),
     "minhash_dup_pairs": (q_minhash_dup_pairs, SQL_MINHASH_DUP_PAIRS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "vocab_encode": (q_vocab_encode, SQL_VOCAB_ENCODE),

@@ -66,9 +66,9 @@ def test_native_queries_have_no_python_udfs(spark):
                  # bit-identical to the expression form, ~64x fewer
                  # interpreted HOF passes (see _cw_signatures_numpy)
                  "minhash_dup_pairs",
-                 # SemDeDup's cell assignment is the same deliberate
-                 # Arrow-batched numpy path as ivf_topk
-                 "semdedup"}
+                 # SemDeDup's cell assignment and PQ's encode are the
+                 # same deliberate Arrow-batched numpy path as ivf_topk
+                 "semdedup", "pq_topk"}
     for name, (fn, _sql) in workload.QUERIES.items():
         if name in python_ok or name.startswith("streaming"):
             continue

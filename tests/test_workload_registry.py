@@ -17,6 +17,7 @@ from my_feast_spark import workload
 # tail this round and return in round 7.
 ROTATION_TAIL = {
     "curation_pipeline",
+    "curation_pipeline_full",
     "minhash_dup_pairs",
     "dedup_clusters",
     "vocab_encode",
@@ -109,19 +110,16 @@ CHANGED_OR_NEW_THIS_ROUND = {
     "scd2_user_state",
     # changed: empty/NULL-doc encode agreement
     "vocab_encode_join",
-    # re-adjudicated: subject of the r6 lazy-vs-eager candidate
-    # materialization measurement (code unchanged — eager won; see
-    # COVERAGE.md round-6 notes), the highest-value composite
-    "curation_pipeline_full",
     # changed: LSH _owned_caches exposure
     "embedding_near_dupes_lsh",
     # new: r5 test-only operators promoted to the oracle registry
     "span_removal",
     "lm_perplexity",
     "bpe_merge_replay",
-    # new round-6 operators: NB quality classifier, SemDeDup
+    # new round-6 operators: NB quality classifier, SemDeDup, PQ ANN
     "nb_quality_score",
     "semdedup",
+    "pq_topk",
 }
 
 #: retired from the driver registry in round 6 — near-duplicates of
