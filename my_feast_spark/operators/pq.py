@@ -192,13 +192,18 @@ def pq_topk(
     qrows = queries.select(
         F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv")
     ).collect()
-    tables = query_luts(cb, [r["qv"] for r in qrows])
-    lut_rows = [
-        (r.query_id, [float(x) for x in lut])
-        for r, lut in zip(qrows, tables)
-    ]
     spark = queries.sparkSession
-    luts = spark.createDataFrame(lut_rows, ["query_id", "__lut"])
+    if qrows:
+        tables = query_luts(cb, [r["qv"] for r in qrows])
+        lut_rows = [
+            (r.query_id, [float(x) for x in lut])
+            for r, lut in zip(qrows, tables)
+        ]
+        luts = spark.createDataFrame(lut_rows, ["query_id", "__lut"])
+    else:  # zero queries: schema can't be inferred from no rows
+        luts = spark.createDataFrame(
+            [], "query_id long, __lut array<double>"
+        )
 
     # ADC fold: dist = sum_j lut[j*k + codes[j]] — element_at is 1-based
     adc = F.aggregate(

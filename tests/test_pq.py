@@ -87,6 +87,18 @@ def test_adc_fold_matches_numpy_reference(spark, emb, codebooks):
             )
 
 
+def test_empty_query_set_returns_empty(spark, emb, codebooks):
+    corpus_codes = pq_encode(emb, "vec_id", "embedding", codebooks).select(
+        F.col("vec_id").alias("corpus_id"), "codes"
+    )
+    none = emb.where(F.lit(False)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_topk(none, corpus_codes, codebooks, k=5)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "adc_dist", "rank"]
+
+
 def test_recall_vs_exact_cosine(spark, emb, codebooks):
     """PQ is lossy; pin the measured recall of the true cosine top-1
     inside ADC top-5 (deterministic data + seed => stable number)."""
