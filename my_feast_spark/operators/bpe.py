@@ -96,7 +96,10 @@ def _merge_loop_local(
             break
         new_vocab: dict = {}
         for sym, n in vocab.items():
-            ns = _merge_word(sym, a, b)
+            # cheap prefilter: only words containing the winning LEFT
+            # symbol can contain the pair — the rewrite touches a
+            # shrinking fraction of the vocabulary as training proceeds
+            ns = _merge_word(sym, a, b) if a in sym else sym
             new_vocab[ns] = new_vocab.get(ns, 0) + n
         vocab = new_vocab
         merges.append(

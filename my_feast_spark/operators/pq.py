@@ -82,14 +82,20 @@ def train_pq_codebooks(
 def make_pq_encoder(codebooks, *, deterministic: bool = True):
     """Vectorized encoder closure: ``encode(vecs) -> (n, m) int32``
     nearest-centroid codes per subspace (self-contained — executors
-    never import this package). ``deterministic`` mirrors
-    ``make_cell_assigner``: shape-stable row reductions so executor
-    Arrow batches and an oracle generator's full-table pass agree
-    bit-for-bit; False = per-subspace BLAS gemm fast path."""
+    never import this package). The per-subspace argmin IS
+    ``similarity.make_cell_assigner`` (one assigner per subspace, same
+    shape-stable/deterministic semantics), so a determinism fix there
+    automatically covers PQ."""
     import numpy as np
 
+    from my_feast_spark.operators.similarity import make_cell_assigner
+
     cb = np.asarray(codebooks, dtype=np.float64)  # (m, k, dsub)
-    m, k, dsub = cb.shape
+    m, _k, dsub = cb.shape
+    assigners = [
+        make_cell_assigner(cb[j], deterministic=deterministic)
+        for j in range(m)
+    ]
 
     def encode(vecs):
         vecs = np.asarray(vecs, dtype=np.float64)
@@ -99,19 +105,8 @@ def make_pq_encoder(codebooks, *, deterministic: bool = True):
         n = vecs.shape[0]
         codes = np.empty((n, m), dtype=np.int32)
         for j in range(m):
-            sub = vecs[:, j * dsub:(j + 1) * dsub]
-            if deterministic:
-                d2 = np.empty((n, k))
-                for c in range(k):
-                    diff = sub - cb[j, c]
-                    d2[:, c] = (diff * diff).sum(axis=1)
-            else:
-                d2 = (
-                    (sub * sub).sum(axis=1, keepdims=True)
-                    - 2.0 * (sub @ cb[j].T)
-                    + (cb[j] * cb[j]).sum(axis=1)
-                )
-            codes[:, j] = np.argmin(d2, axis=1)
+            sub = np.ascontiguousarray(vecs[:, j * dsub:(j + 1) * dsub])
+            codes[:, j] = assigners[j](sub, 1)[:, 0]
         return codes
 
     return encode
@@ -200,9 +195,20 @@ def pq_topk(
             for r, lut in zip(qrows, tables)
         ]
         luts = spark.createDataFrame(lut_rows, ["query_id", "__lut"])
-    else:  # zero queries: schema can't be inferred from no rows
+    else:
+        # zero queries: inference has no rows — build the empty relation
+        # with the query-id type taken from the INPUT schema so the
+        # result schema matches the non-empty path exactly
+        from pyspark.sql import types as T
+
         luts = spark.createDataFrame(
-            [], "query_id long, __lut array<double>"
+            [],
+            T.StructType([
+                T.StructField(
+                    "query_id", queries.schema[query_id].dataType, True
+                ),
+                T.StructField("__lut", T.ArrayType(T.DoubleType()), True),
+            ]),
         )
 
     # ADC fold: dist = sum_j lut[j*k + codes[j]] — element_at is 1-based

@@ -1555,9 +1555,18 @@ def q_dedup_clusters(spark, sf_dir):
     from my_feast_spark.operators.graph import connected_components
 
     pairs = q_minhash_dup_pairs(spark, sf_dir)
-    return connected_components(
+    out = connected_components(
         pairs, "doc_a", "doc_b", out_id="doc_id", out_label="cluster_id"
     )
+    # forward the pair generator's cache ownership: connected_components
+    # consumes the pairs but returns a fresh frame, and a caller that
+    # materializes the clusters (bench, the parity test) must be able to
+    # release the minhash sh/sig/candidates caches too
+    out._owned_caches = [
+        *getattr(out, "_owned_caches", ()),
+        *getattr(pairs, "_owned_caches", ()),
+    ]
+    return out
 
 
 SQL_DEDUP_CLUSTERS = f"""
@@ -1597,7 +1606,7 @@ def q_cluster_keep_longest(spark, sf_dir):
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("n_chars").desc(), F.col("doc_id").asc()
     )
-    return (
+    out = (
         member.withColumn("__rn", F.row_number().over(w))
         .groupBy("cluster_id")
         .agg(
@@ -1606,6 +1615,11 @@ def q_cluster_keep_longest(spark, sf_dir):
             F.sum("n_chars").alias("total_chars"),
         )
     )
+    # ownership survives the join/agg: hand the pair generator's caches
+    # and the CC labels checkpoint to whoever materializes the keepers
+    out._owned_caches = list(getattr(pairs, "_owned_caches", ()))
+    out._owned_checkpoints = list(getattr(clusters, "_owned_checkpoints", ()))
+    return out
 
 
 SQL_CLUSTER_KEEP_LONGEST = f"""
@@ -3982,8 +3996,12 @@ def _sql_bpe_merge_replay(*, rounds=16, top_words=500) -> str | None:
     import pyarrow.parquet as pq
 
     wc: Counter = Counter()
+    # ASCII \s and space-only strip: Python's re is Unicode-aware while
+    # Spark's split()/trim() are ASCII-\s / space-only — a U+00A0 in a
+    # document would otherwise tokenize differently between the engine
+    # and this generator
     for txt in pq.read_table(path, columns=["text"]).column("text").to_pylist():
-        for w in re.split(r"\s+", txt.strip().lower()):
+        for w in re.split(r"\s+", txt.strip(" ").lower(), flags=re.ASCII):
             if w:
                 wc[w] += 1
     merges = _merge_loop_local(

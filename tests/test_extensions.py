@@ -203,18 +203,18 @@ def test_semdedup_keep_policy_vs_exact(spark, emb):
         c.unpersist()
     assert len(rows) == emb.count(), "one row per input doc"
 
-    exact = embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
-    same_cell = {
+    exact_pairs = {
         (r.id_a, r.id_b)
-        for r in exact.collect()
-        if cells[r.id_a] == cells[r.id_b]
+        for r in embedding_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.4
+        ).collect()
     }
+    same_cell = {(a, b) for a, b in exact_pairs if cells[a] == cells[b]}
     dominated = {b for _a, b in same_cell}
     assert set(cells) - kept == dominated
     # blocking is real: some docs survive because their duplicate sits
     # in another cell (otherwise this is just embedding_dup_pairs)
-    assert any(cells[a] != cells[b] for a, b in
-               {(r.id_a, r.id_b) for r in exact.collect()} - same_cell)
+    assert any(cells[a] != cells[b] for a, b in exact_pairs - same_cell)
 
 
 def test_ivf_topk_recall_vs_exact(spark, emb):

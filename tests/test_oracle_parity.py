@@ -60,8 +60,12 @@ def test_oracle_parity(spark, ddb, name):
     sdf = fn(spark, SF_DIR_ORACLE)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
+    from my_feast_spark.operators.graph import release_checkpoint
+
     for c in getattr(sdf, "_owned_caches", ()):
         c.unpersist()
+    for c in getattr(sdf, "_owned_checkpoints", ()):
+        release_checkpoint(c)
 
     res = ddb.sql(sql)
     d_cols = res.columns

@@ -16,6 +16,17 @@ def _formatted(df) -> str:
     )
 
 
+def _release_owned(df):
+    """Release everything a query hands its caller — caches AND
+    localCheckpoints (the labels a CC-backed query pins)."""
+    from my_feast_spark.operators.graph import release_checkpoint
+
+    for c in getattr(df, "_owned_caches", ()):
+        c.unpersist()
+    for c in getattr(df, "_owned_checkpoints", ()):
+        release_checkpoint(c)
+
+
 def test_filter_pushdown_and_column_pruning(spark):
     df = workload.q_pricing_summary(spark, SF_DIR_ORACLE)
     plan = _formatted(df)
@@ -74,8 +85,7 @@ def test_native_queries_have_no_python_udfs(spark):
             continue
         df = fn(spark, SF_DIR_ORACLE)
         plan = _formatted(df)
-        for c in getattr(df, "_owned_caches", ()):
-            c.unpersist()
+        _release_owned(df)
         assert "BatchEvalPython" not in plan, f"{name} runs a row-wise Python UDF"
         assert "ArrowEvalPython" not in plan or name in python_ok, (
             f"{name} unexpectedly runs a Pandas UDF"
@@ -339,5 +349,4 @@ def test_all_queries_return_scalar_only_schemas(spark):
                    for t in ("array", "map", "struct"))
         ]
         assert not bad, f"{name} returns composite columns: {bad}"
-        for c in getattr(df, "_owned_caches", []):
-            c.unpersist()
+        _release_owned(df)
