@@ -26,6 +26,20 @@ higher-order `aggregate` merge fold — no Python), with every
 checkpoint tracked in a live list and released per round, so a run
 holds exactly one vocabulary-sized block set at any moment even if a
 round throws mid-swap.
+
+Character-split semantics — BMP-only assumption. The default
+driver-side path splits words into Python CODE POINTS (``tuple(word)``)
+while the ``distributed_rounds`` path splits with the Java regex
+``(?!^)``, which operates on UTF-16 CODE UNITS: a non-BMP character
+(emoji, astral CJK) is one symbol on the first path and two lone
+surrogates on the second (and surrogate-aware lookbehind patterns are
+not reliable through Spark's split — measured, not assumed). The two
+paths are therefore guaranteed to agree only for BMP text; train on a
+corpus with astral-plane characters either stays on the default
+driver-side path (code-point-correct) or accepts that distributed
+training tokenizes those characters as surrogate halves. The workload's
+oracle corpus is ASCII-tokenized (see ``q_bpe_merge_replay``), where
+the paths are identical by construction.
 """
 
 from __future__ import annotations

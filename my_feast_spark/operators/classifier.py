@@ -90,6 +90,12 @@ def train_nb(
     ).collect()[0]
     if not docs["n_pos"] or not docs["n_neg"]:
         raise ValueError("training needs at least one doc of each class")
+    if not tot["v"]:
+        # every doc was NULL/token-less: the counts relation is empty and
+        # t_pos/t_neg came back NULL — fail with the real cause instead of
+        # a NoneType+float TypeError in the denominator arithmetic below
+        counts.unpersist()
+        raise ValueError("training corpus has no tokens")
     import math
 
     v1 = tot["v"] + 1

@@ -44,24 +44,26 @@ from my_feast_spark.sources.readers import spread_partitions
 def train_pq_codebooks(
     df: DataFrame,
     vec_col: str,
+    id_col: str,
     *,
     m: int = 8,
     k: int = 16,
     seed: int = 42,
     sample_cap: int = 4096,
-    id_col: str | None = None,
 ):
     """Per-subspace codebooks as an (m, k, d/m) float64 numpy array,
-    trained on an id-ordered (deterministic — replayable by an oracle
-    generator) capped sample. ``d`` must divide by ``m``."""
+    trained on an id-ordered capped sample. ``d`` must divide by ``m``.
+
+    ``id_col`` is REQUIRED: the sample is ``orderBy(id).limit(cap)``, so
+    the codebooks are a pure function of the corpus + seed — the
+    deterministic, oracle-replayable property every adjudicated PQ query
+    depends on. (An unordered ``limit().collect()`` would make them
+    partition-order-dependent despite the fixed seed.)"""
     import numpy as np
 
     sample = df.select(
-        F.col(vec_col).alias("v"),
-        *([F.col(id_col).alias("sid")] if id_col else []),
-    )
-    if id_col:
-        sample = sample.orderBy("sid")
+        F.col(vec_col).alias("v"), F.col(id_col).alias("sid")
+    ).orderBy("sid")
     X = np.asarray(
         [r["v"] for r in sample.limit(sample_cap).collect()], dtype=np.float64
     )

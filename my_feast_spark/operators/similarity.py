@@ -25,6 +25,12 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from my_feast_spark.sources.readers import spread_partitions
 
+#: k-means sample floor, points per requested cluster — ``semdedup``
+#: auto-raises its driver sample to ``num_cells * _MIN_SAMPLE_PER_CELL``
+#: so growing the cell count toward the paper's 50k-cluster regime can
+#: never silently hand Lloyd fewer sample points than clusters.
+_MIN_SAMPLE_PER_CELL = 8
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -371,6 +377,16 @@ def semdedup(
     broadcast in the assignment UDF's closure (the FAISS-style index
     build, see ``ivf_topk``); the bucketed relation persists across its
     two self-join sides and ships back via ``_owned_caches``.
+
+    ``sample_cap`` is COUPLED to ``num_cells``: k-means needs several
+    points per cluster, so the cap auto-raises to ``num_cells *
+    _MIN_SAMPLE_PER_CELL`` when the requested cell count approaches it
+    (asking for the paper's 50k-cluster LAION regime with a 4096-row
+    sample would hand Lloyd fewer points than clusters). The driver-side
+    collect then grows linearly with ``num_cells`` — beyond a few
+    hundred thousand cells switch the index build to a distributed fit
+    (pyspark.ml KMeans over the full corpus) and pass the frozen
+    centroids through the same assignment UDF.
     """
     import numpy as np
 
@@ -379,6 +395,7 @@ def semdedup(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     ).withColumn("n", _norm(F.col("v")))
 
+    sample_cap = max(sample_cap, num_cells * _MIN_SAMPLE_PER_CELL)
     sample = e.orderBy("id").select("v").limit(sample_cap).collect()
     X = np.asarray([r.v for r in sample], dtype=np.float64)
     cmat = train_ivf_centroids(X, num_cells, seed=seed)

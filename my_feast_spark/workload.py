@@ -3949,7 +3949,12 @@ def q_bpe_merge_replay(spark, sf_dir, *, rounds=16, top_words=500):
     literals — so the driver hash adjudicates the Spark expression
     fold, the word counts, and the top-k against an independent
     in-process replay (the deterministic-literals oracle pattern of
-    embedding_near_dupes_lsh)."""
+    embedding_near_dupes_lsh).
+
+    BMP note: the char-split here (and the oracle's Python iteration)
+    agree per the bpe.py module docstring only for BMP text — the
+    oracle generator tokenizes on ASCII whitespace and the testdata
+    corpus is BMP, so both sides split identically by construction."""
     from my_feast_spark.functions.text import tokens
     from my_feast_spark.operators.bpe import (
         EOW,
@@ -4168,7 +4173,7 @@ def q_pq_topk(spark, sf_dir, *, deterministic=True):
     from my_feast_spark.operators.pq import pq_encode, pq_topk, train_pq_codebooks
 
     emb = _t(spark, sf_dir, "embeddings")
-    cb = train_pq_codebooks(emb, "embedding", m=8, k=16, id_col="vec_id")
+    cb = train_pq_codebooks(emb, "embedding", "vec_id", m=8, k=16)
     codes = pq_encode(
         emb, "vec_id", "embedding", cb, deterministic=deterministic
     ).select(F.col("vec_id").alias("corpus_id"), "codes")

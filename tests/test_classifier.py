@@ -90,6 +90,19 @@ def test_single_class_training_raises(spark):
         train_nb(df, "text", "pos")
 
 
+def test_tokenless_corpus_training_raises(spark):
+    # both classes present but every doc NULL (empty/whitespace text
+    # still yields the "" token): the token-count relation is empty —
+    # must fail with the real cause, not a NoneType TypeError from the
+    # NULL denominators
+    df = spark.createDataFrame(
+        [(0, True, None), (1, False, None)],
+        "doc_id long, pos boolean, text string",
+    )
+    with pytest.raises(ValueError, match="no tokens"):
+        train_nb(df, "text", "pos")
+
+
 def test_trainer_releases_cleanly(spark, tiny):
     def pinned():
         return {

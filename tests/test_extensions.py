@@ -217,6 +217,30 @@ def test_semdedup_keep_policy_vs_exact(spark, emb):
     assert any(cells[a] != cells[b] for a, b in exact_pairs - same_cell)
 
 
+def test_semdedup_sample_cap_auto_raises_with_num_cells(spark, emb):
+    """Asking for more cells than the sample could seed must not hand
+    Lloyd fewer points than clusters: the cap auto-raises to
+    num_cells * _MIN_SAMPLE_PER_CELL, so a tiny explicit sample_cap
+    still trains (here the whole corpus ends up sampled) and the result
+    stays a one-row-per-input, deterministic relation."""
+    from my_feast_spark.operators.similarity import semdedup
+
+    out = semdedup(
+        emb, "vec_id", "embedding", num_cells=32, threshold=0.4, sample_cap=4
+    )
+    rows = sorted((r.id, r.cell, r.keep) for r in out.collect())
+    for c in out._owned_caches:
+        c.unpersist()
+    assert len(rows) == emb.count()
+    out2 = semdedup(
+        emb, "vec_id", "embedding", num_cells=32, threshold=0.4, sample_cap=4
+    )
+    rows2 = sorted((r.id, r.cell, r.keep) for r in out2.collect())
+    for c in out2._owned_caches:
+        c.unpersist()
+    assert rows == rows2
+
+
 def test_ivf_topk_recall_vs_exact(spark, emb):
     from my_feast_spark.operators.similarity import cosine_topk, ivf_topk
 

@@ -27,7 +27,7 @@ def emb(spark):
 
 @pytest.fixture(scope="module")
 def codebooks(emb):
-    cb = train_pq_codebooks(emb, "embedding", m=M, k=K, id_col="vec_id")
+    cb = train_pq_codebooks(emb, "embedding", "vec_id", m=M, k=K)
     assert cb.shape == (M, K, 64 // M)
     return cb
 
