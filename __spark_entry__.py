@@ -49,7 +49,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (None-valued entries omitted →
-    driver records a weaker rows-only check)."""
-    return {
-        name: sql for name, (_fn, sql) in workload.QUERIES.items() if sql is not None
-    }
+    driver records a weaker rows-only check). Generated oracles are
+    lazy (workload._LazySQL) — resolved here, at the one consumer that
+    actually needs every string."""
+    out = {}
+    for name, (_fn, sql) in workload.QUERIES.items():
+        sql = workload.resolve_sql(sql)
+        if sql is not None:
+            out[name] = sql
+    return out

@@ -34,6 +34,40 @@ def _t(spark, sf_dir, name) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+class _LazySQL:
+    """Deferred, memoized oracle-SQL generator.
+
+    Some oracles are GENERATED, not written: the generator retrains the
+    deterministic index (k-means cells, PQ codebooks, LSH bucket maps,
+    the BPE merge loop) from the oracle parquet and injects it as
+    literals. Eagerly running all of them at import time makes every
+    ``import workload`` (tests, bench, demo) pay several k-means/BPE
+    passes it may never use, and the cost grows with the oracle corpus.
+    Registry entries therefore hold ``_LazySQL(generator)``; consumers
+    go through :func:`resolve_sql`, which runs the generator on first
+    use and caches the string (None stays None — the rows-only case).
+    """
+
+    __slots__ = ("_gen", "_sql", "_done")
+
+    def __init__(self, gen):
+        self._gen = gen
+        self._sql = None
+        self._done = False
+
+    def resolve(self) -> str | None:
+        if not self._done:
+            self._sql = self._gen()
+            self._done = True
+        return self._sql
+
+
+def resolve_sql(sql):
+    """The oracle-SQL accessor: a plain string (or None) passes through,
+    a :class:`_LazySQL` resolves (memoized) to one."""
+    return sql.resolve() if isinstance(sql, _LazySQL) else sql
+
+
 # =========================================================================
 # Flagship: point-in-time retrieval (SURVEY §2.4 J1-J5)
 # =========================================================================
@@ -1541,7 +1575,7 @@ WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= {threshold}
 """
 
 
-SQL_MINHASH_DUP_PAIRS = _sql_minhash_dup_pairs()
+SQL_MINHASH_DUP_PAIRS = _LazySQL(_sql_minhash_dup_pairs)
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -1691,7 +1725,7 @@ WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
 """
 
 
-SQL_SIMHASH_DUP_PAIRS = _sql_simhash_dup_pairs()
+SQL_SIMHASH_DUP_PAIRS = _LazySQL(_sql_simhash_dup_pairs)
 
 
 # =========================================================================
@@ -1902,7 +1936,7 @@ FROM r WHERE rank <= {k}
 """
 
 
-SQL_ANN_LSH_TOPK = _sql_ann_lsh_topk()
+SQL_ANN_LSH_TOPK = _LazySQL(_sql_ann_lsh_topk)
 
 # The driver's oracle comparison (and tests/test_oracle_parity.py) runs at
 # this SF; data-dependent oracle generators (IVF centroids, LSH bucket
@@ -2000,7 +2034,7 @@ FROM r WHERE rank <= {k}
 """
 
 
-SQL_IVF_TOPK = _sql_ivf_topk()
+SQL_IVF_TOPK = _LazySQL(_sql_ivf_topk)
 
 
 # =========================================================================
@@ -2570,7 +2604,7 @@ WHERE round(list_inner_product(a.v, b2.v)
 """
 
 
-SQL_EMBEDDING_NEAR_DUPES_LSH = _sql_embedding_near_dupes_lsh()
+SQL_EMBEDDING_NEAR_DUPES_LSH = _LazySQL(_sql_embedding_near_dupes_lsh)
 
 
 def q_contamination_report(spark, sf_dir):
@@ -4030,7 +4064,7 @@ def _sql_bpe_merge_replay(*, rounds=16, top_words=500) -> str | None:
     )
 
 
-SQL_BPE_MERGE_REPLAY = _sql_bpe_merge_replay()
+SQL_BPE_MERGE_REPLAY = _LazySQL(_sql_bpe_merge_replay)
 
 
 def q_nb_quality_score(spark, sf_dir):
@@ -4156,7 +4190,7 @@ FROM c LEFT JOIN dropped d ON c.id = d.id
 """
 
 
-SQL_SEMDEDUP = _sql_semdedup()
+SQL_SEMDEDUP = _LazySQL(_sql_semdedup)
 
 
 def q_pq_topk(spark, sf_dir, *, deterministic=True):
@@ -4261,7 +4295,7 @@ FROM r WHERE rank <= {topk}
 """
 
 
-SQL_PQ_TOPK = _sql_pq_topk()
+SQL_PQ_TOPK = _LazySQL(_sql_pq_topk)
 
 
 # =========================================================================

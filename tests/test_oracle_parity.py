@@ -55,6 +55,7 @@ ALL_ORACLE_QUERIES = {**workload.QUERIES, **workload.RETIRED_QUERIES}
 @pytest.mark.parametrize("name", sorted(ALL_ORACLE_QUERIES))
 def test_oracle_parity(spark, ddb, name):
     fn, sql = ALL_ORACLE_QUERIES[name]
+    sql = workload.resolve_sql(sql)
     if sql is None:
         pytest.skip("no oracle (rows-only check)")
     sdf = fn(spark, SF_DIR_ORACLE)

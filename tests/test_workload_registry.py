@@ -163,6 +163,26 @@ def test_every_query_is_oracle_backed():
         name
         for name, (_fn, sql) in {**workload.QUERIES,
                                  **workload.RETIRED_QUERIES}.items()
-        if sql is None
+        if workload.resolve_sql(sql) is None
     ]
     assert not missing, f"queries without a DuckDB oracle: {missing}"
+
+
+def test_generated_oracles_are_lazy_at_import():
+    """Importing workload must not run the generated-oracle builders
+    (k-means, PQ, BPE training over the oracle parquet) — they resolve
+    memoized on first use (workload._LazySQL / resolve_sql)."""
+    import subprocess
+    import sys
+
+    out = subprocess.check_output([
+        sys.executable,
+        "-c",
+        "from my_feast_spark import workload; "
+        "print(workload.SQL_PQ_TOPK._done, workload.SQL_SEMDEDUP._done, "
+        "workload.SQL_BPE_MERGE_REPLAY._done, workload.SQL_IVF_TOPK._done)",
+    ])
+    assert out.split() == [b"False"] * 4
+    assert workload.resolve_sql(workload.SQL_PQ_TOPK) == (
+        workload.SQL_PQ_TOPK.resolve()
+    )
