@@ -67,6 +67,19 @@ def train_pq_codebooks(
     X = np.asarray(
         [r["v"] for r in sample.limit(sample_cap).collect()], dtype=np.float64
     )
+    return codebooks_from_sample(X, m=m, k=k, seed=seed)
+
+
+def codebooks_from_sample(X, *, m: int, k: int, seed: int = 42):
+    """Pure-numpy codebook fit over an already-collected sample matrix
+    (rows = vectors): normalize, slice into ``m`` subspaces, k-means
+    each with its own derived seed. Shared verbatim by the DataFrame
+    trainer above, ``ivfpq_topk``'s combined index build, and the
+    workload's oracle generators — so every consumer derives
+    bit-identical codebooks from the same sample."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64).copy()
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     d = X.shape[1]
     if d % m:
@@ -162,6 +175,24 @@ def query_luts(codebooks, vecs):
     return out
 
 
+def _adc_dist(m: int, kc: int, codes_col: str):
+    """The ADC fold expression: dist = sum_j ``__lut[j*k + codes[j]]``
+    (element_at is 1-based), summed LEFT-TO-RIGHT so an oracle can
+    replay the exact double-fold order. Pure expressions — the corpus
+    scan stays in whole-stage codegen."""
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.element_at(
+                F.col("__lut"),
+                (j * kc + F.element_at(F.col(codes_col), j + 1) + 1).cast("int"),
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def pq_topk(
     queries: DataFrame,
     corpus_codes: DataFrame,
@@ -213,18 +244,7 @@ def pq_topk(
             ]),
         )
 
-    # ADC fold: dist = sum_j lut[j*k + codes[j]] — element_at is 1-based
-    adc = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda j: F.element_at(
-                F.col("__lut"),
-                (j * kc + F.element_at(F.col(codes_col), j + 1) + 1).cast("int"),
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    adc = _adc_dist(m, kc, codes_col)
     joined = corpus_codes.crossJoin(F.broadcast(luts))
     if exclude_self:
         joined = joined.filter(F.col(corpus_id) != F.col("query_id"))
@@ -232,6 +252,152 @@ def pq_topk(
         "query_id",
         F.col(corpus_id).alias("neighbor_id"),
         F.round(adc, dist_decimals).alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        dists.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k_codes: int = 16,
+    num_centroids: int = 16,
+    nprobe: int = 3,
+    k: int = 5,
+    seed: int = 42,
+    sample_cap: int = 4096,
+    exclude_self: bool = True,
+    dist_decimals: int = 6,
+    deterministic: bool = True,
+) -> DataFrame:
+    """IVFADC — the Jégou-2011 composition of the IVF coarse quantizer
+    with PQ's asymmetric distance: the structure a billion-vector ANN
+    tier actually runs, where ``pq_topk``'s exhaustive ADC scan is the
+    verification baseline.
+
+    Index build (ONE driver-side id-ordered sample, shared by both
+    quantizers): coarse k-means centroids over the normalized sample
+    (``similarity.train_ivf_centroids``) + per-subspace PQ codebooks
+    (``codebooks_from_sample``). Encode is ONE Arrow pass emitting
+    ``(corpus_id, cell, codes)`` — the only relation the search tier
+    keeps, ~1 int + m bytes per vector. Search: each query probes its
+    ``nprobe`` nearest cells and ADC-folds ONLY within them — candidate
+    volume ~``nprobe/num_centroids`` of the corpus per query instead of
+    all of it, and the per-row cost is the same m-lookup codegen fold as
+    ``pq_topk`` (`_adc_dist`). The probe side (query, cell, lut) is
+    broadcast; the corpus relation joins on ``cell`` with no shuffle —
+    at scale, store it partitioned/bucketed by ``cell`` so the probe
+    join also prunes the scan to the probed cells.
+
+    This quantizes the RAW normalized vector (not the Jégou residual
+    ``x - centroid``): codebooks stay query-independent, so the encode
+    relation is reusable across any probe setting and the oracle can
+    replay every stage from injected literals. Residual encoding buys
+    accuracy at high ``num_centroids``; swap ``codebooks_from_sample``'s
+    input for per-cell residuals to get it — the plan shape is unchanged.
+
+    Ranking matches cosine up to quantization error plus the probe
+    approximation; recall vs exact cosine is measured in tests
+    (``test_pq.py``), mirroring ``ivf_topk``.
+    """
+    import numpy as np
+
+    from my_feast_spark.operators.similarity import make_cell_assigner
+
+    spark = queries.sparkSession
+    c = spread_partitions(corpus).select(
+        F.col(corpus_id).alias("corpus_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+    )
+
+    # one id-ordered capped sample feeds BOTH quantizers (TopK plan:
+    # orderBy+limit -> TakeOrderedAndProject, never a global sort)
+    sample = (
+        c.orderBy("corpus_id").select("cv").limit(sample_cap).collect()
+    )
+    X = np.asarray([r.cv for r in sample], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    centroids = train_ivf_centroids(Xn, num_centroids, seed=seed)
+    cb = codebooks_from_sample(X, m=m, k=k_codes, seed=seed)
+    assigner = make_cell_assigner(centroids, deterministic=deterministic)
+    encode = make_pq_encoder(cb, deterministic=deterministic)
+
+    # encode: ONE Arrow pass -> (corpus_id, cell, codes)
+    @F.pandas_udf("struct<cell: int, codes: array<int>>")
+    def cell_codes(col: pd.Series) -> pd.DataFrame:
+        if len(col) == 0:
+            return pd.DataFrame({"cell": pd.Series([], dtype="int32"),
+                                 "codes": pd.Series([], dtype=object)})
+        vecs = np.vstack([np.asarray(v, dtype=np.float64) for v in col])
+        vn = vecs / np.maximum(
+            np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12
+        )
+        return pd.DataFrame({
+            "cell": pd.Series(assigner(vn, 1)[:, 0].astype("int32")),
+            "codes": pd.Series(list(encode(vecs))),
+        })
+
+    # asNondeterministic is an OPTIMIZER FENCE, not a semantics claim:
+    # the probe join's implicit isnotnull(cell) otherwise pushes below
+    # the spread_partitions Exchange and Catalyst re-evaluates the UDF
+    # there — the whole encode pass would run TWICE over the corpus
+    # (measured in .explain: two ArrowEvalPython nodes). The encode is
+    # deterministic; it just must not be cloned.
+    cell_codes = cell_codes.asNondeterministic()
+    enc = c.select(
+        "corpus_id", cell_codes(F.col("cv")).alias("cc")
+    ).select("corpus_id", F.col("cc.cell").alias("cell"),
+             F.col("cc.codes").alias("codes"))
+
+    # probe side: queries collected driver-side (bounded batch — same
+    # stance as pq_topk/ivf_topk), one (query, probed cell, lut) row
+    # per probe, broadcast
+    qrows = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv")
+    ).collect()
+    if qrows:
+        Q = np.asarray([r.qv for r in qrows], dtype=np.float64)
+        Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+        probes = assigner(Qn, nprobe)  # (nq, nprobe)
+        luts = query_luts(cb, Q)       # (nq, m*k)
+        probe_rows = [
+            (r.query_id, int(cell), [float(x) for x in lut])
+            for r, cells, lut in zip(qrows, probes, luts)
+            for cell in cells
+        ]
+        plan = spark.createDataFrame(probe_rows, ["query_id", "cell", "__lut"])
+    else:
+        from pyspark.sql import types as T
+
+        plan = spark.createDataFrame(
+            [],
+            T.StructType([
+                T.StructField(
+                    "query_id", queries.schema[query_id].dataType, True
+                ),
+                T.StructField("cell", T.IntegerType(), True),
+                T.StructField("__lut", T.ArrayType(T.DoubleType()), True),
+            ]),
+        )
+
+    joined = enc.join(F.broadcast(plan), "cell")
+    if exclude_self:
+        joined = joined.filter(F.col("corpus_id") != F.col("query_id"))
+    dists = joined.select(
+        "query_id",
+        F.col("corpus_id").alias("neighbor_id"),
+        F.round(_adc_dist(m, k_codes, "codes"), dist_decimals).alias("adc_dist"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()

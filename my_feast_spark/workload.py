@@ -4298,6 +4298,121 @@ FROM r WHERE rank <= {topk}
 SQL_PQ_TOPK = _LazySQL(_sql_pq_topk)
 
 
+def q_ivfpq_topk(spark, sf_dir, *, deterministic=True):
+    """IVFADC — the IVF x PQ composition (operators/pq.py::ivfpq_topk):
+    coarse k-means cells prune the candidate set to ``nprobe`` cells per
+    query, PQ codes + the broadcast per-query lookup tables compute the
+    asymmetric distance inside them. This is the billion-vector search
+    structure (Jégou 2011) for which ``pq_topk``'s exhaustive ADC scan
+    is the verification baseline: same codes, same luts, same
+    pure-expression fold — the only new element is the cell join, so
+    per-query work drops from |corpus| to ~|corpus| * nprobe/num_cells.
+    The oracle retrains the identical two-quantizer index (shared
+    id-ordered sample, shared numpy routines) and injects codes + cell
+    map + probe plan + luts as literals, replaying the probe join and
+    the in-order ADC fold in DuckDB."""
+    from my_feast_spark.operators.pq import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    return ivfpq_topk(
+        q, c, m=8, k_codes=16, num_centroids=16, nprobe=4, k=5,
+        deterministic=deterministic,
+    )
+
+
+def _sql_ivfpq_topk(
+    *, m=8, k=16, num_centroids=16, nprobe=4, topk=5, seed=42,
+    sample_cap=4096,
+):
+    """Oracle generator for q_ivfpq_topk: retrain both quantizers from
+    the oracle parquet with the SAME shared routines (one id-ordered
+    sample -> train_ivf_centroids + codebooks_from_sample), inject the
+    per-id (cell, codes) rows, the query probe plan, and the luts as
+    VALUES literals, replay probe join + in-order ADC + top-k. Returns
+    None (rows-only) if the oracle testdata is absent."""
+    import numpy as np
+
+    from my_feast_spark.operators.pq import (
+        codebooks_from_sample,
+        make_pq_encoder,
+        query_luts,
+    )
+    from my_feast_spark.operators.similarity import (
+        make_cell_assigner,
+        train_ivf_centroids,
+    )
+
+    path = os.path.join(ORACLE_SF_DIR, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    import pyarrow.parquet as pq_  # noqa: N813 - operator module is `pq`
+
+    t = pq_.read_table(path, columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    emb = t.column("embedding").to_pylist()
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    V = np.asarray([emb[i] for i in order], dtype=np.float64)
+
+    X = V[:sample_cap]
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    centroids = train_ivf_centroids(Xn, num_centroids, seed=seed)
+    cb = codebooks_from_sample(X, m=m, k=k, seed=seed)
+    assign = make_cell_assigner(centroids)
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    cells = assign(Vn, 1)[:, 0]
+    codes = make_pq_encoder(cb)(V)
+    qmask = ids < 20
+    probes = assign(Vn[qmask], nprobe)
+    luts = query_luts(cb, V[qmask])
+
+    code_vals = ", ".join(
+        "(" + ", ".join(str(int(x)) for x in (i, c, *row)) + ")"
+        for i, c, row in zip(ids, cells, codes)
+    )
+    probe_vals = ", ".join(
+        f"({int(i)}, {int(c)})"
+        for i, row in zip(ids[qmask], probes)
+        for c in row
+    )
+    lut_vals = ", ".join(
+        f"({int(i)}, CAST(["
+        + ", ".join(repr(float(x)) for x in row)
+        + "] AS DOUBLE[]))"
+        for i, row in zip(ids[qmask], luts)
+    )
+    ccols = ", ".join(f"c{j}" for j in range(m))
+    adc = " + ".join(f"l.lut[{j} * {k} + c.c{j} + 1]" for j in range(m))
+    return f"""
+WITH codes(corpus_id, cell, {ccols}) AS (VALUES {code_vals}),
+probes(query_id, cell) AS (VALUES {probe_vals}),
+luts(query_id, lut) AS (VALUES {lut_vals}),
+d AS (
+  SELECT p.query_id, c.corpus_id AS neighbor_id,
+         round({adc}, 6) AS adc_dist
+  FROM codes c
+  JOIN probes p USING (cell)
+  JOIN luts l ON l.query_id = p.query_id
+  WHERE c.corpus_id != p.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+  FROM d
+)
+SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= {topk}
+"""
+
+
+SQL_IVFPQ_TOPK = _LazySQL(_sql_ivfpq_topk)
+
+
 # =========================================================================
 # Query registry.
 #

@@ -334,6 +334,24 @@ def test_nb_score_broadcasts_the_llr_relation(spark):
             c.unpersist()
 
 
+def test_ivfpq_single_encode_pass_and_broadcast_probes(spark):
+    """IVFADC's plan contract: the (cell, codes) encode is ONE Arrow
+    pass over the corpus (the implicit isnotnull(cell) join filter must
+    NOT clone the UDF below the spread Exchange — the asNondeterministic
+    fence in ivfpq_topk), and the probe plan joins broadcast, never
+    shuffling the encoded corpus or falling back to a cartesian scan."""
+    import re
+
+    plan = _formatted(workload.q_ivfpq_topk(spark, SF_DIR_ORACLE))
+    # each plan NODE appears twice in formatted output (tree + detail):
+    # count distinct node ids, not substring hits
+    nodes = set(re.findall(r"\((\d+)\) ArrowEvalPython", plan))
+    assert len(nodes) == 1, f"encode pass cloned: nodes {sorted(nodes)}"
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_all_queries_return_scalar_only_schemas(spark):
     """The adjudication harness value-hashes SCALAR columns; array/map/
     struct results ship as deterministic strings or digests (repo

@@ -120,3 +120,105 @@ def test_recall_vs_exact_cosine(spark, emb, codebooks):
         approx.setdefault(r.query_id, set()).add(r.neighbor_id)
     hits = sum(1 for q, t in truth.items() if t in approx[q])
     assert hits / len(truth) >= 0.5, f"recall@5 collapsed: {hits}/{len(truth)}"
+
+
+def test_ivfpq_equals_exhaustive_adc_within_probed_cells(spark, emb):
+    """IVFADC must return EXACTLY what exhaustive ADC returns when the
+    candidate set is restricted to the query's probed cells — same
+    codes, same luts, same fold, the only difference being the coarse
+    candidate pruning. Replay the pruning in-process and compare every
+    (query, rank) -> (neighbor, dist)."""
+    from my_feast_spark.operators.pq import (
+        codebooks_from_sample,
+        ivfpq_topk,
+        make_pq_encoder,
+        query_luts,
+    )
+    from my_feast_spark.operators.similarity import (
+        make_cell_assigner,
+        train_ivf_centroids,
+    )
+
+    nprobe, ncells = 3, 8
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.adc_dist)
+        for r in ivfpq_topk(
+            queries, corpus, m=M, k_codes=K,
+            num_centroids=ncells, nprobe=nprobe, k=5,
+        ).collect()
+    }
+
+    # in-process replay of the same index build + pruning + ADC
+    rows = sorted(
+        (r.vec_id, np.asarray(r.embedding, dtype=np.float64))
+        for r in emb.select("vec_id", "embedding").collect()
+    )
+    ids = [i for i, _ in rows]
+    V = np.stack([v for _, v in rows])
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    centroids = train_ivf_centroids(Vn, ncells)
+    cb = codebooks_from_sample(V, m=M, k=K)
+    assign = make_cell_assigner(centroids)
+    cells = assign(Vn, 1)[:, 0]
+    codes = make_pq_encoder(cb)(V)
+    qidx = [i for i, vid in enumerate(ids) if vid < 10]
+    probes = assign(Vn[qidx], nprobe)
+    luts = query_luts(cb, V[qidx])
+    for qpos, qi in enumerate(qidx):
+        qid = ids[qi]
+        probed = set(probes[qpos])
+        cand = sorted(
+            (
+                round(float(sum(luts[qpos][j * K + codes[i][j]]
+                                for j in range(M))), 6),
+                ids[i],
+            )
+            for i in range(len(ids))
+            if cells[i] in probed and ids[i] != qid
+        )
+        for rank in range(1, min(5, len(cand)) + 1):
+            d, nid = cand[rank - 1]
+            assert got[(qid, rank)] == (nid, pytest.approx(d, abs=1e-9)), (
+                qid, rank
+            )
+        for rank in range(len(cand) + 1, 6):
+            assert (qid, rank) not in got
+
+
+def test_ivfpq_empty_query_set(spark, emb):
+    from my_feast_spark.operators.pq import ivfpq_topk
+
+    none = emb.where(F.lit(False)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    out = ivfpq_topk(none, corpus, m=M, k_codes=K, num_centroids=8, nprobe=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "adc_dist", "rank"]
+
+
+def test_ivfpq_recall_vs_exact_cosine(spark, emb):
+    """Coarse pruning stacks on PQ loss; pin recall@5 of the true
+    cosine top-1 with a healthy probe setting."""
+    from my_feast_spark.operators.pq import ivfpq_topk
+    from my_feast_spark.operators.similarity import cosine_topk
+
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    truth = {
+        r.query_id: r.neighbor_id
+        for r in cosine_topk(queries, corpus, k=1).collect()
+    }
+    approx: dict = {}
+    for r in ivfpq_topk(
+        queries, corpus, m=M, k_codes=K, num_centroids=8, nprobe=4, k=5
+    ).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(1 for q, t in truth.items() if t in approx.get(q, set()))
+    assert hits / len(truth) >= 0.5, f"recall@5 collapsed: {hits}/{len(truth)}"
