@@ -310,6 +310,7 @@ def dedup_ingest_stream(
     checkpoint: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    index_buckets: int | None = None,
     available_now: bool = False,
     trigger_interval: str | None = None,
 ):
@@ -326,12 +327,20 @@ def dedup_ingest_stream(
     partition instead of appending duplicates, making the ingest
     effectively exactly-once.
 
-    Scale shape: the index scan reads ONE column (the fingerprint) and
-    the anti-join shuffles only the (small) micro-batch against it
-    under AQE; at corpus scale, write the index bucketed by fingerprint
-    (sources/writers.py::write_bucketed_table) so the per-batch
-    anti-join is co-located and shuffle-free on the index side.
-    Returns the started StreamingQuery.
+    Scale shape — ``index_buckets``. Unset, every micro-batch scans the
+    FULL accumulated fingerprint index: per-batch cost grows linearly
+    with the corpus, O(N²) over the stream's life. With
+    ``index_buckets=B`` each batch's index partition is additionally
+    laid out as ``pbucket=pmod(xxhash64(fingerprint), B)`` partition
+    directories, and the probe reads ONLY the pbuckets its own
+    fingerprints hash into (a directory-level partition-pruned scan —
+    the listing never touches the other buckets). A batch of ``b``
+    distinct fingerprints therefore reads at most ``min(b, B)/B`` of
+    the index regardless of corpus size; size B so a single bucket
+    stays a few hundred MB at the target corpus. The anti-join itself
+    broadcasts the (small) batch side under AQE either way, so there is
+    never an Exchange on the index side. Returns the started
+    StreamingQuery.
     """
     from my_feast_spark.functions.text import doc_fingerprint
 
@@ -351,6 +360,7 @@ def dedup_ingest_stream(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+        pbucket = F.pmod(F.xxhash64("fingerprint"), F.lit(index_buckets or 1))
         if _fs_nonempty(spark, index_path):
             # EXCLUDE this batch's own partition: after a crash between
             # the sink writes and the streaming commit, foreachBatch
@@ -360,19 +370,37 @@ def dedup_ingest_stream(
             seen = (
                 spark.read.parquet(index_path)
                 .filter(F.col("batch_id") != batch_id)
-                .select("fingerprint")
             )
-            fresh = fresh.join(seen, "fingerprint", "left_anti")
+            if index_buckets:
+                # one tiny job: the batch's own pbucket set (≤ min(b, B)
+                # values) becomes a partition filter — the index scan
+                # lists/reads ONLY those directories
+                pbs = [
+                    r.pb
+                    for r in fresh.select(pbucket.alias("pb"))
+                    .distinct()
+                    .collect()
+                ]
+                seen = seen.filter(F.col("pbucket").isin(pbs))
+            fresh = fresh.join(
+                seen.select("fingerprint"), "fingerprint", "left_anti"
+            )
         # idempotent per-batch partition: a replayed batch overwrites
         # its own directory instead of double-appending
         fresh.write.mode("overwrite").parquet(
             os.path.join(out_path, f"batch_id={batch_id}")
         )
-        spark.read.parquet(
+        index_rows = spark.read.parquet(
             os.path.join(out_path, f"batch_id={batch_id}")
-        ).select("fingerprint").write.mode("overwrite").parquet(
-            os.path.join(index_path, f"batch_id={batch_id}")
-        )
+        ).select("fingerprint")
+        index_writer = index_rows.write.mode("overwrite")
+        if index_buckets:
+            index_writer = index_rows.withColumn(
+                "pbucket", pbucket
+            ).repartition("pbucket").write.mode("overwrite").partitionBy(
+                "pbucket"
+            )
+        index_writer.parquet(os.path.join(index_path, f"batch_id={batch_id}"))
 
     writer = (
         sdf.writeStream.foreachBatch(ingest_batch)
@@ -399,6 +427,7 @@ def near_dedup_ingest_stream(
     bands: int = 16,
     threshold: float = 0.5,
     hash_fn: str = "xxhash64",
+    index_buckets: int | None = None,
     available_now: bool = False,
     trigger_interval: str | None = None,
 ):
@@ -423,15 +452,21 @@ def near_dedup_ingest_stream(
     work). Short docs (< n tokens) have no shingles, can't collide, and
     are accepted unconditionally.
 
-    Scale shape: the accumulated band index is read with ONE projected
-    column set and joined against the (small) micro-batch's band rows —
-    AQE broadcasts the batch side; at corpus scale write the index
-    bucketed by (band, bsig) for a co-located collision join. Docs per
-    batch x bands rows shuffle, never the text. Band signatures are
-    xxhash64 over the band's minhashes regardless of ``hash_fn`` (the
-    index is engine-internal; pick hash_fn="portable" only if the
-    SIGNATURES must replay elsewhere). Returns the started
-    StreamingQuery.
+    Scale shape — ``index_buckets``. Unset, each micro-batch scans the
+    FULL accumulated band index (and the signatures of every candidate
+    dominator): per-batch cost grows linearly with the corpus. With
+    ``index_buckets=B`` both index relations gain a partition directory
+    ``pbucket`` — ``pmod(xxhash64(band, bsig), B)`` for band rows,
+    ``pmod(xxhash64(doc), B)`` for signatures — and each batch reads
+    ONLY the pbuckets its own band rows / candidate dominators hash
+    into, a directory-level partition-pruned scan bounded by
+    ``min(batch collisions, B)/B`` of the index regardless of corpus
+    size. The collision join itself broadcasts the batch side under AQE
+    either way (no Exchange on the index side). Docs per batch x bands
+    rows shuffle, never the text. Band signatures are xxhash64 over the
+    band's minhashes regardless of ``hash_fn`` (the index is
+    engine-internal; pick hash_fn="portable" only if the SIGNATURES
+    must replay elsewhere). Returns the started StreamingQuery.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
@@ -445,7 +480,10 @@ def near_dedup_ingest_stream(
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         # one signature pass, pinned for its many consumers (band build,
-        # both verify sides, the index write), released before returning
+        # both verify sides, the index write), released before returning;
+        # `live` tracks every checkpoint the batch pins (the candidate
+        # relation joins it under index_buckets) so an exception can't
+        # leak blocks for the stream's lifetime
         sig = minhash_signatures(
             batch_df, id_col, text_col, n=n, num_hashes=num_hashes,
             hash_fn=hash_fn,
@@ -453,6 +491,7 @@ def near_dedup_ingest_stream(
             "doc",
             F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig"),
         ).localCheckpoint()
+        live = [sig]
         try:
             band_rows = sig.select(
                 "doc",
@@ -467,6 +506,11 @@ def near_dedup_ingest_stream(
                     for b in range(bands)
                 ])).alias("bs"),
             ).select("doc", "bs.band", "bs.bsig")
+
+            band_pb = F.pmod(
+                F.xxhash64("band", "bsig"), F.lit(index_buckets or 1)
+            )
+            doc_pb = F.pmod(F.xxhash64("doc"), F.lit(index_buckets or 1))
 
             # in-batch candidates: same bucket, lower id dominates
             a, b2 = band_rows.alias("a"), band_rows.alias("b")
@@ -484,20 +528,49 @@ def near_dedup_ingest_stream(
             # index, EXCLUDING this batch's own partitions (crash-replay
             # safety — see dedup_ingest_stream)
             if _fs_nonempty(spark, bands_dir):
-                old_bands = (
-                    spark.read.parquet(bands_dir)
-                    .filter(F.col("batch_id") != batch_id)
-                    .select(F.col("doc").alias("dom"), "band", "bsig")
+                old_bands = spark.read.parquet(bands_dir).filter(
+                    F.col("batch_id") != batch_id
                 )
+                if index_buckets:
+                    # partition-prune the band index to the buckets this
+                    # batch's own band rows hash into (one tiny job over
+                    # the checkpointed signatures)
+                    pbs = [
+                        r.pb
+                        for r in band_rows.select(band_pb.alias("pb"))
+                        .distinct()
+                        .collect()
+                    ]
+                    old_bands = old_bands.filter(F.col("pbucket").isin(pbs))
                 cand = cand.union(
-                    old_bands.join(band_rows, ["band", "bsig"])
+                    old_bands.select(F.col("doc").alias("dom"), "band", "bsig")
+                    .join(band_rows, ["band", "bsig"])
                     .select("dom", "doc")
                 )
-                all_sigs = sig.union(
-                    spark.read.parquet(sigs_dir)
-                    .filter(F.col("batch_id") != batch_id)
-                    .select("doc", "sig")
+                old_sigs = spark.read.parquet(sigs_dir).filter(
+                    F.col("batch_id") != batch_id
                 )
+                cand = cand.distinct()
+                if index_buckets:
+                    # the signature store only needs the DOMINATOR rows:
+                    # pin the (batch-collision-sized) candidate relation
+                    # and prune sig partitions to the dominators' buckets
+                    cand = cand.localCheckpoint()
+                    live.append(cand)
+                    dom_pbs = [
+                        r.pb
+                        for r in cand.select(
+                            F.pmod(
+                                F.xxhash64("dom"), F.lit(index_buckets)
+                            ).alias("pb")
+                        )
+                        .distinct()
+                        .collect()
+                    ]
+                    old_sigs = old_sigs.filter(F.col("pbucket").isin(dom_pbs))
+                all_sigs = sig.union(old_sigs.select("doc", "sig"))
+            else:
+                cand = cand.distinct()
             est_j = F.aggregate(
                 F.zip_with(
                     F.col("a_sig"), F.col("b_sig"),
@@ -507,7 +580,7 @@ def near_dedup_ingest_stream(
                 lambda acc, x: acc + x,
             ) / F.lit(num_hashes)
             dominated = (
-                cand.distinct()
+                cand
                 .join(all_sigs.select(F.col("doc").alias("dom"),
                                       F.col("sig").alias("a_sig")), "dom")
                 .join(sig.select("doc", F.col("sig").alias("b_sig")), "doc")
@@ -523,14 +596,29 @@ def near_dedup_ingest_stream(
             acc_ids = spark.read.parquet(
                 os.path.join(out_path, f"batch_id={batch_id}")
             ).select(F.col(id_col).alias("doc"))
-            sig.join(acc_ids, "doc", "left_semi").write.mode(
-                "overwrite"
-            ).parquet(os.path.join(sigs_dir, f"batch_id={batch_id}"))
-            band_rows.join(acc_ids, "doc", "left_semi").write.mode(
-                "overwrite"
-            ).parquet(os.path.join(bands_dir, f"batch_id={batch_id}"))
+            new_sigs = sig.join(acc_ids, "doc", "left_semi")
+            new_bands = band_rows.join(acc_ids, "doc", "left_semi")
+            if index_buckets:
+                new_sigs.withColumn("pbucket", doc_pb).repartition(
+                    "pbucket"
+                ).write.mode("overwrite").partitionBy("pbucket").parquet(
+                    os.path.join(sigs_dir, f"batch_id={batch_id}")
+                )
+                new_bands.withColumn("pbucket", band_pb).repartition(
+                    "pbucket"
+                ).write.mode("overwrite").partitionBy("pbucket").parquet(
+                    os.path.join(bands_dir, f"batch_id={batch_id}")
+                )
+            else:
+                new_sigs.write.mode("overwrite").parquet(
+                    os.path.join(sigs_dir, f"batch_id={batch_id}")
+                )
+                new_bands.write.mode("overwrite").parquet(
+                    os.path.join(bands_dir, f"batch_id={batch_id}")
+                )
         finally:
-            release_checkpoint(sig)
+            for frame in live:
+                release_checkpoint(frame)
 
     writer = (
         sdf.writeStream.foreachBatch(ingest_batch)

@@ -4414,6 +4414,115 @@ SQL_IVFPQ_TOPK = _LazySQL(_sql_ivfpq_topk)
 
 
 # =========================================================================
+# Round-7 promotions: text normalization, perceptual image dedup,
+# streaming near-dup ingest — previously test-only, now oracle-adjudicated
+# =========================================================================
+
+def q_normalize_text(spark, sf_dir):
+    """Crawl-text canonicalization (functions/text.py::normalize_text):
+    typographic-punctuation folding, control stripping, whitespace
+    collapse as pure translate/regexp expressions — map-only,
+    whole-stage codegen. The oracle replays the identical fold chain in
+    DuckDB (same translate tables, same RE2-compatible classes)."""
+    from my_feast_spark.functions.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        normalize_text(F.col("text")).alias("norm_text"),
+        F.length(normalize_text(F.col("text"))).alias("norm_len"),
+    )
+
+
+def _sql_normalize_text() -> str:
+    from my_feast_spark.functions.text import _FOLD_DST, _FOLD_SRC
+
+    src = _FOLD_SRC.replace("'", "''")
+    dst = _FOLD_DST.replace("'", "''")
+    norm = (
+        "trim(regexp_replace(regexp_replace(regexp_replace("
+        f"translate(text, '{src}', '{dst}'), '…', '...', 'g'), "
+        "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'), "
+        "'\\s+', ' ', 'g'))"
+    )
+    return f"""
+SELECT doc_id, {norm} AS norm_text,
+       CAST(length({norm}) AS INTEGER) AS norm_len
+FROM documents
+"""
+
+
+SQL_NORMALIZE_TEXT = _LazySQL(_sql_normalize_text)
+
+
+def q_image_dedup(spark, sf_dir):
+    """Perceptual image near-dup pairs: deterministic fake image assets
+    from the documents table (multimodal/assets.py — header assembled
+    JVM-side, payload = the text bytes a real decoder would replace
+    with pixels), 64-bit dHash-style fingerprints in one Arrow pass,
+    then the dedup tier's pigeonhole hamming join (8 chunks x 8 bits —
+    recall exactly 1 up to hamming 7, no cross join). The oracle
+    recomputes each asset's dhash with the same byte-grid reduction in
+    Python, injects (id, dhash) literals, and replays the FULL hamming
+    predicate — which by the pigeonhole recall guarantee equals the
+    blocked join's output exactly."""
+    from my_feast_spark.multimodal.assets import (
+        encode_fake_image_assets,
+        image_near_dup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = encode_fake_image_assets(docs, "doc_id", "text")
+    return image_near_dup_pairs(assets, max_hamming=6)
+
+
+def _dhash_bits(payload: bytes) -> int:
+    """Pure-Python mirror of assets.image_dhash's byte-grid reduction
+    (shared by the oracle generator; pinned against the Spark path by
+    tests/test_multimodal.py)."""
+    data = payload if len(payload) >= 72 else payload + bytes(72 - len(payload))
+    n = len(data)
+    cells = [
+        sum(data[(i * n) // 72:((i + 1) * n) // 72])
+        / max(((i + 1) * n) // 72 - (i * n) // 72, 1)
+        for i in range(72)
+    ]
+    bits = 0
+    for row in range(8):
+        for col in range(8):
+            bits = (bits << 1) | (1 if cells[row * 9 + col] > cells[row * 9 + col + 1] else 0)
+    return bits - (1 << 64) if bits >= 1 << 63 else bits
+
+
+def _sql_image_dedup(*, max_hamming=6):
+    """Oracle generator for q_image_dedup: dhash literals + the exact
+    hamming predicate. Returns None (rows-only) if the oracle testdata
+    is absent."""
+    path = os.path.join(ORACLE_SF_DIR, "documents.parquet")
+    if not os.path.exists(path):
+        return None
+    import pyarrow.parquet as pq_  # noqa: N813
+
+    t = pq_.read_table(path, columns=["doc_id", "text"])
+    vals = ", ".join(
+        f"({int(i)}, {_dhash_bits(s.encode('utf-8'))})"
+        for i, s in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        )
+    )
+    return f"""
+WITH fp(doc, dhash) AS (VALUES {vals})
+SELECT a.doc AS doc_a, b.doc AS doc_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc < b.doc
+WHERE bit_count(xor(a.dhash, b.dhash)) <= {max_hamming}
+"""
+
+
+SQL_IMAGE_DEDUP = _LazySQL(_sql_image_dedup)
+
+
+# =========================================================================
 # Query registry.
 #
 # The driver adjudicates queries() entries IN ORDER and evaluates a window

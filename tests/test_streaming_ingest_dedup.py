@@ -101,3 +101,69 @@ def test_fs_nonempty_probes_through_hadoop(spark, tmp_path):
     assert _fs_nonempty(spark, str(real)) is True
     # scheme-qualified path resolves through the same FileSystem API
     assert _fs_nonempty(spark, f"file://{real}") is True
+
+
+def test_bucketed_index_matches_flat_and_prunes(spark, tmp_path):
+    """index_buckets changes the fingerprint-index LAYOUT only: the
+    bucketed stream accepts exactly what the flat stream accepts, the
+    index lands under pbucket=K partition directories, and a
+    probe-style partition filter reads a strict subset of the index
+    files — per-batch index scan cost stays bounded by the batch's own
+    bucket set instead of the whole corpus."""
+    from pyspark.sql import functions as F
+
+    flat_in = str(tmp_path / "in_flat")
+    buck_in = str(tmp_path / "in_buck")
+    os.makedirs(flat_in)
+    os.makedirs(buck_in)
+    batches = [
+        [Row(doc_id=1, text="alpha beta gamma"),
+         Row(doc_id=2, text="alpha beta gamma"),
+         Row(doc_id=3, text="delta epsilon")],
+    ] + [
+        [Row(doc_id=10 * b + 1, text="alpha beta gamma"),  # re-crawl
+         Row(doc_id=10 * b + 2, text=f"fresh content number {b}")]
+        for b in range(1, 6)
+    ]
+    results = {}
+    for key, in_dir, nb in (("flat", flat_in, None), ("buck", buck_in, 8)):
+        out = str(tmp_path / f"out_{key}")
+        idx = str(tmp_path / f"idx_{key}")
+        for bi, rows in enumerate(batches):
+            spark.createDataFrame(rows).coalesce(1).write.mode(
+                "append"
+            ).parquet(in_dir)
+            sdf = spark.readStream.schema(
+                "doc_id long, text string"
+            ).parquet(in_dir)
+            q = dedup_ingest_stream(
+                sdf, out_path=out, index_path=idx,
+                checkpoint=str(tmp_path / f"ck_{key}"),
+                index_buckets=nb, available_now=True,
+            )
+            assert q.awaitTermination(120)
+        results[key] = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert results["flat"] == results["buck"]
+    assert results["flat"] == {1, 3, 12, 22, 32, 42, 52}
+
+    idx = str(tmp_path / "idx_buck")
+
+    def files_read(df):
+        # post-pruning file set: inputFiles() reflects the UNFILTERED
+        # relation, so probe what the executed scan actually touches
+        return {
+            r.f
+            for r in df.select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        }
+
+    every = files_read(spark.read.parquet(idx))
+    assert any("pbucket=" in f for f in every)
+    some_pb = sorted(
+        {int(f.split("pbucket=")[1].split("/")[0]) for f in every}
+    )[0]
+    pruned = files_read(
+        spark.read.parquet(idx).filter(F.col("pbucket") == some_pb)
+    )
+    assert pruned and pruned < every
