@@ -48,7 +48,11 @@ class NBModel:
     k: float
 
 
-def _doc_tokens(text_col, lowercase: bool) -> Column:
+def _doc_tokens(text_col, lowercase: bool, tokens_col: str | None = None) -> Column:
+    if tokens_col is not None:
+        # pipelines (curation) project the lowered token array ONCE and
+        # fan it out to every consumer — skip re-tokenizing
+        return F.col(tokens_col)
     t = F.col(text_col)
     if lowercase:
         t = F.lower(t)
@@ -57,11 +61,12 @@ def _doc_tokens(text_col, lowercase: bool) -> Column:
 
 def train_nb(
     df: DataFrame,
-    text_col: str,
+    text_col: str | None,
     label_col: str,
     *,
     k: float = 0.5,
     lowercase: bool = True,
+    tokens_col: str | None = None,
 ) -> NBModel:
     """Fit the count model. ``label_col`` is a boolean column (True =
     positive / reference class). One distributed pass builds the
@@ -69,7 +74,9 @@ def train_nb(
     priors) come back in a single 1-row collect."""
     toks = df.select(
         F.col(label_col).cast("boolean").alias("__pos"),
-        F.explode_outer(_doc_tokens(text_col, lowercase)).alias("token"),
+        F.explode_outer(
+            _doc_tokens(text_col, lowercase, tokens_col)
+        ).alias("token"),
     ).filter(F.col("token").isNotNull())
     counts = (
         toks.groupBy("token")
@@ -123,10 +130,11 @@ def train_nb(
 def score_nb(
     df: DataFrame,
     id_col: str,
-    text_col: str,
+    text_col: str | None,
     model: NBModel,
     *,
     lowercase: bool = True,
+    tokens_col: str | None = None,
     out_col: str = "log_odds",
     decimals: int = 4,
 ) -> DataFrame:
@@ -138,7 +146,7 @@ def score_nb(
     (left-join back if needed)."""
     ev = df.select(
         F.col(id_col),
-        F.explode(_doc_tokens(text_col, lowercase)).alias("token"),
+        F.explode(_doc_tokens(text_col, lowercase, tokens_col)).alias("token"),
     )
     scored = ev.join(F.broadcast(model.token_llr), "token", "left").withColumn(
         "__llr", F.coalesce(F.col("llr"), F.lit(model.oov_llr))

@@ -83,6 +83,18 @@ class CurationConfig:
     near_dup_shingle_n: int = 3
     near_dup_hash_fn: str = "xxhash64"
     near_dup_kwargs: dict = field(default_factory=dict)
+    # --- optional: NB quality-classifier filter (GPT-3/CCNet recipe) --
+    #: True trains reference-vs-crawl Naive Bayes (positives =
+    #: ``quality_reference_df``, negatives = the deduped corpus itself)
+    #: and drops every doc the classifier scores non-positive
+    nb_quality: bool = False
+    nb_k: float = 0.5
+    #: drop a doc when its token EVIDENCE (log-odds minus the class
+    #: prior) falls at or below this cut — the prior is a constant
+    #: offset set by the reference/crawl size ratio, so thresholding
+    #: raw posterior sign would degenerate whenever the reference is
+    #: small; tune per corpus like the GPT-3 recipe tunes its filter
+    nb_evidence_cut: float = -4.0
 
 
 def curate(
@@ -90,12 +102,23 @@ def curate(
     config: CurationConfig | None = None,
     *,
     benchmark_df: DataFrame | None = None,
+    quality_reference_df: DataFrame | None = None,
 ) -> DataFrame:
     """Run the curation pipeline; returns the accounting relation
-    ``(id, stratum, n_tokens, n_chunks)`` of the surviving documents."""
+    ``(id, stratum, n_tokens, n_chunks)`` of the surviving documents.
+
+    ``quality_reference_df`` (with ``cfg.nb_quality=True``) supplies the
+    trusted reference corpus for the NB quality filter: the GPT-3 recipe
+    trains reference-vs-crawl and filters ON the classifier score."""
     cfg = config or CurationConfig()
     did, text, stratum = cfg.id_col, cfg.text_col, cfg.stratum_col
-    optional_stages = benchmark_df is not None or cfg.near_dup is not None
+    if cfg.nb_quality and quality_reference_df is None:
+        raise ValueError("nb_quality=True needs quality_reference_df")
+    optional_stages = (
+        benchmark_df is not None
+        or cfg.near_dup is not None
+        or cfg.nb_quality
+    )
 
     # Tokenize ONCE (lowercased — every consumer wants the lowered
     # form; token COUNTS are lowering-invariant), before the dedup
@@ -186,6 +209,41 @@ def curate(
                 )
             )
 
+        # 3b. NB quality filter (optional): reference-vs-crawl Naive
+        #     Bayes (GPT-3/CCNet recipe) — positives = the trusted
+        #     reference corpus, negatives = the deduped corpus itself,
+        #     both read from the once-projected token arrays. Training
+        #     is one aggregation pass; scoring is a broadcast llr join;
+        #     docs scoring non-positive join the dropped-id set.
+        nb_caches: list[DataFrame] = []
+        if cfg.nb_quality:
+            from my_feast_spark.operators.classifier import (
+                score_nb,
+                train_nb,
+            )
+
+            ref = quality_reference_df.select(
+                F.lit(True).alias("__pos"),
+                tokens(F.lower(F.col(text))).alias("__ltoks"),
+            )
+            neg = deduped.select(F.lit(False).alias("__pos"), "__ltoks")
+            model = train_nb(
+                ref.unionByName(neg), None, "__pos",
+                k=cfg.nb_k, tokens_col="__ltoks",
+            )
+            nb_caches = list(model.token_llr._owned_caches)
+            scored = score_nb(
+                deduped, did, None, model, tokens_col="__ltoks"
+            )
+            evidence = F.round(
+                F.col("log_odds") - F.lit(model.prior_logodds), 4
+            )
+            drops.append(
+                scored.filter(
+                    evidence <= F.lit(cfg.nb_evidence_cut)
+                ).select(F.col(did))
+            )
+
         # Pin the (small) dropped-id union eagerly, then drop every
         # cache AND every upstream checkpoint: once drop_ids holds the
         # materialized id set, the contamination checkpoint and the
@@ -205,9 +263,11 @@ def curate(
             spent_checkpoints.extend(
                 getattr(clusters, "_owned_checkpoints", ())
             )
-        drop_ids = drops[0] if len(drops) == 1 else drops[0].union(drops[1])
+        from functools import reduce
+
+        drop_ids = reduce(lambda a, b: a.union(b), drops)
         drop_ids = drop_ids.localCheckpoint()
-        for c in pair_caches:
+        for c in pair_caches + nb_caches:
             c.unpersist()
         for c in spent_checkpoints:
             release_checkpoint(c)

@@ -3539,18 +3539,23 @@ def q_curation_pipeline_full(spark, sf_dir, *, hash_fn="portable"):
     """EVERY curation stage in one plan: exact dedup -> benchmark
     decontamination (4-gram overlap vs the doc_id%50==0 eval split) ->
     MinHash-LSH near-dup clustering with per-cluster representative
-    pruning -> repetition filter -> stratified sample -> accounting.
-    This is ``operators/curation.curate`` with both optional stages on;
-    the oracle replays the whole chain — including the banded-LSH
-    pipeline and a recursive-CTE connected components — hash-for-hash
-    (portable hash family for replayability; the 100 TB run flips
-    ``near_dup_hash_fn`` to xxhash64 — bench times that variant too).
+    pruning -> NB quality-classifier filter (GPT-3/CCNet recipe: the
+    eval split stands in as the trusted reference class, the deduped
+    crawl as negative, docs scoring non-positive drop) -> repetition
+    filter -> stratified sample -> accounting. This is
+    ``operators/curation.curate`` with all three optional stages on;
+    the oracle replays the whole chain — the banded-LSH pipeline, a
+    recursive-CTE connected components, AND the NB count/llr scoring —
+    hash-for-hash (portable hash family for replayability; the 100 TB
+    run flips ``near_dup_hash_fn`` to xxhash64 — bench times that
+    variant too).
 
     Scale shape: one corpus shuffle (dedup window); decontamination adds
     a broadcast semi-join vs the (tiny) benchmark shingle set + one
     re-agg on the hit subset; near-dup adds the banded bucket joins over
-    the deduped corpus and an anti-join against the (small) dropped-id
-    set; repetition/sample stay map-only."""
+    the deduped corpus; NB adds one count aggregation + a broadcast llr
+    join; everything resolves into one anti-join against the (small)
+    dropped-id set; repetition/sample stay map-only."""
     from my_feast_spark.operators.curation import CurationConfig, curate
 
     docs = _t(spark, sf_dir, "documents")
@@ -3561,8 +3566,9 @@ def q_curation_pipeline_full(spark, sf_dir, *, hash_fn="portable"):
         decontaminate_ngram=4,
         near_dup="minhash",
         near_dup_hash_fn=hash_fn,
+        nb_quality=True,
     )
-    return curate(train, cfg, benchmark_df=bench)
+    return curate(train, cfg, benchmark_df=bench, quality_reference_df=bench)
 
 
 SQL_CURATION_PIPELINE_FULL = f"""
@@ -3600,6 +3606,45 @@ contaminated AS MATERIALIZED (
 decont AS MATERIALIZED (
   SELECT * FROM dedup WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
 ),
+nbsrc AS (
+  SELECT TRUE AS pos, string_split_regex(trim(lower(text)), '\\s+') AS lt
+  FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT FALSE, string_split_regex(trim(lower(text)), '\\s+') FROM dedup
+),
+nbcnt AS MATERIALIZED (
+  SELECT token,
+         CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+         CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+  FROM (SELECT pos, unnest(lt) AS token FROM nbsrc) GROUP BY token
+),
+nbtot AS (
+  SELECT CAST(sum(c_pos) AS BIGINT) AS t_pos,
+         CAST(sum(c_neg) AS BIGINT) AS t_neg, count(*) AS v
+  FROM nbcnt
+),
+nbpri AS (
+  SELECT log2(CAST((SELECT count(*) FROM documents WHERE doc_id % 50 = 0)
+                   AS DOUBLE)
+              / (SELECT count(*) FROM dedup)) AS prior
+),
+nbdrop AS MATERIALIZED (
+  -- drop rule mirrors curate(): EVIDENCE = round(log_odds,4) - prior,
+  -- re-rounded to 4, at or below the configured cut (-4.0) — the same
+  -- double chain the Spark side computes, so partial-sum order can't
+  -- flip a boundary doc
+  SELECT doc_id FROM (
+    SELECT s.doc_id, any_value(nbpri.prior) AS prior,
+           round(any_value(nbpri.prior)
+                 + sum(log2((c.c_pos + 0.5) / (nbtot.t_pos + 0.5 * (nbtot.v + 1)))
+                       - log2((c.c_neg + 0.5) / (nbtot.t_neg + 0.5 * (nbtot.v + 1)))),
+                 4) AS log_odds
+    FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+          FROM dedup) s
+    JOIN nbcnt c USING (token) CROSS JOIN nbtot CROSS JOIN nbpri
+    GROUP BY s.doc_id
+  ) WHERE round(log_odds - prior, 4) <= -4.0
+),
 pairs AS ({_sql_minhash_dup_pairs(source="decont")}),
 sym AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -3614,6 +3659,7 @@ clusters AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY 1),
 pruned AS (
   SELECT * FROM decont
   WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster_id)
+    AND doc_id NOT IN (SELECT doc_id FROM nbdrop)
 ),
 ptoks AS (
   SELECT doc_id, lang,
@@ -4520,6 +4566,157 @@ WHERE bit_count(xor(a.dhash, b.dhash)) <= {max_hamming}
 
 
 SQL_IMAGE_DEDUP = _LazySQL(_sql_image_dedup)
+
+
+def q_streaming_neardup_ingest(spark, sf_dir):
+    """Streaming NEAR-dup ingest end-to-end (streaming/ingest.py::
+    near_dedup_ingest_stream): the documents table arrives as three
+    micro-batches (doc_id % 3, fed through ONE checkpoint so batch ids
+    accumulate), each batch MinHash-signs its docs, collides band
+    buckets against the partition-pruned accumulated index
+    (index_buckets=8 — the bucketed layout is the adjudicated path),
+    and drops docs whose signature-estimated Jaccard against an
+    accepted or lower-id in-batch doc reaches 0.5. hash_fn="portable"
+    makes the signatures the md5 Carter-Wegman family, so the oracle
+    replays signing + banding + the est-Jaccard verify + the
+    batch-sequential accept policy entirely in DuckDB (band-bucket
+    equality replayed on the raw minhash tuples — the engine's
+    xxhash64 band signature is an injective-up-to-collisions rename of
+    them). Returns the accepted relation (doc_id, batch_id)."""
+    import tempfile
+
+    from my_feast_spark.streaming.ingest import near_dedup_ingest_stream
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="mfs_neardup_ingest_")
+    in_dir = os.path.join(base, "incoming")
+    os.makedirs(in_dir)
+    out = os.path.join(base, "accepted")
+    idx = os.path.join(base, "index")
+    ckpt = os.path.join(base, "ckpt")
+    for b in range(3):
+        docs.filter(F.col("doc_id") % 3 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        sdf = spark.readStream.schema("doc_id long, text string").parquet(
+            in_dir
+        )
+        q = near_dedup_ingest_stream(
+            sdf, out_path=out, index_path=idx, checkpoint=ckpt,
+            n=3, num_hashes=64, bands=16, threshold=0.5,
+            hash_fn="portable", index_buckets=8, available_now=True,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+    return spark.read.parquet(out).select(
+        "doc_id", F.col("batch_id").cast("int").alias("batch_id")
+    )
+
+
+def _sql_streaming_neardup_ingest(
+    *, num_hashes=64, bands=16, threshold=0.5, n_batches=3,
+):
+    """DuckDB replay of the batch-sequential near-dup accept policy:
+    portable minhash signatures (the SQL_MINHASH_DUP_PAIRS family),
+    band buckets on the raw minhash tuples, signature-estimated
+    Jaccard verify, then one chained CTE stage per micro-batch — a doc
+    drops iff a same-bucket verified dominator is a LOWER-ID doc of
+    its own batch (pairwise-greedy, like the engine) or an ACCEPTED
+    doc of an earlier batch (only accepted docs enter the index)."""
+    from my_feast_spark.operators.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    r = num_hashes // bands
+    mh = ",\n         ".join(
+        f"list_min(list_transform(bases, x -> ({MINHASH_A[i]} * x + {MINHASH_B[i]}) "
+        f"% {MINHASH_P})) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc, {b} AS band, concat_ws(',', "
+        + ", ".join(f"CAST(mh_{b * r + j} AS VARCHAR)" for j in range(r))
+        + ") AS bsig FROM sigs"
+        for b in range(bands)
+    )
+    sig_arr = "[" + ", ".join(f"mh_{i}" for i in range(num_hashes)) + "]"
+    est = (
+        f"list_sum(list_transform(range(1, {num_hashes + 1}), "
+        "i -> CASE WHEN sx.sig[i] = sy.sig[i] THEN 1 ELSE 0 END)) "
+        f"/ {num_hashes}.0"
+    )
+    stages = []
+    acc_union = None
+    for k in range(n_batches):
+        same_batch = (
+            f"(v.x IN (SELECT doc FROM bat WHERE b = {k}) AND v.x < v.y)"
+        )
+        if acc_union:
+            cond = f"({same_batch} OR v.x IN (SELECT doc FROM {acc_union}))"
+        else:
+            cond = same_batch
+        stages.append(
+            f"drop{k} AS (\n"
+            f"  SELECT DISTINCT v.y AS doc FROM ver v\n"
+            f"  JOIN bat ON bat.doc = v.y AND bat.b = {k}\n"
+            f"  WHERE {cond}\n"
+            f"), acc{k} AS (\n"
+            f"  SELECT doc FROM bat WHERE b = {k}\n"
+            f"  AND doc NOT IN (SELECT doc FROM drop{k})\n"
+            f")"
+        )
+        acc_union = (
+            f"acc{k}" if acc_union is None
+            else f"(SELECT doc FROM {acc_union} UNION SELECT doc FROM acc{k})"
+        )
+        if k and acc_union.startswith("("):
+            # materialize the running union as its own CTE for the next stage
+            stages.append(
+                f"accu{k} AS (SELECT doc FROM "
+                + " UNION SELECT doc FROM ".join(f"acc{j}" for j in range(k + 1))
+                + ")"
+            )
+            acc_union = f"accu{k}"
+    final = " UNION ALL ".join(
+        f"SELECT doc AS doc_id, {k} AS batch_id FROM acc{k}"
+        for k in range(n_batches)
+    )
+    stage_sql = ",\n".join(stages)
+    return f"""
+WITH bat AS (
+  SELECT doc_id AS doc, doc_id % {n_batches} AS b FROM documents
+), toks AS (
+  SELECT doc_id AS doc, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), sh AS MATERIALIZED (
+  SELECT doc, list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks WHERE len(t) >= 3
+), based AS MATERIALIZED (
+  SELECT doc, list_transform(s, sg ->
+         CAST((md5_number_lower(sg) & 9223372036854775807) % {MINHASH_P} AS BIGINT)) AS bases
+  FROM sh
+), sigs AS MATERIALIZED (
+  SELECT doc, {mh}
+  FROM based
+), sigarr AS MATERIALIZED (
+  SELECT doc, {sig_arr} AS sig FROM sigs
+), band_rows AS MATERIALIZED (
+  {band_selects}
+), coll AS (
+  SELECT DISTINCT a.doc AS x, b.doc AS y
+  FROM band_rows a JOIN band_rows b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.doc <> b.doc
+), ver AS MATERIALIZED (
+  SELECT x, y FROM coll
+  JOIN sigarr sx ON sx.doc = coll.x
+  JOIN sigarr sy ON sy.doc = coll.y
+  WHERE {est} >= {threshold}
+),
+{stage_sql}
+SELECT doc_id, CAST(batch_id AS INTEGER) AS batch_id FROM ({final})
+"""
+
+
+SQL_STREAMING_NEARDUP_INGEST = _LazySQL(_sql_streaming_neardup_ingest)
 
 
 # =========================================================================
