@@ -128,6 +128,13 @@ def main() -> None:
          lambda: counted(workload.q_embedding_near_dupes_lsh(spark, sf_dir, deterministic=False))),
         ("curation_pipeline_full_numpy",
          lambda: counted(workload.q_curation_pipeline_full(spark, sf_dir, hash_fn="numpy"))),
+        # exhaustive-ADC vs IVFADC at a 10x query batch: the probe path's
+        # candidate volume is nprobe/num_cells (= 1/4 here) of the
+        # exhaustive scan's — the gap that grows with corpus x queries
+        ("pq_topk_q200",
+         lambda: counted(workload.q_pq_topk(spark, sf_dir, n_queries=200))),
+        ("ivfpq_topk_q200",
+         lambda: counted(workload.q_ivfpq_topk(spark, sf_dir, n_queries=200))),
     ):
         timed(name, thunk)
 

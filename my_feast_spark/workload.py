@@ -1604,7 +1604,7 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 SQL_DEDUP_CLUSTERS = f"""
-WITH RECURSIVE pairs AS ({SQL_MINHASH_DUP_PAIRS}),
+WITH RECURSIVE pairs AS ({_sql_minhash_dup_pairs()}),
 sym AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION ALL SELECT doc_b, doc_a FROM pairs
@@ -1657,7 +1657,7 @@ def q_cluster_keep_longest(spark, sf_dir):
 
 
 SQL_CLUSTER_KEEP_LONGEST = f"""
-WITH RECURSIVE pairs AS ({SQL_MINHASH_DUP_PAIRS}),
+WITH RECURSIVE pairs AS ({_sql_minhash_dup_pairs()}),
 sym AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION ALL SELECT doc_b, doc_a FROM pairs
@@ -4239,7 +4239,7 @@ FROM c LEFT JOIN dropped d ON c.id = d.id
 SQL_SEMDEDUP = _LazySQL(_sql_semdedup)
 
 
-def q_pq_topk(spark, sf_dir, *, deterministic=True):
+def q_pq_topk(spark, sf_dir, *, deterministic=True, n_queries=20):
     """Product-quantization ANN (operators/pq.py): per-subspace
     codebooks trained on the bounded id-ordered sample, corpus encoded
     to m=8 k=16 codes in one Arrow pass (the compressed relation a
@@ -4257,7 +4257,7 @@ def q_pq_topk(spark, sf_dir, *, deterministic=True):
     codes = pq_encode(
         emb, "vec_id", "embedding", cb, deterministic=deterministic
     ).select(F.col("vec_id").alias("corpus_id"), "codes")
-    q = emb.where(F.col("vec_id") < 20).select(
+    q = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return pq_topk(q, codes, cb, k=5)
@@ -4344,7 +4344,7 @@ FROM r WHERE rank <= {topk}
 SQL_PQ_TOPK = _LazySQL(_sql_pq_topk)
 
 
-def q_ivfpq_topk(spark, sf_dir, *, deterministic=True):
+def q_ivfpq_topk(spark, sf_dir, *, deterministic=True, n_queries=20):
     """IVFADC — the IVF x PQ composition (operators/pq.py::ivfpq_topk):
     coarse k-means cells prune the candidate set to ``nprobe`` cells per
     query, PQ codes + the broadcast per-query lookup tables compute the
@@ -4360,7 +4360,7 @@ def q_ivfpq_topk(spark, sf_dir, *, deterministic=True):
     from my_feast_spark.operators.pq import ivfpq_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") < 20).select(
+    q = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
@@ -4733,12 +4733,23 @@ SQL_STREAMING_NEARDUP_INGEST = _LazySQL(_sql_streaming_neardup_ingest)
 #   4. ROTATION TAIL: with >50 oracle-backed queries, the last few are
 #      unadjudicated each round. Queries rotate between the tail and the
 #      window every round so nothing goes two consecutive rounds without
-#      a fresh CORRECTNESS row, and a query that is NEW or whose code
-#      CHANGED this round is always in-window (round 6: the 37 surviving
-#      r4-tail queries are back in, the r6-changed scd2_user_state /
-#      vocab_encode_join / curation+minhash (cache-release plumbing) and
-#      the NEW span_removal / lm_perplexity / bpe_merge_replay are in;
-#      the 40 queries adjudicated green in round 5 sit out one round).
+#      a fresh CORRECTNESS row, and a query that is NEW this round or
+#      whose BEHAVIOR changed (any change that can alter its output at
+#      any sf) is always in-window. Round 7: the 40 surviving r5-tail
+#      queries are back in, the behavior-changed curation_pipeline_full
+#      (new NB stage) is in, and the four NEW queries (ivfpq_topk,
+#      normalize_text, image_dedup, streaming_neardup_ingest) are in;
+#      the r6-green window queries sit the tail out one round. Four
+#      r6-green entries took NON-behavioral changes this round and keep
+#      their tail slot with their r6 rows — bpe_merge_replay (docstring
+#      only: the BMP-only split assumption documented per the r6
+#      ADVICE) plus the guard/signature trio below —
+#      nb_quality_score (tokens_col param + empty-corpus ValueError),
+#      pq_topk (id_col now required; the query always passed it),
+#      semdedup (sample_cap auto-raise that cannot fire at the query's
+#      16 cells) — their outputs are bit-identical (pinned every run by
+#      tests/test_oracle_parity.py), so they keep their r6 rows and
+#      their tail slot.
 #   5. RETIRED: the registry budget is ~100 driver-adjudicated queries;
 #      retired entries are near-duplicates of in-registry coverage
 #      (their operators stay covered by other queries) that keep their
@@ -4759,64 +4770,21 @@ QUERIES: dict[str, tuple] = {
     "hourly_user_agg": (q_hourly_user_agg, SQL_HOURLY_USER_AGG),
     "hourly_global_agg": (q_hourly_global_agg, SQL_HOURLY_GLOBAL_AGG),
     "event_types_salted": (q_event_types_salted, SQL_EVENT_TYPES_SALTED),
-    # --- changed in round 6: fresh rows required ---------------------------
-    "scd2_user_state": (q_scd2_user_state, SQL_SCD2_USER_STATE),
-    "vocab_encode_join": (q_vocab_encode_join, SQL_VOCAB_ENCODE_JOIN),
-    # --- NEW in round 6 (r5 test-only operators promoted to the oracle
-    # registry replacing the retired near-duplicates, plus three new
-    # round-6 operators) ----------------------------------------------------
-    "span_removal": (q_span_removal, SQL_SPAN_REMOVAL),
-    "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
-    "bpe_merge_replay": (q_bpe_merge_replay, SQL_BPE_MERGE_REPLAY),
-    "nb_quality_score": (q_nb_quality_score, SQL_NB_QUALITY_SCORE),
-    "semdedup": (q_semdedup, SQL_SEMDEDUP),
-    "pq_topk": (q_pq_topk, SQL_PQ_TOPK),
-    # --- rotated IN for round 6 (last adjudicated round 4) ----------------
-    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
-    "feature_store_retrieval": (q_feature_store_retrieval, SQL_FEATURE_STORE_RETRIEVAL),
-    "streaming_sessionize": (q_streaming_sessionize, SQL_STREAMING_SESSIONIZE),
-    "streaming_hourly_agg": (q_streaming_hourly_agg, SQL_STREAMING_HOURLY_AGG),
-    "repetition_filter": (q_repetition_filter, SQL_REPETITION_FILTER),
-    "corpus_vocab": (q_corpus_vocab, SQL_CORPUS_VOCAB),
-    "online_lookup": (q_online_lookup, SQL_ONLINE_LOOKUP),
-    "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
-    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
-    "lang_id": (q_lang_id, SQL_LANG_ID),
-    "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
-    "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
-    "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
-    "stratified_sample_docs": (q_stratified_sample_docs, SQL_STRATIFIED_SAMPLE_DOCS),
-    "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
-    "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
-    "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
-    "embedding_near_dupes_lsh": (q_embedding_near_dupes_lsh, SQL_EMBEDDING_NEAR_DUPES_LSH),
-    "simhash_dup_pairs": (q_simhash_dup_pairs, SQL_SIMHASH_DUP_PAIRS),
-    "length_outlier_filter": (q_length_outlier_filter, SQL_LENGTH_OUTLIER_FILTER),
-    "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES),
-    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
-    "hash_sampled_docs": (q_hash_sampled_docs, SQL_HASH_SAMPLED_DOCS),
-    "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
-    "dedup_entity_rows": (q_dedup_entity_rows, SQL_DEDUP_ENTITY_ROWS),
-    "latest_event_per_user": (q_latest_event_per_user, SQL_LATEST_EVENT_PER_USER),
-    "priority_collapse_types": (q_priority_collapse_types, SQL_PRIORITY_COLLAPSE_TYPES),
-    "part_brand_stats": (q_part_brand_stats, SQL_PART_BRAND_STATS),
-    "idle_customers_anti": (q_idle_customers_anti, SQL_IDLE_CUSTOMERS_ANTI),
-    "case_decode_coalesce": (q_case_decode_coalesce, SQL_CASE_DECODE_COALESCE),
-    "map_pivot_props": (q_map_pivot_props, SQL_MAP_PIVOT_PROPS),
-    "datetime_functions": (q_datetime_functions, SQL_DATETIME_FUNCTIONS),
-    "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
-    "order_priority_count": (q_order_priority_count, SQL_ORDER_PRIORITY_COUNT),
-    "top_spenders": (q_top_spenders, SQL_TOP_SPENDERS),
-    "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE),
-    "user_value_deltas": (q_user_value_deltas, SQL_USER_VALUE_DELTAS),
-    # --- rotation tail for round 6 (all green in round 5, unchanged in
-    # round 6; still value-checked every run by tests/test_oracle_parity.py;
-    # back in-window round 7) ----------------------------------------------
-    "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
+    # --- changed in round 7: fresh rows required ---------------------------
+    # curation_pipeline_full gained the NB quality stage
     "curation_pipeline_full": (q_curation_pipeline_full, SQL_CURATION_PIPELINE_FULL),
+    # --- NEW in round 7 ----------------------------------------------------
+    # IVFADC composition + three promoted test-only operators
+    "ivfpq_topk": (q_ivfpq_topk, SQL_IVFPQ_TOPK),
+    "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
+    "image_dedup": (q_image_dedup, SQL_IMAGE_DEDUP),
+    "streaming_neardup_ingest": (
+        q_streaming_neardup_ingest, SQL_STREAMING_NEARDUP_INGEST,
+    ),
+    # --- rotated IN for round 7 (last adjudicated round 5) ----------------
+    "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "minhash_dup_pairs": (q_minhash_dup_pairs, SQL_MINHASH_DUP_PAIRS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
-    "vocab_encode": (q_vocab_encode, SQL_VOCAB_ENCODE),
     "packed_sequences": (q_packed_sequences, SQL_PACKED_SEQUENCES),
     "mixture_temperature": (q_mixture_temperature, SQL_MIXTURE_TEMPERATURE),
     "length_bucket_batches": (q_length_bucket_batches, SQL_LENGTH_BUCKET_BATCHES),
@@ -4842,7 +4810,6 @@ QUERIES: dict[str, tuple] = {
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
-    "embedding_near_dupes": (q_embedding_near_dupes, SQL_EMBEDDING_NEAR_DUPES),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "regex_mentions": (q_regex_mentions, SQL_REGEX_MENTIONS),
     "top_terms_tfidf": (q_top_terms_tfidf, SQL_TOP_TERMS_TFIDF),
@@ -4855,20 +4822,82 @@ QUERIES: dict[str, tuple] = {
     "batch_sessions": (q_batch_sessions, SQL_BATCH_SESSIONS),
     "lineitem_unpivot": (q_lineitem_unpivot, SQL_LINEITEM_UNPIVOT),
     "customer_balance_deciles": (q_customer_balance_deciles, SQL_CUSTOMER_BALANCE_DECILES),
+    # --- rotation tail for round 7 (all green in round 6; unchanged, or
+    # non-behavioral guard changes documented above; still value-checked
+    # every run by tests/test_oracle_parity.py; back in-window round 8) ----
+    "scd2_user_state": (q_scd2_user_state, SQL_SCD2_USER_STATE),
+    "bpe_merge_replay": (q_bpe_merge_replay, SQL_BPE_MERGE_REPLAY),
+    "vocab_encode_join": (q_vocab_encode_join, SQL_VOCAB_ENCODE_JOIN),
+    "span_removal": (q_span_removal, SQL_SPAN_REMOVAL),
+    "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
+    "nb_quality_score": (q_nb_quality_score, SQL_NB_QUALITY_SCORE),
+    "semdedup": (q_semdedup, SQL_SEMDEDUP),
+    "pq_topk": (q_pq_topk, SQL_PQ_TOPK),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "feature_store_retrieval": (q_feature_store_retrieval, SQL_FEATURE_STORE_RETRIEVAL),
+    "streaming_sessionize": (q_streaming_sessionize, SQL_STREAMING_SESSIONIZE),
+    "streaming_hourly_agg": (q_streaming_hourly_agg, SQL_STREAMING_HOURLY_AGG),
+    "repetition_filter": (q_repetition_filter, SQL_REPETITION_FILTER),
+    "corpus_vocab": (q_corpus_vocab, SQL_CORPUS_VOCAB),
+    "online_lookup": (q_online_lookup, SQL_ONLINE_LOOKUP),
+    "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
+    "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
+    "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
+    "stratified_sample_docs": (q_stratified_sample_docs, SQL_STRATIFIED_SAMPLE_DOCS),
+    "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
+    "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
+    "embedding_near_dupes_lsh": (q_embedding_near_dupes_lsh, SQL_EMBEDDING_NEAR_DUPES_LSH),
+    "simhash_dup_pairs": (q_simhash_dup_pairs, SQL_SIMHASH_DUP_PAIRS),
+    "length_outlier_filter": (q_length_outlier_filter, SQL_LENGTH_OUTLIER_FILTER),
+    "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
+    "dedup_entity_rows": (q_dedup_entity_rows, SQL_DEDUP_ENTITY_ROWS),
+    "latest_event_per_user": (q_latest_event_per_user, SQL_LATEST_EVENT_PER_USER),
+    "priority_collapse_types": (q_priority_collapse_types, SQL_PRIORITY_COLLAPSE_TYPES),
+    "part_brand_stats": (q_part_brand_stats, SQL_PART_BRAND_STATS),
+    "idle_customers_anti": (q_idle_customers_anti, SQL_IDLE_CUSTOMERS_ANTI),
+    "case_decode_coalesce": (q_case_decode_coalesce, SQL_CASE_DECODE_COALESCE),
+    "map_pivot_props": (q_map_pivot_props, SQL_MAP_PIVOT_PROPS),
+    "datetime_functions": (q_datetime_functions, SQL_DATETIME_FUNCTIONS),
+    "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
+    "order_priority_count": (q_order_priority_count, SQL_ORDER_PRIORITY_COUNT),
+    "top_spenders": (q_top_spenders, SQL_TOP_SPENDERS),
+    "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE),
+    "user_value_deltas": (q_user_value_deltas, SQL_USER_VALUE_DELTAS),
 }
 
-#: Retired from the driver registry in round 6 (budget: ~100 adjudicated
-#: queries). Each is a near-duplicate of in-registry coverage — their
-#: SURVEY §2 operators stay oracle-checked elsewhere:
+#: Retired from the driver registry (budget: ~100 adjudicated queries).
+#: Each is a near-duplicate of in-registry coverage — their SURVEY §2 /
+#: extension-tier operators stay oracle-checked elsewhere:
+#: round 6:
 #:   filtered_agg (A4/P5)      -> pricing_summary / small_quantity_revenue
 #:                                (filter-then-agg with range predicates)
 #:   json_props_extract (F6)   -> map_pivot_props (same from_json path)
 #:   struct_flatten (P2/F6)    -> map_pivot_props + multimodal_decode
 #:                                (nested-field projection)
+#: round 7:
+#:   vocab_encode              -> vocab_encode_join (same vocab build +
+#:                                encode, plus the join-back check)
+#:   embedding_near_dupes      -> embedding_near_dupes_lsh (the scale
+#:                                path) + cosine_topk (exact baseline)
+#:   sequence_packing          -> packed_sequences (same shard/offset
+#:                                layout PLUS the order-sensitive
+#:                                packed-id digest)
+#:   hash_sampled_docs         -> stratified_sample_docs /
+#:                                train_val_split (same salted-hash
+#:                                bucketing primitive)
 #: Still value-checked against DuckDB every pytest run via
 #: tests/test_oracle_parity.py.
 RETIRED_QUERIES: dict[str, tuple] = {
     "filtered_agg": (q_filtered_agg, SQL_FILTERED_AGG),
     "json_props_extract": (q_json_props_extract, SQL_JSON_PROPS_EXTRACT),
     "struct_flatten": (q_struct_flatten, SQL_STRUCT_FLATTEN),
+    "vocab_encode": (q_vocab_encode, SQL_VOCAB_ENCODE),
+    "embedding_near_dupes": (q_embedding_near_dupes, SQL_EMBEDDING_NEAR_DUPES),
+    "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
+    "hash_sampled_docs": (q_hash_sampled_docs, SQL_HASH_SAMPLED_DOCS),
 }

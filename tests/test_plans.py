@@ -64,7 +64,8 @@ def test_pit_join_is_single_window_no_range_join(spark):
 def test_native_queries_have_no_python_udfs(spark):
     """Everything except the intentionally-Python operators (multimodal,
     sessionize) must stay JVM-side."""
-    python_ok = {"multimodal_decode", "multimodal_frames",
+    python_ok = {"multimodal_decode", "multimodal_frames", "image_dedup",
+                 "ivfpq_topk", "streaming_neardup_ingest",
                  "stream_capture_files", "streaming_sessionize",
                  "streaming_hourly_agg", "streaming_dedup",
                  # multi-table LSH bucketing and IVF cell assignment are

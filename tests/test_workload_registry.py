@@ -11,16 +11,70 @@ from __future__ import annotations
 
 from my_feast_spark import workload
 
-# Round-6 rotation: the 37 surviving r4-tail queries are back IN the
-# window (plus tier 1, the r6-changed queries, and the three NEW
-# promotions); the 40 queries adjudicated green in round 5 sit in the
-# tail this round and return in round 7.
+# Round-7 rotation: the surviving r5-tail queries are back IN the window
+# (plus tier 1, the behavior-changed queries, and the four NEW entries);
+# the queries adjudicated green in round 6 sit in the tail this round
+# and return in round 8.
 ROTATION_TAIL = {
+    "scd2_user_state",
+    # bpe_merge_replay's round-7 change is documentation only (the
+    # BMP-only split assumption, per the r6 ADVICE) — output identical
+    "bpe_merge_replay",
+    "vocab_encode_join",
+    "span_removal",
+    "lm_perplexity",
+    # nb_quality_score / semdedup / pq_topk took NON-behavioral guard or
+    # signature changes in round 7 (empty-corpus ValueError, required
+    # id_col the query already passed, sample-cap auto-raise below its
+    # firing point) — outputs bit-identical, pinned by
+    # tests/test_oracle_parity.py, so they keep their r6 rows
+    "nb_quality_score",
+    "semdedup",
+    "pq_topk",
+    "pricing_summary",
+    "feature_store_retrieval",
+    "streaming_sessionize",
+    "streaming_hourly_agg",
+    "repetition_filter",
+    "corpus_vocab",
+    "online_lookup",
+    "streaming_dedup",
+    "quality_score",
+    "lang_id",
+    "doc_chunks",
+    "corpus_mixture",
+    "pii_redaction",
+    "stratified_sample_docs",
+    "train_val_split",
+    "ivf_topk",
+    "embedding_near_dupes_lsh",
+    "simhash_dup_pairs",
+    "length_outlier_filter",
+    "value_percentiles",
+    "token_stats",
+    "revenue_rollup",
+    "dedup_entity_rows",
+    "latest_event_per_user",
+    "priority_collapse_types",
+    "part_brand_stats",
+    "idle_customers_anti",
+    "case_decode_coalesce",
+    "map_pivot_props",
+    "datetime_functions",
+    "regional_revenue",
+    "order_priority_count",
+    "top_spenders",
+    "promo_revenue",
+    "user_value_deltas",
+}
+
+#: last adjudicated in round 5 — round 7 MUST give them fresh rows
+#: (the rotation invariant: nothing sits out two consecutive rounds)
+ROTATED_IN = {
     "curation_pipeline",
     "curation_pipeline_full",
     "minhash_dup_pairs",
     "dedup_clusters",
-    "vocab_encode",
     "packed_sequences",
     "mixture_temperature",
     "length_bucket_batches",
@@ -46,7 +100,6 @@ ROTATION_TAIL = {
     "cosine_topk",
     "ann_lsh_topk",
     "label_centroids",
-    "embedding_near_dupes",
     "multimodal_decode",
     "regex_mentions",
     "top_terms_tfidf",
@@ -61,70 +114,32 @@ ROTATION_TAIL = {
     "customer_balance_deciles",
 }
 
-#: last adjudicated in round 4 — round 6 MUST give them fresh rows
-#: (the rotation invariant: nothing sits out two consecutive rounds)
-ROTATED_IN = {
-    "pricing_summary",
-    "feature_store_retrieval",
-    "streaming_sessionize",
-    "streaming_hourly_agg",
-    "repetition_filter",
-    "corpus_vocab",
-    "online_lookup",
-    "streaming_dedup",
-    "quality_score",
-    "lang_id",
-    "doc_chunks",
-    "corpus_mixture",
-    "pii_redaction",
-    "stratified_sample_docs",
-    "train_val_split",
-    "sequence_packing",
-    "ivf_topk",
-    "embedding_near_dupes_lsh",
-    "simhash_dup_pairs",
-    "length_outlier_filter",
-    "value_percentiles",
-    "token_stats",
-    "hash_sampled_docs",
-    "revenue_rollup",
-    "dedup_entity_rows",
-    "latest_event_per_user",
-    "priority_collapse_types",
-    "part_brand_stats",
-    "idle_customers_anti",
-    "case_decode_coalesce",
-    "map_pivot_props",
-    "datetime_functions",
-    "regional_revenue",
-    "order_priority_count",
-    "top_spenders",
-    "promo_revenue",
-    "user_value_deltas",
-}
-
-#: new in round 6, or implementation changed in round 6 — must be
-#: in-window so the change gets an adjudication row
+#: new in round 7, or BEHAVIOR changed in round 7 — must be in-window
+#: so the change gets an adjudication row
 CHANGED_OR_NEW_THIS_ROUND = {
-    # changed: null-safe SCD2 change detection (+ oracle mirror)
-    "scd2_user_state",
-    # changed: empty/NULL-doc encode agreement
-    "vocab_encode_join",
-    # changed: LSH _owned_caches exposure
-    "embedding_near_dupes_lsh",
-    # new: r5 test-only operators promoted to the oracle registry
-    "span_removal",
-    "lm_perplexity",
-    "bpe_merge_replay",
-    # new round-6 operators: NB quality classifier, SemDeDup, PQ ANN
-    "nb_quality_score",
-    "semdedup",
-    "pq_topk",
+    # changed: the NB quality-classifier stage joined the full pipeline
+    "curation_pipeline_full",
+    # new: the IVFADC composition
+    "ivfpq_topk",
+    # new: promoted test-only operators
+    "normalize_text",
+    "image_dedup",
+    "streaming_neardup_ingest",
 }
 
-#: retired from the driver registry in round 6 — near-duplicates of
-#: in-registry coverage, still oracle-checked by test_oracle_parity.py
-RETIRED_THIS_ROUND = {"filtered_agg", "json_props_extract", "struct_flatten"}
+#: retired from the driver registry — near-duplicates of in-registry
+#: coverage, still oracle-checked by test_oracle_parity.py
+RETIRED_THIS_ROUND = {
+    # round 6
+    "filtered_agg",
+    "json_props_extract",
+    "struct_flatten",
+    # round 7
+    "vocab_encode",
+    "embedding_near_dupes",
+    "sequence_packing",
+    "hash_sampled_docs",
+}
 
 
 def test_window_contains_rotated_in_queries():
@@ -180,7 +195,7 @@ def test_generated_oracles_are_lazy_at_import():
         "-c",
         "from my_feast_spark import workload; "
         "print(workload.SQL_PQ_TOPK._done, workload.SQL_SEMDEDUP._done, "
-        "workload.SQL_BPE_MERGE_REPLAY._done, workload.SQL_IVF_TOPK._done)",
+        "workload.SQL_BPE_MERGE_REPLAY._done, workload.SQL_IVFPQ_TOPK._done)",
     ])
     assert out.split() == [b"False"] * 4
     assert workload.resolve_sql(workload.SQL_PQ_TOPK) == (
