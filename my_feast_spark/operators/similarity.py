@@ -317,7 +317,11 @@ def ivf_topk(
             vecs = np.vstack([np.asarray(v, dtype=np.float64) for v in col])
             return pd.Series(list(assigner(vecs, n_cells)))
 
-        return cells
+        # optimizer fence, not a semantics claim: the cell join's
+        # implicit isnotnull(cell) otherwise pushes below the spread
+        # Exchange and the corpus assignment pass evaluates TWICE
+        # (same fix as pq.ivfpq_topk; plan-pinned in test_plans)
+        return cells.asNondeterministic()
 
     # corpus rows go to their single nearest cell; queries probe nprobe
     # cells — both via one Arrow-batched matmul per batch

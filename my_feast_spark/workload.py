@@ -4743,7 +4743,10 @@ SQL_STREAMING_NEARDUP_INGEST = _LazySQL(_sql_streaming_neardup_ingest)
 #      r6-green entries took NON-behavioral changes this round and keep
 #      their tail slot with their r6 rows — bpe_merge_replay (docstring
 #      only: the BMP-only split assumption documented per the r6
-#      ADVICE) plus the guard/signature trio below —
+#      ADVICE), ivf_topk (plan-only: the asNondeterministic fence that
+#      stops the cell join's isnotnull from cloning the corpus Arrow
+#      pass — identical rows, one fewer UDF evaluation) plus the
+#      guard/signature trio below —
 #      nb_quality_score (tokens_col param + empty-corpus ValueError),
 #      pq_topk (id_col now required; the query always passed it),
 #      semdedup (sample_cap auto-raise that cannot fire at the query's

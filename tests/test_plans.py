@@ -353,6 +353,18 @@ def test_ivfpq_single_encode_pass_and_broadcast_probes(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ivf_single_corpus_assignment_pass(spark):
+    """ivf_topk's plan contract: exactly TWO Arrow passes (corpus cell
+    assignment + query probe assignment) — the cell join's implicit
+    isnotnull must not clone the corpus pass below the spread Exchange
+    (the asNondeterministic fence in similarity.ivf_topk._cell_udf)."""
+    import re
+
+    plan = _formatted(workload.q_ivf_topk(spark, SF_DIR_ORACLE))
+    nodes = set(re.findall(r"\((\d+)\) ArrowEvalPython", plan))
+    assert len(nodes) == 2, f"expected 2 Arrow passes, got {sorted(nodes)}"
+
+
 def test_all_queries_return_scalar_only_schemas(spark):
     """The adjudication harness value-hashes SCALAR columns; array/map/
     struct results ship as deterministic strings or digests (repo

@@ -31,6 +31,9 @@ ROTATION_TAIL = {
     "nb_quality_score",
     "semdedup",
     "pq_topk",
+    # ivf_topk's round-7 change is plan-only (asNondeterministic fence
+    # deduplicating the corpus Arrow pass) — identical output rows,
+    # pinned by test_plans.py::test_ivf_single_corpus_assignment_pass
     "pricing_summary",
     "feature_store_retrieval",
     "streaming_sessionize",
