@@ -138,6 +138,51 @@ def main() -> None:
     ):
         timed(name, thunk)
 
+    # ...and at a corpus where the probe pruning is VISIBLE: the sf
+    # embeddings replicated 8x (deterministic id-shifted copies,
+    # checkpointed once and shared by both variants) x 200 queries.
+    # Exhaustive ADC scans every corpus code per query; IVFADC folds
+    # only nprobe/num_cells (1/4) of them — measured 8.6s vs 3.6s at
+    # 16k vectors when this variant was added.
+    from pyspark.sql import functions as _F
+
+    from my_feast_spark.operators.pq import (
+        ivfpq_topk as _ivfpq_topk,
+        pq_encode as _pq_encode,
+        pq_topk as _pq_topk,
+        train_pq_codebooks as _train_pq,
+    )
+
+    _emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    _n_emb = _emb.count()
+    _big = _emb
+    for _i in range(1, 8):
+        _big = _big.union(_emb.select(
+            (_F.col("vec_id") + _F.lit(_i * _n_emb)).alias("vec_id"),
+            "embedding",
+        ))
+    _big = _big.localCheckpoint()
+    _q8 = _emb.where(_F.col("vec_id") < 200).select(
+        _F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def _pq_x8():
+        cb = _train_pq(_big, "embedding", "vec_id", m=8, k=16)
+        codes = _pq_encode(_big, "vec_id", "embedding", cb).select(
+            _F.col("vec_id").alias("corpus_id"), "codes"
+        )
+        return counted(_pq_topk(_q8, codes, cb, k=5))
+
+    def _ivfpq_x8():
+        return counted(_ivfpq_topk(
+            _q8, _big.select(_F.col("vec_id").alias("corpus_id"), "embedding"),
+            m=8, k_codes=16, num_centroids=16, nprobe=4, k=5,
+        ))
+
+    timed("pq_topk_x8_q200", _pq_x8)
+    timed("ivfpq_topk_x8_q200", _ivfpq_x8)
+    release_checkpoint(_big)
+
     # Map-only projection queries: `.count()` lets Catalyst prune every
     # computed column, so the loop above times only their scan. Force
     # full evaluation (crc32-sum over all columns) for the text tier so

@@ -70,17 +70,20 @@ def train_pq_codebooks(
     return codebooks_from_sample(X, m=m, k=k, seed=seed)
 
 
-def codebooks_from_sample(X, *, m: int, k: int, seed: int = 42):
+def codebooks_from_sample(X, *, m: int, k: int, seed: int = 42,
+                          normalize: bool = True):
     """Pure-numpy codebook fit over an already-collected sample matrix
-    (rows = vectors): normalize, slice into ``m`` subspaces, k-means
-    each with its own derived seed. Shared verbatim by the DataFrame
-    trainer above, ``ivfpq_topk``'s combined index build, and the
-    workload's oracle generators — so every consumer derives
-    bit-identical codebooks from the same sample."""
+    (rows = vectors): normalize (unless the rows are already RESIDUALS
+    — re-normalizing those would distort them), slice into ``m``
+    subspaces, k-means each with its own derived seed. Shared verbatim
+    by the DataFrame trainer above, ``ivfpq_topk``'s combined index
+    build, and the workload's oracle generators — so every consumer
+    derives bit-identical codebooks from the same sample."""
     import numpy as np
 
     X = np.asarray(X, dtype=np.float64).copy()
-    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    if normalize:
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     d = X.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -94,7 +97,8 @@ def codebooks_from_sample(X, *, m: int, k: int, seed: int = 42):
     ])
 
 
-def make_pq_encoder(codebooks, *, deterministic: bool = True):
+def make_pq_encoder(codebooks, *, deterministic: bool = True,
+                    normalize: bool = True):
     """Vectorized encoder closure: ``encode(vecs) -> (n, m) int32``
     nearest-centroid codes per subspace (self-contained — executors
     never import this package). The per-subspace argmin IS
@@ -114,9 +118,10 @@ def make_pq_encoder(codebooks, *, deterministic: bool = True):
 
     def encode(vecs):
         vecs = np.asarray(vecs, dtype=np.float64)
-        vecs = vecs / np.maximum(
-            np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12
-        )
+        if normalize:
+            vecs = vecs / np.maximum(
+                np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12
+            )
         n = vecs.shape[0]
         codes = np.empty((n, m), dtype=np.int32)
         for j in range(m):
@@ -156,17 +161,21 @@ def pq_encode(
     )
 
 
-def query_luts(codebooks, vecs):
+def query_luts(codebooks, vecs, *, normalize: bool = True):
     """(n, m*k) float64 ADC lookup tables: row i, slot j*k+c = squared
-    L2 between query i's j-th (normalized) subvector and centroid c.
-    Shared by ``pq_topk`` and the oracle generator so both sides fold
-    the SAME doubles."""
+    L2 between query i's j-th (normalized — or raw, for residual
+    inputs) subvector and centroid c. Shared by ``pq_topk`` /
+    ``ivfpq_topk`` and the oracle generators so both sides fold the
+    SAME doubles."""
     import numpy as np
 
     cb = np.asarray(codebooks, dtype=np.float64)
     m, kc, dsub = cb.shape
     vecs = np.asarray(vecs, dtype=np.float64)
-    vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    if normalize:
+        vecs = vecs / np.maximum(
+            np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12
+        )
     out = np.empty((vecs.shape[0], m * kc))
     for i, v in enumerate(vecs):
         for j in range(m):
@@ -280,6 +289,7 @@ def ivfpq_topk(
     exclude_self: bool = True,
     dist_decimals: int = 6,
     deterministic: bool = True,
+    residual: bool = False,
 ) -> DataFrame:
     """IVFADC — the Jégou-2011 composition of the IVF coarse quantizer
     with PQ's asymmetric distance: the structure a billion-vector ANN
@@ -300,12 +310,16 @@ def ivfpq_topk(
     at scale, store it partitioned/bucketed by ``cell`` so the probe
     join also prunes the scan to the probed cells.
 
-    This quantizes the RAW normalized vector (not the Jégou residual
-    ``x - centroid``): codebooks stay query-independent, so the encode
-    relation is reusable across any probe setting and the oracle can
-    replay every stage from injected literals. Residual encoding buys
-    accuracy at high ``num_centroids``; swap ``codebooks_from_sample``'s
-    input for per-cell residuals to get it — the plan shape is unchanged.
+    ``residual=False`` quantizes the RAW normalized vector;
+    ``residual=True`` is the full Jégou IVFADC: codebooks train on and
+    codes encode the RESIDUAL ``x_n - centroid(cell)``, and each query
+    builds ONE lookup table PER PROBED CELL from its own residual
+    against that cell — the quantizer spends its bits on the
+    within-cell distribution, which is tighter than the global one, so
+    accuracy rises at the same code budget. Plan shape is identical in
+    both modes (the probe relation just carries per-(query, cell)
+    tables instead of per-query ones), and both stay fully
+    deterministic / oracle-replayable from injected literals.
 
     Ranking matches cosine up to quantization error plus the probe
     approximation; recall vs exact cosine is measured in tests
@@ -329,9 +343,19 @@ def ivfpq_topk(
     X = np.asarray([r.cv for r in sample], dtype=np.float64)
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     centroids = train_ivf_centroids(Xn, num_centroids, seed=seed)
-    cb = codebooks_from_sample(X, m=m, k=k_codes, seed=seed)
     assigner = make_cell_assigner(centroids, deterministic=deterministic)
-    encode = make_pq_encoder(cb, deterministic=deterministic)
+    if residual:
+        # codebooks on the within-cell residuals of the SAME sample —
+        # no re-normalization (a residual's length is its information)
+        Rs = Xn - centroids[assigner(Xn, 1)[:, 0]]
+        cb = codebooks_from_sample(
+            Rs, m=m, k=k_codes, seed=seed, normalize=False
+        )
+    else:
+        cb = codebooks_from_sample(X, m=m, k=k_codes, seed=seed)
+    encode = make_pq_encoder(
+        cb, deterministic=deterministic, normalize=not residual
+    )
 
     # encode: ONE Arrow pass -> (corpus_id, cell, codes)
     @F.pandas_udf("struct<cell: int, codes: array<int>>")
@@ -343,9 +367,11 @@ def ivfpq_topk(
         vn = vecs / np.maximum(
             np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12
         )
+        cells_ = assigner(vn, 1)[:, 0]
+        target = (vn - centroids[cells_]) if residual else vecs
         return pd.DataFrame({
-            "cell": pd.Series(assigner(vn, 1)[:, 0].astype("int32")),
-            "codes": pd.Series(list(encode(vecs))),
+            "cell": pd.Series(cells_.astype("int32")),
+            "codes": pd.Series(list(encode(target))),
         })
 
     # asNondeterministic is an OPTIMIZER FENCE, not a semantics claim:
@@ -370,12 +396,27 @@ def ivfpq_topk(
         Q = np.asarray([r.qv for r in qrows], dtype=np.float64)
         Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
         probes = assigner(Qn, nprobe)  # (nq, nprobe)
-        luts = query_luts(cb, Q)       # (nq, m*k)
-        probe_rows = [
-            (r.query_id, int(cell), [float(x) for x in lut])
-            for r, cells, lut in zip(qrows, probes, luts)
-            for cell in cells
-        ]
+        if residual:
+            # one table per (query, probed cell): the query's residual
+            # against THAT cell is what the cell's codes approximate
+            probe_rows = [
+                (r.query_id, int(cell), [float(x) for x in lut])
+                for r, cells, qn in zip(qrows, probes, Qn)
+                for cell, lut in zip(
+                    cells,
+                    query_luts(
+                        cb, qn[None, :] - centroids[list(cells)],
+                        normalize=False,
+                    ),
+                )
+            ]
+        else:
+            luts = query_luts(cb, Q)   # (nq, m*k)
+            probe_rows = [
+                (r.query_id, int(cell), [float(x) for x in lut])
+                for r, cells, lut in zip(qrows, probes, luts)
+                for cell in cells
+            ]
         plan = spark.createDataFrame(probe_rows, ["query_id", "cell", "__lut"])
     else:
         from pyspark.sql import types as T

@@ -4353,10 +4353,17 @@ def q_ivfpq_topk(spark, sf_dir, *, deterministic=True, n_queries=20):
     is the verification baseline: same codes, same luts, same
     pure-expression fold — the only new element is the cell join, so
     per-query work drops from |corpus| to ~|corpus| * nprobe/num_cells.
-    The oracle retrains the identical two-quantizer index (shared
-    id-ordered sample, shared numpy routines) and injects codes + cell
-    map + probe plan + luts as literals, replaying the probe join and
-    the in-order ADC fold in DuckDB."""
+    Runs the RESIDUAL variant (the paper's actual IVFADC): codebooks
+    train on and codes encode ``x_n - centroid(cell)``, each query
+    carries one lookup table per probed cell. (On the synthetic
+    near-uniform test embeddings residual recall measures within noise
+    of the raw-vector variant — the residual's win needs clustered
+    data, where within-cell spread is much tighter than global; the
+    adjudicated query still runs the canonical structure.) The oracle retrains the
+    identical two-quantizer index (shared id-ordered sample, shared
+    numpy routines) and injects codes + cell map + per-(query, cell)
+    luts as literals, replaying the probe join and the in-order ADC
+    fold in DuckDB."""
     from my_feast_spark.operators.pq import ivfpq_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -4366,7 +4373,7 @@ def q_ivfpq_topk(spark, sf_dir, *, deterministic=True, n_queries=20):
     c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
     return ivfpq_topk(
         q, c, m=8, k_codes=16, num_centroids=16, nprobe=4, k=5,
-        deterministic=deterministic,
+        deterministic=deterministic, residual=True,
     )
 
 
@@ -4376,10 +4383,11 @@ def _sql_ivfpq_topk(
 ):
     """Oracle generator for q_ivfpq_topk: retrain both quantizers from
     the oracle parquet with the SAME shared routines (one id-ordered
-    sample -> train_ivf_centroids + codebooks_from_sample), inject the
-    per-id (cell, codes) rows, the query probe plan, and the luts as
-    VALUES literals, replay probe join + in-order ADC + top-k. Returns
-    None (rows-only) if the oracle testdata is absent."""
+    sample -> train_ivf_centroids + residual codebooks), inject the
+    per-id (cell, codes) rows and the per-(query, probed-cell) residual
+    lookup tables as VALUES literals, replay probe join + in-order ADC
+    + top-k. Returns None (rows-only) if the oracle testdata is
+    absent."""
     import numpy as np
 
     from my_feast_spark.operators.pq import (
@@ -4407,42 +4415,42 @@ def _sql_ivfpq_topk(
     X = V[:sample_cap]
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     centroids = train_ivf_centroids(Xn, num_centroids, seed=seed)
-    cb = codebooks_from_sample(X, m=m, k=k, seed=seed)
     assign = make_cell_assigner(centroids)
+    Rs = Xn - centroids[assign(Xn, 1)[:, 0]]
+    cb = codebooks_from_sample(Rs, m=m, k=k, seed=seed, normalize=False)
     Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
     cells = assign(Vn, 1)[:, 0]
-    codes = make_pq_encoder(cb)(V)
+    codes = make_pq_encoder(cb, normalize=False)(Vn - centroids[cells])
     qmask = ids < 20
     probes = assign(Vn[qmask], nprobe)
-    luts = query_luts(cb, V[qmask])
 
     code_vals = ", ".join(
         "(" + ", ".join(str(int(x)) for x in (i, c, *row)) + ")"
         for i, c, row in zip(ids, cells, codes)
     )
     probe_vals = ", ".join(
-        f"({int(i)}, {int(c)})"
-        for i, row in zip(ids[qmask], probes)
-        for c in row
-    )
-    lut_vals = ", ".join(
-        f"({int(i)}, CAST(["
-        + ", ".join(repr(float(x)) for x in row)
+        f"({int(i)}, {int(c)}, CAST(["
+        + ", ".join(repr(float(x)) for x in lut)
         + "] AS DOUBLE[]))"
-        for i, row in zip(ids[qmask], luts)
+        for i, cells_row, qn in zip(ids[qmask], probes, Vn[qmask])
+        for c, lut in zip(
+            cells_row,
+            query_luts(
+                cb, qn[None, :] - centroids[list(cells_row)],
+                normalize=False,
+            ),
+        )
     )
     ccols = ", ".join(f"c{j}" for j in range(m))
-    adc = " + ".join(f"l.lut[{j} * {k} + c.c{j} + 1]" for j in range(m))
+    adc = " + ".join(f"p.lut[{j} * {k} + c.c{j} + 1]" for j in range(m))
     return f"""
 WITH codes(corpus_id, cell, {ccols}) AS (VALUES {code_vals}),
-probes(query_id, cell) AS (VALUES {probe_vals}),
-luts(query_id, lut) AS (VALUES {lut_vals}),
+probes(query_id, cell, lut) AS (VALUES {probe_vals}),
 d AS (
   SELECT p.query_id, c.corpus_id AS neighbor_id,
          round({adc}, 6) AS adc_dist
   FROM codes c
   JOIN probes p USING (cell)
-  JOIN luts l ON l.query_id = p.query_id
   WHERE c.corpus_id != p.query_id
 ),
 r AS (

@@ -222,3 +222,78 @@ def test_ivfpq_recall_vs_exact_cosine(spark, emb):
         approx.setdefault(r.query_id, set()).add(r.neighbor_id)
     hits = sum(1 for q, t in truth.items() if t in approx.get(q, set()))
     assert hits / len(truth) >= 0.5, f"recall@5 collapsed: {hits}/{len(truth)}"
+
+
+def test_ivfpq_residual_matches_numpy_replay(spark, emb):
+    """residual=True is the paper's IVFADC: codes approximate the
+    within-cell residual and each query folds a per-probed-cell table.
+    Replay the full residual index build + pruning + ADC in-process and
+    compare every (query, rank) -> (neighbor, dist)."""
+    from my_feast_spark.operators.pq import (
+        codebooks_from_sample,
+        ivfpq_topk,
+        make_pq_encoder,
+        query_luts,
+    )
+    from my_feast_spark.operators.similarity import (
+        make_cell_assigner,
+        train_ivf_centroids,
+    )
+
+    nprobe, ncells = 3, 8
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.adc_dist)
+        for r in ivfpq_topk(
+            queries, corpus, m=M, k_codes=K,
+            num_centroids=ncells, nprobe=nprobe, k=5, residual=True,
+        ).collect()
+    }
+
+    rows = sorted(
+        (r.vec_id, np.asarray(r.embedding, dtype=np.float64))
+        for r in emb.select("vec_id", "embedding").collect()
+    )
+    ids = [i for i, _ in rows]
+    V = np.stack([v for _, v in rows])
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    centroids = train_ivf_centroids(Vn, ncells)
+    assign = make_cell_assigner(centroids)
+    Rs = Vn - centroids[assign(Vn, 1)[:, 0]]
+    cb = codebooks_from_sample(Rs, m=M, k=K, normalize=False)
+    cells = assign(Vn, 1)[:, 0]
+    codes = make_pq_encoder(cb, normalize=False)(Vn - centroids[cells])
+    qidx = [i for i, vid in enumerate(ids) if vid < 10]
+    probes = assign(Vn[qidx], nprobe)
+    for qpos, qi in enumerate(qidx):
+        qid = ids[qi]
+        luts = {
+            int(cell): lut
+            for cell, lut in zip(
+                probes[qpos],
+                query_luts(
+                    cb,
+                    Vn[qi][None, :] - centroids[list(probes[qpos])],
+                    normalize=False,
+                ),
+            )
+        }
+        cand = sorted(
+            (
+                round(float(sum(luts[cells[i]][j * K + codes[i][j]]
+                                for j in range(M))), 6),
+                ids[i],
+            )
+            for i in range(len(ids))
+            if cells[i] in luts and ids[i] != qid
+        )
+        for rank in range(1, min(5, len(cand)) + 1):
+            d, nid = cand[rank - 1]
+            assert got[(qid, rank)] == (nid, pytest.approx(d, abs=1e-9)), (
+                qid, rank
+            )
+        for rank in range(len(cand) + 1, 6):
+            assert (qid, rank) not in got
