@@ -350,6 +350,33 @@ def ivf_topk(
     )
 
 
+def distributed_centroids(
+    df: DataFrame, vec_col: str, k: int, *, seed: int = 42, max_iter: int = 8
+):
+    """Distributed k-means index build (pyspark.ml KMeans over the FULL
+    relation) returning frozen centers as a (k, dim) numpy array — the
+    escape hatch for cell counts too large for a driver-sample fit (the
+    paper's 50k-cluster LAION regime). Costs one Spark job per Lloyd
+    round; the centers then broadcast through the same assignment UDF
+    as the driver-sample path, so everything downstream is identical.
+    Deterministic for a FIXED input partitioning (seeded kmeans||), but
+    NOT replayable by a driver-side oracle generator — adjudicated
+    queries stay on the driver-sample build."""
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vdf = df.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(vdf)
+    # clusterCenters() rows are numpy arrays on recent pyspark, ml
+    # Vectors on older — normalize both
+    return np.asarray([
+        c if not hasattr(c, "toArray") else c.toArray()
+        for c in model.clusterCenters()
+    ], dtype=np.float64)
+
+
 def semdedup(
     df: DataFrame,
     id_col: str,
@@ -361,6 +388,7 @@ def semdedup(
     sample_cap: int = 4096,
     sim_decimals: int = 6,
     deterministic: bool = True,
+    fit: str = "driver",
 ) -> DataFrame:
     """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication", arXiv:2303.09540):
@@ -381,6 +409,10 @@ def semdedup(
     broadcast in the assignment UDF's closure (the FAISS-style index
     build, see ``ivf_topk``); the bucketed relation persists across its
     two self-join sides and ships back via ``_owned_caches``.
+    ``fit="distributed"`` switches the index build to a full-relation
+    pyspark.ml KMeans (``distributed_centroids``) for cell counts a
+    driver sample cannot seed — the documented 50k-cluster escape
+    hatch, now real code.
 
     ``sample_cap`` is COUPLED to ``num_cells``: k-means needs several
     points per cluster, so the cap auto-raises to ``num_cells *
@@ -399,10 +431,18 @@ def semdedup(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     ).withColumn("n", _norm(F.col("v")))
 
-    sample_cap = max(sample_cap, num_cells * _MIN_SAMPLE_PER_CELL)
-    sample = e.orderBy("id").select("v").limit(sample_cap).collect()
-    X = np.asarray([r.v for r in sample], dtype=np.float64)
-    cmat = train_ivf_centroids(X, num_cells, seed=seed)
+    if fit == "distributed":
+        # the 50k-cell regime: full-relation pyspark.ml fit (see
+        # distributed_centroids) instead of the driver sample — same
+        # frozen-centers assignment downstream
+        cmat = distributed_centroids(e, "v", num_cells, seed=seed)
+    elif fit == "driver":
+        sample_cap = max(sample_cap, num_cells * _MIN_SAMPLE_PER_CELL)
+        sample = e.orderBy("id").select("v").limit(sample_cap).collect()
+        X = np.asarray([r.v for r in sample], dtype=np.float64)
+        cmat = train_ivf_centroids(X, num_cells, seed=seed)
+    else:
+        raise ValueError(f"unknown fit mode: {fit!r}")
     assigner = make_cell_assigner(cmat, deterministic=deterministic)
 
     def _cell_udf():

@@ -741,3 +741,37 @@ class TestLshRecallReport:
         for rep in (ra, rb):
             for c in rep._owned_caches:
                 c.unpersist()
+
+
+def test_semdedup_distributed_fit_keeps_the_policy(spark, emb):
+    """fit="distributed" (pyspark.ml KMeans over the full relation — the
+    50k-cell escape hatch) must preserve semdedup's contract: one row
+    per input, a valid cell partition, and the keep policy exact within
+    the distributed fit's own cells (every dropped doc has a lower-id
+    same-cell neighbor at sim >= threshold; every kept doc has none)."""
+    from my_feast_spark.operators.similarity import (
+        embedding_dup_pairs,
+        semdedup,
+    )
+
+    out_df = semdedup(
+        emb, "vec_id", "embedding", num_cells=8, threshold=0.4,
+        fit="distributed",
+    )
+    rows = out_df.collect()
+    cells = {r.id: r.cell for r in rows}
+    kept = {r.id for r in rows if r.keep}
+    for c in out_df._owned_caches:
+        c.unpersist()
+    assert len(rows) == emb.count()
+    assert set(cells.values()) <= set(range(8))
+
+    exact_pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.4
+        ).collect()
+    }
+    same_cell = {(a, b) for a, b in exact_pairs if cells[a] == cells[b]}
+    dominated = {b for _a, b in same_cell}
+    assert set(cells) - kept == dominated
