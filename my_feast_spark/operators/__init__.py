@@ -11,7 +11,16 @@ from my_feast_spark.operators.curation import CurationConfig, curate
 from my_feast_spark.operators.dedup_eval import lsh_recall_report
 from my_feast_spark.operators.lm import score_docs, train_bigram_lm
 from my_feast_spark.operators.graph import connected_components
-from my_feast_spark.operators.pq import pq_encode, pq_topk, train_pq_codebooks
+from my_feast_spark.operators.pq import (
+    ivfpq_build,
+    ivfpq_search,
+    ivfpq_topk,
+    pq_encode,
+    pq_topk,
+    read_ivfpq_index,
+    train_pq_codebooks,
+    write_ivfpq_index,
+)
 from my_feast_spark.operators.profile import column_profile
 from my_feast_spark.operators.span_dedup import remove_repeated_spans
 from my_feast_spark.operators.sampling import (
@@ -40,6 +49,11 @@ __all__ = [
     "train_pq_codebooks",
     "pq_encode",
     "pq_topk",
+    "ivfpq_topk",
+    "ivfpq_build",
+    "ivfpq_search",
+    "write_ivfpq_index",
+    "read_ivfpq_index",
     "remove_repeated_spans",
     "stratified_sample",
     "sample_bucket",

@@ -272,6 +272,290 @@ def pq_topk(
     )
 
 
+def _ivfpq_index(
+    corpus: DataFrame,
+    corpus_id: str,
+    vec_col: str,
+    *,
+    m: int,
+    k_codes: int,
+    num_centroids: int,
+    seed: int,
+    sample_cap: int,
+    deterministic: bool,
+    residual: bool,
+):
+    """Shared IVFADC index build: one id-ordered driver sample trains
+    BOTH quantizers, one Arrow pass encodes the corpus. Returns
+    ``(enc, centroids, cb)`` where ``enc`` is the (corpus_id, cell,
+    codes) relation — the only thing a serving tier persists."""
+    import numpy as np
+
+    from my_feast_spark.operators.similarity import make_cell_assigner
+
+    c = spread_partitions(corpus).select(
+        F.col(corpus_id).alias("corpus_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+    )
+
+    # one id-ordered capped sample feeds BOTH quantizers (TopK plan:
+    # orderBy+limit -> TakeOrderedAndProject, never a global sort)
+    sample = (
+        c.orderBy("corpus_id").select("cv").limit(sample_cap).collect()
+    )
+    X = np.asarray([r.cv for r in sample], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    centroids = train_ivf_centroids(Xn, num_centroids, seed=seed)
+    assigner = make_cell_assigner(centroids, deterministic=deterministic)
+    if residual:
+        # codebooks on the within-cell residuals of the SAME sample —
+        # no re-normalization (a residual's length is its information)
+        Rs = Xn - centroids[assigner(Xn, 1)[:, 0]]
+        cb = codebooks_from_sample(
+            Rs, m=m, k=k_codes, seed=seed, normalize=False
+        )
+    else:
+        cb = codebooks_from_sample(X, m=m, k=k_codes, seed=seed)
+    encode = make_pq_encoder(
+        cb, deterministic=deterministic, normalize=not residual
+    )
+
+    # encode: ONE Arrow pass -> (corpus_id, cell, codes)
+    @F.pandas_udf("struct<cell: int, codes: array<int>>")
+    def cell_codes(col: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        if len(col) == 0:
+            return pd.DataFrame({"cell": pd.Series([], dtype="int32"),
+                                 "codes": pd.Series([], dtype=object)})
+        vecs = np.vstack([np.asarray(v, dtype=np.float64) for v in col])
+        vn = vecs / np.maximum(
+            np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12
+        )
+        cells_ = assigner(vn, 1)[:, 0]
+        target = (vn - centroids[cells_]) if residual else vecs
+        return pd.DataFrame({
+            "cell": pd.Series(cells_.astype("int32")),
+            "codes": pd.Series(list(encode(target))),
+        })
+
+    # asNondeterministic is an OPTIMIZER FENCE, not a semantics claim:
+    # the probe join's implicit isnotnull(cell) otherwise pushes below
+    # the spread_partitions Exchange and Catalyst re-evaluates the UDF
+    # there — the whole encode pass would run TWICE over the corpus
+    # (measured in .explain: two ArrowEvalPython nodes). The encode is
+    # deterministic; it just must not be cloned.
+    cell_codes = cell_codes.asNondeterministic()
+    enc = c.select(
+        "corpus_id", cell_codes(F.col("cv")).alias("cc")
+    ).select("corpus_id", F.col("cc.cell").alias("cell"),
+             F.col("cc.codes").alias("codes"))
+    return enc, centroids, cb
+
+
+def _ivfpq_probe_plan(
+    spark,
+    queries: DataFrame,
+    query_id: str,
+    vec_col: str,
+    centroids,
+    cb,
+    *,
+    nprobe: int,
+    deterministic: bool,
+    residual: bool,
+) -> DataFrame:
+    """The broadcastable probe relation (query_id, cell, __lut): queries
+    collected driver-side (bounded batch — the pq_topk/ivf_topk
+    stance), ``nprobe`` rows per query; under ``residual`` each row's
+    table comes from the query's residual against THAT cell."""
+    import numpy as np
+
+    from my_feast_spark.operators.similarity import make_cell_assigner
+
+    assigner = make_cell_assigner(centroids, deterministic=deterministic)
+    qrows = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv")
+    ).collect()
+    if not qrows:
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame(
+            [],
+            T.StructType([
+                T.StructField(
+                    "query_id", queries.schema[query_id].dataType, True
+                ),
+                T.StructField("cell", T.IntegerType(), True),
+                T.StructField("__lut", T.ArrayType(T.DoubleType()), True),
+            ]),
+        )
+    Q = np.asarray([r.qv for r in qrows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    probes = assigner(Qn, nprobe)  # (nq, nprobe)
+    if residual:
+        # one table per (query, probed cell): the query's residual
+        # against THAT cell is what the cell's codes approximate
+        probe_rows = [
+            (r.query_id, int(cell), [float(x) for x in lut])
+            for r, cells, qn in zip(qrows, probes, Qn)
+            for cell, lut in zip(
+                cells,
+                query_luts(
+                    cb, qn[None, :] - centroids[list(cells)],
+                    normalize=False,
+                ),
+            )
+        ]
+    else:
+        luts = query_luts(cb, Q)   # (nq, m*k)
+        probe_rows = [
+            (r.query_id, int(cell), [float(x) for x in lut])
+            for r, cells, lut in zip(qrows, probes, luts)
+            for cell in cells
+        ]
+    return spark.createDataFrame(probe_rows, ["query_id", "cell", "__lut"])
+
+
+def _ivfpq_rank(
+    enc: DataFrame,
+    plan: DataFrame,
+    *,
+    m: int,
+    k_codes: int,
+    k: int,
+    exclude_self: bool,
+    dist_decimals: int,
+) -> DataFrame:
+    """Probe join + in-order ADC fold + per-query top-k window."""
+    joined = enc.join(F.broadcast(plan), "cell")
+    if exclude_self:
+        joined = joined.filter(F.col("corpus_id") != F.col("query_id"))
+    dists = joined.select(
+        "query_id",
+        F.col("corpus_id").alias("neighbor_id"),
+        F.round(_adc_dist(m, k_codes, "codes"), dist_decimals).alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        dists.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
+def ivfpq_build(
+    corpus: DataFrame,
+    *,
+    corpus_id: str = "corpus_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k_codes: int = 16,
+    num_centroids: int = 16,
+    seed: int = 42,
+    sample_cap: int = 4096,
+    deterministic: bool = True,
+    residual: bool = True,
+):
+    """Build a reusable IVFADC index: returns ``(enc, model)`` where
+    ``enc`` is the (corpus_id, cell, codes) relation and ``model`` the
+    plain-dict quantizer state (centroids, codebooks, params) that
+    ``ivfpq_search`` / ``write_ivfpq_index`` consume. The index is
+    query-independent — build once, serve any number of probe batches."""
+    enc, centroids, cb = _ivfpq_index(
+        corpus, corpus_id, vec_col,
+        m=m, k_codes=k_codes, num_centroids=num_centroids, seed=seed,
+        sample_cap=sample_cap, deterministic=deterministic,
+        residual=residual,
+    )
+    model = {
+        "centroids": centroids.tolist(),
+        "codebooks": cb.tolist(),
+        "m": m,
+        "k_codes": k_codes,
+        "residual": residual,
+    }
+    return enc, model
+
+
+def write_ivfpq_index(enc: DataFrame, model: dict, path: str) -> None:
+    """Persist the IVFADC index CELL-PARTITIONED: ``path/cells`` holds
+    the (corpus_id, codes) rows under ``cell=K`` partition directories
+    (one task per cell via repartition — no small-file explosion), and
+    ``path/model`` the quantizer state as a single JSON row. The cell
+    layout is the point: a probe batch touching ``p`` distinct cells
+    reads ``p/num_cells`` of the index via directory-level partition
+    pruning — the serving-tier analogue of the streaming dedup index's
+    pbucket layout."""
+    import json
+    import os
+
+    enc.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(os.path.join(path, "cells"))
+    spark = enc.sparkSession
+    spark.createDataFrame(
+        [(json.dumps(model),)], ["model_json"]
+    ).coalesce(1).write.mode("overwrite").json(os.path.join(path, "model"))
+
+
+def read_ivfpq_index(spark, path: str):
+    """Load ``(enc, model)`` written by :func:`write_ivfpq_index` —
+    ``enc`` scans the cell-partitioned layout, so downstream probe
+    filters prune directories."""
+    import json
+    import os
+
+    import numpy as np
+
+    enc = spark.read.parquet(os.path.join(path, "cells")).select(
+        "corpus_id", F.col("cell").cast("int").alias("cell"), "codes"
+    )
+    row = spark.read.json(os.path.join(path, "model")).collect()[0]
+    model = json.loads(row.model_json)
+    model["centroids"] = np.asarray(model["centroids"], dtype=np.float64)
+    model["codebooks"] = np.asarray(model["codebooks"], dtype=np.float64)
+    return enc, model
+
+
+def ivfpq_search(
+    enc: DataFrame,
+    model: dict,
+    queries: DataFrame,
+    *,
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    nprobe: int = 3,
+    k: int = 5,
+    exclude_self: bool = True,
+    dist_decimals: int = 6,
+    deterministic: bool = True,
+) -> DataFrame:
+    """Serve a probe batch against a prebuilt (possibly disk-resident)
+    IVFADC index. The probed-cell set is pushed into the index scan as
+    a partition filter BEFORE the broadcast join, so a
+    ``write_ivfpq_index`` layout reads only the probed cells'
+    directories — the billion-vector serving shape."""
+    import numpy as np
+
+    spark = queries.sparkSession
+    centroids = np.asarray(model["centroids"], dtype=np.float64)
+    cb = np.asarray(model["codebooks"], dtype=np.float64)
+    plan = _ivfpq_probe_plan(
+        spark, queries, query_id, vec_col, centroids, cb,
+        nprobe=nprobe, deterministic=deterministic,
+        residual=bool(model["residual"]),
+    )
+    probed = sorted({int(r.cell) for r in plan.select("cell").distinct().collect()})
+    pruned = enc.filter(F.col("cell").isin(probed)) if probed else enc
+    return _ivfpq_rank(
+        pruned, plan, m=int(model["m"]), k_codes=int(model["k_codes"]),
+        k=k, exclude_self=exclude_self, dist_decimals=dist_decimals,
+    )
+
+
 def ivfpq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -325,126 +609,17 @@ def ivfpq_topk(
     approximation; recall vs exact cosine is measured in tests
     (``test_pq.py``), mirroring ``ivf_topk``.
     """
-    import numpy as np
-
-    from my_feast_spark.operators.similarity import make_cell_assigner
-
-    spark = queries.sparkSession
-    c = spread_partitions(corpus).select(
-        F.col(corpus_id).alias("corpus_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+    enc, centroids, cb = _ivfpq_index(
+        corpus, corpus_id, vec_col,
+        m=m, k_codes=k_codes, num_centroids=num_centroids, seed=seed,
+        sample_cap=sample_cap, deterministic=deterministic,
+        residual=residual,
     )
-
-    # one id-ordered capped sample feeds BOTH quantizers (TopK plan:
-    # orderBy+limit -> TakeOrderedAndProject, never a global sort)
-    sample = (
-        c.orderBy("corpus_id").select("cv").limit(sample_cap).collect()
+    plan = _ivfpq_probe_plan(
+        queries.sparkSession, queries, query_id, vec_col, centroids, cb,
+        nprobe=nprobe, deterministic=deterministic, residual=residual,
     )
-    X = np.asarray([r.cv for r in sample], dtype=np.float64)
-    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    centroids = train_ivf_centroids(Xn, num_centroids, seed=seed)
-    assigner = make_cell_assigner(centroids, deterministic=deterministic)
-    if residual:
-        # codebooks on the within-cell residuals of the SAME sample —
-        # no re-normalization (a residual's length is its information)
-        Rs = Xn - centroids[assigner(Xn, 1)[:, 0]]
-        cb = codebooks_from_sample(
-            Rs, m=m, k=k_codes, seed=seed, normalize=False
-        )
-    else:
-        cb = codebooks_from_sample(X, m=m, k=k_codes, seed=seed)
-    encode = make_pq_encoder(
-        cb, deterministic=deterministic, normalize=not residual
-    )
-
-    # encode: ONE Arrow pass -> (corpus_id, cell, codes)
-    @F.pandas_udf("struct<cell: int, codes: array<int>>")
-    def cell_codes(col: pd.Series) -> pd.DataFrame:
-        if len(col) == 0:
-            return pd.DataFrame({"cell": pd.Series([], dtype="int32"),
-                                 "codes": pd.Series([], dtype=object)})
-        vecs = np.vstack([np.asarray(v, dtype=np.float64) for v in col])
-        vn = vecs / np.maximum(
-            np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12
-        )
-        cells_ = assigner(vn, 1)[:, 0]
-        target = (vn - centroids[cells_]) if residual else vecs
-        return pd.DataFrame({
-            "cell": pd.Series(cells_.astype("int32")),
-            "codes": pd.Series(list(encode(target))),
-        })
-
-    # asNondeterministic is an OPTIMIZER FENCE, not a semantics claim:
-    # the probe join's implicit isnotnull(cell) otherwise pushes below
-    # the spread_partitions Exchange and Catalyst re-evaluates the UDF
-    # there — the whole encode pass would run TWICE over the corpus
-    # (measured in .explain: two ArrowEvalPython nodes). The encode is
-    # deterministic; it just must not be cloned.
-    cell_codes = cell_codes.asNondeterministic()
-    enc = c.select(
-        "corpus_id", cell_codes(F.col("cv")).alias("cc")
-    ).select("corpus_id", F.col("cc.cell").alias("cell"),
-             F.col("cc.codes").alias("codes"))
-
-    # probe side: queries collected driver-side (bounded batch — same
-    # stance as pq_topk/ivf_topk), one (query, probed cell, lut) row
-    # per probe, broadcast
-    qrows = queries.select(
-        F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv")
-    ).collect()
-    if qrows:
-        Q = np.asarray([r.qv for r in qrows], dtype=np.float64)
-        Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
-        probes = assigner(Qn, nprobe)  # (nq, nprobe)
-        if residual:
-            # one table per (query, probed cell): the query's residual
-            # against THAT cell is what the cell's codes approximate
-            probe_rows = [
-                (r.query_id, int(cell), [float(x) for x in lut])
-                for r, cells, qn in zip(qrows, probes, Qn)
-                for cell, lut in zip(
-                    cells,
-                    query_luts(
-                        cb, qn[None, :] - centroids[list(cells)],
-                        normalize=False,
-                    ),
-                )
-            ]
-        else:
-            luts = query_luts(cb, Q)   # (nq, m*k)
-            probe_rows = [
-                (r.query_id, int(cell), [float(x) for x in lut])
-                for r, cells, lut in zip(qrows, probes, luts)
-                for cell in cells
-            ]
-        plan = spark.createDataFrame(probe_rows, ["query_id", "cell", "__lut"])
-    else:
-        from pyspark.sql import types as T
-
-        plan = spark.createDataFrame(
-            [],
-            T.StructType([
-                T.StructField(
-                    "query_id", queries.schema[query_id].dataType, True
-                ),
-                T.StructField("cell", T.IntegerType(), True),
-                T.StructField("__lut", T.ArrayType(T.DoubleType()), True),
-            ]),
-        )
-
-    joined = enc.join(F.broadcast(plan), "cell")
-    if exclude_self:
-        joined = joined.filter(F.col("corpus_id") != F.col("query_id"))
-    dists = joined.select(
-        "query_id",
-        F.col("corpus_id").alias("neighbor_id"),
-        F.round(_adc_dist(m, k_codes, "codes"), dist_decimals).alias("adc_dist"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        dists.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    return _ivfpq_rank(
+        enc, plan, m=m, k_codes=k_codes, k=k,
+        exclude_self=exclude_self, dist_decimals=dist_decimals,
     )

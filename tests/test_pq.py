@@ -297,3 +297,53 @@ def test_ivfpq_residual_matches_numpy_replay(spark, emb):
             )
         for rank in range(len(cand) + 1, 6):
             assert (qid, rank) not in got
+
+
+def test_ivfpq_index_roundtrip_and_cell_pruning(spark, emb, tmp_path):
+    """build -> write (cell-partitioned) -> read -> search must return
+    EXACTLY what the one-shot ivfpq_topk returns for the same params,
+    and the served scan must read only the probed cells' partition
+    directories (the billion-vector serving shape)."""
+    from my_feast_spark.operators.pq import (
+        ivfpq_build,
+        ivfpq_search,
+        ivfpq_topk,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    params = dict(m=M, k_codes=K, num_centroids=8)
+    want = sorted(
+        map(tuple, ivfpq_topk(
+            queries, corpus, nprobe=3, k=5, residual=True, **params
+        ).collect())
+    )
+
+    enc, model = ivfpq_build(corpus, residual=True, **params)
+    path = str(tmp_path / "ivfpq_index")
+    write_ivfpq_index(enc, model, path)
+    enc2, model2 = read_ivfpq_index(spark, path)
+    got_df = ivfpq_search(enc2, model2, queries, nprobe=3, k=5)
+    got = sorted(map(tuple, got_df.collect()))
+    assert got == want
+
+    # pruning: the probed-cell filter reads a strict subset of the
+    # partition directories (inputFiles() ignores pruning — probe the
+    # executed scan via input_file_name)
+    def files_read(df):
+        return {
+            r.f
+            for r in df.select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        }
+
+    every = files_read(enc2)
+    assert any("cell=" in f for f in every)
+    one_cell = files_read(enc2.filter(F.col("cell") == enc2.select(
+        F.min("cell")).collect()[0][0]))
+    assert one_cell and one_cell < every
