@@ -131,6 +131,8 @@ def main() -> None:
         # exhaustive-ADC vs IVFADC at a 10x query batch: the probe path's
         # candidate volume is nprobe/num_cells (= 1/4 here) of the
         # exhaustive scan's — the gap that grows with corpus x queries
+        ("cosine_topk_numpy",
+         lambda: counted(workload.q_cosine_topk(spark, sf_dir, impl="numpy"))),
         ("pq_topk_q200",
          lambda: counted(workload.q_pq_topk(spark, sf_dir, n_queries=200))),
         ("ivfpq_topk_q200",

@@ -62,12 +62,32 @@ def cosine_topk(
     k: int = 5,
     exclude_self: bool = True,
     sim_decimals: int = 6,
+    impl: str = "expr",
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, sim, rank).
 
     ``queries``/``corpus``: DataFrames with (id, vec_col). Ranking is by
     (rounded sim DESC, neighbor id ASC) — fully deterministic.
+
+    ``impl="expr"`` (default, oracle-adjudicated): the per-pair dot is
+    a codegen'd sequential fold — bit-deterministic, zero Python.
+    ``impl="numpy"`` is the scale fast path: ONE Arrow pass over the
+    corpus, one gemm per (corpus batch x query matrix), per-batch
+    local top-k (top-k distributes over partition unions, so the
+    global window sees k rows per query per batch instead of the full
+    |corpus| x |queries| pair relation — the shuffle shrinks from
+    O(N*q) to O(batches*q*k)). Sims round to ``sim_decimals`` before
+    ranking in both paths, so the two implementations agree except on
+    dots within float-rounding distance of a rounding edge.
     """
+    if impl == "numpy":
+        return _cosine_topk_numpy(
+            queries, corpus,
+            query_id=query_id, corpus_id=corpus_id, vec_col=vec_col,
+            k=k, exclude_self=exclude_self, sim_decimals=sim_decimals,
+        )
+    if impl != "expr":
+        raise ValueError(f"unknown impl: {impl!r}")
     # norms are per-ROW: compute once before the pair join, not per pair
     # (same float ops on the same inputs -> bit-identical sim, 3x less
     # per-pair work than folding dot+norm+norm inside the join)
@@ -93,6 +113,92 @@ def cosine_topk(
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
         sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def _cosine_topk_numpy(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    k: int,
+    exclude_self: bool,
+    sim_decimals: int,
+) -> DataFrame:
+    """gemm-based exact cosine top-k (see ``cosine_topk`` impl="numpy").
+    Queries collect driver-side (the broadcast-batch stance); the
+    normalized query matrix ships in the closure; each Arrow batch
+    computes one (nb, nq) gemm and emits only its local top-k rows per
+    query."""
+    import numpy as np
+
+    qrows = queries.select(
+        F.col(query_id).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    spark = queries.sparkSession
+    if not qrows:
+        from pyspark.sql import types as T
+
+        empty = spark.createDataFrame(
+            [],
+            T.StructType([
+                T.StructField("query_id", queries.schema[query_id].dataType),
+                T.StructField("neighbor_id", corpus.schema[corpus_id].dataType),
+                T.StructField("sim", T.DoubleType()),
+                T.StructField("rank", T.IntegerType()),
+            ]),
+        )
+        return empty
+    qids = np.asarray([r.qid for r in qrows])
+    Q = np.asarray([r.qv for r in qrows], dtype=np.float64)
+    Qn = (Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)).T
+    nq = len(qids)
+    kk = k + (1 if exclude_self else 0)  # self may occupy a local slot
+
+    def batch_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["corpus_id"].to_numpy()
+            B = np.vstack([
+                np.asarray(v, dtype=np.float64) for v in pdf["cv"]
+            ])
+            B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
+            S = np.round(B @ Qn, sim_decimals)  # (nb, nq)
+            take = min(kk, len(ids))
+            out_q, out_n, out_s = [], [], []
+            for j in range(nq):
+                col = S[:, j]
+                # local top-take by (sim desc, id asc): argpartition then
+                # exact ordering of the short head
+                cand = np.argpartition(-col, take - 1)[:take] if take < len(ids) else np.arange(len(ids))
+                order = sorted(cand, key=lambda i: (-col[i], ids[i]))
+                for i in order[:take]:
+                    out_q.append(qids[j])
+                    out_n.append(ids[i])
+                    out_s.append(col[i])
+            yield pd.DataFrame({
+                "query_id": out_q, "neighbor_id": out_n, "sim": out_s,
+            })
+
+    c = spread_partitions(corpus).select(
+        F.col(corpus_id).alias("corpus_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+    )
+    local = c.mapInPandas(
+        batch_topk, schema="query_id long, neighbor_id long, sim double"
+    )
+    if exclude_self:
+        local = local.filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )

@@ -1823,9 +1823,12 @@ FROM pos GROUP BY label, pos
 """
 
 
-def q_cosine_topk(spark, sf_dir):
+def q_cosine_topk(spark, sf_dir, *, impl="expr"):
     """Brute-force exact cosine top-5 neighbors for the first 20 vectors
-    (broadcast queries x corpus scan; deterministic fold-order dots)."""
+    (broadcast queries x corpus scan; deterministic fold-order dots).
+    ``impl="numpy"`` switches to the gemm fast path (one BLAS matmul +
+    local top-k per Arrow batch — the 100 TB exact-verify shape; bench
+    times it alongside, oracle runs stay on the expression fold)."""
     from my_feast_spark.operators.similarity import cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1833,7 +1836,7 @@ def q_cosine_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
-    return cosine_topk(q, c, k=5)
+    return cosine_topk(q, c, k=5, impl=impl)
 
 
 SQL_COSINE_TOPK = """

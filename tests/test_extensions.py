@@ -775,3 +775,41 @@ def test_semdedup_distributed_fit_keeps_the_policy(spark, emb):
     same_cell = {(a, b) for a, b in exact_pairs if cells[a] == cells[b]}
     dominated = {b for _a, b in same_cell}
     assert set(cells) - kept == dominated
+
+
+def test_cosine_topk_numpy_matches_expr(spark, emb):
+    """The gemm fast path must return the SAME ranking as the
+    expression fold (both round sims before ranking) — per-batch local
+    top-k is lossless because global top-k distributes over partition
+    unions."""
+    from my_feast_spark.operators.similarity import cosine_topk
+
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    expr = {
+        (r.query_id, r.rank): (r.neighbor_id, r.sim)
+        for r in cosine_topk(q, c, k=5).collect()
+    }
+    fast = {
+        (r.query_id, r.rank): (r.neighbor_id, r.sim)
+        for r in cosine_topk(q, c, k=5, impl="numpy").collect()
+    }
+    assert set(expr) == set(fast)
+    for key, (nid, sim) in expr.items():
+        fnid, fsim = fast[key]
+        assert fnid == nid, key
+        assert fsim == pytest.approx(sim, abs=2e-6), key
+
+
+def test_cosine_topk_numpy_empty_queries(spark, emb):
+    from my_feast_spark.operators.similarity import cosine_topk
+
+    q = emb.where(F.lit(False)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    out = cosine_topk(q, c, k=5, impl="numpy")
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "sim", "rank"]
