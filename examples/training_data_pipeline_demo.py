@@ -94,6 +94,34 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> dict:
     for c in sem._owned_caches:
         c.unpersist()
 
+    # 5b: ANN serving — build the residual-IVFADC index ONCE, persist it
+    # cell-partitioned, then serve a probe batch that reads only the
+    # probed cells' directories (the billion-vector serving shape)
+    import tempfile
+
+    from my_feast_spark.operators import (
+        ivfpq_build,
+        ivfpq_search,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    enc, model = ivfpq_build(
+        emb.select(F.col("vec_id").alias("corpus_id"), "embedding"),
+        num_centroids=16, residual=True,
+    )
+    idx_path = tempfile.mkdtemp(prefix="mfs_demo_ivfpq_")
+    write_ivfpq_index(enc, model, idx_path)
+    enc2, model2 = read_ivfpq_index(spark, idx_path)
+    ann = ivfpq_search(
+        enc2, model2,
+        emb.where(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        nprobe=4, k=5,
+    )
+    n_ann_results = ann.count()
+
     # 6: emit a reproducible ~10% sample of the survivors as training
     # chunks — both steps are map-only, so this scales with the scan
     chunks = (
@@ -161,6 +189,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "near_dup_pairs": n_near_pairs,
         "semantic_dup_pairs": n_sem_pairs,
         "semdedup_keepers": n_sem_keepers,
+        "ivfpq_served_results": n_ann_results,
         "sampled_training_chunks": n_chunks,
         "curate_operator_survivors": n_curated,
         "lm_scored_docs": n_scored,

@@ -24,6 +24,7 @@ def test_training_pipeline_demo_runs(spark):
     assert out["near_dup_pairs"] >= 0
     assert out["semantic_dup_pairs"] > 0
     assert 0 < out["semdedup_keepers"] <= 500
+    assert out["ivfpq_served_results"] == 20 * 5  # k per probe-batch query
     assert out["curate_operator_survivors"] == 118  # pinned by the oracle row
     assert out["lm_scored_docs"] == out["after_exact_dedup"]
     assert 0 < out["nb_predicted_quality_docs"] <= 500
