@@ -630,3 +630,191 @@ def near_dedup_ingest_stream(
     elif trigger_interval:
         writer = writer.trigger(processingTime=trigger_interval)
     return writer.start()
+
+
+def embedding_dedup_ingest_stream(
+    sdf: DataFrame,
+    *,
+    out_path: str,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_planes: int = 4,
+    num_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    index_buckets: int | None = None,
+    available_now: bool = False,
+    trigger_interval: str | None = None,
+):
+    """Streaming SEMANTIC near-dup ingest — the embedding twin of
+    ``near_dedup_ingest_stream``: each micro-batch hyperplane-LSH
+    buckets its (normalized) embeddings across ``num_tables``
+    independent ``num_planes``-bit sign tables, collides them against
+    the accumulated bucket index, and drops every doc whose exact
+    cosine against an already-accepted doc, or a lower-id doc of its
+    own batch, reaches ``threshold`` (precision 1 — LSH only generates
+    candidates; the verify is the true cosine over the stored vectors).
+    In-batch policy is pairwise-greedy like the MinHash ingest.
+
+    Index layout under ``index_path``: ``buckets/batch_id=N`` holds the
+    (doc, table, bucket) collision rows, ``vecs/batch_id=N`` the
+    accepted (doc, v) normalized vectors the verify reads — both
+    derived from the WRITTEN accepted output of their batch (same
+    idempotent ``batch_id=N`` overwrite / crash-replay contract as the
+    exact and MinHash ingests). ``index_buckets=B`` adds the pbucket
+    partition layout — ``pmod(xxhash64(table, bucket), B)`` for bucket
+    rows, ``pmod(xxhash64(doc), B)`` for vectors — so each batch reads
+    only the directories its own collisions hash into. Returns the
+    started StreamingQuery.
+    """
+    from my_feast_spark.operators.similarity import (
+        _dot,
+        _hyperplanes,
+        _lsh_buckets_udf,
+    )
+
+    spark = sdf.sparkSession
+    buckets_dir = os.path.join(index_path, "buckets")
+    vecs_dir = os.path.join(index_path, "vecs")
+    planes = [
+        _hyperplanes(dim, num_planes, seed + t) for t in range(num_tables)
+    ]
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bucket_udf = _lsh_buckets_udf(planes)
+        # one normalize+bucket pass, pinned for its many consumers
+        # (collision build, both verify sides, both index writes)
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        norm = F.sqrt(F.aggregate(
+            F.transform(v, lambda x: x * x), F.lit(0.0),
+            lambda acc, x: acc + x,
+        ))
+        base = batch_df.select(
+            F.col(id_col).alias("doc"),
+            F.transform(v, lambda x: x / F.greatest(norm, F.lit(1e-12)))
+            .alias("v"),
+        ).withColumn(
+            "bks", bucket_udf(F.col("v"))
+        ).localCheckpoint()
+        live = [base]
+        try:
+            bucket_rows = base.select(
+                "doc", F.posexplode(F.col("bks")).alias("table", "bucket")
+            )
+            bpb = F.pmod(
+                F.xxhash64("table", "bucket"), F.lit(index_buckets or 1)
+            )
+            dpb = F.pmod(F.xxhash64("doc"), F.lit(index_buckets or 1))
+
+            a, b2 = bucket_rows.alias("a"), bucket_rows.alias("b")
+            cand = (
+                a.join(
+                    b2,
+                    (F.col("a.table") == F.col("b.table"))
+                    & (F.col("a.bucket") == F.col("b.bucket"))
+                    & (F.col("a.doc") < F.col("b.doc")),
+                )
+                .select(F.col("a.doc").alias("dom"), F.col("b.doc").alias("doc"))
+            )
+            all_vecs = base.select("doc", "v")
+            if _fs_nonempty(spark, buckets_dir):
+                old_buckets = spark.read.parquet(buckets_dir).filter(
+                    F.col("batch_id") != batch_id
+                )
+                if index_buckets:
+                    pbs = [
+                        r.pb
+                        for r in bucket_rows.select(bpb.alias("pb"))
+                        .distinct()
+                        .collect()
+                    ]
+                    old_buckets = old_buckets.filter(
+                        F.col("pbucket").isin(pbs)
+                    )
+                cand = cand.union(
+                    old_buckets.select(
+                        F.col("doc").alias("dom"), "table", "bucket"
+                    )
+                    .join(bucket_rows, ["table", "bucket"])
+                    .select("dom", "doc")
+                )
+                old_vecs = spark.read.parquet(vecs_dir).filter(
+                    F.col("batch_id") != batch_id
+                )
+                cand = cand.distinct()
+                if index_buckets:
+                    cand = cand.localCheckpoint()
+                    live.append(cand)
+                    dom_pbs = [
+                        r.pb
+                        for r in cand.select(
+                            F.pmod(
+                                F.xxhash64("dom"), F.lit(index_buckets)
+                            ).alias("pb")
+                        )
+                        .distinct()
+                        .collect()
+                    ]
+                    old_vecs = old_vecs.filter(F.col("pbucket").isin(dom_pbs))
+                all_vecs = all_vecs.union(old_vecs.select("doc", "v"))
+            else:
+                cand = cand.distinct()
+            dominated = (
+                cand
+                .join(all_vecs.select(F.col("doc").alias("dom"),
+                                      F.col("v").alias("a_v")), "dom")
+                .join(base.select("doc", F.col("v").alias("b_v")), "doc")
+                .filter(
+                    F.round(_dot(F.col("a_v"), F.col("b_v")), 6)
+                    >= F.lit(threshold)
+                )
+                .select(F.col("doc").alias(id_col))
+                .distinct()
+            )
+            accepted = batch_df.join(dominated, id_col, "left_anti")
+            accepted.write.mode("overwrite").parquet(
+                os.path.join(out_path, f"batch_id={batch_id}")
+            )
+            # index entries derive from the WRITTEN output (replay-safe)
+            acc_ids = spark.read.parquet(
+                os.path.join(out_path, f"batch_id={batch_id}")
+            ).select(F.col(id_col).alias("doc"))
+            new_vecs = base.select("doc", "v").join(acc_ids, "doc", "left_semi")
+            new_buckets = bucket_rows.join(acc_ids, "doc", "left_semi")
+            if index_buckets:
+                new_vecs.withColumn("pbucket", dpb).repartition(
+                    "pbucket"
+                ).write.mode("overwrite").partitionBy("pbucket").parquet(
+                    os.path.join(vecs_dir, f"batch_id={batch_id}")
+                )
+                new_buckets.withColumn("pbucket", bpb).repartition(
+                    "pbucket"
+                ).write.mode("overwrite").partitionBy("pbucket").parquet(
+                    os.path.join(buckets_dir, f"batch_id={batch_id}")
+                )
+            else:
+                new_vecs.write.mode("overwrite").parquet(
+                    os.path.join(vecs_dir, f"batch_id={batch_id}")
+                )
+                new_buckets.write.mode("overwrite").parquet(
+                    os.path.join(buckets_dir, f"batch_id={batch_id}")
+                )
+        finally:
+            from my_feast_spark.operators.graph import release_checkpoint
+
+            for frame in live:
+                release_checkpoint(frame)
+
+    writer = (
+        sdf.writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_interval:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()
