@@ -28,6 +28,15 @@ Spark mapping, stage by stage:
 Vectors are L2-normalized inside encode/search, so squared L2 = 2 -
 2*cosine and ADC ranking matches cosine ranking up to quantization
 error (the standard cosine-via-PQ reduction).
+
+The billion-vector composition lives here too: ``ivfpq_topk`` (IVFADC
+— coarse k-means cells prune the candidate set to ``nprobe`` cells per
+query; ``residual=True`` quantizes the within-cell residual, the
+paper's full structure) and the serving API around it
+(``ivfpq_build`` / ``write_ivfpq_index`` / ``read_ivfpq_index`` /
+``ivfpq_search``), which persists the encoded relation under cell=K
+partition directories and pushes each probe batch's cell set into the
+scan as a partition filter.
 """
 
 from __future__ import annotations

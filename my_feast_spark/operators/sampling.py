@@ -138,3 +138,32 @@ def shuffle_layout(
         )
         .drop("__h")
     )
+
+
+def score_weighted_sample(
+    df: DataFrame,
+    score_col: str,
+    key_col: str,
+    *,
+    alpha: float = 9.0,
+    salt: str = "pareto",
+) -> DataFrame:
+    """The GPT-3 quality-weighted keep rule, made deterministic.
+
+    GPT-3 (Brown et al. 2020, Appendix A) keeps a crawl document when
+    ``np.random.pareto(alpha) > 1 - score`` — high classifier scores
+    keep (almost) surely, low scores survive with a heavy-tailed small
+    probability, so the filtered corpus still covers the low-score
+    mass instead of cliff-cutting it. Replayability demands no RNG:
+    the Lomax tail gives P(pareto(a) > x) = (1 + x)^-a, so the rule is
+    equivalent to keeping with probability ``(2 - s)^-alpha`` (s
+    clamped to [0, 1]) — implemented as the deterministic comparison
+    ``uniform_hash(key:salt) < keep_prob``. Pure expressions, map-only,
+    stable across runs/engines/partitionings; change ``salt`` for an
+    independent draw. Returns the surviving rows.
+    """
+    s = F.least(F.greatest(F.col(score_col).cast("double"), F.lit(0.0)),
+                F.lit(1.0))
+    keep_prob = F.pow(F.lit(2.0) - s, F.lit(-float(alpha)))
+    u = sample_bucket(F.col(key_col), salt=salt) / F.lit(float(RESOLUTION))
+    return df.filter(u < keep_prob)

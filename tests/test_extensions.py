@@ -813,3 +813,43 @@ def test_cosine_topk_numpy_empty_queries(spark, emb):
     out = cosine_topk(q, c, k=5, impl="numpy")
     assert out.count() == 0
     assert out.columns == ["query_id", "neighbor_id", "sim", "rank"]
+
+
+def test_score_weighted_sample_pareto_rule(spark):
+    """The deterministic GPT-3 keep rule: keep probability (2-s)^-alpha
+    — score 1.0 keeps (almost) surely, score 0.0 keeps ~2^-alpha; the
+    decision is a pure function of (key, salt) so re-runs select the
+    same rows, and measured keep rates track the analytic curve."""
+    from my_feast_spark.operators.sampling import score_weighted_sample
+
+    n = 4000
+    rows = [(i, (i % 3) * 0.5) for i in range(n)]  # scores 0.0/0.5/1.0
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    kept = score_weighted_sample(df, "score", "doc_id", alpha=9.0)
+    got = {r.doc_id for r in kept.collect()}
+    again = {
+        r.doc_id
+        for r in score_weighted_sample(
+            df, "score", "doc_id", alpha=9.0
+        ).collect()
+    }
+    assert got == again, "must be a pure function of (key, salt)"
+
+    by_score = {0.0: 0, 0.5: 0, 1.0: 0}
+    for i in got:
+        by_score[(i % 3) * 0.5] += 1
+    totals = {0.0: 0, 0.5: 0, 1.0: 0}
+    for i in range(n):
+        totals[(i % 3) * 0.5] += 1
+    # analytic keep rates: 2^-9 ~ 0.002, 1.5^-9 ~ 0.026, 1.0 -> 1.0
+    assert by_score[1.0] == totals[1.0], "score 1.0 must always keep"
+    assert by_score[0.5] / totals[0.5] == pytest.approx(1.5 ** -9, abs=0.02)
+    assert by_score[0.0] / totals[0.0] == pytest.approx(2.0 ** -9, abs=0.01)
+    # independent draw under a different salt
+    other = {
+        r.doc_id
+        for r in score_weighted_sample(
+            df, "score", "doc_id", alpha=9.0, salt="other"
+        ).collect()
+    }
+    assert other != got
