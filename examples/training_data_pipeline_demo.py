@@ -169,9 +169,21 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "doc_id", "left",
     ).fillna(False, ["__pos"])
     nb = train_nb(labeled, "text", "__pos")
-    n_pred_quality = (
-        score_nb(docs, "doc_id", "text", nb).filter(F.col("pred") == 1).count()
+    nb_scored = score_nb(docs, "doc_id", "text", nb)
+    n_pred_quality = nb_scored.filter(F.col("pred") == 1).count()
+    # GPT-3's quality-weighted keep rule over the classifier scores:
+    # log2-odds -> probability, then the deterministic Pareto rule
+    # (score_weighted_sample) — low scorers survive with heavy-tailed
+    # small probability instead of being cliff-cut
+    from my_feast_spark.operators.sampling import score_weighted_sample
+
+    probs = nb_scored.withColumn(
+        "quality_prob",
+        F.lit(1.0) / (F.lit(1.0) + F.pow(F.lit(2.0), -F.col("log_odds"))),
     )
+    n_pareto_kept = score_weighted_sample(
+        probs, "quality_prob", "doc_id", alpha=9.0
+    ).count()
     for c in nb.token_llr._owned_caches:
         c.unpersist()
     recall_report = lsh_recall_report(
@@ -194,6 +206,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "curate_operator_survivors": n_curated,
         "lm_scored_docs": n_scored,
         "nb_predicted_quality_docs": n_pred_quality,
+        "pareto_quality_sampled_docs": n_pareto_kept,
         "lsh_recall_on_sample": recall.recall,
         "bpe_merges_learned": len(merges),
     }

@@ -28,6 +28,10 @@ def test_training_pipeline_demo_runs(spark):
     assert out["curate_operator_survivors"] == 118  # pinned by the oracle row
     assert out["lm_scored_docs"] == out["after_exact_dedup"]
     assert 0 < out["nb_predicted_quality_docs"] <= 500
+    # the Pareto rule is score-WEIGHTED, not a sign cut: keep prob
+    # (2-p)^-9 thins even moderate positives, so the count sits between
+    # the all-drop and all-keep extremes, deterministic per salt
+    assert 0 < out["pareto_quality_sampled_docs"] < 500
     assert out["lsh_recall_on_sample"] is None or out["lsh_recall_on_sample"] >= 0.9
     assert out["bpe_merges_learned"] == 8
 
