@@ -181,3 +181,59 @@ def segment_silence(assets: DataFrame, *, silence_rms: float = 0.02,
             )
 
     return assets.mapInPandas(segments, schema=SEGMENT_SCHEMA)
+
+
+def audio_fingerprint(assets: DataFrame) -> DataFrame:
+    """64-bit energy-delta perceptual fingerprint per audio asset — the
+    audio analogue of ``assets.image_dhash`` (and a toy chromaprint:
+    real Chromaprint also thresholds energy deltas across frames, just
+    over chroma bands). The sample vector splits into 65 equal frames;
+    bit i = 1 when frame i's RMS energy exceeds frame i+1's. Locality
+    is preserved — a local edit to the audio flips only the frame
+    comparisons it touches, so near-identical assets land within small
+    hamming distance, which is what the dedup tier needs. One Arrow
+    batch in -> (asset_id, afp) out, map-only."""
+    _parse = _make_audio_parser()
+
+    def fingerprint(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                _sr, _ch, samples = _parse(bytes(content))
+                # 65 frames of RMS energy; pad tiny payloads so every
+                # frame is fed
+                if samples.size < 65:
+                    samples = np.pad(samples, (0, 65 - samples.size))
+                n = samples.size
+                sq = samples.astype(np.float64) ** 2
+                energy = [
+                    float(sq[(i * n) // 65:((i + 1) * n) // 65].mean())
+                    for i in range(65)
+                ]
+                bits = 0
+                for i in range(64):
+                    bits = (bits << 1) | (1 if energy[i] > energy[i + 1] else 0)
+                if bits >= 1 << 63:
+                    bits -= 1 << 64
+                ids.append(asset_id)
+                hashes.append(bits)
+            yield pd.DataFrame({"asset_id": ids, "afp": hashes})
+
+    return assets.mapInPandas(fingerprint, schema="asset_id long, afp long")
+
+
+def audio_near_dup_pairs(assets: DataFrame, *, max_hamming: int = 6) -> DataFrame:
+    """Perceptual near-duplicate audio pairs: energy-delta fingerprints
+    + the dedup tier's pigeonhole hamming join (8 chunks of 8 bits —
+    recall exactly 1 up to hamming 7, no cross join; the same blocked
+    join the text-simhash and image tiers ride). The fingerprint
+    relation is 16 bytes/asset and persisted across both join sides;
+    released via ``_owned_caches``."""
+    from my_feast_spark.operators.dedup import hamming_pairs
+
+    fp = audio_fingerprint(assets).persist()
+    pairs = hamming_pairs(
+        fp, "asset_id", "afp", max_hamming=max_hamming, n_chunks=8
+    )
+    pairs._owned_caches = [fp]
+    return pairs
