@@ -276,3 +276,138 @@ def image_near_dup_pairs(assets: DataFrame, *, max_hamming: int = 6) -> DataFram
     )
     pairs._owned_caches = [fp]
     return pairs
+
+
+def frame_dhash(frames: DataFrame) -> DataFrame:
+    """Per-FRAME 64-bit perceptual hash: the ``image_dhash`` byte-grid
+    reduction applied to each sampled frame's bytes — one Arrow pass
+    over the (asset_id, frame_idx, frame) relation."""
+
+    def fingerprint(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for asset_id, frame_idx, frame in zip(
+                pdf["asset_id"], pdf["frame_idx"], pdf["frame"]
+            ):
+                data = bytes(frame)
+                if len(data) < 72:
+                    data = data + bytes(72 - len(data))
+                n = len(data)
+                cells = [
+                    sum(data[(i * n) // 72:((i + 1) * n) // 72])
+                    / max(((i + 1) * n) // 72 - (i * n) // 72, 1)
+                    for i in range(72)
+                ]
+                bits = 0
+                for row in range(8):
+                    for col in range(8):
+                        left = cells[row * 9 + col]
+                        right = cells[row * 9 + col + 1]
+                        bits = (bits << 1) | (1 if left > right else 0)
+                if bits >= 1 << 63:
+                    bits -= 1 << 64
+                ids.append(asset_id)
+                idxs.append(frame_idx)
+                hashes.append(bits)
+            yield pd.DataFrame({
+                "asset_id": ids, "frame_idx": idxs, "fh": hashes,
+            })
+
+    return frames.mapInPandas(
+        fingerprint, schema="asset_id long, frame_idx int, fh long"
+    )
+
+
+def video_near_dup_pairs(
+    assets: DataFrame,
+    *,
+    frame_bytes: int = 64,
+    every_k: int = 2,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Video near-duplicate pairs — the industry recipe: sample frames,
+    perceptual-hash each frame, treat an asset's SET of frame hashes as
+    its shingle set, and run MinHash + banded LSH over it with an exact
+    frame-set-Jaccard verify. A re-encoded / trimmed copy shares most
+    sampled frame hashes, so it collides in some band and survives the
+    verify; candidates never come from a cross join.
+
+    Plan shape mirrors the text MinHash tier: the per-asset frame-hash
+    array is one groupBy over the sampled frames (bounded by frames per
+    asset), minhashes are ``array_min(transform(...))`` folds — no
+    Python past the frame hashing — band buckets are capped, and the
+    (array-carrying) relation is persisted across the candidate join's
+    two sides and the verify, handed back via ``_owned_caches``.
+    Returns (doc_a, doc_b, jaccard).
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+
+    frames = sample_frames(assets, frame_bytes=frame_bytes, every_k=every_k)
+    sets = (
+        frame_dhash(frames)
+        .groupBy("asset_id")
+        .agg(F.collect_set("fh").alias("fhs"))
+    )
+    sigs = sets.select(
+        "asset_id", "fhs",
+        *[
+            F.array_min(
+                F.transform("fhs", lambda x, i=i: F.xxhash64(F.lit(i), x))
+            ).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ],
+    ).persist()
+    sigs.count()  # one frame-hash + signature pass; every consumer reads the cache
+
+    band_rows = sigs.select(
+        "asset_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[
+                    F.col(f"mh_{b * r + j}") for j in range(r)
+                ]).alias("bsig"),
+            )
+            for b in range(bands)
+        ])).alias("bs"),
+    ).select("asset_id", "bs.band", "bs.bsig")
+    ok = (
+        band_rows.groupBy("band", "bsig")
+        .agg(F.count(F.lit(1)).alias("bc"))
+        .filter(F.col("bc") <= max_bucket)
+        .select("band", "bsig")
+    )
+    br = band_rows.join(ok, ["band", "bsig"])
+    a, b2 = br.alias("a"), br.alias("b")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("doc_a"),
+            F.col("b.asset_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    jac = (
+        F.size(F.array_intersect(F.col("sa.fhs"), F.col("sb.fhs")))
+        / F.size(F.array_union(F.col("sa.fhs"), F.col("sb.fhs")))
+    )
+    out = (
+        cand.join(sigs.select(F.col("asset_id").alias("doc_a"),
+                              F.col("fhs")).alias("sa"), "doc_a")
+        .join(sigs.select(F.col("asset_id").alias("doc_b"),
+                          F.col("fhs")).alias("sb"), "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    out._owned_caches = [sigs]
+    return out

@@ -126,3 +126,74 @@ class TestImagePerceptualDedup:
             if bin((fps[i] ^ fps[j]) & ((1 << 64) - 1)).count("1") <= 6
         }
         assert got == want
+
+
+class TestVideoNearDup:
+    def _assets(self, spark, payloads):
+        from pyspark.sql import Row
+
+        from my_feast_spark.multimodal.assets import encode_fake_image_assets
+
+        df = spark.createDataFrame(
+            [Row(asset_id=i, payload=p) for i, p in enumerate(payloads)]
+        )
+        return encode_fake_image_assets(df, "asset_id", "payload")
+
+    def test_trimmed_copy_pairs_up_blocked_equals_brute_force(self, spark):
+        """A trimmed/re-cut copy shares most sampled frame hashes ->
+        high frame-set Jaccard; the banded-LSH candidates + exact
+        verify must equal brute-force Jaccard over the collected frame
+        sets (precision 1; recall 1 here because identical frame
+        subsets collide in some band)."""
+        import itertools
+
+        from pyspark.sql import functions as F
+
+        from my_feast_spark.multimodal.assets import (
+            frame_dhash,
+            sample_frames,
+            video_near_dup_pairs,
+        )
+
+        base = "".join(chr(40 + (i * 17) % 180) for i in range(2000))
+        trimmed = base[:1600]                  # same leading frames
+        unrelated = "".join(chr(35 + (i * 29) % 190) for i in range(2000))
+        assets = self._assets(spark, [base, trimmed, unrelated])
+
+        pairs_df = video_near_dup_pairs(assets, every_k=1, threshold=0.5)
+        got = {(r.doc_a, r.doc_b): r.jaccard for r in pairs_df.collect()}
+        for c in pairs_df._owned_caches:
+            c.unpersist()
+        assert (0, 1) in got and got[(0, 1)] >= 0.5
+        assert not any(2 in p for p in got)
+
+        # brute force over the same frame-hash sets
+        fsets: dict = {}
+        fr = sample_frames(assets, every_k=1)
+        for r in frame_dhash(fr).collect():
+            fsets.setdefault(r.asset_id, set()).add(r.fh)
+        brute = {}
+        for i, j in itertools.combinations(sorted(fsets), 2):
+            jac = len(fsets[i] & fsets[j]) / len(fsets[i] | fsets[j])
+            if round(jac, 4) >= 0.5:
+                brute[(i, j)] = round(jac, 4)
+        assert {k: round(v, 4) for k, v in got.items()} == brute
+
+    def test_releases_cleanly(self, spark):
+        from my_feast_spark.multimodal.assets import video_near_dup_pairs
+
+        def pinned():
+            return {
+                int(k)
+                for k in spark.sparkContext._jsc.getPersistentRDDs()
+                .keySet().toArray()
+            }
+
+        base = "".join(chr(40 + (i * 17) % 180) for i in range(1000))
+        assets = self._assets(spark, [base, base[:800]])
+        before = pinned()
+        pairs = video_near_dup_pairs(assets, every_k=1)
+        pairs.count()
+        for c in pairs._owned_caches:
+            c.unpersist(blocking=True)
+        assert pinned() - before == set()
