@@ -189,8 +189,10 @@ def _cosine_topk_numpy(
         F.col(corpus_id).alias("corpus_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
     )
+    qt = queries.schema[query_id].dataType.simpleString()
+    ct = corpus.schema[corpus_id].dataType.simpleString()
     local = c.mapInPandas(
-        batch_topk, schema="query_id long, neighbor_id long, sim double"
+        batch_topk, schema=f"query_id {qt}, neighbor_id {ct}, sim double"
     )
     if exclude_self:
         local = local.filter(F.col("neighbor_id") != F.col("query_id"))
