@@ -365,6 +365,28 @@ def test_ivf_single_corpus_assignment_pass(spark):
     assert len(nodes) == 2, f"expected 2 Arrow passes, got {sorted(nodes)}"
 
 
+def test_normalize_text_is_map_only(spark):
+    """Canonicalization is the first projection after the scan: pure
+    translate/regexp expressions, no Exchange, no Python."""
+    plan = _formatted(workload.q_normalize_text(spark, SF_DIR_ORACLE))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_image_dedup_single_fingerprint_pass_no_cartesian(spark):
+    """The perceptual-hash tier: ONE MapInPandas fingerprint pass, the
+    pigeonhole chunk equi-join (never a cross join), and the hamming
+    verify on 8-byte longs."""
+    import re
+
+    df = workload.q_image_dedup(spark, SF_DIR_ORACLE)
+    plan = _formatted(df)
+    _release_owned(df)
+    assert len(re.findall(r"\((\d+)\) MapInPandas", plan)) == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_all_queries_return_scalar_only_schemas(spark):
     """The adjudication harness value-hashes SCALAR columns; array/map/
     struct results ship as deterministic strings or digests (repo
