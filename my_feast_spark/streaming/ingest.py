@@ -339,7 +339,12 @@ def dedup_ingest_stream(
     the index regardless of corpus size; size B so a single bucket
     stays a few hundred MB at the target corpus. The anti-join itself
     broadcasts the (small) batch side under AQE either way, so there is
-    never an Exchange on the index side. Returns the started
+    never an Exchange on the index side.
+
+    The layout choice is PER STREAM LIFETIME: flipping ``index_buckets``
+    between runs over the same ``index_path`` mixes partitioned and
+    flat batch directories and breaks partition-column inference —
+    pick it at first start (or rewrite the index). Returns the started
     StreamingQuery.
     """
     from my_feast_spark.functions.text import doc_fingerprint
@@ -462,7 +467,9 @@ def near_dedup_ingest_stream(
     into, a directory-level partition-pruned scan bounded by
     ``min(batch collisions, B)/B`` of the index regardless of corpus
     size. The collision join itself broadcasts the batch side under AQE
-    either way (no Exchange on the index side). Docs per batch x bands
+    either way (no Exchange on the index side); like the exact ingest,
+    the layout choice is per stream lifetime — don't flip
+    ``index_buckets`` over an existing index. Docs per batch x bands
     rows shuffle, never the text. Band signatures are xxhash64 over the
     band's minhashes regardless of ``hash_fn`` (the index is
     engine-internal; pick hash_fn="portable" only if the SIGNATURES
@@ -667,7 +674,8 @@ def embedding_dedup_ingest_stream(
     exact and MinHash ingests). ``index_buckets=B`` adds the pbucket
     partition layout — ``pmod(xxhash64(table, bucket), B)`` for bucket
     rows, ``pmod(xxhash64(doc), B)`` for vectors — so each batch reads
-    only the directories its own collisions hash into. Returns the
+    only the directories its own collisions hash into (a per-stream-
+    lifetime layout choice, as with the other ingests). Returns the
     started StreamingQuery.
     """
     from my_feast_spark.operators.similarity import (
