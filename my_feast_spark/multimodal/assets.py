@@ -215,6 +215,35 @@ def sample_frames(
     return assets.mapInPandas(sample, schema=FRAME_SCHEMA)
 
 
+def _make_dhash():
+    """The 72-cell byte-grid dHash reduction as a self-contained closure
+    (the ``_make_parser`` pattern — executors never import this
+    package): pad to 72 bytes, mean each of 72 equal slices, one bit
+    per horizontally-adjacent cell comparison on the 9x8 grid, fold to
+    a SIGNED 64-bit int. Shared by ``image_dhash`` and ``frame_dhash``
+    so the two tiers can never drift apart; the oracle mirror is
+    ``workload._dhash_bits``."""
+
+    def dhash(data: bytes) -> int:
+        if len(data) < 72:
+            data = data + bytes(72 - len(data))
+        n = len(data)
+        cells = [
+            sum(data[(i * n) // 72:((i + 1) * n) // 72])
+            / max(((i + 1) * n) // 72 - (i * n) // 72, 1)
+            for i in range(72)
+        ]
+        bits = 0
+        for row in range(8):
+            for col in range(8):
+                left = cells[row * 9 + col]
+                right = cells[row * 9 + col + 1]
+                bits = (bits << 1) | (1 if left > right else 0)
+        return bits - (1 << 64) if bits >= 1 << 63 else bits
+
+    return dhash
+
+
 def image_dhash(assets: DataFrame) -> DataFrame:
     """64-bit dHash-style perceptual fingerprint per image asset.
 
@@ -228,33 +257,15 @@ def image_dhash(assets: DataFrame) -> DataFrame:
     needs. One Arrow batch in -> (asset_id, dhash) out, map-only.
     """
     _parse = _make_parser()
+    _dhash = _make_dhash()
 
     def fingerprint(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, hashes = [], []
             for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
                 _w, _h, _c, payload = _parse(bytes(content))
-                # 9x8 grid means: pad tiny payloads so every cell is fed
-                data = payload if len(payload) >= 72 else (
-                    payload + bytes(72 - len(payload))
-                )
-                n = len(data)
-                cells = [
-                    sum(data[(i * n) // 72:((i + 1) * n) // 72])
-                    / max(((i + 1) * n) // 72 - (i * n) // 72, 1)
-                    for i in range(72)
-                ]
-                bits = 0
-                for row in range(8):
-                    for col in range(8):
-                        left = cells[row * 9 + col]
-                        right = cells[row * 9 + col + 1]
-                        bits = (bits << 1) | (1 if left > right else 0)
-                # to signed 64-bit (Spark LongType)
-                if bits >= 1 << 63:
-                    bits -= 1 << 64
                 ids.append(asset_id)
-                hashes.append(bits)
+                hashes.append(_dhash(payload))
             yield pd.DataFrame({"asset_id": ids, "dhash": hashes})
 
     return assets.mapInPandas(
@@ -283,32 +294,17 @@ def frame_dhash(frames: DataFrame) -> DataFrame:
     reduction applied to each sampled frame's bytes — one Arrow pass
     over the (asset_id, frame_idx, frame) relation."""
 
+    _dhash = _make_dhash()
+
     def fingerprint(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, hashes = [], [], []
             for asset_id, frame_idx, frame in zip(
                 pdf["asset_id"], pdf["frame_idx"], pdf["frame"]
             ):
-                data = bytes(frame)
-                if len(data) < 72:
-                    data = data + bytes(72 - len(data))
-                n = len(data)
-                cells = [
-                    sum(data[(i * n) // 72:((i + 1) * n) // 72])
-                    / max(((i + 1) * n) // 72 - (i * n) // 72, 1)
-                    for i in range(72)
-                ]
-                bits = 0
-                for row in range(8):
-                    for col in range(8):
-                        left = cells[row * 9 + col]
-                        right = cells[row * 9 + col + 1]
-                        bits = (bits << 1) | (1 if left > right else 0)
-                if bits >= 1 << 63:
-                    bits -= 1 << 64
                 ids.append(asset_id)
                 idxs.append(frame_idx)
-                hashes.append(bits)
+                hashes.append(_dhash(bytes(frame)))
             yield pd.DataFrame({
                 "asset_id": ids, "frame_idx": idxs, "fh": hashes,
             })
@@ -353,11 +349,17 @@ def video_near_dup_pairs(
         .groupBy("asset_id")
         .agg(F.collect_set("fh").alias("fhs"))
     )
+    def _seeded_hasher(seed: int):
+        # closure factory: a 2-arg lambda would make transform() bind the
+        # second param to the ARRAY INDEX and shadow the seed — the exact
+        # pitfall operators/dedup.py::_cw_hasher documents
+        return lambda x: F.xxhash64(F.lit(seed), x)
+
     sigs = sets.select(
         "asset_id", "fhs",
         *[
             F.array_min(
-                F.transform("fhs", lambda x, i=i: F.xxhash64(F.lit(i), x))
+                F.transform("fhs", _seeded_hasher(i))
             ).alias(f"mh_{i}")
             for i in range(num_hashes)
         ],

@@ -373,11 +373,13 @@ def _ivfpq_probe_plan(
     nprobe: int,
     deterministic: bool,
     residual: bool,
-) -> DataFrame:
-    """The broadcastable probe relation (query_id, cell, __lut): queries
-    collected driver-side (bounded batch — the pq_topk/ivf_topk
-    stance), ``nprobe`` rows per query; under ``residual`` each row's
-    table comes from the query's residual against THAT cell."""
+):
+    """The broadcastable probe relation (query_id, cell, __lut) plus its
+    probed-cell SET: queries collected driver-side (bounded batch — the
+    pq_topk/ivf_topk stance), ``nprobe`` rows per query; under
+    ``residual`` each row's table comes from the query's residual
+    against THAT cell. The cell set is already known driver-side, so
+    consumers never pay a Spark job to re-derive it."""
     import numpy as np
 
     from my_feast_spark.operators.similarity import make_cell_assigner
@@ -398,7 +400,7 @@ def _ivfpq_probe_plan(
                 T.StructField("cell", T.IntegerType(), True),
                 T.StructField("__lut", T.ArrayType(T.DoubleType()), True),
             ]),
-        )
+        ), set()
     Q = np.asarray([r.qv for r in qrows], dtype=np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     probes = assigner(Qn, nprobe)  # (nq, nprobe)
@@ -423,7 +425,8 @@ def _ivfpq_probe_plan(
             for r, cells, lut in zip(qrows, probes, luts)
             for cell in cells
         ]
-    return spark.createDataFrame(probe_rows, ["query_id", "cell", "__lut"])
+    plan = spark.createDataFrame(probe_rows, ["query_id", "cell", "__lut"])
+    return plan, {cell for _qid, cell, _lut in probe_rows}
 
 
 def _ivfpq_rank(
@@ -552,13 +555,15 @@ def ivfpq_search(
     spark = queries.sparkSession
     centroids = np.asarray(model["centroids"], dtype=np.float64)
     cb = np.asarray(model["codebooks"], dtype=np.float64)
-    plan = _ivfpq_probe_plan(
+    plan, probed = _ivfpq_probe_plan(
         spark, queries, query_id, vec_col, centroids, cb,
         nprobe=nprobe, deterministic=deterministic,
         residual=bool(model["residual"]),
     )
-    probed = sorted({int(r.cell) for r in plan.select("cell").distinct().collect()})
-    pruned = enc.filter(F.col("cell").isin(probed)) if probed else enc
+    pruned = (
+        enc.filter(F.col("cell").isin(sorted(int(c) for c in probed)))
+        if probed else enc
+    )
     return _ivfpq_rank(
         pruned, plan, m=int(model["m"]), k_codes=int(model["k_codes"]),
         k=k, exclude_self=exclude_self, dist_decimals=dist_decimals,
@@ -624,7 +629,7 @@ def ivfpq_topk(
         sample_cap=sample_cap, deterministic=deterministic,
         residual=residual,
     )
-    plan = _ivfpq_probe_plan(
+    plan, _probed = _ivfpq_probe_plan(
         queries.sparkSession, queries, query_id, vec_col, centroids, cb,
         nprobe=nprobe, deterministic=deterministic, residual=residual,
     )

@@ -173,10 +173,12 @@ def _cosine_topk_numpy(
             out_q, out_n, out_s = [], [], []
             for j in range(nq):
                 col = S[:, j]
-                # local top-take by (sim desc, id asc): argpartition then
-                # exact ordering of the short head
-                cand = np.argpartition(-col, take - 1)[:take] if take < len(ids) else np.arange(len(ids))
-                order = sorted(cand, key=lambda i: (-col[i], ids[i]))
+                # local top-take by the FULL (sim desc, id asc) order:
+                # argpartition on sim alone would pick an arbitrary
+                # subset of rows TIED at the boundary value, dropping
+                # smaller-id tied candidates the global contract keeps
+                # (rounded sims tie often — not just float noise)
+                order = np.lexsort((ids, -col))
                 for i in order[:take]:
                     out_q.append(qids[j])
                     out_n.append(ids[i])

@@ -4243,6 +4243,9 @@ SQL_SEMDEDUP = _LazySQL(_sql_semdedup)
 
 
 def q_pq_topk(spark, sf_dir, *, deterministic=True, n_queries=20):
+    # NOTE: the oracle (SQL_PQ_TOPK) covers the DEFAULT n_queries=20
+    # only — the parameter exists for bench scaling, never for
+    # oracle comparison at other values
     """Product-quantization ANN (operators/pq.py): per-subspace
     codebooks trained on the bounded id-ordered sample, corpus encoded
     to m=8 k=16 codes in one Arrow pass (the compressed relation a
@@ -4348,6 +4351,9 @@ SQL_PQ_TOPK = _LazySQL(_sql_pq_topk)
 
 
 def q_ivfpq_topk(spark, sf_dir, *, deterministic=True, n_queries=20):
+    # NOTE: the oracle (SQL_IVFPQ_TOPK) covers the DEFAULT n_queries=20
+    # only — the parameter exists for bench scaling, never for
+    # oracle comparison at other values
     """IVFADC — the IVF x PQ composition (operators/pq.py::ivfpq_topk):
     coarse k-means cells prune the candidate set to ``nprobe`` cells per
     query, PQ codes + the broadcast per-query lookup tables compute the

@@ -853,3 +853,29 @@ def test_score_weighted_sample_pareto_rule(spark):
         ).collect()
     }
     assert other != got
+
+
+def test_cosine_topk_numpy_tie_break_matches_contract(spark):
+    """Rounded sims tie OFTEN (not just float noise): with identical
+    vectors, the gemm path must still return the smallest neighbor ids
+    — per-batch selection must apply the (sim desc, id asc) contract,
+    not pick an arbitrary tied subset."""
+    from pyspark.sql import Row
+
+    from my_feast_spark.operators.similarity import cosine_topk
+
+    v = [1.0, 0.5, -0.25, 0.75]
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i in range(40)]
+    )
+    q = df.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = df.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    for impl in ("expr", "numpy"):
+        got = [
+            r.neighbor_id
+            for r in cosine_topk(q, c, k=5, impl=impl)
+            .orderBy("rank").collect()
+        ]
+        assert got == [1, 2, 3, 4, 5], (impl, got)

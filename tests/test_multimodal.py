@@ -197,3 +197,27 @@ class TestVideoNearDup:
         for c in pairs._owned_caches:
             c.unpersist(blocking=True)
         assert pinned() - before == set()
+
+
+def test_video_minhash_columns_are_independent(spark):
+    """Regression: a 2-arg transform lambda binds its second parameter
+    to the ARRAY INDEX, shadowing the seed and collapsing every minhash
+    column into one — the signatures must differ across hash indexes
+    and be independent of element order."""
+    from pyspark.sql import Row
+
+    from my_feast_spark.multimodal.assets import (
+        encode_fake_image_assets,
+        video_near_dup_pairs,
+    )
+
+    base = "".join(chr(40 + (i * 17) % 180) for i in range(1500))
+    df = spark.createDataFrame([Row(asset_id=0, payload=base)])
+    assets = encode_fake_image_assets(df, "asset_id", "payload")
+    pairs = video_near_dup_pairs(assets, every_k=1)
+    sigs = pairs._owned_caches[0]
+    row = sigs.collect()[0]
+    mhs = [row[f"mh_{i}"] for i in range(32)]
+    for c in pairs._owned_caches:
+        c.unpersist()
+    assert len(set(mhs)) > 16, "minhash columns collapsed to one hash"
