@@ -879,3 +879,41 @@ def test_cosine_topk_numpy_tie_break_matches_contract(spark):
             .orderBy("rank").collect()
         ]
         assert got == [1, 2, 3, 4, 5], (impl, got)
+
+
+def test_score_weighted_sample_replays_in_duckdb(spark, docs):
+    """Promotion-readiness: the Pareto keep rule is fully replayable in
+    DuckDB (portable md5 hash family + double arithmetic) — the same
+    keep set must come out of both engines over the real documents
+    table (score = a deterministic per-doc pseudo-score)."""
+    import duckdb
+
+    from my_feast_spark.operators.sampling import score_weighted_sample
+
+    scored = docs.select(
+        "doc_id",
+        (F.pmod(F.col("doc_id") * 37, F.lit(100)) / 100.0).alias("score"),
+    )
+    got = {
+        r.doc_id
+        for r in score_weighted_sample(scored, "score", "doc_id").collect()
+    }
+
+    ddb = duckdb.connect()
+    ddb.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    want = {
+        row[0]
+        for row in ddb.sql("""
+WITH s AS (
+  SELECT doc_id, (doc_id * 37 % 100) / 100.0 AS score FROM documents
+)
+SELECT doc_id FROM s
+WHERE (CAST((md5_number_lower(CAST(doc_id AS VARCHAR) || ':pareto')
+             & 9223372036854775807) % 1000000 AS BIGINT) / 1000000.0)
+      < pow(2.0 - least(greatest(score, 0.0), 1.0), -9.0)
+""").fetchall()
+    }
+    assert got == want
