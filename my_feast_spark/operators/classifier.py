@@ -96,6 +96,9 @@ def train_nb(
         F.sum(F.when(F.col(label_col).cast("boolean"), 0).otherwise(1)).alias("n_neg"),
     ).collect()[0]
     if not docs["n_pos"] or not docs["n_neg"]:
+        # same hygiene as the tokenless-corpus path below: never leave the
+        # counts relation pinned for the session on a validation failure
+        counts.unpersist()
         raise ValueError("training needs at least one doc of each class")
     if not tot["v"]:
         # every doc was NULL/token-less: the counts relation is empty and

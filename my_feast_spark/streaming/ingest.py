@@ -288,7 +288,13 @@ def run_to_memory_table(
     in-memory table and return it as a batch DataFrame — the batch-parity
     runner used by tests and the DuckDB oracle comparison."""
     name = f"mfs_stream_{next(_memory_table_ids)}"
+    # the memory sink's checkpoint is throwaway — clean it up at exit so
+    # repeated bench/test sessions don't accumulate /tmp state
+    import atexit
+    import shutil
+
     ckpt = tempfile.mkdtemp(prefix="mfs_ckpt_")
+    atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)

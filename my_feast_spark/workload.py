@@ -34,6 +34,25 @@ def _t(spark, sf_dir, name) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _scratch_dir(prefix: str) -> str:
+    """``mkdtemp`` that is removed at interpreter exit.
+
+    The streaming / store queries return DataFrames that LAZILY read the
+    scratch output, so the directory cannot be removed when the query
+    function returns — but without cleanup every bench and pytest
+    session leaks staged copies of the input tables into /tmp
+    (q_streaming_neardup_ingest alone stages the documents table three
+    times plus index and checkpoint). atexit bounds the accumulation to
+    one process lifetime."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 class _LazySQL:
     """Deferred, memoized oracle-SQL generator.
 
@@ -2123,15 +2142,13 @@ def q_stream_capture_files(spark, sf_dir):
     AvailableNow into a fresh directory, the captured files read back and
     aggregated. The oracle computes the same aggregate from the events
     view, so file capture is value-checked, not just smoke-run."""
-    import tempfile
-
     from my_feast_spark.streaming import capture_to_parquet
 
     stream = _event_stream(spark, sf_dir).select(
         "event_id", "user_id", "event_type", "value"
     )
-    out = tempfile.mkdtemp(prefix="mfs_capture_out_")
-    ckpt = tempfile.mkdtemp(prefix="mfs_capture_ckpt_")
+    out = _scratch_dir("mfs_capture_out_")
+    ckpt = _scratch_dir("mfs_capture_ckpt_")
     q = capture_to_parquet(
         stream, out, ckpt, available_now=True, trigger_interval=None
     )
@@ -2354,8 +2371,6 @@ def q_feature_store_retrieval(spark, sf_dir):
     get_historical_features (the full API path, not the raw operator) —
     registry + gold table live in a scratch dir, the retrieval itself is
     the same PIT plan the oracle models."""
-    import tempfile
-
     from my_feast_spark.core import Entity, Feature, FeatureStore, FeatureView, FileSource
 
     events = _t(spark, sf_dir, "events")
@@ -2366,7 +2381,7 @@ def q_feature_store_retrieval(spark, sf_dir):
             F.count(F.lit(1)).alias("cnt_events"),
         )
     )
-    scratch = tempfile.mkdtemp(prefix="mfs_store_")
+    scratch = _scratch_dir("mfs_store_")
     gold_path = f"{scratch}/gold"
     gold.write.mode("overwrite").parquet(gold_path)
 
@@ -3544,7 +3559,9 @@ def q_curation_pipeline_full(spark, sf_dir, *, hash_fn="portable"):
     MinHash-LSH near-dup clustering with per-cluster representative
     pruning -> NB quality-classifier filter (GPT-3/CCNet recipe: the
     eval split stands in as the trusted reference class, the deduped
-    crawl as negative, docs scoring non-positive drop) -> repetition
+    crawl as negative; a doc drops when its evidence — log-odds minus
+    the class prior — falls at or below
+    ``CurationConfig.nb_evidence_cut``, -4.0 here) -> repetition
     filter -> stratified sample -> accounting. This is
     ``operators/curation.curate`` with all three optional stages on;
     the oracle replays the whole chain — the banded-LSH pipeline, a
@@ -4600,12 +4617,10 @@ def q_streaming_neardup_ingest(spark, sf_dir):
     equality replayed on the raw minhash tuples — the engine's
     xxhash64 band signature is an injective-up-to-collisions rename of
     them). Returns the accepted relation (doc_id, batch_id)."""
-    import tempfile
-
     from my_feast_spark.streaming.ingest import near_dedup_ingest_stream
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    base = tempfile.mkdtemp(prefix="mfs_neardup_ingest_")
+    base = _scratch_dir("mfs_neardup_ingest_")
     in_dir = os.path.join(base, "incoming")
     os.makedirs(in_dir)
     out = os.path.join(base, "accepted")
