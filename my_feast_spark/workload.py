@@ -4751,6 +4751,140 @@ SELECT doc_id, CAST(batch_id AS INTEGER) AS batch_id FROM ({final})
 SQL_STREAMING_NEARDUP_INGEST = _LazySQL(_sql_streaming_neardup_ingest)
 
 
+def q_score_weighted_sample(spark, sf_dir):
+    """GPT-3's Pareto quality-weighted keep rule (Brown et al. 2020,
+    Appendix A), in the deterministic replayable form of
+    operators/sampling.py::score_weighted_sample: the heuristic quality
+    composite (q_quality_score's length + lexical-diversity + stopword
+    blend) stands in for the classifier score, and a doc keeps when
+    ``uniform_hash(doc_id:pareto) < (2 - score)^-9`` — high scorers keep
+    (almost) surely, low scorers survive with heavy-tailed small
+    probability, so the filtered corpus still covers the low-score mass
+    instead of cliff-cutting it. Map-only at any scale: score and keep
+    rule are pure expressions over one documents scan, no shuffle, and
+    the portable md5 hash family makes the keep set identical across
+    runs, partitionings, and engines."""
+    from my_feast_spark.functions.text import LANG_STOPWORDS, tokens
+    from my_feast_spark.operators.sampling import score_weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("__ltoks")
+    )
+    toks = F.col("__ltoks")
+    n = F.greatest(F.size(toks), F.lit(1))
+    stop = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    diversity = F.size(F.array_distinct(toks)) / n.cast("double")
+    len_score = F.least(F.size(toks) / F.lit(100.0), F.lit(1.0))
+    stop_ratio = n_stop / n.cast("double")
+    scored = docs.select(
+        "doc_id",
+        F.round(
+            0.4 * len_score + 0.4 * diversity + 0.2 * stop_ratio, 4
+        ).alias("quality_score"),
+    )
+    return score_weighted_sample(scored, "quality_score", "doc_id", alpha=9.0)
+
+
+SQL_SCORE_WEIGHTED_SAMPLE = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         greatest(len(toks), 1) AS n,
+         len(list_distinct(toks)) AS nd,
+         len(list_filter(toks, x -> list_contains(
+             ['the', 'a', 'and', 'of', 'to', 'in', 'is'], x))) AS ns,
+         least(len(toks) / 100.0, 1.0) AS len_score
+  FROM t
+), q AS (
+  SELECT doc_id,
+         round(0.4 * len_score + 0.4 * (nd / CAST(n AS DOUBLE))
+               + 0.2 * (ns / CAST(n AS DOUBLE)), 4) AS quality_score
+  FROM s
+)
+SELECT doc_id, quality_score
+FROM q
+WHERE (CAST((md5_number_lower(CAST(doc_id AS VARCHAR) || ':pareto')
+             & 9223372036854775807) % 1000000 AS BIGINT) / 1000000.0)
+      < pow(2.0 - least(greatest(quality_score, 0.0), 1.0), -9.0)
+"""
+
+
+def q_audio_dedup(spark, sf_dir):
+    """Perceptual audio near-dup pairs (multimodal/audio.py): fake audio
+    assets from the documents table (MFAU header + the text bytes as u8
+    PCM samples — the honest codec stub), 64-bit energy-delta
+    fingerprints in one Arrow pass (bit i = frame i's RMS energy exceeds
+    frame i+1's), then the dedup tier's pigeonhole hamming join (8
+    chunks x 8 bits — recall exactly 1 up to hamming 7, no cross join).
+    The oracle recomputes each asset's fingerprint with the same
+    65-frame energy reduction in Python, injects (id, afp) literals, and
+    replays the FULL hamming predicate — which by the pigeonhole recall
+    guarantee equals the blocked join's output exactly."""
+    from my_feast_spark.multimodal.audio import (
+        audio_near_dup_pairs,
+        encode_fake_audio_assets,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = encode_fake_audio_assets(docs, "doc_id", "text")
+    return audio_near_dup_pairs(assets, max_hamming=6)
+
+
+def _afp_bits(payload: bytes) -> int:
+    """Pure-Python mirror of audio.audio_fingerprint's 65-frame
+    energy-delta reduction (float32 sample decode, float64 energy — the
+    Arrow path's exact arithmetic; pinned against the Spark path by
+    tests/test_multimodal_audio.py)."""
+    import numpy as np
+
+    samples = (
+        np.frombuffer(payload, dtype=np.uint8).astype(np.float32) - 128.0
+    ) / 128.0
+    if samples.size < 65:
+        samples = np.pad(samples, (0, 65 - samples.size))
+    n = samples.size
+    sq = samples.astype(np.float64) ** 2
+    energy = [
+        float(sq[(i * n) // 65:((i + 1) * n) // 65].mean())
+        for i in range(65)
+    ]
+    bits = 0
+    for i in range(64):
+        bits = (bits << 1) | (1 if energy[i] > energy[i + 1] else 0)
+    return bits - (1 << 64) if bits >= 1 << 63 else bits
+
+
+def _sql_audio_dedup(*, max_hamming=6):
+    """Oracle generator for q_audio_dedup: energy-fingerprint literals +
+    the exact hamming predicate. Returns None (rows-only) if the oracle
+    testdata is absent."""
+    path = os.path.join(ORACLE_SF_DIR, "documents.parquet")
+    if not os.path.exists(path):
+        return None
+    import pyarrow.parquet as pq_  # noqa: N813
+
+    t = pq_.read_table(path, columns=["doc_id", "text"])
+    vals = ", ".join(
+        f"({int(i)}, {_afp_bits(s.encode('ISO-8859-1'))})"
+        for i, s in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        )
+    )
+    return f"""
+WITH fp(doc, afp) AS (VALUES {vals})
+SELECT a.doc AS doc_a, b.doc AS doc_b,
+       CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc < b.doc
+WHERE bit_count(xor(a.afp, b.afp)) <= {max_hamming}
+"""
+
+
+SQL_AUDIO_DEDUP = _LazySQL(_sql_audio_dedup)
+
+
 # =========================================================================
 # Query registry.
 #
@@ -4767,24 +4901,17 @@ SQL_STREAMING_NEARDUP_INGEST = _LazySQL(_sql_streaming_neardup_ingest)
 #      window every round so nothing goes two consecutive rounds without
 #      a fresh CORRECTNESS row, and a query that is NEW this round or
 #      whose BEHAVIOR changed (any change that can alter its output at
-#      any sf) is always in-window. Round 7: the 40 surviving r5-tail
-#      queries are back in, the behavior-changed curation_pipeline_full
-#      (new NB stage) is in, and the four NEW queries (ivfpq_topk,
-#      normalize_text, image_dedup, streaming_neardup_ingest) are in;
-#      the r6-green window queries sit the tail out one round. Four
-#      r6-green entries took NON-behavioral changes this round and keep
-#      their tail slot with their r6 rows — bpe_merge_replay (docstring
-#      only: the BMP-only split assumption documented per the r6
-#      ADVICE), ivf_topk (plan-only: the asNondeterministic fence that
-#      stops the cell join's isnotnull from cloning the corpus Arrow
-#      pass — identical rows, one fewer UDF evaluation) plus the
-#      guard/signature trio below —
-#      nb_quality_score (tokens_col param + empty-corpus ValueError),
-#      pq_topk (id_col now required; the query always passed it),
-#      semdedup (sample_cap auto-raise that cannot fire at the query's
-#      16 cells) — their outputs are bit-identical (pinned every run by
-#      tests/test_oracle_parity.py), so they keep their r6 rows and
-#      their tail slot.
+#      any sf) is always in-window. Round 8: the 43 r7-tail queries
+#      (last adjudicated round 6) are back in, plus the round-8 NEW
+#      queries; the r7-adjudicated window queries sit the tail out one
+#      round. Three tail entries took NON-behavioral changes in round
+#      8 and keep their tail slot with their r7 rows —
+#      curation_pipeline_full (docstring only: the NB evidence-cut rule
+#      worded to match the implementation, per the r7 ADVICE),
+#      stream_capture_files and streaming_neardup_ingest (scratch-dir
+#      lifecycle only: tempdirs now registered for atexit cleanup, same
+#      paths and outputs) — outputs bit-identical, pinned every run by
+#      tests/test_oracle_parity.py.
 #   5. RETIRED: the registry budget is ~100 driver-adjudicated queries;
 #      retired entries are near-duplicates of in-registry coverage
 #      (their operators stay covered by other queries) that keep their
@@ -4805,24 +4932,87 @@ QUERIES: dict[str, tuple] = {
     "hourly_user_agg": (q_hourly_user_agg, SQL_HOURLY_USER_AGG),
     "hourly_global_agg": (q_hourly_global_agg, SQL_HOURLY_GLOBAL_AGG),
     "event_types_salted": (q_event_types_salted, SQL_EVENT_TYPES_SALTED),
-    # --- changed in round 7: fresh rows required ---------------------------
-    # curation_pipeline_full gained the NB quality stage
-    "curation_pipeline_full": (q_curation_pipeline_full, SQL_CURATION_PIPELINE_FULL),
-    # --- NEW in round 7 ----------------------------------------------------
-    # IVFADC composition + three promoted test-only operators
+    # --- NEW in round 8 ----------------------------------------------------
+    "score_weighted_sample": (
+        q_score_weighted_sample, SQL_SCORE_WEIGHTED_SAMPLE,
+    ),
+    "audio_dedup": (q_audio_dedup, SQL_AUDIO_DEDUP),
+    # --- rotated IN for round 8 (last adjudicated round 6) ----------------
+    "scd2_user_state": (q_scd2_user_state, SQL_SCD2_USER_STATE),
+    "bpe_merge_replay": (q_bpe_merge_replay, SQL_BPE_MERGE_REPLAY),
+    "vocab_encode_join": (q_vocab_encode_join, SQL_VOCAB_ENCODE_JOIN),
+    "span_removal": (q_span_removal, SQL_SPAN_REMOVAL),
+    "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
+    "nb_quality_score": (q_nb_quality_score, SQL_NB_QUALITY_SCORE),
+    "semdedup": (q_semdedup, SQL_SEMDEDUP),
+    "pq_topk": (q_pq_topk, SQL_PQ_TOPK),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "feature_store_retrieval": (
+        q_feature_store_retrieval, SQL_FEATURE_STORE_RETRIEVAL,
+    ),
+    "streaming_sessionize": (q_streaming_sessionize, SQL_STREAMING_SESSIONIZE),
+    "streaming_hourly_agg": (q_streaming_hourly_agg, SQL_STREAMING_HOURLY_AGG),
+    "repetition_filter": (q_repetition_filter, SQL_REPETITION_FILTER),
+    "corpus_vocab": (q_corpus_vocab, SQL_CORPUS_VOCAB),
+    "online_lookup": (q_online_lookup, SQL_ONLINE_LOOKUP),
+    "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
+    "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
+    "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
+    "stratified_sample_docs": (
+        q_stratified_sample_docs, SQL_STRATIFIED_SAMPLE_DOCS,
+    ),
+    "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
+    "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
+    "embedding_near_dupes_lsh": (
+        q_embedding_near_dupes_lsh, SQL_EMBEDDING_NEAR_DUPES_LSH,
+    ),
+    "simhash_dup_pairs": (q_simhash_dup_pairs, SQL_SIMHASH_DUP_PAIRS),
+    "length_outlier_filter": (
+        q_length_outlier_filter, SQL_LENGTH_OUTLIER_FILTER,
+    ),
+    "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
+    "dedup_entity_rows": (q_dedup_entity_rows, SQL_DEDUP_ENTITY_ROWS),
+    "latest_event_per_user": (
+        q_latest_event_per_user, SQL_LATEST_EVENT_PER_USER,
+    ),
+    "priority_collapse_types": (
+        q_priority_collapse_types, SQL_PRIORITY_COLLAPSE_TYPES,
+    ),
+    "part_brand_stats": (q_part_brand_stats, SQL_PART_BRAND_STATS),
+    "idle_customers_anti": (q_idle_customers_anti, SQL_IDLE_CUSTOMERS_ANTI),
+    "case_decode_coalesce": (q_case_decode_coalesce, SQL_CASE_DECODE_COALESCE),
+    "map_pivot_props": (q_map_pivot_props, SQL_MAP_PIVOT_PROPS),
+    "datetime_functions": (q_datetime_functions, SQL_DATETIME_FUNCTIONS),
+    "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
+    "order_priority_count": (q_order_priority_count, SQL_ORDER_PRIORITY_COUNT),
+    "top_spenders": (q_top_spenders, SQL_TOP_SPENDERS),
+    "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE),
+    "user_value_deltas": (q_user_value_deltas, SQL_USER_VALUE_DELTAS),
+    # --- rotation tail for round 8 (all green in round 7; unchanged, or
+    # non-behavioral changes documented above; still value-checked every
+    # run by tests/test_oracle_parity.py; back in-window round 9) ----------
+    "curation_pipeline_full": (
+        q_curation_pipeline_full, SQL_CURATION_PIPELINE_FULL,
+    ),
     "ivfpq_topk": (q_ivfpq_topk, SQL_IVFPQ_TOPK),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "image_dedup": (q_image_dedup, SQL_IMAGE_DEDUP),
     "streaming_neardup_ingest": (
         q_streaming_neardup_ingest, SQL_STREAMING_NEARDUP_INGEST,
     ),
-    # --- rotated IN for round 7 (last adjudicated round 5) ----------------
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "minhash_dup_pairs": (q_minhash_dup_pairs, SQL_MINHASH_DUP_PAIRS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "packed_sequences": (q_packed_sequences, SQL_PACKED_SEQUENCES),
     "mixture_temperature": (q_mixture_temperature, SQL_MIXTURE_TEMPERATURE),
-    "length_bucket_batches": (q_length_bucket_batches, SQL_LENGTH_BUCKET_BATCHES),
+    "length_bucket_batches": (
+        q_length_bucket_batches, SQL_LENGTH_BUCKET_BATCHES,
+    ),
     "token_rarity": (q_token_rarity, SQL_TOKEN_RARITY),
     "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
     "boilerplate_ngrams": (q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS),
@@ -4851,58 +5041,16 @@ QUERIES: dict[str, tuple] = {
     "user_cohort_sets": (q_user_cohort_sets, SQL_USER_COHORT_SETS),
     "moving_avg_revenue": (q_moving_avg_revenue, SQL_MOVING_AVG_REVENUE),
     "returnflag_cube": (q_returnflag_cube, SQL_RETURNFLAG_CUBE),
-    "small_quantity_revenue": (q_small_quantity_revenue, SQL_SMALL_QUANTITY_REVENUE),
+    "small_quantity_revenue": (
+        q_small_quantity_revenue, SQL_SMALL_QUANTITY_REVENUE,
+    ),
     "event_type_pivot": (q_event_type_pivot, SQL_EVENT_TYPE_PIVOT),
     "post_signup_activity": (q_post_signup_activity, SQL_POST_SIGNUP_ACTIVITY),
     "batch_sessions": (q_batch_sessions, SQL_BATCH_SESSIONS),
     "lineitem_unpivot": (q_lineitem_unpivot, SQL_LINEITEM_UNPIVOT),
-    "customer_balance_deciles": (q_customer_balance_deciles, SQL_CUSTOMER_BALANCE_DECILES),
-    # --- rotation tail for round 7 (all green in round 6; unchanged, or
-    # non-behavioral guard changes documented above; still value-checked
-    # every run by tests/test_oracle_parity.py; back in-window round 8) ----
-    "scd2_user_state": (q_scd2_user_state, SQL_SCD2_USER_STATE),
-    "bpe_merge_replay": (q_bpe_merge_replay, SQL_BPE_MERGE_REPLAY),
-    "vocab_encode_join": (q_vocab_encode_join, SQL_VOCAB_ENCODE_JOIN),
-    "span_removal": (q_span_removal, SQL_SPAN_REMOVAL),
-    "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
-    "nb_quality_score": (q_nb_quality_score, SQL_NB_QUALITY_SCORE),
-    "semdedup": (q_semdedup, SQL_SEMDEDUP),
-    "pq_topk": (q_pq_topk, SQL_PQ_TOPK),
-    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
-    "feature_store_retrieval": (q_feature_store_retrieval, SQL_FEATURE_STORE_RETRIEVAL),
-    "streaming_sessionize": (q_streaming_sessionize, SQL_STREAMING_SESSIONIZE),
-    "streaming_hourly_agg": (q_streaming_hourly_agg, SQL_STREAMING_HOURLY_AGG),
-    "repetition_filter": (q_repetition_filter, SQL_REPETITION_FILTER),
-    "corpus_vocab": (q_corpus_vocab, SQL_CORPUS_VOCAB),
-    "online_lookup": (q_online_lookup, SQL_ONLINE_LOOKUP),
-    "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
-    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
-    "lang_id": (q_lang_id, SQL_LANG_ID),
-    "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
-    "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
-    "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
-    "stratified_sample_docs": (q_stratified_sample_docs, SQL_STRATIFIED_SAMPLE_DOCS),
-    "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
-    "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
-    "embedding_near_dupes_lsh": (q_embedding_near_dupes_lsh, SQL_EMBEDDING_NEAR_DUPES_LSH),
-    "simhash_dup_pairs": (q_simhash_dup_pairs, SQL_SIMHASH_DUP_PAIRS),
-    "length_outlier_filter": (q_length_outlier_filter, SQL_LENGTH_OUTLIER_FILTER),
-    "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES),
-    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
-    "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
-    "dedup_entity_rows": (q_dedup_entity_rows, SQL_DEDUP_ENTITY_ROWS),
-    "latest_event_per_user": (q_latest_event_per_user, SQL_LATEST_EVENT_PER_USER),
-    "priority_collapse_types": (q_priority_collapse_types, SQL_PRIORITY_COLLAPSE_TYPES),
-    "part_brand_stats": (q_part_brand_stats, SQL_PART_BRAND_STATS),
-    "idle_customers_anti": (q_idle_customers_anti, SQL_IDLE_CUSTOMERS_ANTI),
-    "case_decode_coalesce": (q_case_decode_coalesce, SQL_CASE_DECODE_COALESCE),
-    "map_pivot_props": (q_map_pivot_props, SQL_MAP_PIVOT_PROPS),
-    "datetime_functions": (q_datetime_functions, SQL_DATETIME_FUNCTIONS),
-    "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
-    "order_priority_count": (q_order_priority_count, SQL_ORDER_PRIORITY_COUNT),
-    "top_spenders": (q_top_spenders, SQL_TOP_SPENDERS),
-    "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE),
-    "user_value_deltas": (q_user_value_deltas, SQL_USER_VALUE_DELTAS),
+    "customer_balance_deciles": (
+        q_customer_balance_deciles, SQL_CUSTOMER_BALANCE_DECILES,
+    ),
 }
 
 #: Retired from the driver registry (budget: ~100 adjudicated queries).

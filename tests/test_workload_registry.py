@@ -11,71 +11,24 @@ from __future__ import annotations
 
 from my_feast_spark import workload
 
-# Round-7 rotation: the surviving r5-tail queries are back IN the window
-# (plus tier 1, the behavior-changed queries, and the four NEW entries);
-# the queries adjudicated green in round 6 sit in the tail this round
-# and return in round 8.
+# Round-8 rotation: the 43 r7-tail queries (last adjudicated round 6)
+# are back IN the window (plus tier 1 and the round-8 NEW entries); the
+# queries adjudicated green in round 7 sit in the tail this round and
+# return in round 9.
 ROTATION_TAIL = {
-    "scd2_user_state",
-    # bpe_merge_replay's round-7 change is documentation only (the
-    # BMP-only split assumption, per the r6 ADVICE) — output identical
-    "bpe_merge_replay",
-    "vocab_encode_join",
-    "span_removal",
-    "lm_perplexity",
-    # nb_quality_score / semdedup / pq_topk took NON-behavioral guard or
-    # signature changes in round 7 (empty-corpus ValueError, required
-    # id_col the query already passed, sample-cap auto-raise below its
-    # firing point) — outputs bit-identical, pinned by
-    # tests/test_oracle_parity.py, so they keep their r6 rows
-    "nb_quality_score",
-    "semdedup",
-    "pq_topk",
-    # ivf_topk's round-7 change is plan-only (asNondeterministic fence
-    # deduplicating the corpus Arrow pass) — identical output rows,
-    # pinned by test_plans.py::test_ivf_single_corpus_assignment_pass
-    "pricing_summary",
-    "feature_store_retrieval",
-    "streaming_sessionize",
-    "streaming_hourly_agg",
-    "repetition_filter",
-    "corpus_vocab",
-    "online_lookup",
-    "streaming_dedup",
-    "quality_score",
-    "lang_id",
-    "doc_chunks",
-    "corpus_mixture",
-    "pii_redaction",
-    "stratified_sample_docs",
-    "train_val_split",
-    "ivf_topk",
-    "embedding_near_dupes_lsh",
-    "simhash_dup_pairs",
-    "length_outlier_filter",
-    "value_percentiles",
-    "token_stats",
-    "revenue_rollup",
-    "dedup_entity_rows",
-    "latest_event_per_user",
-    "priority_collapse_types",
-    "part_brand_stats",
-    "idle_customers_anti",
-    "case_decode_coalesce",
-    "map_pivot_props",
-    "datetime_functions",
-    "regional_revenue",
-    "order_priority_count",
-    "top_spenders",
-    "promo_revenue",
-    "user_value_deltas",
-}
-
-#: last adjudicated in round 5 — round 7 MUST give them fresh rows
-#: (the rotation invariant: nothing sits out two consecutive rounds)
-ROTATED_IN = {
-    "curation_pipeline",
+    # curation_pipeline_full's round-8 change is documentation only (the
+    # NB evidence-cut rule worded to match the implementation, per the
+    # r7 ADVICE) — output identical
     "curation_pipeline_full",
+    "ivfpq_topk",
+    "normalize_text",
+    "image_dedup",
+    # stream_capture_files / streaming_neardup_ingest round-8 changes
+    # are scratch-dir lifecycle only (atexit cleanup of the tempdirs) —
+    # same staged inputs, identical outputs, pinned by
+    # tests/test_oracle_parity.py
+    "streaming_neardup_ingest",
+    "curation_pipeline",
     "minhash_dup_pairs",
     "dedup_clusters",
     "packed_sequences",
@@ -117,17 +70,61 @@ ROTATED_IN = {
     "customer_balance_deciles",
 }
 
-#: new in round 7, or BEHAVIOR changed in round 7 — must be in-window
+#: last adjudicated in round 6 — round 8 MUST give them fresh rows
+#: (the rotation invariant: nothing sits out two consecutive rounds)
+ROTATED_IN = {
+    "scd2_user_state",
+    "bpe_merge_replay",
+    "vocab_encode_join",
+    "span_removal",
+    "lm_perplexity",
+    "nb_quality_score",
+    "semdedup",
+    "pq_topk",
+    "pricing_summary",
+    "feature_store_retrieval",
+    "streaming_sessionize",
+    "streaming_hourly_agg",
+    "repetition_filter",
+    "corpus_vocab",
+    "online_lookup",
+    "streaming_dedup",
+    "quality_score",
+    "lang_id",
+    "doc_chunks",
+    "corpus_mixture",
+    "pii_redaction",
+    "stratified_sample_docs",
+    "train_val_split",
+    "ivf_topk",
+    "embedding_near_dupes_lsh",
+    "simhash_dup_pairs",
+    "length_outlier_filter",
+    "value_percentiles",
+    "token_stats",
+    "revenue_rollup",
+    "dedup_entity_rows",
+    "latest_event_per_user",
+    "priority_collapse_types",
+    "part_brand_stats",
+    "idle_customers_anti",
+    "case_decode_coalesce",
+    "map_pivot_props",
+    "datetime_functions",
+    "regional_revenue",
+    "order_priority_count",
+    "top_spenders",
+    "promo_revenue",
+    "user_value_deltas",
+}
+
+#: new in round 8, or BEHAVIOR changed in round 8 — must be in-window
 #: so the change gets an adjudication row
 CHANGED_OR_NEW_THIS_ROUND = {
-    # changed: the NB quality-classifier stage joined the full pipeline
-    "curation_pipeline_full",
-    # new: the IVFADC composition
-    "ivfpq_topk",
-    # new: promoted test-only operators
-    "normalize_text",
-    "image_dedup",
-    "streaming_neardup_ingest",
+    # new: the GPT-3 Pareto quality-weighted sampler, promoted
+    "score_weighted_sample",
+    # new: the perceptual audio dedup tier, promoted
+    "audio_dedup",
 }
 
 #: retired from the driver registry — near-duplicates of in-registry
