@@ -323,6 +323,7 @@ def video_near_dup_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     max_bucket: int = 50,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Video near-duplicate pairs — the industry recipe: sample frames,
     perceptual-hash each frame, treat an asset's SET of frame hashes as
@@ -330,6 +331,13 @@ def video_near_dup_pairs(
     frame-set-Jaccard verify. A re-encoded / trimmed copy shares most
     sampled frame hashes, so it collides in some band and survives the
     verify; candidates never come from a cross join.
+
+    ``hash_fn``: "xxhash64" (default; seeded independent hashes, the
+    pure-Spark scale path) or "portable" (the md5 Carter-Wegman family
+    over the frame hashes, same as the text MinHash tier — lets a SQL
+    oracle replay the signatures bit-for-bit; band signatures stay
+    xxhash64 either way, an injective-up-to-collisions rename of the
+    minhash tuples the oracle bands on directly).
 
     Plan shape mirrors the text MinHash tier: the per-asset frame-hash
     array is one groupBy over the sampled frames (bounded by frames per
@@ -355,15 +363,37 @@ def video_near_dup_pairs(
         # pitfall operators/dedup.py::_cw_hasher documents
         return lambda x: F.xxhash64(F.lit(seed), x)
 
-    sigs = sets.select(
-        "asset_id", "fhs",
-        *[
+    if hash_fn == "portable":
+        from my_feast_spark.operators.dedup import (
+            MINHASH_A,
+            MINHASH_B,
+            _cw_hasher,
+            _portable_base,
+        )
+
+        if num_hashes > len(MINHASH_A):
+            raise ValueError(f"portable family has {len(MINHASH_A)} hashes")
+        sets = sets.withColumn(
+            "__bases",
+            F.transform("fhs", lambda x: _portable_base(x.cast("string"))),
+        )
+        mh_cols = [
+            F.array_min(
+                F.transform("__bases", _cw_hasher(MINHASH_A[i], MINHASH_B[i]))
+            ).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    elif hash_fn == "xxhash64":
+        mh_cols = [
             F.array_min(
                 F.transform("fhs", _seeded_hasher(i))
             ).alias(f"mh_{i}")
             for i in range(num_hashes)
-        ],
-    ).persist()
+        ]
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+
+    sigs = sets.select("asset_id", "fhs", *mh_cols).persist()
     sigs.count()  # one frame-hash + signature pass; every consumer reads the cache
 
     band_rows = sigs.select(

@@ -4885,6 +4885,135 @@ WHERE bit_count(xor(a.afp, b.afp)) <= {max_hamming}
 SQL_AUDIO_DEDUP = _LazySQL(_sql_audio_dedup)
 
 
+def q_video_dedup(spark, sf_dir):
+    """Video near-duplicate pairs (multimodal/assets.py::
+    video_near_dup_pairs) — the industry recipe: sample every-2nd
+    64-byte frame, perceptual-hash each frame (the image tier's dHash
+    byte-grid), treat an asset's frame-hash SET as its shingle set, and
+    run MinHash + banded LSH over it with an exact frame-set-Jaccard
+    verify. True near-dups exist by construction: every 25th document
+    also arrives as a trimmed re-encode (the leading 4/5 of its text) —
+    the classic trimmed-copy case that shares most sampled frames. The
+    portable md5 Carter-Wegman signature family makes the oracle replay
+    signing + banding (on the raw minhash tuples) + the exact Jaccard
+    verify entirely in DuckDB over per-asset frame-hash sets recomputed
+    in pure Python."""
+    from my_feast_spark.multimodal.assets import (
+        encode_fake_image_assets,
+        video_near_dup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.substring(
+            F.col("text"), 1, F.floor(F.length("text") * 4 / 5).cast("int")
+        ).alias("text"),
+    )
+    assets = encode_fake_image_assets(
+        docs.unionByName(copies), "doc_id", "text"
+    )
+    return video_near_dup_pairs(
+        assets, frame_bytes=64, every_k=2, threshold=0.5,
+        num_hashes=32, bands=8, hash_fn="portable",
+    )
+
+
+def _frame_hash_set(payload: bytes, *, frame_bytes=64, every_k=2):
+    """Pure-Python mirror of sample_frames + frame_dhash: the sampled
+    frame-hash SET of one asset (empty when the payload is shorter than
+    one frame)."""
+    n_frames = len(payload) // frame_bytes
+    return {
+        _dhash_bits(payload[f_i * frame_bytes:(f_i + 1) * frame_bytes])
+        for f_i in range(0, n_frames, every_k)
+    }
+
+
+def _sql_video_dedup(
+    *, threshold=0.5, num_hashes=32, bands=8, max_bucket=50,
+):
+    """Oracle generator for q_video_dedup: per-asset frame-hash sets as
+    literals, then the SQL_MINHASH_DUP_PAIRS replay shape — portable CW
+    signatures, band equality on the raw minhash tuples, bucket cap,
+    exact set-Jaccard verify. Returns None (rows-only) if the oracle
+    testdata is absent."""
+    path = os.path.join(ORACLE_SF_DIR, "documents.parquet")
+    if not os.path.exists(path):
+        return None
+    import pyarrow.parquet as pq_  # noqa: N813
+
+    from my_feast_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        _MASK63,
+    )
+
+    t = pq_.read_table(path, columns=["doc_id", "text"])
+    rows = []
+    for i, s in zip(
+        t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+    ):
+        rows.append((int(i), s))
+        if i % 25 == 0:
+            rows.append((int(i) + 100000, s[: (4 * len(s)) // 5]))
+    vals = ", ".join(
+        f"({i}, CAST([{', '.join(str(h) for h in sorted(fhs))}] AS BIGINT[]))"
+        for i, fhs in (
+            (i, _frame_hash_set(s.encode("utf-8"))) for i, s in rows
+        )
+        if fhs
+    )
+    r = num_hashes // bands
+    mh = ",\n         ".join(
+        f"list_min(list_transform(bases, x -> ({MINHASH_A[i]} * x + "
+        f"{MINHASH_B[i]}) % {MINHASH_P})) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc, {b} AS band, concat_ws(',', "
+        + ", ".join(f"CAST(mh_{b * r + j} AS VARCHAR)" for j in range(r))
+        + ") AS sig FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+WITH fs(doc, fhs) AS (VALUES {vals}),
+based AS MATERIALIZED (
+  SELECT doc, fhs, list_transform(fhs, fh ->
+         CAST((md5_number_lower(CAST(fh AS VARCHAR)) & {_MASK63})
+              % {MINHASH_P} AS BIGINT)) AS bases
+  FROM fs
+), sigs AS (
+  SELECT doc, {mh}
+  FROM based
+), band_rows AS MATERIALIZED (
+  {band_selects}
+), ok AS (
+  SELECT band, sig FROM band_rows GROUP BY band, sig
+  HAVING count(*) <= {max_bucket}
+), br AS MATERIALIZED (
+  SELECT band_rows.* FROM band_rows JOIN ok USING (band, sig)
+), cand AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM br a JOIN br b ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc
+)
+SELECT doc_a, doc_b,
+       round(len(list_intersect(fa.fhs, fb.fhs))
+             / (len(fa.fhs) + len(fb.fhs)
+                - len(list_intersect(fa.fhs, fb.fhs))), 4) AS jaccard
+FROM cand
+JOIN fs fa ON fa.doc = doc_a
+JOIN fs fb ON fb.doc = doc_b
+WHERE round(len(list_intersect(fa.fhs, fb.fhs))
+            / (len(fa.fhs) + len(fb.fhs)
+               - len(list_intersect(fa.fhs, fb.fhs))), 4) >= {threshold}
+"""
+
+
+SQL_VIDEO_DEDUP = _LazySQL(_sql_video_dedup)
+
+
 # =========================================================================
 # Query registry.
 #
@@ -4937,6 +5066,7 @@ QUERIES: dict[str, tuple] = {
         q_score_weighted_sample, SQL_SCORE_WEIGHTED_SAMPLE,
     ),
     "audio_dedup": (q_audio_dedup, SQL_AUDIO_DEDUP),
+    "video_dedup": (q_video_dedup, SQL_VIDEO_DEDUP),
     # --- rotated IN for round 8 (last adjudicated round 6) ----------------
     "scd2_user_state": (q_scd2_user_state, SQL_SCD2_USER_STATE),
     "bpe_merge_replay": (q_bpe_merge_replay, SQL_BPE_MERGE_REPLAY),
@@ -4959,7 +5089,6 @@ QUERIES: dict[str, tuple] = {
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
-    "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
     "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
     "stratified_sample_docs": (
         q_stratified_sample_docs, SQL_STRATIFIED_SAMPLE_DOCS,
@@ -5073,10 +5202,15 @@ QUERIES: dict[str, tuple] = {
 #:   hash_sampled_docs         -> stratified_sample_docs /
 #:                                train_val_split (same salted-hash
 #:                                bucketing primitive)
+#: round 8:
+#:   corpus_mixture            -> mixture_temperature (the same
+#:                                per-stratum mixture-weight sampling,
+#:                                plus the temperature exponent)
 #: Still value-checked against DuckDB every pytest run via
 #: tests/test_oracle_parity.py.
 RETIRED_QUERIES: dict[str, tuple] = {
     "filtered_agg": (q_filtered_agg, SQL_FILTERED_AGG),
+    "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
     "json_props_extract": (q_json_props_extract, SQL_JSON_PROPS_EXTRACT),
     "struct_flatten": (q_struct_flatten, SQL_STRUCT_FLATTEN),
     "vocab_encode": (q_vocab_encode, SQL_VOCAB_ENCODE),

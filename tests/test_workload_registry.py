@@ -92,7 +92,6 @@ ROTATED_IN = {
     "quality_score",
     "lang_id",
     "doc_chunks",
-    "corpus_mixture",
     "pii_redaction",
     "stratified_sample_docs",
     "train_val_split",
@@ -125,6 +124,8 @@ CHANGED_OR_NEW_THIS_ROUND = {
     "score_weighted_sample",
     # new: the perceptual audio dedup tier, promoted
     "audio_dedup",
+    # new: the video (frame-set MinHash) dedup tier, promoted
+    "video_dedup",
 }
 
 #: retired from the driver registry — near-duplicates of in-registry
@@ -139,6 +140,8 @@ RETIRED_THIS_ROUND = {
     "embedding_near_dupes",
     "sequence_packing",
     "hash_sampled_docs",
+    # round 8
+    "corpus_mixture",
 }
 
 
