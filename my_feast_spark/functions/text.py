@@ -153,6 +153,77 @@ def quality_features(text: Column) -> dict[str, Column]:
     }
 
 
+#: Gopher rule thresholds (Rae et al. 2021, Appendix A1.1), the subset
+#: that is meaningful for single-line text: word-count bounds, mean
+#: word length bounds, symbol-to-word ratio cap, minimum fraction of
+#: words containing an alphabetic character, minimum stopword hits.
+#: (The line-based bullet/ellipsis rules need multi-line documents and
+#: are omitted — the symbol ratio still counts '#' and '...'.)
+GOPHER_RULES = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_ratio": 0.1,
+    "min_alpha_frac": 0.8,
+    "min_stop_hits": 2,
+}
+
+
+def gopher_features(text: Column) -> dict[str, Column]:
+    """The Gopher quality-filter measures (Rae et al. 2021) as named
+    expressions plus a ``gopher_pass`` 0/1 verdict — the rule-based
+    gate production pipelines run before any learned filter. Pure
+    expressions (one tokenization via ``let``, ``translate``-free
+    counting), map-only at any scale; the verdict compares the ROUNDED
+    measures so an oracle replaying the arithmetic in another engine
+    reaches the identical decision."""
+    stop = F.array([F.lit(s) for s in LANG_STOPWORDS["en"]])
+    r = GOPHER_RULES
+
+    def entry(build):
+        return let(tokens(F.lower(text)), build)
+
+    n_words = entry(lambda t: F.size(t).cast("long"))
+    mean_wl = entry(lambda t: F.round(
+        F.aggregate(
+            F.transform(t, lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"), lambda acc, x: acc + x,
+        ) / F.greatest(F.size(t), F.lit(1)).cast("double"), 4,
+    ))
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = entry(lambda t: F.round(
+        (n_hash + n_ell) / F.greatest(F.size(t), F.lit(1)).cast("double"), 4,
+    ))
+    alpha_frac = entry(lambda t: F.round(
+        F.size(F.filter(t, lambda w: w.rlike("[a-z]")))
+        / F.greatest(F.size(t), F.lit(1)).cast("double"), 4,
+    ))
+    stop_hits = entry(
+        lambda t: F.size(
+            F.filter(t, lambda w: F.array_contains(stop, w))
+        ).cast("long")
+    )
+    passes = (
+        n_words.between(r["min_words"], r["max_words"])
+        & mean_wl.between(r["min_mean_word_len"], r["max_mean_word_len"])
+        & (symbol_ratio <= r["max_symbol_ratio"])
+        & (alpha_frac >= r["min_alpha_frac"])
+        & (stop_hits >= r["min_stop_hits"])
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "symbol_ratio": symbol_ratio,
+        "alpha_frac": alpha_frac,
+        "stop_hits": stop_hits,
+        "gopher_pass": passes.cast("int"),
+    }
+
+
 def _lang_scores_arr(toks: Column) -> dict[str, Column]:
     """Per-language stopword-hit counts over a pre-bound token array."""
     out: dict[str, Column] = {}

@@ -5014,6 +5014,54 @@ WHERE round(len(list_intersect(fa.fhs, fb.fhs))
 SQL_VIDEO_DEDUP = _LazySQL(_sql_video_dedup)
 
 
+def q_gopher_quality_filter(spark, sf_dir):
+    """The Gopher rule-based quality gate (Rae et al. 2021, Appendix
+    A1.1; functions/text.py::gopher_features): word-count bounds, mean
+    word length bounds, symbol-to-word ratio cap, alphabetic-word
+    fraction floor, stopword-hit floor — the cheap rules production
+    pipelines run before any learned filter (C4/Gopher/RedPajama all
+    lead with this tier). Map-only pure expressions, one tokenization
+    per measure via ``let``; the 0/1 verdict compares the ROUNDED
+    measures so the DuckDB oracle reaches the identical decision."""
+    from my_feast_spark.functions.text import gopher_features
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = gopher_features(F.col("text"))
+    return docs.select(
+        "doc_id", *[c.alias(k) for k, c in feats.items()]
+    )
+
+
+SQL_GOPHER_QUALITY_FILTER = """
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         round(list_sum(list_transform(toks, w -> len(w)))
+               / CAST(greatest(len(toks), 1) AS DOUBLE), 4) AS mean_word_len,
+         round(((length(text) - length(replace(text, '#', '')))
+                + (length(text) - length(replace(text, '...', ''))) / 3)
+               / CAST(greatest(len(toks), 1) AS DOUBLE), 4) AS symbol_ratio,
+         round(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+               / CAST(greatest(len(toks), 1) AS DOUBLE), 4) AS alpha_frac,
+         CAST(len(list_filter(toks, w -> list_contains(
+             ['the', 'a', 'and', 'of', 'to', 'in', 'is'], w)))
+             AS BIGINT) AS stop_hits
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, stop_hits,
+       CAST(n_words BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND symbol_ratio <= 0.1
+            AND alpha_frac >= 0.8
+            AND stop_hits >= 2 AS INTEGER) AS gopher_pass
+FROM m
+"""
+
+
 # =========================================================================
 # Query registry.
 #
@@ -5067,6 +5115,9 @@ QUERIES: dict[str, tuple] = {
     ),
     "audio_dedup": (q_audio_dedup, SQL_AUDIO_DEDUP),
     "video_dedup": (q_video_dedup, SQL_VIDEO_DEDUP),
+    "gopher_quality_filter": (
+        q_gopher_quality_filter, SQL_GOPHER_QUALITY_FILTER,
+    ),
     # --- rotated IN for round 8 (last adjudicated round 6) ----------------
     "scd2_user_state": (q_scd2_user_state, SQL_SCD2_USER_STATE),
     "bpe_merge_replay": (q_bpe_merge_replay, SQL_BPE_MERGE_REPLAY),
@@ -5103,7 +5154,6 @@ QUERIES: dict[str, tuple] = {
         q_length_outlier_filter, SQL_LENGTH_OUTLIER_FILTER,
     ),
     "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES),
-    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
     "dedup_entity_rows": (q_dedup_entity_rows, SQL_DEDUP_ENTITY_ROWS),
     "latest_event_per_user": (
@@ -5206,11 +5256,16 @@ QUERIES: dict[str, tuple] = {
 #:   corpus_mixture            -> mixture_temperature (the same
 #:                                per-stratum mixture-weight sampling,
 #:                                plus the temperature exponent)
+#:   token_stats               -> gopher_quality_filter (word counts +
+#:                                mean word length as rule measures) +
+#:                                quality_score (the remaining
+#:                                token-length composites)
 #: Still value-checked against DuckDB every pytest run via
 #: tests/test_oracle_parity.py.
 RETIRED_QUERIES: dict[str, tuple] = {
     "filtered_agg": (q_filtered_agg, SQL_FILTERED_AGG),
     "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "json_props_extract": (q_json_props_extract, SQL_JSON_PROPS_EXTRACT),
     "struct_flatten": (q_struct_flatten, SQL_STRUCT_FLATTEN),
     "vocab_encode": (q_vocab_encode, SQL_VOCAB_ENCODE),

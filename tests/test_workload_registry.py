@@ -100,7 +100,6 @@ ROTATED_IN = {
     "simhash_dup_pairs",
     "length_outlier_filter",
     "value_percentiles",
-    "token_stats",
     "revenue_rollup",
     "dedup_entity_rows",
     "latest_event_per_user",
@@ -126,6 +125,8 @@ CHANGED_OR_NEW_THIS_ROUND = {
     "audio_dedup",
     # new: the video (frame-set MinHash) dedup tier, promoted
     "video_dedup",
+    # new: the Gopher rule-based quality gate
+    "gopher_quality_filter",
 }
 
 #: retired from the driver registry — near-duplicates of in-registry
@@ -142,6 +143,7 @@ RETIRED_THIS_ROUND = {
     "hash_sampled_docs",
     # round 8
     "corpus_mixture",
+    "token_stats",
 }
 
 
