@@ -30,7 +30,7 @@ import random as _random
 
 import pandas as pd  # module-level: pandas_udf type hints resolve here
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from my_feast_spark.functions.text import doc_fingerprint, tokens
 from my_feast_spark.sources.readers import spread_partitions
@@ -78,6 +78,84 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .agg(
             F.min(id_col).alias("keeper_id"),
             F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_words: int = 20,
+) -> DataFrame:
+    """Sub-document exact dedup — CCNet's paragraph-hash dedup
+    (Wenzek et al. 2020) adapted to unstructured text: split each doc
+    into non-overlapping ``chunk_words``-word chunks (the "paragraphs"),
+    fingerprint each chunk with the portable 64-bit hash, keep only the
+    FIRST occurrence corpus-wide (ordered by (doc_id, chunk_idx)), and
+    rebuild every doc from its surviving chunks.
+
+    Returns one row per input doc: ``(doc_id, n_chunks, n_kept,
+    kept_md5)`` where ``kept_md5`` digests the rebuilt text (kept chunks
+    joined in order) — the scalar contract the oracle hashes.
+
+    Scale shape: chunking is a map-only projection; the keep decision is
+    ONE shuffle on the 8-byte chunk fingerprint (a window, never a
+    self-join); the rebuild is one groupBy on doc_id. Chunk text never
+    shuffles twice — only the fingerprint does the wide travel, and the
+    winner flag comes back attached to the already-exploded row.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    k = chunk_words
+    chunk_arr = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size(toks) / F.lit(float(k))).cast("int") - 1,
+            ),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(chunk_arr).alias("chunk_idx", "chunk"),
+    ).withColumn("fp", portable_hash64(F.col("chunk")))
+    w = Window.partitionBy("fp").orderBy("doc", "chunk_idx")
+    flagged = exploded.withColumn(
+        "kept", (F.row_number().over(w) == 1).cast("int")
+    )
+    return (
+        flagged.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("kept").alias("n_kept"),
+            F.md5(
+                F.encode(
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.when(
+                                        F.col("kept") == 1,
+                                        F.struct(
+                                            F.col("chunk_idx"),
+                                            F.col("chunk"),
+                                        ),
+                                    )
+                                )
+                            ),
+                            lambda s: s.chunk,
+                        ),
+                    ),
+                    "UTF-8",
+                )
+            ).alias("kept_md5"),
+        )
+        .select(
+            F.col("doc").alias(id_col), "n_chunks", "n_kept", "kept_md5"
         )
     )
 

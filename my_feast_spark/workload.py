@@ -5062,6 +5062,48 @@ FROM m
 """
 
 
+def q_chunk_dedup(spark, sf_dir):
+    """Sub-document exact dedup (operators/dedup.py::chunk_dedup) —
+    CCNet's paragraph-hash dedup (Wenzek et al. 2020) adapted to
+    unstructured text: 20-word non-overlapping chunks stand in for
+    paragraphs, each chunk keeps only its FIRST corpus-wide occurrence
+    (ordered by doc_id, chunk_idx), docs rebuild from surviving chunks.
+    One fingerprint-keyed window shuffle + one doc regroup; chunk text
+    rides along, only the 8-byte hash decides."""
+    from my_feast_spark.operators.dedup import chunk_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_dedup(docs, "doc_id", "text", chunk_words=20)
+
+
+SQL_CHUNK_DEDUP = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), ch AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+         array_to_string(list_slice(t, i * 20 + 1, (i + 1) * 20), ' ')
+             AS chunk
+  FROM toks, unnest(range(0, CAST(ceil(len(t) / 20.0) AS INT))) AS u(i)
+  WHERE len(t) > 0
+), flagged AS (
+  SELECT doc_id, chunk_idx, chunk,
+         CAST(row_number() OVER (
+             PARTITION BY md5_number_lower(chunk)
+             ORDER BY doc_id, chunk_idx
+         ) = 1 AS INTEGER) AS kept
+  FROM ch
+)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       md5(coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx)
+                        FILTER (WHERE kept = 1), '')) AS kept_md5
+FROM flagged
+GROUP BY doc_id
+"""
+
+
 # =========================================================================
 # Query registry.
 #
@@ -5118,6 +5160,7 @@ QUERIES: dict[str, tuple] = {
     "gopher_quality_filter": (
         q_gopher_quality_filter, SQL_GOPHER_QUALITY_FILTER,
     ),
+    "chunk_dedup": (q_chunk_dedup, SQL_CHUNK_DEDUP),
     # --- rotated IN for round 8 (last adjudicated round 6) ----------------
     "scd2_user_state": (q_scd2_user_state, SQL_SCD2_USER_STATE),
     "bpe_merge_replay": (q_bpe_merge_replay, SQL_BPE_MERGE_REPLAY),
@@ -5139,7 +5182,6 @@ QUERIES: dict[str, tuple] = {
     "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "lang_id": (q_lang_id, SQL_LANG_ID),
-    "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
     "stratified_sample_docs": (
         q_stratified_sample_docs, SQL_STRATIFIED_SAMPLE_DOCS,
@@ -5260,12 +5302,17 @@ QUERIES: dict[str, tuple] = {
 #:                                mean word length as rule measures) +
 #:                                quality_score (the remaining
 #:                                token-length composites)
+#:   doc_chunks                -> chunk_dedup (the same fixed-window
+#:                                chunk projection, plus the
+#:                                corpus-wide first-occurrence dedup) +
+#:                                packed_sequences (offset layouts)
 #: Still value-checked against DuckDB every pytest run via
 #: tests/test_oracle_parity.py.
 RETIRED_QUERIES: dict[str, tuple] = {
     "filtered_agg": (q_filtered_agg, SQL_FILTERED_AGG),
     "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "json_props_extract": (q_json_props_extract, SQL_JSON_PROPS_EXTRACT),
     "struct_flatten": (q_struct_flatten, SQL_STRUCT_FLATTEN),
     "vocab_encode": (q_vocab_encode, SQL_VOCAB_ENCODE),

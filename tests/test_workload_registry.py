@@ -91,7 +91,6 @@ ROTATED_IN = {
     "streaming_dedup",
     "quality_score",
     "lang_id",
-    "doc_chunks",
     "pii_redaction",
     "stratified_sample_docs",
     "train_val_split",
@@ -127,6 +126,8 @@ CHANGED_OR_NEW_THIS_ROUND = {
     "video_dedup",
     # new: the Gopher rule-based quality gate
     "gopher_quality_filter",
+    # new: CCNet-style sub-document (chunk) exact dedup
+    "chunk_dedup",
 }
 
 #: retired from the driver registry — near-duplicates of in-registry
@@ -144,6 +145,7 @@ RETIRED_THIS_ROUND = {
     # round 8
     "corpus_mixture",
     "token_stats",
+    "doc_chunks",
 }
 
 
