@@ -5104,6 +5104,84 @@ GROUP BY doc_id
 """
 
 
+def q_ccnet_buckets(spark, sf_dir, *, exact_quantiles=True):
+    """CCNet's head/middle/tail quality terciles (Wenzek et al. 2020):
+    score every doc with the bigram-LM mean log2 probability
+    (operators/lm.py, the lm_perplexity pipeline), compute the tercile
+    CUTOFF VALUES with one tiny aggregate, broadcast them, and assign
+    buckets map-side — never a global rank/ntile window (a
+    single-partition sort at corpus scale). ``exact_quantiles=True`` is
+    the small-SF oracle-parity choice (DuckDB quantile_cont shares the
+    linear-interpolation semantics); a 100 TB run flips to the
+    percentile_approx sketch, same plan shape (functions/scalar.py::
+    percentile_agg documents the trade)."""
+    from my_feast_spark.functions.scalar import percentile_agg
+    from my_feast_spark.operators.lm import score_docs, train_bigram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_bigram_lm(docs, "text")
+    scored = score_docs(docs, "doc_id", "text", model).select(
+        "doc_id", "avg_logprob"
+    )
+    cuts = scored.agg(
+        percentile_agg(
+            "avg_logprob", 2.0 / 3.0, exact=exact_quantiles
+        ).alias("cut_head"),
+        percentile_agg(
+            "avg_logprob", 1.0 / 3.0, exact=exact_quantiles
+        ).alias("cut_mid"),
+    )
+    out = scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "avg_logprob",
+        F.when(F.col("avg_logprob") >= F.col("cut_head"), F.lit("head"))
+        .when(F.col("avg_logprob") >= F.col("cut_mid"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )
+    out._owned_caches = [model.bigrams]
+    return out
+
+
+SQL_CCNET_BUCKETS = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS lt
+  FROM documents
+),
+ev AS (
+  SELECT doc_id,
+         CASE WHEN CAST(u.pos AS INTEGER) = 1 THEN '<s>'
+              ELSE lt[CAST(u.pos AS INTEGER) - 1] END AS h,
+         lt[CAST(u.pos AS INTEGER)] AS w
+  FROM t, UNNEST(generate_series(1, len(lt))) AS u(pos)
+  WHERE len(lt) >= 1
+),
+big AS (SELECT h, w, count(*) AS c_hw FROM ev GROUP BY h, w),
+uni AS (SELECT h, CAST(sum(c_hw) AS BIGINT) AS c_h FROM big GROUP BY h),
+v AS (SELECT count(DISTINCT w) AS vs FROM big),
+scored AS (
+  SELECT e.doc_id,
+         round(avg(log2((b.c_hw + 0.5) / (u.c_h + 0.5 * (v.vs + 1)))), 4)
+           AS avg_logprob
+  FROM ev e
+  JOIN big b USING (h, w)
+  JOIN uni u USING (h)
+  CROSS JOIN v
+  GROUP BY e.doc_id
+),
+cuts AS (
+  SELECT quantile_cont(avg_logprob, 2.0 / 3.0) AS cut_head,
+         quantile_cont(avg_logprob, 1.0 / 3.0) AS cut_mid
+  FROM scored
+)
+SELECT doc_id, avg_logprob,
+       CASE WHEN avg_logprob >= cut_head THEN 'head'
+            WHEN avg_logprob >= cut_mid THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM scored, cuts
+"""
+
+
 # =========================================================================
 # Query registry.
 #
@@ -5161,6 +5239,7 @@ QUERIES: dict[str, tuple] = {
         q_gopher_quality_filter, SQL_GOPHER_QUALITY_FILTER,
     ),
     "chunk_dedup": (q_chunk_dedup, SQL_CHUNK_DEDUP),
+    "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
     # --- rotated IN for round 8 (last adjudicated round 6) ----------------
     "scd2_user_state": (q_scd2_user_state, SQL_SCD2_USER_STATE),
     "bpe_merge_replay": (q_bpe_merge_replay, SQL_BPE_MERGE_REPLAY),
@@ -5195,7 +5274,6 @@ QUERIES: dict[str, tuple] = {
     "length_outlier_filter": (
         q_length_outlier_filter, SQL_LENGTH_OUTLIER_FILTER,
     ),
-    "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES),
     "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
     "dedup_entity_rows": (q_dedup_entity_rows, SQL_DEDUP_ENTITY_ROWS),
     "latest_event_per_user": (
@@ -5306,6 +5384,12 @@ QUERIES: dict[str, tuple] = {
 #:                                chunk projection, plus the
 #:                                corpus-wide first-occurrence dedup) +
 #:                                packed_sequences (offset layouts)
+#:   value_percentiles         -> ccnet_buckets (the same exact/approx
+#:                                percentile_agg, now deciding bucket
+#:                                assignment) + customer_balance_deciles
+#:                                (the rank-based ntile family) +
+#:                                length_outlier_filter (quantile
+#:                                thresholds as a filter)
 #: Still value-checked against DuckDB every pytest run via
 #: tests/test_oracle_parity.py.
 RETIRED_QUERIES: dict[str, tuple] = {
@@ -5313,6 +5397,7 @@ RETIRED_QUERIES: dict[str, tuple] = {
     "corpus_mixture": (q_corpus_mixture, SQL_CORPUS_MIXTURE),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
+    "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES),
     "json_props_extract": (q_json_props_extract, SQL_JSON_PROPS_EXTRACT),
     "struct_flatten": (q_struct_flatten, SQL_STRUCT_FLATTEN),
     "vocab_encode": (q_vocab_encode, SQL_VOCAB_ENCODE),

@@ -98,7 +98,6 @@ ROTATED_IN = {
     "embedding_near_dupes_lsh",
     "simhash_dup_pairs",
     "length_outlier_filter",
-    "value_percentiles",
     "revenue_rollup",
     "dedup_entity_rows",
     "latest_event_per_user",
@@ -128,6 +127,8 @@ CHANGED_OR_NEW_THIS_ROUND = {
     "gopher_quality_filter",
     # new: CCNet-style sub-document (chunk) exact dedup
     "chunk_dedup",
+    # new: CCNet head/middle/tail perplexity terciles
+    "ccnet_buckets",
 }
 
 #: retired from the driver registry — near-duplicates of in-registry
@@ -146,6 +147,7 @@ RETIRED_THIS_ROUND = {
     "corpus_mixture",
     "token_stats",
     "doc_chunks",
+    "value_percentiles",
 }
 
 
