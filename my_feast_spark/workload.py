@@ -5182,6 +5182,169 @@ FROM scored, cuts
 """
 
 
+def q_streaming_embedding_ingest(spark, sf_dir):
+    """Streaming SEMANTIC near-dup ingest end-to-end (streaming/
+    ingest.py::embedding_dedup_ingest_stream): the embeddings table
+    arrives as three micro-batches (vec_id % 3, one checkpoint so batch
+    ids accumulate), each batch hyperplane-LSH buckets its normalized
+    vectors across 8 independent 4-bit sign tables, collides them
+    against the partition-pruned accumulated index (index_buckets=8),
+    and drops vectors whose exact cosine against an accepted or
+    lower-id in-batch vector reaches 0.4 (rounded to 6 first — the
+    oracle replays the identical rounded compare). The hyperplane
+    tables and the normalize/dot folds are deterministic, so the oracle
+    replays bucketing (numpy literals, the embedding_near_dupes_lsh
+    pattern), the exact-cosine verify (explicit left-fold chains — the
+    engine's aggregate() order), and the batch-sequential accept policy
+    entirely in DuckDB. Returns the accepted (vec_id, batch_id)."""
+    from my_feast_spark.streaming.ingest import embedding_dedup_ingest_stream
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = _scratch_dir("mfs_emb_ingest_")
+    in_dir = os.path.join(base, "incoming")
+    os.makedirs(in_dir)
+    out = os.path.join(base, "accepted")
+    idx = os.path.join(base, "index")
+    ckpt = os.path.join(base, "ckpt")
+    for b in range(3):
+        emb.filter(F.col("vec_id") % 3 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        sdf = spark.readStream.schema(
+            "vec_id long, embedding array<float>"
+        ).parquet(in_dir)
+        q = embedding_dedup_ingest_stream(
+            sdf, out_path=out, index_path=idx, checkpoint=ckpt,
+            id_col="vec_id", vec_col="embedding", threshold=0.4,
+            num_planes=4, num_tables=8, dim=64, seed=42,
+            index_buckets=8, available_now=True,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+    return spark.read.parquet(out).select(
+        "vec_id", F.col("batch_id").cast("int").alias("batch_id")
+    )
+
+
+def _sql_streaming_embedding_ingest(
+    *, threshold=0.4, num_planes=4, num_tables=8, dim=64, seed=42,
+    n_batches=3,
+):
+    """Oracle generator for q_streaming_embedding_ingest. Bucket ids are
+    VALUES literals from the SAME shape-stable numpy bucketer the
+    executor UDF runs, over vectors normalized with plain left-to-right
+    float arithmetic (the engine normalizes JVM-side with aggregate()
+    folds, which DuckDB replays below as explicit left-assoc chains —
+    0.0 + t1 == t1, so the plain chain is the same fold). The accept
+    policy is the SQL_STREAMING_NEARDUP_INGEST chained-CTE stage shape.
+    Returns None (rows-only) if the oracle testdata is absent."""
+    import math
+
+    path = os.path.join(ORACLE_SF_DIR, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    import numpy as np
+    import pyarrow.parquet as pq_  # noqa: N813
+
+    from my_feast_spark.operators.similarity import (
+        _hyperplanes,
+        make_lsh_bucketer,
+    )
+
+    t = pq_.read_table(path, columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    vecs = t.column("embedding").to_pylist()
+    normed = []
+    for x in vecs:
+        acc = 0.0
+        for xi in x:
+            d = float(np.float32(xi))
+            acc += d * d
+        nrm = max(math.sqrt(acc), 1e-12)
+        normed.append([float(np.float32(xi)) / nrm for xi in x])
+    tables = [
+        _hyperplanes(dim, num_planes, seed + i) for i in range(num_tables)
+    ]
+    buckets = make_lsh_bucketer(tables)(
+        np.asarray(normed, dtype=np.float64)
+    )
+    bucket_vals = ", ".join(
+        "(" + ", ".join(str(int(x)) for x in (i, *row)) + ")"
+        for i, row in zip(ids, buckets)
+    )
+    bcols = ", ".join(f"b{i}" for i in range(num_tables))
+    any_table = " OR ".join(f"a.b{i} = c.b{i}" for i in range(num_tables))
+    norm_chain = " + ".join(f"x[{i + 1}] * x[{i + 1}]" for i in range(dim))
+    dot_chain = " + ".join(
+        f"vx.v[{i + 1}] * vy.v[{i + 1}]" for i in range(dim)
+    )
+    stages = []
+    acc_union = None
+    for k in range(n_batches):
+        same_batch = (
+            f"(ver.x IN (SELECT doc FROM bat WHERE b = {k}) "
+            "AND ver.x < ver.y)"
+        )
+        if acc_union:
+            cond = (
+                f"({same_batch} OR ver.x IN (SELECT doc FROM {acc_union}))"
+            )
+        else:
+            cond = same_batch
+        stages.append(
+            f"drop{k} AS (\n"
+            f"  SELECT DISTINCT ver.y AS doc FROM ver\n"
+            f"  JOIN bat ON bat.doc = ver.y AND bat.b = {k}\n"
+            f"  WHERE {cond}\n"
+            f"), acc{k} AS (\n"
+            f"  SELECT doc FROM bat WHERE b = {k}\n"
+            f"  AND doc NOT IN (SELECT doc FROM drop{k})\n"
+            f")"
+        )
+        if k == 0:
+            acc_union = "acc0"
+        else:
+            stages.append(
+                f"accu{k} AS (SELECT doc FROM "
+                + " UNION SELECT doc FROM ".join(
+                    f"acc{j}" for j in range(k + 1)
+                )
+                + ")"
+            )
+            acc_union = f"accu{k}"
+    final = " UNION ALL ".join(
+        f"SELECT doc AS vec_id, {k} AS batch_id FROM acc{k}"
+        for k in range(n_batches)
+    )
+    stage_sql = ",\n".join(stages)
+    return f"""
+WITH bl(doc, {bcols}) AS (VALUES {bucket_vals}),
+e AS (
+  SELECT vec_id AS doc, vec_id % {n_batches} AS b,
+         CAST(embedding AS DOUBLE[]) AS x
+  FROM embeddings
+), nr AS (
+  SELECT doc, b, x, greatest(sqrt({norm_chain}), 1e-12) AS nrm FROM e
+), v AS MATERIALIZED (
+  SELECT doc, b, list_transform(x, t -> t / nrm) AS v FROM nr
+), bat AS (SELECT doc, b FROM e),
+coll AS (
+  SELECT DISTINCT a.doc AS x, c.doc AS y
+  FROM bl a JOIN bl c ON a.doc <> c.doc AND ({any_table})
+), ver AS MATERIALIZED (
+  SELECT coll.x, coll.y FROM coll
+  JOIN v vx ON vx.doc = coll.x
+  JOIN v vy ON vy.doc = coll.y
+  WHERE round({dot_chain}, 6) >= {threshold}
+),
+{stage_sql}
+SELECT vec_id, CAST(batch_id AS INTEGER) AS batch_id FROM ({final})
+"""
+
+
+SQL_STREAMING_EMBEDDING_INGEST = _LazySQL(_sql_streaming_embedding_ingest)
+
+
 # =========================================================================
 # Query registry.
 #
@@ -5240,6 +5403,9 @@ QUERIES: dict[str, tuple] = {
     ),
     "chunk_dedup": (q_chunk_dedup, SQL_CHUNK_DEDUP),
     "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
+    "streaming_embedding_ingest": (
+        q_streaming_embedding_ingest, SQL_STREAMING_EMBEDDING_INGEST,
+    ),
     # --- rotated IN for round 8 (last adjudicated round 6) ----------------
     "scd2_user_state": (q_scd2_user_state, SQL_SCD2_USER_STATE),
     "bpe_merge_replay": (q_bpe_merge_replay, SQL_BPE_MERGE_REPLAY),
@@ -5262,9 +5428,6 @@ QUERIES: dict[str, tuple] = {
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
-    "stratified_sample_docs": (
-        q_stratified_sample_docs, SQL_STRATIFIED_SAMPLE_DOCS,
-    ),
     "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
     "embedding_near_dupes_lsh": (
@@ -5390,6 +5553,11 @@ QUERIES: dict[str, tuple] = {
 #:                                (the rank-based ntile family) +
 #:                                length_outlier_filter (quantile
 #:                                thresholds as a filter)
+#:   stratified_sample_docs    -> stratum_ksample + train_val_split +
+#:                                score_weighted_sample (the same
+#:                                portable-hash keep-rule family;
+#:                                per-stratum rates stay covered by
+#:                                mixture_temperature)
 #: Still value-checked against DuckDB every pytest run via
 #: tests/test_oracle_parity.py.
 RETIRED_QUERIES: dict[str, tuple] = {
@@ -5398,6 +5566,9 @@ RETIRED_QUERIES: dict[str, tuple] = {
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES),
+    "stratified_sample_docs": (
+        q_stratified_sample_docs, SQL_STRATIFIED_SAMPLE_DOCS,
+    ),
     "json_props_extract": (q_json_props_extract, SQL_JSON_PROPS_EXTRACT),
     "struct_flatten": (q_struct_flatten, SQL_STRUCT_FLATTEN),
     "vocab_encode": (q_vocab_encode, SQL_VOCAB_ENCODE),

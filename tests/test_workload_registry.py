@@ -92,7 +92,6 @@ ROTATED_IN = {
     "quality_score",
     "lang_id",
     "pii_redaction",
-    "stratified_sample_docs",
     "train_val_split",
     "ivf_topk",
     "embedding_near_dupes_lsh",
@@ -129,6 +128,8 @@ CHANGED_OR_NEW_THIS_ROUND = {
     "chunk_dedup",
     # new: CCNet head/middle/tail perplexity terciles
     "ccnet_buckets",
+    # new: streaming semantic (embedding-LSH) near-dup ingest, promoted
+    "streaming_embedding_ingest",
 }
 
 #: retired from the driver registry — near-duplicates of in-registry
@@ -148,6 +149,7 @@ RETIRED_THIS_ROUND = {
     "token_stats",
     "doc_chunks",
     "value_percentiles",
+    "stratified_sample_docs",
 }
 
 
