@@ -140,7 +140,9 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> dict:
     curated = curate(
         docs,
         CurationConfig(
-            sample_rates={"en": 0.3, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.5}
+            sample_rates={"en": 0.3, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.5},
+            # the Gopher rule gate rides the same map-only filter stage
+            gopher_rules=True,
         ),
     )
     n_curated = curated.count()

@@ -170,43 +170,48 @@ GOPHER_RULES = {
 }
 
 
-def gopher_features(text: Column) -> dict[str, Column]:
-    """The Gopher quality-filter measures (Rae et al. 2021) as named
-    expressions plus a ``gopher_pass`` 0/1 verdict — the rule-based
-    gate production pipelines run before any learned filter. Pure
-    expressions (one tokenization via ``let``, ``translate``-free
-    counting), map-only at any scale; the verdict compares the ROUNDED
-    measures so an oracle replaying the arithmetic in another engine
-    reaches the identical decision."""
+def gopher_features_arr(toks: Column) -> dict[str, Column]:
+    """The Gopher measures over an ALREADY-LOWERCASED token array (pass
+    a cheap column reference — each measure reads it several times; the
+    pipeline path that projects ``__ltoks`` once feeds it here). Symbol
+    counts ('#', '...') come from the tokens rather than raw text —
+    identical by construction: neither symbol spans whitespace, and
+    lowercasing does not touch them."""
     stop = F.array([F.lit(s) for s in LANG_STOPWORDS["en"]])
     r = GOPHER_RULES
-
-    def entry(build):
-        return let(tokens(F.lower(text)), build)
-
-    n_words = entry(lambda t: F.size(t).cast("long"))
-    mean_wl = entry(lambda t: F.round(
+    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    n_words = F.size(toks).cast("long")
+    mean_wl = F.round(
         F.aggregate(
-            F.transform(t, lambda w: F.length(w).cast("long")),
+            F.transform(toks, lambda w: F.length(w).cast("long")),
             F.lit(0).cast("long"), lambda acc, x: acc + x,
-        ) / F.greatest(F.size(t), F.lit(1)).cast("double"), 4,
-    ))
-    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
-    n_ell = (
-        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
-    ) / F.lit(3)
-    symbol_ratio = entry(lambda t: F.round(
-        (n_hash + n_ell) / F.greatest(F.size(t), F.lit(1)).cast("double"), 4,
-    ))
-    alpha_frac = entry(lambda t: F.round(
-        F.size(F.filter(t, lambda w: w.rlike("[a-z]")))
-        / F.greatest(F.size(t), F.lit(1)).cast("double"), 4,
-    ))
-    stop_hits = entry(
-        lambda t: F.size(
-            F.filter(t, lambda w: F.array_contains(stop, w))
-        ).cast("long")
+        ) / n, 4,
     )
+    n_hash = F.aggregate(
+        F.transform(
+            toks,
+            lambda w: (
+                F.length(w) - F.length(F.replace(w, F.lit("#"), F.lit("")))
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+    n_ell = F.aggregate(
+        F.transform(
+            toks,
+            lambda w: (
+                F.length(w) - F.length(F.replace(w, F.lit("..."), F.lit("")))
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    ) / F.lit(3)
+    symbol_ratio = F.round((n_hash + n_ell) / n, 4)
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))) / n, 4
+    )
+    stop_hits = F.size(
+        F.filter(toks, lambda w: F.array_contains(stop, w))
+    ).cast("long")
     passes = (
         n_words.between(r["min_words"], r["max_words"])
         & mean_wl.between(r["min_mean_word_len"], r["max_mean_word_len"])
@@ -221,6 +226,29 @@ def gopher_features(text: Column) -> dict[str, Column]:
         "alpha_frac": alpha_frac,
         "stop_hits": stop_hits,
         "gopher_pass": passes.cast("int"),
+    }
+
+
+def gopher_features(text: Column) -> dict[str, Column]:
+    """The Gopher quality-filter measures (Rae et al. 2021) as named
+    expressions plus a ``gopher_pass`` 0/1 verdict — the rule-based
+    gate production pipelines run before any learned filter. Each entry
+    ``let``-binds one tokenization and delegates to
+    ``gopher_features_arr``; map-only pure expressions, and the verdict
+    compares the ROUNDED measures so an oracle replaying the arithmetic
+    in another engine reaches the identical decision."""
+    def _measure(key):
+        # closure factory, NOT a `key=key` default: a 2-parameter lambda
+        # makes transform() bind the second param to the ARRAY INDEX
+        # (the dedup.py::_cw_hasher pitfall) and shadow the key
+        return lambda t: gopher_features_arr(t)[key]
+
+    return {
+        k: let(tokens(F.lower(text)), _measure(k))
+        for k in (
+            "n_words", "mean_word_len", "symbol_ratio", "alpha_frac",
+            "stop_hits", "gopher_pass",
+        )
     }
 
 

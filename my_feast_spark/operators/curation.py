@@ -95,6 +95,13 @@ class CurationConfig:
     #: raw posterior sign would degenerate whenever the reference is
     #: small; tune per corpus like the GPT-3 recipe tunes its filter
     nb_evidence_cut: float = -4.0
+    # --- optional: Gopher rule-based quality gate ----------------------
+    #: True additionally drops docs failing the Gopher rules (Rae et
+    #: al. 2021 A1.1 — word-count/mean-word-length bounds, symbol
+    #: ratio, alpha-word fraction, stopword hits), computed from the
+    #: once-projected token array alongside the repetition filter —
+    #: another map-only conjunct on the same stage, zero extra passes
+    gopher_rules: bool = False
 
 
 def curate(
@@ -278,10 +285,19 @@ def curate(
     #    token array; the predicate cannot cross the dedup window, so
     #    the array is never re-expanded into repeated tokenizations
     feats = repetition_features_arr(F.col("__ltoks"))
-    clean = deduped.filter(
+    predicate = (
         (feats["top_token_frac"] <= cfg.max_top_token_frac)
         & (feats["dup_2gram_frac"] <= cfg.max_dup_2gram_frac)
     )
+    if cfg.gopher_rules:
+        # 4b. Gopher rule gate — same stage, same token array: one more
+        #     map-only conjunct, no extra tokenization or pass
+        from my_feast_spark.functions.text import gopher_features_arr
+
+        predicate = predicate & (
+            gopher_features_arr(F.col("__ltoks"))["gopher_pass"] == 1
+        )
+    clean = deduped.filter(predicate)
 
     # 5. deterministic stratified sampling — map-only
     if cfg.sample_rates is not None:

@@ -3563,7 +3563,10 @@ def q_curation_pipeline_full(spark, sf_dir, *, hash_fn="portable"):
     the class prior — falls at or below
     ``CurationConfig.nb_evidence_cut``, -4.0 here) -> repetition
     filter -> stratified sample -> accounting. This is
-    ``operators/curation.curate`` with all three optional stages on;
+    ``operators/curation.curate`` with the decontamination, near-dup,
+    and NB stages on (the round-8 Gopher gate stays off here — its
+    rules are adjudicated standalone by gopher_quality_filter and
+    exercised in curate() by the demo + test_curation);
     the oracle replays the whole chain — the banded-LSH pipeline, a
     recursive-CTE connected components, AND the NB count/llr scoring —
     hash-for-hash (portable hash family for replayability; the 100 TB

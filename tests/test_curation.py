@@ -83,3 +83,32 @@ def test_curate_near_dup_stage_with_no_duplicates_is_identity(spark):
     out = curate(df, cfg)
     assert {r.doc_id for r in out.collect()} == {1, 2}
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_curate_gopher_rules_gate(spark):
+    """gopher_rules=True adds the Gopher rule conjunct on the same
+    map-only stage: among docs surviving every other stage, exactly the
+    rule-failing ones drop — pinned against gopher_features_arr run
+    standalone over the same corpus."""
+    from pyspark.sql import functions as F
+
+    from my_feast_spark.functions.text import gopher_features_arr, tokens
+    from my_feast_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents")
+    cfg_off = CurationConfig(sample_rates=None)
+    cfg_on = CurationConfig(sample_rates=None, gopher_rules=True)
+    base = {r.doc_id for r in curate(docs, cfg_off).collect()}
+    gated = {r.doc_id for r in curate(docs, cfg_on).collect()}
+    passing = {
+        r.doc_id
+        for r in docs.select(
+            "doc_id",
+            gopher_features_arr(
+                tokens(F.lower(F.col("text")))
+            )["gopher_pass"].alias("p"),
+        ).collect()
+        if r.p == 1
+    }
+    assert gated == base & passing
+    assert gated < base  # the gate actually drops something here
