@@ -144,8 +144,10 @@ def main() -> None:
     # embeddings replicated 8x (deterministic id-shifted copies,
     # checkpointed once and shared by both variants) x 200 queries.
     # Exhaustive ADC scans every corpus code per query; IVFADC folds
-    # only nprobe/num_cells (1/4) of them — measured 8.6s vs 3.6s at
-    # 16k vectors when this variant was added.
+    # only nprobe/num_cells (1/4) of them — round-8 measurement at 16k
+    # vectors: exhaustive 2.68s vs IVFADC 2.14s (COVERAGE.md cites the
+    # same run; fixed costs — codebook train + encode pass — dominate
+    # at this sf, the fold-volume gap is what scales).
     from pyspark.sql import functions as _F
 
     from my_feast_spark.operators.pq import (
