@@ -30,7 +30,7 @@ import random as _random
 
 import pandas as pd  # module-level: pandas_udf type hints resolve here
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from my_feast_spark.functions.text import doc_fingerprint, tokens
 from my_feast_spark.sources.readers import spread_partitions
@@ -100,11 +100,16 @@ def chunk_dedup(
     kept_md5)`` where ``kept_md5`` digests the rebuilt text (kept chunks
     joined in order) — the scalar contract the oracle hashes.
 
-    Scale shape: chunking is a map-only projection; the keep decision is
-    ONE shuffle on the 8-byte chunk fingerprint (a window, never a
-    self-join); the rebuild is one groupBy on doc_id. Chunk text never
-    shuffles twice — only the fingerprint does the wide travel, and the
-    winner flag comes back attached to the already-exploded row.
+    Scale shape: chunking is a map-only projection. The winner per
+    fingerprint is an AGGREGATE — ``min(struct(doc, chunk_idx))`` over
+    the narrow ``(fp, doc, chunk_idx)`` projection — not a window: the
+    map-side combiner collapses each partition to one candidate per
+    distinct fp before the exchange, so the decision shuffle carries
+    ~24-byte rows (a window would shuffle every chunk's TEXT to the fp
+    partitions with no partial aggregation). The winner set joins back
+    on the 8-byte fp (text crosses once), dropped chunks null their
+    text immediately, and the doc-rebuild regroup shuffles surviving
+    text only — on a high-duplication corpus, a fraction of the input.
     """
     toks = tokens(F.lower(F.col(text_col)))
     k = chunk_words
@@ -122,9 +127,33 @@ def chunk_dedup(
         F.col(id_col).alias("doc"),
         F.posexplode(chunk_arr).alias("chunk_idx", "chunk"),
     ).withColumn("fp", portable_hash64(F.col("chunk")))
-    w = Window.partitionBy("fp").orderBy("doc", "chunk_idx")
-    flagged = exploded.withColumn(
-        "kept", (F.row_number().over(w) == 1).cast("int")
+    winners = (
+        exploded.groupBy("fp")
+        .agg(
+            F.min(
+                F.struct(F.col("doc"), F.col("chunk_idx"))
+            ).alias("__win")
+        )
+        .select(
+            "fp",
+            F.col("__win.doc").alias("__wdoc"),
+            F.col("__win.chunk_idx").alias("__widx"),
+        )
+    )
+    flagged = (
+        exploded.join(winners, "fp")
+        .withColumn(
+            "kept",
+            (
+                (F.col("doc") == F.col("__wdoc"))
+                & (F.col("chunk_idx") == F.col("__widx"))
+            ).cast("int"),
+        )
+        # dropped chunks stop carrying text right here — the rebuild
+        # regroup below shuffles survivors only
+        .withColumn(
+            "chunk", F.when(F.col("kept") == 1, F.col("chunk"))
+        )
     )
     return (
         flagged.groupBy("doc")

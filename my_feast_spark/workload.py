@@ -5023,13 +5023,17 @@ def q_gopher_quality_filter(spark, sf_dir):
     word length bounds, symbol-to-word ratio cap, alphabetic-word
     fraction floor, stopword-hit floor — the cheap rules production
     pipelines run before any learned filter (C4/Gopher/RedPajama all
-    lead with this tier). Map-only pure expressions, one tokenization
-    per measure via ``let``; the 0/1 verdict compares the ROUNDED
-    measures so the DuckDB oracle reaches the identical decision."""
-    from my_feast_spark.functions.text import gopher_features
+    lead with this tier). Map-only pure expressions over ONE shared
+    token-array projection (the q_quality_score shape — every measure
+    reads the projected array, not its own tokenization); the 0/1
+    verdict compares the ROUNDED measures so the DuckDB oracle reaches
+    the identical decision."""
+    from my_feast_spark.functions.text import gopher_features_arr, tokens
 
-    docs = _t(spark, sf_dir, "documents")
-    feats = gopher_features(F.col("text"))
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("__ltoks")
+    )
+    feats = gopher_features_arr(F.col("__ltoks"))
     return docs.select(
         "doc_id", *[c.alias(k) for k, c in feats.items()]
     )
