@@ -5352,6 +5352,82 @@ SELECT vec_id, CAST(batch_id AS INTEGER) AS batch_id FROM ({final})
 SQL_STREAMING_EMBEDDING_INGEST = _LazySQL(_sql_streaming_embedding_ingest)
 
 
+def q_lsh_recall(spark, sf_dir):
+    """LSH recall audit (operators/dedup_eval.py::lsh_recall_report) —
+    the production practice before trusting a banded-LSH config on the
+    full corpus: draw the deterministic 30% hash sample, compute exact
+    Jaccard truth pairs on it (the quadratic-ish shingle self-join is
+    affordable ONLY on the sample — that is the operator's whole
+    point), run the same-config MinHash-LSH on the same sample, and
+    report a 1-row recall/precision summary. Portable hash family, so
+    the oracle replays BOTH pair pipelines and the full-outer-join
+    report in DuckDB."""
+    from my_feast_spark.operators.dedup_eval import lsh_recall_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return lsh_recall_report(
+        docs, "doc_id", "text", sample_rate=0.3, hash_fn="portable",
+    )
+
+
+def _sql_lsh_recall(*, rate_cut=300_000, threshold=0.5):
+    """Oracle generator for q_lsh_recall: the md5 sample slice, the
+    exact-Jaccard truth pairs, the embedded SQL_MINHASH_DUP_PAIRS
+    replay over the same slice, and the full-outer-join report."""
+    inner = _sql_minhash_dup_pairs(source="smpl")
+    return f"""
+WITH smpl AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  WHERE CAST((md5_number_lower(CAST(doc_id AS VARCHAR) || ':lsh-eval')
+        & 9223372036854775807) % 1000000 AS BIGINT) < {rate_cut}
+),
+ttoks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM smpl
+), tsh AS MATERIALIZED (
+  SELECT doc_id, list_distinct(list_transform(
+         range(1, greatest(len(t) - 2, 0) + 1),
+         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM ttoks WHERE len(t) >= 3
+), tex AS (
+  SELECT doc_id, unnest(s) AS shingle FROM tsh
+), tinter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM tex a JOIN tex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), tsizes AS (SELECT doc_id, len(s) AS n_sh FROM tsh),
+truth AS (
+  SELECT doc_a, doc_b, 1 AS tt
+  FROM tinter
+  JOIN tsizes sa ON sa.doc_id = doc_a
+  JOIN tsizes sb ON sb.doc_id = doc_b
+  WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= {threshold}
+),
+lshp AS ({inner}),
+lsh AS (SELECT doc_a, doc_b, 1 AS ll FROM lshp),
+j AS (
+  SELECT tt, ll FROM truth FULL OUTER JOIN lsh USING (doc_a, doc_b)
+),
+rep AS (
+  SELECT CAST(coalesce(sum(tt), 0) AS BIGINT) AS truth_pairs,
+         CAST(coalesce(sum(ll), 0) AS BIGINT) AS lsh_pairs,
+         CAST(coalesce(sum(CASE WHEN tt IS NOT NULL AND ll IS NOT NULL
+                           THEN 1 END), 0) AS BIGINT) AS matched
+  FROM j
+),
+sc AS (SELECT CAST(count(*) AS INTEGER) AS sample_docs FROM smpl)
+SELECT sc.sample_docs, rep.truth_pairs, rep.lsh_pairs, rep.matched,
+       CASE WHEN rep.truth_pairs > 0
+            THEN round(rep.matched / rep.truth_pairs, 4) END AS recall,
+       CASE WHEN rep.lsh_pairs > 0
+            THEN round(rep.matched / rep.lsh_pairs, 4) END AS precision
+FROM rep, sc
+"""
+
+
+SQL_LSH_RECALL = _LazySQL(_sql_lsh_recall)
+
+
 # =========================================================================
 # Query registry.
 #
@@ -5413,6 +5489,7 @@ QUERIES: dict[str, tuple] = {
     "streaming_embedding_ingest": (
         q_streaming_embedding_ingest, SQL_STREAMING_EMBEDDING_INGEST,
     ),
+    "lsh_recall": (q_lsh_recall, SQL_LSH_RECALL),
     # --- rotated IN for round 8 (last adjudicated round 6) ----------------
     "scd2_user_state": (q_scd2_user_state, SQL_SCD2_USER_STATE),
     "bpe_merge_replay": (q_bpe_merge_replay, SQL_BPE_MERGE_REPLAY),
@@ -5432,7 +5509,6 @@ QUERIES: dict[str, tuple] = {
     "corpus_vocab": (q_corpus_vocab, SQL_CORPUS_VOCAB),
     "online_lookup": (q_online_lookup, SQL_ONLINE_LOOKUP),
     "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
-    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
     "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
@@ -5565,6 +5641,11 @@ QUERIES: dict[str, tuple] = {
 #:                                portable-hash keep-rule family;
 #:                                per-stratum rates stay covered by
 #:                                mixture_temperature)
+#:   quality_score             -> score_weighted_sample (computes the
+#:                                identical length/diversity/stopword
+#:                                composite in-window) +
+#:                                gopher_quality_filter (the rule-based
+#:                                measure tier)
 #: Still value-checked against DuckDB every pytest run via
 #: tests/test_oracle_parity.py.
 RETIRED_QUERIES: dict[str, tuple] = {
@@ -5576,6 +5657,7 @@ RETIRED_QUERIES: dict[str, tuple] = {
     "stratified_sample_docs": (
         q_stratified_sample_docs, SQL_STRATIFIED_SAMPLE_DOCS,
     ),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "json_props_extract": (q_json_props_extract, SQL_JSON_PROPS_EXTRACT),
     "struct_flatten": (q_struct_flatten, SQL_STRUCT_FLATTEN),
     "vocab_encode": (q_vocab_encode, SQL_VOCAB_ENCODE),

@@ -89,7 +89,6 @@ ROTATED_IN = {
     "corpus_vocab",
     "online_lookup",
     "streaming_dedup",
-    "quality_score",
     "lang_id",
     "pii_redaction",
     "train_val_split",
@@ -130,6 +129,8 @@ CHANGED_OR_NEW_THIS_ROUND = {
     "ccnet_buckets",
     # new: streaming semantic (embedding-LSH) near-dup ingest, promoted
     "streaming_embedding_ingest",
+    # new: the LSH recall audit, promoted
+    "lsh_recall",
 }
 
 #: retired from the driver registry — near-duplicates of in-registry
@@ -150,6 +151,7 @@ RETIRED_THIS_ROUND = {
     "doc_chunks",
     "value_percentiles",
     "stratified_sample_docs",
+    "quality_score",
 }
 
 
