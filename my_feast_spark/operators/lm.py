@@ -126,3 +126,96 @@ def score_docs(
         F.round(F.avg("__lp"), 4).alias(out_col),
         F.count("__lp").alias("n_tokens"),
     )
+
+
+@dataclass
+class KNBigramLM:
+    """Interpolated Kneser-Ney bigram model (Kneser & Ney 1995; Chen &
+    Goodman 1999) — the smoothing the production perplexity filters
+    actually run (CCNet's KenLM is modified KN): p(w | h) =
+    (max(c(h,w) - D, 0) + D * N1+(h,*) * Pcont(w)) / c(h), with the
+    continuation probability Pcont(w) = N1+(*,w) / N1+(*,*) replacing
+    raw unigram frequency — "how many contexts does w follow" rather
+    than "how often does w occur"."""
+
+    bigrams: DataFrame   # (h, w, c_hw)
+    unigrams: DataFrame  # (h, c_h, n1_h): totals + distinct continuations
+    cont: DataFrame      # (w, n1_w): distinct histories preceding w
+    n1_all: int          # distinct bigram types
+    discount: float
+
+
+def train_bigram_kn(
+    df: DataFrame,
+    text_col: str,
+    *,
+    discount: float = 0.75,
+    lowercase: bool = True,
+) -> KNBigramLM:
+    """Fit the KN count tables: ONE corpus pass builds the bigram
+    counts; every other statistic (history totals, continuation fan-in
+    and fan-out, the bigram-type total) is an aggregate over the
+    vocab-sized count relation, never the corpus. The bigram relation
+    is persisted (it feeds three derived aggregates plus scoring) and
+    handed to the caller via the model — unpersist it when done."""
+    pairs = df.select(
+        F.explode_outer(_doc_bigrams(text_col, lowercase)).alias("p")
+    ).filter(F.col("p").isNotNull())
+    bigrams = (
+        pairs.groupBy("p.h", "p.w")
+        .agg(F.count(F.lit(1)).alias("c_hw"))
+        .persist()
+    )
+    unigrams = bigrams.groupBy("h").agg(
+        F.sum("c_hw").alias("c_h"),
+        F.count(F.lit(1)).alias("n1_h"),
+    )
+    cont = bigrams.groupBy("w").agg(F.count(F.lit(1)).alias("n1_w"))
+    n1_all = bigrams.count()
+    return KNBigramLM(
+        bigrams=bigrams, unigrams=unigrams, cont=cont,
+        n1_all=n1_all, discount=discount,
+    )
+
+
+def score_docs_kn(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: KNBigramLM,
+    *,
+    lowercase: bool = True,
+    out_col: str = "avg_logprob",
+) -> DataFrame:
+    """Per-document mean log2 probability under interpolated KN.
+
+    Same plan shape as :func:`score_docs` — explode bigram events, join
+    the (vocab-sized, AQE-broadcastable) count relations, one hash
+    aggregate per doc. Events unseen in training fall through to a
+    1e-12 probability floor (KN gives zero continuation mass to a
+    never-seen word); self-scoring the training corpus — the workload's
+    oracle-parity configuration — never hits the floor."""
+    D = float(model.discount)
+    ev = df.select(
+        F.col(id_col),
+        F.explode(_doc_bigrams(text_col, lowercase)).alias("p"),
+    ).select(id_col, F.col("p.h").alias("h"), F.col("p.w").alias("w"))
+    p = (
+        F.greatest(
+            F.coalesce(F.col("c_hw"), F.lit(0)) - F.lit(D), F.lit(0.0)
+        )
+        + F.lit(D)
+        * F.coalesce(F.col("n1_h"), F.lit(0))
+        * F.coalesce(F.col("n1_w"), F.lit(0))
+        / F.lit(float(model.n1_all))
+    ) / F.col("c_h")
+    scored = (
+        ev.join(model.bigrams, ["h", "w"], "left")
+        .join(model.unigrams, ["h"], "left")
+        .join(model.cont, ["w"], "left")
+        .withColumn("__lp", F.log2(F.greatest(p, F.lit(1e-12))))
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg("__lp"), 4).alias(out_col),
+        F.count("__lp").alias("n_tokens"),
+    )

@@ -5428,6 +5428,62 @@ FROM rep, sc
 SQL_LSH_RECALL = _LazySQL(_sql_lsh_recall)
 
 
+def q_lm_perplexity_kn(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram scoring (operators/lm.py::
+    train_bigram_kn / score_docs_kn) — the smoothing production
+    perplexity filters actually run (CCNet's KenLM is modified KN):
+    discounted bigram mass interpolates with the CONTINUATION
+    probability N1+(*,w)/N1+(*,*) instead of raw unigram frequency.
+    Same scale shape as lm_perplexity: one corpus pass builds the
+    bigram counts, every other statistic aggregates the vocab-sized
+    relation, scoring is explode + broadcastable count joins + one
+    hash agg per doc. Self-scoring keeps the oracle self-contained;
+    avg log2 rounds to 4 (partial-agg order differs between
+    engines)."""
+    from my_feast_spark.operators.lm import score_docs_kn, train_bigram_kn
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_bigram_kn(docs, "text")
+    out = score_docs_kn(docs, "doc_id", "text", model)
+    out._owned_caches = [model.bigrams]
+    return out
+
+
+SQL_LM_PERPLEXITY_KN = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS lt
+  FROM documents
+),
+ev AS (
+  SELECT doc_id,
+         CASE WHEN CAST(u.pos AS INTEGER) = 1 THEN '<s>'
+              ELSE lt[CAST(u.pos AS INTEGER) - 1] END AS h,
+         lt[CAST(u.pos AS INTEGER)] AS w
+  FROM t, UNNEST(generate_series(1, len(lt))) AS u(pos)
+  WHERE len(lt) >= 1
+),
+big AS (SELECT h, w, count(*) AS c_hw FROM ev GROUP BY h, w),
+uni AS (
+  SELECT h, CAST(sum(c_hw) AS BIGINT) AS c_h, count(*) AS n1_h
+  FROM big GROUP BY h
+),
+cont AS (SELECT w, count(*) AS n1_w FROM big GROUP BY w),
+nall AS (SELECT CAST(count(*) AS DOUBLE) AS n1_all FROM big)
+SELECT e.doc_id,
+       round(avg(log2(greatest(
+           (greatest(b.c_hw - 0.75, 0.0)
+            + 0.75 * u.n1_h * c.n1_w / n.n1_all) / u.c_h,
+           1e-12))), 4) AS avg_logprob,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM ev e
+JOIN big b USING (h, w)
+JOIN uni u USING (h)
+JOIN cont c USING (w)
+CROSS JOIN nall n
+GROUP BY e.doc_id
+"""
+
+
 # =========================================================================
 # Query registry.
 #
@@ -5490,6 +5546,7 @@ QUERIES: dict[str, tuple] = {
         q_streaming_embedding_ingest, SQL_STREAMING_EMBEDDING_INGEST,
     ),
     "lsh_recall": (q_lsh_recall, SQL_LSH_RECALL),
+    "lm_perplexity_kn": (q_lm_perplexity_kn, SQL_LM_PERPLEXITY_KN),
     # --- rotated IN for round 8 (last adjudicated round 6) ----------------
     "scd2_user_state": (q_scd2_user_state, SQL_SCD2_USER_STATE),
     "bpe_merge_replay": (q_bpe_merge_replay, SQL_BPE_MERGE_REPLAY),
@@ -5517,9 +5574,6 @@ QUERIES: dict[str, tuple] = {
         q_embedding_near_dupes_lsh, SQL_EMBEDDING_NEAR_DUPES_LSH,
     ),
     "simhash_dup_pairs": (q_simhash_dup_pairs, SQL_SIMHASH_DUP_PAIRS),
-    "length_outlier_filter": (
-        q_length_outlier_filter, SQL_LENGTH_OUTLIER_FILTER,
-    ),
     "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
     "dedup_entity_rows": (q_dedup_entity_rows, SQL_DEDUP_ENTITY_ROWS),
     "latest_event_per_user": (
@@ -5646,6 +5700,10 @@ QUERIES: dict[str, tuple] = {
 #:                                composite in-window) +
 #:                                gopher_quality_filter (the rule-based
 #:                                measure tier)
+#:   length_outlier_filter     -> ccnet_buckets (the same exact/approx
+#:                                percentile_agg thresholds driving a
+#:                                decision) + gopher_quality_filter
+#:                                (length bounds as a filter)
 #: Still value-checked against DuckDB every pytest run via
 #: tests/test_oracle_parity.py.
 RETIRED_QUERIES: dict[str, tuple] = {
@@ -5658,6 +5716,9 @@ RETIRED_QUERIES: dict[str, tuple] = {
         q_stratified_sample_docs, SQL_STRATIFIED_SAMPLE_DOCS,
     ),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "length_outlier_filter": (
+        q_length_outlier_filter, SQL_LENGTH_OUTLIER_FILTER,
+    ),
     "json_props_extract": (q_json_props_extract, SQL_JSON_PROPS_EXTRACT),
     "struct_flatten": (q_struct_flatten, SQL_STRUCT_FLATTEN),
     "vocab_encode": (q_vocab_encode, SQL_VOCAB_ENCODE),

@@ -95,7 +95,6 @@ ROTATED_IN = {
     "ivf_topk",
     "embedding_near_dupes_lsh",
     "simhash_dup_pairs",
-    "length_outlier_filter",
     "revenue_rollup",
     "dedup_entity_rows",
     "latest_event_per_user",
@@ -131,6 +130,8 @@ CHANGED_OR_NEW_THIS_ROUND = {
     "streaming_embedding_ingest",
     # new: the LSH recall audit, promoted
     "lsh_recall",
+    # new: interpolated Kneser-Ney perplexity scoring
+    "lm_perplexity_kn",
 }
 
 #: retired from the driver registry — near-duplicates of in-registry
@@ -152,6 +153,7 @@ RETIRED_THIS_ROUND = {
     "value_percentiles",
     "stratified_sample_docs",
     "quality_score",
+    "length_outlier_filter",
 }
 
 
