@@ -4767,24 +4767,29 @@ def q_score_weighted_sample(spark, sf_dir):
     rule are pure expressions over one documents scan, no shuffle, and
     the portable md5 hash family makes the keep set identical across
     runs, partitionings, and engines."""
-    from my_feast_spark.functions.text import LANG_STOPWORDS, tokens
+    from my_feast_spark.functions.text import LANG_STOPWORDS, let, tokens
     from my_feast_spark.operators.sampling import score_weighted_sample
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", tokens(F.lower(F.col("text"))).alias("__ltoks")
-    )
-    toks = F.col("__ltoks")
-    n = F.greatest(F.size(toks), F.lit(1))
     stop = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
-    diversity = F.size(F.array_distinct(toks)) / n.cast("double")
-    len_score = F.least(F.size(toks) / F.lit(100.0), F.lit(1.0))
-    stop_ratio = n_stop / n.cast("double")
-    scored = docs.select(
-        "doc_id",
-        F.round(
+
+    def _score(toks):
+        # let-bound: the keep FILTER below gets this whole expression
+        # substituted into its pushed-down predicate — binding the
+        # token array keeps that substitution at ONE tokenization (a
+        # plain projected column would inline split() per reference,
+        # 5x; pinned by test_plans.py::test_text_queries_tokenize_once)
+        n = F.greatest(F.size(toks), F.lit(1))
+        n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+        diversity = F.size(F.array_distinct(toks)) / n.cast("double")
+        len_score = F.least(F.size(toks) / F.lit(100.0), F.lit(1.0))
+        stop_ratio = n_stop / n.cast("double")
+        return F.round(
             0.4 * len_score + 0.4 * diversity + 0.2 * stop_ratio, 4
-        ).alias("quality_score"),
+        )
+
+    scored = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        let(tokens(F.lower(F.col("text"))), _score).alias("quality_score"),
     )
     return score_weighted_sample(scored, "quality_score", "doc_id", alpha=9.0)
 

@@ -78,9 +78,16 @@ def test_native_queries_have_no_python_udfs(spark):
                  # bit-identical to the expression form, ~64x fewer
                  # interpreted HOF passes (see _cw_signatures_numpy)
                  "minhash_dup_pairs",
+                 # lsh_recall runs that same minhash pipeline on its
+                 # sample slice — the one Arrow batch is inherited
+                 "lsh_recall",
                  # SemDeDup's cell assignment and PQ's encode are the
                  # same deliberate Arrow-batched numpy path as ivf_topk
-                 "semdedup", "pq_topk"}
+                 "semdedup", "pq_topk",
+                 # the audio/video perceptual tiers parse the stubbed
+                 # binary codecs in Arrow batches by design (the only
+                 # Python in their plans is the fingerprint pass)
+                 "audio_dedup", "video_dedup"}
     for name, (fn, _sql) in workload.QUERIES.items():
         if name in python_ok or name.startswith("streaming"):
             continue
@@ -196,14 +203,21 @@ def test_text_queries_tokenize_once(spark):
     (see functions/text.py::let)."""
     # vocab_encode_join's 2 = one per job side (vocab-build scan +
     # encode scan), the inherent minimum for a two-pass encode
+    registry = {**workload.QUERIES, **workload.RETIRED_QUERIES}
     for name, expected in (("repetition_filter", 1), ("lang_id", 1),
                            ("quality_score", 1), ("curation_pipeline", 1),
                            ("packed_sequences", 1), ("mixture_temperature", 1),
                            ("length_bucket_batches", 1), ("corpus_vocab", 1),
                            ("bpe_pair_counts", 1), ("boilerplate_ngrams", 1),
+                           ("gopher_quality_filter", 1),
+                           # 2 = the pushed-down Pareto keep predicate +
+                           # the survivor projection: the let-bound score
+                           # is substituted into the filter as ONE split
+                           # (without let, substitution inlined it 5x)
+                           ("score_weighted_sample", 2),
                            ("vocab_encode_join", 2)):
         plan = (
-            workload.QUERIES[name][0](spark, SF_DIR_ORACLE)
+            registry[name][0](spark, SF_DIR_ORACLE)
             ._jdf.queryExecution().optimizedPlan().toString()
         )
         assert plan.count("split(") == expected, (
