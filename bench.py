@@ -193,9 +193,14 @@ def main() -> None:
     # the bench records what computing the features actually costs.
     from pyspark.sql import functions as F
 
+    # quality_score retired from the driver registry in round 8 but
+    # keeps its bench slot for round-over-round comparability (the
+    # retired dict still carries the query); gopher joins the tier
+    registry = {**workload.QUERIES, **workload.RETIRED_QUERIES}
     for name in ("repetition_filter", "quality_score", "lang_id",
-                 "pii_redaction", "doc_fingerprints"):
-        fn = workload.QUERIES[name][0]
+                 "pii_redaction", "doc_fingerprints",
+                 "gopher_quality_filter"):
+        fn = registry[name][0]
 
         def full_eval(fn=fn):
             df = fn(spark, sf_dir)
