@@ -100,6 +100,29 @@ def test_native_queries_have_no_python_udfs(spark):
         )
 
 
+def test_chunk_dedup_decision_is_aggregated_not_windowed(spark):
+    """chunk_dedup's winner-per-fingerprint must be a map-side-combined
+    AGGREGATE joined back on the 8-byte fp — never a Window over the
+    exploded text (that shape shuffles every chunk's text with no
+    partial aggregation). 3 exchanges: the winner agg, the join-back,
+    the doc regroup."""
+    plan = _formatted(workload.q_chunk_dedup(spark, SF_DIR_ORACLE))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+    assert plan.count("Exchange") == 6  # formatted prints each node twice
+
+
+def test_ccnet_buckets_broadcasts_cutoffs_no_global_sort(spark):
+    """The tercile cutoffs must reach the rows as a broadcast 1-row
+    relation; bucket assignment is map-side — a global ntile/rank sort
+    would single-partition the corpus."""
+    df = workload.q_ccnet_buckets(spark, SF_DIR_ORACLE)
+    plan = _formatted(df)
+    _release_owned(df)
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row cutoff relation
+    assert "Window" not in plan
+
+
 def test_doc_chunks_is_map_only(spark):
     """Chunking must stay a pure map stage: scan -> generate -> project,
     no Exchange — a 100 TB corpus chunks without any shuffle."""
