@@ -154,7 +154,9 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> dict:
     from my_feast_spark.operators import (
         lsh_recall_report,
         score_docs,
+        score_docs_kn,
         score_nb,
+        train_bigram_kn,
         train_bigram_lm,
         train_bpe_merges,
         train_nb,
@@ -164,6 +166,12 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> dict:
     ppl = score_docs(keepers, "doc_id", "text", lm)
     n_scored = ppl.count()
     lm.bigrams.unpersist()
+    # ... and the production smoothing: interpolated Kneser-Ney (the
+    # KenLM family CCNet runs) — same plan shape, continuation-count
+    # interpolation instead of add-k
+    kn = train_bigram_kn(keepers, "text")
+    n_scored_kn = score_docs_kn(keepers, "doc_id", "text", kn).count()
+    kn.bigrams.unpersist()
     # NB quality classifier: the quality-gate survivors stand in as the
     # positive (reference) class, the gated-out docs as negative
     labeled = docs.join(
@@ -207,6 +215,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "sampled_training_chunks": n_chunks,
         "curate_operator_survivors": n_curated,
         "lm_scored_docs": n_scored,
+        "lm_scored_docs_kn": n_scored_kn,
         "nb_predicted_quality_docs": n_pred_quality,
         "pareto_quality_sampled_docs": n_pareto_kept,
         "lsh_recall_on_sample": recall.recall,

@@ -9,7 +9,12 @@ from my_feast_spark.operators.bpe import train_bpe_merges
 from my_feast_spark.operators.classifier import score_nb, train_nb
 from my_feast_spark.operators.curation import CurationConfig, curate
 from my_feast_spark.operators.dedup_eval import lsh_recall_report
-from my_feast_spark.operators.lm import score_docs, train_bigram_lm
+from my_feast_spark.operators.lm import (
+    score_docs,
+    score_docs_kn,
+    train_bigram_kn,
+    train_bigram_lm,
+)
 from my_feast_spark.operators.graph import connected_components
 from my_feast_spark.operators.pq import (
     ivfpq_build,
@@ -42,7 +47,9 @@ __all__ = [
     "lsh_recall_report",
     "train_bpe_merges",
     "train_bigram_lm",
+    "train_bigram_kn",
     "score_docs",
+    "score_docs_kn",
     "train_nb",
     "score_nb",
     "semdedup",

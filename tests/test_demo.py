@@ -29,6 +29,7 @@ def test_training_pipeline_demo_runs(spark):
     # (gate off, q_curation_pipeline) keeps 118 of the same corpus
     assert out["curate_operator_survivors"] == 73
     assert out["lm_scored_docs"] == out["after_exact_dedup"]
+    assert out["lm_scored_docs_kn"] == out["lm_scored_docs"]
     assert 0 < out["nb_predicted_quality_docs"] <= 500
     # the Pareto rule is score-WEIGHTED, not a sign cut: keep prob
     # (2-p)^-9 thins even moderate positives, so the count sits between
