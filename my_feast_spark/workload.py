@@ -5505,10 +5505,12 @@ GROUP BY e.doc_id
 #      window every round so nothing goes two consecutive rounds without
 #      a fresh CORRECTNESS row, and a query that is NEW this round or
 #      whose BEHAVIOR changed (any change that can alter its output at
-#      any sf) is always in-window. Round 8: the 43 r7-tail queries
-#      (last adjudicated round 6) are back in, plus the round-8 NEW
-#      queries; the r7-adjudicated window queries sit the tail out one
-#      round. Three tail entries took NON-behavioral changes in round
+#      any sf) is always in-window. Round 8: the surviving r7-tail
+#      queries (last adjudicated round 6) are back in, plus the NINE
+#      round-8 NEW queries (score_weighted_sample, audio_dedup,
+#      video_dedup, gopher_quality_filter, chunk_dedup, ccnet_buckets,
+#      streaming_embedding_ingest, lsh_recall, lm_perplexity_kn); the
+#      r7-adjudicated window queries sit the tail out one round. Three tail entries took NON-behavioral changes in round
 #      8 and keep their tail slot with their r7 rows —
 #      curation_pipeline_full (docstring only: the NB evidence-cut rule
 #      worded to match the implementation, per the r7 ADVICE),
