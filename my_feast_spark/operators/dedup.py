@@ -32,7 +32,7 @@ import pandas as pd  # module-level: pandas_udf type hints resolve here
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from my_feast_spark.functions.text import doc_fingerprint, tokens
+from my_feast_spark.functions.text import doc_fingerprint, let, tokens
 from my_feast_spark.sources.readers import spread_partitions
 
 # --- portable (cross-engine) hash family ---------------------------------
@@ -123,6 +123,19 @@ def chunk_dedup(
             lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    return _keep_first_chunks(df, id_col, chunk_arr)
+
+
+def _keep_first_chunks(
+    df: DataFrame, id_col: str, chunk_arr: Column
+) -> DataFrame:
+    """Shared tail of the sub-document dedup family (``chunk_dedup``,
+    ``cdc_chunk_dedup``): explode a per-doc chunk array, keep each
+    chunk's first corpus-wide occurrence by ``(doc, chunk_idx)``, and
+    rebuild per-doc ``(n_chunks, n_kept, kept_md5)``. The winner per
+    fingerprint is a map-side-combined AGGREGATE over the narrow
+    ``(fp, doc, chunk_idx)`` projection — never a window over chunk
+    text (see ``chunk_dedup``'s scale note)."""
     exploded = df.select(
         F.col(id_col).alias("doc"),
         F.posexplode(chunk_arr).alias("chunk_idx", "chunk"),
@@ -187,6 +200,87 @@ def chunk_dedup(
             F.col("doc").alias(id_col), "n_chunks", "n_kept", "kept_md5"
         )
     )
+
+
+def cdc_chunk_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    hash_window: int = 4,
+    mask_bits: int = 4,
+) -> DataFrame:
+    """Content-defined chunking dedup — the LBFS boundary rule
+    (Muthitacharoen et al., SOSP 2001) over WORDS instead of bytes: a
+    chunk boundary falls after word ``i`` iff the low ``mask_bits`` bits
+    of the rolling-window hash (portable 64-bit hash of the last
+    ``hash_window`` words) are zero, giving chunks of ~``2**mask_bits``
+    words on average. Each chunk then keeps only its first corpus-wide
+    occurrence and docs rebuild, exactly as ``chunk_dedup``.
+
+    Why a second chunker: fixed ``chunk_words`` windows are
+    SHIFT-FRAGILE — one word inserted near the top of a doc moves every
+    later chunk boundary, so a near-copy shares no chunk hashes past
+    the edit. CDC boundaries depend only on a local word window, so
+    they re-synchronize within ~``hash_window`` words of an edit and
+    the shared suffix dedups. This is the standard robustness upgrade
+    for sub-document dedup of crawl snapshots, where boilerplate
+    shifts by a few tokens between captures.
+
+    Scale shape: chunking stays MAP-ONLY — boundary positions and the
+    chunk array are built with higher-order array expressions (one
+    tokenization and one bounds array per doc, ``let``-bound so neither
+    re-evaluates per element; the hash pass is O(words x hash_window)).
+    The decision/rebuild tail is the shared aggregate-winner plan of
+    ``_keep_first_chunks``. The mask test uses the low bits of the
+    portable hash, identical signed/unsigned, so a SQL oracle replays
+    boundaries bit-for-bit (power-of-two divisors only — that is why
+    the knob is ``mask_bits``, not an arbitrary divisor).
+    """
+    w, mask = hash_window, (1 << mask_bits) - 1
+
+    def build(words: Column) -> Column:
+        n = F.size(words)
+        # boundaries strictly inside the doc: positions 1..n-1 whose
+        # trailing-window hash lands on the mask. sequence() steps -1
+        # when start > stop, so the n == 1 case needs the guard.
+        bpos = F.when(
+            n > 1,
+            F.filter(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: portable_hash64(
+                    F.concat_ws(
+                        " ",
+                        F.slice(
+                            words,
+                            F.greatest(i - (w - 1), F.lit(1)),
+                            F.least(F.lit(w), i),
+                        ),
+                    )
+                ).bitwiseAND(F.lit(mask))
+                == F.lit(0),
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+        bounds_expr = F.concat(
+            F.array(F.lit(0).cast("int")), bpos, F.array(n)
+        )
+        return let(
+            bounds_expr,
+            lambda bounds: F.transform(
+                F.sequence(F.lit(1), F.size(bounds) - 1),
+                lambda j: F.concat_ws(
+                    " ",
+                    F.slice(
+                        words,
+                        F.element_at(bounds, j) + 1,
+                        F.element_at(bounds, j + 1) - F.element_at(bounds, j),
+                    ),
+                ),
+            ),
+        )
+
+    chunk_arr = let(tokens(F.lower(F.col(text_col))), build)
+    return _keep_first_chunks(df, id_col, chunk_arr)
 
 
 def _with_shingles(df, id_col, text_col, n, tokens_col=None):

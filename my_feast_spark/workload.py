@@ -5116,6 +5116,60 @@ GROUP BY doc_id
 """
 
 
+def q_cdc_chunk_dedup(spark, sf_dir):
+    """Content-defined chunking dedup (operators/dedup.py::
+    cdc_chunk_dedup) — LBFS rolling-hash boundaries (Muthitacharoen et
+    al. 2001) over words: boundary after word i iff the low 4 bits of
+    the portable hash of the trailing 4-word window are zero (~16-word
+    chunks), then the same first-occurrence keep + doc rebuild as
+    chunk_dedup. The boundary rule makes sub-document dedup
+    SHIFT-ROBUST: a word inserted near the top of a near-copy moves
+    every fixed 20-word window but CDC boundaries re-synchronize within
+    ~4 words, so the shared suffix still dedups. Chunking is map-only
+    (higher-order array expressions, let-bound tokens/bounds); the
+    winner decision is the map-side-combined aggregate chunk_dedup
+    pins in test_plans.py."""
+    from my_feast_spark.operators.dedup import cdc_chunk_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return cdc_chunk_dedup(docs, "doc_id", "text")
+
+
+SQL_CDC_CHUNK_DEDUP = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), bnd AS (
+  SELECT doc_id, t,
+         [CAST(0 AS BIGINT)]
+           || list_filter(range(1, len(t)), i ->
+                (md5_number_lower(array_to_string(
+                     list_slice(t, greatest(i - 3, 1), i), ' ')) & 15) = 0)
+           || [len(t)] AS bounds
+  FROM toks
+), ch AS (
+  SELECT doc_id, CAST(j - 1 AS INTEGER) AS chunk_idx,
+         array_to_string(list_slice(t, bounds[j] + 1, bounds[j + 1]), ' ')
+             AS chunk
+  FROM bnd, unnest(range(1, len(bounds))) AS u(j)
+), flagged AS (
+  SELECT doc_id, chunk_idx, chunk,
+         CAST(row_number() OVER (
+             PARTITION BY md5_number_lower(chunk)
+             ORDER BY doc_id, chunk_idx
+         ) = 1 AS INTEGER) AS kept
+  FROM ch
+)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       md5(coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx)
+                        FILTER (WHERE kept = 1), '')) AS kept_md5
+FROM flagged
+GROUP BY doc_id
+"""
+
+
 def q_ccnet_buckets(spark, sf_dir, *, exact_quantiles=True):
     """CCNet's head/middle/tail quality terciles (Wenzek et al. 2020):
     score every doc with the bigram-LM mean log2 probability
@@ -5506,11 +5560,14 @@ GROUP BY e.doc_id
 #      a fresh CORRECTNESS row, and a query that is NEW this round or
 #      whose BEHAVIOR changed (any change that can alter its output at
 #      any sf) is always in-window. Round 8: the surviving r7-tail
-#      queries (last adjudicated round 6) are back in, plus the NINE
+#      queries (last adjudicated round 6) are back in, plus the TEN
 #      round-8 NEW queries (score_weighted_sample, audio_dedup,
-#      video_dedup, gopher_quality_filter, chunk_dedup, ccnet_buckets,
-#      streaming_embedding_ingest, lsh_recall, lm_perplexity_kn); the
-#      r7-adjudicated window queries sit the tail out one round. Three tail entries took NON-behavioral changes in round
+#      video_dedup, gopher_quality_filter, chunk_dedup, cdc_chunk_dedup,
+#      ccnet_buckets, streaming_embedding_ingest, lsh_recall,
+#      lm_perplexity_kn); the r7-adjudicated window queries sit the
+#      tail out one round. cdc_chunk_dedup's window slot is funded by
+#      retiring promo_revenue from the rotating-in set (rationale in
+#      the RETIRED block below). Three tail entries took NON-behavioral changes in round
 #      8 and keep their tail slot with their r7 rows —
 #      curation_pipeline_full (docstring only: the NB evidence-cut rule
 #      worded to match the implementation, per the r7 ADVICE),
@@ -5548,6 +5605,7 @@ QUERIES: dict[str, tuple] = {
         q_gopher_quality_filter, SQL_GOPHER_QUALITY_FILTER,
     ),
     "chunk_dedup": (q_chunk_dedup, SQL_CHUNK_DEDUP),
+    "cdc_chunk_dedup": (q_cdc_chunk_dedup, SQL_CDC_CHUNK_DEDUP),
     "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
     "streaming_embedding_ingest": (
         q_streaming_embedding_ingest, SQL_STREAMING_EMBEDDING_INGEST,
@@ -5597,7 +5655,6 @@ QUERIES: dict[str, tuple] = {
     "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
     "order_priority_count": (q_order_priority_count, SQL_ORDER_PRIORITY_COUNT),
     "top_spenders": (q_top_spenders, SQL_TOP_SPENDERS),
-    "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE),
     "user_value_deltas": (q_user_value_deltas, SQL_USER_VALUE_DELTAS),
     # --- rotation tail for round 8 (all green in round 7; unchanged, or
     # non-behavioral changes documented above; still value-checked every
@@ -5711,6 +5768,12 @@ QUERIES: dict[str, tuple] = {
 #:                                percentile_agg thresholds driving a
 #:                                decision) + gopher_quality_filter
 #:                                (length bounds as a filter)
+#:   promo_revenue             -> regional_revenue (fact-dim join agg
+#:                                with the date range pushed to the
+#:                                fact scan) + event_type_pivot
+#:                                (CASE-WHEN-inside-SUM conditional
+#:                                aggregation); retired to fund the
+#:                                round-8 cdc_chunk_dedup window slot
 #: Still value-checked against DuckDB every pytest run via
 #: tests/test_oracle_parity.py.
 RETIRED_QUERIES: dict[str, tuple] = {
@@ -5732,4 +5795,5 @@ RETIRED_QUERIES: dict[str, tuple] = {
     "embedding_near_dupes": (q_embedding_near_dupes, SQL_EMBEDDING_NEAR_DUPES),
     "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     "hash_sampled_docs": (q_hash_sampled_docs, SQL_HASH_SAMPLED_DOCS),
+    "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE),
 }

@@ -23,7 +23,7 @@ from my_feast_spark.functions.text import (
     gopher_features_arr,
     tokens,
 )
-from my_feast_spark.operators.dedup import chunk_dedup
+from my_feast_spark.operators.dedup import cdc_chunk_dedup, chunk_dedup
 
 VOCAB = ["spark", "row", "scan", "agg", "join", "the", "a", "of"]
 
@@ -90,6 +90,81 @@ def test_chunk_dedup_first_occurrence_is_corpus_wide(spark):
         for r in chunk_dedup(df, "doc_id", "text", chunk_words=5).collect()
     }
     assert got == {1: (2, 2), 2: (2, 1)}
+
+
+def _ref_cdc_chunk_dedup(docs: dict[int, str], w: int = 4, mask: int = 15):
+    chunks: list[tuple[int, int, str]] = []
+    for d in sorted(docs):
+        toks = re.split(r"\s+", docs[d].strip().lower())
+        n = len(toks)
+        bpos = [
+            i for i in range(1, n)
+            if _md5_lower64(" ".join(toks[max(0, i - w):i])) & mask == 0
+        ]
+        bounds = [0] + bpos + [n]
+        for j in range(len(bounds) - 1):
+            chunks.append((d, j, " ".join(toks[bounds[j]:bounds[j + 1]])))
+    first: dict[int, tuple[int, int]] = {}
+    for d, i, c in sorted(chunks):
+        first.setdefault(_md5_lower64(c), (d, i))
+    out = {}
+    for d in docs:
+        mine = [(i, c) for dd, i, c in chunks if dd == d]
+        kept = [
+            (i, c) for i, c in mine if first[_md5_lower64(c)] == (d, i)
+        ]
+        out[d] = (
+            len(mine),
+            len(kept),
+            hashlib.md5(
+                " ".join(c for _i, c in sorted(kept)).encode()
+            ).hexdigest(),
+        )
+    return out
+
+
+def test_cdc_chunk_dedup_matches_reference_on_random_corpus(spark):
+    rng = random.Random(88)
+    docs = {
+        d: " ".join(rng.choice(VOCAB) for _ in range(rng.randrange(1, 90)))
+        for d in range(120)
+    }
+    docs[200] = docs[0]                 # exact copy: keeps nothing
+    docs[201] = "inserted " + docs[1]   # prefix edit: suffix re-syncs
+    df = spark.createDataFrame(
+        [Row(doc_id=d, text=t) for d, t in docs.items()]
+    )
+    got = {
+        r.doc_id: (r.n_chunks, r.n_kept, r.kept_md5)
+        for r in cdc_chunk_dedup(df, "doc_id", "text").collect()
+    }
+    assert got == _ref_cdc_chunk_dedup(docs)
+    assert got[200][1] == 0
+
+
+def test_cdc_boundaries_resynchronize_after_a_prefix_edit(spark):
+    """The reason CDC exists: one word inserted at the top of a
+    near-copy. Fixed windows shift every later chunk (the copy keeps
+    ~all its chunks as 'novel'); CDC boundaries depend only on a local
+    word window, so the shared suffix dedups against the original."""
+    rng = random.Random(7)
+    base = " ".join(rng.choice(VOCAB) for _ in range(400))
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text="shifted " + base)]
+    )
+    fixed = {
+        r.doc_id: (r.n_chunks, r.n_kept)
+        for r in chunk_dedup(df, "doc_id", "text", chunk_words=20).collect()
+    }
+    cdc = {
+        r.doc_id: (r.n_chunks, r.n_kept)
+        for r in cdc_chunk_dedup(df, "doc_id", "text").collect()
+    }
+    # fixed chunking: every window of doc 2 differs -> nothing dedups
+    assert fixed[2][1] == fixed[2][0]
+    # CDC: only the chunks touching the edit survive as novel
+    assert cdc[2][1] <= 2
+    assert cdc[2][0] > 10  # and that is out of many chunks
 
 
 def _hround(x: float, nd: int = 4) -> float:

@@ -112,6 +112,18 @@ def test_chunk_dedup_decision_is_aggregated_not_windowed(spark):
     assert plan.count("Exchange") == 6  # formatted prints each node twice
 
 
+def test_cdc_chunk_dedup_shares_the_aggregated_plan_shape(spark):
+    """cdc_chunk_dedup swaps the chunker (rolling-hash boundaries) but
+    must keep chunk_dedup's decision plan: map-only chunking into the
+    same aggregate-winner + fp join-back + doc regroup — same Exchange
+    count, no Window, no Python."""
+    plan = _formatted(workload.q_cdc_chunk_dedup(spark, SF_DIR_ORACLE))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") == 6  # formatted prints each node twice
+
+
 def test_ccnet_buckets_broadcasts_cutoffs_no_global_sort(spark):
     """The tercile cutoffs must reach the rows as a broadcast 1-row
     relation; bucket assignment is map-side — a global ntile/rank sort

@@ -107,7 +107,6 @@ ROTATED_IN = {
     "regional_revenue",
     "order_priority_count",
     "top_spenders",
-    "promo_revenue",
     "user_value_deltas",
 }
 
@@ -132,6 +131,8 @@ CHANGED_OR_NEW_THIS_ROUND = {
     "lsh_recall",
     # new: interpolated Kneser-Ney perplexity scoring
     "lm_perplexity_kn",
+    # new: content-defined (rolling-hash boundary) chunk dedup
+    "cdc_chunk_dedup",
 }
 
 #: retired from the driver registry — near-duplicates of in-registry
@@ -154,6 +155,7 @@ RETIRED_THIS_ROUND = {
     "stratified_sample_docs",
     "quality_score",
     "length_outlier_filter",
+    "promo_revenue",
 }
 
 
