@@ -122,6 +122,18 @@ def main() -> None:
          lambda: counted(workload.q_simhash_dup_pairs(spark, sf_dir, hash_fn="xxhash64"))),
         ("simhash_dup_pairs_numpy",
          lambda: counted(workload.q_simhash_dup_pairs(spark, sf_dir, hash_fn="numpy"))),
+        # the chunkers' per-word/per-chunk hash at scale cost: the
+        # registry rows pay the md5-derived portable hash for oracle
+        # replay; production pays one xxhash64 intrinsic instead — the
+        # gap matters most for CDC, which hashes EVERY word (round-8
+        # measurement at sf0.1: portable ~2.6-3.7s vs xxhash64 ~1.4s,
+        # after the boundary rule moved to a polynomial over one
+        # 32-bit md5 slice per word; the naive per-window-string md5
+        # was ~11s)
+        ("chunk_dedup_xxhash64",
+         lambda: counted(workload.q_chunk_dedup(spark, sf_dir, hash_fn="xxhash64"))),
+        ("cdc_chunk_dedup_xxhash64",
+         lambda: counted(workload.q_cdc_chunk_dedup(spark, sf_dir, hash_fn="xxhash64"))),
         ("ivf_topk_blas",
          lambda: counted(workload.q_ivf_topk(spark, sf_dir, deterministic=False))),
         ("embedding_near_dupes_lsh_blas",

@@ -64,6 +64,17 @@ def portable_hash64(col: Column) -> Column:
     return out
 
 
+def portable_hash32(col: Column) -> Column:
+    """32-bit sibling of ``portable_hash64`` — hex chars 25-32 of the
+    md5 digest parsed as ONE big-endian integer: one conv node instead
+    of eight, for hot paths that only need boundary/bucket entropy,
+    not 64-bit identity. DuckDB replays it as
+    ``CAST(concat('0x', substr(md5(s), 25, 8)) AS BIGINT)``."""
+    return F.conv(
+        F.substring(F.md5(F.encode(col, "UTF-8")), 25, 8), 16, 10
+    ).cast("long")
+
+
 def _portable_base(col: Column) -> Column:
     """Hash reduced into [0, MINHASH_P) — the minhash family's input."""
     return F.pmod(portable_hash64(col).bitwiseAND(F.lit(_MASK63)), F.lit(MINHASH_P))
@@ -88,13 +99,16 @@ def chunk_dedup(
     text_col: str,
     *,
     chunk_words: int = 20,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Sub-document exact dedup — CCNet's paragraph-hash dedup
     (Wenzek et al. 2020) adapted to unstructured text: split each doc
     into non-overlapping ``chunk_words``-word chunks (the "paragraphs"),
-    fingerprint each chunk with the portable 64-bit hash, keep only the
-    FIRST occurrence corpus-wide (ordered by (doc_id, chunk_idx)), and
-    rebuild every doc from its surviving chunks.
+    fingerprint each chunk (``hash_fn``: "xxhash64" default /
+    "portable" for SQL-oracle replay — see ``_chunk_hasher``), keep
+    only the FIRST occurrence corpus-wide (ordered by
+    (doc_id, chunk_idx)), and rebuild every doc from its surviving
+    chunks.
 
     Returns one row per input doc: ``(doc_id, n_chunks, n_kept,
     kept_md5)`` where ``kept_md5`` digests the rebuilt text (kept chunks
@@ -123,11 +137,22 @@ def chunk_dedup(
             lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return _keep_first_chunks(df, id_col, chunk_arr)
+    return _keep_first_chunks(df, id_col, chunk_arr, _chunk_hasher(hash_fn))
+
+
+def _chunk_hasher(hash_fn: str):
+    """The sub-document dedup family's hash switch: ``"xxhash64"``
+    (default — one JVM intrinsic per call, the 100 TB path) or
+    ``"portable"`` (md5-derived, bit-replayable by a SQL oracle)."""
+    if hash_fn == "portable":
+        return portable_hash64
+    if hash_fn == "xxhash64":
+        return F.xxhash64
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
 
 def _keep_first_chunks(
-    df: DataFrame, id_col: str, chunk_arr: Column
+    df: DataFrame, id_col: str, chunk_arr: Column, hasher=portable_hash64
 ) -> DataFrame:
     """Shared tail of the sub-document dedup family (``chunk_dedup``,
     ``cdc_chunk_dedup``): explode a per-doc chunk array, keep each
@@ -139,7 +164,7 @@ def _keep_first_chunks(
     exploded = df.select(
         F.col(id_col).alias("doc"),
         F.posexplode(chunk_arr).alias("chunk_idx", "chunk"),
-    ).withColumn("fp", portable_hash64(F.col("chunk")))
+    ).withColumn("fp", hasher(F.col("chunk")))
     winners = (
         exploded.groupBy("fp")
         .agg(
@@ -209,14 +234,15 @@ def cdc_chunk_dedup(
     *,
     hash_window: int = 4,
     mask_bits: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Content-defined chunking dedup — the LBFS boundary rule
     (Muthitacharoen et al., SOSP 2001) over WORDS instead of bytes: a
-    chunk boundary falls after word ``i`` iff the low ``mask_bits`` bits
-    of the rolling-window hash (portable 64-bit hash of the last
-    ``hash_window`` words) are zero, giving chunks of ~``2**mask_bits``
-    words on average. Each chunk then keeps only its first corpus-wide
-    occurrence and docs rebuild, exactly as ``chunk_dedup``.
+    chunk boundary falls after word ``i`` iff the rolling hash of the
+    last ``hash_window`` words is 0 mod ``2**mask_bits``, giving
+    chunks of ~``2**mask_bits`` words on average. Each chunk then
+    keeps only its first corpus-wide occurrence and docs rebuild,
+    exactly as ``chunk_dedup``.
 
     Why a second chunker: fixed ``chunk_words`` windows are
     SHIFT-FRAGILE — one word inserted near the top of a doc moves every
@@ -232,32 +258,70 @@ def cdc_chunk_dedup(
     tokenization and one bounds array per doc, ``let``-bound so neither
     re-evaluates per element; the hash pass is O(words x hash_window)).
     The decision/rebuild tail is the shared aggregate-winner plan of
-    ``_keep_first_chunks``. The mask test uses the low bits of the
-    portable hash, identical signed/unsigned, so a SQL oracle replays
-    boundaries bit-for-bit (power-of-two divisors only — that is why
-    the knob is ``mask_bits``, not an arbitrary divisor).
+    ``_keep_first_chunks``.
+
+    The boundary hash is a POLYNOMIAL rolling hash over per-word
+    hashes (Rabin-Karp structure): each word is hashed ONCE
+    (``hash_fn``: "xxhash64" default / "portable" md5-derived for SQL
+    oracle replay), and the window value at position i is
+    ``sum_j wh[i-j] * B^j mod P`` — w integer multiply-adds per
+    position instead of re-hashing a w-word window STRING at every
+    position (HOF lambdas are interpreted, so per-position md5 over
+    window strings dominated the portable path ~5x before this).
+    A boundary falls where the window value mod ``2**mask_bits`` is
+    zero; everything is exact [0, P) integer arithmetic, so either
+    hash family replays bit-for-bit in SQL.
     """
-    w, mask = hash_window, (1 << mask_bits) - 1
+    w, div = hash_window, 1 << mask_bits
+    hasher = _chunk_hasher(hash_fn)
+    # B^j mod P for the window polynomial; P = MINHASH_P keeps every
+    # product < 2^62 (word hashes and coefficients both < 2^31)
+    _B = 1_000_003
+    bpow = [pow(_B, j, MINHASH_P) for j in range(w)]
+
+    def boundary_hash(wh: Column, i: Column) -> Column:
+        # positions near the doc head use the short window (j < i)
+        terms = [
+            F.when(
+                i > j,
+                F.pmod(
+                    F.element_at(wh, i - j) * F.lit(bpow[j]),
+                    F.lit(MINHASH_P),
+                ),
+            ).otherwise(F.lit(0))
+            for j in range(w)
+        ]
+        total = terms[0]
+        for t in terms[1:]:
+            total = total + t
+        return F.pmod(total, F.lit(MINHASH_P))
 
     def build(words: Column) -> Column:
         n = F.size(words)
+        # the word hash only feeds the boundary polynomial (bucket
+        # entropy, not identity): the portable path uses the 32-bit
+        # one-conv md5 slice — measured ~2x the whole query vs running
+        # the 8-conv 64-bit portable hash per word
+        if hash_fn == "portable":
+            word_hash = lambda t: F.pmod(  # noqa: E731
+                portable_hash32(t), F.lit(MINHASH_P)
+            )
+        else:
+            word_hash = lambda t: F.pmod(  # noqa: E731
+                hasher(t).bitwiseAND(F.lit(_MASK63)), F.lit(MINHASH_P)
+            )
+        word_hashes = F.transform(words, word_hash)
+        return let(word_hashes, lambda wh: _chunks_from_bounds(words, n, wh))
+
+    def _chunks_from_bounds(words, n, wh):
         # boundaries strictly inside the doc: positions 1..n-1 whose
-        # trailing-window hash lands on the mask. sequence() steps -1
+        # rolling window value lands on the mask. sequence() steps -1
         # when start > stop, so the n == 1 case needs the guard.
         bpos = F.when(
             n > 1,
             F.filter(
                 F.sequence(F.lit(1), n - 1),
-                lambda i: portable_hash64(
-                    F.concat_ws(
-                        " ",
-                        F.slice(
-                            words,
-                            F.greatest(i - (w - 1), F.lit(1)),
-                            F.least(F.lit(w), i),
-                        ),
-                    )
-                ).bitwiseAND(F.lit(mask))
+                lambda i: F.pmod(boundary_hash(wh, i), F.lit(div))
                 == F.lit(0),
             ),
         ).otherwise(F.array().cast("array<int>"))
@@ -280,7 +344,7 @@ def cdc_chunk_dedup(
         )
 
     chunk_arr = let(tokens(F.lower(F.col(text_col))), build)
-    return _keep_first_chunks(df, id_col, chunk_arr)
+    return _keep_first_chunks(df, id_col, chunk_arr, hasher)
 
 
 def _with_shingles(df, id_col, text_col, n, tokens_col=None):

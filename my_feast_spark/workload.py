@@ -5074,7 +5074,7 @@ FROM m
 """
 
 
-def q_chunk_dedup(spark, sf_dir):
+def q_chunk_dedup(spark, sf_dir, *, hash_fn="portable"):
     """Sub-document exact dedup (operators/dedup.py::chunk_dedup) —
     CCNet's paragraph-hash dedup (Wenzek et al. 2020) adapted to
     unstructured text: 20-word non-overlapping chunks stand in for
@@ -5085,7 +5085,7 @@ def q_chunk_dedup(spark, sf_dir):
     from my_feast_spark.operators.dedup import chunk_dedup
 
     docs = _t(spark, sf_dir, "documents")
-    return chunk_dedup(docs, "doc_id", "text", chunk_words=20)
+    return chunk_dedup(docs, "doc_id", "text", chunk_words=20, hash_fn=hash_fn)
 
 
 SQL_CHUNK_DEDUP = """
@@ -5116,13 +5116,14 @@ GROUP BY doc_id
 """
 
 
-def q_cdc_chunk_dedup(spark, sf_dir):
+def q_cdc_chunk_dedup(spark, sf_dir, *, hash_fn="portable"):
     """Content-defined chunking dedup (operators/dedup.py::
     cdc_chunk_dedup) — LBFS rolling-hash boundaries (Muthitacharoen et
-    al. 2001) over words: boundary after word i iff the low 4 bits of
-    the portable hash of the trailing 4-word window are zero (~16-word
-    chunks), then the same first-occurrence keep + doc rebuild as
-    chunk_dedup. The boundary rule makes sub-document dedup
+    al. 2001) over words: boundary after word i iff the Rabin-style
+    polynomial over the trailing 4 per-word portable hashes is
+    0 mod 16 (~16-word chunks), then the same first-occurrence keep +
+    doc rebuild as chunk_dedup. The boundary rule makes sub-document
+    dedup
     SHIFT-ROBUST: a word inserted near the top of a near-copy moves
     every fixed 20-word window but CDC boundaries re-synchronize within
     ~4 words, so the shared suffix still dedups. Chunking is map-only
@@ -5132,21 +5133,35 @@ def q_cdc_chunk_dedup(spark, sf_dir):
     from my_feast_spark.operators.dedup import cdc_chunk_dedup
 
     docs = _t(spark, sf_dir, "documents")
-    return cdc_chunk_dedup(docs, "doc_id", "text")
+    return cdc_chunk_dedup(docs, "doc_id", "text", hash_fn=hash_fn)
 
 
-SQL_CDC_CHUNK_DEDUP = """
+#: the CDC boundary polynomial's coefficients — must mirror
+#: operators/dedup.py::cdc_chunk_dedup (base 1_000_003, modulus
+#: MINHASH_P, window 4)
+_CDC_BPOW = [pow(1_000_003, j, 2147483647) for j in range(4)]
+
+SQL_CDC_CHUNK_DEDUP = f"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
   FROM documents
+), wh AS (
+  SELECT doc_id, t,
+         list_transform(t, s ->
+             CAST(concat('0x', substr(md5(s), 25, 8)) AS BIGINT)
+                 % 2147483647) AS h
+  FROM toks
 ), bnd AS (
   SELECT doc_id, t,
          [CAST(0 AS BIGINT)]
            || list_filter(range(1, len(t)), i ->
-                (md5_number_lower(array_to_string(
-                     list_slice(t, greatest(i - 3, 1), i), ' ')) & 15) = 0)
+                (( (CASE WHEN i >= 1 THEN h[i]     * {_CDC_BPOW[0]} % 2147483647 ELSE 0 END)
+                 + (CASE WHEN i >= 2 THEN h[i - 1] * {_CDC_BPOW[1]} % 2147483647 ELSE 0 END)
+                 + (CASE WHEN i >= 3 THEN h[i - 2] * {_CDC_BPOW[2]} % 2147483647 ELSE 0 END)
+                 + (CASE WHEN i >= 4 THEN h[i - 3] * {_CDC_BPOW[3]} % 2147483647 ELSE 0 END)
+                 ) % 2147483647) % 16 = 0)
            || [len(t)] AS bounds
-  FROM toks
+  FROM wh
 ), ch AS (
   SELECT doc_id, CAST(j - 1 AS INTEGER) AS chunk_idx,
          array_to_string(list_slice(t, bounds[j] + 1, bounds[j + 1]), ' ')

@@ -72,7 +72,9 @@ def test_chunk_dedup_matches_reference_on_random_corpus(spark):
     )
     got = {
         r.doc_id: (r.n_chunks, r.n_kept, r.kept_md5)
-        for r in chunk_dedup(df, "doc_id", "text", chunk_words=5).collect()
+        for r in chunk_dedup(
+            df, "doc_id", "text", chunk_words=5, hash_fn="portable"
+        ).collect()
     }
     assert got == _ref_chunk_dedup(docs, 5)
     # the planted copy kept nothing: every chunk's winner is doc 0
@@ -92,14 +94,26 @@ def test_chunk_dedup_first_occurrence_is_corpus_wide(spark):
     assert got == {1: (2, 2), 2: (2, 1)}
 
 
-def _ref_cdc_chunk_dedup(docs: dict[int, str], w: int = 4, mask: int = 15):
+_CDC_P = 2147483647
+_CDC_B = 1_000_003
+
+
+def _ref_cdc_chunk_dedup(docs: dict[int, str], w: int = 4, div: int = 16):
+    bpow = [pow(_CDC_B, j, _CDC_P) for j in range(w)]
     chunks: list[tuple[int, int, str]] = []
     for d in sorted(docs):
         toks = re.split(r"\s+", docs[d].strip().lower())
         n = len(toks)
+        wh = [
+            int(hashlib.md5(t.encode()).hexdigest()[24:32], 16) % _CDC_P
+            for t in toks
+        ]
         bpos = [
             i for i in range(1, n)
-            if _md5_lower64(" ".join(toks[max(0, i - w):i])) & mask == 0
+            if sum(
+                wh[i - 1 - j] * bpow[j] % _CDC_P
+                for j in range(min(w, i))
+            ) % _CDC_P % div == 0
         ]
         bounds = [0] + bpos + [n]
         for j in range(len(bounds) - 1):
@@ -136,7 +150,9 @@ def test_cdc_chunk_dedup_matches_reference_on_random_corpus(spark):
     )
     got = {
         r.doc_id: (r.n_chunks, r.n_kept, r.kept_md5)
-        for r in cdc_chunk_dedup(df, "doc_id", "text").collect()
+        for r in cdc_chunk_dedup(
+            df, "doc_id", "text", hash_fn="portable"
+        ).collect()
     }
     assert got == _ref_cdc_chunk_dedup(docs)
     assert got[200][1] == 0
