@@ -1370,12 +1370,21 @@ def q_quality_score(spark, sf_dir):
     diversity = F.size(F.array_distinct(toks)) / n.cast("double")
     len_score = F.least(F.size(toks) / F.lit(100.0), F.lit(1.0))
     stop_ratio = n_stop / n.cast("double")
+    # floor(x*1e4 + 0.5)/1e4 instead of F.round: Spark rounds the
+    # SHORTEST-DECIMAL repr (0.43724999... -> .4372) while DuckDB
+    # multiplies in binary (x*1e4 snaps to 4372.5 -> .4373) — the two
+    # disagree exactly on .5-boundary composites like 0.43725. The
+    # explicit floor form is the same IEEE ops in both engines, so it
+    # is bit-identical everywhere (values are nonnegative here).
+    def r4(c):
+        return F.floor(c * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
+
     return docs.select(
         "doc_id",
-        F.round(diversity, 4).alias("lexical_diversity"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(
-            0.4 * len_score + 0.4 * diversity + 0.2 * stop_ratio, 4
+        r4(diversity).alias("lexical_diversity"),
+        r4(stop_ratio).alias("stopword_ratio"),
+        r4(
+            0.4 * len_score + 0.4 * diversity + 0.2 * stop_ratio
         ).alias("quality_score"),
     )
 
@@ -1390,14 +1399,22 @@ WITH t AS (
          len(list_distinct(toks)) AS nd,
          len(list_filter(toks, x -> list_contains(
              ['the', 'a', 'and', 'of', 'to', 'in', 'is'], x))) AS ns,
-         least(len(toks) / 100.0, 1.0) AS len_score
+         least(len(toks) / 100.0e0, 1.0e0) AS len_score
   FROM t
 )
 SELECT doc_id,
-       round(nd / CAST(n AS DOUBLE), 4) AS lexical_diversity,
-       round(ns / CAST(n AS DOUBLE), 4) AS stopword_ratio,
-       round(0.4 * len_score + 0.4 * (nd / CAST(n AS DOUBLE))
-             + 0.2 * (ns / CAST(n AS DOUBLE)), 4) AS quality_score
+       -- floor(x*1e4+0.5)/1e4 with e0 (DOUBLE) literals mirrors the
+       -- Spark side bit-for-bit; native round() diverges between the
+       -- engines exactly on .5-boundary composites (0.43725 — caught
+       -- by the sf0.001 parity sweep), and bare 0.4 literals would be
+       -- DECIMAL in DuckDB
+       floor((nd / CAST(n AS DOUBLE)) * 1e4 + 0.5e0) / 1e4
+           AS lexical_diversity,
+       floor((ns / CAST(n AS DOUBLE)) * 1e4 + 0.5e0) / 1e4
+           AS stopword_ratio,
+       floor((0.4e0 * len_score + 0.4e0 * (nd / CAST(n AS DOUBLE))
+              + 0.2e0 * (ns / CAST(n AS DOUBLE))) * 1e4 + 0.5e0) / 1e4
+           AS quality_score
 FROM s
 """
 
@@ -4783,9 +4800,15 @@ def q_score_weighted_sample(spark, sf_dir):
         diversity = F.size(F.array_distinct(toks)) / n.cast("double")
         len_score = F.least(F.size(toks) / F.lit(100.0), F.lit(1.0))
         stop_ratio = n_stop / n.cast("double")
-        return F.round(
-            0.4 * len_score + 0.4 * diversity + 0.2 * stop_ratio, 4
-        )
+        # floor(x*1e4+0.5)/1e4, not F.round: the engines' native
+        # rounds disagree on .5-boundary composites (see
+        # q_quality_score) and the keep rule amplifies any score
+        # difference into a different keep SET
+        return F.floor(
+            (0.4 * len_score + 0.4 * diversity + 0.2 * stop_ratio)
+            * F.lit(1e4)
+            + F.lit(0.5)
+        ) / F.lit(1e4)
 
     scored = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -4804,12 +4827,13 @@ WITH t AS (
          len(list_distinct(toks)) AS nd,
          len(list_filter(toks, x -> list_contains(
              ['the', 'a', 'and', 'of', 'to', 'in', 'is'], x))) AS ns,
-         least(len(toks) / 100.0, 1.0) AS len_score
+         least(len(toks) / 100.0e0, 1.0e0) AS len_score
   FROM t
 ), q AS (
   SELECT doc_id,
-         round(0.4 * len_score + 0.4 * (nd / CAST(n AS DOUBLE))
-               + 0.2 * (ns / CAST(n AS DOUBLE)), 4) AS quality_score
+         floor((0.4e0 * len_score + 0.4e0 * (nd / CAST(n AS DOUBLE))
+                + 0.2e0 * (ns / CAST(n AS DOUBLE))) * 1e4 + 0.5e0) / 1e4
+             AS quality_score
   FROM s
 )
 SELECT doc_id, quality_score
