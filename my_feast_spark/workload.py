@@ -2104,10 +2104,26 @@ def q_streaming_hourly_agg(spark, sf_dir):
     from my_feast_spark.streaming import run_to_memory_table, tumbling_window_agg
 
     stream = _event_stream(spark, sf_dir)
+    # ORDER-INDEPENDENT avg: double summation order differs between
+    # Spark's partial aggs and DuckDB's scan order, and at sf0.1 the
+    # last-ulp wobble crossed a 4-decimal round boundary in 3 hour
+    # groups (tri-scale sweep catch). events.value is 2dp-sourced, so
+    # summing DECIMAL(18,2) is exact in both engines; one double
+    # division of identical inputs + the floor-round form then matches
+    # bit-for-bit at any scale and any partitioning.
+    stable_avg = (
+        F.floor(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+            * F.lit(1e4)
+            + F.lit(0.5)
+        )
+        / F.lit(1e4)
+    )
     agg = tumbling_window_agg(
         stream, "ts", "1 hour", ["event_type"],
         [
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            stable_avg.alias("avg_value"),
             F.count(F.lit(1)).alias("cnt_events"),
         ],
         watermark_delay="2 hours",
@@ -2121,7 +2137,8 @@ def q_streaming_hourly_agg(spark, sf_dir):
 
 SQL_STREAMING_HOURLY_AGG = """
 SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_ts, event_type,
-       round(avg(value), 4) AS avg_value,
+       floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+             * 1e4 + 0.5e0) / 1e4 AS avg_value,
        CAST(count(*) AS BIGINT) AS cnt_events
 FROM events GROUP BY 1, 2
 """

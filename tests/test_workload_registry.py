@@ -133,6 +133,10 @@ CHANGED_OR_NEW_THIS_ROUND = {
     "lm_perplexity_kn",
     # new: content-defined (rolling-hash boundary) chunk dedup
     "cdc_chunk_dedup",
+    # changed (also in ROTATED_IN): avg_value moved to the
+    # order-independent decimal-sum + floor-round form after the
+    # tri-scale parity sweep caught a 4dp boundary flip at sf0.1
+    "streaming_hourly_agg",
 }
 
 #: retired from the driver registry — near-duplicates of in-registry
