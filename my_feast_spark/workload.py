@@ -87,6 +87,44 @@ def resolve_sql(sql):
     return sql.resolve() if isinstance(sql, _LazySQL) else sql
 
 
+def _stable_round_avg(col: str, dp: int, dec: str = "decimal(18,2)"):
+    """Cross-engine-stable ``round(avg(col), dp)`` for dp-limited sources.
+
+    ``round(avg(double), dp)`` is fragile in BOTH ways the tri-scale
+    parity sweep caught (round 8): (a) double summation order differs
+    between Spark's partial aggregates and DuckDB's scan order, and the
+    last-ulp wobble can cross a round boundary in big groups; (b) even on
+    a BIT-IDENTICAL quotient, the engines' native round() disagree when
+    the shortest-decimal repr sits on a .5 boundary (Spark rounds the
+    decimal repr, DuckDB snaps the binary scaled value) — and quotients
+    of 2dp-grained sources land exactly on such boundaries (avg of
+    {0.01, 0.10} = 0.055). Fix both: sum the dp-limited source EXACTLY
+    as decimal (order-independent), do ONE double division of identical
+    inputs, and round with the explicit ``floor(x*1e{dp} + 0.5)/1e{dp}``
+    form on both sides. :func:`_sql_stable_round_avg` is the oracle-side
+    twin; ``q_streaming_hourly_agg`` is the original instance.
+    """
+    p = float(10**dp)
+    return (
+        F.floor(
+            F.sum(F.col(col).cast(dec)).cast("double")
+            / F.count(F.col(col))
+            * F.lit(p)
+            + F.lit(0.5)
+        )
+        / F.lit(p)
+    )
+
+
+def _sql_stable_round_avg(expr: str, dp: int, dec: str = "DECIMAL(18,2)") -> str:
+    """DuckDB twin of :func:`_stable_round_avg` (e-notation literals keep
+    the arithmetic in DOUBLE — DuckDB types bare float literals DECIMAL)."""
+    return (
+        f"floor(CAST(sum(CAST({expr} AS {dec})) AS DOUBLE) / count({expr})"
+        f" * 1e{dp} + 0.5e0) / 1e{dp}"
+    )
+
+
 # =========================================================================
 # Flagship: point-in-time retrieval (SURVEY §2.4 J1-J5)
 # =========================================================================
@@ -100,7 +138,7 @@ def q_pit_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     gold = (
         events.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("bucket_ts"))
         .agg(
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            _stable_round_avg("value", 4).alias("avg_value"),
             F.round(F.sum("value"), 2).alias("sum_value"),
             F.count(F.lit(1)).alias("cnt_events"),
         )
@@ -117,10 +155,10 @@ def q_pit_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "avg_value", "sum_value", "cnt_events")
 
 
-SQL_PIT_USER_FEATURES = """
+SQL_PIT_USER_FEATURES = f"""
 WITH feat AS (
   SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_ts,
-         round(avg(value), 4) AS avg_value,
+         {_sql_stable_round_avg("value", 4)} AS avg_value,
          round(sum(value), 2) AS sum_value,
          CAST(count(*) AS BIGINT) AS cnt_events
   FROM events GROUP BY 1, 2
@@ -217,7 +255,7 @@ def q_hourly_user_agg(spark, sf_dir):
     return (
         events.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("bucket_ts"))
         .agg(
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            _stable_round_avg("value", 4).alias("avg_value"),
             F.round(F.sum("value"), 2).alias("sum_value"),
             F.round(F.min("value"), 2).alias("min_value"),
             F.round(F.max("value"), 2).alias("max_value"),
@@ -226,9 +264,9 @@ def q_hourly_user_agg(spark, sf_dir):
     )
 
 
-SQL_HOURLY_USER_AGG = """
+SQL_HOURLY_USER_AGG = f"""
 SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_ts,
-       round(avg(value), 4) AS avg_value,
+       {_sql_stable_round_avg("value", 4)} AS avg_value,
        round(sum(value), 2) AS sum_value,
        round(min(value), 2) AS min_value,
        round(max(value), 2) AS max_value,
@@ -250,7 +288,7 @@ def q_hourly_global_agg(spark, sf_dir):
     return (
         events.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket_ts"))
         .agg(
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            _stable_round_avg("value", 4).alias("avg_value"),
             F.concat_ws("|", F.array_sort(F.collect_set("event_type"))).alias(
                 "event_types"
             ),
@@ -259,9 +297,9 @@ def q_hourly_global_agg(spark, sf_dir):
     )
 
 
-SQL_HOURLY_GLOBAL_AGG = """
+SQL_HOURLY_GLOBAL_AGG = f"""
 SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_ts,
-       round(avg(value), 4) AS avg_value,
+       {_sql_stable_round_avg("value", 4)} AS avg_value,
        array_to_string(list_sort(list(DISTINCT event_type)), '|') AS event_types,
        CAST(count(*) AS BIGINT) AS cnt_events
 FROM events GROUP BY 1
@@ -270,35 +308,57 @@ FROM events GROUP BY 1
 
 def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1-shaped pricing summary over lineitem — the multi-aggregate
-    hash agg the reference's gold jobs are instances of (A1/A3)."""
+    hash agg the reference's gold jobs are instances of (A1/A3).
+
+    The derived-column sums run in EXACT decimal: price/discount/tax are
+    2dp-sourced, so disc_price is exact at 4dp and charge at 6dp — and a
+    4dp/6dp-grained sum CAN land exactly on a .005 round boundary, where
+    the engines' native double round() diverge by representation (the
+    tri-scale sweep class of bug, see _stable_round_avg). Decimal sums
+    are order-independent and decimal round is exact, so one final
+    cast-to-double matches bit-for-bit at any scale. The plain 2dp sums
+    of 2dp sources (sum_qty/base_price) stay native: their true sums sit
+    ON a 2dp multiple, 0.005 away from any boundary — the last-ulp
+    wobble can't reach it."""
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    one = F.lit(1).cast("decimal(3,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    disc_price = price * (one - disc)
+    charge = disc_price * (one + tax)
     return (
         li.where(F.col("l_shipdate") <= F.lit(dt.datetime(1998, 9, 2)))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            _stable_round_avg("l_quantity", 4).alias("avg_qty"),
+            _stable_round_avg("l_extendedprice", 4, "decimal(12,2)").alias(
+                "avg_price"
+            ),
+            _stable_round_avg("l_discount", 6, "decimal(4,2)").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
 
 
-SQL_PRICING_SUMMARY = """
+SQL_PRICING_SUMMARY = f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
        round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 6) AS avg_disc,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2)
+            AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                      * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2)
+            AS DOUBLE) AS sum_charge,
+       {_sql_stable_round_avg("l_quantity", 4)} AS avg_qty,
+       {_sql_stable_round_avg("l_extendedprice", 4, "DECIMAL(12,2)")} AS avg_price,
+       {_sql_stable_round_avg("l_discount", 6, "DECIMAL(4,2)")} AS avg_disc,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -671,15 +731,15 @@ def q_part_brand_stats(spark, sf_dir):
     return part.groupBy("p_brand").agg(
         F.round(F.min("p_retailprice"), 2).alias("min_price"),
         F.round(F.max("p_retailprice"), 2).alias("max_price"),
-        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        _stable_round_avg("p_retailprice", 4, "decimal(12,2)").alias("avg_price"),
         F.count(F.lit(1)).alias("n_parts"),
     )
 
 
-SQL_PART_BRAND_STATS = """
+SQL_PART_BRAND_STATS = f"""
 SELECT p_brand, round(min(p_retailprice), 2) AS min_price,
        round(max(p_retailprice), 2) AS max_price,
-       round(avg(p_retailprice), 4) AS avg_price,
+       {_sql_stable_round_avg("p_retailprice", 4, "DECIMAL(12,2)")} AS avg_price,
        CAST(count(*) AS BIGINT) AS n_parts
 FROM part GROUP BY 1
 """
@@ -2104,26 +2164,13 @@ def q_streaming_hourly_agg(spark, sf_dir):
     from my_feast_spark.streaming import run_to_memory_table, tumbling_window_agg
 
     stream = _event_stream(spark, sf_dir)
-    # ORDER-INDEPENDENT avg: double summation order differs between
-    # Spark's partial aggs and DuckDB's scan order, and at sf0.1 the
-    # last-ulp wobble crossed a 4-decimal round boundary in 3 hour
-    # groups (tri-scale sweep catch). events.value is 2dp-sourced, so
-    # summing DECIMAL(18,2) is exact in both engines; one double
-    # division of identical inputs + the floor-round form then matches
-    # bit-for-bit at any scale and any partitioning.
-    stable_avg = (
-        F.floor(
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
-            / F.count(F.lit(1))
-            * F.lit(1e4)
-            + F.lit(0.5)
-        )
-        / F.lit(1e4)
-    )
+    # ORDER-INDEPENDENT avg (the original _stable_round_avg instance):
+    # at sf0.1 the last-ulp wobble of a double avg crossed a 4-decimal
+    # round boundary in 3 hour groups (tri-scale sweep catch).
     agg = tumbling_window_agg(
         stream, "ts", "1 hour", ["event_type"],
         [
-            stable_avg.alias("avg_value"),
+            _stable_round_avg("value", 4).alias("avg_value"),
             F.count(F.lit(1)).alias("cnt_events"),
         ],
         watermark_delay="2 hours",
@@ -2135,10 +2182,9 @@ def q_streaming_hourly_agg(spark, sf_dir):
     )
 
 
-SQL_STREAMING_HOURLY_AGG = """
+SQL_STREAMING_HOURLY_AGG = f"""
 SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_ts, event_type,
-       floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
-             * 1e4 + 0.5e0) / 1e4 AS avg_value,
+       {_sql_stable_round_avg("value", 4)} AS avg_value,
        CAST(count(*) AS BIGINT) AS cnt_events
 FROM events GROUP BY 1, 2
 """
@@ -2411,7 +2457,7 @@ def q_feature_store_retrieval(spark, sf_dir):
     gold = (
         events.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("bucket_ts"))
         .agg(
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            _stable_round_avg("value", 4).alias("avg_value"),
             F.count(F.lit(1)).alias("cnt_events"),
         )
     )
@@ -2443,10 +2489,10 @@ def q_feature_store_retrieval(spark, sf_dir):
     )
 
 
-SQL_FEATURE_STORE_RETRIEVAL = """
+SQL_FEATURE_STORE_RETRIEVAL = f"""
 WITH feat AS (
   SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_ts,
-         round(avg(value), 4) AS avg_value,
+         {_sql_stable_round_avg("value", 4)} AS avg_value,
          CAST(count(*) AS BIGINT) AS cnt_events
   FROM events GROUP BY 1, 2
 ), probe AS (

@@ -137,6 +137,25 @@ CHANGED_OR_NEW_THIS_ROUND = {
     # order-independent decimal-sum + floor-round form after the
     # tri-scale parity sweep caught a 4dp boundary flip at sf0.1
     "streaming_hourly_agg",
+    # changed: every remaining IN-WINDOW round(avg(double), dp) site
+    # moved to the same stable form (_stable_round_avg) — quotients of
+    # 2dp-grained sources can sit exactly on a .5 round boundary where
+    # the engines' native round() diverge by representation; fixed now
+    # while the queries are in-window so the migration costs no
+    # rotation slot. pricing_summary additionally moves its
+    # disc_price/charge sums to exact decimal arithmetic (4dp/6dp
+    # grains CAN hit .005 boundaries; plain 2dp sums of 2dp sources
+    # cannot and stay native). Tail queries with the same latent shape
+    # (moving_avg_revenue, token_rarity, label_centroids,
+    # lineitem_unpivot...) are deliberately NOT churned — a behavior
+    # change would force them in-window — and migrate when they rotate
+    # in anyway (round 9).
+    "pit_user_features",
+    "hourly_user_agg",
+    "hourly_global_agg",
+    "pricing_summary",
+    "part_brand_stats",
+    "feature_store_retrieval",
 }
 
 #: retired from the driver registry — near-duplicates of in-registry
