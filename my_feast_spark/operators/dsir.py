@@ -1,0 +1,255 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023).
+
+The standard data-selection method next to the reference-vs-crawl
+classifier (``operators/classifier.py``): instead of keeping the crawl
+docs a classifier scores high, DSIR RESAMPLES the raw corpus toward a
+target distribution — per-doc importance weights between two hashed
+n-gram bag models (target p, raw q), then a without-replacement draw of
+k docs with probability proportional to the weights. The selected set
+matches the target's n-gram statistics instead of cliff-cutting on a
+score, which is the paper's measured advantage on downstream LM quality
+(Xie et al., "Data Selection for Language Models via Importance
+Resampling", NeurIPS 2023).
+
+Everything is aggregation + broadcast joins, so it fits Spark natively
+at any corpus size:
+
+  * feature space — unigrams + bigrams hashed into ``num_buckets``
+    buckets (the paper's hashed n-gram features; B ~ 10k). The hash is
+    the portable md5 family (``operators/dedup.portable_hash64``), so a
+    pure-Python or SQL reference replays bucket ids bit-for-bit.
+  * fit — ONE aggregation pass per corpus: per-bucket counts (hash
+    aggregate over the exploded gram stream, map-side combining), a
+    full-outer join of the two ≤B-row count tables, add-k smoothing,
+    log2 ratio. The model IS the B-row (bucket, lr) relation — tiny,
+    broadcastable, persisted with the repo cache-ownership rule.
+  * weigh — explode each raw doc's gram buckets, ONE broadcast join
+    against the ratio relation, one hash aggregate per doc:
+    ``logw(d) = sum_b count_b(d) * (log2 p_b - log2 q_b)``. Buckets
+    unseen in both corpora fall back to the smoothed default ratio, so
+    weighing is total.
+  * resample — the Gumbel top-k trick: a without-replacement draw of k
+    docs with P ∝ exp2(logw) is exactly the k largest values of
+    ``logw + G_d`` with G_d standard Gumbel noise. The noise is
+    deterministic (inverse-CDF of the portable uniform hash of
+    ``key:salt``), so the draw is reproducible across runs, engines,
+    and partitionings, and the plan is a TakeOrderedAndProject — a
+    per-partition top-k plus a driver merge, never a global sort.
+
+No Python UDFs anywhere; the only driver traffic is two 1-row scalar
+collects at fit time.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from my_feast_spark.functions.text import let, tokens
+from my_feast_spark.operators.dedup import _MASK63, portable_hash64
+from my_feast_spark.operators.sampling import RESOLUTION, sample_bucket
+
+
+@dataclass
+class DSIRModel:
+    """Hashed n-gram importance ratios + the scalars needed to weigh.
+
+    ``ratio`` is (bucket, lr) with lr = log2 p̂(b|target) - log2
+    p̂(b|raw) under add-k over the ``num_buckets`` feature space;
+    ``default_lr`` is the same ratio for a bucket unseen in BOTH
+    corpora. The relation is persisted by the trainer — callers that
+    materialize weights release it (the repo cache-ownership rule).
+    """
+
+    ratio: DataFrame
+    default_lr: float
+    k: float
+    num_buckets: int
+
+
+def hashed_gram_buckets(
+    text_col: str, num_buckets: int, *, lowercase: bool = True
+) -> Column:
+    """Per-doc array of hashed-n-gram bucket ids (duplicates kept — the
+    bag COUNTS are the feature vector): unigrams plus adjacent bigrams
+    joined by one space, each bucketed as
+    ``pmod(md5_lower64(gram) & MASK63, num_buckets)``.
+
+    Empty-string tokens are dropped before gram construction, so a
+    blank / whitespace-only / NULL document yields an empty array (its
+    importance weight is exactly 0). Unigrams contain no whitespace, so
+    the space-joined bigram namespace can never collide with them.
+    """
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+
+    def _bucket(gram: Column) -> Column:
+        return F.pmod(
+            portable_hash64(gram).bitwiseAND(F.lit(_MASK63)),
+            F.lit(num_buckets),
+        ).cast("int")
+
+    return let(
+        F.filter(tokens(t), lambda w: w != F.lit("")),
+        lambda toks: F.concat(
+            F.transform(toks, _bucket),
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(2), F.greatest(F.size(toks), F.lit(2))),
+                    lambda i: _bucket(
+                        F.concat_ws(
+                            " ", F.element_at(toks, i - 1), F.element_at(toks, i)
+                        )
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<int>")),
+        ),
+    )
+
+
+def _bucket_counts(df: DataFrame, text_col: str, num_buckets: int,
+                   lowercase: bool) -> DataFrame:
+    return (
+        df.select(
+            F.explode(
+                hashed_gram_buckets(text_col, num_buckets, lowercase=lowercase)
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def fit_dsir(
+    target_df: DataFrame,
+    raw_df: DataFrame,
+    text_col: str = "text",
+    *,
+    num_buckets: int = 10_000,
+    k: float = 0.5,
+    lowercase: bool = True,
+) -> DSIRModel:
+    """Fit the two hashed-gram bag models and their log2 ratio.
+
+    One aggregation pass per corpus; the (≤ num_buckets)-row count
+    tables full-outer join on bucket, add-k smooths both sides over the
+    FIXED feature space (every one of the ``num_buckets`` buckets is a
+    possible event, so the smoothing denominator is ``total + k*B`` —
+    no vocabulary-size estimation problem, unlike token-space models).
+    """
+    if num_buckets < 1:
+        raise ValueError("num_buckets must be positive")
+    tc = _bucket_counts(target_df, text_col, num_buckets, lowercase)
+    rc = _bucket_counts(raw_df, text_col, num_buckets, lowercase)
+    joined = (
+        tc.withColumnRenamed("c", "ct")
+        .join(rc.withColumnRenamed("c", "cr"), "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
+            F.coalesce(F.col("cr"), F.lit(0)).alias("cr"),
+        )
+        .persist()
+    )
+    tot = joined.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    ).collect()[0]
+    if not tot["tt"] or not tot["tr"]:
+        joined.unpersist()
+        raise ValueError(
+            "both corpora must contain at least one token "
+            f"(target grams={tot['tt']}, raw grams={tot['tr']})"
+        )
+    den_t = tot["tt"] + k * num_buckets
+    den_r = tot["tr"] + k * num_buckets
+    ratio = joined.select(
+        "bucket",
+        (
+            F.log2((F.col("ct") + F.lit(k)) / F.lit(den_t))
+            - F.log2((F.col("cr") + F.lit(k)) / F.lit(den_r))
+        ).alias("lr"),
+    )
+    # hand the persisted count relation's lifetime to the ratio
+    # relation's consumers (projection of it — the cache backs every
+    # weigh join until the caller releases it)
+    ratio._owned_caches = [joined]
+    return DSIRModel(
+        ratio=ratio,
+        default_lr=math.log2(k / den_t) - math.log2(k / den_r),
+        k=k,
+        num_buckets=num_buckets,
+    )
+
+
+def dsir_logweights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: DSIRModel,
+    *,
+    lowercase: bool = True,
+    out_col: str = "logw",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-document log2 importance weight: the sum of per-gram bucket
+    ratios (buckets unseen in both training corpora -> the smoothed
+    default), ROUNDED so two engines can never disagree on a boundary
+    within float-summation noise. Gram-less documents (empty/NULL text)
+    keep weight exactly 0.0 via the outer explode."""
+    ev = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            hashed_gram_buckets(text_col, model.num_buckets, lowercase=lowercase)
+        ).alias("bucket"),
+    )
+    weighed = ev.join(F.broadcast(model.ratio), "bucket", "left").withColumn(
+        "__lr",
+        F.when(F.col("bucket").isNull(), F.lit(0.0)).otherwise(
+            F.coalesce(F.col("lr"), F.lit(model.default_lr))
+        ),
+    )
+    return weighed.groupBy(id_col).agg(
+        F.round(F.sum("__lr"), decimals).alias(out_col),
+        F.sum(F.when(F.col("bucket").isNotNull(), 1).otherwise(0)).alias(
+            "n_grams"
+        ),
+    )
+
+
+def dsir_resample(
+    weighted: DataFrame,
+    key_col: str,
+    n: int,
+    *,
+    logw_col: str = "logw",
+    salt: str = "dsir",
+    keep_key_col: str = "gumbel_key",
+) -> DataFrame:
+    """Gumbel top-k: the n rows with the largest ``logw + Gumbel``.
+
+    A without-replacement draw of n rows with probability proportional
+    to exp2(logw) is exactly the top n of ``logw + G/ln(2)`` with G
+    standard Gumbel (the Gumbel-max trick, base-2 scaled to match the
+    log2 weights). G is deterministic: ``-ln(-ln(u))`` with u the
+    portable uniform hash of ``key:salt`` mapped to the open interval
+    ((b + 0.5)/RESOLUTION — never 0 or 1, so both logs are finite).
+    Ties (identical weight AND hash bucket) break by key so the
+    selected set is unique. The plan is orderBy+limit —
+    TakeOrderedAndProject, a per-partition heap + driver merge, no
+    global sort shuffle. Change ``salt`` for an independent draw.
+    """
+    if n < 1:
+        raise ValueError("n must be positive")
+    u = (sample_bucket(F.col(key_col), salt=salt) + F.lit(0.5)) / F.lit(
+        float(RESOLUTION)
+    )
+    g = -F.log(-F.log(u)) / F.lit(math.log(2.0))
+    return (
+        weighted.withColumn(keep_key_col, F.col(logw_col) + g)
+        .orderBy(F.col(keep_key_col).desc(), F.col(key_col))
+        .limit(n)
+    )
