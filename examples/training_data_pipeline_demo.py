@@ -196,6 +196,25 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> dict:
     ).count()
     for c in nb.token_llr._owned_caches:
         c.unpersist()
+    # DSIR (Xie et al. 2023): instead of keeping what a classifier
+    # scores high, RESAMPLE the crawl toward the reference's hashed
+    # n-gram distribution — the quality-gate survivors play the target
+    # corpus, the gated-out docs the raw pool, and the Gumbel top-k
+    # draw picks the raw docs whose gram stats best match the target
+    from my_feast_spark.operators.dsir import (
+        dsir_logweights,
+        dsir_resample,
+        fit_dsir,
+    )
+
+    raw_pool = docs.join(kept.select("doc_id"), "doc_id", "left_anti")
+    dsir = fit_dsir(kept, raw_pool, "text", num_buckets=4096)
+    dsir_w = dsir_logweights(raw_pool, "doc_id", "text", dsir)
+    n_dsir_selected = dsir_resample(
+        dsir_w, "doc_id", max(1, n_input // 20)
+    ).count()
+    for c in dsir.ratio._owned_caches:
+        c.unpersist()
     recall_report = lsh_recall_report(
         keepers, "doc_id", "text", sample_rate=0.5, hash_fn="portable"
     )
@@ -218,6 +237,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "lm_scored_docs_kn": n_scored_kn,
         "nb_predicted_quality_docs": n_pred_quality,
         "pareto_quality_sampled_docs": n_pareto_kept,
+        "dsir_resampled_docs": n_dsir_selected,
         "lsh_recall_on_sample": recall.recall,
         "bpe_merges_learned": len(merges),
     }
