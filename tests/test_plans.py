@@ -33,6 +33,10 @@ def test_filter_pushdown_and_column_pruning(spark):
     assert "LessThanOrEqual(l_shipdate" in plan  # predicate reached the scan
     # projection pruning: untouched wide columns never leave parquet
     assert "l_comment" not in plan and "l_shipmode" not in plan
+    # the exact-decimal sum/avg migration must stay one partial/final
+    # hash-agg pair: a single exchange, no extra shuffle for the
+    # decimal arithmetic (each formatted-plan node prints twice)
+    assert plan.count("Exchange") == 2
 
 
 def test_dim_joins_broadcast(spark):
