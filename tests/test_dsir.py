@@ -224,6 +224,39 @@ def test_plan_shape(spark, corpora):
     _release(model)
 
 
+def test_weights_match_reference_on_random_corpus(spark):
+    """Seeded randomized corpora (repo property-test convention): heavy
+    duplication for bucket collisions at tiny B, unicode, punctuation
+    runs, multi-space — weights must replay exactly from the hashlib
+    reference for every doc."""
+    import random
+
+    rng = random.Random(8)
+    vocab = ["spark", "row", "scan", "agg", "the", "a", "naïve", "x!?", "1"]
+
+    def doc():
+        n = rng.randrange(0, 40)
+        sep = "  " if rng.random() < 0.2 else " "
+        return sep.join(rng.choice(vocab) for _ in range(n))
+
+    target_rows = [(i, doc()) for i in range(60)]
+    raw_rows = [(1000 + i, doc()) for i in range(90)]
+    t = spark.createDataFrame(target_rows, "doc_id long, text string")
+    r = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    model = fit_dsir(t, r, num_buckets=B, k=K)
+    lr, default = _py_model(target_rows, raw_rows)
+    got = {
+        row["doc_id"]: (row["logw"], row["n_grams"])
+        for row in dsir_logweights(r, "doc_id", "text", model).collect()
+    }
+    _release(model)
+    for doc_id, text in raw_rows:
+        grams = _py_grams(text)
+        logw, n_grams = got[doc_id]
+        assert n_grams == len(grams)
+        assert abs(logw - sum(lr.get(b, default) for b in grams)) < 1e-6
+
+
 def test_on_documents_table(spark, sf_dir):
     """End-to-end on the driver corpus: even doc_ids play 'target', odd
     play 'raw'; the selected set is deterministic and weight-ordered
