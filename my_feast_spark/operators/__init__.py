@@ -9,6 +9,11 @@ from my_feast_spark.operators.bpe import train_bpe_merges
 from my_feast_spark.operators.classifier import score_nb, train_nb
 from my_feast_spark.operators.curation import CurationConfig, curate
 from my_feast_spark.operators.dedup_eval import lsh_recall_report
+from my_feast_spark.operators.dsir import (
+    dsir_logweights,
+    dsir_resample,
+    fit_dsir,
+)
 from my_feast_spark.operators.lm import (
     score_docs,
     score_docs_kn,
@@ -52,6 +57,9 @@ __all__ = [
     "score_docs_kn",
     "train_nb",
     "score_nb",
+    "fit_dsir",
+    "dsir_logweights",
+    "dsir_resample",
     "semdedup",
     "train_pq_codebooks",
     "pq_encode",
