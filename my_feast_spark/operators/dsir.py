@@ -185,6 +185,51 @@ def fit_dsir(
     )
 
 
+def write_dsir_model(model: DSIRModel, path: str) -> None:
+    """Persist the fitted model: ``path/ratio`` holds the ≤B-row
+    (bucket, lr) relation as parquet, ``path/meta`` the three scalars as
+    a single JSON row. A 100 TB pipeline fits ONCE on a target/raw
+    snapshot and reuses the frozen ratios across every ingest batch —
+    the same fit-once/serve-many shape as ``pq.write_ivfpq_index``.
+    Writing does not release the trainer's cache; the caller still owns
+    ``model.ratio._owned_caches``."""
+    import json
+    import os
+
+    model.ratio.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "ratio")
+    )
+    spark = model.ratio.sparkSession
+    meta = {
+        "default_lr": model.default_lr,
+        "k": model.k,
+        "num_buckets": model.num_buckets,
+    }
+    spark.createDataFrame([(json.dumps(meta),)], ["meta_json"]).coalesce(
+        1
+    ).write.mode("overwrite").json(os.path.join(path, "meta"))
+
+
+def read_dsir_model(spark, path: str) -> DSIRModel:
+    """Load a model written by :func:`write_dsir_model`. The ratio
+    relation is a plain parquet scan (no cache to own — broadcast at
+    weigh time either way), so ``_owned_caches`` is empty."""
+    import json
+    import os
+
+    meta = json.loads(
+        spark.read.json(os.path.join(path, "meta")).collect()[0]["meta_json"]
+    )
+    ratio = spark.read.parquet(os.path.join(path, "ratio"))
+    ratio._owned_caches = []
+    return DSIRModel(
+        ratio=ratio,
+        default_lr=float(meta["default_lr"]),
+        k=float(meta["k"]),
+        num_buckets=int(meta["num_buckets"]),
+    )
+
+
 def dsir_logweights(
     df: DataFrame,
     id_col: str,

@@ -257,6 +257,30 @@ def test_weights_match_reference_on_random_corpus(spark):
         assert abs(logw - sum(lr.get(b, default) for b in grams)) < 1e-6
 
 
+def test_model_round_trip(spark, corpora, tmp_path):
+    """write/read preserves ratios + scalars: weights computed from the
+    reloaded model are identical (not just close — same rounded sums
+    over the same double ratios)."""
+    from my_feast_spark.operators.dsir import read_dsir_model, write_dsir_model
+
+    t, r = corpora
+    model = fit_dsir(t, r, num_buckets=B, k=K)
+    want = {
+        row["doc_id"]: (row["logw"], row["n_grams"])
+        for row in dsir_logweights(r, "doc_id", "text", model).collect()
+    }
+    write_dsir_model(model, str(tmp_path / "dsir"))
+    _release(model)
+    loaded = read_dsir_model(spark, str(tmp_path / "dsir"))
+    assert loaded.num_buckets == B and loaded.k == K
+    assert abs(loaded.default_lr - model.default_lr) < 1e-15
+    got = {
+        row["doc_id"]: (row["logw"], row["n_grams"])
+        for row in dsir_logweights(r, "doc_id", "text", loaded).collect()
+    }
+    assert got == want
+
+
 def test_on_documents_table(spark, sf_dir):
     """End-to-end on the driver corpus: even doc_ids play 'target', odd
     play 'raw'; the selected set is deterministic and weight-ordered
