@@ -13,6 +13,8 @@ from my_feast_spark.operators.dsir import (
     dsir_logweights,
     dsir_resample,
     fit_dsir,
+    read_dsir_model,
+    write_dsir_model,
 )
 from my_feast_spark.operators.lm import (
     score_docs,
@@ -60,6 +62,8 @@ __all__ = [
     "fit_dsir",
     "dsir_logweights",
     "dsir_resample",
+    "write_dsir_model",
+    "read_dsir_model",
     "semdedup",
     "train_pq_codebooks",
     "pq_encode",
