@@ -13,6 +13,25 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def floor_round(col: Column, dp: int) -> Column:
+    """Cross-engine-stable ``round(col, dp)``: the explicit
+    ``floor(x * 1e{dp} + 0.5) / 1e{dp}`` form (round-half-toward-+inf,
+    negative-safe).
+
+    The engines' NATIVE round() functions disagree on doubles whose
+    shortest-decimal repr sits on a .5 boundary — Spark rounds the
+    decimal repr HALF_UP, DuckDB snaps the binary scaled value — even
+    when both engines hold the bit-identical double (the 0.43725 class
+    the round-8 tri-scale sweep caught). This form evaluates the same
+    IEEE multiply/add/floor/divide on both sides, so identical inputs
+    round identically. Use it for every rounded measure an oracle
+    replays; for ``round(avg(...))`` of dp-grained sources prefer
+    ``workload._stable_round_avg``, which ALSO fixes summation order.
+    """
+    p = float(10**dp)
+    return F.floor(col * F.lit(p) + F.lit(0.5)) / F.lit(p)
+
+
 def priority_collapse(col: Column, priorities: list[str], default: str) -> Column:
     """First priority value present in the array wins, else default.
 

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from my_feast_spark.functions.scalar import floor_round
+
 #: minimal per-language stopword lists for the heuristic scorer
 LANG_STOPWORDS: dict[str, list[str]] = {
     "en": ["the", "a", "and", "of", "to", "in", "is"],
@@ -156,9 +158,13 @@ def quality_features(text: Column) -> dict[str, Column]:
 #: Gopher rule thresholds (Rae et al. 2021, Appendix A1.1), the subset
 #: that is meaningful for single-line text: word-count bounds, mean
 #: word length bounds, symbol-to-word ratio cap, minimum fraction of
-#: words containing an alphabetic character, minimum stopword hits.
+#: words containing an alphabetic character, minimum DISTINCT stopword
+#: hits (A1.1 requires "at least 2 of the required words" — distinct
+#: presence, not total occurrences).
 #: (The line-based bullet/ellipsis rules need multi-line documents and
-#: are omitted — the symbol ratio still counts '#' and '...'.)
+#: are omitted — the symbol ratio still counts '#' and '...'; the
+#: stopword list is the engine's LANG_STOPWORDS["en"], not the paper's
+#: exact 8-word list.)
 GOPHER_RULES = {
     "min_words": 50,
     "max_words": 100_000,
@@ -181,7 +187,12 @@ def gopher_features_arr(toks: Column) -> dict[str, Column]:
     r = GOPHER_RULES
     n = F.greatest(F.size(toks), F.lit(1)).cast("double")
     n_words = F.size(toks).cast("long")
-    mean_wl = F.round(
+    # floor_round, not F.round: these ratio measures are adjudicated
+    # row-for-row against a DuckDB replay, and the engines' native
+    # rounds disagree on .5-repr boundaries (the 0.43725 class) —
+    # numerator/denominator are exact integers, so the single division
+    # is bit-identical and the explicit floor form closes the gap
+    mean_wl = floor_round(
         F.aggregate(
             F.transform(toks, lambda w: F.length(w).cast("long")),
             F.lit(0).cast("long"), lambda acc, x: acc + x,
@@ -205,13 +216,14 @@ def gopher_features_arr(toks: Column) -> dict[str, Column]:
         ),
         F.lit(0).cast("long"), lambda acc, x: acc + x,
     ) / F.lit(3)
-    symbol_ratio = F.round((n_hash + n_ell) / n, 4)
-    alpha_frac = F.round(
+    symbol_ratio = floor_round((n_hash + n_ell) / n, 4)
+    alpha_frac = floor_round(
         F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))) / n, 4
     )
-    stop_hits = F.size(
-        F.filter(toks, lambda w: F.array_contains(stop, w))
-    ).cast("long")
+    # DISTINCT stopwords present (array_intersect dedups), per Rae et
+    # al. A1.1's "at least 2 of the required words" — a doc repeating
+    # one stopword does not pass
+    stop_hits = F.size(F.array_intersect(toks, stop)).cast("long")
     passes = (
         n_words.between(r["min_words"], r["max_words"])
         & mean_wl.between(r["min_mean_word_len"], r["max_mean_word_len"])

@@ -102,6 +102,18 @@ class CurationConfig:
     #: once-projected token array alongside the repetition filter —
     #: another map-only conjunct on the same stage, zero extra passes
     gopher_rules: bool = False
+    # --- optional: DSIR importance resampling (Xie et al. 2023) -------
+    #: >0 enables the final selection stage: fit hashed-n-gram ratio
+    #: models on (``dsir_target_df``, the cleaned corpus), weigh every
+    #: surviving doc, and keep ``dsir_n`` docs via the deterministic
+    #: Gumbel top-k draw (P ∝ exp2(logw)) — the resampled corpus
+    #: matches the target's n-gram statistics instead of cliff-cutting
+    #: on a score. Runs AFTER the filters/sampling (resampling a
+    #: pre-cleaned pool is the paper's setup); needs ``dsir_target_df``
+    dsir_n: int | None = None
+    dsir_num_buckets: int = 10_000
+    dsir_k: float = 0.5
+    dsir_salt: str = "dsir"
 
 
 def curate(
@@ -110,17 +122,22 @@ def curate(
     *,
     benchmark_df: DataFrame | None = None,
     quality_reference_df: DataFrame | None = None,
+    dsir_target_df: DataFrame | None = None,
 ) -> DataFrame:
     """Run the curation pipeline; returns the accounting relation
     ``(id, stratum, n_tokens, n_chunks)`` of the surviving documents.
 
     ``quality_reference_df`` (with ``cfg.nb_quality=True``) supplies the
     trusted reference corpus for the NB quality filter: the GPT-3 recipe
-    trains reference-vs-crawl and filters ON the classifier score."""
+    trains reference-vs-crawl and filters ON the classifier score.
+    ``dsir_target_df`` (with ``cfg.dsir_n``) supplies the target corpus
+    the DSIR resampling stage matches n-gram statistics against."""
     cfg = config or CurationConfig()
     did, text, stratum = cfg.id_col, cfg.text_col, cfg.stratum_col
     if cfg.nb_quality and quality_reference_df is None:
         raise ValueError("nb_quality=True needs quality_reference_df")
+    if cfg.dsir_n and dsir_target_df is None:
+        raise ValueError("dsir_n needs dsir_target_df")
     optional_stages = (
         benchmark_df is not None
         or cfg.near_dup is not None
@@ -309,6 +326,35 @@ def curate(
             default_rate=cfg.default_rate,
             salt=cfg.salt,
         )
+
+    # 5b. DSIR importance resampling (optional) — the final selection:
+    #     fit on (target, cleaned corpus) reusing the projected token
+    #     array (zero re-tokenization on the corpus side), weigh, draw
+    #     dsir_n docs via the deterministic Gumbel top-k. The kept-id
+    #     set is pinned eagerly (it is dsir_n rows) and the trainer's
+    #     count-table cache released immediately — same lifetime rule
+    #     as drop_ids above.
+    if cfg.dsir_n:
+        from my_feast_spark.operators.dsir import (
+            dsir_logweights,
+            dsir_resample,
+            fit_dsir,
+        )
+
+        model = fit_dsir(
+            dsir_target_df, clean, text,
+            num_buckets=cfg.dsir_num_buckets, k=cfg.dsir_k,
+            raw_tokens_col="__ltoks",
+        )
+        weighted = dsir_logweights(
+            clean, did, None, model, tokens_col="__ltoks"
+        )
+        keep_ids = dsir_resample(
+            weighted, did, cfg.dsir_n, salt=cfg.dsir_salt
+        ).select(did).localCheckpoint()
+        for c in model.ratio._owned_caches:
+            c.unpersist()
+        clean = clean.join(keep_ids, did, "left_semi")
 
     # 6. accounting projection — counts only, no chunk text rendered
     return clean.select(

@@ -47,6 +47,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from my_feast_spark.functions.scalar import floor_round
 from my_feast_spark.functions.text import let, tokens
 from my_feast_spark.operators.dedup import _MASK63, portable_hash64
 from my_feast_spark.operators.sampling import RESOLUTION, sample_bucket
@@ -85,6 +86,16 @@ def hashed_gram_buckets(
     t = F.col(text_col)
     if lowercase:
         t = F.lower(t)
+    return hashed_gram_buckets_from_tokens(tokens(t), num_buckets)
+
+
+def hashed_gram_buckets_from_tokens(
+    toks: Column, num_buckets: int
+) -> Column:
+    """:func:`hashed_gram_buckets` over an ALREADY-TOKENIZED (lowered)
+    array — the pipeline path that projects one shared token array
+    (``curation.curate``'s ``__ltoks``) feeds it here instead of
+    re-tokenizing the text."""
 
     def _bucket(gram: Column) -> Column:
         return F.pmod(
@@ -93,7 +104,7 @@ def hashed_gram_buckets(
         ).cast("int")
 
     return let(
-        F.filter(tokens(t), lambda w: w != F.lit("")),
+        F.filter(toks, lambda w: w != F.lit("")),
         lambda toks: F.concat(
             F.transform(toks, _bucket),
             F.when(
@@ -111,12 +122,22 @@ def hashed_gram_buckets(
     )
 
 
-def _bucket_counts(df: DataFrame, text_col: str, num_buckets: int,
-                   lowercase: bool) -> DataFrame:
+def _gram_expr(text_col: str | None, tokens_col: str | None,
+               num_buckets: int, lowercase: bool) -> Column:
+    if tokens_col is not None:
+        return hashed_gram_buckets_from_tokens(
+            F.col(tokens_col), num_buckets
+        )
+    return hashed_gram_buckets(text_col, num_buckets, lowercase=lowercase)
+
+
+def _bucket_counts(df: DataFrame, text_col: str | None, num_buckets: int,
+                   lowercase: bool, tokens_col: str | None = None
+                   ) -> DataFrame:
     return (
         df.select(
             F.explode(
-                hashed_gram_buckets(text_col, num_buckets, lowercase=lowercase)
+                _gram_expr(text_col, tokens_col, num_buckets, lowercase)
             ).alias("bucket")
         )
         .groupBy("bucket")
@@ -132,6 +153,8 @@ def fit_dsir(
     num_buckets: int = 10_000,
     k: float = 0.5,
     lowercase: bool = True,
+    target_tokens_col: str | None = None,
+    raw_tokens_col: str | None = None,
 ) -> DSIRModel:
     """Fit the two hashed-gram bag models and their log2 ratio.
 
@@ -140,11 +163,15 @@ def fit_dsir(
     FIXED feature space (every one of the ``num_buckets`` buckets is a
     possible event, so the smoothing denominator is ``total + k*B`` —
     no vocabulary-size estimation problem, unlike token-space models).
+    ``target_tokens_col`` / ``raw_tokens_col`` switch that side to an
+    already-tokenized (lowered) array column instead of ``text_col``.
     """
     if num_buckets < 1:
         raise ValueError("num_buckets must be positive")
-    tc = _bucket_counts(target_df, text_col, num_buckets, lowercase)
-    rc = _bucket_counts(raw_df, text_col, num_buckets, lowercase)
+    tc = _bucket_counts(target_df, text_col, num_buckets, lowercase,
+                        tokens_col=target_tokens_col)
+    rc = _bucket_counts(raw_df, text_col, num_buckets, lowercase,
+                        tokens_col=raw_tokens_col)
     joined = (
         tc.withColumnRenamed("c", "ct")
         .join(rc.withColumnRenamed("c", "cr"), "bucket", "full_outer")
@@ -233,22 +260,24 @@ def read_dsir_model(spark, path: str) -> DSIRModel:
 def dsir_logweights(
     df: DataFrame,
     id_col: str,
-    text_col: str,
+    text_col: str | None,
     model: DSIRModel,
     *,
     lowercase: bool = True,
     out_col: str = "logw",
     decimals: int = 6,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-document log2 importance weight: the sum of per-gram bucket
     ratios (buckets unseen in both training corpora -> the smoothed
-    default), ROUNDED so two engines can never disagree on a boundary
-    within float-summation noise. Gram-less documents (empty/NULL text)
+    default), ROUNDED with the stable floor form (see
+    ``functions.scalar.floor_round``) so two engines can never disagree
+    on a boundary within float-summation noise. Gram-less documents (empty/NULL text)
     keep weight exactly 0.0 via the outer explode."""
     ev = df.select(
         F.col(id_col),
         F.explode_outer(
-            hashed_gram_buckets(text_col, model.num_buckets, lowercase=lowercase)
+            _gram_expr(text_col, tokens_col, model.num_buckets, lowercase)
         ).alias("bucket"),
     )
     weighed = ev.join(F.broadcast(model.ratio), "bucket", "left").withColumn(
@@ -258,7 +287,7 @@ def dsir_logweights(
         ),
     )
     return weighed.groupBy(id_col).agg(
-        F.round(F.sum("__lr"), decimals).alias(out_col),
+        floor_round(F.sum("__lr"), decimals).alias(out_col),
         F.sum(F.when(F.col("bucket").isNotNull(), 1).otherwise(0)).alias(
             "n_grams"
         ),

@@ -23,6 +23,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from my_feast_spark.functions.scalar import floor_round
 from my_feast_spark.functions.text import let, tokens
 
 #: sentinel bigram history for the first token of each document
@@ -123,7 +124,7 @@ def score_docs(
         )
     )
     return scored.groupBy(id_col).agg(
-        F.round(F.avg("__lp"), 4).alias(out_col),
+        floor_round(F.avg("__lp"), 4).alias(out_col),
         F.count("__lp").alias("n_tokens"),
     )
 
@@ -172,6 +173,14 @@ def train_bigram_kn(
     )
     cont = bigrams.groupBy("w").agg(F.count(F.lit(1)).alias("n1_w"))
     n1_all = bigrams.count()
+    if n1_all == 0:
+        # a token-less corpus would make every continuation probability
+        # 0/0 downstream — fail at fit time like train_nb / fit_dsir do,
+        # releasing the cache on the error path
+        bigrams.unpersist()
+        raise ValueError(
+            "train_bigram_kn: corpus has no tokens (0 bigram events)"
+        )
     return KNBigramLM(
         bigrams=bigrams, unigrams=unigrams, cont=cont,
         n1_all=n1_all, discount=discount,
@@ -216,6 +225,6 @@ def score_docs_kn(
         .withColumn("__lp", F.log2(F.greatest(p, F.lit(1e-12))))
     )
     return scored.groupBy(id_col).agg(
-        F.round(F.avg("__lp"), 4).alias(out_col),
+        floor_round(F.avg("__lp"), 4).alias(out_col),
         F.count("__lp").alias("n_tokens"),
     )

@@ -164,6 +164,33 @@ def score_weighted_sample(
     """
     s = F.least(F.greatest(F.col(score_col).cast("double"), F.lit(0.0)),
                 F.lit(1.0))
-    keep_prob = F.pow(F.lit(2.0) - s, F.lit(-float(alpha)))
+    keep_prob = F.lit(1.0) / _pow_posint(F.lit(2.0) - s, alpha)
     u = sample_bucket(F.col(key_col), salt=salt) / F.lit(float(RESOLUTION))
     return df.filter(u < keep_prob)
+
+
+def _pow_posint(base: Column, n: float) -> Column:
+    """``base ** n`` for a positive-integer exponent as an EXPLICIT
+    square-and-multiply chain of IEEE multiplications instead of
+    ``F.pow``: JVM ``Math.pow`` and the oracle engine's libm ``pow``
+    are each only guaranteed within 1 ulp, so a last-ulp disagreement
+    exactly at a keep-rule boundary can flip the keep SET between
+    engines. Individual IEEE multiplies are exactly specified, so a
+    fixed multiplication tree evaluates bit-identically on any IEEE
+    engine — the oracle replays the same tree (see
+    workload.SQL_SCORE_WEIGHTED_SAMPLE). Non-integer exponents have no
+    such tree and refuse loudly rather than silently degrade."""
+    k = int(n)
+    if k != n or k < 1:
+        raise ValueError(
+            f"replayable pow needs a positive integer exponent, got {n}"
+        )
+    acc = None
+    sq = base
+    while k:
+        if k & 1:
+            acc = sq if acc is None else acc * sq
+        k >>= 1
+        if k:
+            sq = sq * sq
+    return acc

@@ -832,3 +832,126 @@ def embedding_dedup_ingest_stream(
     elif trigger_interval:
         writer = writer.trigger(processingTime=trigger_interval)
     return writer.start()
+
+
+def compact_index(spark: SparkSession, index_dir: str) -> dict:
+    """Consolidate an ingest index's per-batch partitions into ONE
+    generation directory — the maintenance op for the one unbounded
+    cost the streaming ingests carry: every micro-batch appends a
+    ``batch_id=N`` directory forever, so while the DATA each batch
+    reads stays pruned (pbucket partition filters), the directory
+    LISTING per batch and the small-file count grow linearly with
+    stream lifetime (~175k dirs/year at a 3-minute trigger).
+
+    Mechanics: the rows of every existing generation are rewritten
+    (dropDuplicates — set semantics hold for all three ingest index
+    kinds) into ``batch_id=-(M+1)`` where M is the highest live
+    non-negative batch id, preserving the pbucket partition layout when
+    present; the source directories are then deleted. The negative
+    generation id keeps every ingest invariant intact:
+
+      * the replay guard ``batch_id != current`` never matches a
+        compacted generation (live ids are non-negative);
+      * generation ids strictly decrease across compactions, so a
+        re-run at the same high-water overwrites ITS OWN directory —
+        idempotent;
+      * a crash between the consolidated write and the source deletes
+        leaves duplicate rows across generations, which is harmless to
+        the dedup semantics (anti-joins and candidate generation are
+        set-shaped) and fully healed by re-running compact_index.
+
+    Run it from a maintenance schedule (e.g. every k-th batch or daily)
+    against each index dataset — the exact ingest's ``index_path``
+    itself; ``bands/`` + ``sigs/`` for the MinHash ingest; ``buckets/``
+    + ``vecs/`` for the embedding ingest (see
+    :func:`compact_ingest_indexes`). Concurrency: schedule it BETWEEN
+    micro-batches (e.g. from the same foreachBatch driver every k
+    batches) — it rewrites history while a live batch may be appending
+    its own new ``batch_id=N``, which compaction never touches (ids >
+    the observed high-water are excluded), but two compactors racing
+    the same dataset would double-delete.
+
+    Returns stats: ``{"generations_before", "files_before",
+    "generation", "rows", "files_after"}``; a no-op (0 or 1 existing
+    generation) returns early with ``generation=None``.
+    """
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    root = jvm.org.apache.hadoop.fs.Path(index_dir)
+    fs = root.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return {"generations_before": 0, "files_before": 0,
+                "generation": None, "rows": 0, "files_after": 0}
+
+    def _gen_ids():
+        ids = []
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if name.startswith("batch_id="):
+                ids.append(int(name.split("=", 1)[1]))
+        return ids
+
+    def _count_files():
+        n = 0
+        it = fs.listFiles(root, True)
+        while it.hasNext():
+            f = it.next()
+            if not f.getPath().getName().startswith((".", "_")):
+                n += 1
+        return n
+
+    ids = _gen_ids()
+    files_before = _count_files()
+    if len(ids) <= 1:
+        return {"generations_before": len(ids),
+                "files_before": files_before, "generation": None,
+                "rows": 0, "files_after": files_before}
+    live = [i for i in ids if i >= 0]
+    target = -(max(live) + 1) if live else min(ids)
+    sources = [i for i in ids if i != target]
+
+    df = spark.read.parquet(index_dir)
+    merged = df.filter(
+        F.col("batch_id").isin(sources)
+    ).drop("batch_id").dropDuplicates()
+    out = os.path.join(index_dir, f"batch_id={target}")
+    if "pbucket" in merged.columns:
+        merged.repartition("pbucket").write.mode("overwrite").partitionBy(
+            "pbucket"
+        ).parquet(out)
+    else:
+        merged.coalesce(1).write.mode("overwrite").parquet(out)
+    rows = spark.read.parquet(out).count()
+    for i in sources:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(
+                os.path.join(index_dir, f"batch_id={i}")
+            ),
+            True,
+        )
+    return {"generations_before": len(ids), "files_before": files_before,
+            "generation": target, "rows": rows,
+            "files_after": _count_files()}
+
+
+def compact_ingest_indexes(spark: SparkSession, index_path: str) -> dict:
+    """Compact every index dataset under an ingest's ``index_path``:
+    the known sub-datasets (``bands``/``sigs`` — MinHash ingest;
+    ``buckets``/``vecs`` — embedding ingest) when present, else the
+    path itself (exact ingest). Returns {dataset: compact_index stats}.
+    """
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    root = jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = root.getFileSystem(sc._jsc.hadoopConfiguration())
+    subs = []
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if name in ("bands", "sigs", "buckets", "vecs"):
+                subs.append(name)
+    if not subs:
+        return {".": compact_index(spark, index_path)}
+    return {
+        s: compact_index(spark, os.path.join(index_path, s)) for s in subs
+    }

@@ -373,14 +373,14 @@ def q_filtered_agg(spark, sf_dir):
         events.where(F.col("value") > 100.0)
         .groupBy("event_type")
         .agg(
-            F.round(F.avg("value"), 4).alias("avg_high_value"),
+            _stable_round_avg("value", 4).alias("avg_high_value"),
             F.count(F.lit(1)).alias("cnt"),
         )
     )
 
 
-SQL_FILTERED_AGG = """
-SELECT event_type, round(avg(value), 4) AS avg_high_value,
+SQL_FILTERED_AGG = f"""
+SELECT event_type, {_sql_stable_round_avg("value", 4)} AS avg_high_value,
        CAST(count(*) AS BIGINT) AS cnt
 FROM events WHERE value > 100.0 GROUP BY 1
 """
@@ -786,9 +786,20 @@ def q_moving_avg_revenue(spark, sf_dir):
         .agg(F.round(F.sum("o_totalprice"), 2).alias("day_revenue"))
     )
     w = Window.orderBy("order_day").rowsBetween(-6, 0)
+    # the windowed twin of _stable_round_avg: day_revenue is 2dp-grained
+    # (round(sum, 2) of 2dp sources is exact — the true sum sits ON the
+    # grid), so the frame's decimal sum is exact/order-independent and
+    # the floor form rounds the lone double division identically on both
+    # engines (avg of up-to-7 grid values is NOT itself on a grid)
     return daily.select(
         "order_day", "day_revenue",
-        F.round(F.avg("day_revenue").over(w), 4).alias("ma7_revenue"),
+        (
+            F.floor(
+                F.sum(F.col("day_revenue").cast("decimal(18,2)")).over(w)
+                .cast("double")
+                / F.count(F.lit(1)).over(w) * F.lit(1e4) + F.lit(0.5)
+            ) / F.lit(1e4)
+        ).alias("ma7_revenue"),
     )
 
 
@@ -799,8 +810,13 @@ WITH daily AS (
   FROM orders GROUP BY 1
 )
 SELECT order_day, day_revenue,
-       round(avg(day_revenue) OVER (ORDER BY order_day
-             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7_revenue
+       floor(CAST(sum(CAST(day_revenue AS DECIMAL(18,2)))
+                  OVER (ORDER BY order_day
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                  AS DOUBLE)
+             / count(*) OVER (ORDER BY order_day
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+             * 1e4 + 0.5e0) / 1e4 AS ma7_revenue
 FROM daily
 """
 
@@ -973,12 +989,12 @@ def q_lineitem_unpivot(spark, sf_dir):
         valueColumnName="value",
     )
     return melted.groupBy("metric").agg(
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        _stable_round_avg("value", 4, "decimal(18,2)").alias("avg_value"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
 
-SQL_LINEITEM_UNPIVOT = """
+SQL_LINEITEM_UNPIVOT = f"""
 WITH melted AS (
   SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
   UNION ALL
@@ -986,7 +1002,8 @@ WITH melted AS (
   UNION ALL
   SELECT 'l_discount', l_discount FROM lineitem
 )
-SELECT metric, round(avg(value), 4) AS avg_value,
+SELECT metric, {_sql_stable_round_avg("value", 4, "DECIMAL(18,2)")}
+           AS avg_value,
        CAST(count(*) AS BIGINT) AS n_rows
 FROM melted GROUP BY metric
 """
@@ -1005,12 +1022,24 @@ def q_small_quantity_revenue(spark, sf_dir):
     return (
         li.join(F.broadcast(part_avg), "l_partkey")
         .where(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        # decimal sum (exact, order-independent) then ONE double /7.0
+        # division rounded with the stable floor form: /7 pushes the
+        # result off the 2dp grid, so a native round of an
+        # order-dependent double sum is fragile both ways
+        .agg(
+            (
+                F.floor(
+                    F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                    .cast("double") / F.lit(7.0) * F.lit(1e2) + F.lit(0.5)
+                ) / F.lit(1e2)
+            ).alias("avg_yearly")
+        )
     )
 
 
 SQL_SMALL_QUANTITY_REVENUE = """
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0e0 * 1e2 + 0.5e0) / 1e2 AS avg_yearly
 FROM lineitem l
 WHERE l_quantity < (
   SELECT 0.2 * avg(l_quantity) FROM lineitem WHERE l_partkey = l.l_partkey
@@ -1897,11 +1926,24 @@ def q_label_centroids(spark, sf_dir):
     array_agg reassembles dim values per label. Returns a digest of the
     centroid (md5 of rounded values) so the compare stays compact."""
     emb = _t(spark, sf_dir, "embeddings")
+    # quantize each float32 component to the 1e-6 grid BEFORE averaging
+    # (float->double widening and the multiply/floor are exact IEEE ops,
+    # identical on both engines), then sum exact BIGINTs — the avg is
+    # order-independent by construction, unlike a double sum whose
+    # partial-agg order differs between engines. The centroid is thus
+    # the mean of 1e-6-quantized components, rounded to 6dp with the
+    # explicit floor form — a well-defined, engine-stable statistic.
+    xq = F.floor(F.col("x").cast("double") * F.lit(1e6) + F.lit(0.5))
     return (
         emb.select("label", F.posexplode("embedding").alias("pos", "x"))
         .groupBy("label", "pos")
         .agg(
-            F.round(F.avg("x"), 6).alias("c"),
+            (
+                F.floor(
+                    F.sum(xq).cast("double") / F.count(F.lit(1))
+                    + F.lit(0.5)
+                ) / F.lit(1e6)
+            ).alias("c"),
             F.count(F.lit(1)).alias("n_vecs"),
         )
     )
@@ -1913,7 +1955,10 @@ WITH pos AS (
   FROM embeddings
 )
 SELECT label, CAST(pos AS INTEGER) AS pos,
-       round(avg(emb[CAST(pos AS INTEGER) + 1]), 6) AS c,
+       floor(CAST(sum(CAST(floor(
+                 CAST(emb[CAST(pos AS INTEGER) + 1] AS DOUBLE)
+                 * 1e6 + 0.5e0) AS BIGINT)) AS DOUBLE)
+             / count(*) + 0.5e0) / 1e6 AS c,
        CAST(count(*) AS BIGINT) AS n_vecs
 FROM pos GROUP BY label, pos
 """
@@ -2926,7 +2971,14 @@ def q_token_rarity(spark, sf_dir):
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg("bucket"), 4).alias("avg_commonness"),
+            # bucket is a small int: the sum is exact on both engines,
+            # so only the quotient's rounding needs the stable floor form
+            (
+                F.floor(
+                    F.sum("bucket").cast("double") / F.count(F.lit(1))
+                    * F.lit(1e4) + F.lit(0.5)
+                ) / F.lit(1e4)
+            ).alias("avg_commonness"),
             F.min("bucket").alias("min_commonness"),
         )
     )
@@ -2941,7 +2993,8 @@ WITH tok AS (
   FROM tok GROUP BY token
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       round(avg(bucket), 4) AS avg_commonness,
+       floor(CAST(sum(bucket) AS DOUBLE) / count(*) * 1e4 + 0.5e0) / 1e4
+           AS avg_commonness,
        CAST(min(bucket) AS INT) AS min_commonness
 FROM tok JOIN freq USING (token)
 GROUP BY doc_id
@@ -4110,7 +4163,8 @@ big AS (SELECT h, w, count(*) AS c_hw FROM ev GROUP BY h, w),
 uni AS (SELECT h, CAST(sum(c_hw) AS BIGINT) AS c_h FROM big GROUP BY h),
 v AS (SELECT count(DISTINCT w) AS vs FROM big)
 SELECT e.doc_id,
-       round(avg(log2((b.c_hw + 0.5) / (u.c_h + 0.5 * (v.vs + 1)))), 4)
+       floor(avg(log2((b.c_hw + 0.5) / (u.c_h + 0.5 * (v.vs + 1))))
+             * 1e4 + 0.5e0) / 1e4
          AS avg_logprob,
        CAST(count(*) AS BIGINT) AS n_tokens
 FROM ev e
@@ -4900,10 +4954,252 @@ WITH t AS (
   FROM s
 )
 SELECT doc_id, quality_score
-FROM q
+FROM q, LATERAL (
+  -- the keep probability (2 - s)^-9 as the EXPLICIT square-and-multiply
+  -- tree 1 / (t * ((t2*t2) * (t2*t2))^... ) that
+  -- operators/sampling.py::_pow_posint builds: native pow() is only
+  -- 1-ulp-accurate per engine, and a last-ulp disagreement at a keep
+  -- boundary flips the keep SET; fixed IEEE multiply trees evaluate
+  -- bit-identically on both engines
+  SELECT 2.0e0 - least(greatest(quality_score, 0.0e0), 1.0e0) AS t
+) lt, LATERAL (SELECT lt.t * lt.t AS t2) l2,
+LATERAL (SELECT l2.t2 * l2.t2 AS t4) l4,
+LATERAL (SELECT l4.t4 * l4.t4 AS t8) l8
 WHERE (CAST((md5_number_lower(CAST(doc_id AS VARCHAR) || ':pareto')
              & 9223372036854775807) % 1000000 AS BIGINT) / 1000000.0)
-      < pow(2.0 - least(greatest(quality_score, 0.0), 1.0), -9.0)
+      < 1.0e0 / (lt.t * l8.t8)
+"""
+
+
+def q_dsir_resample(spark, sf_dir):
+    """DSIR end-to-end (operators/dsir.py; Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): fit
+    hashed-n-gram bag models on a deterministic target slice
+    (doc_id % 50 == 0 — the decontamination queries' eval-split
+    convention) vs the full raw corpus, weigh every raw doc by its
+    summed log2 bucket ratio, then draw 200 docs without replacement
+    with P ∝ exp2(logw) via the deterministic Gumbel top-k. The oracle
+    replays the ENTIRE pipeline in SQL — gram bucketing through the
+    portable md5 family, the add-k ratio table, the per-doc weight sum
+    (stable floor-round), the Gumbel noise from the same hash inverse-
+    CDF, and the top-200 cut. ``gumbel_key`` stays internal (its raw
+    double carries engine log() ulps); the selected SET is compared.
+
+    Scale shape: one aggregation pass per corpus to fit (the model is a
+    ≤B-row relation), one broadcast join + hash agg to weigh, and the
+    draw is TakeOrderedAndProject — per-partition top-k, never a global
+    sort. Ordering ties in ``logw + gumbel`` across engines require
+    bit-equal doubles (then doc_id breaks them deterministically);
+    near-ties within the engines' 1-ulp log() disagreement (~1e-15) are
+    the same accepted risk class as the LM queries' double sums."""
+    from my_feast_spark.operators.dsir import (
+        dsir_logweights,
+        dsir_resample,
+        fit_dsir,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("doc_id") % 50 == 0)
+    model = fit_dsir(target, docs, "text", num_buckets=10_000, k=0.5)
+    weighted = dsir_logweights(docs, "doc_id", "text", model)
+    out = dsir_resample(weighted, "doc_id", 200, salt="dsir").select(
+        "doc_id", "logw", "n_grams"
+    )
+    out._owned_caches = list(model.ratio._owned_caches)
+    return out
+
+
+SQL_DSIR_RESAMPLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     w -> w <> '') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id, unnest(toks) AS gram FROM t
+  UNION ALL
+  SELECT doc_id, toks[CAST(i AS INTEGER) - 1] || ' '
+                 || toks[CAST(i AS INTEGER)] AS gram
+  FROM t, unnest(range(2, len(toks) + 1)) AS r(i)
+  WHERE len(toks) >= 2
+), ev AS (
+  SELECT doc_id,
+         CAST((md5_number_lower(gram) & 9223372036854775807) % 10000
+              AS INTEGER) AS bucket
+  FROM grams
+), tc AS (
+  SELECT bucket, count(*) AS ct FROM ev WHERE doc_id % 50 = 0
+  GROUP BY bucket
+), rc AS (
+  SELECT bucket, count(*) AS cr FROM ev GROUP BY bucket
+), tots AS (
+  SELECT (SELECT sum(ct) FROM tc) AS tt, (SELECT sum(cr) FROM rc) AS tr
+), ratio AS (
+  -- target grams are a subset of raw grams (the target IS a corpus
+  -- slice), so rc's bucket set covers tc's and the full-outer join of
+  -- fit_dsir degenerates to this left join; add-k smooths over the
+  -- FIXED 10000-bucket space
+  SELECT rc.bucket,
+         log2((COALESCE(tc.ct, 0) + 0.5e0) / (tt + 0.5e0 * 10000))
+         - log2((rc.cr + 0.5e0) / (tr + 0.5e0 * 10000)) AS lr
+  FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tots
+), w AS (
+  SELECT e.doc_id,
+         floor(sum(r.lr) * 1e6 + 0.5e0) / 1e6 AS logw,
+         CAST(count(*) AS BIGINT) AS n_grams
+  FROM ev e JOIN ratio r USING (bucket)
+  GROUP BY e.doc_id
+), wall AS (
+  -- gram-less docs (empty/NULL text) weigh exactly 0 with 0 grams,
+  -- matching dsir_logweights' explode_outer
+  SELECT d.doc_id, COALESCE(w.logw, 0.0e0) AS logw,
+         COALESCE(w.n_grams, 0) AS n_grams
+  FROM documents d LEFT JOIN w USING (doc_id)
+), sel AS (
+  SELECT doc_id, logw, n_grams,
+         logw + (-ln(-ln(
+             (CAST((md5_number_lower(CAST(doc_id AS VARCHAR) || ':dsir')
+                    & 9223372036854775807) % 1000000 AS BIGINT)
+              + 0.5e0) / 1000000.0e0))
+           / 0.6931471805599453e0) AS gk
+  FROM wall
+)
+SELECT doc_id, logw, CAST(n_grams AS BIGINT) AS n_grams
+FROM sel ORDER BY gk DESC, doc_id LIMIT 200
+"""
+
+
+def q_url_domain_curation(spark, sf_dir):
+    """URL/domain-level curation — the pre-tokenization front door every
+    crawl pipeline runs first (C4, RefinedWeb, Gopher): canonicalize the
+    URL (functions/urls.py — lowercase scheme/host, strip one www.,
+    drop default ports / tracking params / fragments, sort surviving
+    params, normalize the path), extract host + registered domain
+    (eTLD+1 against a public-suffix subset), drop blocklisted domains
+    (broadcast anti-join), and cap each domain's contribution at 15
+    docs (operators/urls.py::domain_quota — salted two-phase top-n, no
+    per-domain window sort). The documents table carries no URL column,
+    so the query derives a deterministic synthetic URL per doc from
+    (source, doc_id) with BOTH engines building the identical string —
+    mixed-case scheme/host, optional www., a multi-label suffix, default
+    and non-default ports, trailing slashes, tracking params, and
+    fragments all exercised. Map-only until the quota's two hash
+    aggregates; everything is pure expressions (RE2-safe regexes)."""
+    from my_feast_spark.functions.urls import (
+        registered_domain,
+        url_canonicalize,
+        url_host,
+    )
+    from my_feast_spark.operators.urls import blocklist_filter, domain_quota
+
+    d = F.col("doc_id")
+
+    def _part(mod, *arms, default=""):
+        e = F.when(d % mod == 0, F.lit(arms[0]))
+        for i, a in enumerate(arms[1:], start=1):
+            e = e.when(d % mod == i, F.lit(a))
+        return e.otherwise(F.lit(default))
+
+    raw_url = F.concat(
+        _part(2, "HTTPS", default="http"), F.lit("://"),
+        _part(4, "WWW."),
+        F.col("source"), F.lit("-Example"),
+        _part(3, ".CO.UK", default=".com"),
+        _part(5, ":443", ":8080"),
+        F.lit("/Docs/"), (d % 7).cast("string"),
+        _part(7, "/"),
+        F.lit("?"),
+        _part(2, "utm_source=feed&"),
+        F.lit("b="), (d % 11).cast("string"),
+        F.lit("&a="), (d % 13).cast("string"),
+        F.lit("&utm_campaign=x"),
+        _part(5, "#frag"),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    canon = docs.select(
+        "doc_id",
+        url_canonicalize(raw_url).alias("url_canon"),
+        url_host(raw_url).alias("host"),
+    ).withColumn("reg_domain", registered_domain(F.col("host")))
+    allowed = blocklist_filter(
+        canon, "reg_domain",
+        ["src7-example.com", "src7-example.co.uk", "src11-example.com"],
+    )
+    return domain_quota(allowed, "reg_domain", ["doc_id"], 15).select(
+        "doc_id", "url_canon", "host", "reg_domain"
+    )
+
+
+SQL_URL_DOMAIN_CURATION = r"""
+WITH raw AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://'
+    || (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END)
+    || source || '-Example'
+    || (CASE WHEN doc_id % 3 = 0 THEN '.CO.UK' ELSE '.com' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN ':443'
+             WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END)
+    || '/Docs/' || CAST(doc_id % 7 AS VARCHAR)
+    || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+    || '?'
+    || (CASE WHEN doc_id % 2 = 0 THEN 'utm_source=feed&' ELSE '' END)
+    || 'b=' || CAST(doc_id % 11 AS VARCHAR)
+    || '&a=' || CAST(doc_id % 13 AS VARCHAR)
+    || '&utm_campaign=x'
+    || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+        AS raw_path,
+    regexp_extract(url, '^[^#]*\?([^#]*)', 1) AS q
+  FROM raw
+), comp AS (
+  SELECT doc_id, scheme,
+    regexp_replace(lower(regexp_extract(auth, '^([^:]*)', 1)),
+                   '^www\.', '') AS host,
+    regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+    CASE WHEN raw_path = '' THEN '/'
+         ELSE regexp_replace(raw_path, '(.)/$', '\1') END AS path,
+    array_to_string(list_sort(list_filter(string_split(q, '&'),
+        p -> p <> '' AND NOT starts_with(p, 'utm_')
+             AND NOT starts_with(p, 'fbclid=')
+             AND NOT starts_with(p, 'gclid=')
+             AND NOT starts_with(p, 'ref='))), '&') AS qs
+  FROM parts
+), canon AS (
+  SELECT doc_id, host,
+    scheme || '://' || host
+    || (CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+                  OR (scheme = 'http' AND port = '80') THEN ''
+             ELSE ':' || port END)
+    || path
+    || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS url_canon,
+    CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+         WHEN list_contains(
+             ['co.uk','org.uk','ac.uk','co.jp','com.au','com.br','co.in',
+              'com.cn','co.kr','com.mx'],
+             string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1])
+         THEN string_split(host, '.')[-3] || '.'
+              || string_split(host, '.')[-2] || '.'
+              || string_split(host, '.')[-1]
+         ELSE string_split(host, '.')[-2] || '.'
+              || string_split(host, '.')[-1] END AS reg_domain
+  FROM comp
+), passed AS (
+  SELECT * FROM canon
+  WHERE reg_domain NOT IN
+      ('src7-example.com', 'src7-example.co.uk', 'src11-example.com')
+), ranked AS (
+  -- the oracle replays domain_quota's salted two-phase top-n with the
+  -- semantically-identical window form (top-n of a total order)
+  SELECT doc_id, url_canon, host, reg_domain,
+         row_number() OVER (PARTITION BY reg_domain ORDER BY doc_id) AS rn
+  FROM passed
+)
+SELECT doc_id, url_canon, host, reg_domain FROM ranked WHERE rn <= 15
 """
 
 
@@ -5137,17 +5433,22 @@ WITH t AS (
          string_split_regex(trim(lower(text)), '\\s+') AS toks
   FROM documents
 ), m AS (
+  -- floor-round form + DISTINCT stopword presence: the exact twins of
+  -- functions/text.py::gopher_features_arr (see floor_round's contract)
   SELECT doc_id,
          CAST(len(toks) AS BIGINT) AS n_words,
-         round(list_sum(list_transform(toks, w -> len(w)))
-               / CAST(greatest(len(toks), 1) AS DOUBLE), 4) AS mean_word_len,
-         round(((length(text) - length(replace(text, '#', '')))
+         floor(list_sum(list_transform(toks, w -> len(w)))
+               / CAST(greatest(len(toks), 1) AS DOUBLE)
+               * 1e4 + 0.5e0) / 1e4 AS mean_word_len,
+         floor(((length(text) - length(replace(text, '#', '')))
                 + (length(text) - length(replace(text, '...', ''))) / 3)
-               / CAST(greatest(len(toks), 1) AS DOUBLE), 4) AS symbol_ratio,
-         round(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
-               / CAST(greatest(len(toks), 1) AS DOUBLE), 4) AS alpha_frac,
-         CAST(len(list_filter(toks, w -> list_contains(
-             ['the', 'a', 'and', 'of', 'to', 'in', 'is'], w)))
+               / CAST(greatest(len(toks), 1) AS DOUBLE)
+               * 1e4 + 0.5e0) / 1e4 AS symbol_ratio,
+         floor(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+               / CAST(greatest(len(toks), 1) AS DOUBLE)
+               * 1e4 + 0.5e0) / 1e4 AS alpha_frac,
+         CAST(len(list_intersect(toks,
+             ['the', 'a', 'and', 'of', 'to', 'in', 'is']))
              AS BIGINT) AS stop_hits
   FROM t
 )
@@ -5329,7 +5630,8 @@ uni AS (SELECT h, CAST(sum(c_hw) AS BIGINT) AS c_h FROM big GROUP BY h),
 v AS (SELECT count(DISTINCT w) AS vs FROM big),
 scored AS (
   SELECT e.doc_id,
-         round(avg(log2((b.c_hw + 0.5) / (u.c_h + 0.5 * (v.vs + 1)))), 4)
+         floor(avg(log2((b.c_hw + 0.5) / (u.c_h + 0.5 * (v.vs + 1))))
+               * 1e4 + 0.5e0) / 1e4
            AS avg_logprob
   FROM ev e
   JOIN big b USING (h, w)
@@ -5631,10 +5933,10 @@ uni AS (
 cont AS (SELECT w, count(*) AS n1_w FROM big GROUP BY w),
 nall AS (SELECT CAST(count(*) AS DOUBLE) AS n1_all FROM big)
 SELECT e.doc_id,
-       round(avg(log2(greatest(
+       floor(avg(log2(greatest(
            (greatest(b.c_hw - 0.75, 0.0)
             + 0.75 * u.n1_h * c.n1_w / n.n1_all) / u.c_h,
-           1e-12))), 4) AS avg_logprob,
+           1e-12))) * 1e4 + 0.5e0) / 1e4 AS avg_logprob,
        CAST(count(*) AS BIGINT) AS n_tokens
 FROM ev e
 JOIN big b USING (h, w)
@@ -5661,22 +5963,24 @@ GROUP BY e.doc_id
 #      window every round so nothing goes two consecutive rounds without
 #      a fresh CORRECTNESS row, and a query that is NEW this round or
 #      whose BEHAVIOR changed (any change that can alter its output at
-#      any sf) is always in-window. Round 8: the surviving r7-tail
-#      queries (last adjudicated round 6) are back in, plus the TEN
-#      round-8 NEW queries (score_weighted_sample, audio_dedup,
-#      video_dedup, gopher_quality_filter, chunk_dedup, cdc_chunk_dedup,
-#      ccnet_buckets, streaming_embedding_ingest, lsh_recall,
-#      lm_perplexity_kn); the r7-adjudicated window queries sit the
-#      tail out one round. cdc_chunk_dedup's window slot is funded by
-#      retiring promo_revenue from the rotating-in set (rationale in
-#      the RETIRED block below). Three tail entries took NON-behavioral changes in round
-#      8 and keep their tail slot with their r7 rows —
-#      curation_pipeline_full (docstring only: the NB evidence-cut rule
-#      worded to match the implementation, per the r7 ADVICE),
-#      stream_capture_files and streaming_neardup_ingest (scratch-dir
-#      lifecycle only: tempdirs now registered for atexit cleanup, same
-#      paths and outputs) — outputs bit-identical, pinned every run by
-#      tests/test_oracle_parity.py.
+#      any sf) is always in-window. Round 9: the r8 tail (last
+#      adjudicated round 7) is back in-window, MINUS seven retirements
+#      that fund the round's new/changed slots (rationale in the
+#      RETIRED block); the r8-adjudicated window queries sit the tail
+#      out. In-window besides the flagship five: the TWO round-9 NEW
+#      queries (dsir_resample, url_domain_curation) and the FIVE
+#      queries whose behavior changed in round 9 — gopher_quality_filter
+#      (ratio measures to the stable floor-round form + DISTINCT
+#      stopword hits per Rae et al. A1.1), score_weighted_sample (the
+#      keep probability's pow() replaced by an engine-stable explicit
+#      multiply tree), and lm_perplexity / lm_perplexity_kn /
+#      ccnet_buckets (round(avg(log2 ...)) to the floor-round form on
+#      both engines). The rotating-in set's own latent
+#      round(avg(double)) sites (moving_avg_revenue, token_rarity,
+#      label_centroids, lineitem_unpivot, and the decorrelated /7
+#      division in the retiring small_quantity_revenue) migrated to the
+#      stable forms in the same rotation commit — they re-adjudicate
+#      anyway, so the behavior change costs no extra slot.
 #   5. RETIRED: the registry budget is ~100 driver-adjudicated queries;
 #      retired entries are near-duplicates of in-registry coverage
 #      (their operators stay covered by other queries) that keep their
@@ -5697,29 +6001,82 @@ QUERIES: dict[str, tuple] = {
     "hourly_user_agg": (q_hourly_user_agg, SQL_HOURLY_USER_AGG),
     "hourly_global_agg": (q_hourly_global_agg, SQL_HOURLY_GLOBAL_AGG),
     "event_types_salted": (q_event_types_salted, SQL_EVENT_TYPES_SALTED),
-    # --- NEW in round 8 ----------------------------------------------------
-    "score_weighted_sample": (
-        q_score_weighted_sample, SQL_SCORE_WEIGHTED_SAMPLE,
+    # --- NEW in round 9 ----------------------------------------------------
+    "dsir_resample": (q_dsir_resample, SQL_DSIR_RESAMPLE),
+    "url_domain_curation": (
+        q_url_domain_curation, SQL_URL_DOMAIN_CURATION,
     ),
-    "audio_dedup": (q_audio_dedup, SQL_AUDIO_DEDUP),
-    "video_dedup": (q_video_dedup, SQL_VIDEO_DEDUP),
+    # --- BEHAVIOR changed in round 9 (stay in-window; see the rotation
+    # policy above for the per-query change) --------------------------------
     "gopher_quality_filter": (
         q_gopher_quality_filter, SQL_GOPHER_QUALITY_FILTER,
     ),
+    "score_weighted_sample": (
+        q_score_weighted_sample, SQL_SCORE_WEIGHTED_SAMPLE,
+    ),
+    "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
+    "lm_perplexity_kn": (q_lm_perplexity_kn, SQL_LM_PERPLEXITY_KN),
+    "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
+    # --- rotated IN for round 9 (last adjudicated round 7) ----------------
+    "curation_pipeline_full": (
+        q_curation_pipeline_full, SQL_CURATION_PIPELINE_FULL,
+    ),
+    "ivfpq_topk": (q_ivfpq_topk, SQL_IVFPQ_TOPK),
+    "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
+    "image_dedup": (q_image_dedup, SQL_IMAGE_DEDUP),
+    "streaming_neardup_ingest": (
+        q_streaming_neardup_ingest, SQL_STREAMING_NEARDUP_INGEST,
+    ),
+    "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
+    "minhash_dup_pairs": (q_minhash_dup_pairs, SQL_MINHASH_DUP_PAIRS),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "packed_sequences": (q_packed_sequences, SQL_PACKED_SEQUENCES),
+    "mixture_temperature": (q_mixture_temperature, SQL_MIXTURE_TEMPERATURE),
+    "token_rarity": (q_token_rarity, SQL_TOKEN_RARITY),
+    "boilerplate_ngrams": (q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS),
+    "global_shuffle": (q_global_shuffle, SQL_GLOBAL_SHUFFLE),
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+    "column_profile": (q_column_profile, SQL_COLUMN_PROFILE),
+    "cluster_keep_longest": (q_cluster_keep_longest, SQL_CLUSTER_KEEP_LONGEST),
+    "stratum_ksample": (q_stratum_ksample, SQL_STRATUM_KSAMPLE),
+    "profile_drift": (q_profile_drift, SQL_PROFILE_DRIFT),
+    "token_pmi": (q_token_pmi, SQL_TOKEN_PMI),
+    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
+    "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
+    "jaccard_dup_pairs": (q_jaccard_dup_pairs, SQL_JACCARD_DUP_PAIRS),
+    "online_snapshot": (q_online_snapshot, SQL_ONLINE_SNAPSHOT),
+    "contamination_report": (q_contamination_report, SQL_CONTAMINATION_REPORT),
+    "avro_scan": (q_avro_scan, SQL_AVRO_SCAN),
+    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
+    "stream_capture_files": (q_stream_capture_files, SQL_STREAM_CAPTURE_FILES),
+    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+    "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
+    "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
+    "top_terms_tfidf": (q_top_terms_tfidf, SQL_TOP_TERMS_TFIDF),
+    "user_cohort_sets": (q_user_cohort_sets, SQL_USER_COHORT_SETS),
+    "moving_avg_revenue": (q_moving_avg_revenue, SQL_MOVING_AVG_REVENUE),
+    "event_type_pivot": (q_event_type_pivot, SQL_EVENT_TYPE_PIVOT),
+    "post_signup_activity": (q_post_signup_activity, SQL_POST_SIGNUP_ACTIVITY),
+    "lineitem_unpivot": (q_lineitem_unpivot, SQL_LINEITEM_UNPIVOT),
+    "customer_balance_deciles": (
+        q_customer_balance_deciles, SQL_CUSTOMER_BALANCE_DECILES,
+    ),
+    # --- rotation tail for round 9 (all green in round 8; unchanged;
+    # still value-checked every run by tests/test_oracle_parity.py;
+    # back in-window round 10) ----------------------------------------------
+    "audio_dedup": (q_audio_dedup, SQL_AUDIO_DEDUP),
+    "video_dedup": (q_video_dedup, SQL_VIDEO_DEDUP),
     "chunk_dedup": (q_chunk_dedup, SQL_CHUNK_DEDUP),
     "cdc_chunk_dedup": (q_cdc_chunk_dedup, SQL_CDC_CHUNK_DEDUP),
-    "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
     "streaming_embedding_ingest": (
         q_streaming_embedding_ingest, SQL_STREAMING_EMBEDDING_INGEST,
     ),
     "lsh_recall": (q_lsh_recall, SQL_LSH_RECALL),
-    "lm_perplexity_kn": (q_lm_perplexity_kn, SQL_LM_PERPLEXITY_KN),
-    # --- rotated IN for round 8 (last adjudicated round 6) ----------------
     "scd2_user_state": (q_scd2_user_state, SQL_SCD2_USER_STATE),
     "bpe_merge_replay": (q_bpe_merge_replay, SQL_BPE_MERGE_REPLAY),
     "vocab_encode_join": (q_vocab_encode_join, SQL_VOCAB_ENCODE_JOIN),
     "span_removal": (q_span_removal, SQL_SPAN_REMOVAL),
-    "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "nb_quality_score": (q_nb_quality_score, SQL_NB_QUALITY_SCORE),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "pq_topk": (q_pq_topk, SQL_PQ_TOPK),
@@ -5758,64 +6115,6 @@ QUERIES: dict[str, tuple] = {
     "order_priority_count": (q_order_priority_count, SQL_ORDER_PRIORITY_COUNT),
     "top_spenders": (q_top_spenders, SQL_TOP_SPENDERS),
     "user_value_deltas": (q_user_value_deltas, SQL_USER_VALUE_DELTAS),
-    # --- rotation tail for round 8 (all green in round 7; unchanged, or
-    # non-behavioral changes documented above; still value-checked every
-    # run by tests/test_oracle_parity.py; back in-window round 9) ----------
-    "curation_pipeline_full": (
-        q_curation_pipeline_full, SQL_CURATION_PIPELINE_FULL,
-    ),
-    "ivfpq_topk": (q_ivfpq_topk, SQL_IVFPQ_TOPK),
-    "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
-    "image_dedup": (q_image_dedup, SQL_IMAGE_DEDUP),
-    "streaming_neardup_ingest": (
-        q_streaming_neardup_ingest, SQL_STREAMING_NEARDUP_INGEST,
-    ),
-    "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
-    "minhash_dup_pairs": (q_minhash_dup_pairs, SQL_MINHASH_DUP_PAIRS),
-    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
-    "packed_sequences": (q_packed_sequences, SQL_PACKED_SEQUENCES),
-    "mixture_temperature": (q_mixture_temperature, SQL_MIXTURE_TEMPERATURE),
-    "length_bucket_batches": (
-        q_length_bucket_batches, SQL_LENGTH_BUCKET_BATCHES,
-    ),
-    "token_rarity": (q_token_rarity, SQL_TOKEN_RARITY),
-    "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
-    "boilerplate_ngrams": (q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS),
-    "global_shuffle": (q_global_shuffle, SQL_GLOBAL_SHUFFLE),
-    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
-    "column_profile": (q_column_profile, SQL_COLUMN_PROFILE),
-    "cluster_keep_longest": (q_cluster_keep_longest, SQL_CLUSTER_KEEP_LONGEST),
-    "stratum_ksample": (q_stratum_ksample, SQL_STRATUM_KSAMPLE),
-    "profile_drift": (q_profile_drift, SQL_PROFILE_DRIFT),
-    "token_pmi": (q_token_pmi, SQL_TOKEN_PMI),
-    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
-    "doc_fingerprints": (q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
-    "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
-    "jaccard_dup_pairs": (q_jaccard_dup_pairs, SQL_JACCARD_DUP_PAIRS),
-    "online_snapshot": (q_online_snapshot, SQL_ONLINE_SNAPSHOT),
-    "contamination_report": (q_contamination_report, SQL_CONTAMINATION_REPORT),
-    "avro_scan": (q_avro_scan, SQL_AVRO_SCAN),
-    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
-    "stream_capture_files": (q_stream_capture_files, SQL_STREAM_CAPTURE_FILES),
-    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
-    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
-    "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
-    "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
-    "regex_mentions": (q_regex_mentions, SQL_REGEX_MENTIONS),
-    "top_terms_tfidf": (q_top_terms_tfidf, SQL_TOP_TERMS_TFIDF),
-    "user_cohort_sets": (q_user_cohort_sets, SQL_USER_COHORT_SETS),
-    "moving_avg_revenue": (q_moving_avg_revenue, SQL_MOVING_AVG_REVENUE),
-    "returnflag_cube": (q_returnflag_cube, SQL_RETURNFLAG_CUBE),
-    "small_quantity_revenue": (
-        q_small_quantity_revenue, SQL_SMALL_QUANTITY_REVENUE,
-    ),
-    "event_type_pivot": (q_event_type_pivot, SQL_EVENT_TYPE_PIVOT),
-    "post_signup_activity": (q_post_signup_activity, SQL_POST_SIGNUP_ACTIVITY),
-    "batch_sessions": (q_batch_sessions, SQL_BATCH_SESSIONS),
-    "lineitem_unpivot": (q_lineitem_unpivot, SQL_LINEITEM_UNPIVOT),
-    "customer_balance_deciles": (
-        q_customer_balance_deciles, SQL_CUSTOMER_BALANCE_DECILES,
-    ),
 }
 
 #: Retired from the driver registry (budget: ~100 adjudicated queries).
@@ -5876,6 +6175,40 @@ QUERIES: dict[str, tuple] = {
 #:                                (CASE-WHEN-inside-SUM conditional
 #:                                aggregation); retired to fund the
 #:                                round-8 cdc_chunk_dedup window slot
+#: round 9 (funding the dsir_resample + url_domain_curation slots and
+#: the five behavior-changed queries staying in-window):
+#:   doc_fingerprints          -> exact_dedup_docs (the same md5
+#:                                fingerprint projection, now driving
+#:                                the dedup decision) +
+#:                                incremental_dedup (the fingerprint
+#:                                index)
+#:   regex_mentions            -> pii_redaction (the same
+#:                                regexp_extract_all machinery, plus
+#:                                replacement) + lang_id (regex-driven
+#:                                classification)
+#:   bpe_pair_counts           -> bpe_merge_replay (round 0 of the
+#:                                replay IS this pair-count table) +
+#:                                corpus_vocab (the two-phase top-k
+#:                                count shape)
+#:   returnflag_cube           -> revenue_rollup (grouping sets +
+#:                                grouping_id, the same Expand-based
+#:                                plan) + event_type_pivot (fixed
+#:                                breakout conditional aggregation)
+#:   small_quantity_revenue    -> pricing_summary (lineitem
+#:                                filter-then-agg with decimal sums) +
+#:                                token_rarity / top_terms_tfidf (the
+#:                                decorrelated pre-agg + join-back
+#:                                shape)
+#:   batch_sessions            -> streaming_sessionize (the identical
+#:                                30-min-gap sessionization, stateful
+#:                                path) + user_value_deltas /
+#:                                post_signup_activity (lag window +
+#:                                banded-join machinery)
+#:   length_bucket_batches     -> packed_sequences (the same
+#:                                chunk/offset batching layout plus the
+#:                                order-sensitive digest) +
+#:                                customer_balance_deciles (rank-bucket
+#:                                assignment)
 #: Still value-checked against DuckDB every pytest run via
 #: tests/test_oracle_parity.py.
 RETIRED_QUERIES: dict[str, tuple] = {
@@ -5898,4 +6231,15 @@ RETIRED_QUERIES: dict[str, tuple] = {
     "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     "hash_sampled_docs": (q_hash_sampled_docs, SQL_HASH_SAMPLED_DOCS),
     "promo_revenue": (q_promo_revenue, SQL_PROMO_REVENUE),
+    "doc_fingerprints": (q_doc_fingerprints, SQL_DOC_FINGERPRINTS),
+    "regex_mentions": (q_regex_mentions, SQL_REGEX_MENTIONS),
+    "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
+    "returnflag_cube": (q_returnflag_cube, SQL_RETURNFLAG_CUBE),
+    "small_quantity_revenue": (
+        q_small_quantity_revenue, SQL_SMALL_QUANTITY_REVENUE,
+    ),
+    "batch_sessions": (q_batch_sessions, SQL_BATCH_SESSIONS),
+    "length_bucket_batches": (
+        q_length_bucket_batches, SQL_LENGTH_BUCKET_BATCHES,
+    ),
 }

@@ -14,7 +14,6 @@ import hashlib
 import math
 import random
 import re
-from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import Row, functions as F
 
@@ -184,9 +183,9 @@ def test_cdc_boundaries_resynchronize_after_a_prefix_edit(spark):
 
 
 def _hround(x: float, nd: int = 4) -> float:
-    return float(Decimal(repr(x)).quantize(
-        Decimal("1." + "0" * nd), rounding=ROUND_HALF_UP,
-    ))
+    # the stable floor form both engines evaluate now
+    # (functions.scalar.floor_round), not Spark's repr-based HALF_UP
+    return math.floor(x * 10**nd + 0.5) / 10**nd
 
 
 def _ref_gopher(text: str):
@@ -201,9 +200,11 @@ def _ref_gopher(text: str):
     alpha = _hround(
         sum(1 for w in toks if re.search("[a-z]", w)) / n
     )
-    stops = sum(
-        1 for w in toks
-        if w in ("the", "a", "and", "of", "to", "in", "is")
+    # DISTINCT stopword presence (Rae et al. A1.1's "at least 2 of
+    # the required words"), matching the round-9 array_intersect form
+    stops = len(
+        {w for w in toks}
+        & {"the", "a", "and", "of", "to", "in", "is"}
     )
     r = GOPHER_RULES
     passes = int(

@@ -112,3 +112,34 @@ def test_curate_gopher_rules_gate(spark):
     }
     assert gated == base & passing
     assert gated < base  # the gate actually drops something here
+
+
+def test_curate_dsir_resampling_stage(spark):
+    """cfg.dsir_n runs DSIR as the final selection: exactly dsir_n
+    survivors, a subset of the unsampled pipeline's survivors,
+    deterministic across runs, and the trainer's count-table cache is
+    released (the kept-id localCheckpoint is RDD-level pinning owned by
+    the returned plan, like drop_ids)."""
+    import pytest
+
+    from my_feast_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents")
+    target = docs.where("doc_id % 50 = 0")
+    cfg = CurationConfig(sample_rates=None, dsir_n=25,
+                         dsir_num_buckets=512)
+    spark.catalog.clearCache()
+    base = {r.doc_id for r in curate(docs, CurationConfig(
+        sample_rates=None)).collect()}
+    got1 = {r.doc_id for r in curate(
+        docs, cfg, dsir_target_df=target).collect()}
+    got2 = {r.doc_id for r in curate(
+        docs, cfg, dsir_target_df=target).collect()}
+    assert len(got1) == 25
+    assert got1 == got2, "the Gumbel draw must be deterministic"
+    assert got1 <= base, "resampling selects FROM the cleaned corpus"
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "the DSIR stage left persisted DataFrames behind"
+    )
+    with pytest.raises(ValueError):
+        curate(docs, cfg)  # dsir_n without dsir_target_df

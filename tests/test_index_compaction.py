@@ -1,0 +1,161 @@
+"""Streaming-ingest index compaction (streaming/ingest.compact_index):
+the maintenance op that keeps per-batch directory count — the one cost
+that grows with stream LIFETIME rather than corpus size — bounded."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row, functions as F
+
+from my_feast_spark.streaming.ingest import (
+    compact_index,
+    compact_ingest_indexes,
+    dedup_ingest_stream,
+)
+
+
+def _write_batch(spark, idx, batch_id, fps, pbuckets=4):
+    df = spark.createDataFrame([(f,) for f in fps], "fingerprint string")
+    (
+        df.withColumn("pbucket", F.pmod(F.xxhash64("fingerprint"),
+                                        F.lit(pbuckets)))
+        .repartition("pbucket")
+        .write.mode("overwrite")
+        .partitionBy("pbucket")
+        .parquet(os.path.join(idx, f"batch_id={batch_id}"))
+    )
+
+
+def _gens(idx):
+    return sorted(
+        n for n in os.listdir(idx) if n.startswith("batch_id=")
+    )
+
+
+def _file_count(idx):
+    n = 0
+    for root, _dirs, files in os.walk(idx):
+        n += sum(1 for f in files if not f.startswith((".", "_")))
+    return n
+
+
+def test_compaction_bounds_generations_over_twenty_batches(spark, tmp_path):
+    """The growth scenario the r8 verdict flagged: one batch_id=N dir
+    per micro-batch forever. Compacting every 5 batches keeps the
+    generation count (directory-listing cost) and file count FLAT
+    instead of linear in batches."""
+    idx = str(tmp_path / "idx")
+    all_fps = set()
+    gen_counts, file_counts = [], []
+    for b in range(20):
+        fps = {f"fp-{b}-{i}" for i in range(10)}
+        all_fps |= fps
+        _write_batch(spark, idx, b, fps)
+        if b % 5 == 4:
+            stats = compact_index(spark, idx)
+            assert stats["generation"] is not None
+            assert stats["files_after"] < stats["files_before"]
+        gen_counts.append(len(_gens(idx)))
+        file_counts.append(_file_count(idx))
+    # flat, not linear: never more generations than one compacted gen +
+    # the batches since the last compaction
+    assert max(gen_counts) <= 6
+    assert len(_gens(idx)) == 1
+    assert max(file_counts[-5:]) <= max(file_counts[:5]) + 16
+    # zero data loss, exact set semantics
+    got = {r.fingerprint for r in spark.read.parquet(idx).collect()}
+    assert got == all_fps
+    # pbucket pruning still works after compaction: a filtered read
+    # touches only the matching partition directories
+    one = spark.read.parquet(idx).where(F.col("pbucket") == 1)
+    assert {r.fingerprint for r in one.collect()} <= all_fps
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "pbucket" in plan
+
+
+def test_compaction_is_idempotent_and_noop_safe(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    # empty / missing dir: graceful no-op
+    stats = compact_index(spark, idx)
+    assert stats["generation"] is None and stats["generations_before"] == 0
+    _write_batch(spark, idx, 0, {"a", "b"})
+    # single generation: no-op
+    stats = compact_index(spark, idx)
+    assert stats["generation"] is None and stats["generations_before"] == 1
+    _write_batch(spark, idx, 1, {"b", "c"})
+    first = compact_index(spark, idx)
+    assert first["generation"] == -2
+    # same high-water again: nothing to merge (one generation)
+    again = compact_index(spark, idx)
+    assert again["generation"] is None
+    got = {r.fingerprint for r in spark.read.parquet(idx).collect()}
+    assert got == {"a", "b", "c"}
+
+
+def test_compaction_heals_interrupted_cycle(spark, tmp_path):
+    """Crash between the consolidated write and the source deletes
+    leaves the rows duplicated across generations — a re-run merges and
+    dedups them."""
+    idx = str(tmp_path / "idx")
+    _write_batch(spark, idx, 0, {"a", "b"})
+    _write_batch(spark, idx, 1, {"b", "c"})
+    # simulate the interrupted cycle: consolidated gen written, sources
+    # still present
+    merged = spark.read.parquet(idx).drop("batch_id").dropDuplicates()
+    merged.write.mode("overwrite").partitionBy("pbucket").parquet(
+        os.path.join(idx, "batch_id=-2")
+    )
+    assert len(_gens(idx)) == 3
+    healed = compact_index(spark, idx)
+    assert healed["generation"] == -2
+    assert len(_gens(idx)) == 1
+    rows = spark.read.parquet(idx).collect()
+    assert len(rows) == len({r.fingerprint for r in rows}) == 3
+
+
+def test_compacted_index_keeps_ingest_correct(spark, tmp_path):
+    """End-to-end: ingest -> compact -> ingest more; the compacted
+    generation still anti-joins re-crawled content away (the negative
+    generation id can never collide with a replaying batch's id)."""
+    in_dir = str(tmp_path / "incoming")
+    out = str(tmp_path / "corpus")
+    idx = str(tmp_path / "fp_index")
+    os.makedirs(in_dir)
+
+    ckpt = str(tmp_path / "ck")
+
+    def run():
+        # one shared checkpoint: batch ids keep increasing across runs
+        # (a fresh checkpoint would restart at 0 and overwrite)
+        sdf = spark.readStream.schema("doc_id long, text string").parquet(
+            in_dir
+        )
+        q = dedup_ingest_stream(
+            sdf, out_path=out, index_path=idx,
+            checkpoint=ckpt, available_now=True,
+            index_buckets=4,
+        )
+        assert q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta"), Row(doc_id=2, text="gamma")]
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+    spark.createDataFrame(
+        [Row(doc_id=3, text="delta"), Row(doc_id=4, text="epsilon")]
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+
+    stats = compact_ingest_indexes(spark, idx)
+    assert stats["."]["generation"] is not None
+
+    spark.createDataFrame(
+        [
+            Row(doc_id=10, text="alpha beta"),   # re-crawl: must drop
+            Row(doc_id=11, text="zeta"),          # new: must keep
+        ]
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2, 3, 4, 11}

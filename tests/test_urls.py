@@ -1,0 +1,133 @@
+"""URL canonicalization + domain-quota operators (functions/urls.py,
+operators/urls.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window, functions as F
+
+from my_feast_spark.functions.urls import (
+    registered_domain,
+    url_canonicalize,
+    url_host,
+    url_scheme,
+)
+from my_feast_spark.operators.urls import blocklist_filter, domain_quota
+
+CANON_CASES = [
+    # default https port dropped, host+scheme lowercased, www stripped
+    ("HTTPS://WWW.News.Example.COM:443/a/b?id=1", "https://news.example.com/a/b?id=1"),
+    # default http port dropped
+    ("http://x.com:80/", "http://x.com/"),
+    # non-default port kept; 443 on http is NOT default
+    ("http://x.com:443/a", "http://x.com:443/a"),
+    ("https://x.com:8080/a", "https://x.com:8080/a"),
+    # tracking params dropped, the rest sorted, fragment dropped
+    (
+        "https://x.com/p?utm_source=f&b=2&a=1&gclid=g&ref=r#frag",
+        "https://x.com/p?a=1&b=2",
+    ),
+    # all params tracking -> '?' dropped entirely
+    ("https://x.com/p?utm_a=1&utm_b=2", "https://x.com/p"),
+    # empty path -> '/', trailing slash on non-root dropped
+    ("https://x.com", "https://x.com/"),
+    ("https://x.com/a/", "https://x.com/a"),
+    ("https://x.com/", "https://x.com/"),
+    # not a URL -> ''
+    ("not a url", ""),
+    ("", ""),
+]
+
+
+def test_canonicalize_cases(spark):
+    df = spark.createDataFrame([(u,) for u, _ in CANON_CASES], "url string")
+    got = [
+        r["c"] for r in df.select(url_canonicalize(F.col("url")).alias("c")).collect()
+    ]
+    assert got == [want for _, want in CANON_CASES]
+
+
+def test_canonicalize_idempotent(spark):
+    df = spark.createDataFrame(
+        [(u,) for u, _ in CANON_CASES if "://" in u], "url string"
+    )
+    once = df.select(url_canonicalize(F.col("url")).alias("c"))
+    twice = once.select(url_canonicalize(F.col("c")).alias("c"))
+    assert [r["c"] for r in once.collect()] == [r["c"] for r in twice.collect()]
+
+
+def test_host_scheme_and_registered_domain(spark):
+    cases = [
+        ("https://WWW.a.B.co.uk/x", "a.b.co.uk", "b.co.uk", "https"),
+        ("http://sub.x.com:8080/", "sub.x.com", "x.com", "http"),
+        ("ftp://Single/x", "single", "single", "ftp"),
+        ("https://x.com/", "x.com", "x.com", "https"),
+    ]
+    df = spark.createDataFrame([(u,) for u, *_ in cases], "url string")
+    rows = df.select(
+        url_host(F.col("url")).alias("h"),
+        registered_domain(url_host(F.col("url"))).alias("d"),
+        url_scheme(F.col("url")).alias("s"),
+    ).collect()
+    for row, (_u, h, d, s) in zip(rows, cases):
+        assert (row["h"], row["d"], row["s"]) == (h, d, s)
+
+
+@pytest.fixture()
+def domain_rows(spark):
+    rows = [(f"d{i % 3}.com", i) for i in range(40)]
+    return spark.createDataFrame(rows, "dom string, k long")
+
+
+def test_domain_quota_matches_window_reference(spark, domain_rows):
+    for buckets in (1, 4, 32):
+        got = sorted(
+            (r["dom"], r["k"])
+            for r in domain_quota(
+                domain_rows, "dom", ["k"], 5, salt_buckets=buckets
+            ).collect()
+        )
+        w = Window.partitionBy("dom").orderBy("k")
+        want = sorted(
+            (r["dom"], r["k"])
+            for r in domain_rows.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 5)
+            .drop("rn")
+            .collect()
+        )
+        assert got == want, buckets
+
+
+def test_domain_quota_keeps_all_when_under_quota(spark, domain_rows):
+    got = domain_quota(domain_rows, "dom", ["k"], 100).count()
+    assert got == 40
+
+
+def test_domain_quota_rejects_bad_args(spark, domain_rows):
+    with pytest.raises(ValueError):
+        domain_quota(domain_rows, "dom", ["k"], 0)
+    with pytest.raises(ValueError):
+        domain_quota(domain_rows, "dom", ["k"], 5, salt_buckets=0)
+
+
+def test_domain_quota_plan_has_no_window(spark, domain_rows):
+    # the whole point of the salted two-phase top-n: never a per-domain
+    # row_number window (one hot domain would serialize into one task)
+    plan = domain_quota(domain_rows, "dom", ["k"], 5)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_blocklist_filter_list_and_frame(spark, domain_rows):
+    kept = blocklist_filter(domain_rows, "dom", ["d1.com"])
+    assert kept.count() == 27 and kept.where(F.col("dom") == "d1.com").count() == 0
+    frame = spark.createDataFrame([("d0.com",), ("d2.com",)], "dom string")
+    kept2 = blocklist_filter(domain_rows, "dom", frame)
+    assert {r["dom"] for r in kept2.select("dom").distinct().collect()} == {"d1.com"}
+
+
+def test_canonicalize_is_shuffle_free(spark):
+    df = spark.createDataFrame([("https://x.com/a?b=1",)], "url string")
+    plan = df.select(url_canonicalize(F.col("url")).alias("c"))._jdf\
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

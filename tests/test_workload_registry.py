@@ -11,73 +11,23 @@ from __future__ import annotations
 
 from my_feast_spark import workload
 
-# Round-8 rotation: the 43 r7-tail queries (last adjudicated round 6)
-# are back IN the window (plus tier 1 and the round-8 NEW entries); the
-# queries adjudicated green in round 7 sit in the tail this round and
-# return in round 9.
+# Round-9 rotation: the r8 tail (last adjudicated round 7) is back IN
+# the window (minus the seven round-9 retirements); the queries
+# adjudicated green in round 8 sit in the tail this round and return in
+# round 10.
 ROTATION_TAIL = {
-    # curation_pipeline_full's round-8 change is documentation only (the
-    # NB evidence-cut rule worded to match the implementation, per the
-    # r7 ADVICE) — output identical
-    "curation_pipeline_full",
-    "ivfpq_topk",
-    "normalize_text",
-    "image_dedup",
-    # stream_capture_files / streaming_neardup_ingest round-8 changes
-    # are scratch-dir lifecycle only (atexit cleanup of the tempdirs) —
-    # same staged inputs, identical outputs, pinned by
-    # tests/test_oracle_parity.py
-    "streaming_neardup_ingest",
-    "curation_pipeline",
-    "minhash_dup_pairs",
-    "dedup_clusters",
-    "packed_sequences",
-    "mixture_temperature",
-    "length_bucket_batches",
-    "token_rarity",
-    "bpe_pair_counts",
-    "boilerplate_ngrams",
-    "global_shuffle",
-    "incremental_dedup",
-    "column_profile",
-    "cluster_keep_longest",
-    "stratum_ksample",
-    "profile_drift",
-    "token_pmi",
-    "inverted_index",
-    "doc_fingerprints",
-    "exact_dedup_docs",
-    "jaccard_dup_pairs",
-    "online_snapshot",
-    "contamination_report",
-    "avro_scan",
-    "multimodal_frames",
-    "stream_capture_files",
-    "cosine_topk",
-    "ann_lsh_topk",
-    "label_centroids",
-    "multimodal_decode",
-    "regex_mentions",
-    "top_terms_tfidf",
-    "user_cohort_sets",
-    "moving_avg_revenue",
-    "returnflag_cube",
-    "small_quantity_revenue",
-    "event_type_pivot",
-    "post_signup_activity",
-    "batch_sessions",
-    "lineitem_unpivot",
-    "customer_balance_deciles",
-}
-
-#: last adjudicated in round 6 — round 8 MUST give them fresh rows
-#: (the rotation invariant: nothing sits out two consecutive rounds)
-ROTATED_IN = {
+    # adjudicated green as round-8 NEW queries; unchanged in round 9
+    "audio_dedup",
+    "video_dedup",
+    "chunk_dedup",
+    "cdc_chunk_dedup",
+    "streaming_embedding_ingest",
+    "lsh_recall",
+    # adjudicated green in round 8 (rotated in then); unchanged
     "scd2_user_state",
     "bpe_merge_replay",
     "vocab_encode_join",
     "span_removal",
-    "lm_perplexity",
     "nb_quality_score",
     "semdedup",
     "pq_topk",
@@ -110,52 +60,77 @@ ROTATED_IN = {
     "user_value_deltas",
 }
 
-#: new in round 8, or BEHAVIOR changed in round 8 — must be in-window
+#: last adjudicated in round 7 — round 9 MUST give them fresh rows
+#: (the rotation invariant: nothing sits out two consecutive rounds)
+ROTATED_IN = {
+    "curation_pipeline_full",
+    "ivfpq_topk",
+    "normalize_text",
+    "image_dedup",
+    "streaming_neardup_ingest",
+    "curation_pipeline",
+    "minhash_dup_pairs",
+    "dedup_clusters",
+    "packed_sequences",
+    "mixture_temperature",
+    "token_rarity",
+    "boilerplate_ngrams",
+    "global_shuffle",
+    "incremental_dedup",
+    "column_profile",
+    "cluster_keep_longest",
+    "stratum_ksample",
+    "profile_drift",
+    "token_pmi",
+    "inverted_index",
+    "exact_dedup_docs",
+    "jaccard_dup_pairs",
+    "online_snapshot",
+    "contamination_report",
+    "avro_scan",
+    "multimodal_frames",
+    "stream_capture_files",
+    "cosine_topk",
+    "ann_lsh_topk",
+    "label_centroids",
+    "multimodal_decode",
+    "top_terms_tfidf",
+    "user_cohort_sets",
+    "moving_avg_revenue",
+    "event_type_pivot",
+    "post_signup_activity",
+    "lineitem_unpivot",
+    "customer_balance_deciles",
+}
+
+#: new in round 9, or BEHAVIOR changed in round 9 — must be in-window
 #: so the change gets an adjudication row
 CHANGED_OR_NEW_THIS_ROUND = {
-    # new: the GPT-3 Pareto quality-weighted sampler, promoted
-    "score_weighted_sample",
-    # new: the perceptual audio dedup tier, promoted
-    "audio_dedup",
-    # new: the video (frame-set MinHash) dedup tier, promoted
-    "video_dedup",
-    # new: the Gopher rule-based quality gate
+    # new: DSIR importance resampling (fit + weigh + Gumbel top-k),
+    # promoted from test-only per the r8 verdict
+    "dsir_resample",
+    # new: URL canonicalization + registered domain + blocklist +
+    # per-domain quota — the crawl pipeline's pre-tokenization tier
+    "url_domain_curation",
+    # changed: ratio measures to the stable floor-round form (r8 ADVICE
+    # medium) and stop_hits now counts DISTINCT stopwords per Rae et
+    # al. A1.1 (r8 ADVICE low)
     "gopher_quality_filter",
-    # new: CCNet-style sub-document (chunk) exact dedup
-    "chunk_dedup",
-    # new: CCNet head/middle/tail perplexity terciles
-    "ccnet_buckets",
-    # new: streaming semantic (embedding-LSH) near-dup ingest, promoted
-    "streaming_embedding_ingest",
-    # new: the LSH recall audit, promoted
-    "lsh_recall",
-    # new: interpolated Kneser-Ney perplexity scoring
+    # changed: keep probability's Math.pow/libm pow replaced by an
+    # explicit IEEE multiply tree on both engines (r8 ADVICE low)
+    "score_weighted_sample",
+    # changed: round(avg(log2 ...)) to the floor-round form on both
+    # engines (r8 ADVICE low; sum-order noise stays the documented
+    # accepted risk at 4dp)
+    "lm_perplexity",
     "lm_perplexity_kn",
-    # new: content-defined (rolling-hash boundary) chunk dedup
-    "cdc_chunk_dedup",
-    # changed (also in ROTATED_IN): avg_value moved to the
-    # order-independent decimal-sum + floor-round form after the
-    # tri-scale parity sweep caught a 4dp boundary flip at sf0.1
-    "streaming_hourly_agg",
-    # changed: every remaining IN-WINDOW round(avg(double), dp) site
-    # moved to the same stable form (_stable_round_avg) — quotients of
-    # 2dp-grained sources can sit exactly on a .5 round boundary where
-    # the engines' native round() diverge by representation; fixed now
-    # while the queries are in-window so the migration costs no
-    # rotation slot. pricing_summary additionally moves its
-    # disc_price/charge sums to exact decimal arithmetic (4dp/6dp
-    # grains CAN hit .005 boundaries; plain 2dp sums of 2dp sources
-    # cannot and stay native). Tail queries with the same latent shape
-    # (moving_avg_revenue, token_rarity, label_centroids,
-    # lineitem_unpivot...) are deliberately NOT churned — a behavior
-    # change would force them in-window — and migrate when they rotate
-    # in anyway (round 9).
-    "pit_user_features",
-    "hourly_user_agg",
-    "hourly_global_agg",
-    "pricing_summary",
-    "part_brand_stats",
-    "feature_store_retrieval",
+    "ccnet_buckets",
+    # changed (also in ROTATED_IN — they re-adjudicate anyway): the
+    # tail's latent round(avg(double)) sites migrated to stable forms
+    "moving_avg_revenue",
+    "token_rarity",
+    "label_centroids",
+    "lineitem_unpivot",
 }
 
 #: retired from the driver registry — near-duplicates of in-registry
@@ -179,6 +154,14 @@ RETIRED_THIS_ROUND = {
     "quality_score",
     "length_outlier_filter",
     "promo_revenue",
+    # round 9 (successor rationale in workload.py's RETIRED block)
+    "doc_fingerprints",
+    "regex_mentions",
+    "bpe_pair_counts",
+    "returnflag_cube",
+    "small_quantity_revenue",
+    "batch_sessions",
+    "length_bucket_batches",
 }
 
 
