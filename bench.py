@@ -243,12 +243,22 @@ def main() -> None:
     )
     feat = hot.select("user_id", "ts", "value")
     probes = hot.select("user_id", F.col("ts").alias("probe_ts"), "event_id")
-    for name, strat in (("pit_skew_union_window", "union_window"),
-                        ("pit_skew_sliced_window", "sliced_window")):
-        timed(name, lambda strat=strat: counted(point_in_time_join(
+
+    def _pit_evaluated(strat):
+        # crc32-sum the ATTACHED feature: a bare count() lets Catalyst
+        # prune the as-of window (output row count never depends on the
+        # feature column) and the probe would time everything EXCEPT
+        # the window sort it exists to measure
+        out = point_in_time_join(
             probes, feat, ["user_id"],
             event_ts_col="ts", entity_ts_col="probe_ts", strategy=strat,
-        )))
+        )
+        out.agg(F.sum(F.crc32(F.col("value").cast("string")))).collect()
+        return out
+
+    for name, strat in (("pit_skew_union_window", "union_window"),
+                        ("pit_skew_sliced_window", "sliced_window")):
+        timed(name, lambda strat=strat: _pit_evaluated(strat))
 
     # Materialized-PIT probe: the same state lookup answered (a) at
     # query time by the as-of join over the raw event stream vs (b) by
@@ -271,17 +281,22 @@ def main() -> None:
         "user_id", F.col("ts").alias("probe_ts"),
         F.col("event_id").alias("probe_id"),
     )
-    timed("state_lookup_asof", lambda: counted(point_in_time_join(
+    def _force(df, col):
+        # evaluate the looked-up state column (see _pit_evaluated)
+        df.agg(F.sum(F.crc32(F.col(col).cast("string")))).collect()
+        return df
+
+    timed("state_lookup_asof", lambda: _force(point_in_time_join(
         st_probes, st_ev.drop("event_id"), ["user_id"],
         event_ts_col="ts", entity_ts_col="probe_ts",
         features=["event_type"],
-    )))
+    ), "event_type"))
     ivals = scd2_intervals(
         st_ev, ["user_id"], "ts", "event_type", tie_breakers=["event_id"]
     ).localCheckpoint()  # materialized table stands in for the stored one
-    timed("state_lookup_scd2", lambda: counted(scd2_lookup(
+    timed("state_lookup_scd2", lambda: _force(scd2_lookup(
         ivals, st_probes, ["user_id"], "probe_ts"
-    )))
+    ), "event_type"))
     release_checkpoint(ivals)
 
     total = round(sum(timings[q] for q in BENCH_QUERIES), 3)

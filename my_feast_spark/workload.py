@@ -5203,6 +5203,93 @@ SELECT doc_id, url_canon, host, reg_domain FROM ranked WHERE rn <= 15
 """
 
 
+def q_domain_pagerank(spark, sf_dir):
+    """Domain-graph PageRank in exact fixed-point arithmetic
+    (operators/graph.py::pagerank_fixedpoint) — the URL-level quality
+    prior of a crawl pipeline (Common Crawl publishes host/domain
+    ranks; curation uses them before reading any text). The documents
+    table carries no link graph, so the query derives a deterministic
+    pseudo-domain edge list from doc_id (40 domain nodes, edge
+    ``doc_id % 40 -> (doc_id*7 + 3) % 40`` — both engines build the
+    identical multigraph) and runs 10 damped iterations. Every rank is
+    a BIGINT in 1e-12 units and every update is integer division +
+    exact integer sums, so the oracle — the same 10 iterations unrolled
+    as chained CTEs (recursive CTEs cannot aggregate in the recursive
+    member) — replays it bit-for-bit; the scaled double is derived from
+    the exact integer at the end. Per iteration: one AQE-broadcastable
+    rank join + one map-side-combined sum; rank relation checkpointed
+    per round (lineage truncation), previous round released."""
+    from my_feast_spark.operators.graph import pagerank_fixedpoint
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = docs.select(
+        (F.col("doc_id") % 40).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 40).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    pr = pagerank_fixedpoint(edges, "src", "dst", iterations=10)
+    out = pr.select(
+        "node",
+        "rank_int",
+        (
+            F.floor(
+                F.col("rank_int").cast("double") / F.lit(1e12) * F.lit(1e6)
+                + F.lit(0.5)
+            ) / F.lit(1e6)
+        ).alias("rank"),
+    )
+    out._owned_checkpoints = list(getattr(pr, "_owned_checkpoints", ()))
+    return out
+
+
+def _sql_domain_pagerank(
+    iterations: int = 10, n_domains: int = 40,
+    scale: int = 10**12, dnum: int = 85, dden: int = 100,
+) -> str:
+    """Unrolled-CTE replay of q_domain_pagerank (same constants)."""
+    steps = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        steps.append(f""", r{i} AS (
+  SELECT n.node,
+         CAST((SELECT base FROM consts) + COALESCE(c.s, 0) AS BIGINT)
+             AS rank_int
+  FROM nodes n LEFT JOIN (
+    SELECT ed.dst AS node,
+           sum((r.rank_int * {dnum}) // ({dden} * ed.deg)) AS s
+    FROM ed JOIN {prev} r ON r.node = ed.src
+    GROUP BY ed.dst
+  ) c USING (node)
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH edges AS (
+  SELECT doc_id % {n_domains} AS src,
+         (doc_id * 7 + 3) % {n_domains} AS dst
+  FROM documents
+  WHERE doc_id % {n_domains} <> (doc_id * 7 + 3) % {n_domains}
+), deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+  )
+), consts AS (
+  SELECT CAST({scale} // count(*) AS BIGINT) AS r0val,
+         CAST(({scale} * {dden - dnum}) // ({dden} * count(*)) AS BIGINT)
+             AS base
+  FROM nodes
+), r0 AS (
+  SELECT node, (SELECT r0val FROM consts) AS rank_int FROM nodes
+){''.join(steps)}
+SELECT node, CAST(rank_int AS BIGINT) AS rank_int,
+       floor(CAST(rank_int AS DOUBLE) / 1e12 * 1e6 + 0.5e0) / 1e6 AS rank
+FROM {prev}
+"""
+
+
+SQL_DOMAIN_PAGERANK = _sql_domain_pagerank()
+
+
 def q_audio_dedup(spark, sf_dir):
     """Perceptual audio near-dup pairs (multimodal/audio.py): fake audio
     assets from the documents table (MFAU header + the text bytes as u8
@@ -6006,6 +6093,7 @@ QUERIES: dict[str, tuple] = {
     "url_domain_curation": (
         q_url_domain_curation, SQL_URL_DOMAIN_CURATION,
     ),
+    "domain_pagerank": (q_domain_pagerank, SQL_DOMAIN_PAGERANK),
     # --- BEHAVIOR changed in round 9 (stay in-window; see the rotation
     # policy above for the per-query change) --------------------------------
     "gopher_quality_filter": (
@@ -6052,7 +6140,6 @@ QUERIES: dict[str, tuple] = {
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
-    "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "top_terms_tfidf": (q_top_terms_tfidf, SQL_TOP_TERMS_TFIDF),
     "user_cohort_sets": (q_user_cohort_sets, SQL_USER_COHORT_SETS),
     "moving_avg_revenue": (q_moving_avg_revenue, SQL_MOVING_AVG_REVENUE),
@@ -6209,6 +6296,12 @@ QUERIES: dict[str, tuple] = {
 #:                                order-sensitive digest) +
 #:                                customer_balance_deciles (rank-bucket
 #:                                assignment)
+#:   multimodal_decode         -> image_dedup (the same mapInPandas
+#:                                header-decode path now drives its
+#:                                fingerprints) + multimodal_frames
+#:                                (the Arrow batch-shape plumbing);
+#:                                retired to fund the round-9
+#:                                domain_pagerank window slot
 #: Still value-checked against DuckDB every pytest run via
 #: tests/test_oracle_parity.py.
 RETIRED_QUERIES: dict[str, tuple] = {
@@ -6242,4 +6335,5 @@ RETIRED_QUERIES: dict[str, tuple] = {
     "length_bucket_batches": (
         q_length_bucket_batches, SQL_LENGTH_BUCKET_BATCHES,
     ),
+    "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
 }

@@ -1,0 +1,187 @@
+"""Large-scale probes backing COVERAGE.md's two headline scale claims.
+
+bench.py times the per-round probes at the driver's sf; the sf0.1
+numbers can't separate scheduler overhead from real asymptotics, so
+this script scales the inputs 10x+ (deterministic replication of the
+sf0.1 tables — no synthetic distributions beyond an explicit hot-key
+remap) and measures:
+
+  1. PIT strategies at sf1-equivalent events (1M rows = sf0.1 x 10):
+     ``union_window`` vs ``sliced_window`` vs ``range_join`` on uniform
+     keys, and union vs sliced with 20% of ALL rows remapped onto one
+     deliberately hot key. ``range_join`` is excluded from the hot-key
+     leg BY DESIGN: the non-equi join materializes
+     |hot probes| x |hot history within TTL| pairs (~1e8 at this probe
+     even with a 2h TTL) before its dedup window — the quadratic
+     blow-up is the reason the engine defaults to union_window; the
+     uniform leg measures its behavior where it is tractable.
+  2. Exhaustive ADC vs IVFADC at 160k vectors (sf0.1 embeddings x 80)
+     x 400 queries — 10x the round-8 bench probe (16k x 200), where
+     fixed costs (codebook train + one encode pass, identical for both
+     variants) stop dominating and the fold-volume ratio
+     (nprobe/num_cells = 1/8 here) shows through.
+
+Run: ``python probes_scale.py [sf_dir]`` (default /root/testdata/sf0.1;
+local[32] like bench.py). Prints one JSON line; paste the numbers +
+configs into COVERAGE.md when they change materially.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from my_feast_spark import get_session
+from my_feast_spark.operators.graph import release_checkpoint
+from my_feast_spark.sources.readers import load_table
+
+REPLICATE_EVENTS = 50   # sf0.1 x 50 = 5M events (sf5-equivalent)
+REPLICATE_VECS = 80     # sf0.1 x 80 = 160k vectors
+N_QUERIES = 400
+HOT_FRACTION_MOD = 2    # pmod(hash, 2) == 0 -> ~50% of rows on one key
+                        # (at 1M rows / 20% hot the single window task
+                        # sorts 400k rows in <1s locally and the skew
+                        # penalty is invisible — the straggler needs a
+                        # multi-million-row key to show on local[32])
+
+
+def _replicate(df, id_col, n_copies, n_rows, jitter_ts=None):
+    out = df
+    for i in range(1, n_copies):
+        c = df.select(
+            (F.col(id_col) + F.lit(i * n_rows)).alias(id_col),
+            *[col for col in df.columns if col != id_col],
+        )
+        if jitter_ts:
+            # deterministic per-copy second offset keeps replicated
+            # timestamps distinct without changing the distribution
+            c = c.withColumn(
+                jitter_ts,
+                F.col(jitter_ts) + F.expr(f"INTERVAL {i * 7} SECONDS"),
+            )
+        out = out.unionByName(c)
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_session(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    results: dict[str, float] = {}
+
+    def timed(name, thunk, repeats=2):
+        best, n = None, None
+        for _ in range(repeats):  # min-of-k: discard JIT/warm-up noise
+            t0 = time.perf_counter()
+            n = thunk()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        results[name] = round(best, 3)
+        print(f"# {name}: {results[name]}s ({n} rows)", file=sys.stderr)
+
+    # ---- probe 1: PIT strategies at 1M events --------------------------
+    from my_feast_spark.operators.asof_join import point_in_time_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    n_ev = ev.count()
+    big = _replicate(ev, "event_id", REPLICATE_EVENTS, n_ev,
+                     jitter_ts="ts").localCheckpoint()
+
+    def _pit(frame, strategy, **kw):
+        feat = frame.select("user_id", "ts", "value")
+        probes = frame.select(
+            "user_id", F.col("ts").alias("probe_ts"), "event_id"
+        )
+        out = point_in_time_join(
+            probes, feat, ["user_id"],
+            event_ts_col="ts", entity_ts_col="probe_ts",
+            strategy=strategy, **kw,
+        )
+        # force the ATTACHED FEATURE's evaluation: a bare count() lets
+        # Catalyst prune the as-of window entirely (the output row
+        # count never depends on the feature column), which is how the
+        # first cut of this probe "measured" a 2.5M-row hot-key window
+        # sort at 0.4s
+        row = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.crc32(F.col("value").cast("string"))).alias("h"),
+        ).collect()[0]
+        return row["n"]
+
+    timed("pit_5m_uniform_union_window", lambda: _pit(big, "union_window"))
+    timed("pit_5m_uniform_sliced_window", lambda: _pit(big, "sliced_window"))
+    timed("pit_5m_uniform_range_join",
+          lambda: _pit(big, "range_join", ttl=7200), repeats=1)
+
+    hot = big.withColumn(
+        "user_id",
+        F.when(
+            F.pmod(F.xxhash64("event_id"), F.lit(HOT_FRACTION_MOD)) == 0,
+            F.lit(-1),
+        ).otherwise(F.col("user_id")),
+    ).localCheckpoint()
+    timed("pit_5m_hotkey_union_window", lambda: _pit(hot, "union_window"))
+    timed("pit_5m_hotkey_sliced_window", lambda: _pit(hot, "sliced_window"))
+    release_checkpoint(big)
+    release_checkpoint(hot)
+
+    # ---- probe 2: exhaustive ADC vs IVFADC at 160k x 400 ---------------
+    from my_feast_spark.operators.pq import (
+        ivfpq_topk,
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    n_emb = emb.count()
+    bigv = _replicate(emb, "vec_id", REPLICATE_VECS, n_emb).localCheckpoint()
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def _adc():
+        cb = train_pq_codebooks(bigv, "embedding", "vec_id", m=8, k=16)
+        codes = pq_encode(bigv, "vec_id", "embedding", cb).select(
+            F.col("vec_id").alias("corpus_id"), "codes"
+        )
+        return pq_topk(q, codes, cb, k=5).count()
+
+    def _ivfadc():
+        return ivfpq_topk(
+            q, bigv.select(F.col("vec_id").alias("corpus_id"), "embedding"),
+            m=8, k_codes=16, num_centroids=32, nprobe=4, k=5,
+        ).count()
+
+    timed("adc_exhaustive_160k_q400", _adc)
+    timed("ivfadc_160k_q400_cells32_nprobe4", _ivfadc)
+    release_checkpoint(bigv)
+
+    print(json.dumps({
+        "probes": results,
+        "configs": {
+            "events_rows": n_ev * REPLICATE_EVENTS,
+            "hot_fraction": f"1/{HOT_FRACTION_MOD}",
+            "vectors": n_emb * REPLICATE_VECS,
+            "n_queries": N_QUERIES,
+            "pq": "m=8 k=16",
+            "ivf": "num_centroids=32 nprobe=4",
+            "range_join_ttl": "2 hours",
+        },
+        "sf_dir": sf_dir,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -173,3 +173,74 @@ def test_curate_releases_checkpoints_and_caches(spark):
     # call leaves at most its own checkpoint plus the not-yet-collected
     # first one — never contamination/cluster/cache blocks on top
     assert counts[1] <= 2, f"second curate() left {counts[1]} pinned RDDs"
+
+
+class TestPagerankFixedpoint:
+    def _py_reference(self, edge_list, iterations=10, dnum=85, dden=100,
+                      scale=10**12):
+        from collections import Counter, defaultdict
+
+        deg = Counter(s for s, _ in edge_list)
+        nodes = sorted({s for s, _ in edge_list} | {d for _, d in edge_list})
+        n = len(nodes)
+        base = (scale * (dden - dnum)) // (dden * n)
+        rank = {v: scale // n for v in nodes}
+        for _ in range(iterations):
+            incoming = defaultdict(int)
+            for s, d in edge_list:
+                incoming[d] += (rank[s] * dnum) // (dden * deg[s])
+            rank = {v: base + incoming.get(v, 0) for v in nodes}
+        return rank
+
+    def test_matches_pure_python_reference(self, spark):
+        import random
+
+        from my_feast_spark.operators.graph import (
+            pagerank_fixedpoint,
+            release_checkpoint,
+        )
+
+        rng = random.Random(11)
+        edges = [(rng.randrange(25), rng.randrange(25)) for _ in range(200)]
+        edges = [(s, d) for s, d in edges if s != d]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        out = pagerank_fixedpoint(df, iterations=10)
+        got = {r["node"]: r["rank_int"] for r in out.collect()}
+        want = self._py_reference(edges)
+        for c in out._owned_checkpoints:
+            release_checkpoint(c)
+        assert got == want
+        # damped mass conservation (flooring only ever loses mass)
+        assert sum(got.values()) <= 10**12
+
+    def test_releases_all_checkpoints(self, spark):
+        from my_feast_spark.operators.graph import (
+            pagerank_fixedpoint,
+            release_checkpoint,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (1, 3)], "src long, dst long"
+        )
+        before = set(
+            spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        )
+        out = pagerank_fixedpoint(df, iterations=5)
+        out.collect()
+        for c in out._owned_checkpoints:
+            release_checkpoint(c)
+        after = set(
+            spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        )
+        assert after <= before, "pagerank leaked checkpoint blocks"
+
+    def test_rejects_bad_args(self, spark):
+        import pytest
+
+        from my_feast_spark.operators.graph import pagerank_fixedpoint
+
+        df = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with pytest.raises(ValueError):
+            pagerank_fixedpoint(df, iterations=0)
+        with pytest.raises(ValueError):
+            pagerank_fixedpoint(df, damping_num=100)

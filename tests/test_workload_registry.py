@@ -93,7 +93,6 @@ ROTATED_IN = {
     "cosine_topk",
     "ann_lsh_topk",
     "label_centroids",
-    "multimodal_decode",
     "top_terms_tfidf",
     "user_cohort_sets",
     "moving_avg_revenue",
@@ -112,6 +111,9 @@ CHANGED_OR_NEW_THIS_ROUND = {
     # new: URL canonicalization + registered domain + blocklist +
     # per-domain quota — the crawl pipeline's pre-tokenization tier
     "url_domain_curation",
+    # new: fixed-point domain PageRank (exact integer arithmetic,
+    # unrolled-CTE oracle) — the URL-level quality prior
+    "domain_pagerank",
     # changed: ratio measures to the stable floor-round form (r8 ADVICE
     # medium) and stop_hits now counts DISTINCT stopwords per Rae et
     # al. A1.1 (r8 ADVICE low)
@@ -162,6 +164,7 @@ RETIRED_THIS_ROUND = {
     "small_quantity_revenue",
     "batch_sessions",
     "length_bucket_batches",
+    "multimodal_decode",
 }
 
 
