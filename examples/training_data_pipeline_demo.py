@@ -45,6 +45,43 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> dict:
     docs = load_table(spark, sf_dir, "documents")
     n_input = docs.count()
 
+    # 0: URL front door — the stages a crawl pipeline runs BEFORE
+    # reading any text: canonicalize, drop blocklisted domains, cap each
+    # domain's contribution, rank domains as a quality prior. The demo
+    # table has no URL column, so derive a deterministic one per doc.
+    from my_feast_spark.functions.urls import (
+        registered_domain,
+        url_canonicalize,
+        url_host,
+    )
+    from my_feast_spark.operators.graph import (
+        pagerank_fixedpoint,
+        release_checkpoint,
+    )
+    from my_feast_spark.operators.urls import blocklist_filter, domain_quota
+
+    raw_url = F.concat(
+        F.lit("https://WWW."), F.col("source"), F.lit("-Example.com/d/"),
+        F.col("doc_id").cast("string"), F.lit("?utm_source=crawl&id=1"),
+    )
+    with_domain = docs.withColumn(
+        "url", url_canonicalize(raw_url)
+    ).withColumn("domain", registered_domain(url_host(raw_url)))
+    allowed = blocklist_filter(
+        with_domain, "domain", ["src0-example.com"]
+    )
+    capped = domain_quota(allowed, "domain", ["doc_id"], 1_000_000)
+    n_url_front_door = capped.count()
+    host_edges = capped.select(
+        (F.col("doc_id") % 16).alias("src"),
+        ((F.col("doc_id") * 5 + 1) % 16).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    ranks = pagerank_fixedpoint(host_edges, iterations=5)
+    n_ranked_domains = ranks.count()
+    for c in ranks._owned_checkpoints:
+        release_checkpoint(c)
+    docs = capped.drop("url", "domain")
+
     # 1-2: per-doc signals + quality gate (pure projections, no shuffle)
     q = quality_features(F.col("text"))
     scored = docs.select(
@@ -232,6 +269,8 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "semdedup_keepers": n_sem_keepers,
         "ivfpq_served_results": n_ann_results,
         "sampled_training_chunks": n_chunks,
+        "url_front_door_survivors": n_url_front_door,
+        "ranked_domains": n_ranked_domains,
         "curate_operator_survivors": n_curated,
         "lm_scored_docs": n_scored,
         "lm_scored_docs_kn": n_scored_kn,

@@ -162,9 +162,19 @@ def score_weighted_sample(
     stable across runs/engines/partitionings; change ``salt`` for an
     independent draw. Returns the surviving rows.
     """
+    from my_feast_spark.functions.text import let
+
     s = F.least(F.greatest(F.col(score_col).cast("double"), F.lit(0.0)),
                 F.lit(1.0))
-    keep_prob = F.lit(1.0) / _pow_posint(F.lit(2.0) - s, alpha)
+    # let-bind the base 2-s: the multiply tree references it 9 times
+    # (alpha=9), and when Catalyst pushes this filter below the score
+    # projection it substitutes the score's WHOLE expression per
+    # reference — 9 tokenizations for the workload's composite score
+    # without the binding (plan-pinned by test_text_queries_tokenize_once)
+    keep_prob = let(
+        F.lit(2.0) - s,
+        lambda t: F.lit(1.0) / _pow_posint(t, alpha),
+    )
     u = sample_bucket(F.col(key_col), salt=salt) / F.lit(float(RESOLUTION))
     return df.filter(u < keep_prob)
 

@@ -25,9 +25,14 @@ def test_training_pipeline_demo_runs(spark):
     assert out["semantic_dup_pairs"] > 0
     assert 0 < out["semdedup_keepers"] <= 500
     assert out["ivfpq_served_results"] == 20 * 5  # k per probe-batch query
-    # 73 with the demo's gopher_rules gate on; the oracle-row config
-    # (gate off, q_curation_pipeline) keeps 118 of the same corpus
-    assert out["curate_operator_survivors"] == 73
+    # the round-9 URL front door feeds curation: the blocklist drops
+    # src0-example.com's 25 docs before any text stage
+    assert out["url_front_door_survivors"] == 475
+    assert out["ranked_domains"] == 16
+    # 62 with the gopher_rules gate on over the 475 front-door
+    # survivors (was 73 over the full 500); the oracle-row config
+    # (gate off, full corpus, q_curation_pipeline) keeps 118
+    assert out["curate_operator_survivors"] == 62
     assert out["lm_scored_docs"] == out["after_exact_dedup"]
     assert out["lm_scored_docs_kn"] == out["lm_scored_docs"]
     assert 0 < out["nb_predicted_quality_docs"] <= 500
