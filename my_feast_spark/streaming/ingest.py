@@ -317,6 +317,7 @@ def dedup_ingest_stream(
     id_col: str = "doc_id",
     text_col: str = "text",
     index_buckets: int | None = None,
+    compact_every: int | None = None,
     available_now: bool = False,
     trigger_interval: str | None = None,
 ):
@@ -350,8 +351,13 @@ def dedup_ingest_stream(
     The layout choice is PER STREAM LIFETIME: flipping ``index_buckets``
     between runs over the same ``index_path`` mixes partitioned and
     flat batch directories and breaks partition-column inference —
-    pick it at first start (or rewrite the index). Returns the started
-    StreamingQuery.
+    pick it at first start (or rewrite the index).
+
+    ``compact_every=k`` runs :func:`compact_index` on the foreachBatch
+    thread after every k-th batch, consolidating all generations BEFORE
+    the current batch — the per-batch directory-listing cost and
+    small-file count stay bounded over the stream's lifetime instead of
+    growing one directory per batch. Returns the started StreamingQuery.
     """
     from my_feast_spark.functions.text import doc_fingerprint
 
@@ -412,6 +418,12 @@ def dedup_ingest_stream(
                 "pbucket"
             )
         index_writer.parquet(os.path.join(index_path, f"batch_id={batch_id}"))
+        # in-stream index maintenance: consolidate everything BEFORE
+        # this batch (never the batch itself — its own partition must
+        # survive separately for the crash-replay guard above); runs on
+        # the foreachBatch thread, so no compactor ever races a batch
+        if compact_every and batch_id % compact_every == compact_every - 1:
+            compact_index(spark, index_path, exclude_from=batch_id)
 
     writer = (
         sdf.writeStream.foreachBatch(ingest_batch)
@@ -439,6 +451,7 @@ def near_dedup_ingest_stream(
     threshold: float = 0.5,
     hash_fn: str = "xxhash64",
     index_buckets: int | None = None,
+    compact_every: int | None = None,
     available_now: bool = False,
     trigger_interval: str | None = None,
 ):
@@ -629,6 +642,12 @@ def near_dedup_ingest_stream(
                 new_bands.write.mode("overwrite").parquet(
                     os.path.join(bands_dir, f"batch_id={batch_id}")
                 )
+            # in-stream maintenance: consolidate generations BEFORE
+            # this batch (its own partitions must survive separately
+            # for the crash-replay guard)
+            if compact_every and batch_id % compact_every == compact_every - 1:
+                compact_index(spark, sigs_dir, exclude_from=batch_id)
+                compact_index(spark, bands_dir, exclude_from=batch_id)
         finally:
             for frame in live:
                 release_checkpoint(frame)
@@ -659,6 +678,7 @@ def embedding_dedup_ingest_stream(
     dim: int = 64,
     seed: int = 42,
     index_buckets: int | None = None,
+    compact_every: int | None = None,
     available_now: bool = False,
     trigger_interval: str | None = None,
 ):
@@ -816,6 +836,10 @@ def embedding_dedup_ingest_stream(
                 new_buckets.write.mode("overwrite").parquet(
                     os.path.join(buckets_dir, f"batch_id={batch_id}")
                 )
+            # in-stream maintenance (see dedup_ingest_stream)
+            if compact_every and batch_id % compact_every == compact_every - 1:
+                compact_index(spark, vecs_dir, exclude_from=batch_id)
+                compact_index(spark, buckets_dir, exclude_from=batch_id)
         finally:
             from my_feast_spark.operators.graph import release_checkpoint
 
@@ -834,7 +858,9 @@ def embedding_dedup_ingest_stream(
     return writer.start()
 
 
-def compact_index(spark: SparkSession, index_dir: str) -> dict:
+def compact_index(
+    spark: SparkSession, index_dir: str, *, exclude_from: int | None = None
+) -> dict:
     """Consolidate an ingest index's per-batch partitions into ONE
     generation directory — the maintenance op for the one unbounded
     cost the streaming ingests carry: every micro-batch appends a
@@ -871,8 +897,15 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     the observed high-water are excluded), but two compactors racing
     the same dataset would double-delete.
 
+    ``exclude_from`` (the in-stream auto-compaction path — the ingests'
+    ``compact_every``) leaves every generation with ``batch_id >=
+    exclude_from`` untouched: folding the CURRENT batch's rows into a
+    negative generation would defeat the crash-replay guard
+    (``batch_id != current`` no longer excludes them, so a replayed
+    batch would anti-join against its own output and destroy it).
+
     Returns stats: ``{"generations_before", "files_before",
-    "generation", "rows", "files_after"}``; a no-op (0 or 1 existing
+    "generation", "rows", "files_after"}``; a no-op (0 or 1 mergeable
     generation) returns early with ``generation=None``.
     """
     sc = spark.sparkContext
@@ -902,13 +935,16 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
 
     ids = _gen_ids()
     files_before = _count_files()
-    if len(ids) <= 1:
+    mergeable = [
+        i for i in ids if exclude_from is None or i < exclude_from
+    ]
+    if len(mergeable) <= 1:
         return {"generations_before": len(ids),
                 "files_before": files_before, "generation": None,
                 "rows": 0, "files_after": files_before}
-    live = [i for i in ids if i >= 0]
-    target = -(max(live) + 1) if live else min(ids)
-    sources = [i for i in ids if i != target]
+    live = [i for i in mergeable if i >= 0]
+    target = -(max(live) + 1) if live else min(mergeable)
+    sources = [i for i in mergeable if i != target]
 
     df = spark.read.parquet(index_dir)
     merged = df.filter(

@@ -159,3 +159,67 @@ def test_compacted_index_keeps_ingest_correct(spark, tmp_path):
     run()
     got = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert got == {1, 2, 3, 4, 11}
+
+
+def test_exclude_from_leaves_current_batch_alone(spark, tmp_path):
+    """The in-stream auto-compaction path: generations >= exclude_from
+    must survive untouched (folding the current batch into a negative
+    generation would defeat the crash-replay guard)."""
+    idx = str(tmp_path / "idx")
+    for b in range(4):
+        _write_batch(spark, idx, b, {f"x{b}"})
+    stats = compact_index(spark, idx, exclude_from=3)
+    assert stats["generation"] == -3  # merged batches 0..2
+    assert sorted(_gens(idx)) == ["batch_id=-3", "batch_id=3"]
+    got = {r.fingerprint for r in spark.read.parquet(idx).collect()}
+    assert got == {"x0", "x1", "x2", "x3"}
+    # nothing mergeable below exclude_from=0 -> no-op
+    stats = compact_index(spark, idx, exclude_from=0)
+    assert stats["generation"] is None
+
+
+def test_ingest_with_auto_compaction_matches_plain_ingest(spark, tmp_path):
+    """compact_every must be output-invariant: the accepted corpus from
+    an auto-compacting stream equals the plain stream's, while the
+    index generation count stays bounded."""
+    import pyspark.sql.functions as F
+
+    crawls = [
+        [Row(doc_id=1, text="alpha"), Row(doc_id=2, text="beta")],
+        [Row(doc_id=3, text="alpha"), Row(doc_id=4, text="gamma")],
+        [Row(doc_id=5, text="gamma"), Row(doc_id=6, text="delta")],
+        [Row(doc_id=7, text="beta"), Row(doc_id=8, text="epsilon")],
+    ]
+
+    def drive(tag, **kw):
+        in_dir = str(tmp_path / f"in_{tag}")
+        out = str(tmp_path / f"out_{tag}")
+        idx = str(tmp_path / f"idx_{tag}")
+        ckpt = str(tmp_path / f"ck_{tag}")
+        os.makedirs(in_dir)
+        for batch in crawls:
+            spark.createDataFrame(batch).coalesce(1).write.mode(
+                "append"
+            ).parquet(in_dir)
+            sdf = spark.readStream.schema(
+                "doc_id long, text string"
+            ).parquet(in_dir)
+            q = dedup_ingest_stream(
+                sdf, out_path=out, index_path=idx, checkpoint=ckpt,
+                available_now=True, index_buckets=4, **kw,
+            )
+            assert q.awaitTermination(120)
+        return out, idx
+
+    out_plain, _ = drive("plain")
+    out_auto, idx_auto = drive("auto", compact_every=2)
+    plain = {r.doc_id for r in spark.read.parquet(out_plain).collect()}
+    auto = {r.doc_id for r in spark.read.parquet(out_auto).collect()}
+    assert auto == plain == {1, 2, 4, 6, 8}
+    # 4 batches, compaction after batches 1 and 3 (each excludes the
+    # running batch): one consolidated gen + at most the batches since
+    assert len(_gens(idx_auto)) <= 2
+    # the pruned layout survived auto-compaction
+    one = spark.read.parquet(idx_auto).where(F.col("pbucket") == 1)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "pbucket" in plan
