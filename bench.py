@@ -93,9 +93,12 @@ def main() -> None:
     def timed(name, thunk):
         # min-of-2, but only where a second run can change the story:
         # sub-0.75s queries are overhead-dominated and a re-run would
-        # just double the bench wall time for noise (the driver may run
-        # the whole bench several times itself). The thunk returns the
-        # result DataFrame so owned caches release between runs.
+        # just double the bench wall time for noise, and 5s+ queries
+        # are long enough that scheduler jitter is relatively small —
+        # re-running them is what pushed the full bench past a 10-min
+        # capture window once the round-9 queries landed. The thunk
+        # returns the result DataFrame so owned caches release between
+        # runs.
         runs = []
         for _ in range(2):
             t0 = time.monotonic()
@@ -103,7 +106,7 @@ def main() -> None:
             runs.append(round(time.monotonic() - t0, 3))
             if df is not None:
                 _release(df)
-            if runs[0] < 0.75:
+            if runs[0] < 0.75 or runs[0] >= 5.0:
                 break
         timings[name] = min(runs)
         spread[name] = runs
@@ -153,6 +156,11 @@ def main() -> None:
          lambda: counted(workload.q_pq_topk(spark, sf_dir, n_queries=200))),
         ("ivfpq_topk_q200",
          lambda: counted(workload.q_ivfpq_topk(spark, sf_dir, n_queries=200))),
+        # DSIR's oracle path pays ~8 md5 expression nodes per gram for
+        # replayability; this is what the 100 TB run flips to
+        ("dsir_resample_xxhash64",
+         lambda: counted(workload.q_dsir_resample(
+             spark, sf_dir, hash_fn="xxhash64"))),
     ):
         timed(name, thunk)
 
@@ -296,7 +304,7 @@ def main() -> None:
     ).localCheckpoint()  # materialized table stands in for the stored one
     timed("state_lookup_scd2", lambda: _force(scd2_lookup(
         ivals, st_probes, ["user_id"], "probe_ts"
-    ), "event_type"))
+    ), "state"))
     release_checkpoint(ivals)
 
     total = round(sum(timings[q] for q in BENCH_QUERIES), 3)

@@ -68,15 +68,23 @@ class DSIRModel:
     default_lr: float
     k: float
     num_buckets: int
+    hash_fn: str = "portable"
 
 
 def hashed_gram_buckets(
-    text_col: str, num_buckets: int, *, lowercase: bool = True
+    text_col: str, num_buckets: int, *, lowercase: bool = True,
+    hash_fn: str = "portable",
 ) -> Column:
     """Per-doc array of hashed-n-gram bucket ids (duplicates kept — the
     bag COUNTS are the feature vector): unigrams plus adjacent bigrams
     joined by one space, each bucketed as
-    ``pmod(md5_lower64(gram) & MASK63, num_buckets)``.
+    ``pmod(hash64(gram) & MASK63, num_buckets)``.
+
+    ``hash_fn``: "portable" (default — md5-lower-8, replayable by a
+    DuckDB/SQL oracle bit-for-bit; ~8 expression nodes per gram) or
+    "xxhash64" (one JVM hash node per gram — the 100 TB scale path; the
+    bucket ids differ from the portable family's, so a model is fit and
+    served with ONE family — same rule as the dedup tier).
 
     Empty-string tokens are dropped before gram construction, so a
     blank / whitespace-only / NULL document yields an empty array (its
@@ -86,20 +94,28 @@ def hashed_gram_buckets(
     t = F.col(text_col)
     if lowercase:
         t = F.lower(t)
-    return hashed_gram_buckets_from_tokens(tokens(t), num_buckets)
+    return hashed_gram_buckets_from_tokens(
+        tokens(t), num_buckets, hash_fn=hash_fn
+    )
 
 
 def hashed_gram_buckets_from_tokens(
-    toks: Column, num_buckets: int
+    toks: Column, num_buckets: int, *, hash_fn: str = "portable"
 ) -> Column:
     """:func:`hashed_gram_buckets` over an ALREADY-TOKENIZED (lowered)
     array — the pipeline path that projects one shared token array
     (``curation.curate``'s ``__ltoks``) feeds it here instead of
     re-tokenizing the text."""
+    if hash_fn not in ("portable", "xxhash64"):
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
     def _bucket(gram: Column) -> Column:
+        h = (
+            portable_hash64(gram) if hash_fn == "portable"
+            else F.xxhash64(gram)
+        )
         return F.pmod(
-            portable_hash64(gram).bitwiseAND(F.lit(_MASK63)),
+            h.bitwiseAND(F.lit(_MASK63)),
             F.lit(num_buckets),
         ).cast("int")
 
@@ -123,21 +139,25 @@ def hashed_gram_buckets_from_tokens(
 
 
 def _gram_expr(text_col: str | None, tokens_col: str | None,
-               num_buckets: int, lowercase: bool) -> Column:
+               num_buckets: int, lowercase: bool,
+               hash_fn: str = "portable") -> Column:
     if tokens_col is not None:
         return hashed_gram_buckets_from_tokens(
-            F.col(tokens_col), num_buckets
+            F.col(tokens_col), num_buckets, hash_fn=hash_fn
         )
-    return hashed_gram_buckets(text_col, num_buckets, lowercase=lowercase)
+    return hashed_gram_buckets(
+        text_col, num_buckets, lowercase=lowercase, hash_fn=hash_fn
+    )
 
 
 def _bucket_counts(df: DataFrame, text_col: str | None, num_buckets: int,
-                   lowercase: bool, tokens_col: str | None = None
-                   ) -> DataFrame:
+                   lowercase: bool, tokens_col: str | None = None,
+                   hash_fn: str = "portable") -> DataFrame:
     return (
         df.select(
             F.explode(
-                _gram_expr(text_col, tokens_col, num_buckets, lowercase)
+                _gram_expr(text_col, tokens_col, num_buckets, lowercase,
+                           hash_fn)
             ).alias("bucket")
         )
         .groupBy("bucket")
@@ -155,6 +175,7 @@ def fit_dsir(
     lowercase: bool = True,
     target_tokens_col: str | None = None,
     raw_tokens_col: str | None = None,
+    hash_fn: str = "portable",
 ) -> DSIRModel:
     """Fit the two hashed-gram bag models and their log2 ratio.
 
@@ -169,9 +190,9 @@ def fit_dsir(
     if num_buckets < 1:
         raise ValueError("num_buckets must be positive")
     tc = _bucket_counts(target_df, text_col, num_buckets, lowercase,
-                        tokens_col=target_tokens_col)
+                        tokens_col=target_tokens_col, hash_fn=hash_fn)
     rc = _bucket_counts(raw_df, text_col, num_buckets, lowercase,
-                        tokens_col=raw_tokens_col)
+                        tokens_col=raw_tokens_col, hash_fn=hash_fn)
     joined = (
         tc.withColumnRenamed("c", "ct")
         .join(rc.withColumnRenamed("c", "cr"), "bucket", "full_outer")
@@ -209,6 +230,7 @@ def fit_dsir(
         default_lr=math.log2(k / den_t) - math.log2(k / den_r),
         k=k,
         num_buckets=num_buckets,
+        hash_fn=hash_fn,
     )
 
 
@@ -231,6 +253,7 @@ def write_dsir_model(model: DSIRModel, path: str) -> None:
         "default_lr": model.default_lr,
         "k": model.k,
         "num_buckets": model.num_buckets,
+        "hash_fn": model.hash_fn,
     }
     spark.createDataFrame([(json.dumps(meta),)], ["meta_json"]).coalesce(
         1
@@ -254,6 +277,7 @@ def read_dsir_model(spark, path: str) -> DSIRModel:
         default_lr=float(meta["default_lr"]),
         k=float(meta["k"]),
         num_buckets=int(meta["num_buckets"]),
+        hash_fn=str(meta.get("hash_fn", "portable")),
     )
 
 
@@ -277,7 +301,8 @@ def dsir_logweights(
     ev = df.select(
         F.col(id_col),
         F.explode_outer(
-            _gram_expr(text_col, tokens_col, model.num_buckets, lowercase)
+            _gram_expr(text_col, tokens_col, model.num_buckets, lowercase,
+                       model.hash_fn)
         ).alias("bucket"),
     )
     weighed = ev.join(F.broadcast(model.ratio), "bucket", "left").withColumn(

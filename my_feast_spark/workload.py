@@ -4971,7 +4971,7 @@ WHERE (CAST((md5_number_lower(CAST(doc_id AS VARCHAR) || ':pareto')
 """
 
 
-def q_dsir_resample(spark, sf_dir):
+def q_dsir_resample(spark, sf_dir, *, hash_fn="portable"):
     """DSIR end-to-end (operators/dsir.py; Xie et al. 2023, "Data
     Selection for Language Models via Importance Resampling"): fit
     hashed-n-gram bag models on a deterministic target slice
@@ -5000,7 +5000,8 @@ def q_dsir_resample(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     target = docs.where(F.col("doc_id") % 50 == 0)
-    model = fit_dsir(target, docs, "text", num_buckets=10_000, k=0.5)
+    model = fit_dsir(target, docs, "text", num_buckets=10_000, k=0.5,
+                     hash_fn=hash_fn)
     weighted = dsir_logweights(docs, "doc_id", "text", model)
     out = dsir_resample(weighted, "doc_id", 200, salt="dsir").select(
         "doc_id", "logw", "n_grams"

@@ -302,3 +302,33 @@ def test_on_documents_table(spark, sf_dir):
     ]
     assert sorted(ids) == sorted(again)
     _release(model)
+
+
+def test_xxhash64_family_end_to_end(spark, corpora):
+    """The scale-path hash family: fit/weigh/select work end-to-end,
+    the model carries its family (scoring automatically matches the
+    fit), and persistence round-trips it."""
+    t, r = corpora
+    model = fit_dsir(t, r, num_buckets=B, k=K, hash_fn="xxhash64")
+    assert model.hash_fn == "xxhash64"
+    w = dsir_logweights(r, "doc_id", "text", model)
+    got = {row["doc_id"] for row in dsir_resample(w, "doc_id", 4).collect()}
+    got2 = {row["doc_id"] for row in dsir_resample(w, "doc_id", 4).collect()}
+    _release(model)
+    assert len(got) == 4 and got == got2
+    import pytest
+
+    with pytest.raises(ValueError):
+        fit_dsir(t, r, num_buckets=B, hash_fn="sha1")
+
+
+def test_hash_family_round_trips_through_persistence(spark, corpora,
+                                                     tmp_path):
+    from my_feast_spark.operators.dsir import read_dsir_model, write_dsir_model
+
+    t, r = corpora
+    model = fit_dsir(t, r, num_buckets=B, k=K, hash_fn="xxhash64")
+    write_dsir_model(model, str(tmp_path / "m"))
+    _release(model)
+    loaded = read_dsir_model(spark, str(tmp_path / "m"))
+    assert loaded.hash_fn == "xxhash64"
