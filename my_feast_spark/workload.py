@@ -6069,6 +6069,17 @@ GROUP BY e.doc_id
 #      division in the retiring small_quantity_revenue) migrated to the
 #      stable forms in the same rotation commit — they re-adjudicate
 #      anyway, so the behavior change costs no extra slot.
+#      KNOWN REMAINING (the round-10 migration batch): the native
+#      round() of exact-integer RATIOS in the Jaccard verifies
+#      (operators/dedup.py jaccard/minhash verify, multimodal video
+#      Jaccard, dedup_eval recall ratios, streaming embedding
+#      round(dot)) shares shared-code consumers with TAIL queries
+#      (lsh_recall, video_dedup, streaming_embedding_ingest), so the
+#      floor_round migration waits until those rotate in — same
+#      deferral the r8->r9 round(avg) batch used. Exposure: both
+#      engines compute the identical double; divergence needs its
+#      shortest repr to sit exactly on a .5 boundary at 4dp (the
+#      0.43725 class) — tri-scale green today.
 #   5. RETIRED: the registry budget is ~100 driver-adjudicated queries;
 #      retired entries are near-duplicates of in-registry coverage
 #      (their operators stay covered by other queries) that keep their
