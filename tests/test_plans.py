@@ -456,3 +456,28 @@ def test_all_queries_return_scalar_only_schemas(spark):
         ]
         assert not bad, f"{name} returns composite columns: {bad}"
         _release_owned(df)
+
+
+def test_url_domain_curation_plan_shape(spark):
+    """The crawl front door must stay window-free: canonicalization is
+    map-only, the blocklist is a broadcast anti-join, and the per-domain
+    quota is the salted two-phase AGGREGATE top-n — a row_number window
+    would serialize any hot domain into one task."""
+    plan = _formatted(workload.q_url_domain_curation(spark, SF_DIR_ORACLE))
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert "BroadcastHashJoin" in plan  # blocklist anti + kept-keys semi
+
+
+def test_domain_pagerank_plan_shape(spark):
+    """Fixed-point PageRank: per-round rank relations are checkpointed
+    (ExistingRDD scans — lineage truncation), and nothing ever needs a
+    global sort."""
+    df = workload.q_domain_pagerank(spark, SF_DIR_ORACLE)
+    plan = _formatted(df)
+    from my_feast_spark.operators.graph import release_checkpoint
+
+    for c in df._owned_checkpoints:
+        release_checkpoint(c)
+    assert "rangepartitioning" not in plan.lower()
+    assert "Scan ExistingRDD" in plan
