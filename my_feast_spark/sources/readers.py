@@ -110,3 +110,29 @@ def parse_json_column(df: DataFrame, json_col: str, schema, keep: Sequence[str] 
     return df.withColumn(out_col, F.from_json(F.col(json_col), schema)).select(
         *keep, out_col
     )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    *,
+    strict: bool = False,
+) -> DataFrame:
+    """JSON-Lines scan — the interchange format text corpora actually
+    ship in (one JSON object per line; Spark's json source default).
+
+    Always pass ``schema`` in production: schema inference is a full
+    extra pass over the data, and at corpus scale the inferred union of
+    every record's fields is rarely the schema you meant. ``strict=True``
+    switches the parser from PERMISSIVE (malformed lines become NULL
+    rows) to FAILFAST; the default keeps a ``_corrupt_record`` column
+    when no schema is given so a crawl-cleaning job can route bad lines
+    instead of dying mid-scan.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.option(
+        "mode", "FAILFAST" if strict else "PERMISSIVE"
+    ).json(path)

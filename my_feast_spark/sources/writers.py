@@ -66,3 +66,25 @@ def write_partitioned(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.save(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    compression: str | None = "gzip",
+    target_rows_per_file: int | None = None,
+) -> None:
+    """JSON-Lines sink for corpus interchange. ``compression`` defaults
+    to gzip (the convention for shipped text shards; pass ``None`` for
+    plain). ``target_rows_per_file`` caps rows per output shard via
+    ``maxRecordsPerFile`` — the knob that sizes shards for downstream
+    loaders without a repartition shuffle (Spark splits a task's output
+    across files when the cap is hit)."""
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    if target_rows_per_file:
+        writer = writer.option("maxRecordsPerFile", int(target_rows_per_file))
+    writer.json(path)

@@ -233,3 +233,61 @@ def test_avro_codec_inf_nan_doubles():
     assert recs[0]["d"] == float("inf") and recs[1]["d"] == float("-inf")
     assert math.isnan(recs[2]["d"])
     assert recs[3]["d"] == 0.0 and math.copysign(1, recs[3]["d"]) == -1.0
+
+
+def test_jsonl_round_trip_with_compression_and_shard_cap(spark, tmp_path):
+    """JSONL corpus interchange: gzip shards, row-capped files, schema'd
+    re-read equals the written frame (unicode + nested struct intact)."""
+    from pyspark.sql import Row
+
+    from my_feast_spark.sources.readers import read_jsonl
+    from my_feast_spark.sources.writers import write_jsonl
+
+    rows = [
+        Row(doc_id=i, text=f"döc ☃ {i}", meta=Row(lang="en", stars=i % 3))
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows).coalesce(1)
+    out = str(tmp_path / "corpus")
+    write_jsonl(df, out, target_rows_per_file=30)
+    import glob
+
+    shards = glob.glob(out + "/*.json.gz")
+    assert len(shards) >= 4, "maxRecordsPerFile must split the one task"
+    back = read_jsonl(
+        spark, out,
+        "doc_id long, text string, meta struct<lang:string,stars:bigint>",
+    )
+    got = sorted((r.doc_id, r.text, r.meta.lang, r.meta.stars)
+                 for r in back.collect())
+    want = sorted((r.doc_id, r.text, r.meta.lang, r.meta.stars)
+                  for r in rows)
+    assert got == want
+
+
+def test_jsonl_permissive_vs_strict_on_corrupt_lines(spark, tmp_path):
+    import gzip
+    import os
+
+    from my_feast_spark.sources.readers import read_jsonl
+
+    p = str(tmp_path / "raw")
+    os.makedirs(p)
+    with open(os.path.join(p, "part-0.json"), "w") as f:
+        f.write('{"doc_id": 1, "text": "ok"}\n')
+        f.write("THIS IS NOT JSON\n")
+        f.write('{"doc_id": 2, "text": "also ok"}\n')
+    # permissive with a schema: the bad line becomes a NULL row a
+    # cleaning job can filter/route
+    df = read_jsonl(spark, p, "doc_id long, text string")
+    rows = df.collect()
+    assert len(rows) == 3
+    assert {r.doc_id for r in rows if r.doc_id is not None} == {1, 2}
+    # no schema: inference keeps a _corrupt_record column
+    inferred = read_jsonl(spark, p)
+    assert "_corrupt_record" in inferred.columns
+    # strict: the scan fails loudly
+    import pytest
+
+    with pytest.raises(Exception):
+        read_jsonl(spark, p, "doc_id long, text string", strict=True).collect()
