@@ -5662,13 +5662,18 @@ GROUP BY doc_id
 
 
 def q_ccnet_buckets(spark, sf_dir, *, exact_quantiles=True):
-    """CCNet's head/middle/tail quality terciles (Wenzek et al. 2020):
-    score every doc with the bigram-LM mean log2 probability
-    (operators/lm.py, the lm_perplexity pipeline), compute the tercile
-    CUTOFF VALUES with one tiny aggregate, broadcast them, and assign
-    buckets map-side — never a global rank/ntile window (a
-    single-partition sort at corpus scale). ``exact_quantiles=True`` is
-    the small-SF oracle-parity choice (DuckDB quantile_cont shares the
+    """CCNet's head/middle/tail quality terciles (Wenzek et al. 2020),
+    PER LANGUAGE as in the paper (each language's corpus splits into
+    its own terciles — a global cut would let a high-perplexity
+    language's whole corpus land in "tail"): score every doc with the
+    bigram-LM mean log2 probability (operators/lm.py, the lm_perplexity
+    pipeline; self-scoring with one shared LM stands in for CCNet's
+    per-language KenLM — the KN variant is adjudicated separately),
+    compute each language's tercile CUTOFF VALUES with one tiny grouped
+    aggregate (|langs| rows), broadcast-join them back on lang, and
+    assign buckets map-side — never a rank/ntile window (a per-language
+    sort partition at corpus scale). ``exact_quantiles=True`` is the
+    small-SF oracle-parity choice (DuckDB quantile_cont shares the
     linear-interpolation semantics); a 100 TB run flips to the
     percentile_approx sketch, same plan shape (functions/scalar.py::
     percentile_agg documents the trade)."""
@@ -5679,8 +5684,8 @@ def q_ccnet_buckets(spark, sf_dir, *, exact_quantiles=True):
     model = train_bigram_lm(docs, "text")
     scored = score_docs(docs, "doc_id", "text", model).select(
         "doc_id", "avg_logprob"
-    )
-    cuts = scored.agg(
+    ).join(docs.select("doc_id", "lang"), "doc_id")
+    cuts = scored.groupBy("lang").agg(
         percentile_agg(
             "avg_logprob", 2.0 / 3.0, exact=exact_quantiles
         ).alias("cut_head"),
@@ -5688,8 +5693,9 @@ def q_ccnet_buckets(spark, sf_dir, *, exact_quantiles=True):
             "avg_logprob", 1.0 / 3.0, exact=exact_quantiles
         ).alias("cut_mid"),
     )
-    out = scored.crossJoin(F.broadcast(cuts)).select(
+    out = scored.join(F.broadcast(cuts), "lang").select(
         "doc_id",
+        "lang",
         "avg_logprob",
         F.when(F.col("avg_logprob") >= F.col("cut_head"), F.lit("head"))
         .when(F.col("avg_logprob") >= F.col("cut_mid"), F.lit("middle"))
@@ -5727,16 +5733,23 @@ scored AS (
   CROSS JOIN v
   GROUP BY e.doc_id
 ),
+langed AS (
+  SELECT s.doc_id, d.lang, s.avg_logprob
+  FROM scored s JOIN documents d USING (doc_id)
+),
 cuts AS (
-  SELECT quantile_cont(avg_logprob, 2.0 / 3.0) AS cut_head,
+  -- per-language terciles, as in the paper: each language's corpus
+  -- splits into its own head/middle/tail
+  SELECT lang,
+         quantile_cont(avg_logprob, 2.0 / 3.0) AS cut_head,
          quantile_cont(avg_logprob, 1.0 / 3.0) AS cut_mid
-  FROM scored
+  FROM langed GROUP BY lang
 )
-SELECT doc_id, avg_logprob,
+SELECT doc_id, lang, avg_logprob,
        CASE WHEN avg_logprob >= cut_head THEN 'head'
             WHEN avg_logprob >= cut_mid THEN 'middle'
             ELSE 'tail' END AS ppl_bucket
-FROM scored, cuts
+FROM langed JOIN cuts USING (lang)
 """
 
 

@@ -123,7 +123,9 @@ CHANGED_OR_NEW_THIS_ROUND = {
     "score_weighted_sample",
     # changed: round(avg(log2 ...)) to the floor-round form on both
     # engines (r8 ADVICE low; sum-order noise stays the documented
-    # accepted risk at 4dp)
+    # accepted risk at 4dp); ccnet_buckets additionally moves to
+    # PER-LANGUAGE terciles (Wenzek et al. 2020's actual design —
+    # each language's corpus splits into its own head/middle/tail)
     "lm_perplexity",
     "lm_perplexity_kn",
     "ccnet_buckets",
