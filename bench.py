@@ -115,6 +115,16 @@ def main() -> None:
         fn = workload.QUERIES[name][0]
         timed(name, lambda: counted(fn(spark, sf_dir)))
 
+    def _pack_bfd_docs():
+        from pyspark.sql import functions as _F
+
+        from my_feast_spark.operators.packing import pack_bfd
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", _F.least(_F.col("n_chars"), _F.lit(2000)).alias("n")
+        )
+        return pack_bfd(docs, "doc_id", "n", 2048)
+
     # Scale-default variants of the adjudicated queries: the registry
     # runs minhash/simhash with the portable md5 hash family and the ANN
     # queries with the bit-deterministic (oracle-replayable) numpy
@@ -156,11 +166,15 @@ def main() -> None:
          lambda: counted(workload.q_pq_topk(spark, sf_dir, n_queries=200))),
         ("ivfpq_topk_q200",
          lambda: counted(workload.q_ivfpq_topk(spark, sf_dir, n_queries=200))),
-        # DSIR's oracle path pays ~8 md5 expression nodes per gram for
+        # DSIR's oracle path pays md5 expression nodes per gram for
         # replayability; this is what the 100 TB run flips to
         ("dsir_resample_xxhash64",
          lambda: counted(workload.q_dsir_resample(
              spark, sf_dir, hash_fn="xxhash64"))),
+        # best-fit-decreasing whole-sequence packing (test-only op —
+        # the sequential fold isn't SQL-expressible; bench gives its
+        # applyInPandas path a number)
+        ("pack_bfd_docs", lambda: counted(_pack_bfd_docs())),
     ):
         timed(name, thunk)
 
