@@ -129,14 +129,16 @@ def test_cdc_chunk_dedup_shares_the_aggregated_plan_shape(spark):
 
 
 def test_ccnet_buckets_broadcasts_cutoffs_no_global_sort(spark):
-    """The tercile cutoffs must reach the rows as a broadcast 1-row
-    relation; bucket assignment is map-side — a global ntile/rank sort
-    would single-partition the corpus."""
+    """The per-language tercile cutoffs must reach the rows as a
+    broadcast |langs|-row relation hash-joined on lang; bucket
+    assignment is map-side — a rank/ntile window would single-partition
+    each language's corpus."""
     df = workload.q_ccnet_buckets(spark, SF_DIR_ORACLE)
     plan = _formatted(df)
     _release_owned(df)
-    assert "BroadcastNestedLoopJoin" in plan  # 1-row cutoff relation
+    assert "BroadcastHashJoin" in plan  # cutoffs join on lang
     assert "Window" not in plan
+    assert "rangepartitioning" not in plan.lower()
 
 
 def test_doc_chunks_is_map_only(spark):
