@@ -869,22 +869,32 @@ def compact_index(
     LISTING per batch and the small-file count grow linearly with
     stream lifetime (~175k dirs/year at a 3-minute trigger).
 
-    Mechanics: the rows of every existing generation are rewritten
-    (dropDuplicates — set semantics hold for all three ingest index
-    kinds) into ``batch_id=-(M+1)`` where M is the highest live
-    non-negative batch id, preserving the pbucket partition layout when
-    present; the source directories are then deleted. The negative
-    generation id keeps every ingest invariant intact:
+    Mechanics: the rows of EVERY mergeable generation — live
+    non-negative batch dirs AND previously-compacted negative ones —
+    are rewritten (dropDuplicates — set semantics hold for all three
+    ingest index kinds) into a FRESH generation
+    ``batch_id = min(mergeable ∪ {0}) - 1``, strictly below every id
+    that exists; the source directories are then deleted. The fresh
+    negative generation id keeps every ingest invariant intact:
 
       * the replay guard ``batch_id != current`` never matches a
         compacted generation (live ids are non-negative);
-      * generation ids strictly decrease across compactions, so a
-        re-run at the same high-water overwrites ITS OWN directory —
-        idempotent;
-      * a crash between the consolidated write and the source deletes
-        leaves duplicate rows across generations, which is harmless to
-        the dedup semantics (anti-joins and candidate generation are
-        set-shaped) and fully healed by re-running compact_index.
+      * the target NEVER pre-exists, so the consolidated write is never
+        an overwrite of a directory it also reads — and, crucially, the
+        merge input always INCLUDES every earlier compacted generation,
+        so no interruption point can strand rows in a directory the
+        next run replaces without reading (the round-10 data-loss
+        corner: a crash after deleting all live sources left only
+        negative generations, and the old ``target = min(mergeable)``
+        scheme overwrote the newest superset with its older subset);
+      * a crash ANYWHERE between the consolidated write and the last
+        source delete leaves rows duplicated across generations —
+        harmless to the dedup semantics (anti-joins and candidate
+        generation are set-shaped) and fully healed by re-running
+        compact_index, which merges the leftover generations (superset
+        included) into the next fresh id. Healing is idempotent in
+        content; generation ids decrease by one per run (64-bit — no
+        practical exhaustion).
 
     Run it from a maintenance schedule (e.g. every k-th batch or daily)
     against each index dataset — the exact ingest's ``index_path``
@@ -942,9 +952,12 @@ def compact_index(
         return {"generations_before": len(ids),
                 "files_before": files_before, "generation": None,
                 "rows": 0, "files_after": files_before}
-    live = [i for i in mergeable if i >= 0]
-    target = -(max(live) + 1) if live else min(mergeable)
-    sources = [i for i in mergeable if i != target]
+    # Fresh target strictly below every existing generation: the write
+    # never overwrites a directory it reads, and the merge input is ALL
+    # mergeable generations — including an earlier compaction's output —
+    # so no crash/restart interleaving can drop index rows.
+    target = min(mergeable + [0]) - 1
+    sources = mergeable
 
     df = spark.read.parquet(index_dir)
     merged = df.filter(
