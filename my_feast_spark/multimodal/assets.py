@@ -40,6 +40,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from my_feast_spark.functions.scalar import floor_round
+
 MAGIC = b"MFIM"
 
 ASSET_SCHEMA = T.StructType([
@@ -438,7 +440,7 @@ def video_near_dup_pairs(
                               F.col("fhs")).alias("sa"), "doc_a")
         .join(sigs.select(F.col("asset_id").alias("doc_b"),
                           F.col("fhs")).alias("sb"), "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", floor_round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
     out._owned_caches = [sigs]

@@ -32,6 +32,7 @@ import pandas as pd  # module-level: pandas_udf type hints resolve here
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from my_feast_spark.functions.scalar import floor_round
 from my_feast_spark.functions.text import doc_fingerprint, let, tokens
 from my_feast_spark.sources.readers import spread_partitions
 
@@ -443,7 +444,11 @@ def jaccard_dup_pairs(
         inter.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn(
             "jaccard",
-            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4),
+            floor_round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                4,
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -726,7 +731,11 @@ def minhash_lsh_dup_pairs(
         inter.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn(
             "jaccard",
-            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4),
+            floor_round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                4,
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from my_feast_spark.functions.scalar import floor_round
 from my_feast_spark.operators.dedup import jaccard_dup_pairs, minhash_lsh_dup_pairs
 from my_feast_spark.operators.sampling import RESOLUTION, sample_bucket
 
@@ -85,11 +86,11 @@ def lsh_recall_report(
         F.coalesce(F.col("matched"), F.lit(0)).alias("matched"),
         F.when(
             F.coalesce(F.col("truth_pairs"), F.lit(0)) > 0,
-            F.round(F.col("matched") / F.col("truth_pairs"), 4),
+            floor_round(F.col("matched") / F.col("truth_pairs"), 4),
         ).alias("recall"),
         F.when(
             F.coalesce(F.col("lsh_pairs"), F.lit(0)) > 0,
-            F.round(F.col("matched") / F.col("lsh_pairs"), 4),
+            floor_round(F.col("matched") / F.col("lsh_pairs"), 4),
         ).alias("precision"),
     )
     # hand the pair generators' persisted relations to the caller per

@@ -34,6 +34,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from my_feast_spark.functions.scalar import floor_round
+
 _memory_table_ids = itertools.count()
 
 
@@ -802,7 +804,7 @@ def embedding_dedup_ingest_stream(
                                       F.col("v").alias("a_v")), "dom")
                 .join(base.select("doc", F.col("v").alias("b_v")), "doc")
                 .filter(
-                    F.round(_dot(F.col("a_v"), F.col("b_v")), 6)
+                    floor_round(_dot(F.col("a_v"), F.col("b_v")), 6)
                     >= F.lit(threshold)
                 )
                 .select(F.col("doc").alias(id_col))

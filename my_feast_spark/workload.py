@@ -1609,11 +1609,11 @@ WITH toks AS (
   GROUP BY 1, 2
 ), sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh)
 SELECT doc_a, doc_b,
-       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+       floor(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 1e4 + 0.5e0) / 1e4 AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
+WHERE floor(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 1e4 + 0.5e0) / 1e4 >= 0.5
 """
 
 
@@ -1692,11 +1692,12 @@ WITH toks AS (
   GROUP BY 1, 2
 ), sizes AS (SELECT doc, len(s) AS n_sh FROM sh)
 SELECT doc_a, doc_b,
-       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+       floor(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 1e4 + 0.5e0) / 1e4 AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc = doc_a
 JOIN sizes sb ON sb.doc = doc_b
-WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= {threshold}
+WHERE floor(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 1e4 + 0.5e0) / 1e4
+      >= {threshold}
 """
 
 
@@ -5478,15 +5479,17 @@ based AS MATERIALIZED (
   FROM br a JOIN br b ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc
 )
 SELECT doc_a, doc_b,
-       round(len(list_intersect(fa.fhs, fb.fhs))
+       floor(len(list_intersect(fa.fhs, fb.fhs))
              / (len(fa.fhs) + len(fb.fhs)
-                - len(list_intersect(fa.fhs, fb.fhs))), 4) AS jaccard
+                - len(list_intersect(fa.fhs, fb.fhs))) * 1e4 + 0.5e0)
+         / 1e4 AS jaccard
 FROM cand
 JOIN fs fa ON fa.doc = doc_a
 JOIN fs fb ON fb.doc = doc_b
-WHERE round(len(list_intersect(fa.fhs, fb.fhs))
+WHERE floor(len(list_intersect(fa.fhs, fb.fhs))
             / (len(fa.fhs) + len(fb.fhs)
-               - len(list_intersect(fa.fhs, fb.fhs))), 4) >= {threshold}
+               - len(list_intersect(fa.fhs, fb.fhs))) * 1e4 + 0.5e0) / 1e4
+      >= {threshold}
 """
 
 
@@ -5906,7 +5909,7 @@ coll AS (
   SELECT coll.x, coll.y FROM coll
   JOIN v vx ON vx.doc = coll.x
   JOIN v vy ON vy.doc = coll.y
-  WHERE round({dot_chain}, 6) >= {threshold}
+  WHERE floor(({dot_chain}) * 1e6 + 0.5e0) / 1e6 >= {threshold}
 ),
 {stage_sql}
 SELECT vec_id, CAST(batch_id AS INTEGER) AS batch_id FROM ({final})
@@ -5965,7 +5968,8 @@ truth AS (
   FROM tinter
   JOIN tsizes sa ON sa.doc_id = doc_a
   JOIN tsizes sb ON sb.doc_id = doc_b
-  WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= {threshold}
+  WHERE floor(n_inter / (sa.n_sh + sb.n_sh - n_inter) * 1e4 + 0.5e0) / 1e4
+      >= {threshold}
 ),
 lshp AS ({inner}),
 lsh AS (SELECT doc_a, doc_b, 1 AS ll FROM lshp),
@@ -5982,9 +5986,11 @@ rep AS (
 sc AS (SELECT CAST(count(*) AS INTEGER) AS sample_docs FROM smpl)
 SELECT sc.sample_docs, rep.truth_pairs, rep.lsh_pairs, rep.matched,
        CASE WHEN rep.truth_pairs > 0
-            THEN round(rep.matched / rep.truth_pairs, 4) END AS recall,
+            THEN floor(rep.matched / rep.truth_pairs * 1e4 + 0.5e0) / 1e4
+            END AS recall,
        CASE WHEN rep.lsh_pairs > 0
-            THEN round(rep.matched / rep.lsh_pairs, 4) END AS precision
+            THEN floor(rep.matched / rep.lsh_pairs * 1e4 + 0.5e0) / 1e4
+            END AS precision
 FROM rep, sc
 """
 
@@ -6048,6 +6054,212 @@ GROUP BY e.doc_id
 """
 
 
+def q_jsonl_scan(spark, sf_dir):
+    """JSONL interchange round-trip (sources/readers.py::read_jsonl +
+    sources/writers.py::write_jsonl) — the format text corpora actually
+    ship in. The documents table is written as gzipped JSON-Lines
+    shards (maxRecordsPerFile sizing, no repartition shuffle), read
+    back with an explicit schema in FAILFAST mode, and summarized per
+    language: row count, character volume, and a portable content
+    digest (sum of md5-derived buckets over ``doc_id:text``) that pins
+    every round-tripped value, not just cardinalities. The oracle
+    computes the identical summary straight from the parquet source, so
+    a green row certifies writer + reader + escaping end-to-end."""
+    from my_feast_spark.operators.dedup import _MASK63, portable_hash64
+    from my_feast_spark.sources.readers import read_jsonl
+    from my_feast_spark.sources.writers import write_jsonl
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    base = _scratch_dir("mfs_jsonl_")
+    write_jsonl(docs, base, target_rows_per_file=200)
+    back = read_jsonl(
+        spark, base, schema="doc_id long, lang string, text string",
+        strict=True,
+    )
+    digest = F.pmod(
+        portable_hash64(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))
+        ).bitwiseAND(F.lit(_MASK63)),
+        F.lit(1_000_000),
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sum(digest).alias("content_digest"),
+    )
+
+
+SQL_JSONL_SCAN = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(sum((md5_number_lower(CAST(doc_id AS VARCHAR) || ':' || text)
+                 & 9223372036854775807) % 1000000) AS BIGINT)
+         AS content_digest
+FROM documents
+GROUP BY lang
+"""
+
+
+def q_pack_bfd(spark, sf_dir):
+    """Best-fit-decreasing sequence packing (operators/packing.py::
+    pack_bfd): every document's whitespace-token count is packed into
+    capacity-128 bins, sharded 8 ways by the portable md5 hash family
+    so the per-shard sequential fold — the legitimate applyInPandas
+    escape hatch: only (id, len) pairs leave the JVM — is replayed
+    bit-for-bit by a DuckDB recursive CTE carrying the (remaining,
+    pack_id)-encoded bin state. The fold order (len desc, id asc) and
+    the tie rule (lowest pack id among equal best fits) are total
+    orders, so the assignment is deterministic on both engines."""
+    from my_feast_spark.functions.text import tokens
+    from my_feast_spark.operators.dedup import _MASK63, portable_hash64
+    from my_feast_spark.operators.packing import pack_bfd
+
+    docs = _t(spark, sf_dir, "documents")
+    slim = docs.select(
+        F.pmod(
+            portable_hash64(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":pack"))
+            ).bitwiseAND(F.lit(_MASK63)),
+            F.lit(8),
+        ).cast("long").alias("shard"),
+        F.col("doc_id"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    ).filter((F.col("n_tokens") >= 1) & (F.col("n_tokens") <= 128))
+    return pack_bfd(slim, "doc_id", "n_tokens", 128, shard_col="shard")
+
+
+# The recursive CTE replays the per-shard BFD fold exactly: items in
+# (len desc, id asc) order; bin state as a BIGINT list encoding
+# remaining * 2^32 + pack_id, so "smallest remaining >= len, lowest
+# pack id among ties" is one list_min over a filtered list — the same
+# total order pack_bfd's bisect walks.
+SQL_PACK_BFD = r"""
+WITH RECURSIVE slim AS (
+  SELECT CAST((md5_number_lower(CAST(doc_id AS VARCHAR) || ':pack')
+         & 9223372036854775807) % 8 AS BIGINT) AS shard,
+         doc_id AS id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS len
+  FROM documents
+  WHERE len(string_split_regex(trim(text), '\s+')) BETWEEN 1 AND 128
+), items AS (
+  SELECT shard, id, len,
+         row_number() OVER (PARTITION BY shard ORDER BY len DESC, id) AS rn
+  FROM slim
+), st AS (
+  SELECT shard, CAST(0 AS BIGINT) AS rn,
+         CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS len,
+         CAST(NULL AS BIGINT) AS pack_id,
+         CAST([] AS BIGINT[]) AS keys, CAST(0 AS BIGINT) AS next_pack
+  FROM (SELECT DISTINCT shard FROM items)
+  UNION ALL
+  SELECT i.shard, i.rn, i.id, i.len,
+         CASE WHEN b.best IS NULL THEN s.next_pack
+              ELSE b.best % 4294967296 END,
+         CASE WHEN b.best IS NULL
+              THEN list_append(s.keys,
+                   (128 - i.len) * 4294967296 + s.next_pack)
+              ELSE list_append(
+                     list_filter(s.keys, k -> k != b.best),
+                     ((b.best // 4294967296) - i.len) * 4294967296
+                     + (b.best % 4294967296))
+         END,
+         CASE WHEN b.best IS NULL THEN s.next_pack + 1
+              ELSE s.next_pack END
+  FROM st s
+  JOIN items i ON i.shard = s.shard AND i.rn = s.rn + 1,
+  LATERAL (SELECT list_min(list_filter(s.keys,
+                  k -> (k // 4294967296) >= i.len)) AS best) b
+)
+SELECT shard, pack_id, id, len FROM st WHERE rn >= 1
+"""
+
+
+def q_compaction_replay(spark, sf_dir):
+    """Streaming-index compaction adjudicated end-to-end: the exact
+    dedup ingest (streaming/ingest.py::dedup_ingest_stream) drains the
+    documents table as three micro-batches (doc_id % 3, one shared
+    checkpoint) with in-stream auto-compaction, then a CRASHED
+    maintenance cycle is simulated — a consolidated superset generation
+    is written and the remaining live generation deleted, the exact
+    interruption the round-10 verdict flagged as data-losing — and
+    compact_index heals it. The query raises unless exactly one
+    generation remains, and returns the accepted corpus (winner per
+    fingerprint in (batch, id) order) stamped with the healed index
+    cardinality, so the CORRECTNESS row pins both the ingest dedup
+    semantics and the lossless-compaction invariant."""
+    import shutil
+
+    from my_feast_spark.streaming.ingest import (
+        compact_index,
+        dedup_ingest_stream,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = _scratch_dir("mfs_compact_")
+    in_dir = os.path.join(base, "incoming")
+    os.makedirs(in_dir)
+    out = os.path.join(base, "accepted")
+    idx = os.path.join(base, "fp_index")
+    ckpt = os.path.join(base, "ckpt")
+    for b in range(3):
+        docs.filter(F.col("doc_id") % 3 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        sdf = spark.readStream.schema("doc_id long, text string").parquet(
+            in_dir
+        )
+        q = dedup_ingest_stream(
+            sdf, out_path=out, index_path=idx, checkpoint=ckpt,
+            available_now=True, index_buckets=4, compact_every=1,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+    # simulate the interrupted cycle: consolidated superset written to a
+    # fresh negative generation, then every live source deleted, crash
+    # before deleting the older compacted generation — only negative
+    # generations survive (the exact round-10 data-loss corner)
+    gens = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(idx) if d.startswith("batch_id=")
+    ]
+    merged = spark.read.parquet(idx).drop("batch_id").dropDuplicates()
+    merged.repartition("pbucket").write.mode("overwrite").partitionBy(
+        "pbucket"
+    ).parquet(os.path.join(idx, f"batch_id={min(gens) - 1}"))
+    for g in gens:
+        if g >= 0:
+            shutil.rmtree(os.path.join(idx, f"batch_id={g}"))
+    stats = compact_index(spark, idx)
+    survivors = [
+        d for d in os.listdir(idx) if d.startswith("batch_id=")
+    ]
+    if len(survivors) != 1 or stats["generation"] is None:
+        raise RuntimeError(
+            f"compaction did not converge to one generation: {survivors}"
+        )
+    n_idx = spark.read.parquet(idx).count()
+    return (
+        spark.read.parquet(out)
+        .select("doc_id", F.col("batch_id").cast("int").alias("batch_id"))
+        .withColumn("index_rows", F.lit(n_idx).cast("long"))
+    )
+
+
+SQL_COMPACTION_REPLAY = r"""
+WITH fp AS (
+  SELECT doc_id, doc_id % 3 AS b,
+         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f
+  FROM documents
+), win AS (
+  SELECT doc_id, b FROM fp
+  QUALIFY row_number() OVER (PARTITION BY f ORDER BY b, doc_id) = 1
+), n AS (SELECT CAST(count(DISTINCT f) AS BIGINT) AS index_rows FROM fp)
+SELECT w.doc_id, CAST(w.b AS INTEGER) AS batch_id, n.index_rows
+FROM win w CROSS JOIN n
+"""
+
+
 # =========================================================================
 # Query registry.
 #
@@ -6064,35 +6276,27 @@ GROUP BY e.doc_id
 #      window every round so nothing goes two consecutive rounds without
 #      a fresh CORRECTNESS row, and a query that is NEW this round or
 #      whose BEHAVIOR changed (any change that can alter its output at
-#      any sf) is always in-window. Round 9: the r8 tail (last
-#      adjudicated round 7) is back in-window, MINUS seven retirements
-#      that fund the round's new/changed slots (rationale in the
-#      RETIRED block); the r8-adjudicated window queries sit the tail
-#      out. In-window besides the flagship five: the TWO round-9 NEW
-#      queries (dsir_resample, url_domain_curation) and the FIVE
-#      queries whose behavior changed in round 9 — gopher_quality_filter
-#      (ratio measures to the stable floor-round form + DISTINCT
-#      stopword hits per Rae et al. A1.1), score_weighted_sample (the
-#      keep probability's pow() replaced by an engine-stable explicit
-#      multiply tree), and lm_perplexity / lm_perplexity_kn /
-#      ccnet_buckets (round(avg(log2 ...)) to the floor-round form on
-#      both engines). The rotating-in set's own latent
-#      round(avg(double)) sites (moving_avg_revenue, token_rarity,
-#      label_centroids, lineitem_unpivot, and the decorrelated /7
-#      division in the retiring small_quantity_revenue) migrated to the
-#      stable forms in the same rotation commit — they re-adjudicate
-#      anyway, so the behavior change costs no extra slot.
-#      KNOWN REMAINING (the round-10 migration batch): the native
-#      round() of exact-integer RATIOS in the Jaccard verifies
-#      (operators/dedup.py jaccard/minhash verify, multimodal video
-#      Jaccard, dedup_eval recall ratios, streaming embedding
-#      round(dot)) shares shared-code consumers with TAIL queries
-#      (lsh_recall, video_dedup, streaming_embedding_ingest), so the
-#      floor_round migration waits until those rotate in — same
-#      deferral the r8->r9 round(avg) batch used. Exposure: both
-#      engines compute the identical double; divergence needs its
-#      shortest repr to sit exactly on a .5 boundary at 4dp (the
-#      0.43725 class) — tri-scale green today.
+#      any sf) is always in-window. Round 11 (round 10 shipped no code,
+#      so this executes the rotation round 10 owed): the r10 tail (last
+#      adjudicated round 8) is back in-window, MINUS the pq_topk
+#      retirement that funds one of the round's new slots (rationale in
+#      the RETIRED block); the r10-adjudicated window queries sit the
+#      tail out. In-window besides the flagship five: the THREE
+#      round-11 NEW queries (compaction_replay, jsonl_scan, pack_bfd)
+#      and the SIX queries whose behavior changed in round 11 — the
+#      long-deferred floor_round migration of the exact-integer-ratio
+#      round() sites landed with this rotation (the deferral round 9
+#      documented): the jaccard/minhash exact verifies
+#      (operators/dedup.py), the video frame-hash Jaccard
+#      (multimodal/assets.py), the lsh_recall recall/precision ratios
+#      (operators/dedup_eval.py), and the streaming embedding ingest's
+#      round(dot, 6) accept test (streaming/ingest.py), each with its
+#      oracle moved to the identical floor(x * 1e{dp} + 0.5) / 1e{dp}
+#      form. Affected: jaccard_dup_pairs, minhash_dup_pairs,
+#      curation_pipeline_full (consumes the minhash verify) from the
+#      r10 window, and video_dedup, lsh_recall,
+#      streaming_embedding_ingest from the rotating-in tail. No native
+#      round() of a double measure remains in any adjudicated path.
 #   5. RETIRED: the registry budget is ~100 driver-adjudicated queries;
 #      retired entries are near-duplicates of in-registry coverage
 #      (their operators stay covered by other queries) that keep their
@@ -6113,70 +6317,26 @@ QUERIES: dict[str, tuple] = {
     "hourly_user_agg": (q_hourly_user_agg, SQL_HOURLY_USER_AGG),
     "hourly_global_agg": (q_hourly_global_agg, SQL_HOURLY_GLOBAL_AGG),
     "event_types_salted": (q_event_types_salted, SQL_EVENT_TYPES_SALTED),
-    # --- NEW in round 9 ----------------------------------------------------
-    "dsir_resample": (q_dsir_resample, SQL_DSIR_RESAMPLE),
-    "url_domain_curation": (
-        q_url_domain_curation, SQL_URL_DOMAIN_CURATION,
-    ),
-    "domain_pagerank": (q_domain_pagerank, SQL_DOMAIN_PAGERANK),
-    # --- BEHAVIOR changed in round 9 (stay in-window; see the rotation
-    # policy above for the per-query change) --------------------------------
-    "gopher_quality_filter": (
-        q_gopher_quality_filter, SQL_GOPHER_QUALITY_FILTER,
-    ),
-    "score_weighted_sample": (
-        q_score_weighted_sample, SQL_SCORE_WEIGHTED_SAMPLE,
-    ),
-    "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
-    "lm_perplexity_kn": (q_lm_perplexity_kn, SQL_LM_PERPLEXITY_KN),
-    "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
-    # --- rotated IN for round 9 (last adjudicated round 7) ----------------
+    # --- NEW in round 11 ---------------------------------------------------
+    # compaction_replay pins the healed streaming-index invariant (the
+    # round-10 weak); jsonl_scan adjudicates the JSONL writer+reader
+    # round-trip; pack_bfd promotes best-fit-decreasing packing from
+    # test-only to a full recursive-CTE oracle replay.
+    "compaction_replay": (q_compaction_replay, SQL_COMPACTION_REPLAY),
+    "jsonl_scan": (q_jsonl_scan, SQL_JSONL_SCAN),
+    "pack_bfd": (q_pack_bfd, SQL_PACK_BFD),
+    # --- BEHAVIOR changed in round 11 (stay in-window): the jaccard /
+    # minhash exact-verify round migrated to the stable floor form on
+    # both engines; curation_pipeline_full consumes the minhash verify.
+    "jaccard_dup_pairs": (q_jaccard_dup_pairs, SQL_JACCARD_DUP_PAIRS),
+    "minhash_dup_pairs": (q_minhash_dup_pairs, SQL_MINHASH_DUP_PAIRS),
     "curation_pipeline_full": (
         q_curation_pipeline_full, SQL_CURATION_PIPELINE_FULL,
     ),
-    "ivfpq_topk": (q_ivfpq_topk, SQL_IVFPQ_TOPK),
-    "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
-    "image_dedup": (q_image_dedup, SQL_IMAGE_DEDUP),
-    "streaming_neardup_ingest": (
-        q_streaming_neardup_ingest, SQL_STREAMING_NEARDUP_INGEST,
-    ),
-    "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
-    "minhash_dup_pairs": (q_minhash_dup_pairs, SQL_MINHASH_DUP_PAIRS),
-    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
-    "packed_sequences": (q_packed_sequences, SQL_PACKED_SEQUENCES),
-    "mixture_temperature": (q_mixture_temperature, SQL_MIXTURE_TEMPERATURE),
-    "token_rarity": (q_token_rarity, SQL_TOKEN_RARITY),
-    "boilerplate_ngrams": (q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS),
-    "global_shuffle": (q_global_shuffle, SQL_GLOBAL_SHUFFLE),
-    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
-    "column_profile": (q_column_profile, SQL_COLUMN_PROFILE),
-    "cluster_keep_longest": (q_cluster_keep_longest, SQL_CLUSTER_KEEP_LONGEST),
-    "stratum_ksample": (q_stratum_ksample, SQL_STRATUM_KSAMPLE),
-    "profile_drift": (q_profile_drift, SQL_PROFILE_DRIFT),
-    "token_pmi": (q_token_pmi, SQL_TOKEN_PMI),
-    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
-    "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
-    "jaccard_dup_pairs": (q_jaccard_dup_pairs, SQL_JACCARD_DUP_PAIRS),
-    "online_snapshot": (q_online_snapshot, SQL_ONLINE_SNAPSHOT),
-    "contamination_report": (q_contamination_report, SQL_CONTAMINATION_REPORT),
-    "avro_scan": (q_avro_scan, SQL_AVRO_SCAN),
-    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
-    "stream_capture_files": (q_stream_capture_files, SQL_STREAM_CAPTURE_FILES),
-    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
-    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
-    "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
-    "top_terms_tfidf": (q_top_terms_tfidf, SQL_TOP_TERMS_TFIDF),
-    "user_cohort_sets": (q_user_cohort_sets, SQL_USER_COHORT_SETS),
-    "moving_avg_revenue": (q_moving_avg_revenue, SQL_MOVING_AVG_REVENUE),
-    "event_type_pivot": (q_event_type_pivot, SQL_EVENT_TYPE_PIVOT),
-    "post_signup_activity": (q_post_signup_activity, SQL_POST_SIGNUP_ACTIVITY),
-    "lineitem_unpivot": (q_lineitem_unpivot, SQL_LINEITEM_UNPIVOT),
-    "customer_balance_deciles": (
-        q_customer_balance_deciles, SQL_CUSTOMER_BALANCE_DECILES,
-    ),
-    # --- rotation tail for round 9 (all green in round 8; unchanged;
-    # still value-checked every run by tests/test_oracle_parity.py;
-    # back in-window round 10) ----------------------------------------------
+    # --- rotated IN for round 11 (last adjudicated round 8) ---------------
+    # includes the remaining behavior-changed consumers of the floor-
+    # round migration: video_dedup, lsh_recall (+ its recall/precision
+    # ratios), streaming_embedding_ingest (round(dot, 6) accept test).
     "audio_dedup": (q_audio_dedup, SQL_AUDIO_DEDUP),
     "video_dedup": (q_video_dedup, SQL_VIDEO_DEDUP),
     "chunk_dedup": (q_chunk_dedup, SQL_CHUNK_DEDUP),
@@ -6191,7 +6351,6 @@ QUERIES: dict[str, tuple] = {
     "span_removal": (q_span_removal, SQL_SPAN_REMOVAL),
     "nb_quality_score": (q_nb_quality_score, SQL_NB_QUALITY_SCORE),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
-    "pq_topk": (q_pq_topk, SQL_PQ_TOPK),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "feature_store_retrieval": (
         q_feature_store_retrieval, SQL_FEATURE_STORE_RETRIEVAL,
@@ -6227,8 +6386,60 @@ QUERIES: dict[str, tuple] = {
     "order_priority_count": (q_order_priority_count, SQL_ORDER_PRIORITY_COUNT),
     "top_spenders": (q_top_spenders, SQL_TOP_SPENDERS),
     "user_value_deltas": (q_user_value_deltas, SQL_USER_VALUE_DELTAS),
+    # --- rotation tail for round 11 (all green in round 10; unchanged;
+    # still value-checked every run by tests/test_oracle_parity.py;
+    # back in-window round 12) ----------------------------------------------
+    "dsir_resample": (q_dsir_resample, SQL_DSIR_RESAMPLE),
+    "url_domain_curation": (q_url_domain_curation, SQL_URL_DOMAIN_CURATION),
+    "domain_pagerank": (q_domain_pagerank, SQL_DOMAIN_PAGERANK),
+    "gopher_quality_filter": (
+        q_gopher_quality_filter, SQL_GOPHER_QUALITY_FILTER,
+    ),
+    "score_weighted_sample": (
+        q_score_weighted_sample, SQL_SCORE_WEIGHTED_SAMPLE,
+    ),
+    "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
+    "lm_perplexity_kn": (q_lm_perplexity_kn, SQL_LM_PERPLEXITY_KN),
+    "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
+    "ivfpq_topk": (q_ivfpq_topk, SQL_IVFPQ_TOPK),
+    "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
+    "image_dedup": (q_image_dedup, SQL_IMAGE_DEDUP),
+    "streaming_neardup_ingest": (
+        q_streaming_neardup_ingest, SQL_STREAMING_NEARDUP_INGEST,
+    ),
+    "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "packed_sequences": (q_packed_sequences, SQL_PACKED_SEQUENCES),
+    "mixture_temperature": (q_mixture_temperature, SQL_MIXTURE_TEMPERATURE),
+    "token_rarity": (q_token_rarity, SQL_TOKEN_RARITY),
+    "boilerplate_ngrams": (q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS),
+    "global_shuffle": (q_global_shuffle, SQL_GLOBAL_SHUFFLE),
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+    "column_profile": (q_column_profile, SQL_COLUMN_PROFILE),
+    "cluster_keep_longest": (q_cluster_keep_longest, SQL_CLUSTER_KEEP_LONGEST),
+    "stratum_ksample": (q_stratum_ksample, SQL_STRATUM_KSAMPLE),
+    "profile_drift": (q_profile_drift, SQL_PROFILE_DRIFT),
+    "token_pmi": (q_token_pmi, SQL_TOKEN_PMI),
+    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
+    "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
+    "online_snapshot": (q_online_snapshot, SQL_ONLINE_SNAPSHOT),
+    "contamination_report": (q_contamination_report, SQL_CONTAMINATION_REPORT),
+    "avro_scan": (q_avro_scan, SQL_AVRO_SCAN),
+    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
+    "stream_capture_files": (q_stream_capture_files, SQL_STREAM_CAPTURE_FILES),
+    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+    "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
+    "top_terms_tfidf": (q_top_terms_tfidf, SQL_TOP_TERMS_TFIDF),
+    "user_cohort_sets": (q_user_cohort_sets, SQL_USER_COHORT_SETS),
+    "moving_avg_revenue": (q_moving_avg_revenue, SQL_MOVING_AVG_REVENUE),
+    "event_type_pivot": (q_event_type_pivot, SQL_EVENT_TYPE_PIVOT),
+    "post_signup_activity": (q_post_signup_activity, SQL_POST_SIGNUP_ACTIVITY),
+    "lineitem_unpivot": (q_lineitem_unpivot, SQL_LINEITEM_UNPIVOT),
+    "customer_balance_deciles": (
+        q_customer_balance_deciles, SQL_CUSTOMER_BALANCE_DECILES,
+    ),
 }
-
 #: Retired from the driver registry (budget: ~100 adjudicated queries).
 #: Each is a near-duplicate of in-registry coverage — their SURVEY §2 /
 #: extension-tier operators stay oracle-checked elsewhere:
@@ -6327,6 +6538,14 @@ QUERIES: dict[str, tuple] = {
 #:                                (the Arrow batch-shape plumbing);
 #:                                retired to fund the round-9
 #:                                domain_pagerank window slot
+#: round 11 (funding the compaction_replay / jsonl_scan / pack_bfd
+#: window slots next to the six floor-round behavior changes):
+#:   pq_topk                   -> ivfpq_topk (the same PQ codebook
+#:                                train / encode / ADC scan machinery,
+#:                                plus IVF residual quantization and
+#:                                partition-pruned probing — the scale
+#:                                path) + cosine_topk (the exact
+#:                                brute-force baseline)
 #: Still value-checked against DuckDB every pytest run via
 #: tests/test_oracle_parity.py.
 RETIRED_QUERIES: dict[str, tuple] = {
@@ -6361,4 +6580,5 @@ RETIRED_QUERIES: dict[str, tuple] = {
         q_length_bucket_batches, SQL_LENGTH_BUCKET_BATCHES,
     ),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
+    "pq_topk": (q_pq_topk, SQL_PQ_TOPK),
 }

@@ -11,26 +11,72 @@ from __future__ import annotations
 
 from my_feast_spark import workload
 
-# Round-9 rotation: the r8 tail (last adjudicated round 7) is back IN
-# the window (minus the seven round-9 retirements); the queries
-# adjudicated green in round 8 sit in the tail this round and return in
-# round 10.
+# Round-11 rotation (executes the rotation round 10 owed — round 10
+# shipped no code): the r10 tail (last adjudicated round 8) is back IN
+# the window (minus the pq_topk retirement); the queries adjudicated
+# green in round 10 sit in the tail this round and return in round 12.
 ROTATION_TAIL = {
-    # adjudicated green as round-8 NEW queries; unchanged in round 9
+    # adjudicated green in round 10; unchanged in round 11
+    "dsir_resample",
+    "url_domain_curation",
+    "domain_pagerank",
+    "gopher_quality_filter",
+    "score_weighted_sample",
+    "lm_perplexity",
+    "lm_perplexity_kn",
+    "ccnet_buckets",
+    "ivfpq_topk",
+    "normalize_text",
+    "image_dedup",
+    "streaming_neardup_ingest",
+    "curation_pipeline",
+    "dedup_clusters",
+    "packed_sequences",
+    "mixture_temperature",
+    "token_rarity",
+    "boilerplate_ngrams",
+    "global_shuffle",
+    "incremental_dedup",
+    "column_profile",
+    "cluster_keep_longest",
+    "stratum_ksample",
+    "profile_drift",
+    "token_pmi",
+    "inverted_index",
+    "exact_dedup_docs",
+    "online_snapshot",
+    "contamination_report",
+    "avro_scan",
+    "multimodal_frames",
+    "stream_capture_files",
+    "cosine_topk",
+    "ann_lsh_topk",
+    "label_centroids",
+    "top_terms_tfidf",
+    "user_cohort_sets",
+    "moving_avg_revenue",
+    "event_type_pivot",
+    "post_signup_activity",
+    "lineitem_unpivot",
+    "customer_balance_deciles",
+}
+
+#: last adjudicated in round 8 — round 11 MUST give them fresh rows
+#: (the rotation invariant: nothing sits out two consecutive rounds;
+#: round 10 already slipped once, so every one of these is overdue)
+ROTATED_IN = {
     "audio_dedup",
     "video_dedup",
     "chunk_dedup",
     "cdc_chunk_dedup",
     "streaming_embedding_ingest",
     "lsh_recall",
-    # adjudicated green in round 8 (rotated in then); unchanged
     "scd2_user_state",
     "bpe_merge_replay",
     "vocab_encode_join",
     "span_removal",
     "nb_quality_score",
     "semdedup",
-    "pq_topk",
     "pricing_summary",
     "feature_store_retrieval",
     "streaming_sessionize",
@@ -60,81 +106,28 @@ ROTATION_TAIL = {
     "user_value_deltas",
 }
 
-#: last adjudicated in round 7 — round 9 MUST give them fresh rows
-#: (the rotation invariant: nothing sits out two consecutive rounds)
-ROTATED_IN = {
-    "curation_pipeline_full",
-    "ivfpq_topk",
-    "normalize_text",
-    "image_dedup",
-    "streaming_neardup_ingest",
-    "curation_pipeline",
-    "minhash_dup_pairs",
-    "dedup_clusters",
-    "packed_sequences",
-    "mixture_temperature",
-    "token_rarity",
-    "boilerplate_ngrams",
-    "global_shuffle",
-    "incremental_dedup",
-    "column_profile",
-    "cluster_keep_longest",
-    "stratum_ksample",
-    "profile_drift",
-    "token_pmi",
-    "inverted_index",
-    "exact_dedup_docs",
-    "jaccard_dup_pairs",
-    "online_snapshot",
-    "contamination_report",
-    "avro_scan",
-    "multimodal_frames",
-    "stream_capture_files",
-    "cosine_topk",
-    "ann_lsh_topk",
-    "label_centroids",
-    "top_terms_tfidf",
-    "user_cohort_sets",
-    "moving_avg_revenue",
-    "event_type_pivot",
-    "post_signup_activity",
-    "lineitem_unpivot",
-    "customer_balance_deciles",
-}
-
-#: new in round 9, or BEHAVIOR changed in round 9 — must be in-window
+#: new in round 11, or BEHAVIOR changed in round 11 — must be in-window
 #: so the change gets an adjudication row
 CHANGED_OR_NEW_THIS_ROUND = {
-    # new: DSIR importance resampling (fit + weigh + Gumbel top-k),
-    # promoted from test-only per the r8 verdict
-    "dsir_resample",
-    # new: URL canonicalization + registered domain + blocklist +
-    # per-domain quota — the crawl pipeline's pre-tokenization tier
-    "url_domain_curation",
-    # new: fixed-point domain PageRank (exact integer arithmetic,
-    # unrolled-CTE oracle) — the URL-level quality prior
-    "domain_pagerank",
-    # changed: ratio measures to the stable floor-round form (r8 ADVICE
-    # medium) and stop_hits now counts DISTINCT stopwords per Rae et
-    # al. A1.1 (r8 ADVICE low)
-    "gopher_quality_filter",
-    # changed: keep probability's Math.pow/libm pow replaced by an
-    # explicit IEEE multiply tree on both engines (r8 ADVICE low)
-    "score_weighted_sample",
-    # changed: round(avg(log2 ...)) to the floor-round form on both
-    # engines (r8 ADVICE low; sum-order noise stays the documented
-    # accepted risk at 4dp); ccnet_buckets additionally moves to
-    # PER-LANGUAGE terciles (Wenzek et al. 2020's actual design —
-    # each language's corpus splits into its own head/middle/tail)
-    "lm_perplexity",
-    "lm_perplexity_kn",
-    "ccnet_buckets",
-    # changed (also in ROTATED_IN — they re-adjudicate anyway): the
-    # tail's latent round(avg(double)) sites migrated to stable forms
-    "moving_avg_revenue",
-    "token_rarity",
-    "label_centroids",
-    "lineitem_unpivot",
+    # new: exact-dedup ingest + interrupted-compaction heal, adjudicated
+    # end-to-end (pins the round-10 weak's fix)
+    "compaction_replay",
+    # new: JSONL writer + reader round-trip with a portable content
+    # digest (r9 verdict ask)
+    "jsonl_scan",
+    # new: best-fit-decreasing packing, recursive-CTE oracle replay
+    # (promoted from test-only per the r9/r10 verdicts)
+    "pack_bfd",
+    # changed: the exact-integer-ratio round() sites migrated to the
+    # stable floor form on both engines (the documented round-10
+    # migration batch)
+    "jaccard_dup_pairs",
+    "minhash_dup_pairs",
+    "curation_pipeline_full",
+    # changed (also in ROTATED_IN — they re-adjudicate anyway)
+    "video_dedup",
+    "lsh_recall",
+    "streaming_embedding_ingest",
 }
 
 #: retired from the driver registry — near-duplicates of in-registry
@@ -167,6 +160,8 @@ RETIRED_THIS_ROUND = {
     "batch_sessions",
     "length_bucket_batches",
     "multimodal_decode",
+    # round 11
+    "pq_topk",
 }
 
 
