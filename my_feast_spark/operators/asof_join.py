@@ -50,6 +50,12 @@ rows — and injected into each probe-bearing slice as its carry-in.
 Results are identical to ``union_window`` (asserted by golden + property
 tests); cost is one extra small shuffle of the per-slice-latest relation.
 
+``auto`` probes the per-key load (one column-pruned pass + a
+metadata-sized shuffle, see ``_choose_strategy``) and picks
+union_window below the hot-key threshold, sliced_window with a fitted
+slice width above it — so a 100 TB retrieval with an unknown skew
+profile no longer needs hand-tuning to avoid the one-task window sort.
+
 NULL join keys follow SQL left-join semantics in every strategy: a NULL
 key never matches anything (probe rows with a NULL key pass through with
 NULL features; feature rows with a NULL key are dropped) — Spark window
@@ -99,6 +105,7 @@ def point_in_time_join(
     include_feature_ts: bool = False,
     strategy: str = "union_window",
     slice_interval=_dt.timedelta(days=1),
+    hot_key_rows: int = 1_000_000,
 ) -> DataFrame:
     """As-of join ``entity_df`` against ``feature_df``.
 
@@ -118,12 +125,23 @@ def point_in_time_join(
     include_feature_ts : also emit ``<prefix>event_timestamp`` of the
         matched feature row (handy for debugging/tests).
     strategy : "union_window" (default, linear), "sliced_window" (hot-key
-        safe; see module docstring), or "range_join" (the reference's
-        literal non-equi plan).
+        safe; see module docstring), "range_join" (the reference's
+        literal non-equi plan), or "auto" — probe the key distribution
+        and pick union_window vs sliced_window (with a fitted
+        slice_interval) per :func:`_choose_strategy`. The probe costs one
+        column-pruned pass over the two key+timestamp projections
+        (parquet reads only those columns) and a metadata-sized shuffle;
+        spend it when the skew profile is unknown, skip it (pick the
+        strategy yourself) when it is.
     slice_interval : slice width for ``sliced_window`` — seconds or a
         ``datetime.timedelta`` (default 1 day). Pick it so a hot key's
         rows per slice fit one task comfortably; the carry relation costs
-        |keys|×|slices| rows.
+        |keys|×|slices| rows. Ignored by ``auto`` (which fits its own).
+    hot_key_rows : ``auto`` only — switch to sliced_window when the
+        hottest key carries more than this many feature+probe rows (the
+        point where one task's window sort becomes the straggler;
+        default 1M — the r9 probe measured sliced 1.9x faster than
+        union_window at 2.5M rows on one key).
     """
     entity_ts_col = entity_ts_col or event_ts_col
     join_keys = list(join_keys)
@@ -143,6 +161,12 @@ def point_in_time_join(
         raise ValueError(
             f"feature output columns collide with entity columns: {sorted(collisions)}; "
             "pass full_feature_names=True with a feature_view_name"
+        )
+
+    if strategy == "auto":
+        strategy, slice_interval = _choose_strategy(
+            entity_df, feature_df, join_keys, event_ts_col, entity_ts_col,
+            hot_key_rows,
         )
 
     if strategy == "union_window":
@@ -171,6 +195,56 @@ def point_in_time_join(
     if include_feature_ts:
         sel.append(F.col(f"{_PAYLOAD}.{_FEAT_TS}").alias(prefix + "feature_event_timestamp"))
     return out.select(*sel)
+
+
+def _choose_strategy(
+    entity_df, feature_df, join_keys, event_ts_col, entity_ts_col,
+    hot_key_rows: int,
+):
+    """Pick union_window vs sliced_window from the key distribution.
+
+    One aggregation over the key+timestamp projections of BOTH sides
+    (the window's actual partition load is features + probes per key):
+    per-key row counts with map-side combine, then the hottest key's
+    (count, time span) — a single collected row, never data-sized. On
+    parquet the probe scan is column-pruned to the key and timestamp
+    columns, so its cost is a small fraction of the join it steers.
+
+    Decision: hottest key <= ``hot_key_rows`` → union_window (one
+    shuffle, no carry overhead — the fast path the r9 probes measured
+    31x over range_join on uniform keys). Above it → sliced_window with
+    ``slice_interval`` fitted so the hottest key spreads over
+    ``2 * ceil(max_n / hot_key_rows)`` slices (each slice then holds at
+    most ~hot_key_rows / 2 of its rows), clamped to >= 1 second.
+    range_join is never auto-chosen: it only wins when the probe side
+    is broadcast-small AND per-key fan-out is tiny — a regime the
+    caller can see without a probe (pass it explicitly).
+    """
+    both = feature_df.select(
+        *[F.col(k) for k in join_keys], F.col(event_ts_col).alias(_TS)
+    ).unionByName(
+        entity_df.select(
+            *[F.col(k) for k in join_keys], F.col(entity_ts_col).alias(_TS)
+        )
+    )
+    per_key = both.groupBy(*join_keys).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min(_TS).alias("__lo"),
+        F.max(_TS).alias("__hi"),
+    )
+    row = per_key.agg(
+        F.max("__n").alias("max_n"),
+        F.max_by(F.struct("__lo", "__hi"), "__n").alias("hot_span"),
+    ).collect()[0]
+    max_n = row["max_n"] or 0
+    if max_n <= hot_key_rows:
+        return "union_window", None
+    lo, hi = row["hot_span"]["__lo"], row["hot_span"]["__hi"]
+    span_s = max((hi - lo).total_seconds(), 1.0) if lo and hi else 1.0
+    n_slices = 2 * -(-max_n // hot_key_rows)  # 2 * ceil
+    return "sliced_window", _dt.timedelta(
+        seconds=max(1, int(span_s // n_slices))
+    )
 
 
 def _payload_struct(feature_df, features, event_ts_col):

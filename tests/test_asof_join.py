@@ -62,7 +62,9 @@ def _run(spark, strategy, ttl=None):
     return {(r.entity_id, r.event_timestamp, r.tag): r.value for r in out.collect()}
 
 
-@pytest.mark.parametrize("strategy", ["union_window", "sliced_window", "range_join"])
+@pytest.mark.parametrize(
+    "strategy", ["union_window", "sliced_window", "range_join", "auto"]
+)
 def test_pit_semantics(spark, strategy):
     got = _run(spark, strategy)
     # inclusive boundary + created tie-break: probe at 12:00 sees the
@@ -82,7 +84,9 @@ def test_pit_semantics(spark, strategy):
     assert len(got) == 7
 
 
-@pytest.mark.parametrize("strategy", ["union_window", "sliced_window", "range_join"])
+@pytest.mark.parametrize(
+    "strategy", ["union_window", "sliced_window", "range_join", "auto"]
+)
 def test_pit_ttl(spark, strategy):
     got = _run(spark, strategy, ttl=dt.timedelta(days=2))
     # e3's only row is 9 days before the probe -> TTL-expired -> NULL
@@ -262,3 +266,52 @@ def test_sliced_window_rejects_subsecond_interval(spark):
                 probes, feats, ["entity_id"],
                 strategy="sliced_window", slice_interval=bad,
             )
+
+
+def test_auto_strategy_probe_and_parity(spark):
+    """strategy="auto" (_choose_strategy): uniform keys stay on
+    union_window; a key hotter than hot_key_rows switches to
+    sliced_window with a fitted slice interval, and the sliced result
+    matches union_window exactly."""
+    from my_feast_spark.operators.asof_join import _choose_strategy
+
+    base = TS(2024, 1, 1)
+    one_hour = dt.timedelta(hours=1)
+    feats = [
+        Row(entity_id="hot", event_timestamp=base + n * one_hour,
+            created=base + n * one_hour, value=float(n))
+        for n in range(100)
+    ] + [
+        Row(entity_id="cold", event_timestamp=base, created=base, value=-1.0)
+    ]
+    probes = [
+        Row(entity_id="hot", event_timestamp=base + n * one_hour, tag=f"p{n}")
+        for n in (0, 7, 50, 99)
+    ] + [Row(entity_id="cold", event_timestamp=base + one_hour, tag="c")]
+    fdf, pdf = spark.createDataFrame(feats), spark.createDataFrame(probes)
+
+    # uniform regime: hottest key (104 rows) under the threshold
+    name, interval = _choose_strategy(
+        pdf, fdf, ["entity_id"], "event_timestamp", "event_timestamp", 1000
+    )
+    assert (name, interval) == ("union_window", None)
+
+    # hot regime: threshold of 25 rows -> sliced, fitted interval covers
+    # the hot key's ~99h span in 2*ceil(104/25)=10 slices
+    name, interval = _choose_strategy(
+        pdf, fdf, ["entity_id"], "event_timestamp", "event_timestamp", 25
+    )
+    assert name == "sliced_window"
+    assert dt.timedelta(seconds=1) <= interval <= dt.timedelta(hours=99)
+
+    def run(**kw):
+        return {
+            r.tag: r.value
+            for r in point_in_time_join(
+                pdf, fdf, ["entity_id"], created_ts_col="created", **kw
+            ).collect()
+        }
+
+    assert run(strategy="auto", hot_key_rows=25) == run(
+        strategy="union_window"
+    )
