@@ -54,7 +54,12 @@ def url_scheme(url: Column) -> Column:
 
 def url_host(url: Column, *, strip_www: bool = True) -> Column:
     """Lowercased host with the port removed (and one leading ``www.``
-    stripped unless ``strip_www=False``)."""
+    stripped unless ``strip_www=False``).
+
+    Known limits (crawl URLs in practice carry neither): a userinfo
+    authority (``user@host``) keeps the userinfo, and a bracketed IPv6
+    authority (``[::1]:8080``) truncates at the first colon — both
+    parse as written, they are not special-cased."""
     auth = F.regexp_extract(url, _AUTH_RE, 1)
     host = F.lower(F.regexp_extract(auth, "^([^:]*)", 1))
     if strip_www:
@@ -86,16 +91,14 @@ def registered_domain(host: Column) -> Column:
 
 def _clean_query(url: Column) -> Column:
     q = F.regexp_extract(url, _QUERY_RE, 1)
-    kept = F.array_sort(
-        F.filter(
-            F.split(q, "&"),
-            lambda p: (p != F.lit(""))
-            & ~F.startswith(p, F.lit("utm_"))
-            & ~F.startswith(p, F.lit("fbclid="))
-            & ~F.startswith(p, F.lit("gclid="))
-            & ~F.startswith(p, F.lit("ref=")),
-        )
-    )
+
+    def _keep(p):
+        cond = p != F.lit("")
+        for pref in TRACKING_PARAM_PREFIXES:
+            cond = cond & ~F.startswith(p, F.lit(pref))
+        return cond
+
+    kept = F.array_sort(F.filter(F.split(q, "&"), _keep))
     joined = F.array_join(kept, "&")
     return F.when(joined == "", F.lit("")).otherwise(F.concat(F.lit("?"), joined))
 

@@ -454,9 +454,18 @@ def pagerank_fixedpoint(
     )
     spark = edges.sparkSession
     n_edges = e.count()
+    if n_edges == 0:
+        # empty edge relation -> no nodes: return the (node, rank_int)
+        # shape instead of seeding rank = scale // 0 (previously a
+        # ZeroDivisionError masked by a NameError on the unbound
+        # ``ranks`` in the release handler)
+        return nodes.select(
+            "node", F.lit(0).cast("long").alias("rank_int")
+        )
     parts = _loop_partitions(spark, n_edges)
     ed = ed.repartition(parts, "__s").localCheckpoint()
     nodes = nodes.repartition(parts, "node").localCheckpoint()
+    ranks = None
     try:
         n = nodes.count()
         base = (scale * (damping_den - damping_num)) // (damping_den * n)
@@ -487,7 +496,8 @@ def pagerank_fixedpoint(
             ranks = new_ranks
     except BaseException:
         for frame in (ed, nodes, ranks):
-            release_checkpoint(frame)
+            if frame is not None:
+                release_checkpoint(frame)
         raise
     release_checkpoint(ed)
     release_checkpoint(nodes)

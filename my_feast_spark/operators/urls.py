@@ -34,8 +34,12 @@ def domain_quota(
 ) -> DataFrame:
     """Keep at most ``n`` rows per ``domain_col`` — the n smallest by
     ``order_cols``, which MUST end in a unique key (ties would make the
-    kept set partition-order-dependent). Returns the surviving rows
-    with the original columns.
+    kept set partition-order-dependent, and the keep-set join-back
+    would silently keep EVERY row sharing a kept key). The contract is
+    ENFORCED: duplicate order keys raise at execution time (checked on
+    the phase-1 aggregate's already-collected array — no extra shuffle;
+    identical keys always share a salt bucket, so the per-group check
+    is complete). Returns the surviving rows with the original columns.
 
     The two aggregate phases both combine map-side; no row_number
     window, no per-domain global sort, hot domains bounded by
@@ -50,11 +54,23 @@ def domain_quota(
     # salt only distributes rows of one domain across groups; the salt
     # function never reaches the output (any engine-local hash is fine)
     salt = F.pmod(F.xxhash64(*ocols), F.lit(salt_buckets))
+    arr = F.array_sort(F.collect_list("__dq_o"))
+    unique_ok = F.assert_true(
+        F.size(arr) == F.size(F.array_distinct(arr)),
+        F.concat(
+            F.lit("domain_quota: order_cols are not a unique key "
+                  "(duplicate order keys in domain "),
+            F.col(domain_col).cast("string"),
+            F.lit(")"),
+        ),
+    )
     partial = (
         df.withColumn("__dq_o", o)
         .withColumn("__dq_s", salt)
         .groupBy(domain_col, "__dq_s")
-        .agg(F.slice(F.array_sort(F.collect_list("__dq_o")), 1, n).alias("__t"))
+        .agg(
+            F.when(unique_ok.isNull(), F.slice(arr, 1, n)).alias("__t")
+        )
     )
     final = (
         partial.select(domain_col, F.explode("__t").alias("__dq_o"))

@@ -6297,6 +6297,12 @@ FROM win w CROSS JOIN n
 #      r10 window, and video_dedup, lsh_recall,
 #      streaming_embedding_ingest from the rotating-in tail. No native
 #      round() of a double measure remains in any adjudicated path.
+#      KNOWN REMAINING (the round-12 batch): expanding
+#      MULTI_LABEL_SUFFIXES (functions/urls.py) toward the full public
+#      suffix list changes registered_domain, whose consumers
+#      (url_domain_curation, domain_pagerank) sit in the TAIL this
+#      round — the expansion waits until they rotate back in-window
+#      round 12, the same deferral this round's floor_round batch used.
 #   5. RETIRED: the registry budget is ~100 driver-adjudicated queries;
 #      retired entries are near-duplicates of in-registry coverage
 #      (their operators stay covered by other queries) that keep their

@@ -6,10 +6,12 @@ this script scales the inputs 10x+ (deterministic replication of the
 sf0.1 tables — no synthetic distributions beyond an explicit hot-key
 remap) and measures:
 
-  1. PIT strategies at sf1-equivalent events (1M rows = sf0.1 x 10):
-     ``union_window`` vs ``sliced_window`` vs ``range_join`` on uniform
-     keys, and union vs sliced with 20% of ALL rows remapped onto one
-     deliberately hot key. ``range_join`` is excluded from the hot-key
+  1. PIT strategies at sf5-equivalent events (5M rows = sf0.1 x 50,
+     REPLICATE_EVENTS): ``union_window`` vs ``sliced_window`` vs
+     ``range_join`` on uniform keys, and union vs sliced with ~50% of
+     ALL rows (HOT_FRACTION_MOD=2) remapped onto one deliberately hot
+     key — a ~2.5M-row window partition, the scale where the one-task
+     straggler actually shows on local[32]. ``range_join`` is excluded from the hot-key
      leg BY DESIGN: the non-equi join materializes
      |hot probes| x |hot history within TTL| pairs (~1e8 at this probe
      even with a 2h TTL) before its dedup window — the quadratic

@@ -244,3 +244,15 @@ class TestPagerankFixedpoint:
             pagerank_fixedpoint(df, iterations=0)
         with pytest.raises(ValueError):
             pagerank_fixedpoint(df, damping_num=100)
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    """Empty edge relation: previously ZeroDivisionError (scale // 0)
+    masked by a NameError on the unbound ranks in the release handler;
+    now an empty (node, rank_int) result."""
+    from my_feast_spark.operators.graph import pagerank_fixedpoint
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    out = pagerank_fixedpoint(empty)
+    assert out.columns == ["node", "rank_int"]
+    assert out.count() == 0

@@ -131,3 +131,30 @@ def test_canonicalize_is_shuffle_free(spark):
     plan = df.select(url_canonicalize(F.col("url")).alias("c"))._jdf\
         .queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_domain_quota_enforces_unique_order_keys(spark, domain_rows):
+    """Duplicate order keys previously made the keep-set join-back
+    silently keep every row sharing a kept key (over-quota output); the
+    contract is now enforced at execution time."""
+    import pytest
+    from pyspark.sql import Row
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    from my_feast_spark.operators.urls import domain_quota
+
+    dup = spark.createDataFrame([
+        Row(domain="a.com", score=1, doc_id=10),
+        Row(domain="a.com", score=1, doc_id=10),  # duplicate order key
+        Row(domain="a.com", score=2, doc_id=11),
+    ])
+    out = domain_quota(dup, "domain", ["score", "doc_id"], 1)
+    with pytest.raises(Exception, match="unique key"):
+        out.collect()
+    # unique keys: unchanged behavior
+    ok = spark.createDataFrame([
+        Row(domain="a.com", score=1, doc_id=10),
+        Row(domain="a.com", score=2, doc_id=11),
+    ])
+    got = domain_quota(ok, "domain", ["score", "doc_id"], 1).collect()
+    assert [(r.domain, r.doc_id) for r in got] == [("a.com", 10)]
