@@ -171,9 +171,10 @@ def main() -> None:
         ("dsir_resample_xxhash64",
          lambda: counted(workload.q_dsir_resample(
              spark, sf_dir, hash_fn="xxhash64"))),
-        # best-fit-decreasing whole-sequence packing (test-only op —
-        # the sequential fold isn't SQL-expressible; bench gives its
-        # applyInPandas path a number)
+        # best-fit-decreasing whole-sequence packing at the production
+        # shape (capacity-2048 bins over n_chars; the adjudicated
+        # pack_bfd row replays a smaller token-count config through the
+        # recursive-CTE oracle)
         ("pack_bfd_docs", lambda: counted(_pack_bfd_docs())),
     ):
         timed(name, thunk)

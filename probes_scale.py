@@ -132,6 +132,19 @@ def main() -> None:
     ).localCheckpoint()
     timed("pit_5m_hotkey_union_window", lambda: _pit(hot, "union_window"))
     timed("pit_5m_hotkey_sliced_window", lambda: _pit(hot, "sliced_window"))
+    # auto = probe (one column-pruned pass over key+ts) + the chosen
+    # strategy: on the hot leg it must pick sliced_window with a fitted
+    # slice width; the delta vs the manual sliced number IS the probe's
+    # overhead — the price of not knowing the skew profile in advance
+    from my_feast_spark.operators.asof_join import _choose_strategy
+
+    chosen, _iv = _choose_strategy(
+        hot.select("user_id", F.col("ts").alias("probe_ts"), "event_id"),
+        hot.select("user_id", "ts", "value"),
+        ["user_id"], "ts", "probe_ts", 1_000_000,
+    )
+    assert chosen == "sliced_window", chosen
+    timed("pit_5m_hotkey_auto", lambda: _pit(hot, "auto"))
     release_checkpoint(big)
     release_checkpoint(hot)
 
