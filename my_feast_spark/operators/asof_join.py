@@ -55,6 +55,12 @@ metadata-sized shuffle, see ``_choose_strategy``) and picks
 union_window below the hot-key threshold, sliced_window with a fitted
 slice width above it — so a 100 TB retrieval with an unknown skew
 profile no longer needs hand-tuning to avoid the one-task window sort.
+The same pass counts the probe side: a broadcast-small probe set (a
+backfill of a few entities against the full history) additionally
+pre-filters history by a broadcast semi-join on the probe keys, so the
+window shuffles only the asked-for keys' rows — the regime where the
+reference's range_join looked attractive, served without its pair
+blow-up.
 
 NULL join keys follow SQL left-join semantics in every strategy: a NULL
 key never matches anything (probe rows with a NULL key pass through with
@@ -128,11 +134,14 @@ def point_in_time_join(
         safe; see module docstring), "range_join" (the reference's
         literal non-equi plan), or "auto" — probe the key distribution
         and pick union_window vs sliced_window (with a fitted
-        slice_interval) per :func:`_choose_strategy`. The probe costs one
-        column-pruned pass over the two key+timestamp projections
-        (parquet reads only those columns) and a metadata-sized shuffle;
-        spend it when the skew profile is unknown, skip it (pick the
-        strategy yourself) when it is.
+        slice_interval) per :func:`_choose_strategy`; a probe side under
+        ``PREFILTER_PROBE_ROWS`` also pre-filters history by a broadcast
+        semi-join on the probe keys (output-invariant — the join is
+        probe-left-preserved). The probe costs one column-pruned pass
+        over the two key+timestamp projections (parquet reads only those
+        columns) and a metadata-sized shuffle; spend it when the skew
+        profile is unknown, skip it (pick the strategy yourself) when it
+        is.
     slice_interval : slice width for ``sliced_window`` — seconds or a
         ``datetime.timedelta`` (default 1 day). Pick it so a hot key's
         rows per slice fit one task comfortably; the carry relation costs
@@ -164,10 +173,23 @@ def point_in_time_join(
         )
 
     if strategy == "auto":
-        strategy, slice_interval = _choose_strategy(
+        strategy, slice_interval, prefilter = _choose_strategy(
             entity_df, feature_df, join_keys, event_ts_col, entity_ts_col,
             hot_key_rows,
         )
+        if prefilter:
+            # Small-probe regime (backfill of a few entities against a
+            # huge history): drop history for keys no probe asks about
+            # BEFORE the window shuffle, via a broadcast semi-join on
+            # the distinct probe keys (≤ probe rows — broadcast-safe
+            # by the auto threshold). Output-invariant: the join is
+            # probe-left-preserved, so unprobed keys' history can never
+            # reach it; what changes is the shuffle volume — only the
+            # matching keys' history moves instead of the whole table.
+            entity_keys = entity_df.select(*join_keys).distinct()
+            feature_df = feature_df.join(
+                F.broadcast(entity_keys), join_keys, "left_semi"
+            )
 
     if strategy == "union_window":
         out = _union_window(
@@ -197,54 +219,76 @@ def point_in_time_join(
     return out.select(*sel)
 
 
+#: auto only: pre-filter history by a broadcast semi-join on the probe
+#: keys when the probe side has at most this many rows. 1M distinct
+#: long keys broadcast at ~8 MB; widen/narrow per deployment.
+PREFILTER_PROBE_ROWS = 1_000_000
+
+
 def _choose_strategy(
     entity_df, feature_df, join_keys, event_ts_col, entity_ts_col,
     hot_key_rows: int,
 ):
-    """Pick union_window vs sliced_window from the key distribution.
+    """Pick union_window vs sliced_window (and the small-probe history
+    pre-filter) from the key distribution.
 
     One aggregation over the key+timestamp projections of BOTH sides
     (the window's actual partition load is features + probes per key):
     per-key row counts with map-side combine, then the hottest key's
-    (count, time span) — a single collected row, never data-sized. On
-    parquet the probe scan is column-pruned to the key and timestamp
-    columns, so its cost is a small fraction of the join it steers.
+    (count, time span) and the global probe-row count — a single
+    collected row, never data-sized. On parquet the probe scan is
+    column-pruned to the key and timestamp columns, so its cost is a
+    small fraction of the join it steers.
 
-    Decision: hottest key <= ``hot_key_rows`` → union_window (one
-    shuffle, no carry overhead — the fast path the r9 probes measured
-    31x over range_join on uniform keys). Above it → sliced_window with
-    ``slice_interval`` fitted so the hottest key spreads over
-    ``2 * ceil(max_n / hot_key_rows)`` slices (each slice then holds at
-    most ~hot_key_rows / 2 of its rows), clamped to >= 1 second.
-    range_join is never auto-chosen: it only wins when the probe side
-    is broadcast-small AND per-key fan-out is tiny — a regime the
-    caller can see without a probe (pass it explicitly).
+    Decisions, returned as (strategy, slice_interval, prefilter):
+
+    * hottest key <= ``hot_key_rows`` → union_window (one shuffle, no
+      carry overhead — the fast path the r9 probes measured 31x over
+      range_join on uniform keys). Above it → sliced_window with
+      ``slice_interval`` fitted so the hottest key spreads over
+      ``2 * ceil(max_n / hot_key_rows)`` slices (each slice then holds
+      at most ~hot_key_rows / 2 of its rows), clamped to >= 1 second.
+    * probe rows <= ``PREFILTER_PROBE_ROWS`` → prefilter=True: the
+      caller semi-joins history to the broadcast probe keys before the
+      window, so a small backfill against a huge history shuffles only
+      the asked-for keys' rows instead of the whole table.
+
+    range_join is never auto-chosen: its regime (tiny probe set AND
+    tiny per-key fan-out) is dominated by union_window + the prefilter,
+    which avoids the non-equi pair blow-up entirely.
     """
     both = feature_df.select(
-        *[F.col(k) for k in join_keys], F.col(event_ts_col).alias(_TS)
+        *[F.col(k) for k in join_keys],
+        F.col(event_ts_col).alias(_TS),
+        F.lit(0).alias("__p"),
     ).unionByName(
         entity_df.select(
-            *[F.col(k) for k in join_keys], F.col(entity_ts_col).alias(_TS)
+            *[F.col(k) for k in join_keys],
+            F.col(entity_ts_col).alias(_TS),
+            F.lit(1).alias("__p"),
         )
     )
     per_key = both.groupBy(*join_keys).agg(
         F.count(F.lit(1)).alias("__n"),
+        F.sum("__p").alias("__np"),
         F.min(_TS).alias("__lo"),
         F.max(_TS).alias("__hi"),
     )
     row = per_key.agg(
         F.max("__n").alias("max_n"),
+        F.sum("__np").alias("probe_rows"),
         F.max_by(F.struct("__lo", "__hi"), "__n").alias("hot_span"),
     ).collect()[0]
     max_n = row["max_n"] or 0
+    prefilter = (row["probe_rows"] or 0) <= PREFILTER_PROBE_ROWS
     if max_n <= hot_key_rows:
-        return "union_window", None
+        return "union_window", None, prefilter
     lo, hi = row["hot_span"]["__lo"], row["hot_span"]["__hi"]
     span_s = max((hi - lo).total_seconds(), 1.0) if lo and hi else 1.0
     n_slices = 2 * -(-max_n // hot_key_rows)  # 2 * ceil
     return "sliced_window", _dt.timedelta(
         seconds=max(1, int(span_s // n_slices))
-    )
+    ), prefilter
 
 
 def _payload_struct(feature_df, features, event_ts_col):

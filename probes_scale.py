@@ -138,13 +138,41 @@ def main() -> None:
     # overhead — the price of not knowing the skew profile in advance
     from my_feast_spark.operators.asof_join import _choose_strategy
 
-    chosen, _iv = _choose_strategy(
+    chosen, _iv, _pf = _choose_strategy(
         hot.select("user_id", F.col("ts").alias("probe_ts"), "event_id"),
         hot.select("user_id", "ts", "value"),
         ["user_id"], "ts", "probe_ts", 1_000_000,
     )
     assert chosen == "sliced_window", chosen
     timed("pit_5m_hotkey_auto", lambda: _pit(hot, "auto"))
+
+    # small-probe backfill: probes over ~1% of the KEY space (15 of the
+    # ~1500 users) against the full 5M-row history — auto's
+    # broadcast-keys prefilter confines the window shuffle to the
+    # asked-for keys' rows; union_window shuffles the whole history.
+    # (A probe COUNT alone does not isolate the regime: 1000 probes
+    # over 1500 keys keep ~everything.)
+    def _pit_small(strategy):
+        feat = big.select("user_id", "ts", "value")
+        probes = big.select(
+            "user_id", F.col("ts").alias("probe_ts"), "event_id"
+        ).filter(
+            (F.col("user_id") % 100 == 0) & (F.col("event_id") % 200 == 0)
+        )
+        out = point_in_time_join(
+            probes, feat, ["user_id"],
+            event_ts_col="ts", entity_ts_col="probe_ts",
+            strategy=strategy,
+        )
+        row = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.crc32(F.col("value").cast("string"))).alias("h"),
+        ).collect()[0]
+        return row["n"]
+
+    timed("pit_5m_smallprobe_union_window",
+          lambda: _pit_small("union_window"))
+    timed("pit_5m_smallprobe_auto", lambda: _pit_small("auto"))
     release_checkpoint(big)
     release_checkpoint(hot)
 

@@ -290,15 +290,16 @@ def test_auto_strategy_probe_and_parity(spark):
     ] + [Row(entity_id="cold", event_timestamp=base + one_hour, tag="c")]
     fdf, pdf = spark.createDataFrame(feats), spark.createDataFrame(probes)
 
-    # uniform regime: hottest key (104 rows) under the threshold
-    name, interval = _choose_strategy(
+    # uniform regime: hottest key (104 rows) under the threshold; the
+    # tiny probe side enables the history prefilter
+    name, interval, prefilter = _choose_strategy(
         pdf, fdf, ["entity_id"], "event_timestamp", "event_timestamp", 1000
     )
-    assert (name, interval) == ("union_window", None)
+    assert (name, interval, prefilter) == ("union_window", None, True)
 
     # hot regime: threshold of 25 rows -> sliced, fitted interval covers
     # the hot key's ~99h span in 2*ceil(104/25)=10 slices
-    name, interval = _choose_strategy(
+    name, interval, _pf = _choose_strategy(
         pdf, fdf, ["entity_id"], "event_timestamp", "event_timestamp", 25
     )
     assert name == "sliced_window"
@@ -315,3 +316,51 @@ def test_auto_strategy_probe_and_parity(spark):
     assert run(strategy="auto", hot_key_rows=25) == run(
         strategy="union_window"
     )
+
+
+def test_auto_prefilter_threshold_and_parity(spark):
+    """Above PREFILTER_PROBE_ROWS the prefilter stays off; with it
+    forced on (monkeypatched threshold), results still match the plain
+    union_window run — the semi-join is output-invariant."""
+    import my_feast_spark.operators.asof_join as aj
+
+    base = TS(2024, 1, 1)
+    feats = spark.createDataFrame([
+        Row(entity_id=f"e{i}", event_timestamp=base, created=base,
+            value=float(i))
+        for i in range(20)
+    ])
+    probes = spark.createDataFrame([
+        Row(entity_id="e3", event_timestamp=base + dt.timedelta(hours=1),
+            tag="a"),
+        Row(entity_id="e7", event_timestamp=base + dt.timedelta(hours=2),
+            tag="b"),
+        Row(entity_id="missing", event_timestamp=base, tag="c"),
+    ])
+    _, _, pf = aj._choose_strategy(
+        probes, feats, ["entity_id"], "event_timestamp", "event_timestamp",
+        1000,
+    )
+    assert pf is True
+    old = aj.PREFILTER_PROBE_ROWS
+    try:
+        aj.PREFILTER_PROBE_ROWS = 0  # force OFF (3 probes > 0)
+        _, _, pf = aj._choose_strategy(
+            probes, feats, ["entity_id"], "event_timestamp",
+            "event_timestamp", 1000,
+        )
+        assert pf is False
+    finally:
+        aj.PREFILTER_PROBE_ROWS = old
+
+    def run(**kw):
+        return sorted(
+            (r.tag, r.value)
+            for r in point_in_time_join(
+                probes, feats, ["entity_id"], created_ts_col="created", **kw
+            ).collect()
+        )
+
+    assert run(strategy="auto") == run(strategy="union_window") == [
+        ("a", 3.0), ("b", 7.0), ("c", None)
+    ]
