@@ -34,11 +34,118 @@ from pyspark.sql import functions as F
 TRACKING_PARAM_PREFIXES = ("utm_", "fbclid=", "gclid=", "ref=")
 
 #: minimal multi-label public-suffix subset for registered-domain
-#: extraction. A production run swaps in the full Mozilla Public Suffix
-#: List (publicsuffix.org) — same expression shape, longer literal set.
+#: extraction — the DEFAULT, pinned by the adjudicated oracles until
+#: the round-12 rotation flips it to the expanded set (workload.py's
+#: rotation policy). A production run swaps in the full Mozilla Public
+#: Suffix List via :func:`load_public_suffix_list` — same expression
+#: shape, longer literal set.
 MULTI_LABEL_SUFFIXES = (
     "co.uk", "org.uk", "ac.uk", "co.jp", "com.au", "com.br", "co.in",
     "com.cn", "co.kr", "com.mx",
+)
+
+#: expanded well-known subset (the high-traffic ccTLD second-level
+#: registrations from the ICANN section of the PSL). Still not the
+#: full list — exact-match entries only (the PSL's wildcard ``*.`` and
+#: exception ``!`` rules need per-rule logic, not an isin set; see
+#: load_public_suffix_list) — but covers the registrations that
+#: dominate real crawl traffic. Opt in via
+#: ``registered_domain(host, suffixes=MULTI_LABEL_SUFFIXES_EXPANDED)``.
+MULTI_LABEL_SUFFIXES_EXPANDED = MULTI_LABEL_SUFFIXES + (
+    # United Kingdom
+    "gov.uk", "net.uk", "me.uk", "ltd.uk", "plc.uk", "sch.uk", "nhs.uk",
+    # Japan
+    "ac.jp", "ad.jp", "ed.jp", "go.jp", "gr.jp", "lg.jp", "ne.jp", "or.jp",
+    # Australia
+    "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    # Brazil
+    "net.br", "org.br", "gov.br", "edu.br", "mil.br", "art.br", "blog.br",
+    # India
+    "firm.in", "net.in", "org.in", "gen.in", "ind.in", "ac.in", "edu.in",
+    "res.in", "gov.in", "mil.in", "nic.in",
+    # China
+    "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn", "mil.cn",
+    # South Korea
+    "ne.kr", "or.kr", "re.kr", "go.kr", "ac.kr", "pe.kr", "mil.kr",
+    # Mexico
+    "net.mx", "org.mx", "gob.mx", "edu.mx",
+    # New Zealand
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    "geek.nz", "gen.nz", "kiwi.nz", "maori.nz", "iwi.nz", "mil.nz",
+    # South Africa
+    "co.za", "net.za", "org.za", "gov.za", "ac.za", "edu.za", "web.za",
+    # Argentina
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar", "mil.ar", "int.ar",
+    # Turkey
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "mil.tr", "bel.tr",
+    "web.tr",
+    # Taiwan
+    "com.tw", "net.tw", "org.tw", "gov.tw", "edu.tw", "idv.tw", "mil.tw",
+    # Hong Kong
+    "com.hk", "net.hk", "org.hk", "gov.hk", "edu.hk", "idv.hk",
+    # Singapore
+    "com.sg", "net.sg", "org.sg", "gov.sg", "edu.sg", "per.sg",
+    # Israel
+    "co.il", "net.il", "org.il", "gov.il", "ac.il", "muni.il", "idf.il",
+    # Indonesia
+    "co.id", "net.id", "or.id", "go.id", "ac.id", "sch.id", "web.id",
+    "my.id", "biz.id",
+    # Thailand
+    "co.th", "net.th", "or.th", "go.th", "ac.th", "in.th", "mi.th",
+    # Malaysia
+    "com.my", "net.my", "org.my", "gov.my", "edu.my", "mil.my", "name.my",
+    # Philippines
+    "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph", "mil.ph", "ngo.ph",
+    "i.ph",
+    # Vietnam
+    "com.vn", "net.vn", "org.vn", "gov.vn", "edu.vn", "ac.vn", "biz.vn",
+    "info.vn", "name.vn", "pro.vn", "health.vn", "int.vn",
+    # Ukraine
+    "com.ua", "net.ua", "org.ua", "gov.ua", "edu.ua", "in.ua", "kiev.ua",
+    "kyiv.ua",
+    # Poland
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "mil.pl", "waw.pl",
+    "biz.pl", "info.pl",
+    # Greece
+    "com.gr", "net.gr", "org.gr", "gov.gr", "edu.gr",
+    # Egypt
+    "com.eg", "net.eg", "org.eg", "gov.eg", "edu.eg", "sci.eg", "eun.eg",
+    "mil.eg", "name.eg", "info.eg",
+    # Saudi Arabia
+    "com.sa", "net.sa", "org.sa", "gov.sa", "edu.sa", "med.sa", "sch.sa",
+    "pub.sa",
+    # Pakistan
+    "com.pk", "net.pk", "org.pk", "gov.pk", "edu.pk", "fam.pk", "biz.pk",
+    "web.pk", "gok.pk", "gop.pk", "gos.pk",
+    # Bangladesh
+    "com.bd", "net.bd", "org.bd", "gov.bd", "edu.bd", "ac.bd", "mil.bd",
+    # Sri Lanka
+    "com.lk", "net.lk", "org.lk", "gov.lk", "edu.lk", "ac.lk", "sch.lk",
+    "web.lk", "int.lk", "ltd.lk", "grp.lk",
+    # Kenya / Nigeria / Ghana / Tanzania / Uganda
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke", "me.ke",
+    "mobi.ke", "info.ke",
+    "com.ng", "net.ng", "org.ng", "gov.ng", "edu.ng", "sch.ng", "name.ng",
+    "mobi.ng", "i.ng",
+    "com.gh", "org.gh", "gov.gh", "edu.gh", "mil.gh",
+    "co.tz", "or.tz", "go.tz", "ac.tz", "ne.tz", "sc.tz", "hotel.tz",
+    "info.tz", "me.tz", "mil.tz", "mobi.tz", "tv.tz",
+    "co.ug", "or.ug", "go.ug", "ac.ug", "ne.ug", "sc.ug", "org.ug",
+    "com.ug",
+    # Russia (legacy second-levels still in the PSL)
+    "com.ru", "net.ru", "org.ru", "pp.ru", "msk.ru", "spb.ru",
+    # Colombia / Peru / Venezuela / Ecuador / Uruguay / Chile (com.XX tier)
+    "com.co", "net.co", "org.co", "edu.co", "gov.co", "mil.co", "nom.co",
+    "com.pe", "net.pe", "org.pe", "gob.pe", "edu.pe", "mil.pe", "nom.pe",
+    "com.ve", "net.ve", "org.ve", "gob.ve", "edu.ve", "mil.ve", "co.ve",
+    "info.ve", "web.ve",
+    "com.ec", "net.ec", "org.ec", "gob.ec", "edu.ec", "mil.ec", "fin.ec",
+    "med.ec", "pro.ec", "info.ec",
+    "com.uy", "net.uy", "org.uy", "gub.uy", "edu.uy", "mil.uy",
+    # Spain-adjacent legacy + misc high-traffic
+    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
+    "com.pt", "edu.pt", "gov.pt", "int.pt", "net.pt", "nome.pt", "org.pt",
+    "publ.pt",
 )
 
 _SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
@@ -67,11 +174,28 @@ def url_host(url: Column, *, strip_www: bool = True) -> Column:
     return host
 
 
-def registered_domain(host: Column) -> Column:
+def registered_domain(
+    host: Column, *, suffixes: tuple[str, ...] | None = None
+) -> Column:
     """eTLD+1 from an already-canonical host: the last two labels,
-    or the last three when the final two match a multi-label public
-    suffix (``a.b.co.uk`` -> ``b.co.uk``). Hosts with fewer labels pass
-    through unchanged."""
+    or the last three (four) when the trailing labels match a two-
+    (three-) label public suffix (``a.b.co.uk`` -> ``b.co.uk``). Hosts
+    with fewer labels pass through unchanged.
+
+    ``suffixes`` overrides the multi-label public-suffix set (default
+    :data:`MULTI_LABEL_SUFFIXES`; pass
+    :data:`MULTI_LABEL_SUFFIXES_EXPANDED` or a
+    :func:`load_public_suffix_list` result). Exact-match entries only —
+    still a pure isin expression, no lookup join."""
+    if suffixes is None:
+        suffixes = MULTI_LABEL_SUFFIXES
+    two = [sfx for sfx in suffixes if sfx.count(".") == 1]
+    three = [sfx for sfx in suffixes if sfx.count(".") == 2]
+    bad = [sfx for sfx in suffixes if sfx.count(".") not in (1, 2)]
+    if bad:
+        raise ValueError(
+            f"suffixes must have 2 or 3 labels, got {bad[:3]!r}"
+        )
     labels = F.split(host, "\\.")
     n = F.size(labels)
     last2 = F.concat_ws(
@@ -81,12 +205,40 @@ def registered_domain(host: Column) -> Column:
         ".", F.element_at(labels, -3), F.element_at(labels, -2),
         F.element_at(labels, -1),
     )
-    is_multi = last2.isin(*MULTI_LABEL_SUFFIXES)
-    return (
-        F.when(n <= 2, host)
-        .when(is_multi & (n >= 3), last3)
-        .otherwise(last2)
-    )
+    out = F.when(n <= 2, host)
+    if three:
+        last4 = F.concat_ws(
+            ".", F.element_at(labels, -4), F.element_at(labels, -3),
+            F.element_at(labels, -2), F.element_at(labels, -1),
+        )
+        out = out.when(last3.isin(*three) & (n >= 4), last4).when(
+            last3.isin(*three), host
+        )
+    if two:
+        out = out.when(last2.isin(*two) & (n >= 3), last3)
+    return out.otherwise(last2)
+
+
+def load_public_suffix_list(path: str) -> tuple[str, ...]:
+    """Parse a Public Suffix List file (publicsuffix.org format) into a
+    ``suffixes=`` tuple for :func:`registered_domain`: comment (``//``)
+    and blank lines skipped, only multi-label EXACT rules kept (single-
+    label rules are the default behavior already; wildcard ``*.`` and
+    exception ``!`` rules need per-rule logic that an isin literal set
+    cannot express and are skipped — they cover a handful of ccTLDs).
+    Driver-side file read: the list is a few hundred KB, loaded once per
+    job and folded into the expression as literals."""
+    out = []
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("//"):
+                continue
+            if line.startswith(("*", "!")):
+                continue
+            if line.count(".") in (1, 2):
+                out.append(line.lower())
+    return tuple(out)
 
 
 def _clean_query(url: Column) -> Column:

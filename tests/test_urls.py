@@ -158,3 +158,83 @@ def test_domain_quota_enforces_unique_order_keys(spark, domain_rows):
     ])
     got = domain_quota(ok, "domain", ["score", "doc_id"], 1).collect()
     assert [(r.domain, r.doc_id) for r in got] == [("a.com", 10)]
+
+
+def test_registered_domain_expanded_and_psl_loader(spark, tmp_path):
+    """The opt-in expanded suffix set and the PSL-file loader: default
+    behavior unchanged (pinned by the adjudicated oracles until the
+    round-12 flip); expanded set resolves com.sg / gob.mx / co.nz
+    registrations; 3-label suffixes take four labels."""
+    from pyspark.sql import Row
+
+    from my_feast_spark.functions.urls import (
+        MULTI_LABEL_SUFFIXES_EXPANDED,
+        load_public_suffix_list,
+        registered_domain,
+    )
+    import pyspark.sql.functions as F
+
+    rows = [
+        Row(host="a.b.com.sg"),   # expanded: b.com.sg; default: com.sg
+        Row(host="x.gob.mx"),     # expanded: x.gob.mx; default: gob.mx
+        Row(host="shop.co.nz"),
+        Row(host="plain.com"),
+        Row(host="a.b.co.uk"),    # in BOTH sets
+    ]
+    df = spark.createDataFrame(rows)
+    got_default = {
+        r.host: r.d
+        for r in df.select(
+            "host", registered_domain(F.col("host")).alias("d")
+        ).collect()
+    }
+    assert got_default["a.b.com.sg"] == "com.sg"  # default set: unchanged
+    assert got_default["a.b.co.uk"] == "b.co.uk"
+    got_exp = {
+        r.host: r.d
+        for r in df.select(
+            "host",
+            registered_domain(
+                F.col("host"), suffixes=MULTI_LABEL_SUFFIXES_EXPANDED
+            ).alias("d"),
+        ).collect()
+    }
+    assert got_exp == {
+        "a.b.com.sg": "b.com.sg",
+        "x.gob.mx": "x.gob.mx",
+        "shop.co.nz": "shop.co.nz",
+        "plain.com": "plain.com",
+        "a.b.co.uk": "b.co.uk",
+    }
+
+    # 3-label suffix support: w.pref.aichi.jp -> 4 labels kept
+    got3 = (
+        spark.createDataFrame([Row(host="w.pref.aichi.jp")])
+        .select(
+            registered_domain(
+                F.col("host"), suffixes=("pref.aichi.jp",)
+            ).alias("d")
+        )
+        .collect()[0]
+        .d
+    )
+    assert got3 == "w.pref.aichi.jp"
+
+    psl = tmp_path / "psl.dat"
+    psl.write_text(
+        "// ===BEGIN ICANN DOMAINS===\n"
+        "com\n"            # single-label: skipped (default behavior)
+        "co.uk\n"
+        "pref.aichi.jp\n"
+        "*.ck\n"           # wildcard: skipped
+        "!www.ck\n"        # exception: skipped
+        "\n"
+        "COM.SG\n"
+    )
+    loaded = load_public_suffix_list(str(psl))
+    assert loaded == ("co.uk", "pref.aichi.jp", "com.sg")
+
+    import pytest
+
+    with pytest.raises(ValueError, match="2 or 3 labels"):
+        registered_domain(F.col("host"), suffixes=("a.b.c.d",))
