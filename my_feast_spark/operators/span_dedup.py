@@ -67,6 +67,7 @@ def remove_repeated_spans(
     max_docs: int = 1,
     lowercase_match: bool = True,
     out_col: str = "clean_text",
+    keep: str = "all",
 ) -> DataFrame:
     """Cut every token span whose n-grams appear in more than
     ``max_docs`` distinct documents; returns the input plus
@@ -77,7 +78,22 @@ def remove_repeated_spans(
     output casing is preserved). The rebuilt text is whitespace-
     normalized (tokens joined with single spaces); documents shorter
     than ``n`` tokens are never cut.
+
+    ``keep`` picks what happens to repeated content itself:
+
+    * ``"all"`` (default) — cut EVERY hot occurrence: shared content
+      disappears from the corpus entirely (boilerplate removal — the
+      right mode when the repeated text is navigation chrome /
+      licenses you never want trained on);
+    * ``"first"`` — the paper's remove-all-but-one reading: the
+      occurrence in the smallest ``id_col`` (ties: smallest position)
+      survives per hot n-gram, so the content stays in the corpus
+      exactly once. The canonical selection costs two extra aggregates
+      over the HOT-occurrence relation only (boilerplate occurrences,
+      not the corpus).
     """
+    if keep not in ("all", "first"):
+        raise ValueError(f'keep must be "all" or "first", got {keep!r}')
     toks_raw = tokens(F.col(text_col))
     match_src = F.lower(F.col(text_col)) if lowercase_match else F.col(text_col)
 
@@ -94,9 +110,34 @@ def remove_repeated_spans(
         .filter(F.col("df") > max_docs)
         .select("h")
     )
-    # cut intervals [pos, pos+n) of every hot occurrence, per doc
+    occurrences = grams.join(hot, grams["g.h"] == hot["h"], "left_semi")
+    if keep == "first":
+        # canonical survivor per hot hash: min id, then min pos within
+        # it — engine-order-free (two chained min aggregates, no struct
+        # comparison), both over the filtered hot relation
+        min_id = occurrences.groupBy(F.col("g.h").alias("__h")).agg(
+            F.min(id_col).alias("__cid")
+        )
+        canon = (
+            occurrences.join(
+                min_id,
+                (F.col("g.h") == F.col("__h"))
+                & (F.col(id_col) == F.col("__cid")),
+            )
+            .groupBy("__h", "__cid")
+            .agg(F.min("g.pos").alias("__cpos"))
+        )
+        occurrences = occurrences.join(
+            canon,
+            (F.col("g.h") == F.col("__h"))
+            & (F.col(id_col) == F.col("__cid"))
+            & (F.col("g.pos") == F.col("__cpos")),
+            "left_anti",
+        )
+    # cut intervals [pos, pos+n) of every (non-surviving) hot
+    # occurrence, per doc
     cuts = (
-        grams.join(hot, grams["g.h"] == hot["h"], "left_semi")
+        occurrences
         .groupBy(id_col)
         .agg(
             F.array_sort(

@@ -93,3 +93,98 @@ def test_matches_reference_on_random_corpora(spark, docs):
     }
     want = _ref_remove(corpus, n=3, max_docs=1)
     assert got == want
+
+
+def _ref_remove_keep_first(docs: dict[int, str], n: int, max_docs: int):
+    """Reference for keep="first": per hot n-gram, the occurrence at
+    (min doc id, then min position) survives; every other occurrence
+    is cut."""
+    toks = {d: t.split() for d, t in docs.items()}
+    low = {d: [w.lower() for w in ws] for d, ws in toks.items()}
+    occs: dict[tuple, list] = {}
+    for d in sorted(low):
+        ws = low[d]
+        for i in range(len(ws) - n + 1):
+            occs.setdefault(tuple(ws[i:i + n]), []).append((d, i))
+    out = {}
+    cut = {d: [False] * len(ws) for d, ws in toks.items()}
+    for g, positions in occs.items():
+        if len({d for d, _ in positions}) <= max_docs:
+            continue
+        canon = min(positions)
+        for d, i in positions:
+            if (d, i) == canon:
+                continue
+            for j in range(i, i + n):
+                cut[d][j] = True
+    for d, ws in toks.items():
+        out[d] = (
+            " ".join(w for w, c in zip(ws, cut[d]) if not c),
+            sum(cut[d]),
+        )
+    return out
+
+
+def test_keep_first_preserves_one_canonical_copy(spark):
+    """keep="first": the min-id doc keeps the shared paragraph, every
+    other doc loses it; keep="all" (default) cuts it everywhere."""
+    docs = {
+        1: f"alpha {SHARED} omega",
+        2: f"{SHARED} something else entirely here",
+        3: "totally unique text with no overlap at all",
+    }
+    df = spark.createDataFrame(
+        [Row(doc_id=d, text=t) for d, t in docs.items()]
+    )
+    first = {
+        r.doc_id: (r.clean_text, r.n_cut_tokens)
+        for r in remove_repeated_spans(
+            df, "doc_id", "text", n=5, max_docs=1, keep="first"
+        ).collect()
+    }
+    assert first == _ref_remove_keep_first(docs, 5, 1)
+    # doc 1 (min id) keeps the paragraph intact
+    assert first[1] == (f"alpha {SHARED} omega", 0)
+    # doc 2 loses exactly the shared 7 tokens
+    assert first[2] == ("something else entirely here", 7)
+    assert first[3][1] == 0
+    # default unchanged: both copies cut
+    alldrop = {
+        r.doc_id: r.n_cut_tokens
+        for r in remove_repeated_spans(
+            df, "doc_id", "text", n=5, max_docs=1
+        ).collect()
+    }
+    assert alldrop[1] == 7 and alldrop[2] == 7
+
+    import pytest
+
+    with pytest.raises(ValueError, match="keep"):
+        remove_repeated_spans(df, "doc_id", "text", keep="last")
+
+
+@settings(
+    deadline=None, max_examples=8,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.dictionaries(
+        st.integers(0, 6),
+        st.lists(
+            st.sampled_from("aa bb cc dd ee ff gg hh".split()),
+            min_size=0, max_size=14,
+        ).map(" ".join),
+        min_size=1, max_size=5,
+    )
+)
+def test_keep_first_matches_reference_on_random_corpora(spark, docs):
+    df = spark.createDataFrame(
+        [Row(doc_id=d, text=t) for d, t in docs.items()]
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_cut_tokens)
+        for r in remove_repeated_spans(
+            df, "doc_id", "text", n=3, max_docs=1, keep="first"
+        ).collect()
+    }
+    assert got == _ref_remove_keep_first(docs, 3, 1)
