@@ -15,6 +15,9 @@ that surface with Spark-native semantics:
     latest-per-key snapshot (type ``parquet``); any other type (the
     reference uses redis) is recorded but served by the same snapshot;
   * ``offline_store.spark_conf`` — applied to the session at attach time
+  * ``offline_store.pit_strategy`` — default PIT join strategy for
+    get_historical_features (union_window / sliced_window / range_join /
+    auto); per-call ``strategy=`` overrides it
     (runtime ``spark.sql.*`` confs only; static JVM confs can't change on
     a live session and are skipped).
 """

@@ -103,15 +103,26 @@ class FeatureStore:
         *,
         entity_ts_col: str = "event_timestamp",
         full_feature_names: bool = False,
+        strategy: str | None = None,
     ) -> RetrievalJob:
         """``entity_df`` may be a Spark DataFrame or a pandas DataFrame —
         the reference's notebooks pass pandas (entity df built in pandas at
         get_hist_feat.ipynb:596-609; Spark dfs downcast via toPandas(),
-        explore_features.ipynb:426-431), so both are first-class here."""
+        explore_features.ipynb:426-431), so both are first-class here.
+
+        ``strategy`` overrides the PIT join strategy for every view
+        ("union_window" / "sliced_window" / "range_join" / "auto");
+        default comes from ``feature_store.yaml``'s
+        ``offline_store.pit_strategy``, else "union_window"."""
         if not isinstance(entity_df, DataFrame):  # pandas path (Arrow)
             entity_df = self.spark.createDataFrame(entity_df)
         views = {fv.name: fv for fv in self.registry.list_feature_views()}
         join_keys = {e.name: e.join_keys for e in self.registry.list_entities()}
+        if strategy is None:
+            strategy = (
+                self.config.offline_store.get("pit_strategy")
+                if self.config else None
+            ) or "union_window"
         df = build_historical_retrieval(
             self.spark,
             entity_df,
@@ -120,6 +131,7 @@ class FeatureStore:
             features,
             entity_ts_col=entity_ts_col,
             full_feature_names=full_feature_names,
+            strategy=strategy,
         )
         return RetrievalJob(df)
 

@@ -86,12 +86,15 @@ def build_historical_retrieval(
     *,
     entity_ts_col: str = "event_timestamp",
     full_feature_names: bool = False,
+    strategy: str = "union_window",
 ) -> DataFrame:
     """Compose the multi-view PIT retrieval plan.
 
     ``feature_views``: resolved views by name; ``entity_join_keys``:
     entity-name -> physical join keys (Entity.join_keys indirection,
-    Untitled.ipynb:260).
+    Untitled.ipynb:260). ``strategy`` passes through to every view's
+    :func:`point_in_time_join` — "auto" probes each view's key
+    distribution (see asof_join) when the skew profile is unknown.
     """
     refs = parse_feature_refs(features)
     out = entity_df
@@ -131,5 +134,6 @@ def build_historical_retrieval(
             features=feat_names,
             feature_view_name=view_name,
             full_feature_names=full_feature_names,
+            strategy=strategy,
         )
     return out

@@ -364,3 +364,22 @@ def test_auto_prefilter_threshold_and_parity(spark):
     assert run(strategy="auto") == run(strategy="union_window") == [
         ("a", 3.0), ("b", 7.0), ("c", None)
     ]
+
+
+def test_auto_prefilter_plan_is_broadcast_semi_join(spark):
+    """The small-probe history prefilter must be a BROADCAST semi-join
+    (no shuffle of the history for the key filter) — the property that
+    makes it free at 100 TB."""
+    feats = spark.createDataFrame([
+        Row(entity_id=f"e{i}", event_timestamp=TS(2024, 1, 1), created=TS(2024, 1, 1), value=float(i))
+        for i in range(10)
+    ])
+    probes = spark.createDataFrame([
+        Row(entity_id="e1", event_timestamp=TS(2024, 1, 2), tag="t")
+    ])
+    out = point_in_time_join(
+        probes, feats, ["entity_id"], created_ts_col="created",
+        strategy="auto",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan

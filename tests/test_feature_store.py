@@ -219,3 +219,61 @@ def test_retrieval_job_query_and_pandas_on_spark(store, spark):
     assert job.query == job.plan and "Physical Plan" in job.query
     psdf = job.to_pandas_on_spark()
     assert psdf["avg_fare"].to_list() == [99.0]
+
+
+def test_pit_strategy_plumbing(store, spark):
+    """strategy= reaches the PIT join through the store API (and
+    "auto" / yaml-config defaults produce identical results to the
+    default union_window plan)."""
+    entity = spark.createDataFrame([
+        Row(driver_id="d1", event_timestamp=TS(2024, 1, 1, 13)),
+        Row(driver_id="d2", event_timestamp=TS(2024, 1, 1, 10)),
+    ])
+
+    def rows(**kw):
+        pdf = store.get_historical_features(
+            entity, ["driver_hourly:avg_fare"], **kw
+        ).to_df()
+        # NULL features surface as NaN; NaN != NaN breaks tuple compare
+        pdf = pdf.fillna(-1.0)
+        return sorted(map(tuple, pdf.itertuples(index=False)))
+
+    base = rows()
+    assert rows(strategy="auto") == rows(strategy="sliced_window") == base
+    with pytest.raises(ValueError, match="unknown strategy"):
+        rows(strategy="bogus")
+
+
+def test_pit_strategy_from_yaml_config(spark, tmp_path):
+    """feature_store.yaml offline_store.pit_strategy sets the default."""
+    import os
+
+    repo = tmp_path / "repo_yaml"
+    os.makedirs(repo)
+    (repo / "feature_store.yaml").write_text(
+        "project: yaml_project\n"
+        "provider: local\n"
+        "offline_store:\n"
+        "  pit_strategy: auto\n"
+    )
+    feats = spark.createDataFrame([
+        Row(driver_id="d1", event_timestamp=TS(2024, 1, 1, 10),
+            created=TS(2024, 1, 1, 10), avg_fare=10.0),
+    ])
+    gold = str(tmp_path / "gold_yaml")
+    feats.write.parquet(gold)
+    fs = FeatureStore(str(repo), spark=spark)
+    fs.apply([
+        Entity(name="driver", value_type="STRING", join_keys=["driver_id"]),
+        FeatureView(
+            name="v", entities=["driver"],
+            features=[Feature("avg_fare", "FLOAT")],
+            source=FileSource(path=gold, timestamp_field="event_timestamp",
+                              created_timestamp_column="created"),
+        ),
+    ])
+    entity = spark.createDataFrame(
+        [Row(driver_id="d1", event_timestamp=TS(2024, 1, 1, 12))]
+    )
+    got = fs.get_historical_features(entity, ["v:avg_fare"]).to_df()
+    assert got["avg_fare"].tolist() == [10.0]
