@@ -53,13 +53,15 @@ def _run(spark, feats, probes, ttl=None, with_created=True):
         schema="probe_id long, key long, pts timestamp",
     )
     outs = {}
-    for strategy in ("union_window", "sliced_window", "range_join"):
+    # hot_key_rows=3 forces auto onto the sliced+prefilter path on most
+    # generated corpora (keys are 1..3, so per-key loads exceed 3 fast)
+    for strategy in ("union_window", "sliced_window", "range_join", "auto"):
         out = point_in_time_join(
             pdf, fdf, ["key"],
             event_ts_col="fts", entity_ts_col="pts",
             created_ts_col=created_col, ttl=ttl,
             features=["val"], include_feature_ts=True,
-            strategy=strategy,
+            strategy=strategy, hot_key_rows=3,
             # fixture timestamps span ~48h: 7h slices force boundary carries
             slice_interval=dt.timedelta(hours=7),
         )
@@ -84,6 +86,7 @@ def test_strategies_agree_and_respect_time(spark, feats, probes, ttl_hours):
     outs = _run(spark, feats, probes, ttl=ttl)
     assert outs["union_window"] == outs["range_join"]
     assert outs["union_window"] == outs["sliced_window"]
+    assert outs["union_window"] == outs["auto"]
     rows = outs["union_window"]
     assert len(rows) == len(probes)  # left-preserved
     probe_ts = {i: t for i, (_k, t) in enumerate(probes)}
