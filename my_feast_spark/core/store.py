@@ -139,6 +139,45 @@ class FeatureStore:
     def _online_path(self, view_name: str) -> str:
         return os.path.join(self.repo_path, "online", view_name)
 
+    def _online_buckets(self) -> int:
+        """``online_store.buckets`` from feature_store.yaml (0 = flat
+        layout, the default). With N > 0 the snapshot is written under
+        ``__pbucket=hash(keys) % N`` partition directories and every
+        lookup prunes to the requested keys' buckets — at 100M+
+        entities a point lookup then reads a handful of directories
+        instead of scanning (and broadcasting) the whole snapshot."""
+        if not self.config:
+            return 0
+        return int(self.config.online_store.get("buckets", 0) or 0)
+
+    @staticmethod
+    def _pbucket(join_keys: Sequence[str], buckets: int):
+        return F.pmod(F.xxhash64(*join_keys), F.lit(buckets))
+
+    # The layout is SELF-DESCRIBING: the bucket count used at write time
+    # rides in an underscore-prefixed sidecar (ignored by parquet scans)
+    # inside the snapshot directory, so lookups never trust a config
+    # value that may have changed since materialization — a mismatched
+    # modulus would silently prune AWAY the requested keys' buckets.
+    _ONLINE_META = "_mfs_online_meta.json"
+
+    @classmethod
+    def _write_online_meta(cls, path: str, buckets: int) -> None:
+        import json
+
+        with open(os.path.join(path, cls._ONLINE_META), "w") as fh:
+            json.dump({"buckets": int(buckets)}, fh)
+
+    @classmethod
+    def _read_online_buckets(cls, path: str) -> int:
+        import json
+
+        meta = os.path.join(path, cls._ONLINE_META)
+        if not os.path.exists(meta):
+            return 0
+        with open(meta) as fh:
+            return int(json.load(fh).get("buckets", 0) or 0)
+
     def materialize(self, start, end, feature_views: Sequence[str]) -> None:
         """Latest feature row per entity with event ts in [start, end] →
         online snapshot table (the reference's fs.materialize,
@@ -160,9 +199,18 @@ class FeatureStore:
             # (streaming/online.py merge_batch): created column included so
             # batch and streaming merges never diverge on schema
             keep = join_keys + [src.timestamp_field] + ties + fv.feature_names()
-            snap.select(*keep).write.mode("overwrite").parquet(
-                self._online_path(view_name)
-            )
+            out = snap.select(*keep)
+            buckets = self._online_buckets()
+            writer = out.write.mode("overwrite")
+            if buckets:
+                writer = out.withColumn(
+                    "__pbucket", self._pbucket(join_keys, buckets)
+                ).repartition("__pbucket").write.mode(
+                    "overwrite"
+                ).partitionBy("__pbucket")
+            writer.parquet(self._online_path(view_name))
+            if buckets:
+                self._write_online_meta(self._online_path(view_name), buckets)
             self.registry.record_materialization(view_name, start, end)
 
     def get_online_features(
@@ -190,8 +238,30 @@ class FeatureStore:
                     f"feature view {view_name!r} has no online snapshot — "
                     "call materialize(start, end, [view]) first"
                 )
-            snap = spark.read.parquet(path).select(*join_keys, *feat_names)
-            # snapshot is small by construction -> broadcastable lookup
+            snap = spark.read.parquet(path)
+            n_buckets = self._read_online_buckets(path)
+            if "__pbucket" in snap.columns:
+                if not n_buckets:
+                    raise RuntimeError(
+                        f"online snapshot at {path!r} is bucketed but its "
+                        f"{self._ONLINE_META} sidecar is missing — "
+                        "re-materialize the view"
+                    )
+                # bucketed layout: the requested keys' bucket set (≤
+                # |entity_rows| values, collected from the literal keys
+                # relation) becomes a partition filter — the snapshot
+                # scan lists and reads ONLY those directories, and the
+                # broadcast below carries one bucket's entities per
+                # requested key at most, not the whole store
+                pbs = sorted(
+                    r.pb
+                    for r in keys_df.select(
+                        self._pbucket(join_keys, n_buckets).alias("pb")
+                    ).distinct().collect()
+                )
+                snap = snap.filter(F.col("__pbucket").isin(pbs))
+            snap = snap.select(*join_keys, *feat_names)
+            # pruned (or small by construction) -> broadcastable lookup
             out = out.join(F.broadcast(snap), on=join_keys, how="left")
         rows = out.orderBy("__row_order").drop("__row_order").collect()
         cols = [c for c in out.columns if c != "__row_order"]

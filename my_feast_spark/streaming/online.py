@@ -94,11 +94,28 @@ def materialize_stream(
         else:
             merged = fresh
         # write-to-temp then swap: never overwrite the path still being
-        # read by this plan (cache eviction mid-write would corrupt it)
+        # read by this plan (cache eviction mid-write would corrupt it).
+        # The bucketed layout (and its self-describing sidecar — see
+        # FeatureStore._read_online_buckets) is preserved across merges:
+        # an existing snapshot's bucket count wins, else the configured
+        # one applies from the first batch.
         import shutil
 
+        buckets = (
+            fs._read_online_buckets(path)
+            if os.path.exists(path) else fs._online_buckets()
+        )
         tmp = f"{path}__staging_{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
+        writer = merged.write.mode("overwrite")
+        if buckets:
+            writer = merged.withColumn(
+                "__pbucket", fs._pbucket(join_keys, buckets)
+            ).repartition("__pbucket").write.mode(
+                "overwrite"
+            ).partitionBy("__pbucket")
+        writer.parquet(tmp)
+        if buckets:
+            fs._write_online_meta(tmp, buckets)
         shutil.rmtree(path, ignore_errors=True)
         shutil.move(tmp, path)
 

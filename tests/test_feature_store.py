@@ -277,3 +277,60 @@ def test_pit_strategy_from_yaml_config(spark, tmp_path):
     )
     got = fs.get_historical_features(entity, ["v:avg_fare"]).to_df()
     assert got["avg_fare"].tolist() == [10.0]
+
+
+def test_bucketed_online_store_lookup_prunes_and_matches(spark, tmp_path):
+    """online_store.buckets: materialize writes a __pbucket-partitioned,
+    self-describing snapshot; lookups prune to the requested keys'
+    buckets and return the same vectors as the flat layout."""
+    import os
+
+    feats = spark.createDataFrame([
+        Row(driver_id=f"d{i}", event_timestamp=TS(2024, 1, 1, 10),
+            created=TS(2024, 1, 1, 10), avg_fare=float(i))
+        for i in range(20)
+    ])
+    gold = str(tmp_path / "gold_b")
+    feats.write.parquet(gold)
+
+    def build(repo_name, yaml_extra):
+        repo = tmp_path / repo_name
+        os.makedirs(repo)
+        (repo / "feature_store.yaml").write_text(
+            "project: p\nprovider: local\n" + yaml_extra
+        )
+        fs = FeatureStore(str(repo), spark=spark)
+        fs.apply([
+            Entity(name="driver", value_type="STRING",
+                   join_keys=["driver_id"]),
+            FeatureView(
+                name="v", entities=["driver"],
+                features=[Feature("avg_fare", "FLOAT")],
+                source=FileSource(
+                    path=gold, timestamp_field="event_timestamp",
+                    created_timestamp_column="created",
+                ),
+            ),
+        ])
+        fs.materialize(TS(2024, 1, 1), TS(2024, 1, 2), ["v"])
+        return fs
+
+    flat = build("repo_flat", "")
+    bucketed = build("repo_buck", "online_store:\n  buckets: 4\n")
+
+    snap_dir = bucketed._online_path("v")
+    parts = [d for d in os.listdir(snap_dir) if d.startswith("__pbucket=")]
+    assert parts, "bucketed snapshot must use __pbucket partition dirs"
+    assert bucketed._read_online_buckets(snap_dir) == 4
+
+    rows = [{"driver_id": "d3"}, {"driver_id": "d7"}, {"driver_id": "nope"}]
+    want = flat.get_online_features(rows, ["v:avg_fare"])
+    got = bucketed.get_online_features(rows, ["v:avg_fare"])
+    assert got == want
+    assert got["avg_fare"] == [3.0, 7.0, None]
+
+    # missing sidecar on a bucketed layout must fail loudly, never
+    # silently mis-prune
+    os.remove(os.path.join(snap_dir, bucketed._ONLINE_META))
+    with pytest.raises(RuntimeError, match="sidecar"):
+        bucketed.get_online_features(rows, ["v:avg_fare"])

@@ -127,3 +127,70 @@ def test_batch_then_stream_materialize_preserves_entities(spark, tmp_path):
         [{"driver_id": "d1"}, {"driver_id": "d2"}], ["driver_hourly:avg_fare"]
     )
     assert out["avg_fare"] == [12.5, 7.0]
+
+
+def test_streaming_merge_preserves_bucketed_layout(spark, tmp_path):
+    """materialize_stream on a store configured with online_store.buckets
+    writes/keeps the __pbucket layout + sidecar across micro-batch
+    merges, and lookups stay correct."""
+    import os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+
+    from my_feast_spark.core import (
+        Entity, Feature, FeatureStore, FeatureView, FileSource,
+    )
+    from my_feast_spark.streaming.online import materialize_stream
+
+    TS = dt.datetime
+    gold = str(tmp_path / "gold_sb")
+    spark.createDataFrame([
+        Row(driver_id="d1", event_timestamp=TS(2024, 1, 1, 9),
+            created=TS(2024, 1, 1, 9), avg_fare=1.0),
+    ]).write.parquet(gold)
+    repo = tmp_path / "repo_sb"
+    os.makedirs(repo)
+    (repo / "feature_store.yaml").write_text(
+        "project: p\nprovider: local\nonline_store:\n  buckets: 4\n"
+    )
+    fs = FeatureStore(str(repo), spark=spark)
+    fs.apply([
+        Entity(name="driver", value_type="STRING", join_keys=["driver_id"]),
+        FeatureView(
+            name="v", entities=["driver"],
+            features=[Feature("avg_fare", "FLOAT")],
+            source=FileSource(path=gold, timestamp_field="event_timestamp",
+                              created_timestamp_column="created"),
+        ),
+    ])
+    in_dir = str(tmp_path / "stream_in")
+    os.makedirs(in_dir)
+    ckpt = str(tmp_path / "ck_sb")
+
+    def push(rows):
+        spark.createDataFrame(rows).coalesce(1).write.mode("append").parquet(
+            in_dir
+        )
+        sdf = spark.readStream.schema(
+            "driver_id string, event_timestamp timestamp, "
+            "created timestamp, avg_fare double"
+        ).parquet(in_dir)
+        q = materialize_stream(fs, "v", sdf, checkpoint=ckpt,
+                               available_now=True)
+        assert q.awaitTermination(120)
+
+    push([Row(driver_id="d1", event_timestamp=TS(2024, 1, 1, 10),
+              created=TS(2024, 1, 1, 10), avg_fare=5.0),
+          Row(driver_id="d2", event_timestamp=TS(2024, 1, 1, 10),
+              created=TS(2024, 1, 1, 10), avg_fare=7.0)])
+    push([Row(driver_id="d1", event_timestamp=TS(2024, 1, 1, 11),
+              created=TS(2024, 1, 1, 11), avg_fare=9.0)])
+
+    snap_dir = fs._online_path("v")
+    assert any(d.startswith("__pbucket=") for d in os.listdir(snap_dir))
+    assert fs._read_online_buckets(snap_dir) == 4
+    got = fs.get_online_features(
+        [{"driver_id": "d1"}, {"driver_id": "d2"}], ["v:avg_fare"]
+    )
+    assert got["avg_fare"] == [9.0, 7.0]
