@@ -69,6 +69,51 @@ def materialize_stream(
             batch_df.select(*keep), join_keys, [src.timestamp_field],
             tie_breakers=ties,
         )
+        # Bucketed snapshot: merge ONLY the buckets this batch touches —
+        # per-batch cost becomes O(entities in touched buckets), not
+        # O(|store|). The merged rows are eagerly materialized
+        # (localCheckpoint) BEFORE the dynamic-partition overwrite so the
+        # write never overwrites directories its own plan still reads;
+        # a crash between bucket writes leaves a partially-applied batch,
+        # which the foreachBatch replay re-merges idempotently
+        # (latest_per_key of already-applied rows is a no-op).
+        if os.path.exists(path) and fs._read_online_buckets(path):
+            n_buckets = fs._read_online_buckets(path)
+            pb = fs._pbucket(join_keys, n_buckets)
+            fresh_b = fresh.withColumn("__pbucket", pb)
+            touched = [
+                r.pb for r in
+                fresh_b.select(F.col("__pbucket").alias("pb"))
+                .distinct().collect()
+            ]
+            current = (
+                spark.read.parquet(path)
+                .filter(F.col("__pbucket").isin(touched))
+            )
+            for c in keep:
+                if c not in current.columns:
+                    current = current.withColumn(
+                        c, F.lit(None).cast(fresh.schema[c].dataType)
+                    )
+            merged = latest_per_key(
+                current.select(*keep).unionByName(fresh),
+                join_keys, [src.timestamp_field], tie_breakers=ties,
+            ).withColumn("__pbucket", pb).localCheckpoint()
+            try:
+                # partitionOverwriteMode=dynamic (session.py): only the
+                # partitions PRESENT in `merged` — the touched buckets —
+                # are replaced; every other bucket directory (and the
+                # layout sidecar) stays in place
+                merged.repartition("__pbucket").write.mode(
+                    "overwrite"
+                ).partitionBy("__pbucket").parquet(path)
+            finally:
+                from my_feast_spark.operators.graph import (
+                    release_checkpoint,
+                )
+
+                release_checkpoint(merged)
+            return
         # Existence is checked EXPLICITLY: a bare except here once treated
         # any read/select error as "first batch" and silently rewrote the
         # snapshot with only the current micro-batch's entities. Real read

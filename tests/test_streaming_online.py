@@ -182,7 +182,7 @@ def test_streaming_merge_preserves_bucketed_layout(spark, tmp_path):
 
     push([Row(driver_id="d1", event_timestamp=TS(2024, 1, 1, 10),
               created=TS(2024, 1, 1, 10), avg_fare=5.0),
-          Row(driver_id="d2", event_timestamp=TS(2024, 1, 1, 10),
+          Row(driver_id="d7", event_timestamp=TS(2024, 1, 1, 10),
               created=TS(2024, 1, 1, 10), avg_fare=7.0)])
     push([Row(driver_id="d1", event_timestamp=TS(2024, 1, 1, 11),
               created=TS(2024, 1, 1, 11), avg_fare=9.0)])
@@ -191,6 +191,43 @@ def test_streaming_merge_preserves_bucketed_layout(spark, tmp_path):
     assert any(d.startswith("__pbucket=") for d in os.listdir(snap_dir))
     assert fs._read_online_buckets(snap_dir) == 4
     got = fs.get_online_features(
-        [{"driver_id": "d1"}, {"driver_id": "d2"}], ["v:avg_fare"]
+        [{"driver_id": "d1"}, {"driver_id": "d7"}], ["v:avg_fare"]
     )
     assert got["avg_fare"] == [9.0, 7.0]
+
+    # incremental merge: a batch touching ONLY d1's bucket must leave
+    # every other bucket directory untouched on disk (per-batch cost is
+    # the touched buckets, not the store)
+    def bucket_files():
+        out = {}
+        for d in os.listdir(snap_dir):
+            if d.startswith("__pbucket="):
+                p = os.path.join(snap_dir, d)
+                out[d] = sorted(
+                    (f, os.path.getmtime(os.path.join(p, f)))
+                    for f in os.listdir(p) if not f.startswith((".", "_"))
+                )
+        return out
+
+    before = bucket_files()
+    push([Row(driver_id="d1", event_timestamp=TS(2024, 1, 1, 12),
+              created=TS(2024, 1, 1, 12), avg_fare=11.0)])
+    after = bucket_files()
+    # d1 and d2 must hash to different buckets for the assertion below
+    import pyspark.sql.functions as F2
+    pbs = {
+        r.k: r.pb
+        for r in spark.createDataFrame(
+            [Row(k="d1"), Row(k="d7")]
+        ).select(
+            "k", F2.pmod(F2.xxhash64("k"), F2.lit(4)).alias("pb")
+        ).collect()
+    }
+    assert pbs["d1"] != pbs["d7"], "fixture needs distinct buckets"
+    d1_dir, d2_dir = f"__pbucket={pbs['d1']}", f"__pbucket={pbs['d7']}"
+    assert after[d2_dir] == before[d2_dir], "untouched bucket rewritten"
+    assert after[d1_dir] != before[d1_dir]
+    got = fs.get_online_features(
+        [{"driver_id": "d1"}, {"driver_id": "d7"}], ["v:avg_fare"]
+    )
+    assert got["avg_fare"] == [11.0, 7.0]
