@@ -1,4 +1,14 @@
-from my_feast_spark.functions.scalar import hour_bucket, priority_collapse
+from my_feast_spark.functions.scalar import (
+    floor_round,
+    hour_bucket,
+    priority_collapse,
+)
+from my_feast_spark.functions.urls import (
+    url_canonicalize,
+    load_public_suffix_list,
+    registered_domain,
+    url_host,
+)
 from my_feast_spark.functions.text import (
     chunk_count,
     chunk_token_array,
@@ -18,6 +28,11 @@ from my_feast_spark.functions.text import (
 __all__ = [
     "priority_collapse",
     "hour_bucket",
+    "floor_round",
+    "url_canonicalize",
+    "url_host",
+    "registered_domain",
+    "load_public_suffix_list",
     "tokens",
     "let",
     "doc_fingerprint",
