@@ -22,7 +22,11 @@ from my_feast_spark.operators.lm import (
     train_bigram_kn,
     train_bigram_lm,
 )
-from my_feast_spark.operators.graph import connected_components
+from my_feast_spark.operators.graph import (
+    connected_components,
+    pagerank_fixedpoint,
+)
+from my_feast_spark.operators.packing import pack_bfd, packing_stats
 from my_feast_spark.operators.pq import (
     ivfpq_build,
     ivfpq_search,
@@ -41,6 +45,7 @@ from my_feast_spark.operators.sampling import (
     stratified_sample,
 )
 from my_feast_spark.operators.similarity import semdedup
+from my_feast_spark.operators.urls import blocklist_filter, domain_quota
 
 __all__ = [
     "point_in_time_join",
@@ -74,6 +79,11 @@ __all__ = [
     "write_ivfpq_index",
     "read_ivfpq_index",
     "remove_repeated_spans",
+    "pack_bfd",
+    "packing_stats",
+    "pagerank_fixedpoint",
+    "domain_quota",
+    "blocklist_filter",
     "stratified_sample",
     "sample_bucket",
     "shuffle_layout",
