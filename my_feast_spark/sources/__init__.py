@@ -6,7 +6,9 @@ from my_feast_spark.sources.readers import (
     read_csv_header,
     read_parquet,
 )
-from my_feast_spark.sources.writers import write_partitioned
+from my_feast_spark.sources.maintenance import compact_table
+from my_feast_spark.sources.readers import read_jsonl
+from my_feast_spark.sources.writers import write_jsonl, write_partitioned
 
 __all__ = [
     "load_table",
@@ -16,4 +18,7 @@ __all__ = [
     "map_pivot",
     "parse_json_column",
     "write_partitioned",
+    "read_jsonl",
+    "write_jsonl",
+    "compact_table",
 ]
