@@ -201,6 +201,21 @@ class FeatureStore:
             keep = join_keys + [src.timestamp_field] + ties + fv.feature_names()
             out = snap.select(*keep)
             buckets = self._online_buckets()
+            path = self._online_path(view_name)
+            # Batch materialize is a FULL snapshot replace. The bucketed
+            # write must NOT go straight to `path`: the session runs with
+            # partitionOverwriteMode=dynamic (session.py), under which a
+            # partitionBy("__pbucket") overwrite only replaces buckets
+            # present in the new snapshot — stale entity rows would
+            # survive in untouched buckets, and a changed
+            # online_store.buckets would leave old-modulus directories
+            # next to a sidecar recording the new count. Write snapshot +
+            # sidecar to a staging dir and atomically swap (the pattern
+            # streaming/online.py's first-batch path uses).
+            import shutil
+
+            tmp = f"{path}__staging_materialize"
+            shutil.rmtree(tmp, ignore_errors=True)
             writer = out.write.mode("overwrite")
             if buckets:
                 writer = out.withColumn(
@@ -208,9 +223,11 @@ class FeatureStore:
                 ).repartition("__pbucket").write.mode(
                     "overwrite"
                 ).partitionBy("__pbucket")
-            writer.parquet(self._online_path(view_name))
+            writer.parquet(tmp)
             if buckets:
-                self._write_online_meta(self._online_path(view_name), buckets)
+                self._write_online_meta(tmp, buckets)
+            shutil.rmtree(path, ignore_errors=True)
+            shutil.move(tmp, path)
             self.registry.record_materialization(view_name, start, end)
 
     def get_online_features(

@@ -284,7 +284,19 @@ def _choose_strategy(
     if max_n <= hot_key_rows:
         return "union_window", None, prefilter
     lo, hi = row["hot_span"]["__lo"], row["hot_span"]["__hi"]
-    span_s = max((hi - lo).total_seconds(), 1.0) if lo and hi else 1.0
+    if lo is not None and hi is not None:
+        # datetime/date pairs subtract to a timedelta; numeric epoch-
+        # seconds columns (which union/sliced handle via cast to
+        # timestamp = epoch seconds) subtract to a plain number already
+        # in seconds — don't assume .total_seconds() exists.
+        delta = hi - lo
+        span_s = max(
+            delta.total_seconds()
+            if hasattr(delta, "total_seconds") else float(delta),
+            1.0,
+        )
+    else:
+        span_s = 1.0
     n_slices = 2 * -(-max_n // hot_key_rows)  # 2 * ceil
     return "sliced_window", _dt.timedelta(
         seconds=max(1, int(span_s // n_slices))
@@ -391,7 +403,10 @@ def _union_sides(
             *[F.col(k) for k in join_keys],
             F.col(entity_ts_col).alias(_TS),
             F.lit(1).alias(_IS_PROBE),
-            F.lit(None).cast("timestamp").alias(_CREATED),
+            # match the feature side's created type exactly — numeric
+            # epoch created columns are legal (same contract as _TS)
+            F.lit(None).cast(feat_side.schema[_CREATED].dataType)
+            .alias(_CREATED),
             F.lit(None).cast(feat_side.schema[_PAYLOAD].dataType).alias(_PAYLOAD),
             *[F.col(c) for c in entity_payload_cols],
         )

@@ -87,7 +87,17 @@ def _heal_leaf(fs, jvm, leaf: str) -> str | None:
         )
     finally:
         stream.close()
-    originals = set(json.loads(raw.decode("utf-8"))["originals"])
+    try:
+        originals = set(json.loads(raw.decode("utf-8"))["originals"])
+    except (ValueError, KeyError):
+        # Partial/corrupt marker ⇒ the commit point was never reached:
+        # markers are renamed into place atomically (below), and in the
+        # pre-rename protocol originals were only deleted AFTER the
+        # marker stream closed successfully — so originals are intact
+        # and authoritative either way. Abort instead of wedging the
+        # leaf on JSONDecodeError.
+        fs.delete(staging, True)
+        return "aborted"
     for name in originals:
         fs.delete(jvm.org.apache.hadoop.fs.Path(leaf, name), False)
     for st in fs.listStatus(staging):
@@ -180,14 +190,23 @@ def compact_table(
             fs.rename(st.getPath(), jvm.org.apache.hadoop.fs.Path(staging, name))
             staged.append(name)
         fs.delete(work, True)
+        # The marker is the commit point, so its CREATION must be atomic:
+        # write to a dot-prefixed temp name (ignored by the heal scan)
+        # and rename into place. A crash mid-write leaves only the temp —
+        # _heal_leaf sees "no marker" and aborts cleanly instead of
+        # choking on a truncated JSON document.
         marker = jvm.org.apache.hadoop.fs.Path(staging, _MARKER)
-        out = fs.create(marker, True)
+        marker_tmp = jvm.org.apache.hadoop.fs.Path(
+            staging, f".{_MARKER}.tmp"
+        )
+        out = fs.create(marker_tmp, True)
         try:
             out.write(bytearray(json.dumps(
                 {"originals": originals}
             ).encode("utf-8")))
         finally:
             out.close()
+        fs.rename(marker_tmp, marker)
         # commit point passed: delete originals, surface staged files
         for name in originals:
             fs.delete(jvm.org.apache.hadoop.fs.Path(leaf, name), False)

@@ -318,6 +318,46 @@ def test_auto_strategy_probe_and_parity(spark):
     )
 
 
+def test_auto_strategy_numeric_epoch_ts(spark):
+    """strategy="auto" with a NUMERIC epoch-seconds event-ts column:
+    the hot-key span probe must not assume datetime values (hi - lo is
+    a plain number), and the fitted sliced_window run must match
+    union_window (both bucket via cast-to-timestamp = epoch seconds)."""
+    from my_feast_spark.operators.asof_join import _choose_strategy
+
+    base = 1_700_000_000  # epoch seconds
+    feats = [
+        Row(entity_id="hot", event_timestamp=base + n * 3600,
+            created=base + n * 3600, value=float(n))
+        for n in range(100)
+    ] + [
+        Row(entity_id="cold", event_timestamp=base, created=base, value=-1.0)
+    ]
+    probes = [
+        Row(entity_id="hot", event_timestamp=base + n * 3600, tag=f"p{n}")
+        for n in (0, 7, 50, 99)
+    ] + [Row(entity_id="cold", event_timestamp=base + 3600, tag="c")]
+    fdf, pdf = spark.createDataFrame(feats), spark.createDataFrame(probes)
+
+    name, interval, _pf = _choose_strategy(
+        pdf, fdf, ["entity_id"], "event_timestamp", "event_timestamp", 25
+    )
+    assert name == "sliced_window"
+    assert dt.timedelta(seconds=1) <= interval <= dt.timedelta(hours=99)
+
+    def run(**kw):
+        return {
+            r.tag: r.value
+            for r in point_in_time_join(
+                pdf, fdf, ["entity_id"], created_ts_col="created", **kw
+            ).collect()
+        }
+
+    assert run(strategy="auto", hot_key_rows=25) == run(
+        strategy="union_window"
+    ) == {"p0": 0.0, "p7": 7.0, "p50": 50.0, "p99": 99.0, "c": -1.0}
+
+
 def test_auto_prefilter_threshold_and_parity(spark):
     """Above PREFILTER_PROBE_ROWS the prefilter stays off; with it
     forced on (monkeypatched threshold), results still match the plain

@@ -334,3 +334,65 @@ def test_bucketed_online_store_lookup_prunes_and_matches(spark, tmp_path):
     os.remove(os.path.join(snap_dir, bucketed._ONLINE_META))
     with pytest.raises(RuntimeError, match="sidecar"):
         bucketed.get_online_features(rows, ["v:avg_fare"])
+
+
+def test_bucketed_rematerialize_is_full_replace(spark, tmp_path):
+    """Batch materialize of a bucketed snapshot must be a FULL replace:
+    under the session's dynamic partitionOverwriteMode, a naive
+    partitionBy overwrite would only replace buckets present in the new
+    snapshot, leaving stale entity rows alive in untouched buckets —
+    and a changed online_store.buckets would leave old-modulus dirs next
+    to a sidecar recording the new count."""
+    import os
+
+    gold = str(tmp_path / "gold_r")
+    spark.createDataFrame([
+        Row(driver_id=f"d{i}", event_timestamp=TS(2024, 1, 1, 10),
+            created=TS(2024, 1, 1, 10), avg_fare=float(i))
+        for i in range(20)
+    ]).write.parquet(gold)
+
+    repo = tmp_path / "repo_remat"
+    os.makedirs(repo)
+    yaml_path = repo / "feature_store.yaml"
+    yaml_path.write_text(
+        "project: p\nprovider: local\nonline_store:\n  buckets: 4\n"
+    )
+    fs = FeatureStore(str(repo), spark=spark)
+    fs.apply([
+        Entity(name="driver", value_type="STRING", join_keys=["driver_id"]),
+        FeatureView(
+            name="v", entities=["driver"],
+            features=[Feature("avg_fare", "FLOAT")],
+            source=FileSource(path=gold, timestamp_field="event_timestamp",
+                              created_timestamp_column="created"),
+        ),
+    ])
+    fs.materialize(TS(2024, 1, 1), TS(2024, 1, 2), ["v"])
+
+    # window 2 holds only d0; every other entity must disappear from the
+    # snapshot — whatever bucket it hashed into
+    spark.createDataFrame([
+        Row(driver_id="d0", event_timestamp=TS(2024, 1, 5, 10),
+            created=TS(2024, 1, 5, 10), avg_fare=100.0)
+    ]).write.mode("append").parquet(gold)
+    fs.materialize(TS(2024, 1, 5), TS(2024, 1, 6), ["v"])
+    rows = [{"driver_id": "d0"}, {"driver_id": "d3"}, {"driver_id": "d7"}]
+    got = fs.get_online_features(rows, ["v:avg_fare"])
+    assert got["avg_fare"] == [100.0, None, None]
+
+    # changing the bucket count must not leave old-modulus directories
+    yaml_path.write_text(
+        "project: p\nprovider: local\nonline_store:\n  buckets: 2\n"
+    )
+    fs2 = FeatureStore(str(repo), spark=spark)
+    fs2.materialize(TS(2024, 1, 1), TS(2024, 1, 6), ["v"])
+    snap_dir = fs2._online_path("v")
+    assert fs2._read_online_buckets(snap_dir) == 2
+    parts = sorted(
+        int(d.split("=")[1]) for d in os.listdir(snap_dir)
+        if d.startswith("__pbucket=")
+    )
+    assert all(p in (0, 1) for p in parts), parts
+    got = fs2.get_online_features(rows, ["v:avg_fare"])
+    assert got["avg_fare"] == [100.0, 3.0, 7.0]

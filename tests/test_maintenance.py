@@ -134,3 +134,29 @@ def test_heal_finishes_committed_staging(spark, tmp_path):
     assert not os.path.exists(staging)
     assert _content(spark, path) == want
     assert len(_data_files(path)["day=2024-01-02"]) == 1
+
+
+def test_heal_aborts_truncated_marker(spark, tmp_path):
+    """Crash mid-marker-write (pre-atomic-rename protocol): an
+    unparsable _COMMIT.json means the commit point was never reached —
+    originals are intact and authoritative, so the heal must ABORT the
+    staging dir instead of wedging the leaf on JSONDecodeError."""
+    path = str(tmp_path / "t5")
+    _fragmented_table(spark, path)
+    want = _content(spark, path)
+    leaf = os.path.join(path, "day=2024-01-01")
+    staging = os.path.join(leaf, _STAGING)
+    os.makedirs(staging)
+    spark.createDataFrame([Row(v=-1)]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(staging, "job-dead"))
+    # a torn, truncated marker
+    with open(os.path.join(staging, "_COMMIT.json"), "w") as fh:
+        fh.write('{"originals": ["part-0')
+
+    stats = compact_table(spark, path, min_files=2)
+    assert stats["healed_aborted"] == 1
+    assert not os.path.exists(staging)
+    assert _content(spark, path) == want
+    # the heal also re-ran the compaction on the healed leaf this pass
+    assert stats["leaves_compacted"] == 2
