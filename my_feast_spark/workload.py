@@ -20,6 +20,8 @@ Determinism rules applied throughout:
 from __future__ import annotations
 
 import datetime as dt
+import json
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -6260,6 +6262,287 @@ FROM win w CROSS JOIN n
 """
 
 
+def q_compact_table_replay(spark, sf_dir):
+    """Batch small-file compaction adjudicated end-to-end
+    (sources/maintenance.py::compact_table — the crash-safe rewrite
+    protocol for append-mode batch tables): the events table is staged
+    day-partitioned and fragmented by four append-mode ingest runs
+    (four files per day leaf), then BOTH crash windows of the commit
+    protocol are planted before a single compact_table call:
+
+      * the FIRST day leaf gets an UNCOMMITTED staging dir (a junk
+        rewrite, no marker) — heal must ABORT it, originals stay
+        authoritative;
+      * the SECOND day leaf gets a COMMITTED staging dir (full rewrite
+        staged + complete _COMMIT.json, one original already deleted —
+        the mid-delete crash) — heal must FINISH it from the staged
+        files.
+
+    The query raises unless the heal counters, the compaction counters,
+    and the post-compaction one-file-per-leaf layout are exact, then
+    returns per-day content aggregates stamped with the total file
+    count — the oracle recomputes them from the SOURCE table, so the
+    green row pins losslessness across both heals plus the compaction
+    itself. Scale shape: compaction is per-leaf parallel-safe and
+    reads/writes each leaf once; the adjudicated content check is one
+    day-grouped aggregate."""
+    import shutil
+
+    from my_feast_spark.sources.maintenance import (
+        _MARKER,
+        _STAGING,
+        compact_table,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id"),
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("event_day"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    path = _scratch_dir("mfs_compact_table_")
+    for frag in range(4):
+        ev.filter(F.col("event_id") % 4 == frag).coalesce(1).write.mode(
+            "append"
+        ).partitionBy("event_day").parquet(path)
+    days = sorted(
+        d for d in os.listdir(path) if d.startswith("event_day=")
+    )
+    # crash window 1: uncommitted staging on the first leaf
+    leaf_a = os.path.join(path, days[0])
+    staging_a = os.path.join(leaf_a, _STAGING)
+    spark.range(1).selectExpr("id AS junk").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(staging_a, "job-dead"))
+    # crash window 2: committed staging, one original deleted, on the
+    # second leaf — rebuild the exact mid-delete state by hand
+    leaf_b = os.path.join(path, days[1])
+    staging_b = os.path.join(leaf_b, _STAGING)
+    originals = sorted(
+        f for f in os.listdir(leaf_b) if not f.startswith(("_", "."))
+    )
+    work = os.path.join(staging_b, "job-crashed")
+    spark.read.parquet(leaf_b).coalesce(1).write.mode("overwrite").parquet(
+        work
+    )
+    for f in os.listdir(work):
+        if not f.startswith(("_", ".")):
+            os.rename(os.path.join(work, f), os.path.join(staging_b, f))
+    shutil.rmtree(work)
+    with open(os.path.join(staging_b, _MARKER), "w") as fh:
+        json.dump({"originals": originals}, fh)
+    os.remove(os.path.join(leaf_b, originals[0]))
+
+    stats = compact_table(spark, path, min_files=2)
+    n_days = len(days)
+    per_leaf = {
+        d: [
+            f for f in os.listdir(os.path.join(path, d))
+            if not f.startswith(("_", "."))
+        ]
+        for d in days
+    }
+    ok = (
+        stats["healed_aborted"] == 1
+        and stats["healed_finished"] == 1
+        and stats["leaves"] == n_days
+        # the healed-finished leaf is already one file -> not recompacted
+        and stats["leaves_compacted"] == n_days - 1
+        and all(len(v) == 1 for v in per_leaf.values())
+        and stats["files_after"] == n_days
+    )
+    if not ok:
+        raise RuntimeError(
+            f"compact_table replay diverged: stats={stats} "
+            f"files={ {d: len(v) for d, v in per_leaf.items()} }"
+        )
+    return (
+        spark.read.parquet(path)
+        .groupBy("event_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("v").cast("double").alias("sum_value"),
+        )
+        .withColumn(
+            "files_after", F.lit(int(stats["files_after"])).cast("long")
+        )
+        # partition-column inference types the yyyy-MM-dd dir values as
+        # DATE on read-back; the adjudicated contract is the string form
+        .select(
+            F.col("event_day").cast("string").alias("event_day"),
+            "n_rows", "sum_value", "files_after",
+        )
+    )
+
+
+SQL_COMPACT_TABLE_REPLAY = """
+WITH e AS (
+  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_day,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+), d AS (
+  SELECT event_day, COUNT(*) AS n_rows, CAST(SUM(v) AS DOUBLE) AS sum_value
+  FROM e GROUP BY event_day
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS files_after FROM d)
+SELECT d.event_day, d.n_rows, d.sum_value, n.files_after
+FROM d CROSS JOIN n
+"""
+
+
+def q_scd2_stream_maintain(spark, sf_dir):
+    """Streaming SCD2 maintenance adjudicated end-to-end
+    (streaming/scd2.py::scd2_maintain_stream): the events table arrives
+    as three micro-batches split by event_id % 3 — batches 1 and 2
+    carry events EARLIER than batch 0's, the late arrivals that must
+    SPLIT intervals the previous batch already wrote — each batch
+    appending to the bucket-partitioned event log and rebuilding only
+    its touched key buckets' intervals under dynamic partition
+    overwrite. The maintained table's contract is equality with the
+    one-shot batch scd2_intervals rebuild over everything ingested; the
+    oracle replays exactly that rebuild in SQL, so the green row pins
+    the late-split recompute, the idempotent log append, and the
+    bucket-pruned overwrite in one hash. Scale shape: per batch the
+    recompute cost is (touched buckets / n_buckets) of the log scan,
+    partition-pruned — never the whole corpus."""
+    from my_feast_spark.streaming.scd2 import (
+        read_scd2_table,
+        scd2_maintain_stream,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    base = _scratch_dir("mfs_scd2m_")
+    in_dir = os.path.join(base, "incoming")
+    os.makedirs(in_dir)
+    log = os.path.join(base, "event_log")
+    ivals = os.path.join(base, "intervals")
+    ckpt = os.path.join(base, "ckpt")
+    for b in range(3):
+        ev.filter(F.col("event_id") % 3 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        sdf = spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, event_type string"
+        ).parquet(in_dir)
+        q = scd2_maintain_stream(
+            sdf, events_path=log, intervals_path=ivals, checkpoint=ckpt,
+            keys=["user_id"], ts_col="ts", state_col="event_type",
+            tie_breakers=["event_id"], n_buckets=8, available_now=True,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+    return read_scd2_table(spark, ivals)
+
+
+#: identical contract to the batch rebuild — scd2_maintain_stream's
+#: output must equal scd2_intervals over the full event log
+SQL_SCD2_STREAM_MAINTAIN = SQL_SCD2_USER_STATE
+
+
+def q_audio_vad(spark, sf_dir):
+    """Voice-activity segmentation over audio assets (multimodal/
+    audio.py::segment_silence): fake MFAU assets from the documents
+    table (text bytes as u8 PCM — the honest codec stub, real decoders
+    aren't in this container), then the Arrow-batched mapInPandas VAD
+    pass — per-window RMS against a silence threshold, run-length over
+    the voiced mask, one output row per kept segment with its time
+    bounds and energy. Parameters (threshold 0.33, 5 ms windows @ 8 kHz
+    = 40-sample frames) chosen so the sf0.01 corpus genuinely exercises
+    the run-length logic: multi-segment docs, zero-segment docs, and
+    dropped sub-minimum runs all occur. RMS is floor-rounded to 6dp on
+    both engines (the repo's stable-round convention). Scale shape:
+    map-only — one Arrow transfer per batch, no shuffle; the oracle
+    recomputes every segment with the same float32/float64 arithmetic
+    driver-side and injects them as literals."""
+    from my_feast_spark.multimodal.audio import (
+        encode_fake_audio_assets,
+        segment_silence,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    assets = encode_fake_audio_assets(docs, "doc_id", "text")
+    seg = segment_silence(
+        assets, silence_rms=0.33, window_ms=5, min_segment_windows=2
+    )
+    return seg.select(
+        "asset_id", "segment_idx", "start_ms", "end_ms",
+        (F.floor(F.col("rms") * 1e6 + F.lit(0.5)) / 1e6).alias("rms"),
+    )
+
+
+def _vad_segments(payload: bytes, *, sr=8000, silence_rms=0.33,
+                  window_ms=5, min_seg=2):
+    """Pure-Python mirror of audio.segment_silence's windowed-RMS
+    run-length (float32 sample decode, numpy mean — the Arrow path's
+    exact arithmetic; the Spark path is pinned against hand-computed
+    segments by tests/test_multimodal_audio.py)."""
+    import numpy as np
+
+    s = (
+        np.frombuffer(payload, dtype=np.uint8).astype(np.float32) - 128.0
+    ) / 128.0
+    win = max(int(sr * window_ms / 1000), 1)
+    n_win = len(s) // win
+    if not n_win:
+        return []
+    w = s[: n_win * win].reshape(n_win, win)
+    voiced = np.sqrt((w * w).mean(axis=1)) >= silence_rms
+    out, seg, i = [], 0, 0
+    while i < n_win:
+        if voiced[i]:
+            j = i
+            while j < n_win and voiced[j]:
+                j += 1
+            if j - i >= min_seg:
+                seg_s = s[i * win:j * win]
+                rms = float(np.sqrt((seg_s * seg_s).mean()))
+                out.append((
+                    seg, int(i * win * 1000 / sr), int(j * win * 1000 / sr),
+                    math.floor(rms * 1e6 + 0.5) / 1e6,
+                ))
+                seg += 1
+            i = j
+        else:
+            i += 1
+    return out
+
+
+def _sql_audio_vad():
+    """Oracle generator for q_audio_vad: recompute every VAD segment
+    driver-side and inject as literals (the audio_dedup oracle
+    pattern). Returns None (rows-only) if the oracle testdata is
+    absent."""
+    path = os.path.join(ORACLE_SF_DIR, "documents.parquet")
+    if not os.path.exists(path):
+        return None
+    import pyarrow.parquet as pq_  # noqa: N813
+
+    t = pq_.read_table(path, columns=["doc_id", "text"])
+    rows = []
+    for i, s in zip(
+        t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+    ):
+        for seg, start_ms, end_ms, rms in _vad_segments(
+            s.encode("ISO-8859-1")
+        ):
+            rows.append(
+                f"({int(i)}, {seg}, {start_ms}, {end_ms}, {rms:.6f})"
+            )
+    vals = ", ".join(rows)
+    return f"""
+WITH seg(asset_id, segment_idx, start_ms, end_ms, rms) AS (VALUES {vals})
+SELECT CAST(asset_id AS BIGINT) AS asset_id,
+       CAST(segment_idx AS INTEGER) AS segment_idx,
+       CAST(start_ms AS BIGINT) AS start_ms,
+       CAST(end_ms AS BIGINT) AS end_ms,
+       CAST(rms AS DOUBLE) AS rms
+FROM seg
+"""
+
+
+SQL_AUDIO_VAD = _LazySQL(_sql_audio_vad)
+
+
 # =========================================================================
 # Query registry.
 #
@@ -6276,33 +6559,21 @@ FROM win w CROSS JOIN n
 #      window every round so nothing goes two consecutive rounds without
 #      a fresh CORRECTNESS row, and a query that is NEW this round or
 #      whose BEHAVIOR changed (any change that can alter its output at
-#      any sf) is always in-window. Round 11 (round 10 shipped no code,
-#      so this executes the rotation round 10 owed): the r10 tail (last
-#      adjudicated round 8) is back in-window, MINUS the pq_topk
-#      retirement that funds one of the round's new slots (rationale in
-#      the RETIRED block); the r10-adjudicated window queries sit the
-#      tail out. In-window besides the flagship five: the THREE
-#      round-11 NEW queries (compaction_replay, jsonl_scan, pack_bfd)
-#      and the SIX queries whose behavior changed in round 11 — the
-#      long-deferred floor_round migration of the exact-integer-ratio
-#      round() sites landed with this rotation (the deferral round 9
-#      documented): the jaccard/minhash exact verifies
-#      (operators/dedup.py), the video frame-hash Jaccard
-#      (multimodal/assets.py), the lsh_recall recall/precision ratios
-#      (operators/dedup_eval.py), and the streaming embedding ingest's
-#      round(dot, 6) accept test (streaming/ingest.py), each with its
-#      oracle moved to the identical floor(x * 1e{dp} + 0.5) / 1e{dp}
-#      form. Affected: jaccard_dup_pairs, minhash_dup_pairs,
-#      curation_pipeline_full (consumes the minhash verify) from the
-#      r10 window, and video_dedup, lsh_recall,
-#      streaming_embedding_ingest from the rotating-in tail. No native
-#      round() of a double measure remains in any adjudicated path.
-#      KNOWN REMAINING (the round-12 batch): expanding
-#      MULTI_LABEL_SUFFIXES (functions/urls.py) toward the full public
-#      suffix list changes registered_domain, whose consumers
-#      (url_domain_curation, domain_pagerank) sit in the TAIL this
-#      round — the expansion waits until they rotate back in-window
-#      round 12, the same deferral this round's floor_round batch used.
+#      any sf) is always in-window. Round 12 executes the rotation
+#      round 11 promised at its tail block: the r11 tail (last
+#      adjudicated round 10) is back in-window in full — 42 queries —
+#      next to the flagship five and the THREE round-12 NEW queries
+#      (compact_table_replay, scd2_stream_maintain, audio_vad — the
+#      round-11 verdict's crash-protocol / state-maintenance /
+#      multimodal adjudication asks). The r11-adjudicated window
+#      queries sit the tail out and return round 13. The deferred
+#      round-12 behavior change lands WITH this rotation exactly as
+#      documented: registered_domain (functions/urls.py) now consumes
+#      the full checked-in public-suffix ruleset by default, and its
+#      two consumers (url_domain_curation, domain_pagerank) are in the
+#      rotated-in window so the change gets fresh CORRECTNESS rows.
+#      The round-12 window shares only the five flagship queries with
+#      round 11's.
 #   5. RETIRED: the registry budget is ~100 driver-adjudicated queries;
 #      retired entries are near-duplicates of in-registry coverage
 #      (their operators stay covered by other queries) that keep their
@@ -6323,78 +6594,21 @@ QUERIES: dict[str, tuple] = {
     "hourly_user_agg": (q_hourly_user_agg, SQL_HOURLY_USER_AGG),
     "hourly_global_agg": (q_hourly_global_agg, SQL_HOURLY_GLOBAL_AGG),
     "event_types_salted": (q_event_types_salted, SQL_EVENT_TYPES_SALTED),
-    # --- NEW in round 11 ---------------------------------------------------
-    # compaction_replay pins the healed streaming-index invariant (the
-    # round-10 weak); jsonl_scan adjudicates the JSONL writer+reader
-    # round-trip; pack_bfd promotes best-fit-decreasing packing from
-    # test-only to a full recursive-CTE oracle replay.
-    "compaction_replay": (q_compaction_replay, SQL_COMPACTION_REPLAY),
-    "jsonl_scan": (q_jsonl_scan, SQL_JSONL_SCAN),
-    "pack_bfd": (q_pack_bfd, SQL_PACK_BFD),
-    # --- BEHAVIOR changed in round 11 (stay in-window): the jaccard /
-    # minhash exact-verify round migrated to the stable floor form on
-    # both engines; curation_pipeline_full consumes the minhash verify.
-    "jaccard_dup_pairs": (q_jaccard_dup_pairs, SQL_JACCARD_DUP_PAIRS),
-    "minhash_dup_pairs": (q_minhash_dup_pairs, SQL_MINHASH_DUP_PAIRS),
-    "curation_pipeline_full": (
-        q_curation_pipeline_full, SQL_CURATION_PIPELINE_FULL,
-    ),
-    # --- rotated IN for round 11 (last adjudicated round 8) ---------------
-    # includes the remaining behavior-changed consumers of the floor-
-    # round migration: video_dedup, lsh_recall (+ its recall/precision
-    # ratios), streaming_embedding_ingest (round(dot, 6) accept test).
-    "audio_dedup": (q_audio_dedup, SQL_AUDIO_DEDUP),
-    "video_dedup": (q_video_dedup, SQL_VIDEO_DEDUP),
-    "chunk_dedup": (q_chunk_dedup, SQL_CHUNK_DEDUP),
-    "cdc_chunk_dedup": (q_cdc_chunk_dedup, SQL_CDC_CHUNK_DEDUP),
-    "streaming_embedding_ingest": (
-        q_streaming_embedding_ingest, SQL_STREAMING_EMBEDDING_INGEST,
-    ),
-    "lsh_recall": (q_lsh_recall, SQL_LSH_RECALL),
-    "scd2_user_state": (q_scd2_user_state, SQL_SCD2_USER_STATE),
-    "bpe_merge_replay": (q_bpe_merge_replay, SQL_BPE_MERGE_REPLAY),
-    "vocab_encode_join": (q_vocab_encode_join, SQL_VOCAB_ENCODE_JOIN),
-    "span_removal": (q_span_removal, SQL_SPAN_REMOVAL),
-    "nb_quality_score": (q_nb_quality_score, SQL_NB_QUALITY_SCORE),
-    "semdedup": (q_semdedup, SQL_SEMDEDUP),
-    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
-    "feature_store_retrieval": (
-        q_feature_store_retrieval, SQL_FEATURE_STORE_RETRIEVAL,
-    ),
-    "streaming_sessionize": (q_streaming_sessionize, SQL_STREAMING_SESSIONIZE),
-    "streaming_hourly_agg": (q_streaming_hourly_agg, SQL_STREAMING_HOURLY_AGG),
-    "repetition_filter": (q_repetition_filter, SQL_REPETITION_FILTER),
-    "corpus_vocab": (q_corpus_vocab, SQL_CORPUS_VOCAB),
-    "online_lookup": (q_online_lookup, SQL_ONLINE_LOOKUP),
-    "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
-    "lang_id": (q_lang_id, SQL_LANG_ID),
-    "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
-    "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
-    "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
-    "embedding_near_dupes_lsh": (
-        q_embedding_near_dupes_lsh, SQL_EMBEDDING_NEAR_DUPES_LSH,
-    ),
-    "simhash_dup_pairs": (q_simhash_dup_pairs, SQL_SIMHASH_DUP_PAIRS),
-    "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
-    "dedup_entity_rows": (q_dedup_entity_rows, SQL_DEDUP_ENTITY_ROWS),
-    "latest_event_per_user": (
-        q_latest_event_per_user, SQL_LATEST_EVENT_PER_USER,
-    ),
-    "priority_collapse_types": (
-        q_priority_collapse_types, SQL_PRIORITY_COLLAPSE_TYPES,
-    ),
-    "part_brand_stats": (q_part_brand_stats, SQL_PART_BRAND_STATS),
-    "idle_customers_anti": (q_idle_customers_anti, SQL_IDLE_CUSTOMERS_ANTI),
-    "case_decode_coalesce": (q_case_decode_coalesce, SQL_CASE_DECODE_COALESCE),
-    "map_pivot_props": (q_map_pivot_props, SQL_MAP_PIVOT_PROPS),
-    "datetime_functions": (q_datetime_functions, SQL_DATETIME_FUNCTIONS),
-    "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
-    "order_priority_count": (q_order_priority_count, SQL_ORDER_PRIORITY_COUNT),
-    "top_spenders": (q_top_spenders, SQL_TOP_SPENDERS),
-    "user_value_deltas": (q_user_value_deltas, SQL_USER_VALUE_DELTAS),
-    # --- rotation tail for round 11 (all green in round 10; unchanged;
-    # still value-checked every run by tests/test_oracle_parity.py;
-    # back in-window round 12) ----------------------------------------------
+    # --- NEW in round 12 ---------------------------------------------------
+    # compact_table_replay adjudicates the batch small-file compaction
+    # crash protocol end-to-end (both marker states planted + healed);
+    # scd2_stream_maintain adjudicates streaming SCD2 maintenance against
+    # the batch-rebuild oracle; audio_vad completes the multimodal tier's
+    # driver coverage (windowed-RMS run-length segmentation, literal
+    # oracle) — the three round-11 verdict asks (#2, #3, #8).
+    "compact_table_replay": (q_compact_table_replay, SQL_COMPACT_TABLE_REPLAY),
+    "scd2_stream_maintain": (q_scd2_stream_maintain, SQL_SCD2_STREAM_MAINTAIN),
+    "audio_vad": (q_audio_vad, SQL_AUDIO_VAD),
+    # --- rotated IN for round 12 (adjudicated round 10, sat out round 11;
+    # the rotation round 11 promised at its tail block). Includes the TWO
+    # queries whose BEHAVIOR changes this round — url_domain_curation and
+    # domain_pagerank consume registered_domain, which now defaults to the
+    # full checked-in public-suffix ruleset (the deferred round-12 batch).
     "dsir_resample": (q_dsir_resample, SQL_DSIR_RESAMPLE),
     "url_domain_curation": (q_url_domain_curation, SQL_URL_DOMAIN_CURATION),
     "domain_pagerank": (q_domain_pagerank, SQL_DOMAIN_PAGERANK),
@@ -6445,6 +6659,66 @@ QUERIES: dict[str, tuple] = {
     "customer_balance_deciles": (
         q_customer_balance_deciles, SQL_CUSTOMER_BALANCE_DECILES,
     ),
+    # --- rotation tail for round 12 (all green in round 11; unchanged;
+    # still value-checked every run by tests/test_oracle_parity.py;
+    # back in-window round 13) ----------------------------------------------
+    "compaction_replay": (q_compaction_replay, SQL_COMPACTION_REPLAY),
+    "jsonl_scan": (q_jsonl_scan, SQL_JSONL_SCAN),
+    "pack_bfd": (q_pack_bfd, SQL_PACK_BFD),
+    "jaccard_dup_pairs": (q_jaccard_dup_pairs, SQL_JACCARD_DUP_PAIRS),
+    "minhash_dup_pairs": (q_minhash_dup_pairs, SQL_MINHASH_DUP_PAIRS),
+    "curation_pipeline_full": (
+        q_curation_pipeline_full, SQL_CURATION_PIPELINE_FULL,
+    ),
+    "audio_dedup": (q_audio_dedup, SQL_AUDIO_DEDUP),
+    "video_dedup": (q_video_dedup, SQL_VIDEO_DEDUP),
+    "chunk_dedup": (q_chunk_dedup, SQL_CHUNK_DEDUP),
+    "cdc_chunk_dedup": (q_cdc_chunk_dedup, SQL_CDC_CHUNK_DEDUP),
+    "streaming_embedding_ingest": (
+        q_streaming_embedding_ingest, SQL_STREAMING_EMBEDDING_INGEST,
+    ),
+    "lsh_recall": (q_lsh_recall, SQL_LSH_RECALL),
+    "scd2_user_state": (q_scd2_user_state, SQL_SCD2_USER_STATE),
+    "bpe_merge_replay": (q_bpe_merge_replay, SQL_BPE_MERGE_REPLAY),
+    "vocab_encode_join": (q_vocab_encode_join, SQL_VOCAB_ENCODE_JOIN),
+    "span_removal": (q_span_removal, SQL_SPAN_REMOVAL),
+    "nb_quality_score": (q_nb_quality_score, SQL_NB_QUALITY_SCORE),
+    "semdedup": (q_semdedup, SQL_SEMDEDUP),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "feature_store_retrieval": (
+        q_feature_store_retrieval, SQL_FEATURE_STORE_RETRIEVAL,
+    ),
+    "streaming_sessionize": (q_streaming_sessionize, SQL_STREAMING_SESSIONIZE),
+    "streaming_hourly_agg": (q_streaming_hourly_agg, SQL_STREAMING_HOURLY_AGG),
+    "repetition_filter": (q_repetition_filter, SQL_REPETITION_FILTER),
+    "corpus_vocab": (q_corpus_vocab, SQL_CORPUS_VOCAB),
+    "online_lookup": (q_online_lookup, SQL_ONLINE_LOOKUP),
+    "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
+    "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
+    "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
+    "embedding_near_dupes_lsh": (
+        q_embedding_near_dupes_lsh, SQL_EMBEDDING_NEAR_DUPES_LSH,
+    ),
+    "simhash_dup_pairs": (q_simhash_dup_pairs, SQL_SIMHASH_DUP_PAIRS),
+    "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
+    "dedup_entity_rows": (q_dedup_entity_rows, SQL_DEDUP_ENTITY_ROWS),
+    "latest_event_per_user": (
+        q_latest_event_per_user, SQL_LATEST_EVENT_PER_USER,
+    ),
+    "priority_collapse_types": (
+        q_priority_collapse_types, SQL_PRIORITY_COLLAPSE_TYPES,
+    ),
+    "part_brand_stats": (q_part_brand_stats, SQL_PART_BRAND_STATS),
+    "idle_customers_anti": (q_idle_customers_anti, SQL_IDLE_CUSTOMERS_ANTI),
+    "case_decode_coalesce": (q_case_decode_coalesce, SQL_CASE_DECODE_COALESCE),
+    "map_pivot_props": (q_map_pivot_props, SQL_MAP_PIVOT_PROPS),
+    "datetime_functions": (q_datetime_functions, SQL_DATETIME_FUNCTIONS),
+    "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
+    "order_priority_count": (q_order_priority_count, SQL_ORDER_PRIORITY_COUNT),
+    "top_spenders": (q_top_spenders, SQL_TOP_SPENDERS),
+    "user_value_deltas": (q_user_value_deltas, SQL_USER_VALUE_DELTAS),
 }
 #: Retired from the driver registry (budget: ~100 adjudicated queries).
 #: Each is a near-duplicate of in-registry coverage — their SURVEY §2 /

@@ -11,12 +11,63 @@ from __future__ import annotations
 
 from my_feast_spark import workload
 
-# Round-11 rotation (executes the rotation round 10 owed — round 10
-# shipped no code): the r10 tail (last adjudicated round 8) is back IN
-# the window (minus the pq_topk retirement); the queries adjudicated
-# green in round 10 sit in the tail this round and return in round 12.
+# Round-12 rotation (executes the rotation round 11 promised): the r11
+# tail (last adjudicated round 10) is back IN the window in full, next
+# to the flagship five and the three round-12 NEW queries; the queries
+# adjudicated green in round 11 sit in the tail this round and return
+# in round 13.
 ROTATION_TAIL = {
-    # adjudicated green in round 10; unchanged in round 11
+    # adjudicated green in round 11; unchanged in round 12
+    "compaction_replay",
+    "jsonl_scan",
+    "pack_bfd",
+    "jaccard_dup_pairs",
+    "minhash_dup_pairs",
+    "curation_pipeline_full",
+    "audio_dedup",
+    "video_dedup",
+    "chunk_dedup",
+    "cdc_chunk_dedup",
+    "streaming_embedding_ingest",
+    "lsh_recall",
+    "scd2_user_state",
+    "bpe_merge_replay",
+    "vocab_encode_join",
+    "span_removal",
+    "nb_quality_score",
+    "semdedup",
+    "pricing_summary",
+    "feature_store_retrieval",
+    "streaming_sessionize",
+    "streaming_hourly_agg",
+    "repetition_filter",
+    "corpus_vocab",
+    "online_lookup",
+    "streaming_dedup",
+    "lang_id",
+    "pii_redaction",
+    "train_val_split",
+    "ivf_topk",
+    "embedding_near_dupes_lsh",
+    "simhash_dup_pairs",
+    "revenue_rollup",
+    "dedup_entity_rows",
+    "latest_event_per_user",
+    "priority_collapse_types",
+    "part_brand_stats",
+    "idle_customers_anti",
+    "case_decode_coalesce",
+    "map_pivot_props",
+    "datetime_functions",
+    "regional_revenue",
+    "order_priority_count",
+    "top_spenders",
+    "user_value_deltas",
+}
+
+#: last adjudicated in round 10 — round 12 MUST give them fresh rows
+#: (the rotation invariant: nothing sits out two consecutive rounds)
+ROTATED_IN = {
     "dsir_resample",
     "url_domain_curation",
     "domain_pagerank",
@@ -61,73 +112,23 @@ ROTATION_TAIL = {
     "customer_balance_deciles",
 }
 
-#: last adjudicated in round 8 — round 11 MUST give them fresh rows
-#: (the rotation invariant: nothing sits out two consecutive rounds;
-#: round 10 already slipped once, so every one of these is overdue)
-ROTATED_IN = {
-    "audio_dedup",
-    "video_dedup",
-    "chunk_dedup",
-    "cdc_chunk_dedup",
-    "streaming_embedding_ingest",
-    "lsh_recall",
-    "scd2_user_state",
-    "bpe_merge_replay",
-    "vocab_encode_join",
-    "span_removal",
-    "nb_quality_score",
-    "semdedup",
-    "pricing_summary",
-    "feature_store_retrieval",
-    "streaming_sessionize",
-    "streaming_hourly_agg",
-    "repetition_filter",
-    "corpus_vocab",
-    "online_lookup",
-    "streaming_dedup",
-    "lang_id",
-    "pii_redaction",
-    "train_val_split",
-    "ivf_topk",
-    "embedding_near_dupes_lsh",
-    "simhash_dup_pairs",
-    "revenue_rollup",
-    "dedup_entity_rows",
-    "latest_event_per_user",
-    "priority_collapse_types",
-    "part_brand_stats",
-    "idle_customers_anti",
-    "case_decode_coalesce",
-    "map_pivot_props",
-    "datetime_functions",
-    "regional_revenue",
-    "order_priority_count",
-    "top_spenders",
-    "user_value_deltas",
-}
-
-#: new in round 11, or BEHAVIOR changed in round 11 — must be in-window
+#: new in round 12, or BEHAVIOR changed in round 12 — must be in-window
 #: so the change gets an adjudication row
 CHANGED_OR_NEW_THIS_ROUND = {
-    # new: exact-dedup ingest + interrupted-compaction heal, adjudicated
-    # end-to-end (pins the round-10 weak's fix)
-    "compaction_replay",
-    # new: JSONL writer + reader round-trip with a portable content
-    # digest (r9 verdict ask)
-    "jsonl_scan",
-    # new: best-fit-decreasing packing, recursive-CTE oracle replay
-    # (promoted from test-only per the r9/r10 verdicts)
-    "pack_bfd",
-    # changed: the exact-integer-ratio round() sites migrated to the
-    # stable floor form on both engines (the documented round-10
-    # migration batch)
-    "jaccard_dup_pairs",
-    "minhash_dup_pairs",
-    "curation_pipeline_full",
-    # changed (also in ROTATED_IN — they re-adjudicate anyway)
-    "video_dedup",
-    "lsh_recall",
-    "streaming_embedding_ingest",
+    # new: batch small-file compaction crash protocol, both marker
+    # states planted + healed end-to-end (r11 verdict ask #2)
+    "compact_table_replay",
+    # new: streaming SCD2 maintenance vs the batch-rebuild oracle,
+    # late-split included (r11 verdict ask #3)
+    "scd2_stream_maintain",
+    # new: VAD segmentation with a literal oracle, completing the
+    # multimodal tier's driver coverage (r11 verdict ask #8)
+    "audio_vad",
+    # changed: registered_domain now defaults to the full checked-in
+    # public-suffix ruleset (the deferred round-12 batch) — both
+    # consumers re-adjudicate (also in ROTATED_IN)
+    "url_domain_curation",
+    "domain_pagerank",
 }
 
 #: retired from the driver registry — near-duplicates of in-registry
