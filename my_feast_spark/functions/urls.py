@@ -26,6 +26,8 @@ Canonical form (documented choices, one per rule):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -33,12 +35,9 @@ from pyspark.sql import functions as F
 #: attribution noise) — dropped during canonicalization
 TRACKING_PARAM_PREFIXES = ("utm_", "fbclid=", "gclid=", "ref=")
 
-#: minimal multi-label public-suffix subset for registered-domain
-#: extraction — the DEFAULT, pinned by the adjudicated oracles until
-#: the round-12 rotation flips it to the expanded set (workload.py's
-#: rotation policy). A production run swaps in the full Mozilla Public
-#: Suffix List via :func:`load_public_suffix_list` — same expression
-#: shape, longer literal set.
+#: minimal multi-label public-suffix subset — kept for callers that
+#: want the historical small set (pre-round-12 oracles pinned it); the
+#: DEFAULT is now :data:`PUBLIC_SUFFIXES`, the full vendored ruleset.
 MULTI_LABEL_SUFFIXES = (
     "co.uk", "org.uk", "ac.uk", "co.jp", "com.au", "com.br", "co.in",
     "com.cn", "co.kr", "com.mx",
@@ -148,6 +147,27 @@ MULTI_LABEL_SUFFIXES_EXPANDED = MULTI_LABEL_SUFFIXES + (
     "publ.pt",
 )
 
+#: path of the vendored Public Suffix List snapshot shipped with the
+#: package (publicsuffix.org format; provenance + scope documented in
+#: the file's header — ICANN multi-label exact rules for the major
+#: registries plus the high-traffic PRIVATE hosting suffixes like
+#: ``github.io``). Regenerate against upstream with
+#: ``tools/update_public_suffixes.py``.
+PUBLIC_SUFFIXES_PATH = os.path.join(
+    os.path.dirname(__file__), "data", "public_suffixes.dat"
+)
+
+#: the DEFAULT ruleset for :func:`registered_domain` — every exact
+#: multi-label rule from the vendored snapshot (~1k entries). Folded
+#: into the expression as an isin literal set; Catalyst converts large
+#: IN lists to InSet (hash lookup), so the per-row cost is O(1)
+#: regardless of ruleset size. Wildcard ``*.`` and exception ``!``
+#: rules are OUT OF SCOPE by design (see load_public_suffix_list) —
+#: they cover a handful of small ccTLDs and would need per-rule
+#: branching, not a literal set. Assigned below, after
+#: load_public_suffix_list is defined.
+
+
 _SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
 _AUTH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 _PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
@@ -183,12 +203,15 @@ def registered_domain(
     with fewer labels pass through unchanged.
 
     ``suffixes`` overrides the multi-label public-suffix set (default
-    :data:`MULTI_LABEL_SUFFIXES`; pass
-    :data:`MULTI_LABEL_SUFFIXES_EXPANDED` or a
-    :func:`load_public_suffix_list` result). Exact-match entries only —
-    still a pure isin expression, no lookup join."""
+    :data:`PUBLIC_SUFFIXES`, the full vendored ruleset — includes the
+    PRIVATE-section hosting suffixes, so ``user.github.io`` keeps all
+    three labels; pass :data:`MULTI_LABEL_SUFFIXES` for the historical
+    minimal set, or a :func:`load_public_suffix_list` result). Exact-
+    match entries only — still a pure isin expression (InSet after
+    Catalyst's IN-list conversion, O(1) per row), no lookup join.
+    Wildcard/exception PSL rules are out of scope (loader docstring)."""
     if suffixes is None:
-        suffixes = MULTI_LABEL_SUFFIXES
+        suffixes = PUBLIC_SUFFIXES
     two = [sfx for sfx in suffixes if sfx.count(".") == 1]
     three = [sfx for sfx in suffixes if sfx.count(".") == 2]
     bad = [sfx for sfx in suffixes if sfx.count(".") not in (1, 2)]
@@ -239,6 +262,9 @@ def load_public_suffix_list(path: str) -> tuple[str, ...]:
             if line.count(".") in (1, 2):
                 out.append(line.lower())
     return tuple(out)
+
+
+PUBLIC_SUFFIXES = load_public_suffix_list(PUBLIC_SUFFIXES_PATH)
 
 
 def _clean_query(url: Column) -> Column:

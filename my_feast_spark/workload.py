@@ -5079,16 +5079,20 @@ def q_url_domain_curation(spark, sf_dir):
     URL (functions/urls.py — lowercase scheme/host, strip one www.,
     drop default ports / tracking params / fragments, sort surviving
     params, normalize the path), extract host + registered domain
-    (eTLD+1 against a public-suffix subset), drop blocklisted domains
-    (broadcast anti-join), and cap each domain's contribution at 15
-    docs (operators/urls.py::domain_quota — salted two-phase top-n, no
+    (eTLD+1 against the full vendored public-suffix ruleset — the
+    round-12 default, ~1k exact rules incl. the PRIVATE hosting
+    suffixes), drop blocklisted domains (broadcast anti-join), and cap
+    each domain's contribution at 15 docs
+    (operators/urls.py::domain_quota — salted two-phase top-n, no
     per-domain window sort). The documents table carries no URL column,
     so the query derives a deterministic synthetic URL per doc from
     (source, doc_id) with BOTH engines building the identical string —
-    mixed-case scheme/host, optional www., a multi-label suffix, default
-    and non-default ports, trailing slashes, tracking params, and
-    fragments all exercised. Map-only until the quota's two hash
-    aggregates; everything is pure expressions (RE2-safe regexes)."""
+    mixed-case scheme/host, optional www., an ICANN multi-label suffix
+    (co.uk) AND a private-section one (github.io), default and
+    non-default ports, trailing slashes, tracking params, and fragments
+    all exercised. Map-only until the quota's two hash aggregates;
+    everything is pure expressions (RE2-safe regexes; the suffix isin
+    lowers to InSet — O(1) per row at any ruleset size)."""
     from my_feast_spark.functions.urls import (
         registered_domain,
         url_canonicalize,
@@ -5108,7 +5112,7 @@ def q_url_domain_curation(spark, sf_dir):
         _part(2, "HTTPS", default="http"), F.lit("://"),
         _part(4, "WWW."),
         F.col("source"), F.lit("-Example"),
-        _part(3, ".CO.UK", default=".com"),
+        _part(3, ".CO.UK", ".GitHub.IO", default=".com"),
         _part(5, ":443", ":8080"),
         F.lit("/Docs/"), (d % 7).cast("string"),
         _part(7, "/"),
@@ -5127,20 +5131,36 @@ def q_url_domain_curation(spark, sf_dir):
     ).withColumn("reg_domain", registered_domain(F.col("host")))
     allowed = blocklist_filter(
         canon, "reg_domain",
-        ["src7-example.com", "src7-example.co.uk", "src11-example.com"],
+        ["src7-example.com", "src7-example.co.uk",
+         "src7-example.github.io", "src11-example.com"],
     )
     return domain_quota(allowed, "reg_domain", ["doc_id"], 15).select(
         "doc_id", "url_canon", "host", "reg_domain"
     )
 
 
-SQL_URL_DOMAIN_CURATION = r"""
+def _sql_url_domain_curation() -> str:
+    """Oracle generator for q_url_domain_curation: injects the SAME
+    vendored public-suffix ruleset registered_domain defaults to
+    (functions/urls.py::PUBLIC_SUFFIXES) as DuckDB list literals and
+    replays the same precedence — 3-label rule first (keep 4 labels),
+    then 2-label rule (keep 3), else last two labels."""
+    from my_feast_spark.functions.urls import PUBLIC_SUFFIXES
+
+    two = ", ".join(
+        f"'{s}'" for s in PUBLIC_SUFFIXES if s.count(".") == 1
+    )
+    three = ", ".join(
+        f"'{s}'" for s in PUBLIC_SUFFIXES if s.count(".") == 2
+    )
+    return r"""
 WITH raw AS (
   SELECT doc_id,
     (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://'
     || (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END)
     || source || '-Example'
-    || (CASE WHEN doc_id % 3 = 0 THEN '.CO.UK' ELSE '.com' END)
+    || (CASE WHEN doc_id % 3 = 0 THEN '.CO.UK'
+             WHEN doc_id % 3 = 1 THEN '.GitHub.IO' ELSE '.com' END)
     || (CASE WHEN doc_id % 5 = 0 THEN ':443'
              WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END)
     || '/Docs/' || CAST(doc_id % 7 AS VARCHAR)
@@ -5173,6 +5193,9 @@ WITH raw AS (
              AND NOT starts_with(p, 'gclid=')
              AND NOT starts_with(p, 'ref='))), '&') AS qs
   FROM parts
+), lab AS (
+  SELECT *, string_split(host, '.') AS ls, len(string_split(host, '.')) AS n
+  FROM comp
 ), canon AS (
   SELECT doc_id, host,
     scheme || '://' || host
@@ -5181,21 +5204,23 @@ WITH raw AS (
              ELSE ':' || port END)
     || path
     || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS url_canon,
-    CASE WHEN len(string_split(host, '.')) <= 2 THEN host
-         WHEN list_contains(
-             ['co.uk','org.uk','ac.uk','co.jp','com.au','com.br','co.in',
-              'com.cn','co.kr','com.mx'],
-             string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1])
-         THEN string_split(host, '.')[-3] || '.'
-              || string_split(host, '.')[-2] || '.'
-              || string_split(host, '.')[-1]
-         ELSE string_split(host, '.')[-2] || '.'
-              || string_split(host, '.')[-1] END AS reg_domain
-  FROM comp
+    CASE WHEN n <= 2 THEN host
+         WHEN list_contains([__THREE__],
+                            ls[-3] || '.' || ls[-2] || '.' || ls[-1])
+              AND n >= 4
+         THEN ls[-4] || '.' || ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+         WHEN list_contains([__THREE__],
+                            ls[-3] || '.' || ls[-2] || '.' || ls[-1])
+         THEN host
+         WHEN list_contains([__TWO__], ls[-2] || '.' || ls[-1])
+         THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+         ELSE ls[-2] || '.' || ls[-1] END AS reg_domain
+  FROM lab
 ), passed AS (
   SELECT * FROM canon
   WHERE reg_domain NOT IN
-      ('src7-example.com', 'src7-example.co.uk', 'src11-example.com')
+      ('src7-example.com', 'src7-example.co.uk',
+       'src7-example.github.io', 'src11-example.com')
 ), ranked AS (
   -- the oracle replays domain_quota's salted two-phase top-n with the
   -- semantically-identical window form (top-n of a total order)
@@ -5204,7 +5229,10 @@ WITH raw AS (
   FROM passed
 )
 SELECT doc_id, url_canon, host, reg_domain FROM ranked WHERE rn <= 15
-"""
+""".replace("__TWO__", two).replace("__THREE__", three)
+
+
+SQL_URL_DOMAIN_CURATION = _LazySQL(_sql_url_domain_curation)
 
 
 def q_domain_pagerank(spark, sf_dir):
@@ -6570,8 +6598,8 @@ SQL_AUDIO_VAD = _LazySQL(_sql_audio_vad)
 #      round-12 behavior change lands WITH this rotation exactly as
 #      documented: registered_domain (functions/urls.py) now consumes
 #      the full checked-in public-suffix ruleset by default, and its
-#      two consumers (url_domain_curation, domain_pagerank) are in the
-#      rotated-in window so the change gets fresh CORRECTNESS rows.
+#      consumer url_domain_curation is in the rotated-in window so the
+#      change gets a fresh CORRECTNESS row.
 #      The round-12 window shares only the five flagship queries with
 #      round 11's.
 #   5. RETIRED: the registry budget is ~100 driver-adjudicated queries;
@@ -6605,10 +6633,10 @@ QUERIES: dict[str, tuple] = {
     "scd2_stream_maintain": (q_scd2_stream_maintain, SQL_SCD2_STREAM_MAINTAIN),
     "audio_vad": (q_audio_vad, SQL_AUDIO_VAD),
     # --- rotated IN for round 12 (adjudicated round 10, sat out round 11;
-    # the rotation round 11 promised at its tail block). Includes the TWO
-    # queries whose BEHAVIOR changes this round — url_domain_curation and
-    # domain_pagerank consume registered_domain, which now defaults to the
-    # full checked-in public-suffix ruleset (the deferred round-12 batch).
+    # the rotation round 11 promised at its tail block). Includes the ONE
+    # query whose BEHAVIOR changes this round — url_domain_curation
+    # consumes registered_domain, which now defaults to the full
+    # checked-in public-suffix ruleset (the deferred round-12 batch).
     "dsir_resample": (q_dsir_resample, SQL_DSIR_RESAMPLE),
     "url_domain_curation": (q_url_domain_curation, SQL_URL_DOMAIN_CURATION),
     "domain_pagerank": (q_domain_pagerank, SQL_DOMAIN_PAGERANK),

@@ -161,10 +161,11 @@ def test_domain_quota_enforces_unique_order_keys(spark, domain_rows):
 
 
 def test_registered_domain_expanded_and_psl_loader(spark, tmp_path):
-    """The opt-in expanded suffix set and the PSL-file loader: default
-    behavior unchanged (pinned by the adjudicated oracles until the
-    round-12 flip); expanded set resolves com.sg / gob.mx / co.nz
-    registrations; 3-label suffixes take four labels."""
+    """The round-12 default is the full vendored ruleset (PSL ICANN +
+    PRIVATE exact rules), so com.sg / gob.mx / github.io-class
+    registrations resolve by default; the historical minimal set stays
+    available as an explicit override; 3-label suffixes take four
+    labels."""
     from pyspark.sql import Row
 
     from my_feast_spark.functions.urls import (
@@ -175,11 +176,13 @@ def test_registered_domain_expanded_and_psl_loader(spark, tmp_path):
     import pyspark.sql.functions as F
 
     rows = [
-        Row(host="a.b.com.sg"),   # expanded: b.com.sg; default: com.sg
-        Row(host="x.gob.mx"),     # expanded: x.gob.mx; default: gob.mx
+        Row(host="a.b.com.sg"),   # full/expanded: b.com.sg; minimal: com.sg
+        Row(host="x.gob.mx"),     # full/expanded: x.gob.mx; minimal: gob.mx
         Row(host="shop.co.nz"),
         Row(host="plain.com"),
-        Row(host="a.b.co.uk"),    # in BOTH sets
+        Row(host="a.b.co.uk"),    # in ALL sets
+        Row(host="user.github.io"),      # PRIVATE-section suffix
+        Row(host="blog.blogspot.co.uk"),  # PRIVATE 3-label suffix
     ]
     df = spark.createDataFrame(rows)
     got_default = {
@@ -188,8 +191,29 @@ def test_registered_domain_expanded_and_psl_loader(spark, tmp_path):
             "host", registered_domain(F.col("host")).alias("d")
         ).collect()
     }
-    assert got_default["a.b.com.sg"] == "com.sg"  # default set: unchanged
-    assert got_default["a.b.co.uk"] == "b.co.uk"
+    assert got_default == {
+        "a.b.com.sg": "b.com.sg",
+        "x.gob.mx": "x.gob.mx",
+        "shop.co.nz": "shop.co.nz",
+        "plain.com": "plain.com",
+        "a.b.co.uk": "b.co.uk",
+        "user.github.io": "user.github.io",
+        "blog.blogspot.co.uk": "blog.blogspot.co.uk",
+    }
+    # the historical minimal set stays available as an explicit override
+    from my_feast_spark.functions.urls import MULTI_LABEL_SUFFIXES
+
+    got_min = {
+        r.host: r.d
+        for r in df.select(
+            "host",
+            registered_domain(
+                F.col("host"), suffixes=MULTI_LABEL_SUFFIXES
+            ).alias("d"),
+        ).collect()
+    }
+    assert got_min["a.b.com.sg"] == "com.sg"
+    assert got_min["user.github.io"] == "github.io"
     got_exp = {
         r.host: r.d
         for r in df.select(
@@ -205,6 +229,9 @@ def test_registered_domain_expanded_and_psl_loader(spark, tmp_path):
         "shop.co.nz": "shop.co.nz",
         "plain.com": "plain.com",
         "a.b.co.uk": "b.co.uk",
+        # the ICANN-only expanded set has no private-section rules
+        "user.github.io": "github.io",
+        "blog.blogspot.co.uk": "blogspot.co.uk",
     }
 
     # 3-label suffix support: w.pref.aichi.jp -> 4 labels kept

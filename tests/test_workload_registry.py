@@ -125,10 +125,12 @@ CHANGED_OR_NEW_THIS_ROUND = {
     # multimodal tier's driver coverage (r11 verdict ask #8)
     "audio_vad",
     # changed: registered_domain now defaults to the full checked-in
-    # public-suffix ruleset (the deferred round-12 batch) — both
-    # consumers re-adjudicate (also in ROTATED_IN)
+    # public-suffix ruleset and the synthetic URLs exercise a
+    # private-section suffix (github.io) — its one consumer
+    # re-adjudicates (also in ROTATED_IN; domain_pagerank, despite the
+    # name, derives pseudo-domain edges from doc_id and never calls
+    # registered_domain)
     "url_domain_curation",
-    "domain_pagerank",
 }
 
 #: retired from the driver registry — near-duplicates of in-registry
