@@ -29,21 +29,59 @@ def _now() -> str:
     return dt.datetime.now(dt.timezone.utc).isoformat()
 
 
+class RegistryConflictError(RuntimeError):
+    """Another writer updated the registry since this process read it.
+
+    Reload (``Registry.reload``) and re-apply the change."""
+
+
 class Registry:
     def __init__(self, path: str, project: str = "default"):
         self.path = path
         self.project = project
-        self._state = {"project": project, "entities": {}, "feature_views": {}}
+        self._state = {
+            "project": project, "version": 0,
+            "entities": {}, "feature_views": {},
+        }
         if os.path.exists(path):
-            with open(path) as f:
-                self._state = json.load(f)
+            self.reload()
+
+    def reload(self) -> None:
+        """Re-read the on-disk state (after a RegistryConflictError)."""
+        with open(self.path) as f:
+            self._state = json.load(f)
+        self._state.setdefault("version", 0)
 
     def _save(self) -> None:
+        # Optimistic concurrency: every save checks the on-disk version
+        # against the one this process last read/wrote and raises
+        # instead of silently last-writer-wins dropping another
+        # process's apply. DETECTION, not prevention — the check→write
+        # window is not locked (local JSON registry; a multi-writer
+        # deployment belongs on a transactional store) — but it turns a
+        # lost update into a loud, retryable error for the common
+        # read-modify-write race. Writes stay atomic (tmp + os.replace).
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                disk_version = json.load(f).get("version", 0)
+            if disk_version != self._state.get("version", 0):
+                raise RegistryConflictError(
+                    f"registry {self.path!r} changed underneath this "
+                    f"process (disk version {disk_version}, ours "
+                    f"{self._state.get('version', 0)}); reload() and "
+                    "re-apply"
+                )
+        # bump the in-memory version only AFTER the replace commits, so
+        # a failed write can't leave this process spuriously conflicted
+        # with its own last-written file
+        new_version = self._state.get("version", 0) + 1
+        state = {**self._state, "version": new_version}
         os.makedirs(os.path.dirname(os.path.abspath(self.path)), exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=os.path.dirname(os.path.abspath(self.path)))
         with os.fdopen(fd, "w") as f:
-            json.dump(self._state, f, indent=2, default=str)
+            json.dump(state, f, indent=2, default=str)
         os.replace(tmp, self.path)
+        self._state["version"] = new_version
 
     # --- apply (M2) ---------------------------------------------------------
     def apply(self, objects) -> None:

@@ -7,11 +7,19 @@ entity dedup is unnecessary (the union_window PIT join is linear in probes,
 not quadratic), column pruning happens before the join, and declared
 feature dtypes are cast on the way out (Float32 contract, SURVEY §1.3).
 
-The per-view joins chain left-to-right exactly like the reference's final
-``LEFT JOIN ... USING (row id)`` merge (CASE.MD:486-501): the entity
-dataframe is the source of truth; each view contributes its features or
-NULLs. One shuffle per feature view — same as the reference — with each
-join keyed on that view's entities.
+Multi-view shape (the reference's own J5 merge, CASE.MD:486-501): one
+surrogate row id on the entity dataframe, each view's PIT join runs
+against the NARROW ``(row_id, join keys, ts)`` projection of it, and the
+feature payloads are left-joined back on the row id at the end. A naive
+alternative — chaining PIT joins so view k+1's window re-shuffles the
+probe relation with all previously attached payloads — shuffles
+increasingly wide rows V times; the narrow shape keeps every per-view
+window shuffle at probe-key width and makes the V view jobs independent
+(Spark schedules their stages concurrently). The entity relation is
+localCheckpoint-pinned (lazily) so the row id — partition-based and
+therefore only stable within one materialization — is assigned exactly
+once and every branch reads the same blocks; the checkpoint is handed to
+the caller via ``_owned_checkpoints`` per the repo ownership rule.
 """
 
 from __future__ import annotations
@@ -23,6 +31,9 @@ from pyspark.sql import functions as F
 
 from my_feast_spark.core.model import FeatureView
 from my_feast_spark.operators.asof_join import point_in_time_join
+
+#: surrogate probe row id for the multi-view narrow-probe merge
+ROW_ID = "__mfs_probe_row_id"
 
 
 def parse_feature_refs(features: Sequence[str]) -> dict[str, list[str]]:
@@ -97,8 +108,8 @@ def build_historical_retrieval(
     distribution (see asof_join) when the skew profile is unknown.
     """
     refs = parse_feature_refs(features)
-    out = entity_df
-    for view_name, feat_names in refs.items():
+
+    def _view_pit(probe, view_name, feat_names):
         fv = feature_views[view_name]
         join_keys: list[str] = []
         for ent in fv.entities:
@@ -123,8 +134,8 @@ def build_historical_retrieval(
             feature_df = feature_df.withColumn(
                 f, F.col(f).cast(declared[f].spark_type)
             )
-        out = point_in_time_join(
-            out,
+        return join_keys, point_in_time_join(
+            probe,
             feature_df,
             join_keys,
             event_ts_col=src.timestamp_field,
@@ -136,4 +147,35 @@ def build_historical_retrieval(
             full_feature_names=full_feature_names,
             strategy=strategy,
         )
+
+    if len(refs) <= 1:
+        # single view: the PIT window carries the entity payload through
+        # directly — a row id + join-back would only add a shuffle
+        out = entity_df
+        for view_name, feat_names in refs.items():
+            _keys, out = _view_pit(out, view_name, feat_names)
+        return out
+
+    # multi-view: narrow-probe + payload join-back (module docstring).
+    # The lazy localCheckpoint materializes the id assignment exactly
+    # once, on the job's first action; every per-view probe and the
+    # final join-back then read the same pinned blocks, so the
+    # partition-based id is consistent across plan branches.
+    base = entity_df.withColumn(
+        ROW_ID, F.monotonically_increasing_id()
+    ).localCheckpoint(eager=False)
+    out = base
+    for view_name, feat_names in refs.items():
+        fv = feature_views[view_name]
+        view_keys: list[str] = []
+        for ent in fv.entities:
+            view_keys.extend(entity_join_keys[ent])
+        probe = base.select(
+            ROW_ID, *dict.fromkeys(view_keys), entity_ts_col
+        )
+        _keys, attached = _view_pit(probe, view_name, feat_names)
+        payload = attached.drop(*dict.fromkeys(view_keys), entity_ts_col)
+        out = out.join(payload, on=ROW_ID, how="left")
+    out = out.drop(ROW_ID)
+    out._owned_checkpoints = [base]
     return out

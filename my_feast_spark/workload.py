@@ -6467,6 +6467,73 @@ def q_scd2_stream_maintain(spark, sf_dir):
 SQL_SCD2_STREAM_MAINTAIN = SQL_SCD2_USER_STATE
 
 
+def q_scd2_lookup(spark, sf_dir):
+    """Point-in-time state lookup against the materialized SCD2 table
+    (operators/aggregations.py::scd2_lookup) — WHY a feature store
+    materializes scd2_intervals: the as-of join's window machinery
+    collapses to an equi join on the entity key plus a range conjunct,
+    and per key the interval relation holds one row per state CHANGE
+    (not per event), so the join fan-out is bounded and each probe
+    matches at most one interval by the timeline-partition invariant.
+    Probes are the purchase events; each gains the state its user was
+    in at that instant. Scale shape: one shuffle to build intervals,
+    one key-equi join for the lookup (range conjunct filters matches;
+    at a real events-per-change ratio the interval side is orders of
+    magnitude smaller and broadcastable)."""
+    from my_feast_spark.operators.aggregations import (
+        scd2_intervals,
+        scd2_lookup,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    ivals = scd2_intervals(
+        ev, ["user_id"], "ts", "event_type", tie_breakers=["event_id"]
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("probe_ts")
+    )
+    return scd2_lookup(
+        ivals, probes, ["user_id"], "probe_ts", state_col="state"
+    ).select(
+        "event_id", "user_id",
+        F.col("probe_ts").cast("timestamp_ntz").alias("probe_ts"),
+        "state",
+    )
+
+
+SQL_SCD2_LOOKUP = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events
+),
+chg AS (
+  SELECT user_id, ts, event_id, event_type FROM e
+  WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+),
+iv AS (
+  SELECT user_id, event_type AS state, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to
+  FROM chg
+),
+p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS probe_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.probe_ts, iv.state
+FROM p LEFT JOIN iv
+  ON iv.user_id = p.user_id
+ AND iv.valid_from <= p.probe_ts
+ AND (iv.valid_to IS NULL OR p.probe_ts < iv.valid_to)
+"""
+
+
 def q_audio_vad(spark, sf_dir):
     """Voice-activity segmentation over audio assets (multimodal/
     audio.py::segment_silence): fake MFAU assets from the documents
@@ -6646,8 +6713,11 @@ QUERIES: dict[str, tuple] = {
     "score_weighted_sample": (
         q_score_weighted_sample, SQL_SCORE_WEIGHTED_SAMPLE,
     ),
-    "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "lm_perplexity_kn": (q_lm_perplexity_kn, SQL_LM_PERPLEXITY_KN),
+    # NEW in round 12, slot funded by the lm_perplexity retirement:
+    # promotes the scd2_lookup operator (property-tested ≡ as-of join
+    # since round 9) to a full driver oracle row
+    "scd2_lookup": (q_scd2_lookup, SQL_SCD2_LOOKUP),
     "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
     "ivfpq_topk": (q_ivfpq_topk, SQL_IVFPQ_TOPK),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
@@ -6854,6 +6924,13 @@ QUERIES: dict[str, tuple] = {
 #:                                partition-pruned probing — the scale
 #:                                path) + cosine_topk (the exact
 #:                                brute-force baseline)
+#: round 12 (funding the scd2_lookup window slot):
+#:   lm_perplexity             -> lm_perplexity_kn (the identical
+#:                                bigram-LM train + per-doc perplexity
+#:                                scan, PLUS Kneser-Ney smoothing — the
+#:                                strict superset pipeline) +
+#:                                ccnet_buckets (perplexity driving the
+#:                                per-language tercile decision)
 #: Still value-checked against DuckDB every pytest run via
 #: tests/test_oracle_parity.py.
 RETIRED_QUERIES: dict[str, tuple] = {
@@ -6889,4 +6966,5 @@ RETIRED_QUERIES: dict[str, tuple] = {
     ),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "pq_topk": (q_pq_topk, SQL_PQ_TOPK),
+    "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
 }

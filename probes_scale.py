@@ -210,6 +210,93 @@ def main() -> None:
     timed("ivfadc_160k_q400_cells32_nprobe4", _ivfadc)
     release_checkpoint(bigv)
 
+    # ---- probe 4: multi-view retrieval — narrow-probe vs chained -------
+    # Two wide views (24 double features each). The narrow shape
+    # (plans/retrieval.py) windows each view against (row_id, key, ts)
+    # and joins payloads back; the chained shape re-shuffles view A's 24
+    # attached features through view B's window. Shuffle bytes written
+    # are summed over each run's SQL executions from the status store.
+    def _shuffle_bytes_since(mark: int) -> float:
+        store = spark._jsparkSession.sharedState().statusStore()
+        execs = store.executionsList()
+        total = 0.0
+        units = {"B": 1.0, "KiB": 2**10, "MiB": 2**20, "GiB": 2**30,
+                 "TiB": 2**40}
+        for i in range(mark, execs.size()):
+            ex = execs.apply(i)
+            names = {}
+            ms = ex.metrics()
+            for j in range(ms.size()):
+                m = ms.apply(j)
+                names[m.accumulatorId()] = m.name()
+            it = store.executionMetrics(ex.executionId()).iterator()
+            while it.hasNext():
+                kv = it.next()
+                if names.get(kv._1()) == "shuffle bytes written":
+                    head = kv._2().split("\n")[-1].strip()
+                    num, unit = head.split(" ")[0], head.split(" ")[1]
+                    total += float(num) * units.get(unit.strip("("), 1.0)
+        return total
+
+    def _n_execs() -> int:
+        return spark._jsparkSession.sharedState().statusStore() \
+            .executionsList().size()
+
+    wide_cols = [
+        (F.col("value") * (i + 1)).alias(f"f{i}") for i in range(24)
+    ]
+    bigw = _replicate(ev, "event_id", REPLICATE_EVENTS, n_ev,
+                      jitter_ts="ts").localCheckpoint()
+    feat_a = bigw.select("user_id", "ts", *wide_cols)
+    feat_b = bigw.select("user_id", "ts", *wide_cols)
+    probes_mv = ev.select(
+        "event_id", "user_id", F.col("ts").alias("event_timestamp")
+    )
+    fa_names = [f"f{i}" for i in range(24)]
+
+    def _chained():
+        out = point_in_time_join(
+            probes_mv, feat_a, ["user_id"], event_ts_col="ts",
+            entity_ts_col="event_timestamp", features=fa_names,
+            feature_view_name="va", full_feature_names=True,
+        )
+        out = point_in_time_join(
+            out, feat_b, ["user_id"], event_ts_col="ts",
+            entity_ts_col="event_timestamp", features=fa_names,
+            feature_view_name="vb", full_feature_names=True,
+        )
+        return out.select(F.sum("va__f0"), F.sum("vb__f0")).collect() and 1
+
+    def _narrow():
+        from my_feast_spark.plans.retrieval import ROW_ID
+
+        base = probes_mv.withColumn(
+            ROW_ID, F.monotonically_increasing_id()
+        ).localCheckpoint(eager=False)
+        out = base
+        for tag, feat in (("va", feat_a), ("vb", feat_b)):
+            probe = base.select(ROW_ID, "user_id", "event_timestamp")
+            att = point_in_time_join(
+                probe, feat, ["user_id"], event_ts_col="ts",
+                entity_ts_col="event_timestamp", features=fa_names,
+                feature_view_name=tag, full_feature_names=True,
+            ).drop("user_id", "event_timestamp")
+            out = out.join(att, on=ROW_ID, how="left")
+        n = out.select(F.sum("va__f0"), F.sum("vb__f0")).collect() and 1
+        release_checkpoint(base)
+        return n
+
+    shuffle_bytes = {}
+    for name, thunk in (("retrieval_2wide_chained", _chained),
+                        ("retrieval_2wide_narrow", _narrow)):
+        mark = _n_execs()
+        timed(name, thunk, repeats=1)  # bytes are per-single-run
+        shuffle_bytes[name + "_shuffle_mib"] = round(
+            _shuffle_bytes_since(mark) / 2**20, 1
+        )
+    results.update(shuffle_bytes)
+    release_checkpoint(bigw)
+
     print(json.dumps({
         "probes": results,
         "configs": {

@@ -396,3 +396,32 @@ def test_bucketed_rematerialize_is_full_replace(spark, tmp_path):
     assert all(p in (0, 1) for p in parts), parts
     got = fs2.get_online_features(rows, ["v:avg_fare"])
     assert got["avg_fare"] == [100.0, 3.0, 7.0]
+
+
+def test_registry_concurrent_writer_conflict(tmp_path):
+    """Two interleaved writers (core/registry.py): the registry's
+    optimistic version check turns a lost read-modify-write update into
+    a loud RegistryConflictError; reload() + re-apply recovers, and
+    nothing either writer applied is silently dropped."""
+    from my_feast_spark.core.registry import Registry, RegistryConflictError
+
+    path = str(tmp_path / "registry.json")
+    a = Registry(path)
+    a.apply([Entity(name="e1", value_type="STRING", join_keys=["k1"])])
+
+    b = Registry(path)  # reads version 1
+    a.apply([Entity(name="e2", value_type="STRING", join_keys=["k2"])])
+
+    # b's apply would overwrite a's e2 — must raise, not last-writer-win
+    with pytest.raises(RegistryConflictError, match="reload"):
+        b.apply([Entity(name="e3", value_type="STRING", join_keys=["k3"])])
+
+    b.reload()
+    b.apply([Entity(name="e3", value_type="STRING", join_keys=["k3"])])
+    fresh = Registry(path)
+    assert sorted(e.name for e in fresh.list_entities()) == ["e1", "e2", "e3"]
+
+    # single-writer sequences never conflict with themselves
+    a.reload()
+    a.apply([Entity(name="e4", value_type="STRING", join_keys=["k4"])])
+    a.apply([Entity(name="e5", value_type="STRING", join_keys=["k5"])])

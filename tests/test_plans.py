@@ -483,3 +483,121 @@ def test_domain_pagerank_plan_shape(spark):
         release_checkpoint(c)
     assert "rangepartitioning" not in plan.lower()
     assert "Scan ExistingRDD" in plan
+
+
+def test_multi_view_retrieval_windows_are_narrow(spark, tmp_path):
+    """Multi-view retrieval (plans/retrieval.py): each view's PIT window
+    must shuffle ONLY the narrow (row_id, keys, ts, tag, created,
+    payload) relation — never another view's payload or the entity
+    dataframe's own payload columns. A chained shape would re-shuffle
+    view A's attached features through view B's window; the narrow-probe
+    + join-back shape keeps every window input at probe-key width."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from my_feast_spark.core.model import Feature, FeatureView, FileSource
+    from my_feast_spark.plans.retrieval import build_historical_retrieval
+
+    TS = dt.datetime
+    rows_a = [Row(user_id=i, ts=TS(2024, 1, 1, 10), fa=float(i))
+              for i in range(20)]
+    rows_b = [Row(user_id=i, ts=TS(2024, 1, 1, 11), fb=float(-i))
+              for i in range(20)]
+    spark.createDataFrame(rows_a).write.parquet(str(tmp_path / "a"))
+    spark.createDataFrame(rows_b).write.parquet(str(tmp_path / "b"))
+    views = {
+        "va": FeatureView(
+            name="va", entities=["user"], features=[Feature("fa", "DOUBLE")],
+            source=FileSource(path=str(tmp_path / "a"), timestamp_field="ts"),
+        ),
+        "vb": FeatureView(
+            name="vb", entities=["user"], features=[Feature("fb", "DOUBLE")],
+            source=FileSource(path=str(tmp_path / "b"), timestamp_field="ts"),
+        ),
+    }
+    ent = spark.createDataFrame([
+        Row(user_id=i, event_timestamp=TS(2024, 1, 1, 12),
+            entity_payload=f"p{i}")
+        for i in range(20)
+    ])
+    out = build_historical_retrieval(
+        spark, ent, views, {"user": ["user_id"]}, ["va:fa", "vb:fb"]
+    )
+    got = {r.user_id: (r.fa, r.fb, r.entity_payload) for r in out.collect()}
+    assert got[3] == (3.0, -3.0, "p3")
+
+    plan = _formatted(out)
+    import re
+
+    # every LOCF window's input must be exactly the narrow internal
+    # column set — entity payloads and feature names never appear
+    windows = re.findall(
+        r"\) Window\nInput \[\d+\]: \[([^\]]*)\]", plan
+    )
+    payload_windows = 0
+    allowed = {
+        "user_id", "__mfs_ts", "__mfs_is_probe", "__mfs_created",
+        "__mfs_probe_row_id", "__mfs_payload",
+    }
+    for inp in windows:
+        cols = {c.strip().split("#")[0] for c in inp.split(",")}
+        if "__mfs_payload" not in cols:
+            continue  # unrelated window (none expected, but be precise)
+        payload_windows += 1
+        assert cols <= allowed, f"window shuffles wide columns: {cols}"
+    assert payload_windows >= 2  # both views' windows were checked
+    assert "entity_payload" not in " ".join(windows)
+    _release_owned(out)
+
+
+def test_auto_strategy_probes_once_per_view(spark, tmp_path, monkeypatch):
+    """strategy="auto" on a multi-view retrieval: the key-distribution
+    probe (asof_join._choose_strategy, one collected row per call) runs
+    EXACTLY once per view — never per plan branch or per action. The
+    probe side it scans is the localCheckpoint-pinned narrow base, so
+    the V probes cost V column-pruned feature-table passes plus V reads
+    of the pinned probe blocks (COVERAGE round-12 note has the measured
+    overhead)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    import my_feast_spark.operators.asof_join as aj
+    from my_feast_spark.core.model import Feature, FeatureView, FileSource
+    from my_feast_spark.plans.retrieval import build_historical_retrieval
+
+    TS = dt.datetime
+    views = {}
+    for tag in ("va", "vb", "vc"):
+        rows = [Row(user_id=i, ts=TS(2024, 1, 1, 10), **{f"f_{tag}": 1.0})
+                for i in range(10)]
+        spark.createDataFrame(rows).write.parquet(str(tmp_path / tag))
+        views[tag] = FeatureView(
+            name=tag, entities=["user"],
+            features=[Feature(f"f_{tag}", "DOUBLE")],
+            source=FileSource(path=str(tmp_path / tag),
+                              timestamp_field="ts"),
+        )
+    ent = spark.createDataFrame(
+        [Row(user_id=i, event_timestamp=TS(2024, 1, 1, 12))
+         for i in range(10)]
+    )
+
+    calls = []
+    real = aj._choose_strategy
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(aj, "_choose_strategy", counting)
+    out = build_historical_retrieval(
+        spark, ent, views, {"user": ["user_id"]},
+        ["va:f_va", "vb:f_vb", "vc:f_vc"], strategy="auto",
+    )
+    assert len(calls) == 3  # plan build: one probe per view
+    assert out.count() == 10
+    out.collect()
+    assert len(calls) == 3  # actions never re-probe
+    _release_owned(out)

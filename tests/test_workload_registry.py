@@ -73,7 +73,6 @@ ROTATED_IN = {
     "domain_pagerank",
     "gopher_quality_filter",
     "score_weighted_sample",
-    "lm_perplexity",
     "lm_perplexity_kn",
     "ccnet_buckets",
     "ivfpq_topk",
@@ -124,6 +123,10 @@ CHANGED_OR_NEW_THIS_ROUND = {
     # new: VAD segmentation with a literal oracle, completing the
     # multimodal tier's driver coverage (r11 verdict ask #8)
     "audio_vad",
+    # new: SCD2 point lookup (equi join + range conjunct against the
+    # materialized interval table), slot funded by the lm_perplexity
+    # retirement
+    "scd2_lookup",
     # changed: registered_domain now defaults to the full checked-in
     # public-suffix ruleset and the synthetic URLs exercise a
     # private-section suffix (github.io) — its one consumer
@@ -165,6 +168,8 @@ RETIRED_THIS_ROUND = {
     "multimodal_decode",
     # round 11
     "pq_topk",
+    # round 12 (successor: lm_perplexity_kn, the strict superset)
+    "lm_perplexity",
 }
 
 
