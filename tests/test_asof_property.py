@@ -133,3 +133,79 @@ def test_matches_pandas_merge_asof(spark, feats, probes):
             for r in m.itertuples()
         }
     assert got == expected
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    feats_a=features_strategy,
+    feats_b=features_strategy,
+    probes=probes_strategy,
+)
+def test_narrow_multiview_equals_chained(spark, feats_a, feats_b, probes):
+    """The narrow-probe multi-view merge (plans/retrieval.py: row id +
+    per-view PIT on the narrow projection + payload join-back) must
+    return exactly what chaining the two PIT joins returns — including
+    duplicate probe rows, NULL-feature probes, and created-ts
+    tie-breaks."""
+    import os
+    import tempfile
+
+    from my_feast_spark.core.model import Feature, FeatureView, FileSource
+    from my_feast_spark.plans.retrieval import build_historical_retrieval
+
+    fcols = "key long, fts timestamp, created_h long, val double"
+    with tempfile.TemporaryDirectory() as tmp:
+        views = {}
+        sides = {}
+        for tag, feats in (("va", feats_a), ("vb", feats_b)):
+            fdf = spark.createDataFrame(
+                [(k, t, c, v) for k, t, c, v in feats] or [], schema=fcols
+            ).selectExpr(
+                "key", "fts",
+                "fts + make_interval(0,0,0,0,0,0,created_h) AS created",
+                f"val AS val_{tag}",
+            )
+            path = os.path.join(tmp, tag)
+            fdf.write.parquet(path)
+            sides[tag] = fdf
+            views[tag] = FeatureView(
+                name=tag, entities=["k"],
+                features=[Feature(f"val_{tag}", "DOUBLE")],
+                source=FileSource(
+                    path=path, timestamp_field="fts",
+                    created_timestamp_column="created",
+                ),
+            )
+        pdf = spark.createDataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(probes)],
+            schema="key long, event_timestamp timestamp, probe_id long",
+        )
+        narrow = build_historical_retrieval(
+            spark, pdf, views, {"k": ["key"]},
+            ["va:val_va", "vb:val_vb"],
+        )
+        got = sorted(
+            (r.probe_id, r.key, r.event_timestamp, r.val_va, r.val_vb)
+            for r in narrow.collect()
+        )
+        for c in getattr(narrow, "_owned_checkpoints", ()):
+            from my_feast_spark.operators.graph import release_checkpoint
+
+            release_checkpoint(c)
+
+        chained = pdf
+        for tag in ("va", "vb"):
+            chained = point_in_time_join(
+                chained, sides[tag], ["key"], event_ts_col="fts",
+                entity_ts_col="event_timestamp", created_ts_col="created",
+                features=[f"val_{tag}"],
+            )
+        want = sorted(
+            (r.probe_id, r.key, r.event_timestamp, r.val_va, r.val_vb)
+            for r in chained.collect()
+        )
+        assert got == want
+        assert len(got) == len(probes)  # left-preserving, no fan-out
