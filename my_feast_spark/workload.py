@@ -6548,6 +6548,97 @@ FROM p LEFT JOIN iv
 """
 
 
+#: unigram tokenizer params for the adjudicated query (modest so the
+#: driver row stays cheap; the operator scales by the module contract)
+_UNIGRAM_KW = dict(
+    vocab_size=400, seed_size=1500, max_piece_len=6, iterations=3
+)
+
+
+def q_unigram_tokenize(spark, sf_dir):
+    """Unigram-LM (SentencePiece-style) tokenizer train + encode
+    (operators/unigram.py) — the second real-world tokenizer-training
+    algorithm next to BPE (bpe_merge_replay): substring-seeded vocab,
+    EM shrink with QUANTIZED expected counts (exact BIGINT aggregation
+    — order-independent, the pagerank_fixedpoint trick applied to EM),
+    Viterbi encode. Returns per-doc (n_pieces, md5 digest of the piece-
+    id sequence) stamped with the final vocab size; the oracle's mirror
+    retrains the identical vocabulary driver-side (same kernel closures,
+    same exact-integer prunes) and injects every doc's digest as
+    literals. Scale shape: corpus scanned once into the word-count
+    relation; each EM iteration is one Arrow pass over WORDS (never the
+    corpus) + one exact long aggregation; encode is map-only with the
+    vocab in the closure."""
+    from my_feast_spark.operators.unigram import (
+        train_unigram,
+        unigram_encode,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = train_unigram(docs, "text", **_UNIGRAM_KW)
+    n_vocab = vocab.count()
+    enc = unigram_encode(
+        docs, "doc_id", "text", vocab,
+        max_piece_len=_UNIGRAM_KW["max_piece_len"],
+    )
+    return enc.select(
+        "doc_id",
+        "n_pieces",
+        F.md5(
+            F.concat_ws(
+                ",", F.transform("piece_ids", lambda x: x.cast("string"))
+            )
+        ).alias("ids_digest"),
+        F.lit(int(n_vocab)).cast("long").alias("vocab_size"),
+    )
+
+
+def _sql_unigram_tokenize():
+    """Oracle generator for q_unigram_tokenize: the driver-side mirror
+    (operators/unigram.py::train_unigram_local — the same kernel
+    closures and exact-integer arithmetic as the Spark path) retrains
+    the vocabulary from the oracle parquet, encodes every doc, and
+    injects (doc_id, n_pieces, digest) literals. Returns None
+    (rows-only) if the oracle testdata is absent."""
+    path = os.path.join(ORACLE_SF_DIR, "documents.parquet")
+    if not os.path.exists(path):
+        return None
+    import hashlib
+
+    import pyarrow.parquet as pq_  # noqa: N813
+
+    from my_feast_spark.operators.unigram import (
+        encode_local,
+        train_unigram_local,
+    )
+
+    t = pq_.read_table(path, columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    lp = train_unigram_local(texts, **_UNIGRAM_KW)
+    rows = []
+    for i, s in zip(ids, texts):
+        enc = encode_local(
+            s, lp, max_piece_len=_UNIGRAM_KW["max_piece_len"]
+        )
+        digest = hashlib.md5(
+            ",".join(str(x) for x in enc).encode()
+        ).hexdigest()
+        rows.append(f"({int(i)}, {len(enc)}, '{digest}')")
+    vals = ", ".join(rows)
+    return f"""
+WITH enc(doc_id, n_pieces, ids_digest) AS (VALUES {vals})
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_pieces AS BIGINT) AS n_pieces,
+       ids_digest,
+       CAST({len(lp)} AS BIGINT) AS vocab_size
+FROM enc
+"""
+
+
+SQL_UNIGRAM_TOKENIZE = _LazySQL(_sql_unigram_tokenize)
+
+
 def q_audio_vad(spark, sf_dir):
     """Voice-activity segmentation over audio assets (multimodal/
     audio.py::segment_silence): fake MFAU assets from the documents
@@ -6739,7 +6830,9 @@ QUERIES: dict[str, tuple] = {
     "streaming_neardup_ingest": (
         q_streaming_neardup_ingest, SQL_STREAMING_NEARDUP_INGEST,
     ),
-    "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
+    # NEW in round 12, slot funded by the curation_pipeline retirement:
+    # unigram-LM tokenizer train+encode (the BPE sibling)
+    "unigram_tokenize": (q_unigram_tokenize, SQL_UNIGRAM_TOKENIZE),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "packed_sequences": (q_packed_sequences, SQL_PACKED_SEQUENCES),
     "mixture_temperature": (q_mixture_temperature, SQL_MIXTURE_TEMPERATURE),
@@ -6938,13 +7031,21 @@ QUERIES: dict[str, tuple] = {
 #:                                partition-pruned probing — the scale
 #:                                path) + cosine_topk (the exact
 #:                                brute-force baseline)
-#: round 12 (funding the scd2_lookup window slot):
+#: round 12 (funding the scd2_lookup + unigram_tokenize window slots):
 #:   lm_perplexity             -> lm_perplexity_kn (the identical
 #:                                bigram-LM train + per-doc perplexity
 #:                                scan, PLUS Kneser-Ney smoothing — the
 #:                                strict superset pipeline) +
 #:                                ccnet_buckets (perplexity driving the
 #:                                per-language tercile decision)
+#:   curation_pipeline         -> curation_pipeline_full (the same
+#:                                curate() code path with the base
+#:                                stages PLUS decontamination, LSH
+#:                                near-dup, and NB filtering — a strict
+#:                                superset replay) + exact_dedup_docs /
+#:                                repetition_filter / stratum_ksample
+#:                                (each base stage adjudicated
+#:                                standalone)
 #: Still value-checked against DuckDB every pytest run via
 #: tests/test_oracle_parity.py.
 RETIRED_QUERIES: dict[str, tuple] = {
@@ -6981,4 +7082,5 @@ RETIRED_QUERIES: dict[str, tuple] = {
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "pq_topk": (q_pq_topk, SQL_PQ_TOPK),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
+    "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
 }

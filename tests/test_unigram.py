@@ -1,0 +1,120 @@
+"""Unigram-LM tokenizer (operators/unigram.py): EM training behavior,
+Viterbi segmentation, Spark-vs-mirror bit equality, and the losslessness
+invariant (pieces reassemble the word)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+
+from my_feast_spark.operators.unigram import (
+    _SPLIT_WS,
+    _VITERBI,
+    _WORD_EC,
+    _make_kernels,
+    encode_local,
+    train_unigram,
+    train_unigram_local,
+    unigram_encode,
+)
+
+
+def test_kernels_are_pure_and_stable():
+    """Two independent kernel instances (driver copy vs a fresh closure
+    set, the shape workers deserialize) agree bit-for-bit."""
+    _sw, _sc, _ec, _vit = _make_kernels()
+    lp = {"a": -1.0, "b": -2.0, "ab": -1.5, "c": -3.0}
+    for w in ("ab", "abc", "aabb", "cab"):
+        assert _ec(w, 3, lp, 4) == _WORD_EC(w, 3, lp, 4)
+        assert _vit(w, lp, 4) == _VITERBI(w, lp, 4)
+    assert _sw("  a  b\tc ") == _SPLIT_WS("  a  b\tc ") == ["a", "b", "c"]
+    assert _SPLIT_WS("   ") == []
+
+
+def test_word_ec_masses_are_sane():
+    """On a word with exactly two segmentations, the quantized expected
+    counts reflect the posterior split and scale linearly with n."""
+    lp = {"a": math.log(0.25), "b": math.log(0.25), "ab": math.log(0.5)}
+    ec1 = _WORD_EC("ab", 1, lp, 2)
+    # P(ab as one piece) = .5 / (.5 + .0625) = 8/9; P(a,b) = 1/9
+    assert ec1["ab"] == round(8 / 9 * 1e6)
+    assert ec1["a"] == ec1["b"] == round(1 / 9 * 1e6)
+    ec5 = _WORD_EC("ab", 5, lp, 2)
+    assert ec5 == {s: 5 * q for s, q in ec1.items()}
+
+
+def test_viterbi_prefers_probable_then_longer():
+    lp = {"a": -1.0, "b": -1.0, "ab": -1.5}
+    # one piece (-1.5) beats two (-2.0)
+    assert _VITERBI("ab", lp, 4) == ["ab"]
+    # unseen chars are skipped, the rest still segments
+    assert _VITERBI("aXb", lp, 4) == ["ab"]
+    # exact ties break toward the longer piece
+    lp_tie = {"a": -1.0, "aa": -2.0}
+    assert _VITERBI("aa", lp_tie, 4) == ["aa"]
+
+
+def test_train_learns_frequent_multichar_pieces(spark):
+    """A corpus dominated by one bigram word must keep that bigram as a
+    vocabulary piece, and encoding must reassemble every word."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="spark " * 8 + "sql") for i in range(6)]
+    )
+    vocab = train_unigram(
+        docs, "text", vocab_size=40, seed_size=100,
+        max_piece_len=5, iterations=3,
+    )
+    pieces = {r.piece for r in vocab.collect()}
+    assert "spark" in pieces
+    enc = unigram_encode(docs, "doc_id", "text", vocab, max_piece_len=5)
+    id2piece = {r.piece_id: r.piece for r in vocab.collect()}
+    row = enc.filter("doc_id = 0").collect()[0]
+    rebuilt = "".join(id2piece[i] for i in row.piece_ids)
+    assert rebuilt == ("spark " * 8 + "sql").replace(" ", "")
+    assert row.n_pieces == len(row.piece_ids)
+
+
+def test_spark_equals_mirror(spark):
+    """The distributed trainer and the driver-side mirror produce the
+    IDENTICAL vocabulary (ids and logprobs) and identical encodings —
+    the quantized-EM determinism contract the oracle relies on."""
+    texts = [
+        "the quick brown fox", "the quick fox", "brown fox jumps",
+        "the lazy dog", "quick quick brown", "dog jumps over the fox",
+    ] * 3
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    kw = dict(vocab_size=60, seed_size=200, max_piece_len=5, iterations=3)
+    vocab = train_unigram(docs, "text", **kw)
+    got = {r.piece: (r.piece_id, r.logprob) for r in vocab.collect()}
+    lp = train_unigram_local(texts, **kw)
+    want = {s: (i, lp[s]) for i, s in enumerate(sorted(lp))}
+    assert got == want
+
+    enc = unigram_encode(docs, "doc_id", "text", vocab, max_piece_len=5)
+    got_ids = {r.doc_id: list(r.piece_ids) for r in enc.collect()}
+    want_ids = {
+        i: encode_local(t, lp, max_piece_len=5)
+        for i, t in enumerate(texts)
+    }
+    assert got_ids == want_ids
+
+
+def test_em_passes_run_over_words_not_corpus(spark):
+    """Scale-shape pin: the EM mapInPandas input is the word-count
+    relation — duplicate documents must not grow the EM input. Pinned
+    indirectly: training on 1x vs 20x-replicated corpora yields the
+    SAME vocabulary (word counts scale uniformly; probabilities are
+    count ratios), which only holds if aggregation is by word."""
+    base = ["alpha beta", "beta gamma", "alpha gamma delta"]
+    kw = dict(vocab_size=40, seed_size=120, max_piece_len=5, iterations=2)
+    lp1 = train_unigram_local(base, **kw)
+    lp20 = train_unigram_local(base * 20, **kw)
+    assert sorted(lp1) == sorted(lp20)
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(base * 20)]
+    )
+    vocab = train_unigram(docs, "text", **kw)
+    assert {r.piece for r in vocab.collect()} == set(lp20)

@@ -79,7 +79,6 @@ ROTATED_IN = {
     "normalize_text",
     "image_dedup",
     "streaming_neardup_ingest",
-    "curation_pipeline",
     "dedup_clusters",
     "packed_sequences",
     "mixture_temperature",
@@ -123,6 +122,9 @@ CHANGED_OR_NEW_THIS_ROUND = {
     # new: VAD segmentation with a literal oracle, completing the
     # multimodal tier's driver coverage (r11 verdict ask #8)
     "audio_vad",
+    # new: unigram-LM tokenizer train+encode (quantized-EM, mirror
+    # oracle), slot funded by the curation_pipeline retirement
+    "unigram_tokenize",
     # new: SCD2 point lookup (equi join + range conjunct against the
     # materialized interval table), slot funded by the lm_perplexity
     # retirement
@@ -168,8 +170,10 @@ RETIRED_THIS_ROUND = {
     "multimodal_decode",
     # round 11
     "pq_topk",
-    # round 12 (successor: lm_perplexity_kn, the strict superset)
+    # round 12 (successors: lm_perplexity_kn / curation_pipeline_full,
+    # both strict supersets)
     "lm_perplexity",
+    "curation_pipeline",
 }
 
 
