@@ -32,6 +32,13 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow-accelerated toPandas()/pandas UDFs.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Write timestamps as TIMESTAMP_MICROS, not the deprecated INT96:
+    # INT96 columns carry NO parquet min/max statistics, which silently
+    # defeats row-group skipping AND the file-stats sidecar
+    # (sources/skipping.py) on every time column — the single most
+    # common pruning predicate at 100 TB. Values are identical (the
+    # engine already truncates to micros on read).
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 

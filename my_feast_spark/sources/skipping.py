@@ -1,0 +1,175 @@
+"""File-level statistics skipping for plain parquet tables.
+
+Delta/Iceberg keep per-file column min/max in the table log and prune
+the FILE LIST at planning time; plain parquet has only per-row-group
+footer statistics, which Spark consults AFTER listing and opening every
+file. At 100 TB (~1e6 files) that listing + footer-open cost dominates
+selective queries. This module is the missing layer for the plain-
+parquet tables this engine manages: ``write_file_stats`` collects each
+data file's per-column (min, max, null_count) into ONE underscore-
+prefixed sidecar (ignored by parquet scans, same convention as the
+online store's ``_mfs_online_meta.json``), and ``scan_with_skipping``
+prunes the file list against range predicates BEFORE ``spark.read`` —
+the scan then never lists, opens, or schedules the skipped files.
+
+Pairs with `sources/zorder.py`: a z-ordered rewrite tiles the key space
+across files, so file-level boxes are tight and range predicates on any
+clustered column skip most of the table; on a naturally-ordered table
+only the ingest-order column skips well (exactly Delta's behavior).
+
+Honest semantics, documented not hidden:
+
+* the sidecar is a SNAPSHOT — appends after ``write_file_stats``
+  invalidate it. ``scan_with_skipping`` fails loudly when the directory
+  holds data files the sidecar does not know (never silently drops
+  unknown files); re-run ``write_file_stats`` after layout changes
+  (compact_table / zorder_table / appends).
+* pruning is CONSERVATIVE: a file is skipped only when a predicate's
+  range provably misses the file's [min, max] (NULL-only columns and
+  missing stats keep the file). Row-group and row-level filtering of
+  survivors stays Spark's job — the same predicate must still be
+  applied to the returned DataFrame (``scan_with_skipping`` applies it
+  for you).
+* stats cover orderable primitive columns (numeric / string /
+  date / timestamp); other types are simply not skippable.
+
+Scale shape: stats collection is one driver-side pyarrow footer sweep
+(footers only, no data pages — the cost the sidecar amortizes away for
+every future query); the sidecar is file-count-sized JSON, read once
+per planned query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STATS_SIDECAR = "_mfs_file_stats.json"
+
+
+def _data_files(path: str) -> list[str]:
+    out = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                out.append(os.path.relpath(os.path.join(root, f), path))
+    return sorted(out)
+
+
+def write_file_stats(path: str, columns: Sequence[str]) -> dict:
+    """Sweep the table's parquet FOOTERS (no data pages) and write the
+    per-file min/max sidecar. Returns the stats mapping."""
+    import pyarrow.parquet as pq
+
+    stats: dict[str, dict] = {}
+    for rel in _data_files(path):
+        md = pq.ParquetFile(os.path.join(path, rel)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        per_col = {}
+        for c in columns:
+            if c not in idx:
+                continue  # hive partition column or absent: not skippable
+            lo = hi = None
+            nulls = 0
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                nulls += st.null_count or 0
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if ok and lo is not None:
+                per_col[c] = {"min": lo, "max": hi, "nulls": nulls}
+        stats[rel] = per_col
+    tmp = os.path.join(path, f".{STATS_SIDECAR}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"columns": list(columns), "files": stats}, fh,
+                  default=str)
+    os.replace(tmp, os.path.join(path, STATS_SIDECAR))
+    return stats
+
+
+def scan_with_skipping(
+    spark: SparkSession,
+    path: str,
+    predicates: Mapping[str, tuple],
+) -> tuple[DataFrame, dict]:
+    """Plan a scan of ``path`` reading ONLY the files whose stats ranges
+    intersect every ``col: (lo, hi)`` predicate (either bound may be
+    None for one-sided ranges). Returns ``(df, report)`` where the
+    DataFrame already has the predicates applied row-level and the
+    report records ``{"files_total", "files_read", "files_skipped"}``.
+
+    Raises if the sidecar is missing or stale (unknown data files) —
+    a skipping scan that silently fell back to reading everything
+    would hide exactly the regression this module exists to prevent.
+    """
+    sidecar = os.path.join(path, STATS_SIDECAR)
+    if not os.path.exists(sidecar):
+        raise RuntimeError(
+            f"no {STATS_SIDECAR} at {path!r} — run write_file_stats first"
+        )
+    with open(sidecar) as fh:
+        meta = json.load(fh)
+    stats: dict[str, dict] = meta["files"]
+    on_disk = _data_files(path)
+    unknown = sorted(set(on_disk) - set(stats))
+    if unknown:
+        raise RuntimeError(
+            f"stats sidecar at {path!r} is stale — {len(unknown)} data "
+            f"files it does not cover (e.g. {unknown[0]!r}); re-run "
+            "write_file_stats after appends/rewrites"
+        )
+
+    def survives(rel: str) -> bool:
+        per_col = stats.get(rel, {})
+        for c, (lo, hi) in predicates.items():
+            st = per_col.get(c)
+            if st is None:
+                continue  # no stats for this column: conservative keep
+            fmin, fmax = st["min"], st["max"]
+            bound = lo if lo is not None else hi
+            if isinstance(fmin, str) and not isinstance(bound, str):
+                if isinstance(bound, (int, float)):
+                    # numeric stats str()'d through JSON: parse back
+                    fmin, fmax = float(fmin), float(fmax)
+                else:
+                    # date/timestamp stats round-trip via str(), whose
+                    # fixed YYYY-MM-DD… format orders lexicographically
+                    # = chronologically; compare bounds the same way
+                    lo = str(lo) if lo is not None else None
+                    hi = str(hi) if hi is not None else None
+            if lo is not None and fmax < lo:
+                return False
+            if hi is not None and fmin > hi:
+                return False
+        return True
+
+    keep = [rel for rel in on_disk if survives(rel)]
+    report = {
+        "files_total": len(on_disk),
+        "files_read": len(keep),
+        "files_skipped": len(on_disk) - len(keep),
+    }
+    if keep:
+        df = spark.read.parquet(*[os.path.join(path, r) for r in keep])
+    else:
+        # empty but schema-correct: read one file's schema, filter-false
+        df = spark.read.parquet(
+            os.path.join(path, on_disk[0])
+        ).filter(F.lit(False))
+    for c, (lo, hi) in predicates.items():
+        if lo is not None:
+            df = df.filter(F.col(c) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(c) <= F.lit(hi))
+    return df, report
+
+

@@ -6866,7 +6866,11 @@ QUERIES: dict[str, tuple] = {
     ),
     # --- rotation tail for round 12 (all green in round 11; unchanged;
     # still value-checked every run by tests/test_oracle_parity.py;
-    # back in-window round 13) ----------------------------------------------
+    # back in-window round 13). Round-13 NEW-slot candidates, funded by
+    # retirements the usual way: a materialize_stream driver row (the
+    # streaming online-store merge, streaming/online.py — the one
+    # remaining pytest-only state-maintenance path) and a zorder_scan
+    # row (sources/zorder.py + skipping, currently footer-test-pinned).
     "compaction_replay": (q_compaction_replay, SQL_COMPACTION_REPLAY),
     "jsonl_scan": (q_jsonl_scan, SQL_JSONL_SCAN),
     "pack_bfd": (q_pack_bfd, SQL_PACK_BFD),

@@ -1,0 +1,112 @@
+"""File-level stats skipping (sources/skipping.py): the sidecar prunes
+the file list before spark.read, results match the unpruned filter
+exactly, staleness fails loudly, and the zorder pairing actually skips
+on BOTH clustered columns."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from my_feast_spark.sources.skipping import (
+    STATS_SIDECAR,
+    scan_with_skipping,
+    write_file_stats,
+)
+from my_feast_spark.sources.zorder import zorder_table
+
+
+@pytest.fixture(scope="module")
+def zstats_table(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("skip")
+    src = str(tmp / "natural")
+    df = spark.range(100_000).select(
+        F.col("id"),
+        F.pmod(F.xxhash64(F.col("id") + 1), F.lit(10_000)).alias("a"),
+        F.pmod(F.xxhash64(F.col("id") + 2), F.lit(10_000)).alias("b"),
+    )
+    df.repartition(4).write.mode("overwrite").parquet(src)
+    out = zorder_table(
+        spark, src, ["a", "b"], out_path=str(tmp / "z"), num_files=16
+    )
+    write_file_stats(out, ["a", "b", "id"])
+    return src, out
+
+
+def test_skipping_scan_prunes_and_matches(spark, zstats_table):
+    src, out = zstats_table
+    for col in ("a", "b"):  # the zorder pairing: BOTH columns skip
+        got_df, report = scan_with_skipping(
+            spark, out, {col: (100, 400)}
+        )
+        assert report["files_total"] == 16
+        assert report["files_skipped"] > 0, (col, report)
+        got = sorted(map(tuple, got_df.select("id", "a", "b").collect()))
+        want = sorted(map(tuple, (
+            spark.read.parquet(src)
+            .filter((F.col(col) >= 100) & (F.col(col) <= 400))
+            .select("id", "a", "b").collect()
+        )))
+        assert got == want
+    # the planned scan really reads only the surviving files
+    got_df, report = scan_with_skipping(spark, out, {"a": (100, 400)})
+    assert len(set(got_df.inputFiles())) == report["files_read"]
+
+
+def test_one_sided_and_empty_ranges(spark, zstats_table):
+    _src, out = zstats_table
+    df, rep = scan_with_skipping(spark, out, {"a": (9_990, None)})
+    assert rep["files_skipped"] > 0
+    assert df.agg(F.min("a")).collect()[0][0] >= 9_990
+    # a range beyond the domain skips EVERYTHING but stays schema-correct
+    df0, rep0 = scan_with_skipping(spark, out, {"a": (20_000, 30_000)})
+    assert rep0["files_read"] == 0
+    assert df0.count() == 0
+    assert set(df0.columns) == {"id", "a", "b"}
+
+
+def test_stale_or_missing_sidecar_fails_loudly(spark, zstats_table):
+    _src, out = zstats_table
+    # missing sidecar
+    with pytest.raises(RuntimeError, match="write_file_stats"):
+        scan_with_skipping(spark, _src, {"a": (0, 1)})
+    # stale sidecar: an append the stats never saw
+    spark.range(5).select(
+        F.col("id"), F.lit(1).cast("long").alias("a"),
+        F.lit(1).cast("long").alias("b"),
+    ).coalesce(1).write.mode("append").parquet(out)
+    with pytest.raises(RuntimeError, match="stale"):
+        scan_with_skipping(spark, out, {"a": (0, 1)})
+    # re-sweeping heals
+    write_file_stats(out, ["a", "b", "id"])
+    df, rep = scan_with_skipping(spark, out, {"a": (0, 1)})
+    assert rep["files_total"] == 17
+    assert os.path.exists(os.path.join(out, STATS_SIDECAR))
+
+
+def test_timestamp_stats_skip(spark, tmp_path):
+    """Date/timestamp stats round-trip through str() in the sidecar;
+    lexicographic comparison of the fixed format still prunes
+    correctly."""
+    import datetime as dt
+
+    path = str(tmp_path / "ts_table")
+    df = spark.range(10_000).select(
+        F.col("id"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' "
+            "+ make_interval(0, 0, 0, 0, 0, 0, id)"
+        ).alias("ts"),
+    )
+    # naturally time-ordered files: the classic ingest layout
+    df.repartitionByRange(8, "ts").sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(path)
+    write_file_stats(path, ["ts"])
+    lo = dt.datetime(2024, 1, 1, 0, 30)
+    hi = dt.datetime(2024, 1, 1, 0, 40)
+    got_df, rep = scan_with_skipping(spark, path, {"ts": (lo, hi)})
+    assert rep["files_skipped"] >= 6, rep
+    assert got_df.count() == 601  # inclusive bounds, 1s grid
