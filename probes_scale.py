@@ -297,6 +297,57 @@ def main() -> None:
     results.update(shuffle_bytes)
     release_checkpoint(bigw)
 
+    # ---- probe 5: z-order + file-stats skipping ------------------------
+    # 5M rows, two independent 10k-domain keys, 64 files. A selective
+    # range predicate on either key must beat the full filter scan once
+    # the sidecar prunes the file list (and the z layout is what makes
+    # the boxes tight enough to prune).
+    import shutil
+    import tempfile
+
+    from my_feast_spark.sources.skipping import (
+        scan_with_skipping,
+        write_file_stats,
+    )
+    from my_feast_spark.sources.zorder import zorder_table
+
+    zroot = tempfile.mkdtemp(prefix="mfs_zprobe_")
+    try:
+        nat = os.path.join(zroot, "natural")
+        (
+            spark.range(5_000_000).select(
+                F.col("id"),
+                F.pmod(F.xxhash64(F.col("id") + 1), F.lit(10_000))
+                .alias("a"),
+                F.pmod(F.xxhash64(F.col("id") + 2), F.lit(10_000))
+                .alias("b"),
+            )
+            .repartition(64)
+            .write.mode("overwrite").parquet(nat)
+        )
+        zo = zorder_table(
+            spark, nat, ["a", "b"], out_path=os.path.join(zroot, "z"),
+            num_files=64,
+        )
+        write_file_stats(zo, ["a", "b"])
+
+        def _full():
+            return (
+                spark.read.parquet(nat)
+                .filter((F.col("b") >= 100) & (F.col("b") <= 400))
+                .agg(F.sum("id")).collect()
+            ) and 1
+
+        def _skip():
+            df, rep = scan_with_skipping(spark, zo, {"b": (100, 400)})
+            results["zorder_files_read_of_64"] = rep["files_read"]
+            return df.agg(F.sum("id")).collect() and 1
+
+        timed("scan_5m_select3pct_full_filter", _full)
+        timed("scan_5m_select3pct_zorder_skip", _skip)
+    finally:
+        shutil.rmtree(zroot, ignore_errors=True)
+
     print(json.dumps({
         "probes": results,
         "configs": {
