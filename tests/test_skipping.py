@@ -110,3 +110,43 @@ def test_timestamp_stats_skip(spark, tmp_path):
     got_df, rep = scan_with_skipping(spark, path, {"ts": (lo, hi)})
     assert rep["files_skipped"] >= 6, rep
     assert got_df.count() == 601  # inclusive bounds, 1s grid
+
+
+def test_skipping_equals_full_filter_property(spark, tmp_path):
+    """Property sweep (deterministic seeds, no hypothesis-Spark fixture
+    overhead): for a grid of layouts × predicates, the pruned scan's
+    rows ALWAYS equal the unpruned filter — pruning may only ever
+    remove whole files the predicate provably misses."""
+    from pyspark.sql import functions as F
+
+    for seed in (1, 2, 3):
+        path = str(tmp_path / f"t{seed}")
+        df = spark.range(20_000).select(
+            F.col("id"),
+            F.pmod(F.xxhash64(F.col("id") + seed), F.lit(97)).alias("k"),
+        )
+        # three layouts: random, k-ordered, id-ordered
+        if seed == 1:
+            df.repartition(7).write.mode("overwrite").parquet(path)
+        elif seed == 2:
+            df.repartitionByRange(7, "k").sortWithinPartitions("k") \
+              .write.mode("overwrite").parquet(path)
+        else:
+            df.repartitionByRange(7, "id").write.mode(
+                "overwrite").parquet(path)
+        write_file_stats(path, ["k", "id"])
+        for lo, hi in ((0, 0), (10, 30), (96, 200), (None, 50),
+                       (90, None), (200, 300)):
+            got_df, rep = scan_with_skipping(spark, path, {"k": (lo, hi)})
+            got = sorted(r.id for r in got_df.collect())
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col("k") >= lo)
+            if hi is not None:
+                cond = cond & (F.col("k") <= hi)
+            want = sorted(
+                r.id for r in
+                spark.read.parquet(path).filter(cond).collect()
+            )
+            assert got == want, (seed, lo, hi, rep)
+            assert rep["files_read"] + rep["files_skipped"] == 7
