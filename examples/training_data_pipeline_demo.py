@@ -259,6 +259,44 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> dict:
     for c in recall_report._owned_caches:
         c.unpersist()
     merges = train_bpe_merges(keepers, "text", rounds=8)
+    # ... and the OTHER tokenizer family: unigram-LM (SentencePiece
+    # default) — EM-shrunk vocab, Viterbi encode, exact-integer
+    # determinism (operators/unigram.py)
+    from my_feast_spark.operators.unigram import (
+        train_unigram,
+        unigram_encode,
+    )
+
+    uni_vocab = train_unigram(
+        keepers, "text", vocab_size=300, seed_size=1200,
+        max_piece_len=6, iterations=2,
+    )
+    n_uni_pieces = uni_vocab.count()
+    uni_tokens = unigram_encode(
+        keepers, "doc_id", "text", uni_vocab, max_piece_len=6
+    ).agg(F.sum("n_pieces")).collect()[0][0]
+
+    # 9: layout maintenance for the emitted table — z-order the curated
+    # survivors on the two columns downstream jobs filter by, sweep the
+    # footer stats into the skipping sidecar, and demonstrate a
+    # planning-time file-prune (sources/zorder.py + skipping.py)
+    from my_feast_spark.sources.skipping import (
+        scan_with_skipping,
+        write_file_stats,
+    )
+    from my_feast_spark.sources.zorder import zorder_table
+
+    emit_dir = tempfile.mkdtemp(prefix="mfs_demo_emit_")
+    curated.write.mode("overwrite").parquet(f"{emit_dir}/natural")
+    z_path = zorder_table(
+        spark, f"{emit_dir}/natural", ["doc_id", "n_tokens"],
+        out_path=f"{emit_dir}/z", num_files=8,
+    )
+    write_file_stats(z_path, ["doc_id", "n_tokens"])
+    pruned, skip_report = scan_with_skipping(
+        spark, z_path, {"doc_id": (0, 100)}
+    )
+    n_pruned_scan = pruned.count()
 
     out = {
         "input_docs": n_input,
@@ -279,6 +317,11 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "dsir_resampled_docs": n_dsir_selected,
         "lsh_recall_on_sample": recall.recall,
         "bpe_merges_learned": len(merges),
+        "unigram_vocab_pieces": n_uni_pieces,
+        "unigram_encoded_tokens": uni_tokens,
+        "zorder_files_read": skip_report["files_read"],
+        "zorder_files_total": skip_report["files_total"],
+        "zorder_pruned_scan_docs": n_pruned_scan,
     }
     print(out)
     return out

@@ -42,6 +42,14 @@ def test_training_pipeline_demo_runs(spark):
     assert 0 < out["pareto_quality_sampled_docs"] < 500
     assert out["lsh_recall_on_sample"] is None or out["lsh_recall_on_sample"] >= 0.9
     assert out["bpe_merges_learned"] == 8
+    # unigram tokenizer: chars + learned multis, every keeper encoded
+    assert out["unigram_vocab_pieces"] > 20
+    assert out["unigram_encoded_tokens"] > 0
+    # layout maintenance: the skipping scan pruned at least one file
+    # and the planned read stays content-correct (non-empty keep set)
+    assert out["zorder_files_total"] == 8
+    assert 0 < out["zorder_files_read"] <= 8
+    assert out["zorder_pruned_scan_docs"] > 0
 
 
 def test_bronze_ingest_demo_runs(spark, tmp_path):
