@@ -348,6 +348,25 @@ def main() -> None:
     finally:
         shutil.rmtree(zroot, ignore_errors=True)
 
+    # ---- probe 6: unigram trainer scales with DISTINCT words ----------
+    # The EM passes run over the word-count relation, so replicating the
+    # corpus 20x (same word universe, 20x the rows) must cost roughly
+    # the same train time — the claim operators/unigram.py makes.
+    from my_feast_spark.operators.unigram import train_unigram
+
+    docs1 = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs20 = _replicate(
+        docs1, "doc_id", 20, docs1.count()
+    ).localCheckpoint()
+    kw = dict(vocab_size=400, seed_size=1500, max_piece_len=6,
+              iterations=3)
+
+    timed("unigram_train_docs_1x", lambda: train_unigram(
+        docs1, "text", **kw).count(), repeats=1)
+    timed("unigram_train_docs_20x", lambda: train_unigram(
+        docs20, "text", **kw).count(), repeats=1)
+    release_checkpoint(docs20)
+
     print(json.dumps({
         "probes": results,
         "configs": {
