@@ -158,11 +158,15 @@ def scan_with_skipping(
         "files_read": len(keep),
         "files_skipped": len(on_disk) - len(keep),
     }
+    # basePath keeps hive partition-column inference alive when reading
+    # an explicit file list — without it a partitioned table's partition
+    # columns would silently vanish from the pruned scan's schema
+    reader = spark.read.option("basePath", path)
     if keep:
-        df = spark.read.parquet(*[os.path.join(path, r) for r in keep])
+        df = reader.parquet(*[os.path.join(path, r) for r in keep])
     else:
         # empty but schema-correct: read one file's schema, filter-false
-        df = spark.read.parquet(
+        df = reader.parquet(
             os.path.join(path, on_disk[0])
         ).filter(F.lit(False))
     for c, (lo, hi) in predicates.items():

@@ -150,3 +150,53 @@ def test_skipping_equals_full_filter_property(spark, tmp_path):
             )
             assert got == want, (seed, lo, hi, rep)
             assert rep["files_read"] + rep["files_skipped"] == 7
+
+
+def test_hive_partitioned_table_keeps_partition_columns(spark, tmp_path):
+    """Reading an explicit file list drops hive partition inference
+    unless basePath is set — the pruned scan must keep partition
+    columns in its schema and values intact."""
+    path = str(tmp_path / "hive")
+    df = spark.range(8_000).select(
+        F.col("id"),
+        F.pmod(F.xxhash64(F.col("id") + 9), F.lit(1_000)).alias("k"),
+        (F.col("id") % 3).alias("part"),
+    )
+    df.repartitionByRange(6, "k").write.mode("overwrite").partitionBy(
+        "part"
+    ).parquet(path)
+    write_file_stats(path, ["k"])
+    got_df, rep = scan_with_skipping(spark, path, {"k": (0, 100)})
+    assert "part" in got_df.columns
+    assert rep["files_skipped"] > 0
+    got = sorted(map(tuple, got_df.select("id", "k", "part").collect()))
+    want = sorted(map(tuple, (
+        spark.read.parquet(path)
+        .filter((F.col("k") >= 0) & (F.col("k") <= 100))
+        .select("id", "k", "part").collect()
+    )))
+    assert got == want
+
+
+def test_zorder_three_columns(spark, tmp_path):
+    """3-column z-values keep locality on every axis: corner groups
+    separate and content round-trips."""
+    src = str(tmp_path / "src3")
+    df = spark.range(30_000).select(
+        F.col("id"),
+        F.pmod(F.xxhash64(F.col("id") + 1), F.lit(1_000)).alias("a"),
+        F.pmod(F.xxhash64(F.col("id") + 2), F.lit(1_000)).alias("b"),
+        F.pmod(F.xxhash64(F.col("id") + 3), F.lit(1_000)).alias("c"),
+    )
+    df.repartition(4).write.mode("overwrite").parquet(src)
+    out = zorder_table(
+        spark, src, ["a", "b", "c"], out_path=str(tmp_path / "z3"),
+        num_files=8, options={"parquet.block.size": 65536},
+    )
+    write_file_stats(out, ["a", "b", "c"])
+    for col in ("a", "b", "c"):
+        _df, rep = scan_with_skipping(spark, out, {col: (0, 60)})
+        assert rep["files_skipped"] > 0, (col, rep)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, spark.read.parquet(src).collect()))
+    assert got == want
