@@ -51,6 +51,20 @@ from pyspark.sql import functions as F
 STATS_SIDECAR = "_mfs_file_stats.json"
 
 
+def _require_local(path: str) -> None:
+    """The footer sweep and sidecar IO are driver-side LOCAL filesystem
+    calls (os.walk / open). On a remote URI they would see an empty
+    tree and silently produce an empty sidecar — the exact
+    under-reading this module must never do. Fail loudly instead; on a
+    real lake, per-file stats belong in the table format's transaction
+    log (Delta/Iceberg — the documented carried gap)."""
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            f"file-stats skipping requires a local table path, got "
+            f"{path!r}; use a Delta/Iceberg table log for remote stats"
+        )
+
+
 def _data_files(path: str) -> list[str]:
     out = []
     for root, dirs, files in os.walk(path):
@@ -66,6 +80,7 @@ def write_file_stats(path: str, columns: Sequence[str]) -> dict:
     per-file min/max sidecar. Returns the stats mapping."""
     import pyarrow.parquet as pq
 
+    _require_local(path)
     stats: dict[str, dict] = {}
     for rel in _data_files(path):
         md = pq.ParquetFile(os.path.join(path, rel)).metadata
@@ -111,6 +126,7 @@ def scan_with_skipping(
     a skipping scan that silently fell back to reading everything
     would hide exactly the regression this module exists to prevent.
     """
+    _require_local(path)
     sidecar = os.path.join(path, STATS_SIDECAR)
     if not os.path.exists(sidecar):
         raise RuntimeError(

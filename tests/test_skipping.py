@@ -200,3 +200,13 @@ def test_zorder_three_columns(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     want = sorted(map(tuple, spark.read.parquet(src).collect()))
     assert got == want
+
+
+def test_remote_paths_fail_loudly(spark):
+    """Driver-side footer sweeps see an empty tree on remote URIs — the
+    module must refuse, never emit an empty sidecar (silent full
+    under-read)."""
+    with pytest.raises(ValueError, match="local table path"):
+        write_file_stats("s3a://bucket/table", ["a"])
+    with pytest.raises(ValueError, match="local table path"):
+        scan_with_skipping(spark, "abfss://c@a.dfs/table", {"a": (0, 1)})
