@@ -56,35 +56,56 @@ Z_BITS = 16
 _MASK63 = (1 << 63) - 1
 
 
-def _rank16(df: DataFrame, col: str) -> Column:
-    """Map a column to [0, 2^16) — width_bucket over (min, max) for
-    orderable numerics/timestamps, over a 63-bit hash for strings."""
-    dtype = dict(df.dtypes)[col]
-    if dtype == "string":
-        v = F.xxhash64(F.col(col)).bitwiseAND(F.lit(_MASK63)).cast("double")
-        lo, hi = 0.0, float(_MASK63)
-    else:
-        row = df.agg(
-            F.min(F.col(col).cast("double")).alias("lo"),
-            F.max(F.col(col).cast("double")).alias("hi"),
-        ).collect()[0]
-        lo = row["lo"] if row["lo"] is not None else 0.0
-        hi = row["hi"] if row["hi"] is not None else 1.0
-        if hi <= lo:
-            hi = lo + 1.0
-        v = F.col(col).cast("double")
+def _rank16s(df: DataFrame, cols: Sequence[str]) -> list[Column]:
+    """Map each column to [0, 2^16) — width_bucket over (min, max) for
+    orderable numerics/timestamps, over a 63-bit hash for strings. All
+    numeric bounds come from ONE fused min/max aggregate (a single
+    column-pruned scan regardless of column count — at 100 TB the
+    bounds pass must not multiply with the z-key width)."""
+    dtypes = dict(df.dtypes)
+    numeric = [c for c in cols if dtypes[c] != "string"]
+    bounds: dict[str, tuple[float, float]] = {}
+    if numeric:
+        row = df.agg(*[
+            f
+            for c in numeric
+            for f in (
+                F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"__hi_{c}"),
+            )
+        ]).collect()[0]
+        for c in numeric:
+            lo = row[f"__lo_{c}"]
+            hi = row[f"__hi_{c}"]
+            lo = lo if lo is not None else 0.0
+            hi = hi if hi is not None else 1.0
+            if hi <= lo:
+                hi = lo + 1.0
+            bounds[c] = (lo, hi)
+
     n = 1 << Z_BITS
-    # width_bucket returns 1..n+1 (n+1 for v == hi); clamp into [0, n)
-    b = F.width_bucket(v, F.lit(lo), F.lit(hi), F.lit(n)) - F.lit(1)
-    b = F.least(F.greatest(b, F.lit(0)), F.lit(n - 1))
-    return F.coalesce(b, F.lit(0)).cast("long")
+    out = []
+    for c in cols:
+        if dtypes[c] == "string":
+            v = F.xxhash64(F.col(c)).bitwiseAND(F.lit(_MASK63)).cast(
+                "double"
+            )
+            lo, hi = 0.0, float(_MASK63)
+        else:
+            v = F.col(c).cast("double")
+            lo, hi = bounds[c]
+        # width_bucket returns 1..n+1 (n+1 for v == hi); clamp to [0, n)
+        b = F.width_bucket(v, F.lit(lo), F.lit(hi), F.lit(n)) - F.lit(1)
+        b = F.least(F.greatest(b, F.lit(0)), F.lit(n - 1))
+        out.append(F.coalesce(b, F.lit(0)).cast("long"))
+    return out
 
 
 def zvalue(df: DataFrame, cols: Sequence[str]) -> Column:
     """Interleaved z-value of ``cols`` as one BIGINT expression."""
     if not 2 <= len(cols) <= 3:
         raise ValueError("z-ordering wants 2 or 3 columns")
-    ranks = [_rank16(df, c) for c in cols]
+    ranks = _rank16s(df, cols)
     k = len(ranks)
     z = F.lit(0).cast("long")
     # bit b of rank i lands at position b*k + i (MSB-first interleave)
