@@ -85,10 +85,25 @@ def write_file_stats(path: str, columns: Sequence[str]) -> dict:
     for rel in _data_files(path):
         md = pq.ParquetFile(os.path.join(path, rel)).metadata
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-        per_col = {}
+        # hive partition columns live in the directory names, not the
+        # file schema — their "stats" are exact point values, so a
+        # partition-column range predicate file-skips too
+        hive = {}
+        for seg in rel.split(os.sep)[:-1]:
+            if "=" in seg:
+                k, _, v = seg.partition("=")
+                try:
+                    v = int(v)
+                except ValueError:
+                    try:
+                        v = float(v)
+                    except ValueError:
+                        pass
+                hive[k] = {"min": v, "max": v, "nulls": 0}
+        per_col = dict(hive) if hive else {}
         for c in columns:
             if c not in idx:
-                continue  # hive partition column or absent: not skippable
+                continue  # hive (handled above) or absent: skip
             lo = hi = None
             nulls = 0
             ok = True

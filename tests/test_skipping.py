@@ -210,3 +210,28 @@ def test_remote_paths_fail_loudly(spark):
         write_file_stats("s3a://bucket/table", ["a"])
     with pytest.raises(ValueError, match="local table path"):
         scan_with_skipping(spark, "abfss://c@a.dfs/table", {"a": (0, 1)})
+
+
+def test_partition_column_predicates_file_skip(spark, tmp_path):
+    """Hive partition values parsed from directory names act as exact
+    per-file stats, so a partition-column range predicate prunes files
+    without opening anything under the excluded partitions."""
+    path = str(tmp_path / "hive2")
+    df = spark.range(6_000).select(
+        F.col("id"),
+        F.pmod(F.xxhash64(F.col("id")), F.lit(50)).alias("k"),
+        (F.col("id") % 6).alias("part"),
+    )
+    df.repartition(2).write.mode("overwrite").partitionBy("part").parquet(
+        path
+    )
+    write_file_stats(path, ["k"])
+    got_df, rep = scan_with_skipping(spark, path, {"part": (0, 1)})
+    # 6 partitions x 2 files: only part=0 and part=1 survive
+    assert rep["files_read"] == 4 and rep["files_skipped"] == 8
+    got = sorted(map(tuple, got_df.select("id", "k", "part").collect()))
+    want = sorted(map(tuple, (
+        spark.read.parquet(path).filter(F.col("part") <= 1)
+        .select("id", "k", "part").collect()
+    )))
+    assert got == want
