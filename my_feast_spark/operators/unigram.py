@@ -279,6 +279,10 @@ def train_unigram(
         {r["piece"]: r["cnt"] for r in [*seed_chars, *seed_multi]},
         seed_size,
     )
+    if not counts:
+        raise ValueError(
+            "train_unigram: corpus has no words — nothing to train on"
+        )
     n_chars = sum(1 for s in counts if len(s) == 1)
     schedule = _shrink_schedule(
         seed_size, max(vocab_size - n_chars, 1), iterations
@@ -394,6 +398,10 @@ def train_unigram_local(
         for s, c in _SEED_COUNTS(w, n, max_piece_len).items():
             counts[s] = counts.get(s, 0) + c
     counts = _prune(counts, seed_size)
+    if not counts:
+        raise ValueError(
+            "train_unigram_local: corpus has no words — nothing to train on"
+        )
     n_chars = sum(1 for s in counts if len(s) == 1)
     schedule = _shrink_schedule(
         seed_size, max(vocab_size - n_chars, 1), iterations

@@ -118,3 +118,15 @@ def test_em_passes_run_over_words_not_corpus(spark):
     )
     vocab = train_unigram(docs, "text", **kw)
     assert {r.piece for r in vocab.collect()} == set(lp20)
+
+
+def test_empty_corpus_fails_loudly(spark):
+    import pytest
+
+    from my_feast_spark.operators.unigram import train_unigram
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="   ")])
+    with pytest.raises(ValueError, match="no words"):
+        train_unigram(docs, "text", vocab_size=10, seed_size=20)
+    with pytest.raises(ValueError, match="no words"):
+        train_unigram_local(["  ", ""], vocab_size=10, seed_size=20)
