@@ -218,16 +218,38 @@ def _shrink_schedule(seed_size: int, keep_target: int, iterations: int):
 
 
 def _word_counts(docs: DataFrame, text_col: str) -> DataFrame:
-    """Corpus → (word, n) — the one corpus-sized shuffle."""
+    """Corpus → (word, n): one Arrow-batched pass + the one corpus-sized
+    shuffle (map-side combined by the per-batch dict).
+
+    Tokenization runs the SAME kernel closure every other stage uses
+    (Python ``str.lower`` + ``re.split(r"\\s+")``) rather than a Spark
+    ``lower``/``split`` expression: Java's ``\\s`` is ASCII-only and
+    JVM lowercasing can differ from Python's on exotic case folds, so
+    an expression-side tokenizer would diverge from the driver mirror
+    (and from encode, which necessarily runs the Python kernel) on any
+    corpus with Unicode whitespace — the review-caught bug this fixes.
+    A train job runs once per corpus; the Python-side pass is the price
+    of bit-identical Spark↔mirror tokenization by construction."""
+
+    def count_words(batches, _kernels=_make_kernels()):
+        import pandas as pd
+
+        _sw = _kernels[0]
+        for pdf in batches:
+            acc: dict[str, int] = {}
+            for t in pdf["__text"]:
+                if not isinstance(t, str):
+                    continue  # NULL text holds no words
+                for w in _sw(t.lower()):
+                    if w:
+                        acc[w] = acc.get(w, 0) + 1
+            yield pd.DataFrame({"word": list(acc), "n": list(acc.values())})
+
     return (
-        docs.select(
-            F.explode_outer(
-                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-            ).alias("word")
-        )
-        .filter(F.col("word").isNotNull() & (F.col("word") != ""))
+        docs.select(F.col(text_col).alias("__text"))
+        .mapInPandas(count_words, schema="word string, n long")
         .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("n").alias("n"))
     )
 
 
@@ -351,7 +373,9 @@ def unigram_encode(
             out_id, out_ids, out_n = [], [], []
             for doc_id, text in zip(pdf["__id"], pdf["__text"]):
                 enc = []
-                for t in _sw(str(text)):
+                # NULL text encodes to an empty sequence — str(None)
+                # would smuggle the literal token 'none' into the ids
+                for t in _sw(text) if isinstance(text, str) else []:
                     if t:
                         enc.extend(_ids[s] for s in _vit(t, _lp, _mpl))
                 out_id.append(doc_id)
@@ -390,6 +414,8 @@ def train_unigram_local(
     ``log(cnt) - log(total)`` probability form."""
     words: dict[str, int] = {}
     for t in texts:
+        if not isinstance(t, str):
+            continue  # NULL text holds no words (matches _word_counts)
         for w in _SPLIT_WS(t.lower()):
             if w:
                 words[w] = words.get(w, 0) + 1
@@ -424,9 +450,11 @@ def encode_local(
     text: str, lp: dict[str, float], *, max_piece_len: int = 8
 ) -> list[int]:
     """Mirror of `unigram_encode` for one document: piece ids by
-    (piece asc) over the final vocabulary."""
+    (piece asc) over the final vocabulary. NULL text → []."""
     ids = {s: i for i, s in enumerate(sorted(lp))}
     out: list[int] = []
+    if text is None:
+        return out
     for t in _SPLIT_WS(text.lower()):
         if t:
             out.extend(ids[s] for s in _VITERBI(t, lp, max_piece_len))

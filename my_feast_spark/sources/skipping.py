@@ -51,18 +51,23 @@ from pyspark.sql import functions as F
 STATS_SIDECAR = "_mfs_file_stats.json"
 
 
-def _require_local(path: str) -> None:
+def _require_local(path: str) -> str:
     """The footer sweep and sidecar IO are driver-side LOCAL filesystem
     calls (os.walk / open). On a remote URI they would see an empty
     tree and silently produce an empty sidecar — the exact
     under-reading this module must never do. Fail loudly instead; on a
     real lake, per-file stats belong in the table format's transaction
-    log (Delta/Iceberg — the documented carried gap)."""
-    if "://" in path and not path.startswith("file://"):
+    log (Delta/Iceberg — the documented carried gap). ``file://`` URIs
+    are accepted and NORMALIZED to a plain path (os.walk/open cannot
+    consume the URI form)."""
+    if path.startswith("file://"):
+        return path[len("file://"):] or "/"
+    if "://" in path:
         raise ValueError(
             f"file-stats skipping requires a local table path, got "
             f"{path!r}; use a Delta/Iceberg table log for remote stats"
         )
+    return path
 
 
 def _data_files(path: str) -> list[str]:
@@ -80,7 +85,7 @@ def write_file_stats(path: str, columns: Sequence[str]) -> dict:
     per-file min/max sidecar. Returns the stats mapping."""
     import pyarrow.parquet as pq
 
-    _require_local(path)
+    path = _require_local(path)
     stats: dict[str, dict] = {}
     for rel in _data_files(path):
         md = pq.ParquetFile(os.path.join(path, rel)).metadata
@@ -109,12 +114,19 @@ def write_file_stats(path: str, columns: Sequence[str]) -> dict:
             ok = True
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(idx[c]).statistics
-                if st is None or not st.has_min_max:
+                try:
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    nulls += st.null_count or 0
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                except Exception:
+                    # pyarrow cannot extract stats for every physical
+                    # type (e.g. decimals on some builds) — no stats
+                    # means conservative keep, never a guess
                     ok = False
                     break
-                nulls += st.null_count or 0
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
             if ok and lo is not None:
                 per_col[c] = {"min": lo, "max": hi, "nulls": nulls}
         stats[rel] = per_col
@@ -141,7 +153,7 @@ def scan_with_skipping(
     a skipping scan that silently fell back to reading everything
     would hide exactly the regression this module exists to prevent.
     """
-    _require_local(path)
+    path = _require_local(path)
     sidecar = os.path.join(path, STATS_SIDECAR)
     if not os.path.exists(sidecar):
         raise RuntimeError(
@@ -151,6 +163,11 @@ def scan_with_skipping(
         meta = json.load(fh)
     stats: dict[str, dict] = meta["files"]
     on_disk = _data_files(path)
+    if not on_disk:
+        raise RuntimeError(
+            f"table at {path!r} holds no parquet data files — nothing "
+            "to scan (stale or misplaced sidecar?)"
+        )
     unknown = sorted(set(on_disk) - set(stats))
     if unknown:
         raise RuntimeError(
@@ -159,27 +176,50 @@ def scan_with_skipping(
             "write_file_stats after appends/rewrites"
         )
 
+    import datetime as _dt
+    import decimal as _dec
+
+    def _align(fmin, fmax, lo, hi):
+        """Bring sidecar stats (JSON round-trips non-native types via
+        str) and predicate bounds into one comparable domain, or return
+        None = NOT provably comparable (caller keeps the file — the
+        conservative guarantee must never ride on '1' < '2' string
+        accidents for numeric-like types)."""
+        bound = lo if lo is not None else hi
+        if isinstance(bound, bool):
+            return None  # bool is an int subclass; don't guess
+        if isinstance(bound, (int, float, _dec.Decimal)):
+            try:  # numeric stats, possibly str()'d through JSON
+                return float(fmin), float(fmax), \
+                    float(lo) if lo is not None else None, \
+                    float(hi) if hi is not None else None
+            except (TypeError, ValueError):
+                return None
+        if isinstance(bound, (_dt.datetime, _dt.date)):
+            # stats round-trip via str(), whose fixed YYYY-MM-DD…
+            # format orders lexicographically = chronologically
+            if not isinstance(fmin, str):
+                fmin, fmax = str(fmin), str(fmax)
+            return fmin, fmax, \
+                str(lo) if lo is not None else None, \
+                str(hi) if hi is not None else None
+        if isinstance(bound, str) and isinstance(fmin, str):
+            return fmin, fmax, lo, hi
+        return None  # unknown pairing: conservative keep
+
     def survives(rel: str) -> bool:
         per_col = stats.get(rel, {})
         for c, (lo, hi) in predicates.items():
             st = per_col.get(c)
             if st is None:
                 continue  # no stats for this column: conservative keep
-            fmin, fmax = st["min"], st["max"]
-            bound = lo if lo is not None else hi
-            if isinstance(fmin, str) and not isinstance(bound, str):
-                if isinstance(bound, (int, float)):
-                    # numeric stats str()'d through JSON: parse back
-                    fmin, fmax = float(fmin), float(fmax)
-                else:
-                    # date/timestamp stats round-trip via str(), whose
-                    # fixed YYYY-MM-DD… format orders lexicographically
-                    # = chronologically; compare bounds the same way
-                    lo = str(lo) if lo is not None else None
-                    hi = str(hi) if hi is not None else None
-            if lo is not None and fmax < lo:
+            aligned = _align(st["min"], st["max"], lo, hi)
+            if aligned is None:
+                continue
+            fmin, fmax, lo_c, hi_c = aligned
+            if lo_c is not None and fmax < lo_c:
                 return False
-            if hi is not None and fmin > hi:
+            if hi_c is not None and fmin > hi_c:
                 return False
         return True
 

@@ -6294,8 +6294,8 @@ def q_compact_table_replay(spark, sf_dir):
     """Batch small-file compaction adjudicated end-to-end
     (sources/maintenance.py::compact_table — the crash-safe rewrite
     protocol for append-mode batch tables): the events table is staged
-    day-partitioned and fragmented by four append-mode ingest runs
-    (four files per day leaf), then BOTH crash windows of the commit
+    day-partitioned and fragmented by three append-mode ingest runs
+    (three files per day leaf), then BOTH crash windows of the commit
     protocol are planted before a single compact_table call:
 
       * the FIRST day leaf gets an UNCOMMITTED staging dir (a junk

@@ -235,3 +235,50 @@ def test_partition_column_predicates_file_skip(spark, tmp_path):
         .select("id", "k", "part").collect()
     )))
     assert got == want
+
+
+def test_decimal_bounds_never_mispruned(spark, tmp_path):
+    """The review regression: decimal stats round-trip through str(), and
+    a lexicographic comparison would wrongly prune ('150.00' < '20').
+    Alignment must go numeric — and genuinely unknown type pairings must
+    keep the file (conservative), never guess."""
+    from decimal import Decimal
+
+    path = str(tmp_path / "dec")
+    spark.range(100).selectExpr(
+        "id", "CAST(id + 50 AS DECIMAL(18,2)) AS amount"
+    ).coalesce(2).write.mode("overwrite").parquet(path)
+    write_file_stats(path, ["amount"])
+    got_df, rep = scan_with_skipping(
+        spark, path, {"amount": (Decimal("20"), None)}
+    )
+    # values run 50..149: NOTHING may be pruned by a >=20 predicate —
+    # on builds where pyarrow can't extract decimal stats at all, the
+    # column simply has no sidecar entry and everything is kept; on
+    # builds where it can, the alignment must go numeric, never lex
+    assert rep["files_skipped"] == 0
+    assert got_df.count() == 100
+    # a long column alongside still prunes numerically when asked via
+    # a Decimal bound (the numeric-alignment path)
+    path2 = str(tmp_path / "dec2")
+    spark.range(100).selectExpr("id", "id + 50 AS amount").coalesce(2) \
+        .write.mode("overwrite").parquet(path2)
+    write_file_stats(path2, ["amount"])
+    _df2, rep2 = scan_with_skipping(
+        spark, path2, {"amount": (Decimal("1000"), None)}
+    )
+    assert rep2["files_read"] == 0
+    _df3, rep3 = scan_with_skipping(
+        spark, path2, {"amount": (Decimal("20"), None)}
+    )
+    assert rep3["files_skipped"] == 0 and _df3.count() == 100
+
+
+def test_file_uri_is_normalized(spark, tmp_path):
+    path = str(tmp_path / "uri")
+    spark.range(10).selectExpr("id", "id % 3 AS k").coalesce(1) \
+        .write.mode("overwrite").parquet(path)
+    write_file_stats("file://" + path, ["k"])
+    df, rep = scan_with_skipping(spark, "file://" + path, {"k": (0, 1)})
+    assert rep["files_total"] == 1
+    assert df.count() == 7

@@ -130,3 +130,29 @@ def test_empty_corpus_fails_loudly(spark):
         train_unigram(docs, "text", vocab_size=10, seed_size=20)
     with pytest.raises(ValueError, match="no words"):
         train_unigram_local(["  ", ""], vocab_size=10, seed_size=20)
+
+
+def test_unicode_whitespace_and_null_text_parity(spark):
+    """Review-caught divergence: Java's \\s is ASCII-only while the
+    Python kernels treat Unicode whitespace — tokenization now runs the
+    same kernel on every path, so a non-breaking-space corpus trains
+    and encodes identically on both engines, and NULL text encodes to
+    an empty sequence (not the literal 'none')."""
+    texts = ["foo bar baz", "foo bar", None, "bar baz foo"]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    kw = dict(vocab_size=30, seed_size=80, max_piece_len=4, iterations=2)
+    vocab = train_unigram(docs, "text", **kw)
+    got = {r.piece: (r.piece_id, r.logprob) for r in vocab.collect()}
+    lp = train_unigram_local(texts, **kw)
+    want = {s: (i, lp[s]) for i, s in enumerate(sorted(lp))}
+    assert got == want
+    assert " " not in "".join(lp)  # NBSP split as whitespace
+
+    enc = unigram_encode(docs, "doc_id", "text", vocab, max_piece_len=4)
+    rows = {r.doc_id: (list(r.piece_ids), r.n_pieces)
+            for r in enc.collect()}
+    assert rows[2] == ([], 0)  # NULL text -> empty, never 'none'
+    for i, t in enumerate(texts):
+        assert rows[i][0] == encode_local(t, lp, max_piece_len=4)

@@ -45,7 +45,12 @@ def main() -> int:
         fh.write(data)
     os.replace(tmp, args.dest)
     # sanity: the loader must still find a healthy number of rules
-    sys.path.insert(0, os.path.dirname(os.path.dirname(DEST)))
+    # (repo root = three levels above the data file's directory:
+    # data/ -> functions/ -> my_feast_spark/ -> <root>)
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(args.dest))
+    )))
+    sys.path.insert(0, repo_root)
     from my_feast_spark.functions.urls import load_public_suffix_list
 
     n = len(load_public_suffix_list(args.dest))
