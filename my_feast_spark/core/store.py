@@ -36,6 +36,39 @@ from my_feast_spark.plans.retrieval import (
 from my_feast_spark.session import apply_runtime_confs
 
 
+def heal_snapshot(path: str) -> None:
+    """Finish a crashed snapshot swap: the swap renames the live dir to
+    ``path__old`` before renaming staging in, so a crash between the
+    two leaves the data at ``__old`` with ``path`` missing — restore
+    it. Every snapshot READER calls this first, so the crash window
+    costs one failed request at most, never a lost store."""
+    old = f"{path}__old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+
+
+def swap_snapshot(tmp: str, path: str) -> None:
+    """Replace the snapshot at ``path`` with the fully-written ``tmp``
+    via two renames (same filesystem — staging dirs are siblings).
+
+    NOT one atomic op (directories cannot be os.replace'd), but every
+    crash window is safe: before the first rename both copies exist;
+    between the renames the data lives at ``path__old`` and
+    `heal_snapshot` restores it; after the second rename only the
+    leftover ``__old`` needs sweeping. The rmtree+move it replaces had
+    a window with NO live copy, and a partially-failed rmtree made
+    shutil.move NEST the staging dir inside the live path."""
+    import shutil
+
+    heal_snapshot(path)
+    old = f"{path}__old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 class FeatureStore:
     def __init__(self, repo_path: str, spark: SparkSession | None = None,
                  project: str | None = None):
@@ -210,8 +243,8 @@ class FeatureStore:
             # survive in untouched buckets, and a changed
             # online_store.buckets would leave old-modulus directories
             # next to a sidecar recording the new count. Write snapshot +
-            # sidecar to a staging dir and atomically swap (the pattern
-            # streaming/online.py's first-batch path uses).
+            # sidecar to a staging dir, then the crash-safe rename swap
+            # (swap_snapshot — every window leaves a recoverable copy).
             import shutil
 
             tmp = f"{path}__staging_materialize"
@@ -226,8 +259,7 @@ class FeatureStore:
             writer.parquet(tmp)
             if buckets:
                 self._write_online_meta(tmp, buckets)
-            shutil.rmtree(path, ignore_errors=True)
-            shutil.move(tmp, path)
+            swap_snapshot(tmp, path)
             self.registry.record_materialization(view_name, start, end)
 
     def get_online_features(
@@ -250,6 +282,7 @@ class FeatureStore:
             for ent in fv.entities:
                 join_keys.extend(self.registry.get_entity(ent).join_keys)
             path = self._online_path(view_name)
+            heal_snapshot(path)  # finish a crashed materialize swap
             if not os.path.exists(path):
                 raise RuntimeError(
                     f"feature view {view_name!r} has no online snapshot — "

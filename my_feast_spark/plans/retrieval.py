@@ -53,10 +53,32 @@ class RetrievalJob:
     ``.to_df()``, ``.query`` — explore_features.ipynb:443, Untitled.ipynb:675-698).
 
     ``.plan`` exposes the physical plan the way ``.query`` exposed the SQL.
+
+    Lifecycle: a MULTI-view retrieval pins the entity dataframe with a
+    localCheckpoint (module docstring) whose blocks outlive any one
+    action — call :meth:`release` (or use the job as a context manager)
+    once the results are consumed, or a long-lived session accumulates
+    one pinned entity copy per job. Single-view jobs pin nothing;
+    release is always a safe no-op.
     """
 
     def __init__(self, df: DataFrame):
         self._df = df
+
+    def release(self) -> None:
+        """Release the checkpoint blocks this job's plan pins
+        (idempotent; no-op for single-view retrievals)."""
+        from my_feast_spark.operators.graph import release_checkpoint
+
+        for c in getattr(self._df, "_owned_checkpoints", ()):
+            release_checkpoint(c)
+        self._df._owned_checkpoints = []
+
+    def __enter__(self) -> "RetrievalJob":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
 
     def to_spark_df(self) -> DataFrame:
         return self._df

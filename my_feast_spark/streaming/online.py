@@ -65,6 +65,9 @@ def materialize_stream(
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         import os
 
+        from my_feast_spark.core.store import heal_snapshot
+
+        heal_snapshot(path)  # finish a crashed swap before reading
         fresh = latest_per_key(
             batch_df.select(*keep), join_keys, [src.timestamp_field],
             tie_breakers=ties,
@@ -138,13 +141,15 @@ def materialize_stream(
             )
         else:
             merged = fresh
-        # write-to-temp then swap: never overwrite the path still being
-        # read by this plan (cache eviction mid-write would corrupt it).
-        # The bucketed layout (and its self-describing sidecar — see
+        # write-to-temp then the crash-safe rename swap (core/store.py::
+        # swap_snapshot — never a window without a recoverable copy, and
+        # never overwrite the path still being read by this plan: cache
+        # eviction mid-write would corrupt it). The bucketed layout (and
+        # its self-describing sidecar — see
         # FeatureStore._read_online_buckets) is preserved across merges:
         # an existing snapshot's bucket count wins, else the configured
         # one applies from the first batch.
-        import shutil
+        from my_feast_spark.core.store import swap_snapshot
 
         buckets = (
             fs._read_online_buckets(path)
@@ -161,8 +166,7 @@ def materialize_stream(
         writer.parquet(tmp)
         if buckets:
             fs._write_online_meta(tmp, buckets)
-        shutil.rmtree(path, ignore_errors=True)
-        shutil.move(tmp, path)
+        swap_snapshot(tmp, path)
 
     writer = (
         stream_df.writeStream.foreachBatch(merge_batch)

@@ -425,3 +425,106 @@ def test_registry_concurrent_writer_conflict(tmp_path):
     a.reload()
     a.apply([Entity(name="e4", value_type="STRING", join_keys=["k4"])])
     a.apply([Entity(name="e5", value_type="STRING", join_keys=["k5"])])
+
+
+def test_snapshot_swap_crash_windows(tmp_path):
+    """swap_snapshot: every crash window leaves a recoverable copy, and
+    heal_snapshot restores the mid-swap state — the rmtree+move it
+    replaced had a window with NO live snapshot."""
+    import os
+
+    from my_feast_spark.core.store import heal_snapshot, swap_snapshot
+
+    def mkdir_with(tag, name):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "data").write_text(tag)
+        return str(d)
+
+    # normal swap: v2 replaces v1, __old swept
+    path = mkdir_with("v1", "snap")
+    tmp = mkdir_with("v2", "snap__staging_1")
+    swap_snapshot(tmp, path)
+    assert (tmp_path / "snap" / "data").read_text() == "v2"
+    assert not os.path.exists(f"{path}__old")
+
+    # crash window: live dir already renamed to __old, staging not yet
+    # in — heal restores the last snapshot
+    os.rename(path, f"{path}__old")
+    heal_snapshot(path)
+    assert (tmp_path / "snap" / "data").read_text() == "v2"
+
+    # and a fresh swap through the healed state still lands v3
+    tmp3 = mkdir_with("v3", "snap__staging_2")
+    os.rename(path, f"{path}__old")  # crashed state again
+    swap_snapshot(tmp3, path)
+    assert (tmp_path / "snap" / "data").read_text() == "v3"
+    assert not os.path.exists(f"{path}__old")
+
+
+def test_online_lookup_heals_crashed_materialize_swap(spark, tmp_path):
+    """get_online_features restores a snapshot stranded at __old by a
+    crashed swap instead of raising 'no online snapshot'."""
+    import os
+
+    gold = str(tmp_path / "gold_heal")
+    spark.createDataFrame([
+        Row(driver_id="d1", event_timestamp=TS(2024, 1, 1, 10),
+            created=TS(2024, 1, 1, 10), avg_fare=10.0)
+    ]).write.parquet(gold)
+    repo = tmp_path / "repo_heal"
+    repo.mkdir()
+    (repo / "feature_store.yaml").write_text("project: p\nprovider: local\n")
+    fs = FeatureStore(str(repo), spark=spark)
+    fs.apply([
+        Entity(name="driver", value_type="STRING", join_keys=["driver_id"]),
+        FeatureView(
+            name="v", entities=["driver"],
+            features=[Feature("avg_fare", "FLOAT")],
+            source=FileSource(path=gold, timestamp_field="event_timestamp",
+                              created_timestamp_column="created"),
+        ),
+    ])
+    fs.materialize(TS(2024, 1, 1), TS(2024, 1, 2), ["v"])
+    snap = fs._online_path("v")
+    os.rename(snap, f"{snap}__old")  # the mid-swap crash state
+    got = fs.get_online_features([{"driver_id": "d1"}], ["v:avg_fare"])
+    assert got["avg_fare"] == [10.0]
+
+
+def test_retrieval_job_releases_pinned_checkpoints(store, spark, tmp_path):
+    """Multi-view retrieval pins the entity base (narrow-probe shape);
+    RetrievalJob.release() / the context-manager form must free the
+    blocks so repeated calls don't accumulate pinned copies."""
+    ratings = spark.createDataFrame([
+        Row(driver_id="d1", event_timestamp=TS(2024, 1, 1, 11), rating=4.5),
+    ])
+    path = str(tmp_path / "ratings_rel")
+    ratings.write.parquet(path)
+    store.apply([
+        FeatureView(
+            name="driver_ratings2", entities=["driver"],
+            features=[Feature("rating", "DOUBLE")],
+            source=FileSource(path=path, timestamp_field="event_timestamp"),
+        ),
+    ])
+    probes = spark.createDataFrame(
+        [Row(driver_id="d1", event_timestamp=TS(2024, 1, 1, 13))]
+    )
+
+    def n_pinned():
+        return len(spark.sparkContext._jsc.getPersistentRDDs())
+
+    base = n_pinned()
+    with store.get_historical_features(
+        probes, ["driver_hourly:avg_fare", "driver_ratings2:rating"]
+    ) as job:
+        rows = job.to_spark_df().collect()
+        assert rows[0].rating == 4.5
+        assert n_pinned() > base  # the narrow base is pinned mid-job
+    assert n_pinned() == base     # ...and released on exit
+    # single-view jobs pin nothing; release is a safe no-op
+    job2 = store.get_historical_features(probes, ["driver_hourly:avg_fare"])
+    job2.to_spark_df().collect()
+    assert n_pinned() == base
+    job2.release()
