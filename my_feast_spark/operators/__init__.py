@@ -26,6 +26,10 @@ from my_feast_spark.operators.graph import (
     connected_components,
     pagerank_fixedpoint,
 )
+from my_feast_spark.operators.unigram import (
+    train_unigram,
+    unigram_encode,
+)
 from my_feast_spark.operators.packing import pack_bfd, packing_stats
 from my_feast_spark.operators.pq import (
     ivfpq_build,
@@ -80,6 +84,8 @@ __all__ = [
     "read_ivfpq_index",
     "remove_repeated_spans",
     "pack_bfd",
+    "train_unigram",
+    "unigram_encode",
     "packing_stats",
     "pagerank_fixedpoint",
     "domain_quota",

@@ -7,6 +7,11 @@ from my_feast_spark.sources.readers import (
     read_parquet,
 )
 from my_feast_spark.sources.maintenance import compact_table
+from my_feast_spark.sources.skipping import (
+    scan_with_skipping,
+    write_file_stats,
+)
+from my_feast_spark.sources.zorder import zorder_table, zvalue
 from my_feast_spark.sources.readers import read_jsonl
 from my_feast_spark.sources.writers import write_jsonl, write_partitioned
 
@@ -21,4 +26,8 @@ __all__ = [
     "read_jsonl",
     "write_jsonl",
     "compact_table",
+    "zorder_table",
+    "zvalue",
+    "write_file_stats",
+    "scan_with_skipping",
 ]
