@@ -44,7 +44,20 @@ def heal_snapshot(path: str) -> None:
     costs one failed request at most, never a lost store."""
     old = f"{path}__old"
     if not os.path.exists(path) and os.path.exists(old):
-        os.rename(old, path)
+        try:
+            os.rename(old, path)
+        except OSError:
+            # exists-then-rename is a TOCTOU: a concurrent healer may
+            # have renamed ``__old`` away first (FileNotFoundError), or
+            # the writer's second swap rename may have landed ``path``
+            # between our check and the rename (ENOTEMPTY/EEXIST on
+            # platforms where rename-onto-nonempty-dir fails). Either
+            # way a live copy now exists at ``path`` — losing the race
+            # IS success — unless neither path survives, which means
+            # the race partner also failed: re-raise so the crash is
+            # loud, never a silently-missing store.
+            if not os.path.exists(path) and not os.path.exists(old):
+                raise
 
 
 def swap_snapshot(tmp: str, path: str) -> None:
@@ -65,7 +78,27 @@ def swap_snapshot(tmp: str, path: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
     if os.path.exists(path):
         os.rename(path, old)
-    os.rename(tmp, path)
+    # a concurrent reader's heal_snapshot can race the gap between the
+    # two renames: it sees path missing + __old present and renames the
+    # old copy BACK to path, making our rename(tmp, path) fail
+    # (ENOTEMPTY). Re-evict and retry — bounded, because each retry
+    # re-moves the healed copy to __old and at most one healer can win
+    # per gap; if path keeps reappearing past the bound something else
+    # is writing it and failing loudly is correct.
+    for attempt in range(5):
+        try:
+            os.rename(tmp, path)
+            break
+        except OSError:
+            if not os.path.exists(path):
+                raise  # not the heal race — genuine rename failure
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(path, old)
+    else:
+        raise OSError(
+            f"snapshot swap at {path!r} kept losing to concurrent "
+            "healers after 5 attempts"
+        )
     shutil.rmtree(old, ignore_errors=True)
 
 

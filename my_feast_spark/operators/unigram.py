@@ -378,8 +378,14 @@ def unigram_encode(
             for doc_id, text in zip(pdf["__id"], pdf["__text"]):
                 enc = []
                 # NULL text encodes to an empty sequence — str(None)
-                # would smuggle the literal token 'none' into the ids
-                for t in _sw(text) if isinstance(text, str) else []:
+                # would smuggle the literal token 'none' into the ids.
+                # Lowercasing happens HERE with Python str.lower, the
+                # same case fold training (_word_counts) and the driver
+                # mirror (encode_local) use — a JVM-side F.lower in the
+                # projection could diverge on exotic case folds when the
+                # JDK and Python track different Unicode versions.
+                toks = _sw(text.lower()) if isinstance(text, str) else []
+                for t in toks:
                     if t:
                         enc.extend(_ids[s] for s in _vit(t, _lp, _mpl))
                 out_id.append(doc_id)
@@ -392,7 +398,7 @@ def unigram_encode(
     id_type = dict(docs.select(id_col).dtypes)[id_col]
     slim = docs.select(
         F.col(id_col).alias("__id"),
-        F.lower(F.col(text_col)).alias("__text"),
+        F.col(text_col).alias("__text"),
     )
     out = slim.mapInPandas(
         encode,

@@ -179,6 +179,20 @@ def scan_with_skipping(
     import datetime as _dt
     import decimal as _dec
 
+    # parquet TIMESTAMP stats come back tz-AWARE (Spark writes
+    # isAdjustedToUTC), while predicate bounds are usually naive
+    # datetimes that Spark interprets in the session timezone — the
+    # same localization must apply here or aware-vs-naive comparison
+    # is undefined. Resolve the session tz once per scan.
+    try:
+        from zoneinfo import ZoneInfo
+
+        _session_tz = ZoneInfo(
+            spark.conf.get("spark.sql.session.timeZone")
+        )
+    except Exception:
+        _session_tz = None  # unresolvable tz → mixed forms keep files
+
     def _align(fmin, fmax, lo, hi):
         """Bring sidecar stats (JSON round-trips non-native types via
         str) and predicate bounds into one comparable domain, or return
@@ -196,13 +210,53 @@ def scan_with_skipping(
             except (TypeError, ValueError):
                 return None
         if isinstance(bound, (_dt.datetime, _dt.date)):
-            # stats round-trip via str(), whose fixed YYYY-MM-DD…
-            # format orders lexicographically = chronologically
-            if not isinstance(fmin, str):
-                fmin, fmax = str(fmin), str(fmax)
-            return fmin, fmax, \
-                str(lo) if lo is not None else None, \
-                str(hi) if hi is not None else None
+            # stats round-trip via str() — a DATE column serializes as
+            # 'YYYY-MM-DD' while a datetime bound str()s to
+            # 'YYYY-MM-DD HH:MM:SS', so raw string comparison would
+            # prune a file whose date max equals the bound's calendar
+            # day ('2024-01-05' < '2024-01-05 00:00:00'). Parse both
+            # sides back to datetime and promote dates to midnight —
+            # the same promotion Spark's row-level date<->timestamp
+            # comparison cast applies — so mixed date/datetime forms
+            # compare in one domain. Anything unparseable (or an
+            # aware-vs-naive mix, which raises on compare) returns
+            # None = conservative keep.
+            def _to_dt(v):
+                if isinstance(v, _dt.datetime):
+                    return v
+                if isinstance(v, _dt.date):
+                    return _dt.datetime(v.year, v.month, v.day)
+                if isinstance(v, str):
+                    return _dt.datetime.fromisoformat(v)
+                raise ValueError(f"not a temporal value: {v!r}")
+            try:
+                fmin_d, fmax_d = _to_dt(fmin), _to_dt(fmax)
+                lo_d = _to_dt(lo) if lo is not None else None
+                hi_d = _to_dt(hi) if hi is not None else None
+                vals = [v for v in (fmin_d, fmax_d, lo_d, hi_d)
+                        if v is not None]
+                if any(v.tzinfo is not None for v in vals) and \
+                        any(v.tzinfo is None for v in vals):
+                    # aware/naive mix: localize naive values to the
+                    # session tz — exactly how Spark interprets naive
+                    # timestamp literals against UTC-stored data
+                    if _session_tz is None:
+                        return None
+                    def _aware(v):
+                        if v is None or v.tzinfo is not None:
+                            return v
+                        return v.replace(tzinfo=_session_tz)
+                    fmin_d, fmax_d = _aware(fmin_d), _aware(fmax_d)
+                    lo_d, hi_d = _aware(lo_d), _aware(hi_d)
+                # force any residual incomparability to raise HERE (not
+                # inside the caller's comparison): probe each bound
+                if lo_d is not None:
+                    _ = fmax_d < lo_d
+                if hi_d is not None:
+                    _ = fmin_d > hi_d
+            except (ValueError, TypeError):
+                return None
+            return fmin_d, fmax_d, lo_d, hi_d
         if isinstance(bound, str) and isinstance(fmin, str):
             return fmin, fmax, lo, hi
         return None  # unknown pairing: conservative keep

@@ -528,3 +528,72 @@ def test_retrieval_job_releases_pinned_checkpoints(store, spark, tmp_path):
     job2.to_spark_df().collect()
     assert n_pinned() == base
     job2.release()
+
+
+def test_heal_snapshot_tolerates_concurrent_healer(tmp_path):
+    """Round-12 review: heal_snapshot's exists-then-rename is a TOCTOU —
+    when a concurrent healer (or the writer's second swap rename) wins
+    the race, the loser's os.rename raises even though a live copy
+    exists. Losing the race must be success; only a genuinely missing
+    snapshot may raise."""
+    import os
+    from unittest import mock
+
+    from my_feast_spark.core.store import heal_snapshot, swap_snapshot
+
+    def mkdir_with(tag, name):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "data").write_text(tag)
+        return str(d)
+
+    # race 1: another healer renames __old -> path between our exists
+    # check and our rename (FileNotFoundError on __old)
+    path = mkdir_with("v1", "snap")
+    os.rename(path, f"{path}__old")
+    real_rename = os.rename
+
+    def racing_rename(src, dst):
+        if src.endswith("__old"):
+            real_rename(src, dst)  # the other healer wins first...
+            real_rename(src, dst)  # ...then our own call raises
+        else:
+            real_rename(src, dst)
+
+    with mock.patch("os.rename", side_effect=racing_rename):
+        heal_snapshot(path)  # must swallow the loss — a live copy exists
+    assert (tmp_path / "snap" / "data").read_text() == "v1"
+
+    # race 2: a reader heals between swap_snapshot's two renames — the
+    # swap must re-evict and still land the new version
+    tmp2 = mkdir_with("v2", "snap__staging_1")
+    healed = {"done": False}
+
+    def heal_mid_swap(src, dst):
+        real_rename(src, dst)
+        if dst.endswith("__old") and not healed["done"]:
+            healed["done"] = True
+            real_rename(dst, path)  # the racing reader's heal
+
+    with mock.patch("os.rename", side_effect=heal_mid_swap):
+        swap_snapshot(tmp2, path)
+    assert (tmp_path / "snap" / "data").read_text() == "v2"
+    assert not os.path.exists(f"{path}__old")
+
+    # genuinely missing snapshot (no path, no __old): heal must raise,
+    # never return with nothing live
+    missing = str(tmp_path / "gone")
+    os.makedirs(f"{missing}__old")
+
+    def vanish(src, dst):
+        import shutil
+        shutil.rmtree(src)
+        raise FileNotFoundError(src)
+
+    with mock.patch("os.rename", side_effect=vanish):
+        try:
+            heal_snapshot(missing)
+            raised = False
+        except FileNotFoundError:
+            raised = True
+    assert raised

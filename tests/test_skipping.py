@@ -282,3 +282,42 @@ def test_file_uri_is_normalized(spark, tmp_path):
     df, rep = scan_with_skipping(spark, "file://" + path, {"k": (0, 1)})
     assert rep["files_total"] == 1
     assert df.count() == 7
+
+
+def test_date_column_vs_datetime_bound_never_mispruned(spark, tmp_path):
+    """The round-12 review regression: a DATE column's sidecar stats
+    str() to 'YYYY-MM-DD' while a datetime predicate bound str()s to
+    'YYYY-MM-DD HH:MM:SS' — raw string comparison prunes a file whose
+    date max equals the bound's calendar day, losing rows the row-level
+    filter keeps (col >= midnight). Alignment must parse both sides and
+    promote dates to midnight datetimes."""
+    import datetime as dt
+
+    path = str(tmp_path / "dates")
+    df = spark.range(30).selectExpr(
+        "id", "date_add(date'2024-01-01', CAST(id AS INT)) AS d"
+    )
+    df.repartitionByRange(3, "d").write.mode("overwrite").parquet(path)
+    write_file_stats(path, ["d"])
+    # bound lands exactly on a file's max date at midnight: the buggy
+    # lexicographic compare saw '2024-01-05' < '2024-01-05 00:00:00'
+    # and pruned the file containing the matching row
+    lo = dt.datetime(2024, 1, 5, 0, 0, 0)
+    got_df, rep = scan_with_skipping(spark, path, {"d": (lo, None)})
+    got = sorted(r.id for r in got_df.collect())
+    want = sorted(
+        r.id for r in
+        spark.read.parquet(path).filter(F.col("d") >= F.lit(lo)).collect()
+    )
+    assert got == want
+    assert 4 in got, "2024-01-05 row must survive a midnight >= bound"
+    # the upper-bound mirror: files past the day must still prune
+    hi = dt.datetime(2024, 1, 3, 12, 0, 0)
+    got_df2, rep2 = scan_with_skipping(spark, path, {"d": (None, hi)})
+    assert rep2["files_skipped"] > 0, rep2
+    got2 = sorted(r.id for r in got_df2.collect())
+    want2 = sorted(
+        r.id for r in
+        spark.read.parquet(path).filter(F.col("d") <= F.lit(hi)).collect()
+    )
+    assert got2 == want2

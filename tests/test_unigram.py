@@ -156,3 +156,30 @@ def test_unicode_whitespace_and_null_text_parity(spark):
     assert rows[2] == ([], 0)  # NULL text -> empty, never 'none'
     for i, t in enumerate(texts):
         assert rows[i][0] == encode_local(t, lp, max_piece_len=4)
+
+
+def test_encode_case_fold_is_python_side(spark):
+    """Round-12 review: encode's projection lowercased with JVM F.lower
+    while training and the mirror use Python str.lower — a JDK-vs-
+    Python Unicode-version skew on exotic case folds would tokenize at
+    encode time differently from training. The fold now runs Python-
+    side in the encode closure on every path. 'İ' (dotted capital I) is
+    the classic divergence probe: Python lowers it to 'i̇' (two code
+    points), and whatever Python produces, train and encode must agree
+    on bit-for-bit."""
+    texts = ["İstanbul istanbul", "ıSPARTA Isparta", "STRASSE straße"]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    kw = dict(vocab_size=40, seed_size=120, max_piece_len=4, iterations=2)
+    vocab = train_unigram(docs, "text", **kw)
+    lp = train_unigram_local(texts, **kw)
+    got = {r.piece: (r.piece_id, r.logprob) for r in vocab.collect()}
+    want = {s: (i, lp[s]) for i, s in enumerate(sorted(lp))}
+    assert got == want
+
+    enc = unigram_encode(docs, "doc_id", "text", vocab, max_piece_len=4)
+    rows = {r.doc_id: list(r.piece_ids) for r in enc.collect()}
+    for i, t in enumerate(texts):
+        assert rows[i] == encode_local(t, lp, max_piece_len=4), t
+        assert rows[i], t  # every doc actually produced pieces
