@@ -157,14 +157,16 @@ PUBLIC_SUFFIXES_PATH = os.path.join(
     os.path.dirname(__file__), "data", "public_suffixes.dat"
 )
 
-#: the DEFAULT ruleset for :func:`registered_domain` — every exact
-#: multi-label rule from the vendored snapshot (~1k entries). Folded
-#: into the expression as an isin literal set; Catalyst converts large
-#: IN lists to InSet (hash lookup), so the per-row cost is O(1)
-#: regardless of ruleset size. Wildcard ``*.`` and exception ``!``
-#: rules are OUT OF SCOPE by design (see load_public_suffix_list) —
-#: they cover a handful of small ccTLDs and would need per-rule
-#: branching, not a literal set. Assigned below, after
+#: the DEFAULT ruleset for :func:`registered_domain` — every multi-
+#: label rule from the vendored snapshot (~1k entries), INCLUDING the
+#: wildcard ``*.`` and exception ``!`` rule classes (new in round 13 —
+#: the PSL carries ~20 of them: ``*.ck``/``!www.ck``-style small
+#: ccTLDs and the Japanese prefecture-city geodomains). Exact rules
+#: fold into the expression as isin literal sets (Catalyst converts
+#: large IN lists to InSet — hash lookup, O(1) per row at any ruleset
+#: size); the wildcard/exception classes each add ONE more isin branch
+#: over the label-suffix concat, so the whole resolver stays a pure
+#: whole-stage-codegen expression. Assigned below, after
 #: load_public_suffix_list is defined.
 
 
@@ -194,6 +196,59 @@ def url_host(url: Column, *, strip_www: bool = True) -> Column:
     return host
 
 
+def partition_suffix_rules(
+    suffixes: tuple[str, ...],
+) -> dict[str, list[str]]:
+    """Split a PSL rule tuple into the classes
+    :func:`registered_domain` branches on:
+
+    * ``exact2``/``exact3`` — plain 2-/3-label suffixes;
+    * ``wild1``/``wild2`` — wildcard bases (``*.ck`` -> base ``ck``
+      with 1 label; ``*.kawasaki.jp`` -> 2-label base);
+    * ``exc2``/``exc3`` — exception bases (``!www.ck`` -> ``www.ck``,
+      2 labels; ``!city.kawasaki.jp`` -> 3 labels).
+
+    Raises on rules outside those shapes (4-label exacts etc.) —
+    silently dropping a rule would misresolve every host under it."""
+    out: dict[str, list[str]] = {
+        "exact2": [], "exact3": [], "wild1": [], "wild2": [],
+        "exc2": [], "exc3": [],
+    }
+    bad = []
+    for s in suffixes:
+        if s.startswith("!"):
+            base = s[1:]
+            d = base.count(".")
+            if d == 1:
+                out["exc2"].append(base)
+            elif d == 2:
+                out["exc3"].append(base)
+            else:
+                bad.append(s)
+        elif s.startswith("*."):
+            base = s[2:]
+            d = base.count(".")
+            if d == 0:
+                out["wild1"].append(base)
+            elif d == 1:
+                out["wild2"].append(base)
+            else:
+                bad.append(s)
+        elif s.count(".") == 1:
+            out["exact2"].append(s)
+        elif s.count(".") == 2:
+            out["exact3"].append(s)
+        else:
+            bad.append(s)
+    if bad:
+        raise ValueError(
+            f"unsupported public-suffix rule shapes: {bad[:3]!r} "
+            "(exact rules must have 2-3 labels, wildcard bases 1-2, "
+            "exception bases 2-3)"
+        )
+    return out
+
+
 def registered_domain(
     host: Column, *, suffixes: tuple[str, ...] | None = None
 ) -> Column:
@@ -202,25 +257,33 @@ def registered_domain(
     (three-) label public suffix (``a.b.co.uk`` -> ``b.co.uk``). Hosts
     with fewer labels pass through unchanged.
 
-    ``suffixes`` overrides the multi-label public-suffix set (default
+    ``suffixes`` overrides the public-suffix ruleset (default
     :data:`PUBLIC_SUFFIXES`, the full vendored ruleset — includes the
     PRIVATE-section hosting suffixes, so ``user.github.io`` keeps all
     three labels; pass :data:`MULTI_LABEL_SUFFIXES` for the historical
-    minimal set, or a :func:`load_public_suffix_list` result). Exact-
-    match entries only — still a pure isin expression (InSet after
-    Catalyst's IN-list conversion, O(1) per row), no lookup join.
-    Wildcard/exception PSL rules are out of scope (loader docstring)."""
+    minimal set, or a :func:`load_public_suffix_list` result). All
+    three PSL rule classes resolve, with the PSL's own precedence —
+    exception rules first, then longest match:
+
+    * exact: ``co.uk`` -> ``a.b.co.uk`` gives ``b.co.uk``;
+    * wildcard: ``*.ck`` makes ANY ``x.ck`` a suffix, so
+      ``a.b.foo.ck`` gives ``b.foo.ck`` (and a host that IS a public
+      suffix, e.g. ``foo.ck`` itself, passes through unchanged — the
+      same behavior exact rules have always had here);
+    * exception: ``!www.ck`` cancels the wildcard, so ``a.www.ck``
+      gives ``www.ck``.
+
+    Still a pure isin expression chain (InSet after Catalyst's IN-list
+    conversion, O(1) per row), no lookup join, no Python UDF."""
     if suffixes is None:
         suffixes = PUBLIC_SUFFIXES
-    two = [sfx for sfx in suffixes if sfx.count(".") == 1]
-    three = [sfx for sfx in suffixes if sfx.count(".") == 2]
-    bad = [sfx for sfx in suffixes if sfx.count(".") not in (1, 2)]
-    if bad:
-        raise ValueError(
-            f"suffixes must have 2 or 3 labels, got {bad[:3]!r}"
-        )
+    rules = partition_suffix_rules(suffixes)
+    two, three = rules["exact2"], rules["exact3"]
+    wild1, wild2 = rules["wild1"], rules["wild2"]
+    exc2, exc3 = rules["exc2"], rules["exc3"]
     labels = F.split(host, "\\.")
     n = F.size(labels)
+    last1 = F.element_at(labels, -1)
     last2 = F.concat_ws(
         ".", F.element_at(labels, -2), F.element_at(labels, -1)
     )
@@ -228,15 +291,34 @@ def registered_domain(
         ".", F.element_at(labels, -3), F.element_at(labels, -2),
         F.element_at(labels, -1),
     )
-    out = F.when(n <= 2, host)
-    if three:
+    need4 = bool(three or wild2)
+    if need4:
         last4 = F.concat_ws(
             ".", F.element_at(labels, -4), F.element_at(labels, -3),
             F.element_at(labels, -2), F.element_at(labels, -1),
         )
+    out = F.when(n <= 2, host)
+    # exception rules win over everything (PSL §Algorithm step 2):
+    # the suffix is the exception base minus its leftmost label, so
+    # the registered domain IS the base
+    if exc3:
+        out = out.when(last3.isin(*exc3), last3)
+    if exc2:
+        out = out.when(last2.isin(*exc2), last2)
+    # then longest match: a 2-label wildcard base makes a 3-label
+    # suffix — same length as exact 3-label rules (disjoint sets)
+    if wild2:
+        out = out.when(last2.isin(*wild2) & (n >= 4), last4).when(
+            last2.isin(*wild2), host
+        )
+    if three:
         out = out.when(last3.isin(*three) & (n >= 4), last4).when(
             last3.isin(*three), host
         )
+    # 1-label wildcard base -> 2-label suffix (n >= 3 holds past the
+    # first branch, and the suffix-only host passed through there)
+    if wild1:
+        out = out.when(last1.isin(*wild1), last3)
     if two:
         out = out.when(last2.isin(*two) & (n >= 3), last3)
     return out.otherwise(last2)
@@ -245,19 +327,28 @@ def registered_domain(
 def load_public_suffix_list(path: str) -> tuple[str, ...]:
     """Parse a Public Suffix List file (publicsuffix.org format) into a
     ``suffixes=`` tuple for :func:`registered_domain`: comment (``//``)
-    and blank lines skipped, only multi-label EXACT rules kept (single-
-    label rules are the default behavior already; wildcard ``*.`` and
-    exception ``!`` rules need per-rule logic that an isin literal set
-    cannot express and are skipped — they cover a handful of ccTLDs).
-    Driver-side file read: the list is a few hundred KB, loaded once per
-    job and folded into the expression as literals."""
+    and blank lines skipped; multi-label EXACT rules, wildcard rules
+    with 1-2-label bases (``*.ck``, ``*.kawasaki.jp``) and exception
+    rules with 2-3-label bases (``!www.ck``, ``!city.kawasaki.jp``)
+    all kept — that is every rule shape the current upstream list
+    contains beyond the single-label defaults. Single-label rules
+    (``com``) are skipped: last-two-labels is the resolver's default
+    behavior already. Driver-side file read: the list is a few hundred
+    KB, loaded once per job and folded into the expression as
+    literals."""
     out = []
     with open(path, encoding="utf-8") as fh:
         for line in fh:
             line = line.strip()
             if not line or line.startswith("//"):
                 continue
-            if line.startswith(("*", "!")):
+            if line.startswith("!"):
+                if line.count(".") in (1, 2):
+                    out.append(line.lower())
+                continue
+            if line.startswith("*."):
+                if line[2:].count(".") in (0, 1):
+                    out.append(line.lower())
                 continue
             if line.count(".") in (1, 2):
                 out.append(line.lower())

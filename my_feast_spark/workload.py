@@ -5079,18 +5079,21 @@ def q_url_domain_curation(spark, sf_dir):
     URL (functions/urls.py — lowercase scheme/host, strip one www.,
     drop default ports / tracking params / fragments, sort surviving
     params, normalize the path), extract host + registered domain
-    (eTLD+1 against the full vendored public-suffix ruleset — the
-    round-12 default, ~1k exact rules incl. the PRIVATE hosting
-    suffixes), drop blocklisted domains (broadcast anti-join), and cap
+    (eTLD+1 against the full vendored public-suffix ruleset — ~1k
+    exact rules incl. the PRIVATE hosting suffixes, PLUS the wildcard
+    ``*.ck`` and exception ``!www.ck`` rule classes, new in round 13),
+    drop blocklisted domains (broadcast anti-join), and cap
     each domain's contribution at 15 docs
     (operators/urls.py::domain_quota — salted two-phase top-n, no
     per-domain window sort). The documents table carries no URL column,
     so the query derives a deterministic synthetic URL per doc from
     (source, doc_id) with BOTH engines building the identical string —
     mixed-case scheme/host, optional www., an ICANN multi-label suffix
-    (co.uk) AND a private-section one (github.io), default and
-    non-default ports, trailing slashes, tracking params, and fragments
-    all exercised. Map-only until the quota's two hash aggregates;
+    (co.uk), a private-section one (github.io), a WILDCARD-ruled one
+    (zone.ck -> ``*.ck`` keeps three labels) and an EXCEPTION-ruled one
+    (www.ck -> ``!www.ck`` collapses every host under it to one domain,
+    which the quota then caps), default and non-default ports, trailing
+    slashes, tracking params, and fragments all exercised. Map-only until the quota's two hash aggregates;
     everything is pure expressions (RE2-safe regexes; the suffix isin
     lowers to InSet — O(1) per row at any ruleset size)."""
     from my_feast_spark.functions.urls import (
@@ -5112,7 +5115,8 @@ def q_url_domain_curation(spark, sf_dir):
         _part(2, "HTTPS", default="http"), F.lit("://"),
         _part(4, "WWW."),
         F.col("source"), F.lit("-Example"),
-        _part(3, ".CO.UK", ".GitHub.IO", default=".com"),
+        _part(6, ".CO.UK", ".GitHub.IO", ".Zone.CK", ".Www.CK",
+              default=".com"),
         _part(5, ":443", ":8080"),
         F.lit("/Docs/"), (d % 7).cast("string"),
         _part(7, "/"),
@@ -5143,24 +5147,32 @@ def _sql_url_domain_curation() -> str:
     """Oracle generator for q_url_domain_curation: injects the SAME
     vendored public-suffix ruleset registered_domain defaults to
     (functions/urls.py::PUBLIC_SUFFIXES) as DuckDB list literals and
-    replays the same precedence — 3-label rule first (keep 4 labels),
-    then 2-label rule (keep 3), else last two labels."""
-    from my_feast_spark.functions.urls import PUBLIC_SUFFIXES
+    replays the same precedence — exceptions first, then wildcard
+    2-label bases, exact 3-label rules, wildcard 1-label bases, exact
+    2-label rules, else last two labels."""
+    from my_feast_spark.functions.urls import (
+        PUBLIC_SUFFIXES,
+        partition_suffix_rules,
+    )
 
-    two = ", ".join(
-        f"'{s}'" for s in PUBLIC_SUFFIXES if s.count(".") == 1
-    )
-    three = ", ".join(
-        f"'{s}'" for s in PUBLIC_SUFFIXES if s.count(".") == 2
-    )
+    rules = partition_suffix_rules(PUBLIC_SUFFIXES)
+
+    def _lits(key):
+        return ", ".join(f"'{s}'" for s in rules[key]) or "''"
+
+    two, three = _lits("exact2"), _lits("exact3")
+    wild1, wild2 = _lits("wild1"), _lits("wild2")
+    exc2, exc3 = _lits("exc2"), _lits("exc3")
     return r"""
 WITH raw AS (
   SELECT doc_id,
     (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://'
     || (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END)
     || source || '-Example'
-    || (CASE WHEN doc_id % 3 = 0 THEN '.CO.UK'
-             WHEN doc_id % 3 = 1 THEN '.GitHub.IO' ELSE '.com' END)
+    || (CASE WHEN doc_id % 6 = 0 THEN '.CO.UK'
+             WHEN doc_id % 6 = 1 THEN '.GitHub.IO'
+             WHEN doc_id % 6 = 2 THEN '.Zone.CK'
+             WHEN doc_id % 6 = 3 THEN '.Www.CK' ELSE '.com' END)
     || (CASE WHEN doc_id % 5 = 0 THEN ':443'
              WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END)
     || '/Docs/' || CAST(doc_id % 7 AS VARCHAR)
@@ -5205,6 +5217,18 @@ WITH raw AS (
     || path
     || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS url_canon,
     CASE WHEN n <= 2 THEN host
+         -- exception rules win over everything (PSL precedence)
+         WHEN list_contains([__EXC3__],
+                            ls[-3] || '.' || ls[-2] || '.' || ls[-1])
+         THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+         WHEN list_contains([__EXC2__], ls[-2] || '.' || ls[-1])
+         THEN ls[-2] || '.' || ls[-1]
+         -- wildcard 2-label base -> 3-label suffix
+         WHEN list_contains([__WILD2__], ls[-2] || '.' || ls[-1])
+              AND n >= 4
+         THEN ls[-4] || '.' || ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+         WHEN list_contains([__WILD2__], ls[-2] || '.' || ls[-1])
+         THEN host
          WHEN list_contains([__THREE__],
                             ls[-3] || '.' || ls[-2] || '.' || ls[-1])
               AND n >= 4
@@ -5212,6 +5236,9 @@ WITH raw AS (
          WHEN list_contains([__THREE__],
                             ls[-3] || '.' || ls[-2] || '.' || ls[-1])
          THEN host
+         -- wildcard 1-label base -> 2-label suffix (n >= 3 here)
+         WHEN list_contains([__WILD1__], ls[-1])
+         THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
          WHEN list_contains([__TWO__], ls[-2] || '.' || ls[-1])
          THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
          ELSE ls[-2] || '.' || ls[-1] END AS reg_domain
@@ -5229,7 +5256,9 @@ WITH raw AS (
   FROM passed
 )
 SELECT doc_id, url_canon, host, reg_domain FROM ranked WHERE rn <= 15
-""".replace("__TWO__", two).replace("__THREE__", three)
+""".replace("__TWO__", two).replace("__THREE__", three) \
+   .replace("__WILD1__", wild1).replace("__WILD2__", wild2) \
+   .replace("__EXC2__", exc2).replace("__EXC3__", exc3)
 
 
 SQL_URL_DOMAIN_CURATION = _LazySQL(_sql_url_domain_curation)

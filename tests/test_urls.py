@@ -253,15 +253,65 @@ def test_registered_domain_expanded_and_psl_loader(spark, tmp_path):
         "com\n"            # single-label: skipped (default behavior)
         "co.uk\n"
         "pref.aichi.jp\n"
-        "*.ck\n"           # wildcard: skipped
-        "!www.ck\n"        # exception: skipped
+        "*.ck\n"               # wildcard: kept (round 13)
+        "!www.ck\n"            # exception: kept (round 13)
+        "*.a.b.c\n"            # 3-label wildcard base: skipped
+        "!x.a.b.c\n"           # 4-label exception: skipped
         "\n"
         "COM.SG\n"
     )
     loaded = load_public_suffix_list(str(psl))
-    assert loaded == ("co.uk", "pref.aichi.jp", "com.sg")
+    assert loaded == ("co.uk", "pref.aichi.jp", "*.ck", "!www.ck",
+                      "com.sg")
 
     import pytest
 
-    with pytest.raises(ValueError, match="2 or 3 labels"):
+    with pytest.raises(ValueError, match="rule shapes"):
         registered_domain(F.col("host"), suffixes=("a.b.c.d",))
+
+
+def test_registered_domain_wildcard_and_exception_rules(spark):
+    """Round-13: the PSL's wildcard and exception rule classes resolve
+    with PSL precedence — ``*.ck`` makes any ``x.ck`` a suffix (so a
+    4-label host keeps 3 labels), ``!www.ck`` cancels it (everything
+    under www.ck collapses to www.ck), ``*.kawasaki.jp`` exercises the
+    2-label wildcard base with its ``!city.kawasaki.jp`` exception, and
+    exact rules still win where they apply."""
+    from pyspark.sql import Row
+
+    from my_feast_spark.functions.urls import registered_domain
+    import pyspark.sql.functions as F
+
+    rows = [
+        Row(host="a.b.zone.ck"),          # *.ck: suffix zone.ck -> b.zone.ck
+        Row(host="b.zone.ck"),            # registered domain itself
+        Row(host="zone.ck"),              # IS a public suffix: pass-through
+        Row(host="a.www.ck"),             # !www.ck: -> www.ck
+        Row(host="www.ck"),               # n<=2 pass-through
+        Row(host="shop.example.kawasaki.jp"),   # *.kawasaki.jp -> 4? no:
+        Row(host="x.shop.example.kawasaki.jp"),
+        Row(host="a.city.kawasaki.jp"),   # !city.kawasaki.jp -> city....
+        Row(host="a.b.co.uk"),            # exact rules unaffected
+        Row(host="plain.com"),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r.host: r.d
+        for r in df.select(
+            "host", registered_domain(F.col("host")).alias("d")
+        ).collect()
+    }
+    assert got == {
+        "a.b.zone.ck": "b.zone.ck",
+        "b.zone.ck": "b.zone.ck",
+        "zone.ck": "zone.ck",
+        "a.www.ck": "www.ck",
+        "www.ck": "www.ck",
+        # *.kawasaki.jp: suffix = example.kawasaki.jp (3 labels), so a
+        # 4-label host IS the registered domain and 5 labels keep 4
+        "shop.example.kawasaki.jp": "shop.example.kawasaki.jp",
+        "x.shop.example.kawasaki.jp": "shop.example.kawasaki.jp",
+        "a.city.kawasaki.jp": "city.kawasaki.jp",
+        "a.b.co.uk": "b.co.uk",
+        "plain.com": "plain.com",
+    }
