@@ -292,7 +292,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         spark, f"{emit_dir}/natural", ["doc_id", "n_tokens"],
         out_path=f"{emit_dir}/z", num_files=8,
     )
-    write_file_stats(z_path, ["doc_id", "n_tokens"])
+    write_file_stats(z_path, ["doc_id", "n_tokens"], spark=spark)
     pruned, skip_report = scan_with_skipping(
         spark, z_path, {"doc_id": (0, 100)}
     )

@@ -33,10 +33,17 @@ Honest semantics, documented not hidden:
 * stats cover orderable primitive columns (numeric / string /
   date / timestamp); other types are simply not skippable.
 
-Scale shape: stats collection is one driver-side pyarrow footer sweep
-(footers only, no data pages — the cost the sidecar amortizes away for
-every future query); the sidecar is file-count-sized JSON, read once
-per planned query.
+Scale shape: the file LISTING is one recursive filesystem listing
+(unavoidable without a transaction log); the footer sweep — the
+expensive part, one open + footer parse per file — runs as a
+DISTRIBUTED Spark job when a session is passed (one task per slice of
+the file list, footers only, no data pages), or as a driver-side loop
+for small tables / sessionless callers. All IO routes through
+``pyarrow.fs`` (resolved per-URI), so ``file://``-less local paths,
+``file://`` URIs and remote schemes pyarrow supports (s3/gcs/hdfs)
+all work; unknown schemes fail loudly at resolution, never by seeing
+an empty tree. The sidecar is file-count-sized JSON, read once per
+planned query.
 """
 
 from __future__ import annotations
@@ -51,90 +58,194 @@ from pyspark.sql import functions as F
 STATS_SIDECAR = "_mfs_file_stats.json"
 
 
-def _require_local(path: str) -> str:
-    """The footer sweep and sidecar IO are driver-side LOCAL filesystem
-    calls (os.walk / open). On a remote URI they would see an empty
-    tree and silently produce an empty sidecar — the exact
-    under-reading this module must never do. Fail loudly instead; on a
-    real lake, per-file stats belong in the table format's transaction
-    log (Delta/Iceberg — the documented carried gap). ``file://`` URIs
-    are accepted and NORMALIZED to a plain path (os.walk/open cannot
-    consume the URI form)."""
-    if path.startswith("file://"):
-        return path[len("file://"):] or "/"
+def _fs_and_path(path: str):
+    """Resolve a table location to ``(pyarrow FileSystem, fs path,
+    spark-readable base)``. Plain paths map to the local filesystem
+    (absolutized — pyarrow's LocalFileSystem rejects relative forms);
+    URIs resolve via ``pyarrow.fs.FileSystem.from_uri``, which raises
+    loudly on schemes it cannot back (never an empty listing — the
+    silent under-read this module must not do)."""
+    from pyarrow import fs as pafs
+
     if "://" in path:
-        raise ValueError(
-            f"file-stats skipping requires a local table path, got "
-            f"{path!r}; use a Delta/Iceberg table log for remote stats"
-        )
-    return path
+        scheme = path.split("://", 1)[0].lower()
+        # explicit allowlist, not try/except: pyarrow's azure
+        # filesystem ABORTS the process (not raises) on an
+        # unconfigured abfss URI, so unknown/unvetted schemes must be
+        # rejected before from_uri ever sees them
+        if scheme not in ("file", "s3", "gs", "gcs", "hdfs", "viewfs"):
+            raise ValueError(
+                f"file-stats skipping cannot resolve {path!r}: "
+                f"scheme {scheme!r} is not supported (file/s3/gcs/hdfs)"
+            )
+        try:
+            fs, p = pafs.FileSystem.from_uri(path)
+        except Exception as exc:
+            raise ValueError(
+                f"file-stats skipping cannot resolve {path!r}: {exc}"
+            ) from exc
+        spark_base = path if not path.startswith("file://") else p
+        return fs, p, spark_base
+    p = os.path.abspath(path)
+    return pafs.LocalFileSystem(), p, p
 
 
-def _data_files(path: str) -> list[str]:
+def _data_files(fs, root: str) -> list[str]:
+    """Recursive listing of the table's parquet data files as
+    '/'-separated paths relative to ``root``; hidden/underscore files
+    and directories are pruned at every level (the same convention
+    Spark's scans use)."""
+    from pyarrow import fs as pafs
+
+    infos = fs.get_file_info(pafs.FileSelector(root, recursive=True))
     out = []
-    for root, dirs, files in os.walk(path):
-        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
-        for f in files:
-            if f.endswith(".parquet") and not f.startswith((".", "_")):
-                out.append(os.path.relpath(os.path.join(root, f), path))
+    prefix = root.rstrip("/") + "/"
+    for info in infos:
+        if info.type != pafs.FileType.File:
+            continue
+        rel = info.path[len(prefix):] if info.path.startswith(prefix) \
+            else info.path
+        segs = rel.split("/")
+        if any(s.startswith((".", "_")) for s in segs):
+            continue
+        if segs[-1].endswith(".parquet"):
+            out.append(rel)
     return sorted(out)
 
 
-def write_file_stats(path: str, columns: Sequence[str]) -> dict:
-    """Sweep the table's parquet FOOTERS (no data pages) and write the
-    per-file min/max sidecar. Returns the stats mapping."""
-    import pyarrow.parquet as pq
+def _make_footer_reader(columns: Sequence[str], base_uri: str):
+    """Closure factory (self-contained — safe to pickle into Python
+    workers without the package on PYTHONPATH): returns
+    ``read_footer(rel) -> per_col stats dict`` that opens ONE file's
+    footer on whatever filesystem ``base_uri`` resolves to."""
+    cols = list(columns)
 
-    path = _require_local(path)
-    stats: dict[str, dict] = {}
-    for rel in _data_files(path):
-        md = pq.ParquetFile(os.path.join(path, rel)).metadata
-        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-        # hive partition columns live in the directory names, not the
-        # file schema — their "stats" are exact point values, so a
-        # partition-column range predicate file-skips too
-        hive = {}
-        for seg in rel.split(os.sep)[:-1]:
-            if "=" in seg:
-                k, _, v = seg.partition("=")
-                try:
-                    v = int(v)
-                except ValueError:
+    def read_footer(rel):
+        import os as _os
+
+        import pyarrow.parquet as _pq
+        from pyarrow import fs as _pafs
+
+        if "://" in base_uri:
+            fs, base = _pafs.FileSystem.from_uri(base_uri)
+        else:
+            fs, base = _pafs.LocalFileSystem(), _os.path.abspath(base_uri)
+        full = base.rstrip("/") + "/" + rel
+        with fs.open_input_file(full) as fh:
+            md = _pq.ParquetFile(fh).metadata
+            idx = {md.schema.column(i).name: i
+                   for i in range(md.num_columns)}
+            # hive partition columns live in the directory names, not
+            # the file schema — their "stats" are exact point values,
+            # so a partition-column range predicate file-skips too
+            hive = {}
+            for seg in rel.split("/")[:-1]:
+                if "=" in seg:
+                    k, _, v = seg.partition("=")
                     try:
-                        v = float(v)
+                        v = int(v)
                     except ValueError:
-                        pass
-                hive[k] = {"min": v, "max": v, "nulls": 0}
-        per_col = dict(hive) if hive else {}
-        for c in columns:
-            if c not in idx:
-                continue  # hive (handled above) or absent: skip
-            lo = hi = None
-            nulls = 0
-            ok = True
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx[c]).statistics
-                try:
-                    if st is None or not st.has_min_max:
+                        try:
+                            v = float(v)
+                        except ValueError:
+                            pass
+                    hive[k] = {"min": v, "max": v, "nulls": 0}
+            per_col = dict(hive) if hive else {}
+            for c in cols:
+                if c not in idx:
+                    continue  # hive (handled above) or absent: skip
+                lo = hi = None
+                nulls = 0
+                ok = True
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx[c]).statistics
+                    try:
+                        if st is None or not st.has_min_max:
+                            ok = False
+                            break
+                        nulls += st.null_count or 0
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+                    except Exception:
+                        # pyarrow cannot extract stats for every
+                        # physical type (e.g. decimals on some builds)
+                        # — no stats means conservative keep, never a
+                        # guess
                         ok = False
                         break
-                    nulls += st.null_count or 0
-                    lo = st.min if lo is None else min(lo, st.min)
-                    hi = st.max if hi is None else max(hi, st.max)
-                except Exception:
-                    # pyarrow cannot extract stats for every physical
-                    # type (e.g. decimals on some builds) — no stats
-                    # means conservative keep, never a guess
-                    ok = False
-                    break
-            if ok and lo is not None:
-                per_col[c] = {"min": lo, "max": hi, "nulls": nulls}
-        stats[rel] = per_col
-    tmp = os.path.join(path, f".{STATS_SIDECAR}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump({"columns": list(columns), "files": stats}, fh,
-                  default=str)
-    os.replace(tmp, os.path.join(path, STATS_SIDECAR))
+                if ok and lo is not None:
+                    per_col[c] = {"min": lo, "max": hi, "nulls": nulls}
+            return per_col
+
+    return read_footer
+
+
+def write_file_stats(
+    path: str,
+    columns: Sequence[str],
+    spark: SparkSession | None = None,
+) -> dict:
+    """Sweep the table's parquet FOOTERS (no data pages) and write the
+    per-file min/max sidecar. Returns the stats mapping.
+
+    With ``spark`` the sweep DISTRIBUTES: the file list becomes a
+    DataFrame, one Arrow-batched task per slice opens its files'
+    footers in parallel (the 1e6-file case a single-threaded driver
+    loop cannot serve), and only footer-sized stats rows come back to
+    the driver — which then writes the identical sidecar bytes the
+    serial path writes. Without ``spark`` the sweep loops on the
+    driver (fine for small tables and sessionless callers)."""
+    fs, root, _ = _fs_and_path(path)
+    rels = _data_files(fs, root)
+    # hand the closure the RESOLVED root (absolute local path or the
+    # original URI): Python workers run with a different cwd, so a
+    # relative path must never reach them
+    read_footer = _make_footer_reader(
+        columns, path if "://" in path else root
+    )
+    if spark is not None and rels:
+        n_slices = min(len(rels), spark.sparkContext.defaultParallelism)
+        files_df = spark.createDataFrame(
+            [(r,) for r in rels], schema="rel string"
+        ).repartition(n_slices)
+
+        def sweep(batches, _read=read_footer):
+            import json as _json
+
+            import pandas as _pd
+
+            for pdf in batches:
+                out_rel, out_js = [], []
+                for rel in pdf["rel"]:
+                    out_rel.append(rel)
+                    # stats values are mixed-typed (int/float/str/
+                    # date...) — one JSON string per file keeps Arrow
+                    # out of the typing and the driver re-loads into
+                    # the exact dict the serial path builds (str() for
+                    # non-JSON types, same as the sidecar dump)
+                    out_js.append(_json.dumps(_read(rel), default=str))
+                yield _pd.DataFrame({"rel": out_rel, "js": out_js})
+
+        collected = files_df.mapInPandas(
+            sweep, schema="rel string, js string"
+        ).collect()
+        stats = {r["rel"]: json.loads(r["js"]) for r in collected}
+        stats = {rel: stats[rel] for rel in rels}
+    else:
+        stats = {rel: read_footer(rel) for rel in rels}
+        # normalize through the same JSON round-trip the distributed
+        # path pays, so both paths write byte-identical sidecars
+        stats = json.loads(json.dumps(stats, default=str))
+    payload = json.dumps({"columns": list(columns), "files": stats},
+                         default=str)
+    tmp = root.rstrip("/") + f"/.{STATS_SIDECAR}.tmp"
+    final = root.rstrip("/") + f"/{STATS_SIDECAR}"
+    with fs.open_output_stream(tmp) as out:
+        out.write(payload.encode("utf-8"))
+    # atomic rename on real filesystems; copy+delete on object stores
+    # (acceptable: the sidecar is advisory and readers fail loudly on
+    # a missing/stale one, never read a torn JSON silently)
+    fs.move(tmp, final)
     return stats
 
 
@@ -153,16 +264,18 @@ def scan_with_skipping(
     a skipping scan that silently fell back to reading everything
     would hide exactly the regression this module exists to prevent.
     """
-    path = _require_local(path)
-    sidecar = os.path.join(path, STATS_SIDECAR)
-    if not os.path.exists(sidecar):
+    from pyarrow import fs as pafs
+
+    fs, root, spark_base = _fs_and_path(path)
+    sidecar = root.rstrip("/") + f"/{STATS_SIDECAR}"
+    if fs.get_file_info(sidecar).type == pafs.FileType.NotFound:
         raise RuntimeError(
             f"no {STATS_SIDECAR} at {path!r} — run write_file_stats first"
         )
-    with open(sidecar) as fh:
-        meta = json.load(fh)
+    with fs.open_input_file(sidecar) as fh:
+        meta = json.loads(fh.read().decode("utf-8"))
     stats: dict[str, dict] = meta["files"]
-    on_disk = _data_files(path)
+    on_disk = _data_files(fs, root)
     if not on_disk:
         raise RuntimeError(
             f"table at {path!r} holds no parquet data files — nothing "
@@ -286,14 +399,13 @@ def scan_with_skipping(
     # basePath keeps hive partition-column inference alive when reading
     # an explicit file list — without it a partitioned table's partition
     # columns would silently vanish from the pruned scan's schema
-    reader = spark.read.option("basePath", path)
+    base = spark_base.rstrip("/")
+    reader = spark.read.option("basePath", base)
     if keep:
-        df = reader.parquet(*[os.path.join(path, r) for r in keep])
+        df = reader.parquet(*[f"{base}/{r}" for r in keep])
     else:
         # empty but schema-correct: read one file's schema, filter-false
-        df = reader.parquet(
-            os.path.join(path, on_disk[0])
-        ).filter(F.lit(False))
+        df = reader.parquet(f"{base}/{on_disk[0]}").filter(F.lit(False))
     for c, (lo, hi) in predicates.items():
         if lo is not None:
             df = df.filter(F.col(c) >= F.lit(lo))

@@ -329,7 +329,7 @@ def main() -> None:
             spark, nat, ["a", "b"], out_path=os.path.join(zroot, "z"),
             num_files=64,
         )
-        write_file_stats(zo, ["a", "b"])
+        write_file_stats(zo, ["a", "b"], spark=spark)
 
         def _full():
             return (

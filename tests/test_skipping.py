@@ -202,14 +202,60 @@ def test_zorder_three_columns(spark, tmp_path):
     assert got == want
 
 
-def test_remote_paths_fail_loudly(spark):
-    """Driver-side footer sweeps see an empty tree on remote URIs — the
-    module must refuse, never emit an empty sidecar (silent full
-    under-read)."""
-    with pytest.raises(ValueError, match="local table path"):
+def test_unresolvable_schemes_fail_loudly(spark):
+    """IO routes through pyarrow.fs now (remote URIs are supported when
+    pyarrow can back the scheme) — but a scheme pyarrow CANNOT resolve
+    must still refuse loudly, never see an empty tree and emit an empty
+    sidecar (silent full under-read)."""
+    with pytest.raises(ValueError, match="cannot resolve"):
         write_file_stats("s3a://bucket/table", ["a"])
-    with pytest.raises(ValueError, match="local table path"):
+    with pytest.raises(ValueError, match="cannot resolve"):
         scan_with_skipping(spark, "abfss://c@a.dfs/table", {"a": (0, 1)})
+
+
+def test_distributed_sweep_matches_serial_bytes(spark, tmp_path):
+    """The footer sweep distributes when a session is passed (verdict
+    round-12 #4): the Spark-job path must write the BYTE-identical
+    sidecar the serial driver loop writes — same stats, same JSON — on
+    a many-file hive-partitioned table, and a file:// URI (the remote-
+    URI code path on the local scheme) must behave the same."""
+    import datetime as dt
+
+    path = str(tmp_path / "many")
+    df = spark.range(50_000).selectExpr(
+        "id",
+        "CAST(id % 997 AS BIGINT) AS k",
+        "CAST(id % 5 AS INT) AS part",
+        "date_add(date'2024-03-01', CAST(id % 60 AS INT)) AS d",
+    )
+    df.repartition(8).write.mode("overwrite").partitionBy("part").parquet(
+        path
+    )
+
+    serial = write_file_stats(path, ["k", "d"])
+    with open(os.path.join(path, STATS_SIDECAR), "rb") as fh:
+        serial_bytes = fh.read()
+    distributed = write_file_stats(path, ["k", "d"], spark=spark)
+    with open(os.path.join(path, STATS_SIDECAR), "rb") as fh:
+        dist_bytes = fh.read()
+    assert distributed == serial
+    assert dist_bytes == serial_bytes
+    assert len(serial) == 40  # 5 partitions x 8 files, all covered
+
+    # the sidecar works end-to-end through a file:// URI
+    uri = "file://" + path
+    got_df, rep = scan_with_skipping(
+        spark, uri, {"d": (dt.datetime(2024, 3, 10), None), "part": (2, 3)}
+    )
+    assert rep["files_total"] == 40
+    assert rep["files_read"] == 16  # part prune: 2 of 5 partitions
+    got = sorted(r.id for r in got_df.collect())
+    want = sorted(
+        r.id for r in spark.read.parquet(path)
+        .filter((F.col("d") >= "2024-03-10") & F.col("part").isin(2, 3))
+        .collect()
+    )
+    assert got == want
 
 
 def test_partition_column_predicates_file_skip(spark, tmp_path):
