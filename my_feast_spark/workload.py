@@ -6459,6 +6459,233 @@ FROM d CROSS JOIN n
 """
 
 
+def q_zorder_scan(spark, sf_dir):
+    """Z-order layout rewrite + file-level stats skipping adjudicated
+    end-to-end (sources/zorder.py::zorder_table +
+    sources/skipping.py::write_file_stats/scan_with_skipping — the two
+    plain-parquet layout levers that replicate Delta's OPTIMIZE
+    ZORDER + data-skipping log): orders gets two uniform portable-hash
+    keys (the oracle replays them via md5_number_lower), is written
+    naturally-ordered, rewritten z-clustered on (k1, k2) into 16
+    files, footer-swept into the stats sidecar (the DISTRIBUTED sweep
+    path — spark passed), then scanned with a selective 2-D range
+    predicate. The query RAISES unless the report proves real pruning
+    (0 < files_read < files_total, skipped+read == total) and stamps
+    the prune facts on every row — the oracle asserts them as TRUE
+    literals and recomputes the content aggregates from the source
+    table, so the green row pins layout losslessness, sidecar
+    correctness, AND that the scan never opened most of the table.
+    Scale shape: the rewrite is one range-partition shuffle; the sweep
+    is one footer-read task per file slice; the scan schedules only
+    surviving files — the lever that turns a 100 TB selective query
+    into a file-count-proportional one."""
+    from my_feast_spark.operators.dedup import _MASK63, portable_hash64
+    from my_feast_spark.sources.skipping import (
+        scan_with_skipping,
+        write_file_stats,
+    )
+    from my_feast_spark.sources.zorder import zorder_table
+
+    def _key(salt):
+        return F.pmod(
+            portable_hash64(
+                F.concat(F.col("o_orderkey").cast("string"), F.lit(salt))
+            ).bitwiseAND(F.lit(_MASK63)),
+            F.lit(1000),
+        )
+
+    src = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        _key(":zk1").alias("k1"),
+        _key(":zk2").alias("k2"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    root = _scratch_dir("mfs_zorder_scan_")
+    nat = f"{root}/natural"
+    src.repartition(8).write.mode("overwrite").parquet(nat)
+    z = zorder_table(
+        spark, nat, ["k1", "k2"], out_path=f"{root}/z", num_files=16
+    )
+    write_file_stats(z, ["k1", "k2"], spark=spark)
+    pruned_df, rep = scan_with_skipping(
+        spark, z, {"k1": (100, 299), "k2": (400, 699)}
+    )
+    if not (
+        rep["files_read"] + rep["files_skipped"] == rep["files_total"]
+        and 0 < rep["files_read"] < rep["files_total"]
+    ):
+        raise RuntimeError(f"z-order scan failed to prune: {rep}")
+    return (
+        pruned_df.groupBy(F.floor(F.col("k1") / 50).alias("k1_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("sum_key"),
+            F.sum("price").cast("double").alias("sum_price"),
+        )
+        .withColumn(
+            "files_pruned",
+            F.lit(bool(rep["files_read"] < rep["files_total"])),
+        )
+        .withColumn(
+            "files_covered",
+            F.lit(bool(
+                rep["files_read"] + rep["files_skipped"]
+                == rep["files_total"]
+            )),
+        )
+    )
+
+
+SQL_ZORDER_SCAN = """
+WITH src AS (
+  SELECT o_orderkey,
+         CAST((md5_number_lower(CAST(o_orderkey AS VARCHAR) || ':zk1')
+               & 9223372036854775807) % 1000 AS BIGINT) AS k1,
+         CAST((md5_number_lower(CAST(o_orderkey AS VARCHAR) || ':zk2')
+               & 9223372036854775807) % 1000 AS BIGINT) AS k2,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+)
+SELECT CAST(k1 // 50 AS BIGINT) AS k1_band,
+       COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(SUM(price) AS DOUBLE) AS sum_price,
+       TRUE AS files_pruned,
+       TRUE AS files_covered
+FROM src
+WHERE k1 BETWEEN 100 AND 299 AND k2 BETWEEN 400 AND 699
+GROUP BY 1
+"""
+
+
+def q_materialize_stream(spark, sf_dir):
+    """Streaming online-store materialization adjudicated end-to-end
+    (streaming/online.py::materialize_stream — the foreachBatch merge
+    that keeps get_online_features fresh at micro-batch latency,
+    closing the reference's batch-materialize staleness gap,
+    chicago_taxi_trips_hourly_gold.ipynb:473-479): a batch materialize
+    establishes the BUCKETED snapshot layout (8 __pbucket partitions +
+    self-describing sidecar) from the first third of the bounded
+    events window, then two streaming rounds merge the remaining
+    micro-batches — the first round REPLAYS the already-materialized
+    batch too (fresh checkpoint), pinning merge idempotency, and the
+    event_id%3 split interleaves times so merges see rows OLDER than
+    already-materialized state, which must never regress
+    latest-per-entity. The query raises unless the bucketed layout
+    (sidecar + partition dirs) survives every merge; the contract is
+    equality with the one-shot batch latest-per-key over the whole
+    window — exactly the oracle. Scale shape: per micro-batch the
+    merge touches only the buckets the batch's entities hash into
+    (dynamic partition overwrite), so per-batch cost is O(entities in
+    touched buckets), never O(|store|)."""
+    from my_feast_spark.core import (
+        Entity,
+        Feature,
+        FeatureStore,
+        FeatureView,
+        FileSource,
+    )
+    from my_feast_spark.streaming.online import materialize_stream
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts") < F.lit("2024-01-08"))
+        .select(
+            "user_id", "ts", "event_id", "event_type",
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+    base = _scratch_dir("mfs_mat_stream_")
+    in_dir = os.path.join(base, "incoming")
+    ckpt = os.path.join(base, "ckpt")
+    repo = os.path.join(base, "repo")
+    os.makedirs(repo)
+    with open(os.path.join(repo, "feature_store.yaml"), "w") as fh:
+        fh.write(
+            "project: mat_stream\nonline_store:\n  type: parquet\n"
+            "  buckets: 8\n"
+        )
+    fs = FeatureStore(repo, spark=spark)
+    fs.apply([
+        Entity(name="user", value_type="INT64", join_keys=["user_id"]),
+        FeatureView(
+            name="user_latest",
+            entities=["user"],
+            features=[
+                Feature("event_type", "STRING"),
+                Feature("value", "DOUBLE"),
+            ],
+            source=FileSource(
+                path=in_dir,
+                timestamp_field="ts",
+                created_timestamp_column="event_id",
+            ),
+        ),
+    ])
+    ev = ev.localCheckpoint()  # one scan feeds all three batch writes
+    try:
+        ev.filter(F.col("event_id") % 3 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        fs.materialize(
+            dt.datetime(2024, 1, 1), dt.datetime(2024, 12, 31),
+            ["user_latest"],
+        )
+        sch = (
+            "user_id long, ts timestamp, event_id long, "
+            "event_type string, value double"
+        )
+        for b in (1, 2):
+            ev.filter(F.col("event_id") % 3 == b).coalesce(1).write.mode(
+                "append"
+            ).parquet(in_dir)
+            q = materialize_stream(
+                fs, "user_latest",
+                spark.readStream.schema(sch).parquet(in_dir),
+                checkpoint=ckpt, available_now=True,
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+    finally:
+        from my_feast_spark.operators.graph import release_checkpoint
+
+        release_checkpoint(ev)
+    path = fs._online_path("user_latest")
+    buckets = FeatureStore._read_online_buckets(path)
+    bucket_dirs = sorted(
+        d for d in os.listdir(path) if d.startswith("__pbucket=")
+    )
+    if buckets != 8 or not 0 < len(bucket_dirs) <= 8:
+        raise RuntimeError(
+            f"streaming merge lost the bucketed layout: sidecar says "
+            f"{buckets} buckets, dirs={bucket_dirs}"
+        )
+    return (
+        spark.read.parquet(path)
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp_ntz").alias("feature_ts"),
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.lit(int(buckets)).cast("long").alias("layout_buckets"),
+        )
+    )
+
+
+SQL_MATERIALIZE_STREAM = """
+WITH r AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS feature_ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+  WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-08'
+)
+SELECT user_id, feature_ts, event_type, round(value, 2) AS value,
+       CAST(8 AS BIGINT) AS layout_buckets
+FROM r WHERE rn = 1
+"""
+
+
 def q_scd2_stream_maintain(spark, sf_dir):
     """Streaming SCD2 maintenance adjudicated end-to-end
     (streaming/scd2.py::scd2_maintain_stream): the events table arrives
@@ -6823,93 +7050,32 @@ QUERIES: dict[str, tuple] = {
     "hourly_user_agg": (q_hourly_user_agg, SQL_HOURLY_USER_AGG),
     "hourly_global_agg": (q_hourly_global_agg, SQL_HOURLY_GLOBAL_AGG),
     "event_types_salted": (q_event_types_salted, SQL_EVENT_TYPES_SALTED),
-    # --- NEW in round 12 ---------------------------------------------------
-    # compact_table_replay adjudicates the batch small-file compaction
-    # crash protocol end-to-end (both marker states planted + healed);
-    # scd2_stream_maintain adjudicates streaming SCD2 maintenance against
-    # the batch-rebuild oracle; audio_vad completes the multimodal tier's
-    # driver coverage (windowed-RMS run-length segmentation, literal
-    # oracle) — the three round-11 verdict asks (#2, #3, #8).
-    "compact_table_replay": (q_compact_table_replay, SQL_COMPACT_TABLE_REPLAY),
-    "scd2_stream_maintain": (q_scd2_stream_maintain, SQL_SCD2_STREAM_MAINTAIN),
-    "audio_vad": (q_audio_vad, SQL_AUDIO_VAD),
-    # --- rotated IN for round 12 (adjudicated round 10, sat out round 11;
-    # the rotation round 11 promised at its tail block). Includes the ONE
-    # query whose BEHAVIOR changes this round — url_domain_curation
-    # consumes registered_domain, which now defaults to the full
-    # checked-in public-suffix ruleset (the deferred round-12 batch).
-    "dsir_resample": (q_dsir_resample, SQL_DSIR_RESAMPLE),
-    "url_domain_curation": (q_url_domain_curation, SQL_URL_DOMAIN_CURATION),
-    "domain_pagerank": (q_domain_pagerank, SQL_DOMAIN_PAGERANK),
-    "gopher_quality_filter": (
-        q_gopher_quality_filter, SQL_GOPHER_QUALITY_FILTER,
-    ),
-    "score_weighted_sample": (
-        q_score_weighted_sample, SQL_SCORE_WEIGHTED_SAMPLE,
-    ),
-    "lm_perplexity_kn": (q_lm_perplexity_kn, SQL_LM_PERPLEXITY_KN),
-    # NEW in round 12, slot funded by the lm_perplexity retirement:
-    # promotes the scd2_lookup operator (property-tested ≡ as-of join
-    # since round 9) to a full driver oracle row
-    "scd2_lookup": (q_scd2_lookup, SQL_SCD2_LOOKUP),
-    "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
-    "ivfpq_topk": (q_ivfpq_topk, SQL_IVFPQ_TOPK),
-    "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
-    "image_dedup": (q_image_dedup, SQL_IMAGE_DEDUP),
-    "streaming_neardup_ingest": (
-        q_streaming_neardup_ingest, SQL_STREAMING_NEARDUP_INGEST,
-    ),
-    # NEW in round 12, slot funded by the curation_pipeline retirement:
-    # unigram-LM tokenizer train+encode (the BPE sibling)
+    # --- NEW in round 13 ---------------------------------------------------
+    # zorder_scan adjudicates the z-order rewrite + file-stats skipping
+    # pair end-to-end (write -> zorder_table -> DISTRIBUTED footer sweep
+    # -> pruned scan; raises unless files_read < files_total, prune facts
+    # stamped in-row); materialize_stream adjudicates the streaming
+    # online-store merge against the batch latest-per-key oracle on a
+    # bucketed layout — the round-12 verdict asks #2 and #3.
+    "zorder_scan": (q_zorder_scan, SQL_ZORDER_SCAN),
+    "materialize_stream": (q_materialize_stream, SQL_MATERIALIZE_STREAM),
+    # --- behavior-changed in round 13, so they STAY in-window: the
+    # unigram encode case fold moved Python-side (ADVICE r12), and
+    # registered_domain now resolves PSL wildcard/exception rules
+    # (url_domain_curation exercises both new rule classes).
     "unigram_tokenize": (q_unigram_tokenize, SQL_UNIGRAM_TOKENIZE),
-    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
-    "packed_sequences": (q_packed_sequences, SQL_PACKED_SEQUENCES),
-    "mixture_temperature": (q_mixture_temperature, SQL_MIXTURE_TEMPERATURE),
-    "token_rarity": (q_token_rarity, SQL_TOKEN_RARITY),
-    "boilerplate_ngrams": (q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS),
-    "global_shuffle": (q_global_shuffle, SQL_GLOBAL_SHUFFLE),
-    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
-    "column_profile": (q_column_profile, SQL_COLUMN_PROFILE),
-    "cluster_keep_longest": (q_cluster_keep_longest, SQL_CLUSTER_KEEP_LONGEST),
-    "stratum_ksample": (q_stratum_ksample, SQL_STRATUM_KSAMPLE),
-    "profile_drift": (q_profile_drift, SQL_PROFILE_DRIFT),
-    "token_pmi": (q_token_pmi, SQL_TOKEN_PMI),
-    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
-    "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
-    "online_snapshot": (q_online_snapshot, SQL_ONLINE_SNAPSHOT),
-    "contamination_report": (q_contamination_report, SQL_CONTAMINATION_REPORT),
-    "avro_scan": (q_avro_scan, SQL_AVRO_SCAN),
-    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
-    "stream_capture_files": (q_stream_capture_files, SQL_STREAM_CAPTURE_FILES),
-    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
-    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
-    "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
-    "top_terms_tfidf": (q_top_terms_tfidf, SQL_TOP_TERMS_TFIDF),
-    "user_cohort_sets": (q_user_cohort_sets, SQL_USER_COHORT_SETS),
-    "moving_avg_revenue": (q_moving_avg_revenue, SQL_MOVING_AVG_REVENUE),
-    "event_type_pivot": (q_event_type_pivot, SQL_EVENT_TYPE_PIVOT),
-    "post_signup_activity": (q_post_signup_activity, SQL_POST_SIGNUP_ACTIVITY),
-    "lineitem_unpivot": (q_lineitem_unpivot, SQL_LINEITEM_UNPIVOT),
-    "customer_balance_deciles": (
-        q_customer_balance_deciles, SQL_CUSTOMER_BALANCE_DECILES,
-    ),
-    # --- rotation tail for round 12 (all green in round 11; unchanged;
-    # still value-checked every run by tests/test_oracle_parity.py;
-    # back in-window round 13). Round-13 NEW-slot candidates, funded by
-    # retirements the usual way: a materialize_stream driver row (the
-    # streaming online-store merge, streaming/online.py — the one
-    # remaining pytest-only state-maintenance path) and a zorder_scan
-    # row (sources/zorder.py + skipping, currently footer-test-pinned).
+    "url_domain_curation": (q_url_domain_curation, SQL_URL_DOMAIN_CURATION),
+    # --- rotated IN for round 13 (the r12 tail, back in-window as the
+    # r12 block promised; all green in r11 or earlier and value-checked
+    # every pytest run by tests/test_oracle_parity.py). Window overlap
+    # with round 12: the 5 tier-1 + the 2 behavior-changed = 7 <= 10.
     "compaction_replay": (q_compaction_replay, SQL_COMPACTION_REPLAY),
     "jsonl_scan": (q_jsonl_scan, SQL_JSONL_SCAN),
     "pack_bfd": (q_pack_bfd, SQL_PACK_BFD),
-    "jaccard_dup_pairs": (q_jaccard_dup_pairs, SQL_JACCARD_DUP_PAIRS),
     "minhash_dup_pairs": (q_minhash_dup_pairs, SQL_MINHASH_DUP_PAIRS),
     "curation_pipeline_full": (
         q_curation_pipeline_full, SQL_CURATION_PIPELINE_FULL,
     ),
-    "audio_dedup": (q_audio_dedup, SQL_AUDIO_DEDUP),
-    "video_dedup": (q_video_dedup, SQL_VIDEO_DEDUP),
     "chunk_dedup": (q_chunk_dedup, SQL_CHUNK_DEDUP),
     "cdc_chunk_dedup": (q_cdc_chunk_dedup, SQL_CDC_CHUNK_DEDUP),
     "streaming_embedding_ingest": (
@@ -6921,7 +7087,6 @@ QUERIES: dict[str, tuple] = {
     "vocab_encode_join": (q_vocab_encode_join, SQL_VOCAB_ENCODE_JOIN),
     "span_removal": (q_span_removal, SQL_SPAN_REMOVAL),
     "nb_quality_score": (q_nb_quality_score, SQL_NB_QUALITY_SCORE),
-    "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "feature_store_retrieval": (
         q_feature_store_retrieval, SQL_FEATURE_STORE_RETRIEVAL,
@@ -6957,7 +7122,69 @@ QUERIES: dict[str, tuple] = {
     "order_priority_count": (q_order_priority_count, SQL_ORDER_PRIORITY_COUNT),
     "top_spenders": (q_top_spenders, SQL_TOP_SPENDERS),
     "user_value_deltas": (q_user_value_deltas, SQL_USER_VALUE_DELTAS),
+    # --- rotation tail for round 13 (adjudicated round 12 — every one a
+    # green row in CORRECTNESS_r12 — or deferred one round with an
+    # in-window superset sibling: jaccard_dup_pairs ⊂ minhash_dup_pairs,
+    # audio/video_dedup next to the r12-green image_dedup/audio_vad,
+    # semdedup next to in-window embedding_near_dupes_lsh + ivf_topk.
+    # Back in-window round 14.
+    "jaccard_dup_pairs": (q_jaccard_dup_pairs, SQL_JACCARD_DUP_PAIRS),
+    "audio_dedup": (q_audio_dedup, SQL_AUDIO_DEDUP),
+    "video_dedup": (q_video_dedup, SQL_VIDEO_DEDUP),
+    "semdedup": (q_semdedup, SQL_SEMDEDUP),
+    "compact_table_replay": (q_compact_table_replay, SQL_COMPACT_TABLE_REPLAY),
+    "scd2_stream_maintain": (q_scd2_stream_maintain, SQL_SCD2_STREAM_MAINTAIN),
+    "audio_vad": (q_audio_vad, SQL_AUDIO_VAD),
+    "dsir_resample": (q_dsir_resample, SQL_DSIR_RESAMPLE),
+    "domain_pagerank": (q_domain_pagerank, SQL_DOMAIN_PAGERANK),
+    "gopher_quality_filter": (
+        q_gopher_quality_filter, SQL_GOPHER_QUALITY_FILTER,
+    ),
+    "score_weighted_sample": (
+        q_score_weighted_sample, SQL_SCORE_WEIGHTED_SAMPLE,
+    ),
+    "lm_perplexity_kn": (q_lm_perplexity_kn, SQL_LM_PERPLEXITY_KN),
+    "scd2_lookup": (q_scd2_lookup, SQL_SCD2_LOOKUP),
+    "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
+    "ivfpq_topk": (q_ivfpq_topk, SQL_IVFPQ_TOPK),
+    "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
+    "image_dedup": (q_image_dedup, SQL_IMAGE_DEDUP),
+    "streaming_neardup_ingest": (
+        q_streaming_neardup_ingest, SQL_STREAMING_NEARDUP_INGEST,
+    ),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "packed_sequences": (q_packed_sequences, SQL_PACKED_SEQUENCES),
+    "mixture_temperature": (q_mixture_temperature, SQL_MIXTURE_TEMPERATURE),
+    "token_rarity": (q_token_rarity, SQL_TOKEN_RARITY),
+    "boilerplate_ngrams": (q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS),
+    "global_shuffle": (q_global_shuffle, SQL_GLOBAL_SHUFFLE),
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+    "column_profile": (q_column_profile, SQL_COLUMN_PROFILE),
+    "cluster_keep_longest": (q_cluster_keep_longest, SQL_CLUSTER_KEEP_LONGEST),
+    "stratum_ksample": (q_stratum_ksample, SQL_STRATUM_KSAMPLE),
+    "profile_drift": (q_profile_drift, SQL_PROFILE_DRIFT),
+    "token_pmi": (q_token_pmi, SQL_TOKEN_PMI),
+    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
+    "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
+    "online_snapshot": (q_online_snapshot, SQL_ONLINE_SNAPSHOT),
+    "contamination_report": (q_contamination_report, SQL_CONTAMINATION_REPORT),
+    "avro_scan": (q_avro_scan, SQL_AVRO_SCAN),
+    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
+    "stream_capture_files": (q_stream_capture_files, SQL_STREAM_CAPTURE_FILES),
+    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+    "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
+    "top_terms_tfidf": (q_top_terms_tfidf, SQL_TOP_TERMS_TFIDF),
+    "user_cohort_sets": (q_user_cohort_sets, SQL_USER_COHORT_SETS),
+    "moving_avg_revenue": (q_moving_avg_revenue, SQL_MOVING_AVG_REVENUE),
+    "event_type_pivot": (q_event_type_pivot, SQL_EVENT_TYPE_PIVOT),
+    "post_signup_activity": (q_post_signup_activity, SQL_POST_SIGNUP_ACTIVITY),
+    "lineitem_unpivot": (q_lineitem_unpivot, SQL_LINEITEM_UNPIVOT),
+    "customer_balance_deciles": (
+        q_customer_balance_deciles, SQL_CUSTOMER_BALANCE_DECILES,
+    ),
 }
+
 #: Retired from the driver registry (budget: ~100 adjudicated queries).
 #: Each is a near-duplicate of in-registry coverage — their SURVEY §2 /
 #: extension-tier operators stay oracle-checked elsewhere:

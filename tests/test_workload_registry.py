@@ -11,69 +11,32 @@ from __future__ import annotations
 
 from my_feast_spark import workload
 
-# Round-12 rotation (executes the rotation round 11 promised): the r11
-# tail (last adjudicated round 10) is back IN the window in full, next
-# to the flagship five and the three round-12 NEW queries; the queries
-# adjudicated green in round 11 sit in the tail this round and return
-# in round 13.
+# Round-13 rotation (executes the rotation round 12 promised): the r12
+# tail (last adjudicated round 11) is back IN the window in full except
+# four one-round deferrals with in-window superset siblings; the
+# queries adjudicated green in round 12 sit in the tail this round and
+# return in round 14. Window overlap with the r12 window is the 5
+# tier-1 flagships + the 2 behavior-changed queries = 7 (<= 10).
 ROTATION_TAIL = {
-    # adjudicated green in round 11; unchanged in round 12
-    "compaction_replay",
-    "jsonl_scan",
-    "pack_bfd",
+    # deferred ONE round (were already tail in r12; each has an
+    # in-window superset sibling: jaccard ⊂ minhash_dup_pairs,
+    # audio/video_dedup next to r12-green image_dedup/audio_vad,
+    # semdedup next to embedding_near_dupes_lsh + ivf_topk);
+    # MUST be in-window round 14
     "jaccard_dup_pairs",
-    "minhash_dup_pairs",
-    "curation_pipeline_full",
     "audio_dedup",
     "video_dedup",
-    "chunk_dedup",
-    "cdc_chunk_dedup",
-    "streaming_embedding_ingest",
-    "lsh_recall",
-    "scd2_user_state",
-    "bpe_merge_replay",
-    "vocab_encode_join",
-    "span_removal",
-    "nb_quality_score",
     "semdedup",
-    "pricing_summary",
-    "feature_store_retrieval",
-    "streaming_sessionize",
-    "streaming_hourly_agg",
-    "repetition_filter",
-    "corpus_vocab",
-    "online_lookup",
-    "streaming_dedup",
-    "lang_id",
-    "pii_redaction",
-    "train_val_split",
-    "ivf_topk",
-    "embedding_near_dupes_lsh",
-    "simhash_dup_pairs",
-    "revenue_rollup",
-    "dedup_entity_rows",
-    "latest_event_per_user",
-    "priority_collapse_types",
-    "part_brand_stats",
-    "idle_customers_anti",
-    "case_decode_coalesce",
-    "map_pivot_props",
-    "datetime_functions",
-    "regional_revenue",
-    "order_priority_count",
-    "top_spenders",
-    "user_value_deltas",
-}
-
-#: last adjudicated in round 10 — round 12 MUST give them fresh rows
-#: (the rotation invariant: nothing sits out two consecutive rounds)
-ROTATED_IN = {
+    # adjudicated green in round 12 (CORRECTNESS_r12); unchanged
+    "compact_table_replay",
+    "scd2_stream_maintain",
+    "audio_vad",
     "dsir_resample",
-    "url_domain_curation",
     "domain_pagerank",
     "gopher_quality_filter",
     "score_weighted_sample",
     "lm_perplexity_kn",
+    "scd2_lookup",
     "ccnet_buckets",
     "ivfpq_topk",
     "normalize_text",
@@ -110,31 +73,67 @@ ROTATED_IN = {
     "customer_balance_deciles",
 }
 
-#: new in round 12, or BEHAVIOR changed in round 12 — must be in-window
+#: last adjudicated in round 11 — round 13 MUST give them fresh rows
+#: (the rotation invariant: nothing sits out two consecutive rounds)
+ROTATED_IN = {
+    "compaction_replay",
+    "jsonl_scan",
+    "pack_bfd",
+    "minhash_dup_pairs",
+    "curation_pipeline_full",
+    "chunk_dedup",
+    "cdc_chunk_dedup",
+    "streaming_embedding_ingest",
+    "lsh_recall",
+    "scd2_user_state",
+    "bpe_merge_replay",
+    "vocab_encode_join",
+    "span_removal",
+    "nb_quality_score",
+    "pricing_summary",
+    "feature_store_retrieval",
+    "streaming_sessionize",
+    "streaming_hourly_agg",
+    "repetition_filter",
+    "corpus_vocab",
+    "online_lookup",
+    "streaming_dedup",
+    "lang_id",
+    "pii_redaction",
+    "train_val_split",
+    "ivf_topk",
+    "embedding_near_dupes_lsh",
+    "simhash_dup_pairs",
+    "revenue_rollup",
+    "dedup_entity_rows",
+    "latest_event_per_user",
+    "priority_collapse_types",
+    "part_brand_stats",
+    "idle_customers_anti",
+    "case_decode_coalesce",
+    "map_pivot_props",
+    "datetime_functions",
+    "regional_revenue",
+    "order_priority_count",
+    "top_spenders",
+    "user_value_deltas",
+}
+
+#: new in round 13, or BEHAVIOR changed in round 13 — must be in-window
 #: so the change gets an adjudication row
 CHANGED_OR_NEW_THIS_ROUND = {
-    # new: batch small-file compaction crash protocol, both marker
-    # states planted + healed end-to-end (r11 verdict ask #2)
-    "compact_table_replay",
-    # new: streaming SCD2 maintenance vs the batch-rebuild oracle,
-    # late-split included (r11 verdict ask #3)
-    "scd2_stream_maintain",
-    # new: VAD segmentation with a literal oracle, completing the
-    # multimodal tier's driver coverage (r11 verdict ask #8)
-    "audio_vad",
-    # new: unigram-LM tokenizer train+encode (quantized-EM, mirror
-    # oracle), slot funded by the curation_pipeline retirement
+    # new: z-order rewrite + distributed file-stats sweep + pruned scan
+    # end-to-end, prune facts stamped in-row (r12 verdict ask #2)
+    "zorder_scan",
+    # new: streaming online-store merge vs the batch latest-per-key
+    # oracle on a bucketed layout, replay-idempotency included
+    # (r12 verdict ask #3)
+    "materialize_stream",
+    # changed: unigram encode now case-folds Python-side in the worker
+    # closure (ADVICE r12), matching training and the mirror
     "unigram_tokenize",
-    # new: SCD2 point lookup (equi join + range conjunct against the
-    # materialized interval table), slot funded by the lm_perplexity
-    # retirement
-    "scd2_lookup",
-    # changed: registered_domain now defaults to the full checked-in
-    # public-suffix ruleset and the synthetic URLs exercise a
-    # private-section suffix (github.io) — its one consumer
-    # re-adjudicates (also in ROTATED_IN; domain_pagerank, despite the
-    # name, derives pseudo-domain edges from doc_id and never calls
-    # registered_domain)
+    # changed: registered_domain resolves PSL wildcard (*.ck) and
+    # exception (!www.ck) rules; the synthetic URLs exercise both
     "url_domain_curation",
 }
 
