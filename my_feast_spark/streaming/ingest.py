@@ -966,9 +966,15 @@ def compact_index(
         F.col("batch_id").isin(sources)
     ).drop("batch_id").dropDuplicates()
     out = os.path.join(index_dir, f"batch_id={target}")
-    if "pbucket" in merged.columns:
-        merged.repartition("pbucket").write.mode("overwrite").partitionBy(
-            "pbucket"
+    # preserve whichever bucket partitioning the dataset carries so
+    # partition pruning keeps working after compaction: "pbucket" for
+    # the ingest indexes, "__kb" for the streaming-SCD2 event log
+    part_col = next(
+        (c for c in ("pbucket", "__kb") if c in merged.columns), None
+    )
+    if part_col:
+        merged.repartition(part_col).write.mode("overwrite").partitionBy(
+            part_col
         ).parquet(out)
     else:
         merged.coalesce(1).write.mode("overwrite").parquet(out)

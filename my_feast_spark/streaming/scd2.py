@@ -12,10 +12,16 @@ split an existing interval and shift every later boundary for its key
 unit of work is "rebuild the touched buckets from the log". Per batch
 that costs (touched buckets / total buckets) of the log scan, pruned by
 partition, not the whole corpus; `n_buckets` trades recompute
-granularity against small-file count. The log grows monotonically —
-compact it offline (rewrite each bucket's batches into one file) on
-whatever cadence suits the retention policy; the maintenance loop is
-oblivious to compaction because it reads the directory, not batch ids.
+granularity against small-file count. The log appends one
+``batch_id=N`` directory per micro-batch; pass ``compact_every=k`` to
+fold history into one generation every k-th batch in-stream (the same
+``compact_index`` maintenance the dedup ingests run — generation and
+file counts stay FLAT over stream lifetime), or run
+``compact_index(spark, events_path)`` from an offline schedule; the
+maintenance loop is oblivious to compaction because it reads the
+directory, not batch ids, and the recompute is invariant under the
+compactor's exact-duplicate-row collapse (identical events produce
+identical intervals).
 
 Crash safety mirrors ``dedup_ingest_stream``: the event-log append
 writes to an idempotent ``batch_id=N`` subdirectory (a replay rewrites
@@ -50,6 +56,7 @@ def scd2_maintain_stream(
     n_buckets: int = 16,
     available_now: bool = False,
     trigger_interval: str | None = None,
+    compact_every: int | None = None,
 ):
     """Continuously maintain ``intervals_path`` from an event stream.
 
@@ -58,6 +65,13 @@ def scd2_maintain_stream(
     partitioned by ``__kb`` (xxhash64 of the keys mod ``n_buckets``);
     read it with `read_scd2_table`. Requires the session's dynamic
     partition-overwrite mode (set by this engine's `get_session`).
+
+    ``compact_every=k`` runs ``compact_index`` on the event log every
+    k-th batch from the foreachBatch thread (never racing a live
+    batch), folding all PRIOR generations into one — the current
+    batch's directory is left alone so a crash-replay still rewrites
+    it idempotently. Without it the log gains one directory per
+    micro-batch forever (module docstring).
     """
     spark = sdf.sparkSession
     kb = F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).alias(BUCKET_COL)
@@ -83,6 +97,14 @@ def scd2_maintain_stream(
         ivals.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
             intervals_path
         )
+        # in-stream log maintenance: consolidate every generation BEFORE
+        # this batch (never the batch itself — its directory must stay
+        # separately replayable); same cadence contract as the dedup
+        # ingests' compact_every
+        if compact_every and batch_id % compact_every == compact_every - 1:
+            from my_feast_spark.streaming.ingest import compact_index
+
+            compact_index(spark, events_path, exclude_from=batch_id)
 
     writer = (
         sdf.writeStream.foreachBatch(maintain)
