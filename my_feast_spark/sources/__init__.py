@@ -9,6 +9,7 @@ from my_feast_spark.sources.readers import (
 from my_feast_spark.sources.maintenance import compact_table
 from my_feast_spark.sources.skipping import (
     scan_with_skipping,
+    update_file_stats,
     write_file_stats,
 )
 from my_feast_spark.sources.zorder import zorder_table, zvalue
@@ -29,5 +30,6 @@ __all__ = [
     "zorder_table",
     "zvalue",
     "write_file_stats",
+    "update_file_stats",
     "scan_with_skipping",
 ]

@@ -180,23 +180,17 @@ def _make_footer_reader(columns: Sequence[str], base_uri: str):
     return read_footer
 
 
-def write_file_stats(
+def _sweep_footers(
     path: str,
+    root: str,
     columns: Sequence[str],
-    spark: SparkSession | None = None,
+    rels: list[str],
+    spark: SparkSession | None,
 ) -> dict:
-    """Sweep the table's parquet FOOTERS (no data pages) and write the
-    per-file min/max sidecar. Returns the stats mapping.
-
-    With ``spark`` the sweep DISTRIBUTES: the file list becomes a
-    DataFrame, one Arrow-batched task per slice opens its files'
-    footers in parallel (the 1e6-file case a single-threaded driver
-    loop cannot serve), and only footer-sized stats rows come back to
-    the driver — which then writes the identical sidecar bytes the
-    serial path writes. Without ``spark`` the sweep loops on the
-    driver (fine for small tables and sessionless callers)."""
-    fs, root, _ = _fs_and_path(path)
-    rels = _data_files(fs, root)
+    """Footer-sweep ``rels`` (relative paths under ``root``) into a
+    {rel: per_col_stats} mapping — distributed when a session is
+    passed, driver-side loop otherwise. Both paths JSON-normalize the
+    values so the sidecar bytes never depend on which path ran."""
     # hand the closure the RESOLVED root (absolute local path or the
     # original URI): Python workers run with a different cwd, so a
     # relative path must never reach them
@@ -230,12 +224,14 @@ def write_file_stats(
             sweep, schema="rel string, js string"
         ).collect()
         stats = {r["rel"]: json.loads(r["js"]) for r in collected}
-        stats = {rel: stats[rel] for rel in rels}
-    else:
-        stats = {rel: read_footer(rel) for rel in rels}
-        # normalize through the same JSON round-trip the distributed
-        # path pays, so both paths write byte-identical sidecars
-        stats = json.loads(json.dumps(stats, default=str))
+        return {rel: stats[rel] for rel in rels}
+    stats = {rel: read_footer(rel) for rel in rels}
+    # normalize through the same JSON round-trip the distributed
+    # path pays, so both paths write byte-identical sidecars
+    return json.loads(json.dumps(stats, default=str))
+
+
+def _write_sidecar(fs, root: str, columns: Sequence[str], stats: dict):
     payload = json.dumps({"columns": list(columns), "files": stats},
                          default=str)
     tmp = root.rstrip("/") + f"/.{STATS_SIDECAR}.tmp"
@@ -246,7 +242,76 @@ def write_file_stats(
     # (acceptable: the sidecar is advisory and readers fail loudly on
     # a missing/stale one, never read a torn JSON silently)
     fs.move(tmp, final)
+
+
+def write_file_stats(
+    path: str,
+    columns: Sequence[str],
+    spark: SparkSession | None = None,
+) -> dict:
+    """Sweep the table's parquet FOOTERS (no data pages) and write the
+    per-file min/max sidecar. Returns the stats mapping.
+
+    With ``spark`` the sweep DISTRIBUTES: the file list becomes a
+    DataFrame, one Arrow-batched task per slice opens its files'
+    footers in parallel (the 1e6-file case a single-threaded driver
+    loop cannot serve), and only footer-sized stats rows come back to
+    the driver — which then writes the identical sidecar bytes the
+    serial path writes. Without ``spark`` the sweep loops on the
+    driver (fine for small tables and sessionless callers).
+
+    After APPENDS or partial rewrites, prefer :func:`update_file_stats`
+    — it sweeps only the files the sidecar does not already cover."""
+    fs, root, _ = _fs_and_path(path)
+    rels = _data_files(fs, root)
+    stats = _sweep_footers(path, root, columns, rels, spark)
+    _write_sidecar(fs, root, columns, stats)
     return stats
+
+
+def update_file_stats(
+    path: str,
+    spark: SparkSession | None = None,
+) -> dict:
+    """Incrementally refresh an EXISTING stats sidecar: sweep only the
+    data files the sidecar does not cover (appends, compaction output)
+    and drop entries for files no longer on disk (compaction input,
+    deletes). At a 1e6-file table an append of 100 files costs 100
+    footer reads, not a full re-sweep — the refresh that makes
+    ``scan_with_skipping``'s loud staleness check cheap to satisfy on
+    an append-mode table.
+
+    Columns come from the sidecar (the stats set must stay uniform
+    across files — mixed column sets would make pruning quality depend
+    on which sweep covered a file). Raises when no sidecar exists: an
+    "incremental" first sweep would hide a missing
+    :func:`write_file_stats` in an orchestration. Returns a report
+    ``{"files_total", "swept", "removed", "kept"}``."""
+    from pyarrow import fs as pafs
+
+    fs, root, _ = _fs_and_path(path)
+    sidecar = root.rstrip("/") + f"/{STATS_SIDECAR}"
+    if fs.get_file_info(sidecar).type == pafs.FileType.NotFound:
+        raise RuntimeError(
+            f"no {STATS_SIDECAR} at {path!r} — run write_file_stats "
+            "first; update_file_stats only refreshes an existing sidecar"
+        )
+    with fs.open_input_file(sidecar) as fh:
+        meta = json.loads(fh.read().decode("utf-8"))
+    columns = meta["columns"]
+    known: dict[str, dict] = meta["files"]
+    on_disk = _data_files(fs, root)
+    new = [r for r in on_disk if r not in known]
+    fresh = _sweep_footers(path, root, columns, new, spark)
+    stats = {rel: (fresh[rel] if rel in fresh else known[rel])
+             for rel in on_disk}
+    _write_sidecar(fs, root, columns, stats)
+    return {
+        "files_total": len(on_disk),
+        "swept": len(new),
+        "removed": len(set(known) - set(on_disk)),
+        "kept": len(on_disk) - len(new),
+    }
 
 
 def scan_with_skipping(

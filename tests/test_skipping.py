@@ -367,3 +367,50 @@ def test_date_column_vs_datetime_bound_never_mispruned(spark, tmp_path):
         spark.read.parquet(path).filter(F.col("d") <= F.lit(hi)).collect()
     )
     assert got2 == want2
+
+
+def test_update_file_stats_sweeps_only_new_files(spark, tmp_path):
+    """Incremental refresh (round 13): after appends the update sweeps
+    ONLY uncovered files (report proves it), drops entries for deleted
+    files, and the refreshed sidecar equals a from-scratch full sweep
+    byte-for-byte; no sidecar -> loud error, never a silent first
+    sweep."""
+    from my_feast_spark.sources.skipping import update_file_stats
+
+    path = str(tmp_path / "incr")
+    spark.range(10_000).selectExpr(
+        "id", "CAST(id % 97 AS BIGINT) AS k"
+    ).repartition(4).write.mode("overwrite").parquet(path)
+
+    with pytest.raises(RuntimeError, match="run write_file_stats"):
+        update_file_stats(path, spark=spark)
+
+    write_file_stats(path, ["k", "id"], spark=spark)
+    # append a new slice and delete one original file
+    spark.range(10_000, 12_000).selectExpr(
+        "id", "CAST(id % 97 AS BIGINT) AS k"
+    ).repartition(2).write.mode("append").parquet(path)
+    victim = sorted(
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )[0]
+    os.remove(os.path.join(path, victim))
+
+    rep = update_file_stats(path, spark=spark)
+    assert rep["swept"] == 2 and rep["removed"] == 1 and rep["kept"] == 3
+    assert rep["files_total"] == 5
+    with open(os.path.join(path, STATS_SIDECAR), "rb") as fh:
+        incr_bytes = fh.read()
+    # a from-scratch sweep of the same layout produces identical bytes
+    write_file_stats(path, ["k", "id"], spark=spark)
+    with open(os.path.join(path, STATS_SIDECAR), "rb") as fh:
+        full_bytes = fh.read()
+    assert incr_bytes == full_bytes
+    # and the refreshed sidecar serves a correct pruning scan
+    got_df, srep = scan_with_skipping(spark, path, {"id": (10_500, None)})
+    got = sorted(r.id for r in got_df.collect())
+    want = sorted(
+        r.id for r in spark.read.parquet(path)
+        .filter(F.col("id") >= 10_500).collect()
+    )
+    assert got == want and srep["files_skipped"] > 0
