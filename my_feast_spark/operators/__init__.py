@@ -6,6 +6,10 @@ from my_feast_spark.operators.aggregations import (
 )
 from my_feast_spark.operators.asof_join import point_in_time_join
 from my_feast_spark.operators.bpe import train_bpe_merges
+from my_feast_spark.operators.wordpiece import (
+    train_wordpiece,
+    wordpiece_encode,
+)
 from my_feast_spark.operators.classifier import score_nb, train_nb
 from my_feast_spark.operators.curation import CurationConfig, curate
 from my_feast_spark.operators.dedup_eval import lsh_recall_report
@@ -62,6 +66,8 @@ __all__ = [
     "connected_components",
     "lsh_recall_report",
     "train_bpe_merges",
+    "train_wordpiece",
+    "wordpiece_encode",
     "train_bigram_lm",
     "train_bigram_kn",
     "score_docs",

@@ -1,0 +1,322 @@
+"""WordPiece tokenizer training + encoding — the third real-world
+tokenizer-training algorithm next to BPE (`operators/bpe.py`) and the
+unigram LM (`operators/unigram.py`), completing the family a
+training-data pipeline actually chooses between (BERT-style models ship
+WordPiece vocabularies; reference scope: the LLM-data extension tier,
+same rationale as bpe.py).
+
+Algorithm (Schuster & Nakajima 2012; the BERT variant): start from the
+character alphabet (continuation characters carry the ``##`` prefix),
+repeatedly merge the adjacent unit pair maximizing the LIKELIHOOD score
+``count(ab) / (count(a) * count(b))`` — BPE's loop with a different
+argmax — until the vocabulary reaches ``vocab_size``. Encoding is
+greedy longest-match-first per word; a word that cannot be fully
+segmented (a character the training alphabet never saw) becomes one
+``[UNK]``.
+
+Scale design (the bpe.py observation, reused): after ONE distributed
+corpus pass the training state is the distinct-word frequency table —
+vocabulary-sized, not corpus-sized — so the merge loop runs in-process
+over the collected table while Spark keeps the two corpus-sized jobs:
+the word-count aggregation (Arrow-batched map-side-combined pass, the
+unigram module's `_word_counts`) and the encode (map-only, vocab in the
+worker closure, no shuffle).
+
+Cross-engine exactness (the oracle contract): every count is an exact
+integer; the pair argmax compares the score FRACTIONS by integer
+cross-multiplication (``c1*a2*b2 > c2*a1*b1`` — no float ever enters
+the decision), ties break on the lexicographically smaller pair; and
+tokenization runs the SAME Python kernel closures on the Spark path,
+the driver mirror, and the encode worker (``str.lower`` + ``\\s+``
+split — the unigram module's reviewed case-fold contract), so
+`train_wordpiece_local` replays `train_wordpiece` bit-for-bit by
+construction.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from my_feast_spark.operators.unigram import _word_counts
+
+#: the unknown-word piece, always piece_id 0
+UNK = "[UNK]"
+
+#: BERT's guard: words longer than this encode straight to [UNK] —
+#: pathological million-char "words" would otherwise cost O(len²)
+#: in the matcher
+MAX_INPUT_CHARS_PER_WORD = 100
+
+
+def _make_wp_kernels():
+    """Pure kernels as closures (stdlib only, pickled by value — safe
+    inside Python workers without the package on PYTHONPATH).
+
+    Returns ``(split_ws, word_units, encode_word)``:
+
+    * ``split_ws(text)`` — whitespace tokens of ``text`` (caller
+      lowercases first — the case fold stays Python-side on every
+      path, the round-12 reviewed contract);
+    * ``word_units(word)`` — initial segmentation: first code point
+      bare, every later one ``##``-prefixed;
+    * ``encode_word(word, vocab_set, max_chars)`` — greedy
+      longest-match-first WordPiece segmentation, or None when the
+      word cannot be fully segmented (caller emits [UNK]).
+    """
+    import re as _re
+
+    def split_ws(text):
+        t = text.strip()
+        return _re.split(r"\s+", t) if t else []
+
+    def word_units(word):
+        return [word[0]] + ["##" + c for c in word[1:]]
+
+    def encode_word(word, vocab_set, max_chars):
+        if not word or len(word) > max_chars:
+            return None
+        pieces = []
+        start = 0
+        while start < len(word):
+            end = len(word)
+            cur = None
+            while start < end:
+                sub = word[start:end]
+                if start > 0:
+                    sub = "##" + sub
+                if sub in vocab_set:
+                    cur = sub
+                    break
+                end -= 1
+            if cur is None:
+                return None
+            pieces.append(cur)
+            start = end
+        return pieces
+
+    return split_ws, word_units, encode_word
+
+
+#: canonical kernel instances for driver-side use (mirror + tests);
+#: worker closures capture their own copies via default args
+_SPLIT_WS, _WORD_UNITS, _ENCODE_WORD = _make_wp_kernels()
+
+
+def train_from_word_counts(
+    word_counts: Mapping[str, int],
+    *,
+    vocab_size: int,
+    min_pair_count: int = 2,
+) -> list[str]:
+    """The WordPiece merge loop over a (word -> count) table — the
+    in-process core both `train_wordpiece` (Spark) and
+    `train_wordpiece_local` (mirror) run, so the two agree by
+    construction. Returns the ordered piece list: ``[UNK]``, then the
+    sorted character alphabet, then one merged piece per round in
+    merge order (piece_id = list index).
+
+    The argmax maximizes ``count(ab) / (count(a) * count(b))`` with the
+    fraction comparison done by integer cross-multiplication; ties
+    break on the lexicographically smaller (left, right) pair. The
+    loop stops at ``vocab_size`` pieces, or earlier when no pair
+    reaches ``min_pair_count`` occurrences."""
+    vocab_words: dict[tuple, int] = {}
+    for w, n in word_counts.items():
+        sym = tuple(_WORD_UNITS(w))
+        vocab_words[sym] = vocab_words.get(sym, 0) + int(n)
+    alphabet = sorted({u for sym in vocab_words for u in sym})
+    pieces = [UNK] + alphabet
+    seen = set(pieces)
+    while len(pieces) < vocab_size:
+        pair_counts: dict[tuple, int] = {}
+        unit_counts: dict[str, int] = {}
+        for sym, n in vocab_words.items():
+            for u in sym:
+                unit_counts[u] = unit_counts.get(u, 0) + n
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + n
+        best = None  # (pair, count, denom)
+        for p, c in pair_counts.items():
+            if c < min_pair_count:
+                continue
+            d = unit_counts[p[0]] * unit_counts[p[1]]
+            if best is None:
+                best = (p, c, d)
+                continue
+            bp, bc, bd = best
+            # maximize c/d exactly: c*bd vs bc*d in Python ints
+            lhs, rhs = c * bd, bc * d
+            if lhs > rhs or (lhs == rhs and p < bp):
+                best = (p, c, d)
+        if best is None:
+            break
+        (a, b), _c, _d = best
+        merged = a + (b[2:] if b.startswith("##") else b)
+        new_words: dict[tuple, int] = {}
+        for sym, n in vocab_words.items():
+            if a in sym:
+                out, i = [], 0
+                while i < len(sym):
+                    if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(sym[i])
+                        i += 1
+                sym = tuple(out)
+            new_words[sym] = new_words.get(sym, 0) + n
+        vocab_words = new_words
+        if merged not in seen:  # 'aaa' under (a,##a) can re-derive a piece
+            pieces.append(merged)
+            seen.add(merged)
+        else:
+            # the pair merged into an existing piece adds no vocabulary
+            # entry but DID rewrite the word table; continue training
+            continue
+    return pieces
+
+
+def train_wordpiece(
+    docs: DataFrame,
+    text_col: str,
+    *,
+    vocab_size: int = 200,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Train a WordPiece vocabulary from a corpus → DataFrame
+    ``(piece_id long, piece string)`` with piece_id 0 = ``[UNK]``.
+
+    One distributed Arrow pass builds the distinct-word frequency table
+    (map-side combined, exact long counts); the merge loop runs
+    in-process over that vocabulary-sized table (module docstring —
+    bpe.py's scale shape)."""
+    spark = docs.sparkSession
+    wc = {
+        r["word"]: int(r["n"])
+        for r in _word_counts(docs, text_col).collect()
+    }
+    if not wc:
+        raise ValueError("no words in the corpus — nothing to train on")
+    pieces = train_from_word_counts(
+        wc, vocab_size=vocab_size, min_pair_count=min_pair_count
+    )
+    return spark.createDataFrame(
+        [(i, p) for i, p in enumerate(pieces)],
+        schema="piece_id long, piece string",
+    )
+
+
+def wordpiece_encode(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: DataFrame,
+    *,
+    max_chars: int = MAX_INPUT_CHARS_PER_WORD,
+) -> DataFrame:
+    """Greedy longest-match-first encode against a trained vocabulary →
+    ``(id, piece_ids array<long>, n_pieces, n_unk)``. Map-only: the
+    vocab is collected (vocab_size-bounded) into the worker closure;
+    one Arrow pass over the corpus, no shuffle. NULL text encodes to an
+    empty sequence; an unsegmentable word becomes one [UNK] id."""
+    ids = {r["piece"]: r["piece_id"] for r in
+           vocab.select("piece_id", "piece").collect()}
+    if UNK not in ids:
+        raise ValueError(f"vocabulary is missing the {UNK!r} piece")
+    unk_id = ids[UNK]
+
+    def encode(batches, _kernels=_make_wp_kernels(), _ids=ids,
+               _unk=unk_id, _mc=max_chars):
+        import pandas as pd
+
+        _sw, _wu, _ew = _kernels
+        vocab_set = set(_ids)
+        for pdf in batches:
+            out_id, out_ids, out_n, out_u = [], [], [], []
+            for doc_id, text in zip(pdf["__id"], pdf["__text"]):
+                enc, n_unk = [], 0
+                # Python-side case fold (the reviewed contract: the
+                # same str.lower training's _word_counts applies)
+                toks = _sw(text.lower()) if isinstance(text, str) else []
+                for t in toks:
+                    if not t:
+                        continue
+                    ps = _ew(t, vocab_set, _mc)
+                    if ps is None:
+                        enc.append(_unk)
+                        n_unk += 1
+                    else:
+                        enc.extend(_ids[p] for p in ps)
+                out_id.append(doc_id)
+                out_ids.append(enc)
+                out_n.append(len(enc))
+                out_u.append(n_unk)
+            yield pd.DataFrame({
+                "__id": out_id, "piece_ids": out_ids,
+                "n_pieces": out_n, "n_unk": out_u,
+            })
+
+    id_type = dict(docs.select(id_col).dtypes)[id_col]
+    slim = docs.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+    )
+    out = slim.mapInPandas(
+        encode,
+        schema=(f"__id {id_type}, piece_ids array<long>, "
+                "n_pieces long, n_unk long"),
+    )
+    return out.withColumnRenamed("__id", id_col)
+
+
+# --- driver-side mirror for the oracle -----------------------------------
+
+def train_wordpiece_local(
+    texts: Iterable[str],
+    *,
+    vocab_size: int = 200,
+    min_pair_count: int = 2,
+) -> list[str]:
+    """Pure-Python replay of `train_wordpiece` over an in-memory corpus
+    — the oracle generator's mirror. Identical arithmetic by
+    construction: the SAME split/lower tokenization as `_word_counts`,
+    exact-integer counts, and the shared `train_from_word_counts`
+    loop."""
+    wc: dict[str, int] = {}
+    for t in texts:
+        if not isinstance(t, str):
+            continue
+        for w in _SPLIT_WS(t.lower()):
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    if not wc:
+        raise ValueError("no words in the corpus — nothing to train on")
+    return train_from_word_counts(
+        wc, vocab_size=vocab_size, min_pair_count=min_pair_count
+    )
+
+
+def encode_local(
+    text: str | None,
+    pieces: Sequence[str],
+    *,
+    max_chars: int = MAX_INPUT_CHARS_PER_WORD,
+) -> list[int]:
+    """Mirror of `wordpiece_encode` for one document (same kernels)."""
+    if not isinstance(text, str):
+        return []
+    ids = {p: i for i, p in enumerate(pieces)}
+    vocab_set = set(ids)
+    enc: list[int] = []
+    for t in _SPLIT_WS(text.lower()):
+        if not t:
+            continue
+        ps = _ENCODE_WORD(t, vocab_set, max_chars)
+        if ps is None:
+            enc.append(ids[UNK])
+        else:
+            enc.extend(ids[p] for p in ps)
+    return enc

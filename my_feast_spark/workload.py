@@ -6895,6 +6895,95 @@ FROM enc
 SQL_UNIGRAM_TOKENIZE = _LazySQL(_sql_unigram_tokenize)
 
 
+def q_wordpiece_tokenize(spark, sf_dir):
+    """WordPiece tokenizer train + encode (operators/wordpiece.py) —
+    the third real-world tokenizer-training algorithm, completing the
+    BPE / unigram-LM / WordPiece family a training-data pipeline
+    chooses between: likelihood-argmax merges
+    (count(ab)/(count(a)*count(b)), exact integer cross-multiplication
+    — no float in any decision), greedy longest-match encode with
+    [UNK] for unsegmentable words. Returns per-doc (n_pieces, n_unk,
+    md5 digest of the piece-id sequence) stamped with the final vocab
+    size; the oracle's mirror retrains the identical vocabulary
+    driver-side (same kernel closures, shared merge-loop function) and
+    injects every doc's digest as literals. Scale shape: ONE corpus
+    pass builds the distinct-word table (the bpe.py observation — the
+    merge loop is vocabulary-sized, in-process), encode is map-only
+    with the vocab in the closure."""
+    from my_feast_spark.operators.wordpiece import (
+        train_wordpiece,
+        wordpiece_encode,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = train_wordpiece(docs, "text", **_WORDPIECE_KW)
+    n_vocab = vocab.count()
+    enc = wordpiece_encode(docs, "doc_id", "text", vocab)
+    return enc.select(
+        "doc_id",
+        "n_pieces",
+        "n_unk",
+        F.md5(
+            F.concat_ws(
+                ",", F.transform("piece_ids", lambda x: x.cast("string"))
+            )
+        ).alias("ids_digest"),
+        F.lit(int(n_vocab)).cast("long").alias("vocab_size"),
+    )
+
+
+_WORDPIECE_KW = dict(vocab_size=400, min_pair_count=2)
+
+
+def _sql_wordpiece_tokenize():
+    """Oracle generator for q_wordpiece_tokenize: the driver-side
+    mirror (operators/wordpiece.py::train_wordpiece_local — the same
+    kernel closures and the SHARED merge-loop function as the Spark
+    path) retrains the vocabulary from the oracle parquet, encodes
+    every doc, and injects (doc_id, n_pieces, n_unk, digest) literals.
+    Returns None (rows-only) if the oracle testdata is absent."""
+    path = os.path.join(ORACLE_SF_DIR, "documents.parquet")
+    if not os.path.exists(path):
+        return None
+    import hashlib
+
+    import pyarrow.parquet as pq_  # noqa: N813
+
+    from my_feast_spark.operators.wordpiece import (
+        UNK,
+        encode_local,
+        train_wordpiece_local,
+    )
+
+    t = pq_.read_table(path, columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    pieces = train_wordpiece_local(texts, **_WORDPIECE_KW)
+    unk_id = pieces.index(UNK)
+    rows = []
+    for i, s in zip(ids, texts):
+        enc = encode_local(s, pieces)
+        digest = hashlib.md5(
+            ",".join(str(x) for x in enc).encode()
+        ).hexdigest()
+        rows.append(
+            f"({int(i)}, {len(enc)}, {enc.count(unk_id)}, '{digest}')"
+        )
+    vals = ", ".join(rows)
+    return f"""
+WITH enc(doc_id, n_pieces, n_unk, ids_digest) AS (VALUES {vals})
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_pieces AS BIGINT) AS n_pieces,
+       CAST(n_unk AS BIGINT) AS n_unk,
+       ids_digest,
+       CAST({len(pieces)} AS BIGINT) AS vocab_size
+FROM enc
+"""
+
+
+SQL_WORDPIECE_TOKENIZE = _LazySQL(_sql_wordpiece_tokenize)
+
+
 def q_audio_vad(spark, sf_dir):
     """Voice-activity segmentation over audio assets (multimodal/
     audio.py::segment_silence): fake MFAU assets from the documents
@@ -7183,6 +7272,12 @@ QUERIES: dict[str, tuple] = {
     "customer_balance_deciles": (
         q_customer_balance_deciles, SQL_CUSTOMER_BALANCE_DECILES,
     ),
+    # --- NEW in round 13, registered at the TAIL: the 50-slot window
+    # is fully claimed by the rotation contract (the r12 tail must
+    # re-adjudicate) + the round's two verdict-ask rows; wordpiece is
+    # pytest- and oracle-parity-pinned this round and takes a window
+    # slot in round 14 with the rest of the tail.
+    "wordpiece_tokenize": (q_wordpiece_tokenize, SQL_WORDPIECE_TOKENIZE),
 }
 
 #: Retired from the driver registry (budget: ~100 adjudicated queries).

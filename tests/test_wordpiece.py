@@ -1,0 +1,131 @@
+"""WordPiece trainer + encoder (operators/wordpiece.py): likelihood
+argmax with exact integer cross-multiplication, Spark == mirror
+bit-for-bit, greedy longest-match encode with [UNK] semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from my_feast_spark.operators.wordpiece import (
+    UNK,
+    encode_local,
+    train_from_word_counts,
+    train_wordpiece,
+    train_wordpiece_local,
+    wordpiece_encode,
+)
+
+
+def test_merge_loop_maximizes_likelihood_not_count():
+    """The WordPiece argmax is count(ab)/(count(a)*count(b)) — NOT raw
+    pair count (that would be BPE). 'ab' appears 6x and 'cd' 4x, but
+    c/d are rare units so cd's likelihood wins."""
+    wc = {"ab": 6, "az": 9, "zb": 9, "cd": 4}
+    alphabet_size = 1 + len({"a", "c", "z"} | {"##b", "##d", "##z"})
+    pieces = train_from_word_counts(
+        wc, vocab_size=alphabet_size + 1, min_pair_count=2
+    )
+    assert pieces[0] == UNK
+    merges = [p for p in pieces if p != UNK and len(p.lstrip("#")) > 1]
+    # count(c)=4, count(##d)=4 -> score 4/16; count(a)=15, count(##b)=15
+    # -> score 6/225. cd must merge first.
+    assert merges == ["cd"]
+
+
+def test_tie_breaks_lexicographically():
+    wc = {"xy": 3, "uv": 3}  # identical scores: 3/(3*3) each
+    pieces = train_from_word_counts(wc, vocab_size=20, min_pair_count=2)
+    merges = [p for p in pieces
+              if p != UNK and len(p.lstrip("#")) > 1]
+    assert merges[0] == "uv"  # ('u','##v') < ('x','##y')
+
+
+def test_spark_equals_mirror_and_encode_roundtrip(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox",
+        "pack my box with five dozen liquor jugs",
+        None,
+        "the the the quick quick brown",
+    ]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    kw = dict(vocab_size=60, min_pair_count=2)
+    vocab = train_wordpiece(docs, "text", **kw)
+    got = {r.piece_id: r.piece for r in vocab.collect()}
+    want = train_wordpiece_local(texts, **kw)
+    assert got == dict(enumerate(want))
+    assert got[0] == UNK
+
+    enc = wordpiece_encode(docs, "doc_id", "text", vocab)
+    rows = {r.doc_id: (list(r.piece_ids), r.n_pieces, r.n_unk)
+            for r in enc.collect()}
+    assert rows[3] == ([], 0, 0)  # NULL text -> empty, never 'none'
+    for i, t in enumerate(texts):
+        assert rows[i][0] == encode_local(t, want), t
+    # every alphabet char was seen in training -> no UNKs here
+    assert all(v[2] == 0 for v in rows.values())
+    # decode sanity: pieces of doc 1 respell its words
+    id2p = {i: p for i, p in enumerate(want)}
+    respelled = "".join(
+        id2p[x][2:] if id2p[x].startswith("##") else " " + id2p[x]
+        for x in rows[1][0]
+    ).strip()
+    assert respelled == "the quick brown fox"
+
+
+def test_unseen_character_becomes_unk(spark):
+    train = spark.createDataFrame([Row(doc_id=0, text="abc abd abe")])
+    vocab = train_wordpiece(train, "text", vocab_size=30)
+    probe = spark.createDataFrame(
+        [Row(doc_id=0, text="abc zzz abq")]  # z, q never trained
+    )
+    enc = wordpiece_encode(probe, "doc_id", "text", vocab).collect()[0]
+    assert enc.n_unk == 2
+    pieces = [r.piece for r in vocab.collect()]
+    ids = list(enc.piece_ids)
+    # 'abc' segments fully; 'zzz' and 'abq' each collapse to ONE [UNK]
+    assert ids.count(pieces.index(UNK)) == 2
+
+
+def test_case_fold_is_python_side_everywhere(spark):
+    """Training, mirror, and encode all lower with Python str.lower —
+    the unigram module's reviewed contract. 'İstanbul' must train and
+    encode identically on both engines."""
+    texts = ["İstanbul ISTANBUL istanbul", "STRASSE straße"]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    kw = dict(vocab_size=40, min_pair_count=2)
+    vocab = train_wordpiece(docs, "text", **kw)
+    want = train_wordpiece_local(texts, **kw)
+    assert {r.piece_id: r.piece for r in vocab.collect()} == dict(
+        enumerate(want)
+    )
+    enc = wordpiece_encode(docs, "doc_id", "text", vocab)
+    rows = {r.doc_id: list(r.piece_ids) for r in enc.collect()}
+    for i, t in enumerate(texts):
+        assert rows[i] == encode_local(t, want), t
+
+
+def test_empty_corpus_fails_loudly(spark):
+    docs = spark.createDataFrame([Row(doc_id=0, text="   ")])
+    with pytest.raises(ValueError, match="no words"):
+        train_wordpiece(docs, "text", vocab_size=10)
+    with pytest.raises(ValueError, match="no words"):
+        train_wordpiece_local(["  ", None], vocab_size=10)
+
+
+def test_long_word_guard(spark):
+    docs = spark.createDataFrame([Row(doc_id=0, text="ab " + "a" * 200)])
+    vocab = train_wordpiece(docs, "text", vocab_size=300)
+    enc = wordpiece_encode(docs, "doc_id", "text", vocab).collect()[0]
+    # the 200-char "word" hits MAX_INPUT_CHARS_PER_WORD -> one [UNK]
+    assert enc.n_unk == 1
+    assert encode_local("ab " + "a" * 200,
+                        [r.piece for r in
+                         vocab.orderBy("piece_id").collect()]) == list(
+        enc.piece_ids
+    )

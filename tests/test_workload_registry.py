@@ -27,6 +27,10 @@ ROTATION_TAIL = {
     "audio_dedup",
     "video_dedup",
     "semdedup",
+    # NEW in round 13 at the tail (the window is fully claimed by the
+    # rotation contract + the two verdict-ask rows); pytest- and
+    # oracle-parity-pinned now, window slot in round 14
+    "wordpiece_tokenize",
     # adjudicated green in round 12 (CORRECTNESS_r12); unchanged
     "compact_table_replay",
     "scd2_stream_maintain",
