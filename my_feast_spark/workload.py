@@ -6984,6 +6984,133 @@ FROM enc
 SQL_WORDPIECE_TOKENIZE = _LazySQL(_sql_wordpiece_tokenize)
 
 
+def _warc_capture_dir(sf_dir: str) -> str:
+    """Build (once per sf_dir) a crawl-shard WARC fixture: every
+    document rendered as an HTML page inside an HTTP response record,
+    written as 4 per-record-gzip ``.warc.gz`` shards (the Common-Crawl
+    layout) under the repo warehouse dir. Content-addressable: same
+    input rows -> byte-identical shards, so the cache never goes stale
+    for the immutable testdata dirs."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from my_feast_spark.sources.warc_io import write_warc_file
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(repo_root, "spark-warehouse", f"warc_capture_{key}")
+    done = os.path.join(out, "_SUCCESS")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+    rows = sorted(t.to_pylist(), key=lambda r: r["doc_id"])
+    recs = []
+    for r in rows:
+        esc = (
+            (r["text"] or "")
+            .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        )
+        html = (
+            f"<html><head><title>Doc {r['doc_id']}</title>"
+            "<style>p {margin:0}</style>"
+            f"<script>var id={r['doc_id']};</script></head>"
+            f"<body><h1>{r['source']}</h1><p>{esc}</p>"
+            "<!-- crawl fixture --></body></html>"
+        ).encode("utf-8")
+        http = (
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=utf-8\r\n"
+            + f"Content-Length: {len(html)}\r\n\r\n".encode() + html
+        )
+        recs.append(dict(
+            warc_type="response",
+            record_id=f"<urn:uuid:doc-{r['doc_id']}>",
+            url=f"http://crawl.test/{r['source']}/{r['doc_id']}",
+            warc_date="2024-01-01T00:00:00Z",
+            content_type="application/http; msgtype=response",
+            payload=http,
+        ))
+    n_files = 4
+    for i in range(n_files):
+        write_warc_file(
+            os.path.join(out, f"shard-{i}.warc.gz"), recs[i::n_files]
+        )
+    open(done, "w").close()
+    return out
+
+
+def q_warc_text_extract(spark, sf_dir):
+    """WARC crawl-shard scan + HTML text extraction end-to-end
+    (sources/warc_io.py::warc_scan + functions/html.py::strip_html) —
+    the real front door of a crawl-curation pipeline, upstream of the
+    URL/lang/quality/dedup tiers this engine already runs: binaryFile
+    gives one task per ``.warc.gz`` shard, the self-contained parser
+    walks the gzip members and splits each response's HTTP envelope,
+    and extraction is a pure regexp_replace chain (whole-stage codegen,
+    no UDF) decoding the body to text. The fixture wraps every document
+    in a deterministic HTML template (title/style/script/comment/
+    entities all exercised); the oracle rebuilds the identical HTML in
+    SQL and replays the IDENTICAL strip chain
+    (functions/html.py::strip_html_sql — same patterns, same order), so
+    the green row pins the record framing, the HTTP split, AND the
+    extraction semantics. Scale shape: parse is embarrassingly parallel
+    at shard granularity with zero shuffle; extraction rides the scan."""
+    from my_feast_spark.functions.html import strip_html
+    from my_feast_spark.sources.warc_io import warc_scan
+
+    path = _warc_capture_dir(sf_dir)
+    resp = warc_scan(spark, path).filter(F.col("warc_type") == "response")
+    txt = resp.select(
+        F.regexp_extract("url", "/([0-9]+)$", 1).cast("long")
+        .alias("doc_id"),
+        F.col("http_status"),
+        strip_html(F.decode(F.col("payload"), "UTF-8")).alias("t"),
+    )
+    return txt.select(
+        "doc_id",
+        "http_status",
+        F.octet_length("t").alias("n_bytes"),
+        F.md5(F.encode(F.col("t"), "UTF-8")).alias("text_md5"),
+    )
+
+
+def _sql_warc_text_extract():
+    """Oracle generator for q_warc_text_extract: rebuild the fixture's
+    HTML template per document in SQL and replay the identical
+    strip-chain via functions/html.py::strip_html_sql."""
+    from my_feast_spark.functions.html import strip_html_sql
+
+    html_expr = (
+        "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || "
+        "'</title><style>p {margin:0}</style>"
+        "<script>var id=' || CAST(doc_id AS VARCHAR) || ';</script>"
+        "</head><body><h1>' || source || '</h1><p>' || "
+        "replace(replace(replace(coalesce(text, ''), "
+        "'&', '&amp;'), '<', '&lt;'), '>', '&gt;') || "
+        "'</p><!-- crawl fixture --></body></html>'"
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id, {html_expr} AS html FROM documents
+), s AS (
+  SELECT doc_id, {strip_html_sql('html')} AS t FROM h
+)
+SELECT doc_id,
+       CAST(200 AS INTEGER) AS http_status,
+       CAST(strlen(t) AS INTEGER) AS n_bytes,
+       md5(t) AS text_md5
+FROM s
+"""
+
+
+SQL_WARC_TEXT_EXTRACT = _LazySQL(_sql_warc_text_extract)
+
+
 def q_audio_vad(spark, sf_dir):
     """Voice-activity segmentation over audio assets (multimodal/
     audio.py::segment_silence): fake MFAU assets from the documents
@@ -7278,6 +7405,7 @@ QUERIES: dict[str, tuple] = {
     # pytest- and oracle-parity-pinned this round and takes a window
     # slot in round 14 with the rest of the tail.
     "wordpiece_tokenize": (q_wordpiece_tokenize, SQL_WORDPIECE_TOKENIZE),
+    "warc_text_extract": (q_warc_text_extract, SQL_WARC_TEXT_EXTRACT),
 }
 
 #: Retired from the driver registry (budget: ~100 adjudicated queries).

@@ -31,6 +31,7 @@ ROTATION_TAIL = {
     # rotation contract + the two verdict-ask rows); pytest- and
     # oracle-parity-pinned now, window slot in round 14
     "wordpiece_tokenize",
+    "warc_text_extract",
     # adjudicated green in round 12 (CORRECTNESS_r12); unchanged
     "compact_table_replay",
     "scd2_stream_maintain",
