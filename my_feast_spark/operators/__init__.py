@@ -10,6 +10,12 @@ from my_feast_spark.operators.wordpiece import (
     train_wordpiece,
     wordpiece_encode,
 )
+from my_feast_spark.operators.bloom import (
+    bloom_bitmap,
+    bloom_maybe_contains,
+    bloom_maybe_from_bitmap,
+    bloom_position_set,
+)
 from my_feast_spark.operators.classifier import score_nb, train_nb
 from my_feast_spark.operators.curation import CurationConfig, curate
 from my_feast_spark.operators.dedup_eval import lsh_recall_report
@@ -29,6 +35,13 @@ from my_feast_spark.operators.lm import (
 from my_feast_spark.operators.graph import (
     connected_components,
     pagerank_fixedpoint,
+)
+from my_feast_spark.operators.sketches import (
+    hll_estimate,
+    hll_group_distinct,
+    hll_registers,
+    kmv_sketch,
+    kmv_union,
 )
 from my_feast_spark.operators.unigram import (
     train_unigram,
@@ -100,4 +113,13 @@ __all__ = [
     "sample_bucket",
     "shuffle_layout",
     "column_profile",
+    "kmv_sketch",
+    "kmv_union",
+    "hll_registers",
+    "hll_estimate",
+    "hll_group_distinct",
+    "bloom_position_set",
+    "bloom_maybe_contains",
+    "bloom_bitmap",
+    "bloom_maybe_from_bitmap",
 ]

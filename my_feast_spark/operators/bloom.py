@@ -1,0 +1,174 @@
+"""Broadcast Bloom-filter membership prefilter for cross-corpus dedup.
+
+The 100 TB problem this solves: "drop every new document whose
+fingerprint already exists in the reference corpus" is an anti/semi
+join between two huge relations — a full shuffle of BOTH sides on the
+fingerprint. A Bloom filter over the reference keys is a few hundred
+MB of *constant-size, broadcastable* state no matter how large the
+reference is, and it answers "definitely not present" for the vast
+majority of candidates map-side — only the (tiny) maybe-present
+fraction pays the exact verification join. Same pattern Spark itself
+uses internally for runtime-filter join pruning; here it is exposed as
+a first-class operator because dedup pipelines need the filter as a
+*persistable artifact* (build once per reference snapshot, reuse
+across many incoming batches), not a per-query optimization.
+
+Two physical strategies, same semantics:
+
+* ``bloom_maybe_contains`` — the positions relation (distinct set-bit
+  indexes, at most ``m_bits`` rows of one long) is broadcast and each
+  of the ``k`` candidate positions is checked with one broadcast LEFT
+  join: **zero shuffle of the candidate relation**, plan-pinned in
+  tests/test_bloom.py. This is the default: it keeps every byte of
+  state inside the Spark plan (no driver collect), so it scales to any
+  m the broadcast threshold allows.
+* ``bloom_bitmap`` + ``bloom_maybe_from_bitmap`` — the classic packed
+  form: m/64 longs collected to the driver (bounded by ``m_bits``,
+  guarded) and embedded as an array literal; membership is two native
+  expressions (element_at + shift). Cheapest per row, right when m is
+  small enough to live in the plan (≲ 2^22 bits).
+
+Hashing is the double-hashing scheme g_i(x) = h1(x) + i*h2(x) mod m
+(Kirsch & Mitzenmacher 2006, "Less Hashing, Same Performance") over
+the portable md5 family — so a DuckDB oracle replays every bit
+position and the driver hash-adjudicates the filter's exact behavior,
+false positives included (workload query ``bloom_prefilter_dedup``).
+
+No false negatives by construction: a key inserted in the build sets
+exactly the positions the probe checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from my_feast_spark.operators.dedup import _MASK63, portable_hash64
+
+#: salt distinguishing the second hash of the double-hashing scheme
+_H2_SALT = ":b2"
+
+
+def _h1h2(key: Column, m_bits: int) -> tuple[Column, Column]:
+    """The two base hashes: h1 in [0, m), h2 in [1, m) (never 0, so the
+    k probe positions are distinct mod m when m is prime-free... they
+    need not be distinct — correctness only needs build/probe to agree,
+    which double hashing guarantees)."""
+    h1 = F.pmod(portable_hash64(key).bitwiseAND(F.lit(_MASK63)), F.lit(m_bits))
+    h2 = F.pmod(
+        portable_hash64(F.concat(key, F.lit(_H2_SALT))).bitwiseAND(
+            F.lit(_MASK63)
+        ),
+        F.lit(m_bits - 1),
+    ) + F.lit(1)
+    return h1, h2
+
+
+def bloom_positions(key: Column, *, m_bits: int, k_hashes: int) -> list[Column]:
+    """The k bit positions of ``key``: g_i = (h1 + i*h2) mod m.
+    ``i*h2 < k*m`` keeps the sum far inside signed-64 range."""
+    h1, h2 = _h1h2(key, m_bits)
+    return [
+        F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k_hashes)
+    ]
+
+
+def bloom_position_set(
+    df: DataFrame, key: Column | str, *, m_bits: int, k_hashes: int,
+) -> DataFrame:
+    """The filter as a relation: the distinct set-bit positions of every
+    reference key — at most ``m_bits`` rows, one ``pos`` long each.
+    Build cost: one projection + one distinct on a bounded domain
+    (map-side partial agg collapses it before the exchange)."""
+    col = F.col(key) if isinstance(key, str) else key
+    pos = bloom_positions(col, m_bits=m_bits, k_hashes=k_hashes)
+    return (
+        df.select(F.explode(F.array(*pos)).alias("pos")).distinct()
+    )
+
+
+def bloom_maybe_contains(
+    candidates: DataFrame,
+    positions: DataFrame,
+    key: Column | str,
+    *,
+    m_bits: int,
+    k_hashes: int,
+    out_col: str = "bloom_maybe",
+) -> DataFrame:
+    """Annotate ``candidates`` with the Bloom membership verdict using
+    ``k_hashes`` broadcast left joins against the positions relation —
+    the candidate side is never shuffled (the exchange-free side of a
+    BroadcastHashJoin), and Catalyst reuses the single broadcast across
+    all k probes."""
+    col = F.col(key) if isinstance(key, str) else key
+    pos = bloom_positions(col, m_bits=m_bits, k_hashes=k_hashes)
+    out = candidates
+    hit_cols = []
+    for i, p in enumerate(pos):
+        bp = f"__bloom_pos_{i}"
+        hit = f"__bloom_hit_{i}"
+        out = (
+            out.join(
+                F.broadcast(positions.select(F.col("pos").alias(bp))),
+                p == F.col(bp),
+                "left",
+            )
+            .withColumn(hit, F.col(bp).isNotNull())
+            .drop(bp)
+        )
+        hit_cols.append(hit)
+    verdict = F.lit(True)
+    for h in hit_cols:
+        verdict = verdict & F.col(h)
+    return out.withColumn(out_col, verdict).drop(*hit_cols)
+
+
+#: bitmap-literal guard: beyond this the array literal bloats the plan;
+#: use the positions-relation strategy instead
+MAX_BITMAP_BITS = 1 << 22
+
+
+def bloom_bitmap(
+    df: DataFrame, key: Column | str, *, m_bits: int, k_hashes: int,
+) -> list[int]:
+    """The packed form: ``m_bits / 64`` longs. The per-word OR runs
+    distributed (groupBy word index, bit_or partial-aggregated
+    map-side); only the packed words — bounded by ``m_bits``, guarded —
+    are collected."""
+    if m_bits > MAX_BITMAP_BITS:
+        raise ValueError(
+            f"m_bits={m_bits} exceeds the bitmap-literal bound "
+            f"{MAX_BITMAP_BITS}; use bloom_position_set/"
+            f"bloom_maybe_contains for large filters"
+        )
+    pos_df = bloom_position_set(df, key, m_bits=m_bits, k_hashes=k_hashes)
+    words = (
+        pos_df.groupBy((F.col("pos") / 64).cast("long").alias("w"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+            ).alias("bits")
+        )
+        .collect()
+    )
+    n_words = (m_bits + 63) // 64
+    out = [0] * n_words
+    for r in words:
+        out[int(r["w"])] = int(r["bits"])
+    return out
+
+
+def bloom_maybe_from_bitmap(
+    key: Column | str, bitmap: list[int], *, m_bits: int, k_hashes: int,
+) -> Column:
+    """Membership as a pure expression over the literal bitmap — no
+    join at all: element_at picks the word, getbit tests the bit
+    (both whole-stage-codegen native)."""
+    col = F.col(key) if isinstance(key, str) else key
+    arr = F.lit(bitmap)
+    verdict = F.lit(True)
+    for p in bloom_positions(col, m_bits=m_bits, k_hashes=k_hashes):
+        word = F.element_at(arr, (p / 64).cast("int") + F.lit(1))
+        verdict = verdict & (F.getbit(word, p % 64) == 1)
+    return verdict

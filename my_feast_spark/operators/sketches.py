@@ -1,0 +1,234 @@
+"""Cardinality / overlap sketches: KMV (bottom-k) and HyperLogLog.
+
+Why this tier exists: at 100 TB the questions "how many distinct
+shingles does this corpus have", "how much does crawl snapshot A
+overlap snapshot B", and "how many distinct users per event type per
+day" are planning inputs for every other operator in this engine —
+MinHash band count, Bloom filter sizing (``operators/bloom.py``),
+dedup-index bucket count — and computing them EXACTLY means a full
+shuffle of the distinct keys (count(DISTINCT x) re-keys the whole
+relation). A sketch answers them from state that is *constant-size and
+mergeable*:
+
+* **KMV (k minimum values)** keeps the k smallest hash values of the
+  distinct set.  Distinct-count estimate ``(k-1) * 2^63 / h_k`` (Bar-
+  Yossef et al. 2002); two sketches merge by re-taking the bottom-k of
+  their union, and the overlap of the union sketch's members estimates
+  Jaccard directly (Beyer et al., "On Synopses for Distinct-Value
+  Estimation Under Multiset Operations", SIGMOD'07).  Spark shape: the
+  bottom-k is ``ORDER BY h LIMIT k`` — Catalyst plans a
+  TakeOrderedAndProject, which computes a per-partition partial top-k
+  map-side and ships ONLY k rows per partition to the driver-side
+  merge; the only full shuffle is the distinct() on the hash, which is
+  itself map-side partially aggregated.
+
+* **HyperLogLog** (Flajolet et al. 2007) keeps ``m = 2^p`` registers of
+  max leading-zero counts.  Spark shape: ``groupBy(group, bucket).max``
+  then ``groupBy(group)`` — both stages partially aggregate map-side,
+  so the shuffle carries at most ``m`` rows per group regardless of
+  input volume, and register tables for different days/shards merge
+  with an elementwise MAX (the basis for incremental daily profiles).
+
+Engine-exactness: everything is built on the portable md5 hash family
+(``operators/dedup.portable_hash64``), all estimator arithmetic is
+integer until ONE final division, and ``rho`` (the leading-zero rank)
+is computed from ``length(bin(x))`` — minimal-width binary rendering,
+which Spark's ``bin()`` and DuckDB's ``bin()`` agree on bit-for-bit.
+So a DuckDB oracle replays the FULL sketch, register table and
+estimate included, and the driver hash-adjudicates it (workload
+queries ``kmv_corpus_overlap`` / ``hll_group_distinct``).
+
+Spark has ``approx_count_distinct`` (a HLL++ built-in); it is the
+right call when only the scalar estimate is needed.  This module
+exists for what the built-in does not expose: the *sketch itself* as a
+first-class relation — persistable, mergeable across ingests, and
+usable for overlap/Jaccard between corpora, none of which the opaque
+built-in aggregate supports.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from my_feast_spark.operators.dedup import _MASK63, portable_hash64
+
+#: 2^63 as an exactly-representable double; numerator of the KMV
+#: estimator. Written as a literal so the Spark plan and the SQL oracle
+#: parse the IDENTICAL double.
+TWO63_F = 9.223372036854775808e18
+
+#: HLL integer-sum scale: Z is accumulated as sum(2^(HLL_SCALE_BITS -
+#: rho)) in BIGINT, which quantizes register contributions below
+#: 2^-HLL_SCALE_BITS to zero (relative error < 2^-40 — far below the
+#: sketch's own ~1.04/sqrt(m) error) and keeps the sum exact-integer so
+#: no float accumulation order can diverge between engines.
+HLL_SCALE_BITS = 40
+
+
+def sketch_hash(col: Column) -> Column:
+    """63-bit positive portable hash — the input of both sketches."""
+    return portable_hash64(col).bitwiseAND(F.lit(_MASK63))
+
+
+def kmv_sketch(df: DataFrame, value: Column | str, k: int) -> DataFrame:
+    """Bottom-k sketch of the distinct values of ``value``: a DataFrame
+    with one column ``h`` (ascending hash), at most ``k`` rows.
+
+    Plan: distinct-by-hash (map-side partial agg) then a
+    TakeOrderedAndProject — the driver merge sees k rows per partition,
+    never the distinct set itself."""
+    col = F.col(value) if isinstance(value, str) else value
+    return (
+        df.select(sketch_hash(col).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select("h")
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_union(sketches: list[DataFrame], k: int) -> DataFrame:
+    """Merge KMV sketches: bottom-k of the union of their members.
+    Valid because each input sketch's members are the k smallest of its
+    set — the union's k smallest are all present in some input."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.select("h").distinct().orderBy("h").limit(k)
+
+
+def kmv_distinct_estimate(kth: Column, k: int) -> Column:
+    """KMV distinct-count estimator ``(k-1) * 2^63 / h_k``, rounded to
+    4 dp so the one float division stays hash-stable across engines."""
+    return F.round(F.lit(float(k - 1) * TWO63_F / 1.0) / kth, 4)
+
+
+def hll_alpha(m: int) -> float:
+    """The standard HLL bias-correction constant for ``m`` registers."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_rho(rest: Column, width: int) -> Column:
+    """Rank of the leading 1-bit of ``rest`` (a ``width``-bit positive
+    value), counted from the most significant end, 1-based; ``width+1``
+    when rest == 0.  ``length(bin(x))`` is the minimal binary width —
+    identical in Spark and DuckDB — so ``rho = width - msb_len + 1``."""
+    return (
+        F.when(rest > 0, F.lit(width + 1) - F.length(F.bin(rest)))
+        .otherwise(F.lit(width + 1))
+        .cast("int")
+    )
+
+
+def hll_registers(
+    df: DataFrame, value: Column | str, *, p: int = 8,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """HLL register table: one row per (group, bucket) with the max
+    leading-zero rank ``rho``.  ``bucket`` is the low ``p`` hash bits,
+    ``rho`` ranks the remaining ``63-p`` bits.  Shuffle is bounded by
+    ``m = 2^p`` rows per group (map-side max before the exchange);
+    register tables from different shards merge by elementwise MAX."""
+    col = F.col(value) if isinstance(value, str) else value
+    m = 1 << p
+    width = 63 - p
+    h = sketch_hash(col)
+    keys = list(group_by or [])
+    base = df.select(
+        *keys,
+        (h.bitwiseAND(F.lit(m - 1))).alias("bucket"),
+        F.shiftright(h, p).alias("__rest"),
+    ).withColumn("rho", hll_rho(F.col("__rest"), width))
+    return base.groupBy(*keys, "bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    registers: DataFrame, *, p: int = 8, group_by: list[str] | None = None,
+) -> DataFrame:
+    """Collapse a register table to one row per group:
+
+    ``n_zero``       registers never touched (m - present buckets)
+    ``sum_scaled``   sum(2^(HLL_SCALE_BITS - rho)) — exact integer
+    ``registers_md5`` digest of the zero-padded (bucket, rho) list,
+                      order-free because it is sorted before hashing
+    ``est_distinct`` the HLL estimate with the standard small-range
+                      linear-counting correction (est <= 2.5m and
+                      zero registers present -> m * ln(m / n_zero))
+
+    The raw-estimate denominator ``Z = n_zero * 2^S + sum_scaled`` is
+    integer; the single division and the one ``ln`` are rounded to 4 dp
+    — the same engine-parity treatment the TF-IDF query uses."""
+    m = 1 << p
+    alpha = hll_alpha(m)
+    keys = list(group_by or [])
+    scale = 1 << HLL_SCALE_BITS
+    # rho in [1, width+1]; contributions with rho > HLL_SCALE_BITS (i.e.
+    # < 2^-40) are quantized to 0 by the WHEN below — documented at the
+    # module constant. Worst-case integer sums: present-bucket sum
+    # <= m * 2^(S-1), zero-bucket term <= m * 2^S — both far inside long.
+    reg_str = F.concat_ws(
+        ":",
+        F.lpad(F.col("bucket").cast("string"), 4, "0"),
+        F.lpad(F.col("rho").cast("string"), 2, "0"),
+    )
+    agg = registers.groupBy(*keys).agg(
+        (F.lit(m) - F.count(F.lit(1))).cast("long").alias("n_zero"),
+        F.sum(
+            F.when(
+                F.col("rho") <= HLL_SCALE_BITS,
+                # shiftleft's python wrapper wants a literal shift; the
+                # SQL form accepts the per-row column
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), {HLL_SCALE_BITS} - rho)"
+                ),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("sum_scaled"),
+        F.md5(
+            F.concat_ws(",", F.array_sort(F.collect_list(reg_str)))
+        ).alias("registers_md5"),
+    )
+    raw = F.round(
+        F.lit(alpha * m * m * float(scale))
+        / (F.col("n_zero") * F.lit(scale) + F.col("sum_scaled")),
+        4,
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("n_zero") > 0),
+        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("n_zero")), 4),
+    ).otherwise(raw)
+    return agg.select(
+        *keys, "n_zero", "sum_scaled", "registers_md5", est.alias("est_distinct")
+    )
+
+
+def hll_group_distinct(
+    df: DataFrame, value: Column | str, group_by: list[str], *, p: int = 8,
+) -> DataFrame:
+    """Registers + estimate in one call — the per-group distinct-count
+    profile (``hll_group_distinct`` workload query)."""
+    regs = hll_registers(df, value, p=p, group_by=group_by)
+    return hll_estimate(regs, p=p, group_by=group_by)
+
+
+# --- SQL oracle fragments -------------------------------------------------
+
+
+def sketch_hash_sql(expr: str) -> str:
+    """DuckDB replay of ``sketch_hash``."""
+    return f"(md5_number_lower({expr}) & 9223372036854775807)"
+
+
+def hll_rho_sql(rest: str, width: int) -> str:
+    """DuckDB replay of ``hll_rho``."""
+    return (
+        f"CAST(CASE WHEN {rest} > 0 THEN {width + 1} - length(bin({rest})) "
+        f"ELSE {width + 1} END AS INTEGER)"
+    )

@@ -7215,6 +7215,445 @@ FROM seg
 SQL_AUDIO_VAD = _LazySQL(_sql_audio_vad)
 
 
+# --- cardinality / overlap sketches (operators/sketches.py) ---------------
+
+#: KMV sketch size for the overlap query: error ~ 1/sqrt(k) ≈ 6%.
+_KMV_K = 256
+#: HLL precision for the group-distinct profile: m=256 registers,
+#: error ~ 1.04/sqrt(m) ≈ 6.5%.
+_HLL_P = 8
+
+
+def q_hll_group_distinct(spark, sf_dir):
+    """Per-group distinct-count profile by HyperLogLog register table
+    (operators/sketches.py): distinct users per event type WITHOUT a
+    count(DISTINCT) re-key of the events relation. The shuffle carries
+    at most m=2^p rows per group (map-side max partial agg), constant
+    in input volume — the state is mergeable across days/shards with an
+    elementwise register MAX, which count(DISTINCT) can never be. The
+    adjudicated row carries the full register digest, the exact-integer
+    Z sum, and the estimate — so the driver hash checks the SKETCH, not
+    just the scalar."""
+    from my_feast_spark.operators.sketches import hll_group_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    out = hll_group_distinct(
+        ev.select("event_type", F.col("user_id").cast("string").alias("u")),
+        "u", ["event_type"], p=_HLL_P,
+    )
+    return out.select(
+        "event_type", "n_zero", "sum_scaled", "registers_md5", "est_distinct"
+    )
+
+
+def _sql_hll_group_distinct() -> str:
+    from my_feast_spark.operators.sketches import (
+        HLL_SCALE_BITS, hll_alpha, hll_rho_sql, sketch_hash_sql,
+    )
+
+    p = _HLL_P
+    m = 1 << p
+    width = 63 - p
+    alpha = hll_alpha(m)
+    scale = 1 << HLL_SCALE_BITS
+    hs = sketch_hash_sql("CAST(user_id AS VARCHAR)")
+    rho = hll_rho_sql("rest", width)
+    reg = ("lpad(CAST(bucket AS VARCHAR),4,'0') || ':' || "
+           "lpad(CAST(rho AS VARCHAR),2,'0')")
+    raw = (f"round({alpha!r}e0 * {m} * {m} * {float(scale)!r}e0 / "
+           f"(n_zero * {scale} + sum_scaled), 4)")
+    return f"""
+WITH h AS (SELECT event_type, {hs} AS hv FROM events),
+b AS (SELECT event_type, hv & {m - 1} AS bucket, hv >> {p} AS rest FROM h),
+r AS (SELECT event_type, bucket, max({rho}) AS rho FROM b GROUP BY 1, 2),
+a AS (
+  SELECT event_type,
+         CAST({m} - count(*) AS BIGINT) AS n_zero,
+         CAST(sum(CASE WHEN rho <= {HLL_SCALE_BITS}
+                       THEN (CAST(1 AS BIGINT) << ({HLL_SCALE_BITS} - rho))
+                       ELSE 0 END) AS BIGINT) AS sum_scaled,
+         md5(string_agg({reg}, ',' ORDER BY {reg})) AS registers_md5
+  FROM r GROUP BY 1)
+SELECT event_type, n_zero, sum_scaled, registers_md5,
+       CASE WHEN {raw} <= {2.5 * m!r}e0 AND n_zero > 0
+            THEN round({float(m)!r}e0 * ln({float(m)!r}e0 / n_zero), 4)
+            ELSE {raw} END AS est_distinct
+FROM a
+"""
+
+
+SQL_HLL_GROUP_DISTINCT = _LazySQL(_sql_hll_group_distinct)
+
+
+def q_kmv_corpus_overlap(spark, sf_dir):
+    """Corpus-overlap estimation by KMV (bottom-k) sketches
+    (operators/sketches.py): distinct 3-word-shingle cardinality of two
+    corpus halves (doc_id parity), their union, Jaccard, and the
+    intersection size — from THREE k-row sketches instead of three
+    corpus-wide distinct counts. Spark shape: ONE distinct-by-hash
+    shuffle builds the flagged hash relation (in_a/in_b), then three
+    TakeOrderedAndProject bottom-k passes over the persisted result (k
+    rows per partition to the driver merge, never the distinct set).
+    The estimators are exact-integer until one final division (rounded
+    4 dp), so the DuckDB oracle replays sketch members AND estimates
+    bit-for-bit."""
+    from my_feast_spark.operators.dedup import _with_shingles
+    from my_feast_spark.operators.sketches import TWO63_F, sketch_hash
+
+    k = _KMV_K
+    docs = _t(spark, sf_dir, "documents")
+    sh = _with_shingles(docs, "doc_id", "text", 3)
+    ex = sh.select("doc", F.explode("sh").alias("sg"))
+    base = (
+        ex.select(
+            sketch_hash(F.col("sg")).alias("h"),
+            (F.col("doc") % 2 == 0).cast("int").alias("a"),
+            (F.col("doc") % 2 == 1).cast("int").alias("b"),
+        )
+        .groupBy("h")
+        .agg(F.max("a").alias("in_a"), F.max("b").alias("in_b"))
+        .persist()
+    )
+    numer = F.lit(float(k - 1) * TWO63_F)
+
+    def _est(kth, n):
+        return F.when(
+            n >= k, F.round(numer / kth, 4)
+        ).otherwise(n.cast("double"))
+
+    bot_a = base.where(F.col("in_a") == 1).orderBy("h").limit(k)
+    bot_b = base.where(F.col("in_b") == 1).orderBy("h").limit(k)
+    bot_u = base.orderBy("h").limit(k)
+    agg_a = bot_a.agg(
+        F.max("h").alias("kth_a"), F.count(F.lit(1)).alias("n_a")
+    )
+    agg_b = bot_b.agg(
+        F.max("h").alias("kth_b"), F.count(F.lit(1)).alias("n_b")
+    )
+    agg_u = bot_u.agg(
+        F.max("h").alias("kth_union"),
+        F.count(F.lit(1)).alias("n_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_common"),
+    )
+    out = (
+        agg_a.crossJoin(F.broadcast(agg_b))
+        .crossJoin(F.broadcast(agg_u))
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            "kth_a", "kth_b", "kth_union", "n_common",
+            _est(F.col("kth_a"), F.col("n_a")).alias("est_distinct_a"),
+            _est(F.col("kth_b"), F.col("n_b")).alias("est_distinct_b"),
+            _est(F.col("kth_union"), F.col("n_union")).alias(
+                "est_distinct_union"
+            ),
+            F.round(F.col("n_common") / F.col("n_union"), 4).alias(
+                "est_jaccard"
+            ),
+        )
+        .withColumn(
+            "est_intersection",
+            F.round(F.col("est_jaccard") * F.col("est_distinct_union"), 4),
+        )
+    )
+    out._owned_caches = [base]
+    return out
+
+
+def _sql_kmv_corpus_overlap() -> str:
+    k = _KMV_K
+    numer = f"{float(k - 1)!r}e0 * 9.223372036854775808e18"
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS doc,
+         string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT doc, list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks WHERE len(t) >= 3
+), ex AS (
+  SELECT doc, unnest(s) AS sg FROM sh
+), base AS MATERIALIZED (
+  SELECT (md5_number_lower(sg) & 9223372036854775807) AS h,
+         max(CASE WHEN doc % 2 = 0 THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN doc % 2 = 1 THEN 1 ELSE 0 END) AS in_b
+  FROM ex GROUP BY 1
+), ka AS (
+  SELECT max(h) AS kth_a, CAST(count(*) AS BIGINT) AS n_a
+  FROM (SELECT h FROM base WHERE in_a = 1 ORDER BY h LIMIT {k})
+), kb AS (
+  SELECT max(h) AS kth_b, CAST(count(*) AS BIGINT) AS n_b
+  FROM (SELECT h FROM base WHERE in_b = 1 ORDER BY h LIMIT {k})
+), ku AS (
+  SELECT max(h) AS kth_union, CAST(count(*) AS BIGINT) AS n_union,
+         CAST(sum(in_a * in_b) AS BIGINT) AS n_common
+  FROM (SELECT h, in_a, in_b FROM base ORDER BY h LIMIT {k})
+)
+SELECT CAST({k} AS BIGINT) AS k, kth_a, kth_b, kth_union, n_common,
+       CASE WHEN n_a >= {k} THEN round(({numer}) / kth_a, 4)
+            ELSE CAST(n_a AS DOUBLE) END AS est_distinct_a,
+       CASE WHEN n_b >= {k} THEN round(({numer}) / kth_b, 4)
+            ELSE CAST(n_b AS DOUBLE) END AS est_distinct_b,
+       CASE WHEN n_union >= {k} THEN round(({numer}) / kth_union, 4)
+            ELSE CAST(n_union AS DOUBLE) END AS est_distinct_union,
+       round(CAST(n_common AS DOUBLE) / n_union, 4) AS est_jaccard,
+       round(round(CAST(n_common AS DOUBLE) / n_union, 4) *
+             (CASE WHEN n_union >= {k} THEN round(({numer}) / kth_union, 4)
+                   ELSE CAST(n_union AS DOUBLE) END), 4) AS est_intersection
+FROM ka, kb, ku
+"""
+
+
+SQL_KMV_CORPUS_OVERLAP = _LazySQL(_sql_kmv_corpus_overlap)
+
+
+# --- Bloom-filter cross-corpus prefilter (operators/bloom.py) --------------
+
+#: Bloom geometry for the containment query: ~10k reference shingles at
+#: sf0.01 -> load 0.23 bits/bit, FP ~0.9% (the adjudicated row exercises
+#: real false positives); the filter is 2^17 bits = 2048 packed longs.
+_BLOOM_M = 1 << 17
+_BLOOM_K = 3
+
+
+def q_bloom_prefilter_dedup(spark, sf_dir):
+    """Cross-corpus containment decontamination through a Bloom filter
+    (operators/bloom.py): for every incoming (odd-doc_id) document, the
+    fraction of its 3-word shingles already present in the reference
+    (even-doc_id) corpus — drop the document when containment >= 0.5
+    (the C4/RealNews-style overlap rule).
+
+    Why bloom: the naive form joins EVERY candidate shingle against the
+    corpus-wide reference vocabulary — a full shuffle of both sides. The
+    packed filter is m/64 = 2048 literal longs built distributed
+    (bit_or partial agg; only the packed words — bounded by the guarded
+    m — reach the driver), and membership is a map-side expression, so
+    ONLY the maybe-present fraction pays the exact-verify join. The
+    adjudicated row carries n_bloom_maybe next to n_in_ref, so the
+    driver hash pins the filter's exact bit behavior INCLUDING its
+    false positives. At larger m the positions-relation strategy
+    (bloom_maybe_contains — zero candidate shuffle, k broadcast joins)
+    replaces the literal; equivalence is pinned in tests/test_bloom.py."""
+    from my_feast_spark.operators.bloom import (
+        bloom_bitmap, bloom_maybe_from_bitmap,
+    )
+    from my_feast_spark.operators.dedup import _with_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = _with_shingles(docs, "doc_id", "text", 3).persist()
+    ref = sh.where(F.col("doc") % 2 == 0).select(F.explode("sh").alias("sg"))
+    bm = bloom_bitmap(ref, "sg", m_bits=_BLOOM_M, k_hashes=_BLOOM_K)
+    cand = sh.where(F.col("doc") % 2 == 1).select(
+        "doc", F.explode("sh").alias("sg")
+    )
+    ann = cand.withColumn(
+        "maybe",
+        bloom_maybe_from_bitmap("sg", bm, m_bits=_BLOOM_M, k_hashes=_BLOOM_K),
+    )
+    # exact verification of the maybe fraction ONLY (bloom's contract:
+    # no false negatives, so everything else is definitely-absent)
+    ref_set = ref.distinct().withColumn("__r", F.lit(1))
+    maybe = ann.where(F.col("maybe"))
+    rest = ann.where(~F.col("maybe")).withColumn("in_ref", F.lit(False))
+    ver = (
+        maybe.join(ref_set, "sg", "left")
+        .withColumn("in_ref", F.col("__r").isNotNull())
+        .drop("__r")
+    )
+    allc = ver.select("doc", "sg", "maybe", "in_ref").unionByName(
+        rest.select("doc", "sg", "maybe", "in_ref")
+    )
+    out = (
+        allc.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.col("maybe").cast("long")).alias("n_bloom_maybe"),
+            F.sum(F.col("in_ref").cast("long")).alias("n_in_ref"),
+        )
+        .select(
+            F.col("doc").alias("doc_id"),
+            "n_shingles", "n_bloom_maybe", "n_in_ref",
+            F.round(F.col("n_in_ref") / F.col("n_shingles"), 4).alias(
+                "containment"
+            ),
+        )
+        .withColumn("keep", F.col("containment") < 0.5)
+    )
+    out._owned_caches = [sh]
+    return out
+
+
+def _sql_bloom_prefilter_dedup() -> str:
+    m, k = _BLOOM_M, _BLOOM_K
+    mask = 9223372036854775807
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS doc,
+         string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT doc, list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks WHERE len(t) >= 3
+), ref AS MATERIALIZED (
+  SELECT DISTINCT unnest(s) AS sg FROM sh WHERE doc % 2 = 0
+), refpos AS MATERIALIZED (
+  SELECT DISTINCT (h1 + i * h2) % {m} AS pos
+  FROM (SELECT (md5_number_lower(sg) & {mask}) % {m} AS h1,
+               ((md5_number_lower(sg || ':b2') & {mask}) % {m - 1}) + 1 AS h2
+        FROM ref),
+       generate_series(0, {k - 1}) t(i)
+), cand AS (
+  SELECT doc, unnest(s) AS sg FROM sh WHERE doc % 2 = 1
+), cpos AS (
+  SELECT DISTINCT doc, sg, (h1 + i * h2) % {m} AS pos
+  FROM (SELECT doc, sg,
+               (md5_number_lower(sg) & {mask}) % {m} AS h1,
+               ((md5_number_lower(sg || ':b2') & {mask}) % {m - 1}) + 1 AS h2
+        FROM cand),
+       generate_series(0, {k - 1}) t(i)
+), ann AS (
+  SELECT doc, sg,
+         count(*) = count(*) FILTER (
+           WHERE pos IN (SELECT pos FROM refpos)) AS maybe
+  FROM cpos GROUP BY 1, 2
+), ver AS (
+  SELECT doc, sg, maybe,
+         (maybe AND sg IN (SELECT sg FROM ref)) AS in_ref
+  FROM ann
+)
+SELECT doc AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom_maybe,
+       CAST(sum(CASE WHEN in_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_in_ref,
+       round(CAST(sum(CASE WHEN in_ref THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS containment,
+       (round(CAST(sum(CASE WHEN in_ref THEN 1 ELSE 0 END) AS DOUBLE)
+              / count(*), 4) < 0.5e0) AS keep
+FROM ver GROUP BY 1
+"""
+
+
+SQL_BLOOM_PREFILTER_DEDUP = _LazySQL(_sql_bloom_prefilter_dedup)
+
+
+# --- BM25 ranked retrieval (operators/bm25.py) ------------------------------
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-5 documents for three deterministic corpus-derived
+    queries (operators/bm25.py). The query set is the corpus's nine
+    highest-df terms dealt round-robin into three 3-term queries — so
+    both engines derive the same queries from the same relation and the
+    row hashes cover the derivation too. Scale shape: the tf relation
+    keys the only corpus shuffle; query terms, the pruned df relation
+    and the (N, sum_dl) scalars are broadcast; per-term float scores
+    are quantized to micro-unit BIGINTs before the per-doc sum, so no
+    float reduction order exists for partial aggregation to disturb."""
+    from my_feast_spark.functions.text import tokens
+    from my_feast_spark.operators.bm25 import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode_outer(tokens(F.lower(F.col("text")))).alias("term")
+    ).filter(F.col("term").isNotNull())
+    dfreq = (
+        tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    top9 = dfreq.orderBy(F.col("df").desc(), F.col("term").asc()).limit(9)
+    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    qt = (
+        top9.withColumn("rn", F.row_number().over(w))
+        .select(
+            F.concat(
+                F.lit("q"), (((F.col("rn") - 1) % 3) + 1).cast("string")
+            ).alias("query_id"),
+            "term",
+        )
+    )
+    return bm25_topk(docs, "doc_id", "text", qt, k=5)
+
+
+def _sql_bm25_topk() -> str:
+    from my_feast_spark.operators.bm25 import bm25_sql
+
+    query_cte = """
+  SELECT 'q' || CAST(((rn - 1) % 3) + 1 AS VARCHAR) AS query_id, term
+  FROM (SELECT term,
+               row_number() OVER (ORDER BY df DESC, term ASC) AS rn
+        FROM dfreq)
+  WHERE rn <= 9"""
+    return bm25_sql(query_cte=query_cte, k=5)
+
+
+SQL_BM25_TOPK = _LazySQL(_sql_bm25_topk)
+
+
+# --- ORC round-trip scan ----------------------------------------------------
+
+
+def _orc_capture_dir(spark, sf_dir: str) -> str:
+    """Build (once per sf_dir) an ORC twin of a deterministic documents
+    subset under the repo warehouse dir — the avro-capture pattern:
+    content-addressable on the sf path, _SUCCESS-marked, immutable."""
+    import hashlib
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(repo_root, "spark-warehouse", f"orc_capture_{key}")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    docs = load_table(spark, sf_dir, "documents")
+    (
+        docs.where(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(2)
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .orc(out)
+    )
+    return out
+
+
+def q_orc_scan(spark, sf_dir):
+    """ORC round-trip: write a deterministic documents subset as ORC
+    (Spark native writer), scan it back, and build a per-lang aggregate
+    the oracle computes straight from the parquet source — a full hash
+    check on the ORC encode+decode path (Spark's other first-class
+    columnar format; DuckDB cannot read ORC, so the round-trip
+    equivalence IS the oracle strategy, like avro_scan). Predicate/
+    column pushdown into the ORC scan is plan-pinned in
+    tests/test_orc.py."""
+    path = _orc_capture_dir(spark, sf_dir)
+    return (
+        spark.read.orc(path)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.md5(
+                F.concat_ws("|", F.array_sort(F.collect_list("text")))
+            ).alias("texts_md5"),
+        )
+    )
+
+
+SQL_ORC_SCAN = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+       md5(string_agg(text, '|' ORDER BY text)) AS texts_md5
+FROM documents WHERE doc_id % 5 = 0
+GROUP BY 1
+"""
+
+
 # =========================================================================
 # Query registry.
 #
@@ -7281,6 +7720,34 @@ QUERIES: dict[str, tuple] = {
     # (url_domain_curation exercises both new rule classes).
     "unigram_tokenize": (q_unigram_tokenize, SQL_UNIGRAM_TOKENIZE),
     "url_domain_curation": (q_url_domain_curation, SQL_URL_DOMAIN_CURATION),
+    # --- NEW in round 13, continuation session: the sketch tier
+    # (operators/sketches.py) — constant-state mergeable cardinality /
+    # overlap estimation, the planning inputs for bloom sizing, band
+    # counts, and dedup-index bucket counts at 100 TB. Both rows
+    # hash-adjudicate the SKETCH (register digests / bottom-k members),
+    # not just the scalar estimate.
+    "hll_group_distinct": (q_hll_group_distinct, SQL_HLL_GROUP_DISTINCT),
+    "kmv_corpus_overlap": (q_kmv_corpus_overlap, SQL_KMV_CORPUS_OVERLAP),
+    # --- NEW in round 13, continuation: broadcast Bloom prefilter for
+    # cross-corpus containment dedup (operators/bloom.py) — the row's
+    # n_bloom_maybe column hash-pins the filter's exact bit behavior,
+    # false positives included.
+    "bloom_prefilter_dedup": (
+        q_bloom_prefilter_dedup, SQL_BLOOM_PREFILTER_DEDUP,
+    ),
+    # --- NEW in round 13, continuation: BM25 ranked retrieval (the
+    # queries themselves derived from the corpus so the hash covers the
+    # derivation) and the ORC round-trip (Spark's other first-class
+    # columnar format; oracle = the parquet-source aggregate).
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "orc_scan": (q_orc_scan, SQL_ORC_SCAN),
+    # wordpiece_tokenize + warc_text_extract were tail-registered by the
+    # first round-13 session with "window slot round 14" notes — but a
+    # never-adjudicated surface outranks a re-adjudication, so they take
+    # their window slots NOW (displacing two rotated-in r11 re-checks to
+    # round 14; those stay value-checked every pytest run).
+    "wordpiece_tokenize": (q_wordpiece_tokenize, SQL_WORDPIECE_TOKENIZE),
+    "warc_text_extract": (q_warc_text_extract, SQL_WARC_TEXT_EXTRACT),
     # --- rotated IN for round 13 (the r12 tail, back in-window as the
     # r12 block promised; all green in r11 or earlier and value-checked
     # every pytest run by tests/test_oracle_parity.py). Window overlap
@@ -7322,28 +7789,37 @@ QUERIES: dict[str, tuple] = {
     ),
     "simhash_dup_pairs": (q_simhash_dup_pairs, SQL_SIMHASH_DUP_PAIRS),
     "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
-    "dedup_entity_rows": (q_dedup_entity_rows, SQL_DEDUP_ENTITY_ROWS),
     "latest_event_per_user": (
         q_latest_event_per_user, SQL_LATEST_EVENT_PER_USER,
     ),
-    "priority_collapse_types": (
-        q_priority_collapse_types, SQL_PRIORITY_COLLAPSE_TYPES,
-    ),
-    "part_brand_stats": (q_part_brand_stats, SQL_PART_BRAND_STATS),
-    "idle_customers_anti": (q_idle_customers_anti, SQL_IDLE_CUSTOMERS_ANTI),
-    "case_decode_coalesce": (q_case_decode_coalesce, SQL_CASE_DECODE_COALESCE),
     "map_pivot_props": (q_map_pivot_props, SQL_MAP_PIVOT_PROPS),
-    "datetime_functions": (q_datetime_functions, SQL_DATETIME_FUNCTIONS),
     "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
     "order_priority_count": (q_order_priority_count, SQL_ORDER_PRIORITY_COUNT),
     "top_spenders": (q_top_spenders, SQL_TOP_SPENDERS),
-    "user_value_deltas": (q_user_value_deltas, SQL_USER_VALUE_DELTAS),
     # --- rotation tail for round 13 (adjudicated round 12 — every one a
     # green row in CORRECTNESS_r12 — or deferred one round with an
     # in-window superset sibling: jaccard_dup_pairs ⊂ minhash_dup_pairs,
     # audio/video_dedup next to the r12-green image_dedup/audio_vad,
     # semdedup next to in-window embedding_near_dupes_lsh + ivf_topk.
     # Back in-window round 14.
+    # Four more one-round deferrals fund the continuation session's five
+    # never-adjudicated components taking window slots; each deferral's
+    # operator surface runs inside an in-window query (r11-green,
+    # value-checked every pytest run; back in-window round 14):
+    #   priority_collapse_types — when/otherwise decode chain inside
+    #     case-handling of in-window curation + PIT queries;
+    #   part_brand_stats — min/max/avg/count shape of in-window
+    #     pricing_summary;
+    #   idle_customers_anti — anti join, the decontamination step inside
+    #     in-window curation_pipeline_full;
+    #   user_value_deltas — lag/window arithmetic, the interval windows
+    #     inside in-window scd2_user_state.
+    "priority_collapse_types": (
+        q_priority_collapse_types, SQL_PRIORITY_COLLAPSE_TYPES,
+    ),
+    "part_brand_stats": (q_part_brand_stats, SQL_PART_BRAND_STATS),
+    "idle_customers_anti": (q_idle_customers_anti, SQL_IDLE_CUSTOMERS_ANTI),
+    "user_value_deltas": (q_user_value_deltas, SQL_USER_VALUE_DELTAS),
     "jaccard_dup_pairs": (q_jaccard_dup_pairs, SQL_JACCARD_DUP_PAIRS),
     "audio_dedup": (q_audio_dedup, SQL_AUDIO_DEDUP),
     "video_dedup": (q_video_dedup, SQL_VIDEO_DEDUP),
@@ -7391,7 +7867,6 @@ QUERIES: dict[str, tuple] = {
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "top_terms_tfidf": (q_top_terms_tfidf, SQL_TOP_TERMS_TFIDF),
-    "user_cohort_sets": (q_user_cohort_sets, SQL_USER_COHORT_SETS),
     "moving_avg_revenue": (q_moving_avg_revenue, SQL_MOVING_AVG_REVENUE),
     "event_type_pivot": (q_event_type_pivot, SQL_EVENT_TYPE_PIVOT),
     "post_signup_activity": (q_post_signup_activity, SQL_POST_SIGNUP_ACTIVITY),
@@ -7399,13 +7874,8 @@ QUERIES: dict[str, tuple] = {
     "customer_balance_deciles": (
         q_customer_balance_deciles, SQL_CUSTOMER_BALANCE_DECILES,
     ),
-    # --- NEW in round 13, registered at the TAIL: the 50-slot window
-    # is fully claimed by the rotation contract (the r12 tail must
-    # re-adjudicate) + the round's two verdict-ask rows; wordpiece is
-    # pytest- and oracle-parity-pinned this round and takes a window
-    # slot in round 14 with the rest of the tail.
-    "wordpiece_tokenize": (q_wordpiece_tokenize, SQL_WORDPIECE_TOKENIZE),
-    "warc_text_extract": (q_warc_text_extract, SQL_WARC_TEXT_EXTRACT),
+    # (wordpiece_tokenize / warc_text_extract moved INTO the window
+    # above — never-adjudicated surfaces outrank re-adjudications.)
 }
 
 #: Retired from the driver registry (budget: ~100 adjudicated queries).
@@ -7566,4 +8036,19 @@ RETIRED_QUERIES: dict[str, tuple] = {
     "pq_topk": (q_pq_topk, SQL_PQ_TOPK),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
+    # round 13 (registry budget for the five new components; each a
+    # near-duplicate of in-registry coverage):
+    #   dedup_entity_rows (A5)    -> exact_dedup_docs (same
+    #                                distinct-by-key groupBy shape)
+    #   case_decode_coalesce (P9/P10) -> priority_collapse_types (the
+    #                                when/otherwise+coalesce rewrite)
+    #   datetime_functions (F1-F5) -> hourly_user_agg / scd2_user_state
+    #                                (to_timestamp/date_trunc/format in
+    #                                anger, adjudicated every round)
+    #   user_cohort_sets (§2.6 extension) -> event_type_pivot +
+    #                                idle_customers_anti (set semantics)
+    "dedup_entity_rows": (q_dedup_entity_rows, SQL_DEDUP_ENTITY_ROWS),
+    "case_decode_coalesce": (q_case_decode_coalesce, SQL_CASE_DECODE_COALESCE),
+    "datetime_functions": (q_datetime_functions, SQL_DATETIME_FUNCTIONS),
+    "user_cohort_sets": (q_user_cohort_sets, SQL_USER_COHORT_SETS),
 }

@@ -401,6 +401,75 @@ def main() -> None:
         docs20, "text", **kw).count(), repeats=1)
     release_checkpoint(docs20)
 
+    # ---- probe 7: sketch / bloom tier at 20x ---------------------------
+    # (a) HLL vs exact count(DISTINCT) at 20x events (distinct-user set
+    #     CONSTANT under replication — only rows grow): the claim is the
+    #     HLL shuffle carries <= m rows per group while the exact path
+    #     re-keys the input; compare wall time AND shuffle bytes.
+    # (b) Bloom prefilter vs direct join for cross-corpus membership at
+    #     20x candidates (~5% true members by construction): the claim
+    #     is the candidate relation never shuffles — only the maybe
+    #     fraction pays the verify join.
+    from my_feast_spark.operators.bloom import (
+        bloom_bitmap, bloom_maybe_from_bitmap,
+    )
+    from my_feast_spark.operators.dedup import doc_fingerprint
+    from my_feast_spark.operators.sketches import hll_group_distinct
+
+    ev_typed = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    ev20 = _replicate(ev_typed, "event_id", 20, n_ev).localCheckpoint()
+    mark = _n_execs()
+    timed("hll_group_distinct_20x", lambda: hll_group_distinct(
+        ev20.select(
+            "event_type", F.col("user_id").cast("string").alias("u")
+        ), "u", ["event_type"], p=12,
+    ).count(), repeats=1)
+    results["hll_20x_shuffle_bytes"] = _shuffle_bytes_since(mark)
+    mark = _n_execs()
+    timed("exact_count_distinct_20x", lambda: ev20.groupBy("event_type")
+          .agg(F.countDistinct("user_id")).count(), repeats=1)
+    results["exact_distinct_20x_shuffle_bytes"] = _shuffle_bytes_since(mark)
+    release_checkpoint(ev20)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    # ~5% of candidate copies keep the original text (true members);
+    # the rest get a per-copy suffix -> unique fingerprints (non-members)
+    cand20 = _replicate(docs, "doc_id", 20, n_docs).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 20 == 0, F.col("text")).otherwise(
+            F.concat(F.col("text"), F.lit(" x"), F.col("doc_id"))
+        ),
+    ).select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fp")
+    ).localCheckpoint()
+    ref = docs.select(doc_fingerprint(F.col("text")).alias("fp")).distinct() \
+        .localCheckpoint()
+    bm_m, bm_k = 1 << 20, 3
+    bm = bloom_bitmap(ref, "fp", m_bits=bm_m, k_hashes=bm_k)
+
+    def _bloom_path():
+        ann = cand20.withColumn(
+            "maybe",
+            bloom_maybe_from_bitmap("fp", bm, m_bits=bm_m, k_hashes=bm_k),
+        )
+        hits = ann.where(F.col("maybe")).join(ref, "fp", "left_semi")
+        return hits.count()
+
+    def _direct_path():
+        return cand20.join(ref, "fp", "left_semi").count()
+
+    mark = _n_execs()
+    timed("bloom_membership_20x", _bloom_path, repeats=1)
+    results["bloom_20x_shuffle_bytes"] = _shuffle_bytes_since(mark)
+    mark = _n_execs()
+    timed("direct_join_membership_20x", _direct_path, repeats=1)
+    results["direct_20x_shuffle_bytes"] = _shuffle_bytes_since(mark)
+    release_checkpoint(cand20)
+    release_checkpoint(ref)
+
     print(json.dumps({
         "probes": results,
         "configs": {

@@ -1,0 +1,117 @@
+"""Broadcast Bloom prefilter (operators/bloom.py): no false negatives,
+bitmap == positions-join equivalence, plan shape (candidate side never
+shuffled), and the literal-size guard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from my_feast_spark.operators.bloom import (
+    MAX_BITMAP_BITS,
+    bloom_bitmap,
+    bloom_maybe_contains,
+    bloom_maybe_from_bitmap,
+    bloom_position_set,
+    bloom_positions,
+)
+
+M, K = 1 << 14, 3
+
+
+def _df(spark, lo, hi, name="v"):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit("key-"), F.col("id").cast("string")).alias(name)
+    )
+
+
+@pytest.fixture(scope="module")
+def filt(spark):
+    ref = _df(spark, 0, 2_000)
+    pos = bloom_position_set(ref, "v", m_bits=M, k_hashes=K)
+    bm = bloom_bitmap(ref, "v", m_bits=M, k_hashes=K)
+    return pos, bm
+
+
+def test_no_false_negatives(spark, filt):
+    """Every true member must pass — the Bloom contract."""
+    pos, _ = filt
+    members = _df(spark, 0, 2_000)
+    out = bloom_maybe_contains(members, pos, "v", m_bits=M, k_hashes=K)
+    assert out.where(~F.col("bloom_maybe")).count() == 0
+
+
+def test_false_positive_rate_in_band(spark, filt):
+    """2k keys in 2^14 bits, k=3 -> theoretical FP ~ (1-e^-0.366)^3
+    ~ 2.9%. Assert the measured rate on 8k non-members is < 3x that."""
+    pos, _ = filt
+    non_members = _df(spark, 10_000, 18_000)
+    out = bloom_maybe_contains(non_members, pos, "v", m_bits=M, k_hashes=K)
+    fp = out.where(F.col("bloom_maybe")).count()
+    assert fp / 8_000 < 0.09
+    assert fp > 0  # the band is real, not a degenerate all-false
+
+
+def test_bitmap_equals_positions_join(spark, filt):
+    pos, bm = filt
+    probe = _df(spark, 1_500, 4_000)  # straddles the member boundary
+    a = {
+        r["v"]: r["bloom_maybe"]
+        for r in bloom_maybe_contains(
+            probe, pos, "v", m_bits=M, k_hashes=K
+        ).collect()
+    }
+    b = {
+        r["v"]: r["m2"]
+        for r in probe.withColumn(
+            "m2", bloom_maybe_from_bitmap("v", bm, m_bits=M, k_hashes=K)
+        ).collect()
+    }
+    assert a == b
+
+
+def test_bitmap_guard(spark):
+    with pytest.raises(ValueError, match="bitmap-literal bound"):
+        bloom_bitmap(
+            _df(spark, 0, 1), "v", m_bits=MAX_BITMAP_BITS * 2, k_hashes=K
+        )
+
+
+def test_positions_deterministic_and_in_range(spark):
+    rows = (
+        _df(spark, 0, 100)
+        .select(
+            F.array(
+                *bloom_positions(F.col("v"), m_bits=M, k_hashes=K)
+            ).alias("p")
+        )
+        .collect()
+    )
+    for r in rows:
+        assert len(r["p"]) == K
+        assert all(0 <= p < M for p in r["p"])
+
+
+def test_join_strategy_never_shuffles_candidates(spark, filt):
+    """The candidate relation must reach every probe join without an
+    exchange keyed on candidate rows: all K joins are broadcast, and
+    the only Exchanges in the plan belong to the position-set build
+    (distinct over the bounded position domain)."""
+    pos, _ = filt
+    cand = _df(spark, 0, 5_000)
+    out = bloom_maybe_contains(cand, pos, "v", m_bits=M, k_hashes=K)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == K
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "pos" in line  # position-set distinct, never candidates
+
+
+def test_bitmap_probe_is_pure_expression(spark, filt):
+    """The packed-literal strategy must add NO join/exchange at all."""
+    _, bm = filt
+    out = _df(spark, 0, 100).withColumn(
+        "m", bloom_maybe_from_bitmap("v", bm, m_bits=M, k_hashes=K)
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan

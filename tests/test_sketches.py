@@ -1,0 +1,146 @@
+"""KMV / HLL sketch tier (operators/sketches.py): estimator accuracy,
+mergeability (the property exact count(DISTINCT) can never have), and
+the engine-parity primitives (bin()-based rho, integer Z sum)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from my_feast_spark.operators.sketches import (
+    HLL_SCALE_BITS,
+    hll_alpha,
+    hll_estimate,
+    hll_group_distinct,
+    hll_registers,
+    kmv_sketch,
+    kmv_union,
+    sketch_hash,
+)
+
+
+def _keys_df(spark, n, prefix="key"):
+    return spark.range(n).select(
+        F.concat(F.lit(prefix + "-"), F.col("id").cast("string")).alias("v")
+    )
+
+
+def test_kmv_estimate_within_error_band(spark):
+    """k=256 -> relative standard error ~1/sqrt(k) = 6.25%; assert a
+    4-sigma band on a 20k-distinct input."""
+    n, k = 20_000, 256
+    sk = kmv_sketch(_keys_df(spark, n), "v", k).collect()
+    assert len(sk) == k
+    hs = [r["h"] for r in sk]
+    assert hs == sorted(hs) and len(set(hs)) == k
+    est = (k - 1) * 2.0**63 / hs[-1]
+    assert abs(est - n) / n < 4 / math.sqrt(k)
+
+
+def test_kmv_small_set_is_exact(spark):
+    """Fewer distinct values than k: the sketch IS the distinct set."""
+    sk = kmv_sketch(_keys_df(spark, 10), "v", 256).collect()
+    assert len(sk) == 10
+
+
+def test_kmv_union_equals_sketch_of_union(spark):
+    """Mergeability: bottom-k of two sketches' union == the sketch of
+    the concatenated input. Overlapping ranges exercise dedup."""
+    k = 64
+    a = _keys_df(spark, 500)                       # key-0..key-499
+    b = spark.range(250, 900).select(              # key-250..key-899
+        F.concat(F.lit("key-"), F.col("id").cast("string")).alias("v")
+    )
+    merged = kmv_union(
+        [kmv_sketch(a, "v", k), kmv_sketch(b, "v", k)], k
+    ).collect()
+    direct = kmv_sketch(a.unionByName(b), "v", k).collect()
+    assert [r["h"] for r in merged] == [r["h"] for r in direct]
+
+
+def test_hll_registers_merge_by_max(spark):
+    """Shard register tables merged with elementwise MAX equal the
+    registers of the full input — the incremental-profile property."""
+    full = _keys_df(spark, 5_000)
+    s1 = full.where(F.expr("CAST(substr(v, 5) AS BIGINT) % 2 = 0"))
+    s2 = full.where(F.expr("CAST(substr(v, 5) AS BIGINT) % 2 = 1"))
+    r_full = {
+        r["bucket"]: r["rho"]
+        for r in hll_registers(full, "v", p=8).collect()
+    }
+    merged: dict[int, int] = {}
+    for shard in (s1, s2):
+        for r in hll_registers(shard, "v", p=8).collect():
+            merged[r["bucket"]] = max(merged.get(r["bucket"], 0), r["rho"])
+    assert merged == r_full
+
+
+def test_hll_estimate_accuracy_and_linear_counting(spark):
+    """m=256 -> ~6.5% std error; assert 4 sigma at 10k distinct. At 40
+    distinct the small-range branch (linear counting) must engage and
+    be nearly exact."""
+    big = hll_group_distinct(
+        _keys_df(spark, 10_000).withColumn("g", F.lit("g")), "v", ["g"], p=8
+    ).collect()[0]
+    assert abs(big["est_distinct"] - 10_000) / 10_000 < 4 * 1.04 / 16.0
+
+    small = hll_group_distinct(
+        _keys_df(spark, 40).withColumn("g", F.lit("g")), "v", ["g"], p=8
+    ).collect()[0]
+    assert small["n_zero"] > 0
+    assert abs(small["est_distinct"] - 40) < 8  # linear counting regime
+
+
+def test_hll_rho_zero_rest_edge(spark):
+    """A hash whose post-bucket bits are all zero must land rho=W+1,
+    not error — exercised with a crafted literal through the same
+    expression path."""
+    df = spark.createDataFrame([Row(bucket=3, rho=56)])  # W+1 for p=8
+    row = hll_estimate(df, p=8).collect()[0]
+    # rho > HLL_SCALE_BITS quantizes to zero contribution
+    assert row["sum_scaled"] == 0
+    assert row["n_zero"] == 255
+
+
+def test_estimate_columns_are_stable_types(spark):
+    out = hll_group_distinct(
+        _keys_df(spark, 100).withColumn("g", F.lit("a")), "v", ["g"], p=8
+    )
+    kinds = dict(out.dtypes)
+    assert kinds["n_zero"] == "bigint"
+    assert kinds["sum_scaled"] == "bigint"
+    assert kinds["est_distinct"] == "double"
+    assert kinds["registers_md5"] == "string"
+
+
+def test_alpha_constants():
+    assert hll_alpha(16) == 0.673
+    assert abs(hll_alpha(256) - 0.7213 / (1 + 1.079 / 256)) < 1e-15
+    assert HLL_SCALE_BITS == 40
+
+
+def test_kmv_plan_is_take_ordered(spark):
+    """The bottom-k must be a TakeOrderedAndProject (per-partition
+    partial top-k), never a global Sort — the scale contract."""
+    plan = kmv_sketch(
+        _keys_df(spark, 1000), "v", 64
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [h" not in plan
+
+
+def test_sketch_hash_is_portable_md5(spark):
+    """Pin the hash family: sketch_hash must equal the 63-bit-masked
+    md5_number_lower — the contract every SQL oracle replays."""
+    import hashlib
+
+    v = "parity-check"
+    got = (
+        spark.createDataFrame([Row(v=v)])
+        .select(sketch_hash(F.col("v")).alias("h"))
+        .collect()[0]["h"]
+    )
+    little = int.from_bytes(hashlib.md5(v.encode()).digest()[8:16], "little")
+    assert got == little & ((1 << 63) - 1)

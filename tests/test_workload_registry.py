@@ -27,11 +27,14 @@ ROTATION_TAIL = {
     "audio_dedup",
     "video_dedup",
     "semdedup",
-    # NEW in round 13 at the tail (the window is fully claimed by the
-    # rotation contract + the two verdict-ask rows); pytest- and
-    # oracle-parity-pinned now, window slot in round 14
-    "wordpiece_tokenize",
-    "warc_text_extract",
+    # deferred ONE round by the continuation session to fund the five
+    # never-adjudicated components' window slots; operator surfaces run
+    # inside in-window queries (rationale at the QUERIES tail block);
+    # MUST be in-window round 14
+    "priority_collapse_types",
+    "part_brand_stats",
+    "idle_customers_anti",
+    "user_value_deltas",
     # adjudicated green in round 12 (CORRECTNESS_r12); unchanged
     "compact_table_replay",
     "scd2_stream_maintain",
@@ -70,7 +73,6 @@ ROTATION_TAIL = {
     "ann_lsh_topk",
     "label_centroids",
     "top_terms_tfidf",
-    "user_cohort_sets",
     "moving_avg_revenue",
     "event_type_pivot",
     "post_signup_activity",
@@ -110,18 +112,11 @@ ROTATED_IN = {
     "embedding_near_dupes_lsh",
     "simhash_dup_pairs",
     "revenue_rollup",
-    "dedup_entity_rows",
     "latest_event_per_user",
-    "priority_collapse_types",
-    "part_brand_stats",
-    "idle_customers_anti",
-    "case_decode_coalesce",
     "map_pivot_props",
-    "datetime_functions",
     "regional_revenue",
     "order_priority_count",
     "top_spenders",
-    "user_value_deltas",
 }
 
 #: new in round 13, or BEHAVIOR changed in round 13 — must be in-window
@@ -140,6 +135,16 @@ CHANGED_OR_NEW_THIS_ROUND = {
     # changed: registered_domain resolves PSL wildcard (*.ck) and
     # exception (!www.ck) rules; the synthetic URLs exercise both
     "url_domain_curation",
+    # new in the round-13 continuation session — the sketch tier, the
+    # Bloom prefilter, BM25 retrieval, the ORC round-trip, and the two
+    # components the first r13 session left tail-registered
+    "hll_group_distinct",
+    "kmv_corpus_overlap",
+    "bloom_prefilter_dedup",
+    "bm25_topk",
+    "orc_scan",
+    "wordpiece_tokenize",
+    "warc_text_extract",
 }
 
 #: retired from the driver registry — near-duplicates of in-registry
@@ -178,6 +183,12 @@ RETIRED_THIS_ROUND = {
     # both strict supersets)
     "lm_perplexity",
     "curation_pipeline",
+    # round 13 continuation (registry budget for the five new
+    # components; successors named in workload.py's RETIRED block)
+    "dedup_entity_rows",
+    "case_decode_coalesce",
+    "datetime_functions",
+    "user_cohort_sets",
 }
 
 
