@@ -37,6 +37,8 @@ from my_feast_spark.operators.graph import (
     pagerank_fixedpoint,
 )
 from my_feast_spark.operators.sketches import (
+    cms_build,
+    cms_estimate,
     hll_estimate,
     hll_group_distinct,
     hll_registers,
@@ -115,6 +117,8 @@ __all__ = [
     "column_profile",
     "kmv_sketch",
     "kmv_union",
+    "cms_build",
+    "cms_estimate",
     "hll_registers",
     "hll_estimate",
     "hll_group_distinct",

@@ -166,7 +166,13 @@ def bloom_maybe_from_bitmap(
     join at all: element_at picks the word, getbit tests the bit
     (both whole-stage-codegen native)."""
     col = F.col(key) if isinstance(key, str) else key
-    arr = F.lit(bitmap)
+    # ONE py4j round trip: F.lit(list) converts elements one java call
+    # at a time (~7s of driver time at 16k words, measured); parsing the
+    # array as SQL text is a single string transfer + parse (<50ms) and
+    # yields the same constant-folded Literal node.
+    arr = F.expr(
+        "array(" + ",".join(f"{w}L" for w in bitmap) + ")"
+    )
     verdict = F.lit(True)
     for p in bloom_positions(col, m_bits=m_bits, k_hashes=k_hashes):
         word = F.element_at(arr, (p / 64).cast("int") + F.lit(1))

@@ -218,6 +218,82 @@ def hll_group_distinct(
     return hll_estimate(regs, p=p, group_by=group_by)
 
 
+# --- count-min sketch ------------------------------------------------------
+
+
+def _cms_col(col: Column, i: int, w: int) -> Column:
+    """Row-``i`` counter column of ``col``: an independent salted hash
+    per depth row (the bloom-module salt pattern), reduced mod w."""
+    return F.pmod(
+        portable_hash64(F.concat(col, F.lit(f":cms{i}")))
+        .bitwiseAND(F.lit(_MASK63)),
+        F.lit(w),
+    )
+
+
+def cms_build(
+    df: DataFrame, value: Column | str, *, d: int = 4, w: int = 16384,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of the value
+    stream's frequencies: a (r, c, cnt) relation with at most ``d*w``
+    rows — constant-size state no matter the input volume, mergeable by
+    summing counters. ONE scan: the d (row, col) pairs explode from an
+    array literal and the groupBy collapses map-side to <= d*w rows per
+    partition before the exchange. Point estimates never underestimate
+    (each counter is a superset sum); overestimation shrinks as 1/w."""
+    col = F.col(value) if isinstance(value, str) else value
+    pos = F.array(*[
+        F.struct(
+            F.lit(i).alias("r"), _cms_col(col, i, w).alias("c")
+        )
+        for i in range(d)
+    ])
+    return (
+        df.select(F.explode(pos).alias("p"))
+        .groupBy(F.col("p.r").alias("r"), F.col("p.c").alias("c"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    keys: DataFrame,
+    key: Column | str,
+    *,
+    d: int = 4,
+    w: int = 16384,
+    out_col: str = "est_count",
+) -> DataFrame:
+    """Point-query the sketch for every row of ``keys``: the minimum of
+    the key's d counters (0 when a counter row is absent). The sketch
+    relation is broadcast (<= d*w rows); the keys relation is expected
+    small (heavy-hitter candidates)."""
+    col = F.col(key) if isinstance(key, str) else key
+    pos = F.array(*[
+        F.struct(
+            F.lit(i).alias("r"), _cms_col(col, i, w).alias("c")
+        )
+        for i in range(d)
+    ])
+    probes = keys.withColumn("__p", F.explode(pos)).select(
+        *keys.columns, F.col("__p.r").alias("r"), F.col("__p.c").alias("c")
+    )
+    joined = probes.join(F.broadcast(cms), ["r", "c"], "left").withColumn(
+        "__cnt", F.coalesce(F.col("cnt"), F.lit(0).cast("long"))
+    )
+    return joined.groupBy(*keys.columns).agg(
+        F.min("__cnt").alias(out_col)
+    )
+
+
+def cms_col_sql(expr: str, i_expr: str, w: int) -> str:
+    """DuckDB replay of ``_cms_col`` with a per-row depth index."""
+    return (
+        f"((md5_number_lower({expr} || ':cms' || CAST({i_expr} AS VARCHAR))"
+        f" & 9223372036854775807) % {w})"
+    )
+
+
 # --- SQL oracle fragments -------------------------------------------------
 
 

@@ -10,6 +10,11 @@ from my_feast_spark.streaming.ingest import (
     streaming_dedup,
     tumbling_window_agg,
 )
+from my_feast_spark.streaming.sketches import (
+    hll_ingest_stream,
+    hll_stream_estimate,
+    read_hll_sketch,
+)
 
 __all__ = [
     "capture_to_parquet",
@@ -23,4 +28,7 @@ __all__ = [
     "sessionize",
     "streaming_dedup",
     "tumbling_window_agg",
+    "hll_ingest_stream",
+    "read_hll_sketch",
+    "hll_stream_estimate",
 ]

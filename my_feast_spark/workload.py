@@ -7246,12 +7246,11 @@ def q_hll_group_distinct(spark, sf_dir):
     )
 
 
-def _sql_hll_group_distinct() -> str:
+def _sql_hll_group_distinct(p: int = _HLL_P) -> str:
     from my_feast_spark.operators.sketches import (
         HLL_SCALE_BITS, hll_alpha, hll_rho_sql, sketch_hash_sql,
     )
 
-    p = _HLL_P
     m = 1 << p
     width = 63 - p
     alpha = hll_alpha(m)
@@ -7283,6 +7282,61 @@ FROM a
 
 
 SQL_HLL_GROUP_DISTINCT = _LazySQL(_sql_hll_group_distinct)
+
+#: streaming HLL maintenance precision — differs from the batch query's
+#: so the two adjudicated rows never share registers by accident
+_HLL_STREAM_P = 10
+
+
+def q_streaming_sketch_ingest(spark, sf_dir):
+    """Streaming HLL sketch maintenance adjudicated end-to-end
+    (streaming/sketches.py::hll_ingest_stream): the events table arrives
+    as three micro-batches (event_id % 3), each writing ONLY its own
+    registers to a ``batch_id=N`` generation; ``compact_every=2`` folds
+    the early generations mid-stream through the shared compact_index
+    protocol (set semantics hold for registers under max-merge — the
+    module docstring's argument, exercised here in the adjudicated
+    run). The maintained estimate's contract is equality with the
+    one-shot batch sketch over everything ingested — HLL mergeability —
+    and THAT is what the DuckDB oracle replays."""
+    from my_feast_spark.streaming.sketches import (
+        hll_ingest_stream,
+        hll_stream_estimate,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.col("user_id").cast("string").alias("u"),
+    )
+    base = _scratch_dir("mfs_hlls_")
+    in_dir = os.path.join(base, "incoming")
+    os.makedirs(in_dir)
+    sk = os.path.join(base, "sketch")
+    ckpt = os.path.join(base, "ckpt")
+    for b in range(3):
+        ev.filter(F.col("event_id") % 3 == b).select(
+            "event_type", "u"
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+        sdf = spark.readStream.schema(
+            "event_type string, u string"
+        ).parquet(in_dir)
+        q = hll_ingest_stream(
+            sdf, sketch_path=sk, checkpoint=ckpt, value_col="u",
+            group_cols=["event_type"], p=_HLL_STREAM_P, compact_every=2,
+            available_now=True,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+    return hll_stream_estimate(
+        spark, sk, p=_HLL_STREAM_P, group_cols=["event_type"]
+    )
+
+
+#: the maintained stream state must equal the one-shot batch sketch —
+#: the oracle replays the batch form at the stream's precision
+SQL_STREAMING_SKETCH_INGEST = _LazySQL(
+    lambda: _sql_hll_group_distinct(_HLL_STREAM_P)
+)
 
 
 def q_kmv_corpus_overlap(spark, sf_dir):
@@ -7538,6 +7592,91 @@ FROM ver GROUP BY 1
 
 
 SQL_BLOOM_PREFILTER_DEDUP = _LazySQL(_sql_bloom_prefilter_dedup)
+
+
+# --- count-min heavy hitters (operators/sketches.py) ------------------------
+
+#: CMS geometry for the heavy-hitter query: ~16k distinct shingles at
+#: sf0.01 into w=4096 columns -> ~4 keys/counter, so overestimation is
+#: real and the adjudicated row pins it exactly.
+_CMS_D = 4
+_CMS_W = 4096
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Document-frequency heavy hitters through a count-min sketch
+    (operators/sketches.py::cms_build/cms_estimate): the corpus's top-20
+    3-shingles by exact document frequency, each with its CMS point
+    estimate and the (always >= 0) overestimate. The sketch is a d*w
+    = 16k-counter relation — constant-size mergeable state vs the
+    corpus-wide groupBy the exact path pays; the exact counts ride along
+    here precisely so the hashed row pins the sketch's collision
+    behavior, not just happy paths."""
+    from my_feast_spark.operators.dedup import _with_shingles
+    from my_feast_spark.operators.sketches import cms_build, cms_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = _with_shingles(docs, "doc_id", "text", 3)
+    grams = sh.select("doc", F.explode("sh").alias("sg")).persist()
+    cms = cms_build(grams, "sg", d=_CMS_D, w=_CMS_W)
+    top = (
+        grams.groupBy("sg")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("sg").asc())
+        .limit(20)
+    )
+    est = cms_estimate(cms, top, "sg", d=_CMS_D, w=_CMS_W)
+    out = est.select(
+        F.col("sg").alias("term"),
+        "exact_count",
+        "est_count",
+        (F.col("est_count") - F.col("exact_count")).alias("overestimate"),
+    )
+    out._owned_caches = [grams]
+    return out
+
+
+def _sql_cms_heavy_hitters() -> str:
+    from my_feast_spark.operators.sketches import cms_col_sql
+
+    d, w = _CMS_D, _CMS_W
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS doc,
+         string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT doc, list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+  FROM toks WHERE len(t) >= 3
+), grams AS MATERIALIZED (
+  SELECT doc, unnest(s) AS sg FROM sh
+), cms AS MATERIALIZED (
+  SELECT i AS r, {cms_col_sql('sg', 'i', w)} AS c,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM grams, generate_series(0, {d - 1}) t(i) GROUP BY 1, 2
+), top AS (
+  SELECT sg, CAST(count(*) AS BIGINT) AS exact_count
+  FROM grams GROUP BY 1
+  ORDER BY exact_count DESC, sg ASC LIMIT 20
+), probe AS (
+  SELECT top.sg, top.exact_count, i AS r,
+         {cms_col_sql('top.sg', 'i', w)} AS c
+  FROM top, generate_series(0, {d - 1}) t(i)
+), est AS (
+  SELECT probe.sg, probe.exact_count,
+         min(coalesce(cms.cnt, 0)) AS est_count
+  FROM probe LEFT JOIN cms USING (r, c)
+  GROUP BY 1, 2
+)
+SELECT sg AS term, exact_count, est_count,
+       est_count - exact_count AS overestimate
+FROM est
+"""
+
+
+SQL_CMS_HEAVY_HITTERS = _LazySQL(_sql_cms_heavy_hitters)
 
 
 # --- BM25 ranked retrieval (operators/bm25.py) ------------------------------
@@ -7867,12 +8006,19 @@ QUERIES: dict[str, tuple] = {
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "top_terms_tfidf": (q_top_terms_tfidf, SQL_TOP_TERMS_TFIDF),
-    "moving_avg_revenue": (q_moving_avg_revenue, SQL_MOVING_AVG_REVENUE),
     "event_type_pivot": (q_event_type_pivot, SQL_EVENT_TYPE_PIVOT),
     "post_signup_activity": (q_post_signup_activity, SQL_POST_SIGNUP_ACTIVITY),
-    "lineitem_unpivot": (q_lineitem_unpivot, SQL_LINEITEM_UNPIVOT),
     "customer_balance_deciles": (
         q_customer_balance_deciles, SQL_CUSTOMER_BALANCE_DECILES,
+    ),
+    # NEW in the round-13 continuation at the TAIL: the deferral well is
+    # dry (every remaining rotated-in query would go two rounds without
+    # a row), so CMS waits one round like wordpiece did in the first
+    # session; pytest- and oracle-parity-pinned now, window slot round
+    # 14.
+    "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
+    "streaming_sketch_ingest": (
+        q_streaming_sketch_ingest, SQL_STREAMING_SKETCH_INGEST,
     ),
     # (wordpiece_tokenize / warc_text_extract moved INTO the window
     # above — never-adjudicated surfaces outrank re-adjudications.)
@@ -8051,4 +8197,13 @@ RETIRED_QUERIES: dict[str, tuple] = {
     "case_decode_coalesce": (q_case_decode_coalesce, SQL_CASE_DECODE_COALESCE),
     "datetime_functions": (q_datetime_functions, SQL_DATETIME_FUNCTIONS),
     "user_cohort_sets": (q_user_cohort_sets, SQL_USER_COHORT_SETS),
+    #   moving_avg_revenue (rolling window) -> user_value_deltas
+    #                                (lag/window arithmetic) +
+    #                                customer_balance_deciles (ntile) +
+    #                                latest_event_per_user (row_number)
+    #   lineitem_unpivot (stack reshape) -> event_type_pivot (the
+    #                                inverse reshape) + column_profile
+    #                                (the same stack expression in anger)
+    "moving_avg_revenue": (q_moving_avg_revenue, SQL_MOVING_AVG_REVENUE),
+    "lineitem_unpivot": (q_lineitem_unpivot, SQL_LINEITEM_UNPIVOT),
 }

@@ -402,14 +402,20 @@ def main() -> None:
     release_checkpoint(docs20)
 
     # ---- probe 7: sketch / bloom tier at 20x ---------------------------
-    # (a) HLL vs exact count(DISTINCT) at 20x events (distinct-user set
-    #     CONSTANT under replication — only rows grow): the claim is the
-    #     HLL shuffle carries <= m rows per group while the exact path
-    #     re-keys the input; compare wall time AND shuffle bytes.
-    # (b) Bloom prefilter vs direct join for cross-corpus membership at
-    #     20x candidates (~5% true members by construction): the claim
-    #     is the candidate relation never shuffles — only the maybe
-    #     fraction pays the verify join.
+    # (a) HLL vs exact count(DISTINCT) where it matters: HIGH distinct
+    #     cardinality (~2M distinct keys from 20x events — replicated
+    #     event_ids are unique by construction). The exact path must
+    #     re-key every distinct value; the HLL shuffle carries <= m rows
+    #     per group. (With LOW cardinality both collapse map-side and
+    #     exact wins — the first cut of this probe measured exactly
+    #     that, 0.11s exact vs 0.49s HLL at 150 distinct users; the
+    #     sketch is for the regime where the distinct set itself is
+    #     big.)
+    # (b) Bloom prefilter vs direct semi join for cross-corpus
+    #     membership with broadcast DISABLED — the 100 TB regime where
+    #     the reference does not fit a broadcast: the bitmap filter
+    #     drops ~94% of candidates map-side so only the maybe fraction
+    #     reaches the shuffle join; the direct path shuffles everything.
     from my_feast_spark.operators.bloom import (
         bloom_bitmap, bloom_maybe_from_bitmap,
     )
@@ -419,18 +425,19 @@ def main() -> None:
     ev_typed = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id"
     )
-    ev20 = _replicate(ev_typed, "event_id", 20, n_ev).localCheckpoint()
+    ev20 = _replicate(ev_typed, "event_id", 20, n_ev).select(
+        "event_type", F.col("event_id").cast("string").alias("u")
+    ).localCheckpoint()
     mark = _n_execs()
-    timed("hll_group_distinct_20x", lambda: hll_group_distinct(
-        ev20.select(
-            "event_type", F.col("user_id").cast("string").alias("u")
-        ), "u", ["event_type"], p=12,
+    timed("hll_highcard_2m_20x", lambda: hll_group_distinct(
+        ev20, "u", ["event_type"], p=12,
     ).count(), repeats=1)
-    results["hll_20x_shuffle_bytes"] = _shuffle_bytes_since(mark)
+    results["hll_highcard_shuffle_bytes"] = _shuffle_bytes_since(mark)
     mark = _n_execs()
-    timed("exact_count_distinct_20x", lambda: ev20.groupBy("event_type")
-          .agg(F.countDistinct("user_id")).count(), repeats=1)
-    results["exact_distinct_20x_shuffle_bytes"] = _shuffle_bytes_since(mark)
+    timed("exact_distinct_highcard_2m_20x", lambda: ev20
+          .groupBy("event_type").agg(F.countDistinct("u")).count(),
+          repeats=1)
+    results["exact_highcard_shuffle_bytes"] = _shuffle_bytes_since(mark)
     release_checkpoint(ev20)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -461,12 +468,18 @@ def main() -> None:
     def _direct_path():
         return cand20.join(ref, "fp", "left_semi").count()
 
-    mark = _n_execs()
-    timed("bloom_membership_20x", _bloom_path, repeats=1)
-    results["bloom_20x_shuffle_bytes"] = _shuffle_bytes_since(mark)
-    mark = _n_execs()
-    timed("direct_join_membership_20x", _direct_path, repeats=1)
-    results["direct_20x_shuffle_bytes"] = _shuffle_bytes_since(mark)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        mark = _n_execs()
+        timed("bloom_membership_nobroadcast_20x", _bloom_path, repeats=1)
+        results["bloom_20x_shuffle_bytes"] = _shuffle_bytes_since(mark)
+        mark = _n_execs()
+        timed("direct_join_membership_nobroadcast_20x", _direct_path,
+              repeats=1)
+        results["direct_20x_shuffle_bytes"] = _shuffle_bytes_since(mark)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
     release_checkpoint(cand20)
     release_checkpoint(ref)
 

@@ -11,6 +11,8 @@ from pyspark.sql import functions as F
 
 from my_feast_spark.operators.sketches import (
     HLL_SCALE_BITS,
+    cms_build,
+    cms_estimate,
     hll_alpha,
     hll_estimate,
     hll_group_distinct,
@@ -129,6 +131,65 @@ def test_kmv_plan_is_take_ordered(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Sort [h" not in plan
+
+
+def _skewed_stream(spark, n_hot=500, n_tail=3_000):
+    """A frequency stream: one hot key with n_hot occurrences plus a
+    long tail of singletons."""
+    hot = spark.range(n_hot).select(F.lit("hot-key").alias("v"))
+    tail = spark.range(n_tail).select(
+        F.concat(F.lit("tail-"), F.col("id").cast("string")).alias("v")
+    )
+    return hot.unionByName(tail)
+
+
+def test_cms_never_underestimates_and_is_tight_for_heavy(spark):
+    stream = _skewed_stream(spark)
+    cms = cms_build(stream, "v", d=4, w=1024)
+    keys = spark.createDataFrame(
+        [Row(v="hot-key", exact=500), Row(v="tail-7", exact=1),
+         Row(v="absent", exact=0)]
+    )
+    got = {
+        r["v"]: r["est_count"]
+        for r in cms_estimate(cms, keys, "v", d=4, w=1024).collect()
+    }
+    assert got["hot-key"] >= 500
+    assert got["tail-7"] >= 1
+    assert got["absent"] >= 0
+    # error bound: eps = e/w per counter, over 3.5k increments -> the
+    # min-of-d estimate stays within a few tail collisions
+    assert got["hot-key"] <= 500 + 40
+    assert got["tail-7"] <= 1 + 40
+
+
+def test_cms_state_is_bounded_and_mergeable(spark):
+    d, w = 4, 256
+    full = _skewed_stream(spark)
+    s1 = full.where(F.col("v") != "hot-key")
+    s2 = full.where(F.col("v") == "hot-key")
+    cms_full = {
+        (r["r"], r["c"]): r["cnt"]
+        for r in cms_build(full, "v", d=d, w=w).collect()
+    }
+    assert len(cms_full) <= d * w
+    merged: dict[tuple, int] = {}
+    for shard in (s1, s2):
+        for r in cms_build(shard, "v", d=d, w=w).collect():
+            k = (r["r"], r["c"])
+            merged[k] = merged.get(k, 0) + r["cnt"]
+    assert merged == cms_full
+
+
+def test_cms_estimate_broadcasts_the_sketch(spark):
+    stream = _skewed_stream(spark, n_hot=50, n_tail=200)
+    cms = cms_build(stream, "v", d=4, w=256)
+    keys = spark.createDataFrame([Row(v="hot-key")])
+    plan = (
+        cms_estimate(cms, keys, "v", d=4, w=256)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
 
 
 def test_sketch_hash_is_portable_md5(spark):

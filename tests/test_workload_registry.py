@@ -73,10 +73,12 @@ ROTATION_TAIL = {
     "ann_lsh_topk",
     "label_centroids",
     "top_terms_tfidf",
-    "moving_avg_revenue",
+    # NEW in the continuation session at the TAIL (deferral well dry);
+    # pytest- and oracle-parity-pinned now, window slot round 14
+    "cms_heavy_hitters",
+    "streaming_sketch_ingest",
     "event_type_pivot",
     "post_signup_activity",
-    "lineitem_unpivot",
     "customer_balance_deciles",
 }
 
@@ -189,6 +191,8 @@ RETIRED_THIS_ROUND = {
     "case_decode_coalesce",
     "datetime_functions",
     "user_cohort_sets",
+    "moving_avg_revenue",
+    "lineitem_unpivot",
 }
 
 
