@@ -298,6 +298,46 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> dict:
     )
     n_pruned_scan = pruned.count()
 
+    # 10: sketch-driven planning + cross-corpus decontamination — the
+    # cardinality question (HLL / KMV, operators/sketches.py) answers
+    # itself without re-keying the corpus, then SIZES a Bloom filter
+    # (bloom_auto_geometry) that prefilters the next incoming batch
+    # against everything already curated: only the maybe-present
+    # fraction pays the exact verify join (operators/bloom.py)
+    from my_feast_spark.operators.bloom import (
+        bloom_auto_geometry,
+        bloom_maybe_contains,
+        bloom_position_set,
+    )
+    from my_feast_spark.operators.dedup import doc_fingerprint
+    from my_feast_spark.operators.sketches import hll_group_distinct
+
+    # curate() returns the accounting view; join back for the text
+    curated_docs = docs.join(
+        curated.select("doc_id"), "doc_id", "left_semi"
+    )
+    curated_fp = curated_docs.select(
+        doc_fingerprint(F.col("text")).alias("fp")
+    )
+    vocab_est = hll_group_distinct(
+        curated_docs.select(
+            F.lit("all").alias("g"),
+            F.explode(F.split(F.lower("text"), "\\s+")).alias("w"),
+        ),
+        "w", ["g"], p=10,
+    ).collect()[0]["est_distinct"]
+    m_bits, k_hashes = bloom_auto_geometry(curated_fp, "fp")
+    seen = bloom_position_set(
+        curated_fp, "fp", m_bits=m_bits, k_hashes=k_hashes
+    )
+    incoming = docs.limit(200).select(
+        doc_fingerprint(F.col("text")).alias("fp")
+    )
+    flagged = bloom_maybe_contains(
+        incoming, seen, "fp", m_bits=m_bits, k_hashes=k_hashes
+    )
+    n_definitely_new = flagged.where(~F.col("bloom_maybe")).count()
+
     out = {
         "input_docs": n_input,
         "after_quality_gate": n_kept,
@@ -322,6 +362,10 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "zorder_files_read": skip_report["files_read"],
         "zorder_files_total": skip_report["files_total"],
         "zorder_pruned_scan_docs": n_pruned_scan,
+        "hll_vocab_estimate": vocab_est,
+        "bloom_auto_m_bits": m_bits,
+        "bloom_auto_k": k_hashes,
+        "bloom_definitely_new_of_200": n_definitely_new,
     }
     print(out)
     return out

@@ -11,6 +11,7 @@ from my_feast_spark.operators.wordpiece import (
     wordpiece_encode,
 )
 from my_feast_spark.operators.bloom import (
+    bloom_auto_geometry,
     bloom_bitmap,
     bloom_maybe_contains,
     bloom_maybe_from_bitmap,
@@ -122,6 +123,7 @@ __all__ = [
     "hll_registers",
     "hll_estimate",
     "hll_group_distinct",
+    "bloom_auto_geometry",
     "bloom_position_set",
     "bloom_maybe_contains",
     "bloom_bitmap",

@@ -43,31 +43,37 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from my_feast_spark.operators.dedup import _MASK63, portable_hash64
+from my_feast_spark.operators.dedup import _MASK63  # noqa: F401
+from my_feast_spark.operators.sketches import sketch_hash
 
 #: salt distinguishing the second hash of the double-hashing scheme
 _H2_SALT = ":b2"
 
 
-def _h1h2(key: Column, m_bits: int) -> tuple[Column, Column]:
+def _h1h2(
+    key: Column, m_bits: int, hash_fn: str = "portable"
+) -> tuple[Column, Column]:
     """The two base hashes: h1 in [0, m), h2 in [1, m) (never 0, so the
     k probe positions are distinct mod m when m is prime-free... they
     need not be distinct — correctness only needs build/probe to agree,
-    which double hashing guarantees)."""
-    h1 = F.pmod(portable_hash64(key).bitwiseAND(F.lit(_MASK63)), F.lit(m_bits))
+    which double hashing guarantees). ``hash_fn`` follows the sketch /
+    dedup families' convention: "portable" (SQL-oracle-replayable md5,
+    the adjudicated default) or "xxhash64" (one native node, the
+    pure-Spark scale path — build and probe must use the SAME family)."""
+    h1 = F.pmod(sketch_hash(key, hash_fn), F.lit(m_bits))
     h2 = F.pmod(
-        portable_hash64(F.concat(key, F.lit(_H2_SALT))).bitwiseAND(
-            F.lit(_MASK63)
-        ),
+        sketch_hash(F.concat(key, F.lit(_H2_SALT)), hash_fn),
         F.lit(m_bits - 1),
     ) + F.lit(1)
     return h1, h2
 
 
-def bloom_positions(key: Column, *, m_bits: int, k_hashes: int) -> list[Column]:
+def bloom_positions(
+    key: Column, *, m_bits: int, k_hashes: int, hash_fn: str = "portable",
+) -> list[Column]:
     """The k bit positions of ``key``: g_i = (h1 + i*h2) mod m.
     ``i*h2 < k*m`` keeps the sum far inside signed-64 range."""
-    h1, h2 = _h1h2(key, m_bits)
+    h1, h2 = _h1h2(key, m_bits, hash_fn)
     return [
         F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k_hashes)
     ]
@@ -75,13 +81,16 @@ def bloom_positions(key: Column, *, m_bits: int, k_hashes: int) -> list[Column]:
 
 def bloom_position_set(
     df: DataFrame, key: Column | str, *, m_bits: int, k_hashes: int,
+    hash_fn: str = "portable",
 ) -> DataFrame:
     """The filter as a relation: the distinct set-bit positions of every
     reference key — at most ``m_bits`` rows, one ``pos`` long each.
     Build cost: one projection + one distinct on a bounded domain
     (map-side partial agg collapses it before the exchange)."""
     col = F.col(key) if isinstance(key, str) else key
-    pos = bloom_positions(col, m_bits=m_bits, k_hashes=k_hashes)
+    pos = bloom_positions(
+        col, m_bits=m_bits, k_hashes=k_hashes, hash_fn=hash_fn
+    )
     return (
         df.select(F.explode(F.array(*pos)).alias("pos")).distinct()
     )
@@ -94,6 +103,7 @@ def bloom_maybe_contains(
     *,
     m_bits: int,
     k_hashes: int,
+    hash_fn: str = "portable",
     out_col: str = "bloom_maybe",
 ) -> DataFrame:
     """Annotate ``candidates`` with the Bloom membership verdict using
@@ -102,7 +112,9 @@ def bloom_maybe_contains(
     BroadcastHashJoin), and Catalyst reuses the single broadcast across
     all k probes."""
     col = F.col(key) if isinstance(key, str) else key
-    pos = bloom_positions(col, m_bits=m_bits, k_hashes=k_hashes)
+    pos = bloom_positions(
+        col, m_bits=m_bits, k_hashes=k_hashes, hash_fn=hash_fn
+    )
     out = candidates
     hit_cols = []
     for i, p in enumerate(pos):
@@ -124,6 +136,43 @@ def bloom_maybe_contains(
     return out.withColumn(out_col, verdict).drop(*hit_cols)
 
 
+def bloom_auto_geometry(
+    df: DataFrame,
+    key: Column | str,
+    *,
+    bits_per_key: int = 10,
+    max_bits: int = 1 << 30,
+    hash_fn: str = "portable",
+) -> tuple[int, int]:
+    """Size the filter from the data instead of a guess: a KMV bottom-k
+    sketch (operators/sketches.py — ONE distinct-by-hash pass, k rows to
+    the driver) estimates the reference's distinct-key count n̂, then
+
+        m = next power of two >= bits_per_key * n̂   (capped at max_bits)
+        k = round(ln 2 * m / n̂)                     (the optimal-FP k)
+
+    10 bits/key with the optimal k gives ~0.8% FP — the usual dedup
+    operating point. This is the sketch tier acting as the planning
+    input it exists to be: the cardinality question is answered without
+    re-keying the reference. Returns ``(m_bits, k_hashes)``."""
+    import math
+
+    from my_feast_spark.operators.sketches import TWO63_F, kmv_sketch
+
+    sk = kmv_sketch(df, key, 256, hash_fn=hash_fn).collect()
+    if not sk:
+        raise ValueError("empty reference: nothing to size a filter for")
+    n_est = (
+        float(len(sk))
+        if len(sk) < 256
+        else (256 - 1) * TWO63_F / float(sk[-1]["h"])
+    )
+    m = 1 << max(int(bits_per_key * n_est - 1).bit_length(), 6)
+    m = min(m, max_bits)
+    k = max(1, round(math.log(2) * m / n_est))
+    return m, k
+
+
 #: bitmap-literal guard: beyond this the array literal bloats the plan;
 #: use the positions-relation strategy instead
 MAX_BITMAP_BITS = 1 << 22
@@ -131,6 +180,7 @@ MAX_BITMAP_BITS = 1 << 22
 
 def bloom_bitmap(
     df: DataFrame, key: Column | str, *, m_bits: int, k_hashes: int,
+    hash_fn: str = "portable",
 ) -> list[int]:
     """The packed form: ``m_bits / 64`` longs. The per-word OR runs
     distributed (groupBy word index, bit_or partial-aggregated
@@ -142,7 +192,9 @@ def bloom_bitmap(
             f"{MAX_BITMAP_BITS}; use bloom_position_set/"
             f"bloom_maybe_contains for large filters"
         )
-    pos_df = bloom_position_set(df, key, m_bits=m_bits, k_hashes=k_hashes)
+    pos_df = bloom_position_set(
+        df, key, m_bits=m_bits, k_hashes=k_hashes, hash_fn=hash_fn
+    )
     words = (
         pos_df.groupBy((F.col("pos") / 64).cast("long").alias("w"))
         .agg(
@@ -161,6 +213,7 @@ def bloom_bitmap(
 
 def bloom_maybe_from_bitmap(
     key: Column | str, bitmap: list[int], *, m_bits: int, k_hashes: int,
+    hash_fn: str = "portable",
 ) -> Column:
     """Membership as a pure expression over the literal bitmap — no
     join at all: element_at picks the word, getbit tests the bit
@@ -174,7 +227,9 @@ def bloom_maybe_from_bitmap(
         "array(" + ",".join(f"{w}L" for w in bitmap) + ")"
     )
     verdict = F.lit(True)
-    for p in bloom_positions(col, m_bits=m_bits, k_hashes=k_hashes):
+    for p in bloom_positions(
+        col, m_bits=m_bits, k_hashes=k_hashes, hash_fn=hash_fn
+    ):
         word = F.element_at(arr, (p / 64).cast("int") + F.lit(1))
         verdict = verdict & (F.getbit(word, p % 64) == 1)
     return verdict

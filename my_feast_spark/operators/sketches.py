@@ -66,12 +66,24 @@ TWO63_F = 9.223372036854775808e18
 HLL_SCALE_BITS = 40
 
 
-def sketch_hash(col: Column) -> Column:
-    """63-bit positive portable hash — the input of both sketches."""
+def sketch_hash(col: Column, hash_fn: str = "portable") -> Column:
+    """63-bit positive hash — the input of every sketch. ``"portable"``
+    (md5-derived, bit-replayable by a SQL oracle — the adjudicated
+    queries' family) or ``"xxhash64"`` (ONE native node, ~6.5x cheaper
+    per value — the pure-Spark scale path, same convention as the dedup
+    family's hash switch; estimator quality is identical, digests are
+    not comparable across families)."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col).bitwiseAND(F.lit(_MASK63))
+    if hash_fn != "portable":
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     return portable_hash64(col).bitwiseAND(F.lit(_MASK63))
 
 
-def kmv_sketch(df: DataFrame, value: Column | str, k: int) -> DataFrame:
+def kmv_sketch(
+    df: DataFrame, value: Column | str, k: int,
+    *, hash_fn: str = "portable",
+) -> DataFrame:
     """Bottom-k sketch of the distinct values of ``value``: a DataFrame
     with one column ``h`` (ascending hash), at most ``k`` rows.
 
@@ -80,7 +92,7 @@ def kmv_sketch(df: DataFrame, value: Column | str, k: int) -> DataFrame:
     never the distinct set itself."""
     col = F.col(value) if isinstance(value, str) else value
     return (
-        df.select(sketch_hash(col).alias("h"))
+        df.select(sketch_hash(col, hash_fn).alias("h"))
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("__n"))
         .select("h")
@@ -130,7 +142,7 @@ def hll_rho(rest: Column, width: int) -> Column:
 
 def hll_registers(
     df: DataFrame, value: Column | str, *, p: int = 8,
-    group_by: list[str] | None = None,
+    group_by: list[str] | None = None, hash_fn: str = "portable",
 ) -> DataFrame:
     """HLL register table: one row per (group, bucket) with the max
     leading-zero rank ``rho``.  ``bucket`` is the low ``p`` hash bits,
@@ -140,7 +152,7 @@ def hll_registers(
     col = F.col(value) if isinstance(value, str) else value
     m = 1 << p
     width = 63 - p
-    h = sketch_hash(col)
+    h = sketch_hash(col, hash_fn)
     keys = list(group_by or [])
     base = df.select(
         *keys,
@@ -211,28 +223,29 @@ def hll_estimate(
 
 def hll_group_distinct(
     df: DataFrame, value: Column | str, group_by: list[str], *, p: int = 8,
+    hash_fn: str = "portable",
 ) -> DataFrame:
     """Registers + estimate in one call — the per-group distinct-count
     profile (``hll_group_distinct`` workload query)."""
-    regs = hll_registers(df, value, p=p, group_by=group_by)
+    regs = hll_registers(df, value, p=p, group_by=group_by, hash_fn=hash_fn)
     return hll_estimate(regs, p=p, group_by=group_by)
 
 
 # --- count-min sketch ------------------------------------------------------
 
 
-def _cms_col(col: Column, i: int, w: int) -> Column:
+def _cms_col(col: Column, i: int, w: int, hash_fn: str = "portable") -> Column:
     """Row-``i`` counter column of ``col``: an independent salted hash
     per depth row (the bloom-module salt pattern), reduced mod w."""
     return F.pmod(
-        portable_hash64(F.concat(col, F.lit(f":cms{i}")))
-        .bitwiseAND(F.lit(_MASK63)),
+        sketch_hash(F.concat(col, F.lit(f":cms{i}")), hash_fn),
         F.lit(w),
     )
 
 
 def cms_build(
     df: DataFrame, value: Column | str, *, d: int = 4, w: int = 16384,
+    hash_fn: str = "portable",
 ) -> DataFrame:
     """Count-min sketch (Cormode & Muthukrishnan 2005) of the value
     stream's frequencies: a (r, c, cnt) relation with at most ``d*w``
@@ -244,7 +257,7 @@ def cms_build(
     col = F.col(value) if isinstance(value, str) else value
     pos = F.array(*[
         F.struct(
-            F.lit(i).alias("r"), _cms_col(col, i, w).alias("c")
+            F.lit(i).alias("r"), _cms_col(col, i, w, hash_fn).alias("c")
         )
         for i in range(d)
     ])
@@ -262,6 +275,7 @@ def cms_estimate(
     *,
     d: int = 4,
     w: int = 16384,
+    hash_fn: str = "portable",
     out_col: str = "est_count",
 ) -> DataFrame:
     """Point-query the sketch for every row of ``keys``: the minimum of
@@ -271,7 +285,7 @@ def cms_estimate(
     col = F.col(key) if isinstance(key, str) else key
     pos = F.array(*[
         F.struct(
-            F.lit(i).alias("r"), _cms_col(col, i, w).alias("c")
+            F.lit(i).alias("r"), _cms_col(col, i, w, hash_fn).alias("c")
         )
         for i in range(d)
     ])

@@ -428,15 +428,24 @@ def main() -> None:
     ev20 = _replicate(ev_typed, "event_id", 20, n_ev).select(
         "event_type", F.col("event_id").cast("string").alias("u")
     ).localCheckpoint()
+    # collect(), never count(): counting the aggregated relation lets
+    # Catalyst PRUNE the aggregate expressions themselves (the first
+    # cut of this probe measured a countDistinct that was optimized
+    # away — both legs reported identical tiny shuffles)
     mark = _n_execs()
-    timed("hll_highcard_2m_20x", lambda: hll_group_distinct(
+    timed("hll_highcard_2m_20x", lambda: len(hll_group_distinct(
         ev20, "u", ["event_type"], p=12,
-    ).count(), repeats=1)
+    ).collect()), repeats=1)
     results["hll_highcard_shuffle_bytes"] = _shuffle_bytes_since(mark)
     mark = _n_execs()
-    timed("exact_distinct_highcard_2m_20x", lambda: ev20
-          .groupBy("event_type").agg(F.countDistinct("u")).count(),
-          repeats=1)
+    timed("hll_highcard_2m_20x_xxhash", lambda: len(hll_group_distinct(
+        ev20, "u", ["event_type"], p=12, hash_fn="xxhash64",
+    ).collect()), repeats=1)
+    results["hll_xxhash_shuffle_bytes"] = _shuffle_bytes_since(mark)
+    mark = _n_execs()
+    timed("exact_distinct_highcard_2m_20x", lambda: len(
+        ev20.groupBy("event_type").agg(F.countDistinct("u")).collect()
+    ), repeats=1)
     results["exact_highcard_shuffle_bytes"] = _shuffle_bytes_since(mark)
     release_checkpoint(ev20)
 

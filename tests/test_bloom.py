@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from my_feast_spark.operators.bloom import (
     MAX_BITMAP_BITS,
+    bloom_auto_geometry,
     bloom_bitmap,
     bloom_maybe_contains,
     bloom_maybe_from_bitmap,
@@ -105,6 +106,51 @@ def test_join_strategy_never_shuffles_candidates(spark, filt):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "pos" in line  # position-set distinct, never candidates
+
+
+def test_xxhash64_family_round_trip(spark):
+    """The scale-path hash family: build and probe with hash_fn=
+    'xxhash64' — still no false negatives, and the verdicts differ from
+    the portable family's bit pattern (different hashes, same
+    semantics)."""
+    ref = _df(spark, 0, 1_000)
+    pos = bloom_position_set(
+        ref, "v", m_bits=M, k_hashes=K, hash_fn="xxhash64"
+    )
+    members = bloom_maybe_contains(
+        _df(spark, 0, 1_000), pos, "v", m_bits=M, k_hashes=K,
+        hash_fn="xxhash64",
+    )
+    assert members.where(~F.col("bloom_maybe")).count() == 0
+
+
+def test_auto_geometry_sizes_from_kmv(spark):
+    """10 bits/key at ~20k keys -> m = 2^18 (the next pow2 over the KMV
+    estimate), k ~ 7, and the resulting filter's FP rate lands in the
+    designed ~0.8% band. Small inputs size exactly; empty is loud."""
+    import pytest as _pytest
+
+    ref = _df(spark, 0, 20_000)
+    m, k = bloom_auto_geometry(ref, "v", bits_per_key=10)
+    assert m == 1 << 18
+    assert 5 <= k <= 9
+
+    pos = bloom_position_set(ref, "v", m_bits=m, k_hashes=k)
+    out = bloom_maybe_contains(
+        _df(spark, 100_000, 110_000), pos, "v", m_bits=m, k_hashes=k
+    )
+    fp = out.where(F.col("bloom_maybe")).count()
+    assert fp / 10_000 < 0.03
+
+    m_small, k_small = bloom_auto_geometry(_df(spark, 0, 50), "v")
+    assert m_small >= 500 and k_small >= 1
+
+    assert bloom_auto_geometry(
+        ref, "v", bits_per_key=10, max_bits=1 << 12
+    )[0] == 1 << 12  # cap respected
+
+    with _pytest.raises(ValueError, match="empty reference"):
+        bloom_auto_geometry(_df(spark, 0, 0), "v")
 
 
 def test_bitmap_probe_is_pure_expression(spark, filt):

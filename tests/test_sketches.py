@@ -192,6 +192,22 @@ def test_cms_estimate_broadcasts_the_sketch(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_xxhash64_family_same_estimator_quality(spark):
+    """The scale-path family plugs into the same estimator: accuracy
+    band holds, registers differ from the portable family's."""
+    df = _keys_df(spark, 10_000).withColumn("g", F.lit("g"))
+    a = hll_group_distinct(df, "v", ["g"], p=8)
+    b = hll_group_distinct(df, "v", ["g"], p=8, hash_fn="xxhash64")
+    ra, rb = a.collect()[0], b.collect()[0]
+    assert abs(rb["est_distinct"] - 10_000) / 10_000 < 4 * 1.04 / 16.0
+    assert ra["registers_md5"] != rb["registers_md5"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown hash_fn"):
+        sketch_hash(F.lit("x"), "md5")
+
+
 def test_sketch_hash_is_portable_md5(spark):
     """Pin the hash family: sketch_hash must equal the 63-bit-masked
     md5_number_lower — the contract every SQL oracle replays."""
