@@ -52,6 +52,7 @@ from my_feast_spark.operators.unigram import (
 )
 from my_feast_spark.operators.packing import pack_bfd, packing_stats
 from my_feast_spark.operators.pq import (
+    ivfpq_append,
     ivfpq_build,
     ivfpq_search,
     ivfpq_topk,
@@ -101,6 +102,7 @@ __all__ = [
     "pq_topk",
     "ivfpq_topk",
     "ivfpq_build",
+    "ivfpq_append",
     "ivfpq_search",
     "write_ivfpq_index",
     "read_ivfpq_index",

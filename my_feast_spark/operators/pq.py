@@ -325,6 +325,23 @@ def _ivfpq_index(
         )
     else:
         cb = codebooks_from_sample(X, m=m, k=k_codes, seed=seed)
+
+    enc = _encode_with_quantizers(
+        c, centroids, cb, residual=residual, deterministic=deterministic
+    )
+    return enc, centroids, cb
+
+
+def _encode_with_quantizers(
+    c: DataFrame, centroids, cb, *, residual: bool, deterministic: bool,
+) -> DataFrame:
+    """The IVFADC encode pass with FROZEN quantizers: one Arrow pass
+    from (corpus_id, cv) to (corpus_id, cell, codes). Shared by the
+    initial build and :func:`ivfpq_append` (which must encode new
+    vectors with the index's existing quantizer state, never retrain)."""
+    from my_feast_spark.operators.similarity import make_cell_assigner
+
+    assigner = make_cell_assigner(centroids, deterministic=deterministic)
     encode = make_pq_encoder(
         cb, deterministic=deterministic, normalize=not residual
     )
@@ -355,11 +372,10 @@ def _ivfpq_index(
     # (measured in .explain: two ArrowEvalPython nodes). The encode is
     # deterministic; it just must not be cloned.
     cell_codes = cell_codes.asNondeterministic()
-    enc = c.select(
+    return c.select(
         "corpus_id", cell_codes(F.col("cv")).alias("cc")
     ).select("corpus_id", F.col("cc.cell").alias("cell"),
              F.col("cc.codes").alias("codes"))
-    return enc, centroids, cb
 
 
 def _ivfpq_probe_plan(
@@ -493,20 +509,27 @@ def ivfpq_build(
 
 
 def write_ivfpq_index(enc: DataFrame, model: dict, path: str) -> None:
-    """Persist the IVFADC index CELL-PARTITIONED: ``path/cells`` holds
-    the (corpus_id, codes) rows under ``cell=K`` partition directories
-    (one task per cell via repartition — no small-file explosion), and
-    ``path/model`` the quantizer state as a single JSON row. The cell
-    layout is the point: a probe batch touching ``p`` distinct cells
-    reads ``p/num_cells`` of the index via directory-level partition
-    pruning — the serving-tier analogue of the streaming dedup index's
-    pbucket layout."""
+    """Persist the IVFADC index CELL-PARTITIONED with an append
+    generation axis: ``path/cells`` holds the (corpus_id, codes) rows
+    under ``append_id=N/cell=K`` partition directories (the initial
+    build is generation 0; :func:`ivfpq_append` adds generations — the
+    ingest-family idempotent-overwrite protocol), and ``path/model``
+    the quantizer state as a single JSON row. The cell layout is the
+    point: a probe batch touching ``p`` distinct cells reads
+    ``p/num_cells`` of the index via directory-level partition pruning
+    REGARDLESS of how many generations exist (the cell filter prunes
+    inside every generation) — the serving-tier analogue of the
+    streaming dedup index's pbucket layout."""
     import json
     import os
 
-    enc.repartition("cell").write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(os.path.join(path, "cells"))
+    (
+        enc.withColumn("append_id", F.lit(0))
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("append_id", "cell")
+        .parquet(os.path.join(path, "cells"))
+    )
     spark = enc.sparkSession
     spark.createDataFrame(
         [(json.dumps(model),)], ["model_json"]
@@ -514,9 +537,9 @@ def write_ivfpq_index(enc: DataFrame, model: dict, path: str) -> None:
 
 
 def read_ivfpq_index(spark, path: str):
-    """Load ``(enc, model)`` written by :func:`write_ivfpq_index` —
-    ``enc`` scans the cell-partitioned layout, so downstream probe
-    filters prune directories."""
+    """Load ``(enc, model)`` written by :func:`write_ivfpq_index` (+ any
+    :func:`ivfpq_append` generations) — ``enc`` scans the partitioned
+    layout, so downstream probe filters prune cell directories."""
     import json
     import os
 
@@ -530,6 +553,89 @@ def read_ivfpq_index(spark, path: str):
     model["centroids"] = np.asarray(model["centroids"], dtype=np.float64)
     model["codebooks"] = np.asarray(model["codebooks"], dtype=np.float64)
     return enc, model
+
+
+def ivfpq_append(
+    spark,
+    path: str,
+    new_corpus: DataFrame,
+    *,
+    corpus_id: str = "corpus_id",
+    vec_col: str = "embedding",
+    deterministic: bool = True,
+) -> dict:
+    """Append new vectors to a persisted IVFADC index WITHOUT
+    retraining: encode them with the index's frozen quantizer state
+    (one Arrow pass) and write a fresh ``append_id=N`` generation under
+    ``path/cells`` — the index-tier analogue of the dedup ingests'
+    idempotent per-batch partitions (a replayed append with the same
+    generation id overwrites its own directory, never duplicates).
+
+    Frozen quantizers are the IVF contract: cell centroids and PQ
+    codebooks must not move under an existing index or every persisted
+    code would be re-interpreted against the wrong geometry. The cost
+    is drift — vectors from a distribution the training sample never
+    saw can crowd a few cells and erode the nprobe/num_cells read
+    fraction. The returned stats make that observable per append:
+    ``cells_touched`` / ``max_cell_rows`` against an even split is the
+    rebuild trigger (rebuild = ivfpq_build + write_ivfpq_index, which
+    replaces every generation).
+
+    Returns ``{"append_id", "rows", "cells_touched", "max_cell_rows"}``.
+    """
+    import json
+    import os
+
+    import numpy as np
+
+    jvm = spark.sparkContext._jvm
+    cells_root = os.path.join(path, "cells")
+    hp = jvm.org.apache.hadoop.fs.Path(cells_root)
+    fs = hp.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(hp):
+        raise FileNotFoundError(
+            f"no index at {path}; build one with write_ivfpq_index first"
+        )
+    next_id = 1 + max(
+        (
+            int(st.getPath().getName().split("=", 1)[1])
+            for st in fs.listStatus(hp)
+            if st.getPath().getName().startswith("append_id=")
+        ),
+        default=0,
+    )
+
+    row = spark.read.json(os.path.join(path, "model")).collect()[0]
+    model = json.loads(row.model_json)
+    centroids = np.asarray(model["centroids"], dtype=np.float64)
+    cb = np.asarray(model["codebooks"], dtype=np.float64)
+
+    c = spread_partitions(new_corpus).select(
+        F.col(corpus_id).alias("corpus_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+    )
+    enc = _encode_with_quantizers(
+        c, centroids, cb,
+        residual=bool(model.get("residual", True)),
+        deterministic=deterministic,
+    )
+    gen_dir = os.path.join(cells_root, f"append_id={next_id}")
+    enc.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(gen_dir)
+
+    per_cell = (
+        spark.read.parquet(gen_dir)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    return {
+        "append_id": next_id,
+        "rows": int(sum(r["n"] for r in per_cell)),
+        "cells_touched": len(per_cell),
+        "max_cell_rows": int(max((r["n"] for r in per_cell), default=0)),
+    }
 
 
 def ivfpq_search(
