@@ -11,8 +11,11 @@ from my_feast_spark.streaming.ingest import (
     tumbling_window_agg,
 )
 from my_feast_spark.streaming.sketches import (
+    cms_ingest_stream,
+    compact_cms,
     hll_ingest_stream,
     hll_stream_estimate,
+    read_cms_sketch,
     read_hll_sketch,
 )
 
@@ -31,4 +34,7 @@ __all__ = [
     "hll_ingest_stream",
     "read_hll_sketch",
     "hll_stream_estimate",
+    "cms_ingest_stream",
+    "read_cms_sketch",
+    "compact_cms",
 ]

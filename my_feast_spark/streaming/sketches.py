@@ -113,3 +113,192 @@ def hll_stream_estimate(
     contract to the batch ``hll_group_distinct``."""
     regs = read_hll_sketch(spark, sketch_path, group_cols=group_cols)
     return hll_estimate(regs, p=p, group_by=group_cols)
+
+
+# --- count-min maintenance --------------------------------------------------
+#
+# CMS state merges by SUM, and that one algebraic difference changes the
+# compaction protocol: compact_index's crash window (rows duplicated
+# across generations until the source deletes finish) is harmless under
+# set/max semantics but DOUBLE-COUNTS under sum. So the CMS fold writes
+# a MANIFEST inside the folded generation naming exactly the source
+# generations it absorbed; the read path excludes any still-existing
+# generation named by a manifest. A crash anywhere leaves reads exact:
+# before the folded write commits (no _SUCCESS) the fold is invisible;
+# after it commits, its sources are manifest-excluded whether or not
+# their deletes ran. Deletion is thereby demoted to garbage collection —
+# re-running compact_cms finishes it.
+
+#: manifest file naming the generations a folded dir absorbed
+_CMS_MANIFEST = "_folded_ids.json"
+
+
+def cms_ingest_stream(
+    sdf: DataFrame,
+    *,
+    sketch_path: str,
+    checkpoint: str,
+    value_col: str,
+    d: int = 4,
+    w: int = 16384,
+    compact_every: int | None = None,
+    available_now: bool = False,
+    trigger_interval: str | None = None,
+):
+    """Maintain a count-min frequency sketch over a stream: each
+    micro-batch overwrites ``sketch_path/batch_id=N`` with ITS rows'
+    counters (replay-idempotent by the partition overwrite — sum state
+    gets no algebraic second chance, so the overwrite is the load-
+    bearing guard here); ``compact_every=k`` folds earlier generations
+    through the manifest protocol above. Returns the StreamingQuery."""
+    from my_feast_spark.operators.sketches import cms_build
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cms = cms_build(batch_df.select(value_col), value_col, d=d, w=w)
+        cms.write.mode("overwrite").parquet(
+            os.path.join(sketch_path, f"batch_id={batch_id}")
+        )
+        if compact_every and batch_id % compact_every == compact_every - 1:
+            compact_cms(
+                batch_df.sparkSession, sketch_path, exclude_from=batch_id
+            )
+
+    writer = (
+        sdf.writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_interval:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()
+
+
+def _cms_generations(spark: SparkSession, sketch_path: str):
+    """(hadoop fs, root path, {generation id: dir name}) for the CMS
+    layout; committed generations only (crash-torn writes excluded by
+    the _SUCCESS marker)."""
+    sc = spark.sparkContext
+    root = sc._jvm.org.apache.hadoop.fs.Path(sketch_path)
+    fs = root.getFileSystem(sc._jsc.hadoopConfiguration())
+    gens: dict[int, str] = {}
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not name.startswith("batch_id="):
+                continue
+            marker = sc._jvm.org.apache.hadoop.fs.Path(
+                root, name + "/_SUCCESS"
+            )
+            if fs.exists(marker):
+                gens[int(name.split("=", 1)[1])] = name
+    return fs, root, gens
+
+
+def read_cms_sketch(spark: SparkSession, sketch_path: str) -> DataFrame:
+    """The maintained counter table: SUM over every live generation,
+    excluding generations a committed fold manifest says were absorbed
+    (they may linger until garbage collection finishes)."""
+    import json
+
+    fs, root, gens = _cms_generations(spark, sketch_path)
+    if not gens:
+        raise FileNotFoundError(f"no sketch generations under {sketch_path}")
+    folded: set[int] = set()
+    torn: set[int] = set()
+    Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    for gid, name in gens.items():
+        mpath = Path(root, name + "/" + _CMS_MANIFEST)
+        if fs.exists(mpath):
+            stream = fs.open(mpath)
+            try:
+                raw = bytes(
+                    stream.readAllBytes()
+                ).decode("utf-8")
+            finally:
+                stream.close()
+            folded.update(json.loads(raw))
+        elif gid < 0:
+            # negative ids exist ONLY as fold targets; one without a
+            # manifest is a fold that crashed between its parquet commit
+            # and its manifest write — its sources are all still live,
+            # so counting it would double-count. Invisible until
+            # compact_cms garbage-collects it.
+            torn.add(gid)
+    live = [name for gid, name in sorted(gens.items())
+            if gid not in folded and gid not in torn]
+    if not live:
+        raise FileNotFoundError(
+            f"every generation under {sketch_path} is manifest-excluded"
+        )
+    df = spark.read.parquet(
+        *[os.path.join(sketch_path, name) for name in live]
+    )
+    return df.groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))
+
+
+def compact_cms(
+    spark: SparkSession, sketch_path: str, *, exclude_from: int | None = None,
+) -> dict:
+    """Fold CMS generations exactly: sum the mergeable generations into
+    a fresh ``batch_id = min(all ∪ {0}) - 1`` directory that CARRIES a
+    manifest of the generation ids it absorbed, then delete the
+    sources. Reads are exact at every crash point (see the module
+    section comment); re-running finishes interrupted garbage
+    collection. ``exclude_from`` protects the current batch (the
+    in-stream path), mirroring compact_index."""
+    import json
+
+    fs, root, gens = _cms_generations(spark, sketch_path)
+    Path = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    # finish any pending GC first: sources named by a committed
+    # manifest, plus torn folds (negative gen, no manifest — the
+    # parquet-committed-before-manifest crash window; its sources are
+    # intact, so the target is pure garbage)
+    folded: set[int] = set()
+    for gid, name in list(gens.items()):
+        mpath = Path(root, name + "/" + _CMS_MANIFEST)
+        if fs.exists(mpath):
+            stream = fs.open(mpath)
+            try:
+                folded.update(json.loads(
+                    bytes(stream.readAllBytes()).decode("utf-8")
+                ))
+            finally:
+                stream.close()
+        elif gid < 0:
+            fs.delete(Path(root, name), True)
+            del gens[gid]
+    for gid in sorted(folded):
+        if gid in gens:
+            fs.delete(Path(root, gens[gid]), True)
+            del gens[gid]
+
+    mergeable = {
+        gid: name for gid, name in gens.items()
+        if exclude_from is None or gid < exclude_from
+    }
+    if len(mergeable) <= 1:
+        return {"generation": None, "folded": 0}
+    target = min(min(gens), 0) - 1
+    merged = (
+        spark.read.parquet(
+            *[os.path.join(sketch_path, n) for n in mergeable.values()]
+        )
+        .groupBy("r", "c")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    tdir = os.path.join(sketch_path, f"batch_id={target}")
+    merged.coalesce(1).write.mode("overwrite").parquet(tdir)
+    # manifest BEFORE any delete: from this moment reads exclude the
+    # sources whether or not the deletes below survive a crash
+    mpath = Path(tdir, _CMS_MANIFEST)
+    out = fs.create(mpath, True)
+    try:
+        out.write(bytearray(json.dumps(sorted(mergeable)).encode("utf-8")))
+    finally:
+        out.close()
+    for name in mergeable.values():
+        fs.delete(Path(root, name), True)
+    return {"generation": target, "folded": len(mergeable)}

@@ -118,3 +118,122 @@ def test_read_missing_sketch_is_loud(spark, tmp_path):
         read_hll_sketch(
             spark, str(tmp_path / "absent"), group_cols=["g"]
         )
+
+
+# --- count-min maintenance ---------------------------------------------------
+
+from my_feast_spark.operators.sketches import cms_build, cms_estimate  # noqa: E402
+from my_feast_spark.streaming.sketches import (  # noqa: E402
+    cms_ingest_stream,
+    compact_cms,
+    read_cms_sketch,
+)
+
+D, W = 4, 512
+
+
+def _run_cms_batches(spark, tmp, batches, *, compact_every=None, tag=""):
+    base = os.path.join(tmp, f"cms{tag}")
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    sk = os.path.join(base, "sketch")
+    ckpt = os.path.join(base, "ckpt")
+    for b in batches:
+        b.coalesce(1).write.mode("append").parquet(in_dir)
+        sdf = spark.readStream.schema("v string").parquet(in_dir)
+        q = cms_ingest_stream(
+            sdf, sketch_path=sk, checkpoint=ckpt, value_col="v",
+            d=D, w=W, compact_every=compact_every, available_now=True,
+        )
+        assert q.awaitTermination(300)
+    return sk
+
+
+def _vals(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit("t"), (F.col("id") % 37).cast("string")).alias("v")
+    )
+
+
+def _counters(df):
+    return {(r["r"], r["c"]): r["cnt"] for r in df.collect()}
+
+
+def test_cms_stream_equals_batch(spark, tmp_path):
+    tmp = str(tmp_path)
+    parts = [_vals(spark, 0, 400), _vals(spark, 400, 900),
+             _vals(spark, 900, 1_300)]
+    sk = _run_cms_batches(spark, tmp, parts, tag="eq")
+    full = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    want = _counters(cms_build(full, "v", d=D, w=W))
+    got = _counters(read_cms_sketch(spark, sk))
+    assert got == want
+    # and the maintained sketch serves point estimates
+    keys = spark.createDataFrame([("t5",), ("t11",)], ["v"])
+    est = {
+        r["v"]: r["est_count"]
+        for r in cms_estimate(
+            read_cms_sketch(spark, sk), keys, "v", d=D, w=W
+        ).collect()
+    }
+    exact = {
+        r["v"]: r["n"]
+        for r in full.groupBy("v").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert est["t5"] >= exact["t5"] and est["t11"] >= exact["t11"]
+
+
+def test_cms_compaction_is_exact_and_crash_safe(spark, tmp_path):
+    """Fold mid-stream, then plant BOTH crash states — a torn fold
+    (parquet committed, no manifest) and a lingering manifest-named
+    source — and assert reads stay exact through all of it and
+    compact_cms heals both."""
+    import json
+
+    tmp = str(tmp_path)
+    parts = [_vals(spark, i * 300, (i + 1) * 300) for i in range(6)]
+    sk_c = _run_cms_batches(spark, tmp, parts, compact_every=3, tag="c")
+    sk_u = _run_cms_batches(spark, tmp, parts, tag="u")
+    want = _counters(read_cms_sketch(spark, sk_u))
+    assert _counters(read_cms_sketch(spark, sk_c)) == want
+    gens = sorted(d for d in os.listdir(sk_c) if d.startswith("batch_id="))
+    assert any(g.startswith("batch_id=-") for g in gens)
+    assert len(gens) < 6
+
+    # crash state 1: torn fold — committed parquet at a negative id,
+    # no manifest, sources untouched
+    torn = os.path.join(sk_c, "batch_id=-99")
+    cms_build(_vals(spark, 0, 50), "v", d=D, w=W).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(torn)
+    assert _counters(read_cms_sketch(spark, sk_c)) == want  # invisible
+    compact_cms(spark, sk_c)
+    assert not os.path.exists(torn)  # garbage-collected
+    assert _counters(read_cms_sketch(spark, sk_c)) == want
+
+    # crash state 2: a fold's source delete never ran — recreate a
+    # source the newest manifest names
+    manifests = [
+        os.path.join(sk_c, g, "_folded_ids.json")
+        for g in os.listdir(sk_c)
+        if g.startswith("batch_id=-")
+        and os.path.exists(os.path.join(sk_c, g, "_folded_ids.json"))
+    ]
+    assert manifests
+    absorbed = json.load(open(manifests[0]))
+    ghost_id = absorbed[0]
+    ghost = os.path.join(sk_c, f"batch_id={ghost_id}")
+    cms_build(_vals(spark, 0, 77), "v", d=D, w=W).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(ghost)
+    assert _counters(read_cms_sketch(spark, sk_c)) == want  # excluded
+    compact_cms(spark, sk_c)
+    assert not os.path.exists(ghost)
+    assert _counters(read_cms_sketch(spark, sk_c)) == want
+
+
+def test_cms_read_missing_is_loud(spark, tmp_path):
+    with pytest.raises(FileNotFoundError, match="no sketch generations"):
+        read_cms_sketch(spark, str(tmp_path / "absent"))
