@@ -15,8 +15,10 @@ from my_feast_spark.streaming.sketches import (
     compact_cms,
     hll_ingest_stream,
     hll_stream_estimate,
+    kmv_ingest_stream,
     read_cms_sketch,
     read_hll_sketch,
+    read_kmv_sketch,
 )
 
 __all__ = [
@@ -37,4 +39,6 @@ __all__ = [
     "cms_ingest_stream",
     "read_cms_sketch",
     "compact_cms",
+    "kmv_ingest_stream",
+    "read_kmv_sketch",
 ]

@@ -115,6 +115,67 @@ def hll_stream_estimate(
     return hll_estimate(regs, p=p, group_by=group_cols)
 
 
+def kmv_ingest_stream(
+    sdf: DataFrame,
+    *,
+    sketch_path: str,
+    checkpoint: str,
+    value_col: str,
+    k: int = 256,
+    compact_every: int | None = None,
+    available_now: bool = False,
+    trigger_interval: str | None = None,
+):
+    """Maintain a KMV (bottom-k) distinct-value sketch over a stream:
+    each micro-batch writes ITS OWN bottom-k (<= k rows!) to a
+    ``batch_id=N`` generation; the maintained sketch is the bottom-k of
+    the union (:func:`read_kmv_sketch`) — valid because every member of
+    the union's true bottom-k is in some batch's bottom-k. Set
+    semantics hold, so folding reuses :func:`compact_index` like the
+    HLL ingest (a folded generation holds the distinct UNION of the
+    batch sketches it absorbed — the generic set fold cannot
+    re-truncate to bottom-k; truncation would be safe, since a member
+    beyond one sketch's k-th cannot enter the union's bottom-k, but
+    the union is already tiny: folded-batches × k longs). The lightest
+    maintenance state in the repo: k longs per batch, regardless of
+    batch size."""
+    from my_feast_spark.operators.sketches import kmv_sketch
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sk = kmv_sketch(batch_df.select(value_col), value_col, k)
+        sk.write.mode("overwrite").parquet(
+            os.path.join(sketch_path, f"batch_id={batch_id}")
+        )
+        if compact_every and batch_id % compact_every == compact_every - 1:
+            compact_index(
+                batch_df.sparkSession, sketch_path, exclude_from=batch_id
+            )
+
+    writer = (
+        sdf.writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_interval:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()
+
+
+def read_kmv_sketch(
+    spark: SparkSession, sketch_path: str, *, k: int = 256,
+) -> DataFrame:
+    """The maintained sketch: bottom-k of the union of every
+    generation's members (the kmv_union merge)."""
+    if not _fs_nonempty(spark, sketch_path):
+        raise FileNotFoundError(f"no sketch generations under {sketch_path}")
+    return (
+        spark.read.parquet(sketch_path)
+        .select("h").distinct().orderBy("h").limit(k)
+    )
+
+
 # --- count-min maintenance --------------------------------------------------
 #
 # CMS state merges by SUM, and that one algebraic difference changes the

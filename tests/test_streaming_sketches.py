@@ -237,3 +237,56 @@ def test_cms_compaction_is_exact_and_crash_safe(spark, tmp_path):
 def test_cms_read_missing_is_loud(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="no sketch generations"):
         read_cms_sketch(spark, str(tmp_path / "absent"))
+
+
+# --- KMV maintenance ---------------------------------------------------------
+
+from my_feast_spark.operators.sketches import kmv_sketch  # noqa: E402
+from my_feast_spark.streaming.sketches import (  # noqa: E402
+    kmv_ingest_stream,
+    read_kmv_sketch,
+)
+
+
+def test_kmv_stream_equals_batch_and_compacts(spark, tmp_path):
+    """Per-batch bottom-k generations union to the true bottom-k of
+    everything ingested (the kmv_union property, end to end through
+    the stream + a mid-stream compact_index fold)."""
+    base = str(tmp_path / "kmv")
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    sk_path = os.path.join(base, "sketch")
+    ckpt = os.path.join(base, "ckpt")
+    K = 64
+    parts = [
+        spark.range(i * 500, (i + 1) * 500 + 100).select(
+            F.concat(F.lit("v"), F.col("id").cast("string")).alias("v")
+        )
+        for i in range(4)
+    ]
+    for b in parts:
+        b.coalesce(1).write.mode("append").parquet(in_dir)
+        sdf = spark.readStream.schema("v string").parquet(in_dir)
+        q = kmv_ingest_stream(
+            sdf, sketch_path=sk_path, checkpoint=ckpt, value_col="v",
+            k=K, compact_every=2, available_now=True,
+        )
+        assert q.awaitTermination(300)
+
+    full = parts[0]
+    for p in parts[1:]:
+        full = full.unionByName(p)
+    want = [r["h"] for r in kmv_sketch(full, "v", K).collect()]
+    got = [r["h"] for r in read_kmv_sketch(spark, sk_path, k=K).collect()]
+    assert got == want
+    # mid-stream fold happened and bounded the generations
+    gens = [d for d in os.listdir(sk_path) if d.startswith("batch_id=")]
+    assert any(g.startswith("batch_id=-") for g in gens)
+    assert len(gens) < 4
+    # state per generation: a live batch generation holds <= k rows; a
+    # folded one the distinct union of the batch sketches it absorbed
+    # (<= batches*k — compact_index is the generic set fold, it cannot
+    # re-truncate to bottom-k)
+    for g in gens:
+        n = spark.read.parquet(os.path.join(sk_path, g)).count()
+        assert n <= 4 * K
