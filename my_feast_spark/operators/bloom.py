@@ -46,37 +46,46 @@ from pyspark.sql import functions as F
 from my_feast_spark.operators.dedup import _MASK63  # noqa: F401
 from my_feast_spark.operators.sketches import sketch_hash
 
-#: salt distinguishing the second hash of the double-hashing scheme
-_H2_SALT = ":b2"
 
 
-def _h1h2(
-    key: Column, m_bits: int, hash_fn: str = "portable"
-) -> tuple[Column, Column]:
-    """The two base hashes: h1 in [0, m), h2 in [1, m) (never 0, so the
-    k probe positions are distinct mod m when m is prime-free... they
-    need not be distinct — correctness only needs build/probe to agree,
-    which double hashing guarantees). ``hash_fn`` follows the sketch /
-    dedup families' convention: "portable" (SQL-oracle-replayable md5,
-    the adjudicated default) or "xxhash64" (one native node, the
-    pure-Spark scale path — build and probe must use the SAME family)."""
-    h1 = F.pmod(sketch_hash(key, hash_fn), F.lit(m_bits))
-    h2 = F.pmod(
-        sketch_hash(F.concat(key, F.lit(_H2_SALT)), hash_fn),
-        F.lit(m_bits - 1),
-    ) + F.lit(1)
-    return h1, h2
+def _check_m(m_bits: int) -> int:
+    """m must be a power of two (the h1/h2 bit-slices depend on it);
+    returns log2(m)."""
+    if m_bits < 64 or m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits={m_bits} must be a power of two >= 64")
+    return m_bits.bit_length() - 1
+
+
+def positions_from_hash(
+    h: Column, *, m_bits: int, k_hashes: int,
+) -> list[Column]:
+    """The k bit positions from a precomputed 63-bit hash: h1 = the low
+    log2(m) bits, h2 = the NEXT bits mod (m-1) plus 1 (never 0), then
+    g_i = (h1 + i*h2) mod m — double hashing (Kirsch & Mitzenmacher
+    2006) with both base hashes sliced from ONE hash value. One hash
+    node per row instead of two: the md5 chain is the per-row cost that
+    dominates probe evaluation (profiled at sf0.1), and with m <= 2^22
+    the h2 slice still draws from >= 41 independent bits.
+    ``i*h2 < k*m`` keeps the sum far inside signed-64 range."""
+    p = _check_m(m_bits)
+    h1 = h.bitwiseAND(F.lit(m_bits - 1))
+    h2 = F.pmod(F.shiftright(h, p), F.lit(m_bits - 1)) + F.lit(1)
+    return [
+        F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k_hashes)
+    ]
 
 
 def bloom_positions(
     key: Column, *, m_bits: int, k_hashes: int, hash_fn: str = "portable",
 ) -> list[Column]:
-    """The k bit positions of ``key``: g_i = (h1 + i*h2) mod m.
-    ``i*h2 < k*m`` keeps the sum far inside signed-64 range."""
-    h1, h2 = _h1h2(key, m_bits, hash_fn)
-    return [
-        F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k_hashes)
-    ]
+    """The k bit positions of ``key`` (see :func:`positions_from_hash`).
+    ``hash_fn`` follows the sketch / dedup families' convention:
+    "portable" (SQL-oracle-replayable md5, the adjudicated default) or
+    "xxhash64" (one native node, the pure-Spark scale path — build and
+    probe must use the SAME family)."""
+    return positions_from_hash(
+        sketch_hash(key, hash_fn), m_bits=m_bits, k_hashes=k_hashes
+    )
 
 
 def bloom_position_set(
@@ -211,14 +220,12 @@ def bloom_bitmap(
     return out
 
 
-def bloom_maybe_from_bitmap(
-    key: Column | str, bitmap: list[int], *, m_bits: int, k_hashes: int,
-    hash_fn: str = "portable",
+def bloom_maybe_from_bitmap_hash(
+    h: Column, bitmap: list[int], *, m_bits: int, k_hashes: int,
 ) -> Column:
-    """Membership as a pure expression over the literal bitmap — no
-    join at all: element_at picks the word, getbit tests the bit
-    (both whole-stage-codegen native)."""
-    col = F.col(key) if isinstance(key, str) else key
+    """Membership from a PRECOMPUTED 63-bit hash column — the path for
+    callers that also need the hash for an exact-verify join (compute
+    it once, feed both)."""
     # ONE py4j round trip: F.lit(list) converts elements one java call
     # at a time (~7s of driver time at 16k words, measured); parsing the
     # array as SQL text is a single string transfer + parse (<50ms) and
@@ -227,9 +234,20 @@ def bloom_maybe_from_bitmap(
         "array(" + ",".join(f"{w}L" for w in bitmap) + ")"
     )
     verdict = F.lit(True)
-    for p in bloom_positions(
-        col, m_bits=m_bits, k_hashes=k_hashes, hash_fn=hash_fn
-    ):
+    for p in positions_from_hash(h, m_bits=m_bits, k_hashes=k_hashes):
         word = F.element_at(arr, (p / 64).cast("int") + F.lit(1))
         verdict = verdict & (F.getbit(word, p % 64) == 1)
     return verdict
+
+
+def bloom_maybe_from_bitmap(
+    key: Column | str, bitmap: list[int], *, m_bits: int, k_hashes: int,
+    hash_fn: str = "portable",
+) -> Column:
+    """Membership as a pure expression over the literal bitmap — no
+    join at all: element_at picks the word, getbit tests the bit
+    (both whole-stage-codegen native)."""
+    col = F.col(key) if isinstance(key, str) else key
+    return bloom_maybe_from_bitmap_hash(
+        sketch_hash(col, hash_fn), bitmap, m_bits=m_bits, k_hashes=k_hashes
+    )

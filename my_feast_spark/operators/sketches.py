@@ -234,13 +234,32 @@ def hll_group_distinct(
 # --- count-min sketch ------------------------------------------------------
 
 
-def _cms_col(col: Column, i: int, w: int, hash_fn: str = "portable") -> Column:
-    """Row-``i`` counter column of ``col``: an independent salted hash
-    per depth row (the bloom-module salt pattern), reduced mod w."""
-    return F.pmod(
-        sketch_hash(F.concat(col, F.lit(f":cms{i}")), hash_fn),
-        F.lit(w),
-    )
+def _cms_width_bits(d: int, w: int) -> int:
+    """log2(w) when the (d, w) geometry supports one-hash bit-slicing:
+    w a power of two and d*log2(w) <= 63 (each depth row draws a
+    disjoint bit field from ONE hash — d hash evaluations per element
+    collapse to one, the dominant per-row cost). Raises otherwise; the
+    salted-hash generality was measured 4x the expression work at d=4
+    and nothing in the repo needs w beyond 2^15 at d=4."""
+    if w < 2 or w & (w - 1):
+        raise ValueError(f"w={w} must be a power of two")
+    p = w.bit_length() - 1
+    if d * p > 63:
+        raise ValueError(f"d={d} rows of {p}-bit columns exceed 63 bits")
+    return p
+
+
+def _cms_cols_from_hash(h: Column, d: int, w: int):
+    """All d counter columns sliced from a precomputed hash COLUMN.
+    Callers must project the hash first (``.withColumn``) — reusing the
+    hash Column object inline duplicates the md5 chain into every array
+    element (codegen subexpression elimination does not reach inside
+    CreateArray, A/B-measured), while a projection guarantees one
+    evaluation per row."""
+    p = _cms_width_bits(d, w)
+    return [
+        F.shiftright(h, i * p).bitwiseAND(F.lit(w - 1)) for i in range(d)
+    ]
 
 
 def cms_build(
@@ -255,14 +274,14 @@ def cms_build(
     partition before the exchange. Point estimates never underestimate
     (each counter is a superset sum); overestimation shrinks as 1/w."""
     col = F.col(value) if isinstance(value, str) else value
+    _cms_width_bits(d, w)
+    base = df.select(sketch_hash(col, hash_fn).alias("__h"))
     pos = F.array(*[
-        F.struct(
-            F.lit(i).alias("r"), _cms_col(col, i, w, hash_fn).alias("c")
-        )
-        for i in range(d)
+        F.struct(F.lit(i).alias("r"), c.alias("c"))
+        for i, c in enumerate(_cms_cols_from_hash(F.col("__h"), d, w))
     ])
     return (
-        df.select(F.explode(pos).alias("p"))
+        base.select(F.explode(pos).alias("p"))
         .groupBy(F.col("p.r").alias("r"), F.col("p.c").alias("c"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -283,13 +302,13 @@ def cms_estimate(
     relation is broadcast (<= d*w rows); the keys relation is expected
     small (heavy-hitter candidates)."""
     col = F.col(key) if isinstance(key, str) else key
+    _cms_width_bits(d, w)
+    keys_h = keys.withColumn("__h", sketch_hash(col, hash_fn))
     pos = F.array(*[
-        F.struct(
-            F.lit(i).alias("r"), _cms_col(col, i, w, hash_fn).alias("c")
-        )
-        for i in range(d)
+        F.struct(F.lit(i).alias("r"), c.alias("c"))
+        for i, c in enumerate(_cms_cols_from_hash(F.col("__h"), d, w))
     ])
-    probes = keys.withColumn("__p", F.explode(pos)).select(
+    probes = keys_h.withColumn("__p", F.explode(pos)).select(
         *keys.columns, F.col("__p.r").alias("r"), F.col("__p.c").alias("c")
     )
     joined = probes.join(F.broadcast(cms), ["r", "c"], "left").withColumn(
@@ -301,10 +320,12 @@ def cms_estimate(
 
 
 def cms_col_sql(expr: str, i_expr: str, w: int) -> str:
-    """DuckDB replay of ``_cms_col`` with a per-row depth index."""
+    """DuckDB replay of the ``_cms_cols`` bit slice with a per-row
+    depth index (``i_expr`` multiplies the slice offset)."""
+    p = w.bit_length() - 1
     return (
-        f"((md5_number_lower({expr} || ':cms' || CAST({i_expr} AS VARCHAR))"
-        f" & 9223372036854775807) % {w})"
+        f"(((md5_number_lower({expr}) & 9223372036854775807)"
+        f" >> ({i_expr} * {p})) & {w - 1})"
     )
 
 

@@ -7490,33 +7490,47 @@ def q_bloom_prefilter_dedup(spark, sf_dir):
     (bloom_maybe_contains — zero candidate shuffle, k broadcast joins)
     replaces the literal; equivalence is pinned in tests/test_bloom.py."""
     from my_feast_spark.operators.bloom import (
-        bloom_bitmap, bloom_maybe_from_bitmap,
+        bloom_bitmap, bloom_maybe_from_bitmap_hash,
     )
     from my_feast_spark.operators.dedup import _with_shingles
+    from my_feast_spark.operators.sketches import sketch_hash
 
     docs = _t(spark, sf_dir, "documents")
     sh = _with_shingles(docs, "doc_id", "text", 3).persist()
     ref = sh.where(F.col("doc") % 2 == 0).select(F.explode("sh").alias("sg"))
     bm = bloom_bitmap(ref, "sg", m_bits=_BLOOM_M, k_hashes=_BLOOM_K)
-    cand = sh.where(F.col("doc") % 2 == 1).select(
-        "doc", F.explode("sh").alias("sg")
+    # hash ONCE per candidate shingle: the bitmap probe slices its
+    # positions from it AND the exact-verify join keys on it (64-bit
+    # equality on an 8-byte key instead of variable-length strings —
+    # identity-by-hash is deterministic in both engines, collision odds
+    # 2^-63, and the DuckDB oracle replays the identical join)
+    cand = (
+        sh.where(F.col("doc") % 2 == 1)
+        .select("doc", F.explode("sh").alias("sg"))
+        .select("doc", sketch_hash(F.col("sg")).alias("hk"))
     )
     ann = cand.withColumn(
         "maybe",
-        bloom_maybe_from_bitmap("sg", bm, m_bits=_BLOOM_M, k_hashes=_BLOOM_K),
+        bloom_maybe_from_bitmap_hash(
+            F.col("hk"), bm, m_bits=_BLOOM_M, k_hashes=_BLOOM_K
+        ),
     )
     # exact verification of the maybe fraction ONLY (bloom's contract:
     # no false negatives, so everything else is definitely-absent)
-    ref_set = ref.distinct().withColumn("__r", F.lit(1))
+    ref_set = (
+        ref.select(sketch_hash(F.col("sg")).alias("hk"))
+        .distinct().withColumn("__r", F.lit(1))
+    )
     maybe = ann.where(F.col("maybe"))
     rest = ann.where(~F.col("maybe")).withColumn("in_ref", F.lit(False))
     ver = (
-        maybe.join(ref_set, "sg", "left")
+        maybe.join(ref_set, "hk", "left")
         .withColumn("in_ref", F.col("__r").isNotNull())
         .drop("__r")
     )
-    allc = ver.select("doc", "sg", "maybe", "in_ref").unionByName(
-        rest.select("doc", "sg", "maybe", "in_ref")
+    # the per-doc agg needs only the three narrow columns
+    allc = ver.select("doc", "maybe", "in_ref").unionByName(
+        rest.select("doc", "maybe", "in_ref")
     )
     out = (
         allc.groupBy("doc")
@@ -7540,6 +7554,7 @@ def q_bloom_prefilter_dedup(spark, sf_dir):
 
 def _sql_bloom_prefilter_dedup() -> str:
     m, k = _BLOOM_M, _BLOOM_K
+    p = m.bit_length() - 1
     mask = 9223372036854775807
     return f"""
 WITH toks AS (
@@ -7551,31 +7566,28 @@ WITH toks AS (
            range(1, greatest(len(t) - 2, 0) + 1),
            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
   FROM toks WHERE len(t) >= 3
-), ref AS MATERIALIZED (
-  SELECT DISTINCT unnest(s) AS sg FROM sh WHERE doc % 2 = 0
+), refh AS MATERIALIZED (
+  SELECT DISTINCT (md5_number_lower(sg) & {mask}) AS hk
+  FROM (SELECT DISTINCT unnest(s) AS sg FROM sh WHERE doc % 2 = 0)
 ), refpos AS MATERIALIZED (
-  SELECT DISTINCT (h1 + i * h2) % {m} AS pos
-  FROM (SELECT (md5_number_lower(sg) & {mask}) % {m} AS h1,
-               ((md5_number_lower(sg || ':b2') & {mask}) % {m - 1}) + 1 AS h2
-        FROM ref),
-       generate_series(0, {k - 1}) t(i)
+  SELECT DISTINCT ((hk & {m - 1}) + i * (((hk >> {p}) % {m - 1}) + 1))
+           % {m} AS pos
+  FROM refh, generate_series(0, {k - 1}) t(i)
 ), cand AS (
-  SELECT doc, unnest(s) AS sg FROM sh WHERE doc % 2 = 1
+  SELECT doc, (md5_number_lower(sg) & {mask}) AS hk
+  FROM (SELECT doc, unnest(s) AS sg FROM sh WHERE doc % 2 = 1)
 ), cpos AS (
-  SELECT DISTINCT doc, sg, (h1 + i * h2) % {m} AS pos
-  FROM (SELECT doc, sg,
-               (md5_number_lower(sg) & {mask}) % {m} AS h1,
-               ((md5_number_lower(sg || ':b2') & {mask}) % {m - 1}) + 1 AS h2
-        FROM cand),
-       generate_series(0, {k - 1}) t(i)
+  SELECT DISTINCT doc, hk,
+         ((hk & {m - 1}) + i * (((hk >> {p}) % {m - 1}) + 1)) % {m} AS pos
+  FROM cand, generate_series(0, {k - 1}) t(i)
 ), ann AS (
-  SELECT doc, sg,
+  SELECT doc, hk,
          count(*) = count(*) FILTER (
            WHERE pos IN (SELECT pos FROM refpos)) AS maybe
   FROM cpos GROUP BY 1, 2
 ), ver AS (
-  SELECT doc, sg, maybe,
-         (maybe AND sg IN (SELECT sg FROM ref)) AS in_ref
+  SELECT doc, hk, maybe,
+         (maybe AND hk IN (SELECT hk FROM refh)) AS in_ref
   FROM ann
 )
 SELECT doc AS doc_id,
