@@ -147,6 +147,15 @@ def main() -> None:
         # after the boundary rule moved to a polynomial over one
         # 32-bit md5 slice per word; the naive per-window-string md5
         # was ~11s)
+        # sketch/bloom tier scale path: same xxhash64-vs-portable gap
+        ("hll_group_distinct_xxhash64",
+         lambda: counted(workload.q_hll_group_distinct(spark, sf_dir, hash_fn="xxhash64"))),
+        ("kmv_corpus_overlap_xxhash64",
+         lambda: counted(workload.q_kmv_corpus_overlap(spark, sf_dir, hash_fn="xxhash64"))),
+        ("bloom_prefilter_dedup_xxhash64",
+         lambda: counted(workload.q_bloom_prefilter_dedup(spark, sf_dir, hash_fn="xxhash64"))),
+        ("cms_heavy_hitters_xxhash64",
+         lambda: counted(workload.q_cms_heavy_hitters(spark, sf_dir, hash_fn="xxhash64"))),
         ("chunk_dedup_xxhash64",
          lambda: counted(workload.q_chunk_dedup(spark, sf_dir, hash_fn="xxhash64"))),
         ("cdc_chunk_dedup_xxhash64",

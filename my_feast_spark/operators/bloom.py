@@ -97,11 +97,15 @@ def bloom_position_set(
     Build cost: one projection + one distinct on a bounded domain
     (map-side partial agg collapses it before the exchange)."""
     col = F.col(key) if isinstance(key, str) else key
-    pos = bloom_positions(
-        col, m_bits=m_bits, k_hashes=k_hashes, hash_fn=hash_fn
+    # hash PROJECTED first: inlining the hash Column into the k position
+    # expressions duplicates the md5 chain k times per row (optimizer
+    # projection-collapse; measured on the workload query's plan)
+    hashed = df.select(sketch_hash(col, hash_fn).alias("__h"))
+    pos = positions_from_hash(
+        F.col("__h"), m_bits=m_bits, k_hashes=k_hashes
     )
     return (
-        df.select(F.explode(F.array(*pos)).alias("pos")).distinct()
+        hashed.select(F.explode(F.array(*pos)).alias("pos")).distinct()
     )
 
 

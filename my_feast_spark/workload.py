@@ -7224,7 +7224,7 @@ _KMV_K = 256
 _HLL_P = 8
 
 
-def q_hll_group_distinct(spark, sf_dir):
+def q_hll_group_distinct(spark, sf_dir, hash_fn="portable"):
     """Per-group distinct-count profile by HyperLogLog register table
     (operators/sketches.py): distinct users per event type WITHOUT a
     count(DISTINCT) re-key of the events relation. The shuffle carries
@@ -7239,7 +7239,7 @@ def q_hll_group_distinct(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     out = hll_group_distinct(
         ev.select("event_type", F.col("user_id").cast("string").alias("u")),
-        "u", ["event_type"], p=_HLL_P,
+        "u", ["event_type"], p=_HLL_P, hash_fn=hash_fn,
     )
     return out.select(
         "event_type", "n_zero", "sum_scaled", "registers_md5", "est_distinct"
@@ -7339,7 +7339,7 @@ SQL_STREAMING_SKETCH_INGEST = _LazySQL(
 )
 
 
-def q_kmv_corpus_overlap(spark, sf_dir):
+def q_kmv_corpus_overlap(spark, sf_dir, hash_fn="portable"):
     """Corpus-overlap estimation by KMV (bottom-k) sketches
     (operators/sketches.py): distinct 3-word-shingle cardinality of two
     corpus halves (doc_id parity), their union, Jaccard, and the
@@ -7360,7 +7360,7 @@ def q_kmv_corpus_overlap(spark, sf_dir):
     ex = sh.select("doc", F.explode("sh").alias("sg"))
     base = (
         ex.select(
-            sketch_hash(F.col("sg")).alias("h"),
+            sketch_hash(F.col("sg"), hash_fn).alias("h"),
             (F.col("doc") % 2 == 0).cast("int").alias("a"),
             (F.col("doc") % 2 == 1).cast("int").alias("b"),
         )
@@ -7471,7 +7471,7 @@ _BLOOM_M = 1 << 17
 _BLOOM_K = 3
 
 
-def q_bloom_prefilter_dedup(spark, sf_dir):
+def q_bloom_prefilter_dedup(spark, sf_dir, hash_fn="portable"):
     """Cross-corpus containment decontamination through a Bloom filter
     (operators/bloom.py): for every incoming (odd-doc_id) document, the
     fraction of its 3-word shingles already present in the reference
@@ -7498,7 +7498,9 @@ def q_bloom_prefilter_dedup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     sh = _with_shingles(docs, "doc_id", "text", 3).persist()
     ref = sh.where(F.col("doc") % 2 == 0).select(F.explode("sh").alias("sg"))
-    bm = bloom_bitmap(ref, "sg", m_bits=_BLOOM_M, k_hashes=_BLOOM_K)
+    bm = bloom_bitmap(
+        ref, "sg", m_bits=_BLOOM_M, k_hashes=_BLOOM_K, hash_fn=hash_fn
+    )
     # hash ONCE per candidate shingle: the bitmap probe slices its
     # positions from it AND the exact-verify join keys on it (64-bit
     # equality on an 8-byte key instead of variable-length strings —
@@ -7507,18 +7509,22 @@ def q_bloom_prefilter_dedup(spark, sf_dir):
     cand = (
         sh.where(F.col("doc") % 2 == 1)
         .select("doc", F.explode("sh").alias("sg"))
-        .select("doc", sketch_hash(F.col("sg")).alias("hk"))
+        .select("doc", sketch_hash(F.col("sg"), hash_fn).alias("hk"))
     )
+    # persisted: the maybe/rest split, the verify join and the agg all
+    # consume ann — without the cache, projection-collapse re-inlines
+    # the md5 chain into every consumer (plan-counted: 40 md5 nodes
+    # before, k per row after)
     ann = cand.withColumn(
         "maybe",
         bloom_maybe_from_bitmap_hash(
             F.col("hk"), bm, m_bits=_BLOOM_M, k_hashes=_BLOOM_K
         ),
-    )
+    ).persist()
     # exact verification of the maybe fraction ONLY (bloom's contract:
     # no false negatives, so everything else is definitely-absent)
     ref_set = (
-        ref.select(sketch_hash(F.col("sg")).alias("hk"))
+        ref.select(sketch_hash(F.col("sg"), hash_fn).alias("hk"))
         .distinct().withColumn("__r", F.lit(1))
     )
     maybe = ann.where(F.col("maybe"))
@@ -7548,7 +7554,7 @@ def q_bloom_prefilter_dedup(spark, sf_dir):
         )
         .withColumn("keep", F.col("containment") < 0.5)
     )
-    out._owned_caches = [sh]
+    out._owned_caches = [sh, ann]
     return out
 
 
@@ -7615,7 +7621,7 @@ _CMS_D = 4
 _CMS_W = 4096
 
 
-def q_cms_heavy_hitters(spark, sf_dir):
+def q_cms_heavy_hitters(spark, sf_dir, hash_fn="portable"):
     """Document-frequency heavy hitters through a count-min sketch
     (operators/sketches.py::cms_build/cms_estimate): the corpus's top-20
     3-shingles by exact document frequency, each with its CMS point
@@ -7630,14 +7636,14 @@ def q_cms_heavy_hitters(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     sh = _with_shingles(docs, "doc_id", "text", 3)
     grams = sh.select("doc", F.explode("sh").alias("sg")).persist()
-    cms = cms_build(grams, "sg", d=_CMS_D, w=_CMS_W)
+    cms = cms_build(grams, "sg", d=_CMS_D, w=_CMS_W, hash_fn=hash_fn)
     top = (
         grams.groupBy("sg")
         .agg(F.count(F.lit(1)).alias("exact_count"))
         .orderBy(F.col("exact_count").desc(), F.col("sg").asc())
         .limit(20)
     )
-    est = cms_estimate(cms, top, "sg", d=_CMS_D, w=_CMS_W)
+    est = cms_estimate(cms, top, "sg", d=_CMS_D, w=_CMS_W, hash_fn=hash_fn)
     out = est.select(
         F.col("sg").alias("term"),
         "exact_count",
