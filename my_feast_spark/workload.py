@@ -7842,6 +7842,22 @@ GROUP BY 1
 #      change gets a fresh CORRECTNESS row.
 #      The round-12 window shares only the five flagship queries with
 #      round 11's.
+#      Round 13 (two sessions) executes the promised rotation — the r12
+#      tail back in-window — and funds SEVEN never-adjudicated window
+#      slots (zorder_scan, materialize_stream from session 1; the
+#      sketch tier's hll_group_distinct/kmv_corpus_overlap, the bloom
+#      containment row, bm25_topk, orc_scan plus the promoted
+#      wordpiece_tokenize/warc_text_extract from the continuation) with
+#      eight one-round deferrals and five retirements (rationales at
+#      the tail/RETIRED blocks).
+#      ROUND-14 CONTRACT: the r13 tail MUST rotate back in-window —
+#      FIRST the twelve deferral-debt queries (jaccard_dup_pairs,
+#      audio_dedup, video_dedup, semdedup — deferred twice now —
+#      priority_collapse_types, part_brand_stats, idle_customers_anti,
+#      user_value_deltas) and the two never-adjudicated tail rows
+#      (cms_heavy_hitters, streaming_sketch_ingest), then the
+#      r12-adjudicated remainder as slots allow; the r13-adjudicated
+#      window queries sit the tail out and return round 15.
 #   5. RETIRED: the registry budget is ~100 driver-adjudicated queries;
 #      retired entries are near-duplicates of in-registry coverage
 #      (their operators stay covered by other queries) that keep their

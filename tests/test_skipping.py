@@ -386,15 +386,19 @@ def test_update_file_stats_sweeps_only_new_files(spark, tmp_path):
         update_file_stats(path, spark=spark)
 
     write_file_stats(path, ["k", "id"], spark=spark)
+    # capture the ORIGINAL file set BEFORE appending: the victim must be
+    # an original (sorted-name selection over the mixed listing can land
+    # on an appended file — the uuids are unordered — which flips the
+    # swept/removed counts; flaked once under a parallel-chunk run)
+    originals = sorted(
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
     # append a new slice and delete one original file
     spark.range(10_000, 12_000).selectExpr(
         "id", "CAST(id % 97 AS BIGINT) AS k"
     ).repartition(2).write.mode("append").parquet(path)
-    victim = sorted(
-        f for f in os.listdir(path)
-        if f.endswith(".parquet") and not f.startswith((".", "_"))
-    )[0]
-    os.remove(os.path.join(path, victim))
+    os.remove(os.path.join(path, originals[0]))
 
     rep = update_file_stats(path, spark=spark)
     assert rep["swept"] == 2 and rep["removed"] == 1 and rep["kept"] == 3
