@@ -125,10 +125,15 @@ def bloom_maybe_contains(
     BroadcastHashJoin), and Catalyst reuses the single broadcast across
     all k probes."""
     col = F.col(key) if isinstance(key, str) else key
-    pos = bloom_positions(
-        col, m_bits=m_bits, k_hashes=k_hashes, hash_fn=hash_fn
+    # hash PROJECTED below the joins: the k join conditions then
+    # reference the attribute (one md5 per row) instead of inlining the
+    # full hash chain into every condition (plan-pinned in
+    # tests/test_bloom.py)
+    hcol = "__bloom_h"
+    out = candidates.withColumn(hcol, sketch_hash(col, hash_fn))
+    pos = positions_from_hash(
+        F.col(hcol), m_bits=m_bits, k_hashes=k_hashes
     )
-    out = candidates
     hit_cols = []
     for i, p in enumerate(pos):
         bp = f"__bloom_pos_{i}"
@@ -146,7 +151,7 @@ def bloom_maybe_contains(
     verdict = F.lit(True)
     for h in hit_cols:
         verdict = verdict & F.col(h)
-    return out.withColumn(out_col, verdict).drop(*hit_cols)
+    return out.withColumn(out_col, verdict).drop(*hit_cols, hcol)
 
 
 def bloom_auto_geometry(

@@ -153,6 +153,28 @@ def test_auto_geometry_sizes_from_kmv(spark):
         bloom_auto_geometry(_df(spark, 0, 0), "v")
 
 
+def test_join_strategy_hashes_candidates_once_per_row(spark, filt):
+    """The k join conditions must reference a PROJECTED hash attribute
+    on the candidate side — ONE md5 per candidate row; inlining the
+    chain re-evaluates it per probe (the projection-collapse trap,
+    plan-counted at 40 nodes on the workload query before the fix).
+    The k ref-side position-set builds each print an md5 subtree but
+    canonicalize to one reused broadcast exchange at runtime."""
+    pos, _ = filt
+    out = bloom_maybe_contains(
+        _df(spark, 0, 100), pos, "v", m_bits=M, k_hashes=K
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("md5(") <= 1 + K
+    # candidate side: exactly one hash projection (aliased __bloom_h)
+    # over the probe input
+    cand_hashes = [
+        ln for ln in plan.splitlines()
+        if "md5(" in ln and "__bloom_h#" in ln
+    ]
+    assert len(cand_hashes) == 1
+
+
 def test_bitmap_probe_is_pure_expression(spark, filt):
     """The packed-literal strategy must add NO join/exchange at all."""
     _, bm = filt
