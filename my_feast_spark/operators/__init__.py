@@ -40,6 +40,7 @@ from my_feast_spark.operators.graph import (
 from my_feast_spark.operators.sketches import (
     cms_build,
     cms_estimate,
+    skew_report,
     hll_estimate,
     hll_group_distinct,
     hll_registers,
@@ -122,6 +123,7 @@ __all__ = [
     "kmv_union",
     "cms_build",
     "cms_estimate",
+    "skew_report",
     "hll_registers",
     "hll_estimate",
     "hll_group_distinct",

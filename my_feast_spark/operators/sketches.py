@@ -329,6 +329,77 @@ def cms_col_sql(expr: str, i_expr: str, w: int) -> str:
     )
 
 
+def skew_report(
+    df: DataFrame,
+    key: Column | str,
+    row_id: Column | str,
+    *,
+    d: int = 4,
+    w: int = 16384,
+    top: int = 10,
+    sample_mod: int = 64,
+    rows_per_task: int = 2_000_000,
+    hash_fn: str = "portable",
+) -> DataFrame:
+    """Shuffle-skew diagnosis from sketches — the 100 TB-cheap sibling
+    of the PIT auto-strategy's exact key-count probe: before keying a
+    join/groupBy on ``key``, estimate the hottest keys WITHOUT a full
+    re-key of the relation.
+
+    Mechanics: one count, one CMS build (d*w bounded counters), and a
+    deterministic 1/``sample_mod`` hash sample of the ROWS — keyed on
+    ``row_id``, a unique row identifier, NOT on the key (hashing the
+    key keeps or drops each key wholesale, so a hot key would survive
+    only with probability 1/mod — the bug the first cut of this
+    function shipped) — to surface CANDIDATE keys (any key with
+    frequency >= sample_mod rows appears in the sample w.h.p.; rarer
+    keys cannot be skew). Candidates are
+    point-queried against the CMS (never-underestimate, so no hot key
+    is missed by the estimate side) and the top-``top`` reported with:
+
+    ``est_count``      CMS estimate (upper bound on the true count)
+    ``est_share``      est_count / total rows, rounded 6 dp
+    ``suggested_salt`` ceil(est_count / rows_per_task) — the salt
+                       factor that caps the key's partition at one
+                       task-sized slice (1 = no salting needed)
+
+    Scale shape: the only corpus-wide work is two map-side-combined
+    aggregations (CMS counters, total count) and the sample filter; the
+    candidate relation is sample-sized and the CMS is broadcast by
+    ``cms_estimate``."""
+    col = F.col(key) if isinstance(key, str) else key
+    rid = F.col(row_id) if isinstance(row_id, str) else row_id
+    total = df.count()
+    cms = cms_build(df, col, d=d, w=w, hash_fn=hash_fn)
+    cand = (
+        df.where(
+            F.pmod(
+                sketch_hash(rid.cast("string"), hash_fn),
+                F.lit(sample_mod),
+            )
+            == 0
+        )
+        .select(col.alias("key"))
+        .distinct()
+    )
+    est = cms_estimate(cms, cand, "key", d=d, w=w, hash_fn=hash_fn)
+    return (
+        est.orderBy(F.col("est_count").desc(), F.col("key").asc())
+        .limit(top)
+        .select(
+            "key",
+            "est_count",
+            F.round(F.col("est_count") / F.lit(float(total)), 6).alias(
+                "est_share"
+            ),
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("est_count") / F.lit(float(rows_per_task))),
+            ).cast("int").alias("suggested_salt"),
+        )
+    )
+
+
 # --- SQL oracle fragments -------------------------------------------------
 
 

@@ -208,6 +208,52 @@ def test_xxhash64_family_same_estimator_quality(spark):
         sketch_hash(F.lit("x"), "md5")
 
 
+def test_skew_report_finds_hot_keys_and_sizes_salt(spark):
+    """A key holding ~25% of a 40k-row stream must surface with a
+    tight never-underestimating count, a sane share, and a salt factor
+    matching ceil(count / rows_per_task); uniform keys report salt 1."""
+    from my_feast_spark.operators.sketches import skew_report
+
+    hot = spark.range(10_000).select(
+        F.col("id").alias("rid"), F.lit("hot").alias("k")
+    )
+    warm = spark.range(10_000, 13_000).select(
+        F.col("id").alias("rid"), F.lit("warm").alias("k")
+    )
+    tail = spark.range(13_000, 40_000).select(
+        F.col("id").alias("rid"),
+        F.concat(F.lit("t"), (F.col("id") % 900).cast("string")).alias("k"),
+    )
+    df = hot.unionByName(warm).unionByName(tail)
+    rep = {
+        r["key"]: r.asDict()
+        for r in skew_report(
+            df, "k", "rid", top=5, sample_mod=16, rows_per_task=4_000
+        ).collect()
+    }
+    assert "hot" in rep and "warm" in rep
+    assert 10_000 <= rep["hot"]["est_count"] <= 10_400
+    assert abs(rep["hot"]["est_share"] - 0.25) < 0.02
+    assert rep["hot"]["suggested_salt"] == -(-rep["hot"]["est_count"] // 4_000)
+    assert rep["warm"]["suggested_salt"] == 1
+    # tail keys (30 rows each) are below any skew concern
+    for k, r in rep.items():
+        if k.startswith("t"):
+            assert r["suggested_salt"] == 1
+
+
+def test_skew_report_is_deterministic(spark):
+    from my_feast_spark.operators.sketches import skew_report
+
+    df = spark.range(5_000).select(
+        F.col("id").alias("rid"),
+        F.concat(F.lit("k"), (F.col("id") % 40).cast("string")).alias("k"),
+    )
+    a = [tuple(r) for r in skew_report(df, "k", "rid", top=3).collect()]
+    b = [tuple(r) for r in skew_report(df, "k", "rid", top=3).collect()]
+    assert a == b and len(a) == 3
+
+
 def test_sketch_hash_is_portable_md5(spark):
     """Pin the hash family: sketch_hash must equal the 63-bit-masked
     md5_number_lower — the contract every SQL oracle replays."""
