@@ -40,6 +40,7 @@ from my_feast_spark.operators.graph import (
 from my_feast_spark.operators.sketches import (
     cms_build,
     cms_estimate,
+    hll_time_rollup,
     skew_report,
     hll_estimate,
     hll_group_distinct,
@@ -124,6 +125,7 @@ __all__ = [
     "cms_build",
     "cms_estimate",
     "skew_report",
+    "hll_time_rollup",
     "hll_registers",
     "hll_estimate",
     "hll_group_distinct",

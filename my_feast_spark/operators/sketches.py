@@ -400,6 +400,61 @@ def skew_report(
     )
 
 
+def hll_time_rollup(
+    df: DataFrame,
+    ts: Column | str,
+    value: Column | str,
+    *,
+    p: int = 10,
+    levels: tuple[str, ...] = ("day", "week", "month"),
+    group_by: list[str] | None = None,
+    hash_fn: str = "portable",
+) -> DataFrame:
+    """Distinct-count time rollup — the hypertable continuous-aggregate
+    pattern over HLL state: the RAW data is scanned once to build the
+    finest level's register table (``levels[0]``), and every coarser
+    level folds the finer REGISTERS (date_trunc the period, elementwise
+    MAX) — a week's estimate never rescans the week's rows, and a late
+    partition only dirties its own fine bucket (the same
+    maintain-fine/fold-coarse shape ``streaming/sketches.py`` keeps
+    incrementally). Exact count(DISTINCT) cannot do this: distinct
+    counts do not add across periods, registers max-merge.
+
+    Returns one row per (granularity, period, *group_by) with the usual
+    estimate columns; ``granularity`` values follow ``levels``.
+    ``levels`` must be ordered fine -> coarse (each level is folded
+    from the FINEST registers; any date_trunc unit works)."""
+    tcol = F.col(ts) if isinstance(ts, str) else ts
+    keys = list(group_by or [])
+    fine = levels[0]
+    fine_regs = hll_registers(
+        df.withColumn("__period", F.date_trunc(fine, tcol)),
+        value, p=p, group_by=[*keys, "__period"], hash_fn=hash_fn,
+    ).persist()
+    out = None
+    for lvl in levels:
+        regs = (
+            fine_regs
+            if lvl == fine
+            else fine_regs.groupBy(
+                *keys,
+                F.date_trunc(lvl, F.col("__period")).alias("__period"),
+                "bucket",
+            ).agg(F.max("rho").alias("rho"))
+        )
+        est = hll_estimate(
+            regs, p=p, group_by=[*keys, "__period"]
+        ).select(
+            F.lit(lvl).alias("granularity"),
+            F.col("__period").alias("period"),
+            *keys,
+            "n_zero", "sum_scaled", "registers_md5", "est_distinct",
+        )
+        out = est if out is None else out.unionByName(est)
+    out._owned_caches = [fine_regs]
+    return out
+
+
 # --- SQL oracle fragments -------------------------------------------------
 
 

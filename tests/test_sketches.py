@@ -208,6 +208,64 @@ def test_xxhash64_family_same_estimator_quality(spark):
         sketch_hash(F.lit("x"), "md5")
 
 
+def test_hll_time_rollup_folds_registers_not_rows(spark):
+    """Coarse periods folded from fine registers must equal a direct
+    build at the coarse grain (register mergeability in time), and the
+    estimates must track exact distincts within the sketch band."""
+    import datetime as dt
+
+    from my_feast_spark.operators.sketches import hll_time_rollup
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.range(40_000).select(
+        (
+            F.lit(base)
+            + F.make_interval(hours=(F.col("id") % (24 * 28)).cast("int"))
+        ).alias("ts"),
+        # a user set that shifts over the month: day d sees users
+        # [100*d, 100*d + 4000)
+        F.concat(
+            F.lit("u"),
+            (
+                (F.col("id") % 4000)
+                + (F.col("id") % (24 * 28) / 24).cast("long") * 100
+            ).cast("string"),
+        ).alias("u"),
+    )
+    out = hll_time_rollup(df, "ts", "u", p=10, levels=("day", "month"))
+    rows = out.collect()
+    for c in getattr(out, "_owned_caches", ()):
+        c.unpersist()
+    days = [r for r in rows if r["granularity"] == "day"]
+    months = [r for r in rows if r["granularity"] == "month"]
+    assert len(days) == 28 and len(months) == 1
+
+    # folded month == direct month registers (digest equality)
+    from my_feast_spark.operators.sketches import (
+        hll_group_distinct,
+    )
+
+    direct = hll_group_distinct(
+        df.select(F.date_trunc("month", F.col("ts")).alias("g"), "u"),
+        "u", ["g"], p=10,
+    ).collect()[0]
+    assert months[0]["registers_md5"] == direct["registers_md5"]
+    assert months[0]["est_distinct"] == direct["est_distinct"]
+
+    # accuracy vs EXACT distincts at both grains (4-sigma band, m=1024)
+    exact = df.select("u").distinct().count()
+    assert abs(months[0]["est_distinct"] - exact) / exact < 4 * 1.04 / 32.0
+    exact_days = {
+        r["d"]: r["n"]
+        for r in df.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("d")
+        ).agg(F.countDistinct("u").alias("n")).collect()
+    }
+    for r in days:
+        want = exact_days[r["period"]]
+        assert abs(r["est_distinct"] - want) / want < 4 * 1.04 / 32.0
+
+
 def test_skew_report_finds_hot_keys_and_sizes_salt(spark):
     """A key holding ~25% of a 40k-row stream must surface with a
     tight never-underestimating count, a sane share, and a salt factor
