@@ -290,3 +290,55 @@ def test_kmv_stream_equals_batch_and_compacts(spark, tmp_path):
     for g in gens:
         n = spark.read.parquet(os.path.join(sk_path, g)).count()
         assert n <= 4 * K
+
+
+def test_streamed_fine_registers_fold_to_coarse_rollup(spark, tmp_path):
+    """Composition: a stream maintaining DAY-grain registers
+    (group_cols=['day']) feeds the same coarse fold hll_time_rollup
+    uses — the maintained fine state rolls up to the batch month
+    estimate without ever rescanning rows."""
+    import datetime as dt
+
+    from my_feast_spark.operators.sketches import hll_estimate
+    from my_feast_spark.operators.sketches import hll_group_distinct
+
+    base = dt.datetime(2024, 3, 1)
+    full = spark.range(6_000).select(
+        F.date_format(
+            F.lit(base) + F.make_interval(hours=(F.col("id") % 72).cast("int")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        F.concat(F.lit("u"), (F.col("id") % 1500).cast("string")).alias("v"),
+    )
+    tagged = full.withColumn(
+        "id_mod", F.pmod(F.xxhash64("v", "day"), F.lit(3))
+    )
+    batches = [
+        tagged.where(F.col("id_mod") == b).drop("id_mod") for b in range(3)
+    ]
+    base_dir = os.path.join(str(tmp_path), "roll")
+    in_dir = os.path.join(base_dir, "in")
+    os.makedirs(in_dir)
+    sk = os.path.join(base_dir, "sketch")
+    ckpt = os.path.join(base_dir, "ckpt")
+    for b in batches:
+        b.coalesce(1).write.mode("append").parquet(in_dir)
+        sdf = spark.readStream.schema("day string, v string").parquet(in_dir)
+        q = hll_ingest_stream(
+            sdf, sketch_path=sk, checkpoint=ckpt, value_col="v",
+            group_cols=["day"], p=P, available_now=True,
+        )
+        assert q.awaitTermination(300)
+
+    fine = read_hll_sketch(spark, sk, group_cols=["day"])
+    # coarse fold: all days -> one month bucket set
+    coarse = fine.groupBy(
+        F.lit("2024-03").alias("month"), "bucket"
+    ).agg(F.max("rho").alias("rho"))
+    got = hll_estimate(coarse, p=P, group_by=["month"]).collect()[0]
+    want = hll_group_distinct(
+        full.select(F.lit("2024-03").alias("month"), "v"), "v", ["month"],
+        p=P,
+    ).collect()[0]
+    assert got["registers_md5"] == want["registers_md5"]
+    assert got["est_distinct"] == want["est_distinct"]
