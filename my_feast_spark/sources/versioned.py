@@ -1,0 +1,197 @@
+"""Versioned parquet tables: manifest-log commits, time travel, vacuum.
+
+The reference's cloud tier standardizes on Delta
+(/root/reference/CASE.MD:107); this container has no Delta jar, so the
+engine rebuilds Delta's three load-bearing levers structurally on plain
+parquet: OPTIMIZE ZORDER -> ``sources/zorder.py``, data skipping ->
+``sources/skipping.py``, and — this module — the transaction log:
+atomic snapshot commits, read-as-of-version, and safe vacuum.
+
+Design (a deliberately small Delta-log subset):
+
+* Data files for each commit land in a FRESH directory
+  ``data/v{N}-{uuid}/`` — no commit ever writes into a directory a
+  reader might be listing, and file names can never collide across
+  commits.
+* A commit is ONE atomic manifest publish: ``_vlog/{N}.json`` names the
+  data directories visible at version N (an append lists its parent's
+  directories plus its own; an overwrite lists only its own). The
+  manifest is written to a hidden temp name and ``rename``d into place
+  — Hadoop-FS rename does not replace an existing destination, so two
+  writers racing the same version number produce ONE winner; the loser
+  retries at N+1 against the new parent (optimistic concurrency, the
+  same protocol as ``core/registry.py``).
+* Readers resolve a version by reading exactly one manifest — a torn
+  commit (data directory written, manifest missing) is invisible by
+  construction, and an interrupted writer leaves only garbage a later
+  ``vacuum`` removes.
+* ``vacuum`` deletes data directories referenced by NO retained
+  manifest, oldest manifests first — time travel keeps working for
+  every retained version. (Delta's checkpoint compaction is not
+  needed at this manifest granularity: one small JSON per commit,
+  and reads touch one of them.)
+
+Scale notes: the manifest lists DIRECTORIES, not files, so manifest
+size is O(commits-since-overwrite) regardless of file counts, and the
+read path hands Spark the directory list — partition discovery,
+skipping sidecars, and z-ordered layouts inside each data directory
+all compose (they are per-directory artifacts).
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: manifest directory name
+_VLOG = "_vlog"
+#: data-root directory name
+_DATA = "data"
+
+
+def _fs(spark: SparkSession, path: str):
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, p.getFileSystem(sc._jsc.hadoopConfiguration())
+
+
+def _hpath(jvm, *parts: str):
+    return jvm.org.apache.hadoop.fs.Path("/".join(parts))
+
+
+def _read_manifest(jvm, fs, path: str, version: int) -> dict:
+    mp = _hpath(jvm, path, _VLOG, f"{version}.json")
+    stream = fs.open(mp)
+    try:
+        return json.loads(bytes(stream.readAllBytes()).decode("utf-8"))
+    finally:
+        stream.close()
+
+
+def list_versions(spark: SparkSession, path: str) -> list[int]:
+    """Committed versions, ascending. Hidden temp manifests and torn
+    commits are invisible (a manifest only exists once renamed)."""
+    jvm, fs = _fs(spark, path)
+    vdir = _hpath(jvm, path, _VLOG)
+    if not fs.exists(vdir):
+        return []
+    out = []
+    for st in fs.listStatus(vdir):
+        name = st.getPath().getName()
+        if name.endswith(".json") and not name.startswith("."):
+            out.append(int(name[:-5]))
+    return sorted(out)
+
+
+def write_version(
+    df: DataFrame, path: str, *, mode: str = "append",
+) -> int:
+    """Commit ``df`` as a new version of the table at ``path``.
+
+    ``mode="append"`` makes the new version the parent's directories
+    plus this commit's; ``mode="overwrite"`` replaces the visible set
+    (old versions stay readable until vacuumed). Returns the committed
+    version number. Safe against concurrent writers (rename-arbitrated;
+    the loser re-reads the new parent and retries) and against crashes
+    at any point (an unpublished manifest leaves the commit invisible)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unknown mode {mode!r}")
+    spark = df.sparkSession
+    jvm, fs = _fs(spark, path)
+    commit_dir = f"{_DATA}/v{uuid.uuid4().hex[:12]}"
+    df.write.mode("error").parquet(f"{path}/{commit_dir}")
+    vdir = _hpath(jvm, path, _VLOG)
+    fs.mkdirs(vdir)
+    while True:
+        versions = list_versions(spark, path)
+        parent = versions[-1] if versions else None
+        next_v = (parent + 1) if parent is not None else 0
+        if mode == "append" and parent is not None:
+            dirs = _read_manifest(jvm, fs, path, parent)["dirs"] + [
+                commit_dir
+            ]
+        else:
+            dirs = [commit_dir]
+        manifest = {
+            "version": next_v,
+            "parent": parent,
+            "mode": mode,
+            "dirs": dirs,
+        }
+        tmp = _hpath(
+            jvm, path, _VLOG, f".tmp-{next_v}-{uuid.uuid4().hex[:8]}"
+        )
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(json.dumps(manifest).encode("utf-8")))
+        finally:
+            out.close()
+        final = _hpath(jvm, path, _VLOG, f"{next_v}.json")
+        # rename refuses to replace an existing destination: exactly one
+        # writer wins a version number; losers clean up and retry with
+        # the winner as parent
+        if fs.rename(tmp, final):
+            return next_v
+        fs.delete(tmp, False)
+
+
+def read_version(
+    spark: SparkSession, path: str, version: int | None = None,
+) -> DataFrame:
+    """The table as of ``version`` (default: latest). One manifest read
+    resolves the directory list; Spark scans exactly those."""
+    jvm, fs = _fs(spark, path)
+    versions = list_versions(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(
+            f"version {version} not in committed set {versions}"
+        )
+    m = _read_manifest(jvm, fs, path, version)
+    return spark.read.parquet(*[f"{path}/{d}" for d in m["dirs"]])
+
+
+def vacuum(
+    spark: SparkSession, path: str, *, keep_last: int = 1,
+) -> dict:
+    """Drop manifests older than the newest ``keep_last`` and delete
+    every data directory no retained manifest references. Retained
+    versions keep time-traveling; a torn commit's orphaned data
+    directory (written, never published) is removed too. Idempotent."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    jvm, fs = _fs(spark, path)
+    versions = list_versions(spark, path)
+    keep = set(versions[-keep_last:])
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(_read_manifest(jvm, fs, path, v)["dirs"])
+    dropped_manifests = 0
+    for v in versions:
+        if v not in keep:
+            fs.delete(_hpath(jvm, path, _VLOG, f"{v}.json"), False)
+            dropped_manifests += 1
+    # stale temp manifests from crashed commits
+    vdir = _hpath(jvm, path, _VLOG)
+    for st in fs.listStatus(vdir):
+        if st.getPath().getName().startswith(".tmp-"):
+            fs.delete(st.getPath(), False)
+    removed_dirs = 0
+    droot = _hpath(jvm, path, _DATA)
+    if fs.exists(droot):
+        for st in fs.listStatus(droot):
+            rel = f"{_DATA}/{st.getPath().getName()}"
+            if rel not in referenced:
+                fs.delete(st.getPath(), True)
+                removed_dirs += 1
+    return {
+        "retained_versions": sorted(keep),
+        "dropped_manifests": dropped_manifests,
+        "removed_dirs": removed_dirs,
+    }

@@ -7697,6 +7697,70 @@ FROM est
 SQL_CMS_HEAVY_HITTERS = _LazySQL(_sql_cms_heavy_hitters)
 
 
+# --- versioned-table protocol (sources/versioned.py) ------------------------
+
+
+def q_versioned_replay(spark, sf_dir):
+    """Versioned-table protocol adjudicated end-to-end
+    (sources/versioned.py — the transaction-log lever of the Delta
+    triple, next to z-order and skipping): a bounded deterministic
+    events subset lands as THREE commits (initial load + two appends by
+    event_id mod), a torn commit is planted (data directory written,
+    manifest never published) and vacuumed, and the result reports one
+    row per version — rows, 4dp value sum, id bounds — read back
+    THROUGH the log. The oracle recomputes each version's logical
+    content straight from the events view, so the hash pins time-travel
+    correctness AND torn-commit invisibility in one row set."""
+    from my_feast_spark.sources.versioned import (
+        read_version,
+        vacuum,
+        write_version,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where((F.col("event_id") % 5 == 0) & (F.col("event_id") < 30000))
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    base = _scratch_dir("mfs_vlog_")
+    path = os.path.join(base, "table")
+    write_version(ev.where(F.col("event_id") % 3 == 0), path)
+    write_version(
+        ev.where(F.col("event_id") % 3 == 1), path, mode="append"
+    )
+    # torn commit: a data directory no manifest ever published
+    ev.limit(7).write.parquet(os.path.join(path, "data", "vdeadbeefcafe"))
+    write_version(
+        ev.where(F.col("event_id") % 3 == 2), path, mode="append"
+    )
+    vacuum(spark, path, keep_last=3)  # removes ONLY the orphan dir
+    out = None
+    for v in (0, 1, 2):
+        agg = read_version(spark, path, v).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        ).select(F.lit(v).alias("version"), "*")
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+SQL_VERSIONED_REPLAY = """
+WITH src AS (
+  SELECT event_id, value FROM events
+  WHERE event_id % 5 = 0 AND event_id < 30000
+)
+SELECT v.version,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(value), 4) AS sum_value,
+       min(event_id) AS min_id, max(event_id) AS max_id
+FROM (VALUES (0), (1), (2)) v(version)
+JOIN src ON (src.event_id % 3) <= v.version
+GROUP BY 1
+"""
+
+
 # --- BM25 ranked retrieval (operators/bm25.py) ------------------------------
 
 
@@ -8041,7 +8105,6 @@ QUERIES: dict[str, tuple] = {
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "top_terms_tfidf": (q_top_terms_tfidf, SQL_TOP_TERMS_TFIDF),
     "event_type_pivot": (q_event_type_pivot, SQL_EVENT_TYPE_PIVOT),
-    "post_signup_activity": (q_post_signup_activity, SQL_POST_SIGNUP_ACTIVITY),
     "customer_balance_deciles": (
         q_customer_balance_deciles, SQL_CUSTOMER_BALANCE_DECILES,
     ),
@@ -8054,6 +8117,7 @@ QUERIES: dict[str, tuple] = {
     "streaming_sketch_ingest": (
         q_streaming_sketch_ingest, SQL_STREAMING_SKETCH_INGEST,
     ),
+    "versioned_replay": (q_versioned_replay, SQL_VERSIONED_REPLAY),
     # (wordpiece_tokenize / warc_text_extract moved INTO the window
     # above — never-adjudicated surfaces outrank re-adjudications.)
 }
@@ -8240,4 +8304,10 @@ RETIRED_QUERIES: dict[str, tuple] = {
     #                                (the same stack expression in anger)
     "moving_avg_revenue": (q_moving_avg_revenue, SQL_MOVING_AVG_REVENUE),
     "lineitem_unpivot": (q_lineitem_unpivot, SQL_LINEITEM_UNPIVOT),
+    #   post_signup_activity (event-sequence join+window) ->
+    #                                latest_event_per_user (the same
+    #                                per-entity chronology window) +
+    #                                scd2_lookup (range predicates over
+    #                                entity timelines)
+    "post_signup_activity": (q_post_signup_activity, SQL_POST_SIGNUP_ACTIVITY),
 }

@@ -1,0 +1,143 @@
+"""Versioned parquet tables (sources/versioned.py): atomic manifest
+commits, time travel, torn-commit invisibility, rename-arbitrated
+concurrency, vacuum safety."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from my_feast_spark.sources.versioned import (
+    list_versions,
+    read_version,
+    vacuum,
+    write_version,
+)
+
+
+def _df(spark, lo, hi, tag):
+    return spark.range(lo, hi).select(
+        F.col("id"), F.lit(tag).alias("tag")
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_append_overwrite_and_time_travel(spark, tmp_path):
+    path = str(tmp_path / "t")
+    v0 = write_version(_df(spark, 0, 100, "a"), path)
+    v1 = write_version(_df(spark, 100, 150, "b"), path, mode="append")
+    v2 = write_version(_df(spark, 500, 510, "c"), path, mode="overwrite")
+    assert (v0, v1, v2) == (0, 1, 2)
+    assert list_versions(spark, path) == [0, 1, 2]
+
+    assert read_version(spark, path, 0).count() == 100
+    assert read_version(spark, path, 1).count() == 150
+    assert _rows(read_version(spark, path, 2)) == _rows(
+        _df(spark, 500, 510, "c")
+    )
+    # latest by default; v1 content is v0 ∪ the append
+    assert _rows(read_version(spark, path)) == _rows(
+        _df(spark, 500, 510, "c")
+    )
+    assert _rows(read_version(spark, path, 1)) == _rows(
+        _df(spark, 0, 100, "a").unionByName(_df(spark, 100, 150, "b"))
+    )
+
+
+def test_torn_commit_is_invisible_and_vacuumed(spark, tmp_path):
+    """Data directory written, manifest never published (the crash
+    window): readers never see it; vacuum removes the orphan."""
+    path = str(tmp_path / "t")
+    write_version(_df(spark, 0, 10, "a"), path)
+    # plant a torn commit: data dir without a manifest
+    _df(spark, 900, 950, "torn").write.parquet(f"{path}/data/vdeadbeef0000")
+    assert read_version(spark, path).count() == 10
+    rep = vacuum(spark, path, keep_last=1)
+    assert rep["removed_dirs"] == 1
+    assert read_version(spark, path).count() == 10
+    assert not os.path.exists(f"{path}/data/vdeadbeef0000")
+
+
+def test_version_number_race_is_rename_arbitrated(spark, tmp_path):
+    """If another writer publishes N first, the loser's rename fails
+    and it retries at N+1 with the winner as parent — simulate by
+    pre-claiming the next version id mid-protocol."""
+    path = str(tmp_path / "t")
+    write_version(_df(spark, 0, 10, "a"), path)  # v0
+    # another writer claims v1 out from under us
+    winner = {
+        "version": 1, "parent": 0, "mode": "append",
+        "dirs": json.load(open(f"{path}/_vlog/0.json"))["dirs"],
+    }
+    with open(f"{path}/_vlog/1.json", "w") as fh:
+        json.dump(winner, fh)
+    v = write_version(_df(spark, 10, 20, "b"), path, mode="append")
+    assert v == 2
+    # the append chained off the WINNER as parent (sees v0's rows too)
+    assert read_version(spark, path, 2).count() == 20
+    m2 = json.load(open(f"{path}/_vlog/2.json"))
+    assert m2["parent"] == 1
+    # no stale temp manifests left behind
+    assert not [
+        f for f in os.listdir(f"{path}/_vlog") if f.startswith(".tmp-")
+    ]
+
+
+def test_vacuum_keeps_retained_versions_working(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_version(_df(spark, 0, 10, "a"), path)                  # v0
+    write_version(_df(spark, 10, 20, "b"), path, mode="append")  # v1
+    write_version(_df(spark, 90, 95, "c"), path, mode="overwrite")  # v2
+    write_version(_df(spark, 20, 30, "d"), path, mode="append")  # v3
+    rep = vacuum(spark, path, keep_last=2)
+    assert rep["retained_versions"] == [2, 3]
+    # v2's and v3's dirs survive; v0/v1's two dirs are gone (they are
+    # referenced by no retained manifest)
+    assert rep["dropped_manifests"] == 2
+    assert rep["removed_dirs"] == 2
+    assert read_version(spark, path, 2).count() == 5
+    assert read_version(spark, path, 3).count() == 15
+    with pytest.raises(ValueError, match="not in committed set"):
+        read_version(spark, path, 0)
+    # idempotent
+    rep2 = vacuum(spark, path, keep_last=2)
+    assert rep2["removed_dirs"] == 0 and rep2["dropped_manifests"] == 0
+
+
+def test_missing_table_and_bad_args_are_loud(spark, tmp_path):
+    with pytest.raises(FileNotFoundError, match="no committed versions"):
+        read_version(spark, str(tmp_path / "absent"))
+    with pytest.raises(ValueError, match="unknown mode"):
+        write_version(_df(spark, 0, 1, "a"), str(tmp_path / "t"), mode="merge")
+    path = str(tmp_path / "t2")
+    write_version(_df(spark, 0, 1, "a"), path)
+    with pytest.raises(ValueError, match="keep_last"):
+        vacuum(spark, path, keep_last=0)
+
+
+def test_composes_with_skipping_sidecar(spark, tmp_path):
+    """The manifest lists directories, so per-directory layout
+    artifacts (the skipping sidecar) compose: stats written against a
+    version's data dir keep pruning when read through the log."""
+    from my_feast_spark.sources.skipping import (
+        scan_with_skipping,
+        write_file_stats,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(40_000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    ).repartitionByRange(8, "id")  # disjoint id ranges -> prunable files
+    write_version(df, path, mode="overwrite")
+    m = json.load(open(f"{path}/_vlog/0.json"))
+    ddir = f"{path}/{m['dirs'][0]}"
+    write_file_stats(ddir, ["id"], spark=spark)
+    pruned, rep = scan_with_skipping(spark, ddir, {"id": (0, 100)})
+    assert rep["files_read"] < rep["files_total"]
+    assert pruned.count() == 101

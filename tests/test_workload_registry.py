@@ -77,8 +77,8 @@ ROTATION_TAIL = {
     # pytest- and oracle-parity-pinned now, window slot round 14
     "cms_heavy_hitters",
     "streaming_sketch_ingest",
+    "versioned_replay",
     "event_type_pivot",
-    "post_signup_activity",
     "customer_balance_deciles",
 }
 
@@ -193,6 +193,7 @@ RETIRED_THIS_ROUND = {
     "user_cohort_sets",
     "moving_avg_revenue",
     "lineitem_unpivot",
+    "post_signup_activity",
 }
 
 
