@@ -12,6 +12,12 @@ from my_feast_spark.sources.skipping import (
     update_file_stats,
     write_file_stats,
 )
+from my_feast_spark.sources.versioned import (
+    list_versions,
+    read_version,
+    vacuum,
+    write_version,
+)
 from my_feast_spark.sources.zorder import zorder_table, zvalue
 from my_feast_spark.sources.readers import read_jsonl
 from my_feast_spark.sources.writers import write_jsonl, write_partitioned
@@ -28,6 +34,10 @@ __all__ = [
     "write_jsonl",
     "compact_table",
     "zorder_table",
+    "write_version",
+    "read_version",
+    "list_versions",
+    "vacuum",
     "zvalue",
     "write_file_stats",
     "update_file_stats",
