@@ -13,8 +13,10 @@ from my_feast_spark.sources.skipping import (
     write_file_stats,
 )
 from my_feast_spark.sources.versioned import (
+    checkpoint_version,
     list_versions,
     read_version,
+    upsert_version,
     vacuum,
     write_version,
 )
@@ -36,6 +38,8 @@ __all__ = [
     "zorder_table",
     "write_version",
     "read_version",
+    "upsert_version",
+    "checkpoint_version",
     "list_versions",
     "vacuum",
     "zvalue",

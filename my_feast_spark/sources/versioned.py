@@ -157,6 +157,37 @@ def read_version(
     return spark.read.parquet(*[f"{path}/{d}" for d in m["dirs"]])
 
 
+def upsert_version(
+    df: DataFrame, path: str, keys: list[str],
+) -> int:
+    """Keyed upsert (the MERGE shape): the new version is the latest
+    version's rows whose key is absent from ``df``, plus every row of
+    ``df`` — updates replace, inserts append, committed as ONE
+    overwrite version (pre-merge versions keep time-traveling until
+    vacuumed). Plan shape: one left-anti join keyed on ``keys`` — at
+    scale the incoming batch side broadcasts under AQE; nothing else
+    shuffles."""
+    spark = df.sparkSession
+    current = read_version(spark, path)
+    kept = current.join(df.select(*keys).distinct(), keys, "left_anti")
+    return write_version(
+        kept.unionByName(df.select(*current.columns)),
+        path,
+        mode="overwrite",
+    )
+
+
+def checkpoint_version(spark: SparkSession, path: str) -> int:
+    """Log/layout maintenance: rewrite the LATEST version's content as
+    one fresh overwrite commit — an append chain of K commits collapses
+    to a single-directory version, after which ``vacuum(keep_last=1)``
+    reclaims every superseded directory. Contents are bit-identical by
+    construction (it is a read-through-the-log rewrite)."""
+    return write_version(
+        read_version(spark, path), path, mode="overwrite"
+    )
+
+
 def vacuum(
     spark: SparkSession, path: str, *, keep_last: int = 1,
 ) -> dict:

@@ -141,3 +141,44 @@ def test_composes_with_skipping_sidecar(spark, tmp_path):
     pruned, rep = scan_with_skipping(spark, ddir, {"id": (0, 100)})
     assert rep["files_read"] < rep["files_total"]
     assert pruned.count() == 101
+
+
+def test_upsert_updates_and_inserts_in_one_version(spark, tmp_path):
+    from my_feast_spark.sources.versioned import upsert_version
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["k", "tag", "v"]
+    )
+    write_version(base, path)
+    incoming = spark.createDataFrame(
+        [(2, "B", 99), (4, "d", 40)], ["k", "tag", "v"]
+    )
+    v = upsert_version(incoming, path, ["k"])
+    assert v == 1
+    got = {r["k"]: (r["tag"], r["v"]) for r in read_version(spark, path).collect()}
+    assert got == {1: ("a", 10), 2: ("B", 99), 3: ("c", 30), 4: ("d", 40)}
+    # pre-merge state still time-travels
+    old = {r["k"]: r["v"] for r in read_version(spark, path, 0).collect()}
+    assert old == {1: 10, 2: 20, 3: 30}
+
+
+def test_checkpoint_collapses_append_chain(spark, tmp_path):
+    from my_feast_spark.sources.versioned import checkpoint_version
+
+    path = str(tmp_path / "t")
+    for i in range(5):
+        write_version(
+            _df(spark, i * 10, (i + 1) * 10, f"b{i}"), path,
+            mode="append" if i else "overwrite",
+        )
+    before = _rows(read_version(spark, path))
+    m4 = json.load(open(f"{path}/_vlog/4.json"))
+    assert len(m4["dirs"]) == 5  # the append chain
+    v = checkpoint_version(spark, path)
+    m5 = json.load(open(f"{path}/_vlog/{v}.json"))
+    assert len(m5["dirs"]) == 1  # collapsed
+    assert _rows(read_version(spark, path)) == before
+    rep = vacuum(spark, path, keep_last=1)
+    assert rep["removed_dirs"] == 5
+    assert _rows(read_version(spark, path)) == before
