@@ -338,6 +338,27 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> dict:
     )
     n_definitely_new = flagged.where(~F.col("bloom_maybe")).count()
 
+    # 11: publish the curated table through the versioned log — commit,
+    # append the next batch, time-travel, checkpoint, vacuum (the
+    # transaction-log lever next to stage 9's z-order + skipping)
+    from my_feast_spark.sources.versioned import (
+        checkpoint_version,
+        read_version,
+        vacuum,
+        write_version,
+    )
+
+    vt = f"{emit_dir}/versioned"
+    write_version(curated_docs.select("doc_id", "text"), vt)
+    write_version(
+        docs.where(F.col("doc_id") % 97 == 0).select("doc_id", "text"),
+        vt, mode="append",
+    )
+    n_v0 = read_version(spark, vt, 0).count()
+    n_latest = read_version(spark, vt).count()
+    checkpoint_version(spark, vt)
+    vac = vacuum(spark, vt, keep_last=1)
+
     out = {
         "input_docs": n_input,
         "after_quality_gate": n_kept,
@@ -366,6 +387,9 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> dict:
         "bloom_auto_m_bits": m_bits,
         "bloom_auto_k": k_hashes,
         "bloom_definitely_new_of_200": n_definitely_new,
+        "versioned_v0_docs": n_v0,
+        "versioned_latest_docs": n_latest,
+        "versioned_dirs_vacuumed": vac["removed_dirs"],
     }
     print(out)
     return out
