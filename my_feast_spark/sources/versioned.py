@@ -31,6 +31,12 @@ Design (a deliberately small Delta-log subset):
   needed at this manifest granularity: one small JSON per commit,
   and reads touch one of them.)
 
+Reading MUST go through :func:`read_version` — a naive
+``spark.read.parquet(table_root)`` cannot silently union every
+version's files: data lives in non-hive subdirectories, so the direct
+read finds no leaf files and errors loudly (UNABLE_TO_INFER_SCHEMA;
+pinned in tests/test_versioned.py).
+
 Scale notes: the manifest lists DIRECTORIES, not files, so manifest
 size is O(commits-since-overwrite) regardless of file counts, and the
 read path hands Spark the directory list — partition discovery,

@@ -182,3 +182,15 @@ def test_checkpoint_collapses_append_chain(spark, tmp_path):
     rep = vacuum(spark, path, keep_last=1)
     assert rep["removed_dirs"] == 5
     assert _rows(read_version(spark, path)) == before
+
+
+def test_naive_root_read_fails_loudly(spark, tmp_path):
+    """Reading the table ROOT directly (bypassing the log) must never
+    silently union every version's files: the layout keeps data inside
+    non-hive subdirectories, so a naive spark.read.parquet(root) finds
+    no leaf files and errors — go through read_version."""
+    path = str(tmp_path / "t")
+    write_version(_df(spark, 0, 5, "a"), path)
+    write_version(_df(spark, 5, 9, "b"), path, mode="append")
+    with pytest.raises(Exception, match="UNABLE_TO_INFER_SCHEMA"):
+        spark.read.parquet(path).count()
