@@ -16,6 +16,7 @@ from my_feast_spark.sources.versioned import (
     checkpoint_version,
     list_versions,
     read_version,
+    read_version_with_skipping,
     upsert_version,
     vacuum,
     write_version,
@@ -38,6 +39,7 @@ __all__ = [
     "zorder_table",
     "write_version",
     "read_version",
+    "read_version_with_skipping",
     "upsert_version",
     "checkpoint_version",
     "list_versions",

@@ -94,6 +94,7 @@ def list_versions(spark: SparkSession, path: str) -> list[int]:
 
 def write_version(
     df: DataFrame, path: str, *, mode: str = "append",
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new version of the table at ``path``.
 
@@ -109,6 +110,14 @@ def write_version(
     jvm, fs = _fs(spark, path)
     commit_dir = f"{_DATA}/v{uuid.uuid4().hex[:12]}"
     df.write.mode("error").parquet(f"{path}/{commit_dir}")
+    if stats_cols:
+        # sweep the skipping sidecar for THIS commit's directory before
+        # publishing: every directory a manifest references then carries
+        # stats, so read_version_with_skipping never hits a stale
+        # sidecar (appends only ever add directories, each pre-swept)
+        from my_feast_spark.sources.skipping import write_file_stats
+
+        write_file_stats(f"{path}/{commit_dir}", stats_cols, spark=spark)
     vdir = _hpath(jvm, path, _VLOG)
     fs.mkdirs(vdir)
     while True:
@@ -161,6 +170,43 @@ def read_version(
         )
     m = _read_manifest(jvm, fs, path, version)
     return spark.read.parquet(*[f"{path}/{d}" for d in m["dirs"]])
+
+
+def read_version_with_skipping(
+    spark: SparkSession,
+    path: str,
+    predicates: dict,
+    version: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Time-travel read with planning-time file pruning: every data
+    directory of the resolved version is scanned through its skipping
+    sidecar (commits must have been written with ``stats_cols``), the
+    per-directory prune reports summed. The three layout levers compose
+    here: the log picks the directories, the sidecars pick the files,
+    and a z-ordered layout inside each directory makes the file ranges
+    tight. Returns ``(df, {"files_total", "files_read",
+    "files_skipped"})``."""
+    from my_feast_spark.sources.skipping import scan_with_skipping
+
+    jvm, fs = _fs(spark, path)
+    versions = list_versions(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(
+            f"version {version} not in committed set {versions}"
+        )
+    m = _read_manifest(jvm, fs, path, version)
+    out = None
+    report = {"files_total": 0, "files_read": 0, "files_skipped": 0}
+    for d in m["dirs"]:
+        df, rep = scan_with_skipping(spark, f"{path}/{d}", predicates)
+        for k in report:
+            report[k] += rep[k]
+        out = df if out is None else out.unionByName(df)
+    return out, report
 
 
 def upsert_version(

@@ -194,3 +194,37 @@ def test_naive_root_read_fails_loudly(spark, tmp_path):
     write_version(_df(spark, 5, 9, "b"), path, mode="append")
     with pytest.raises(Exception, match="UNABLE_TO_INFER_SCHEMA"):
         spark.read.parquet(path).count()
+
+
+def test_read_version_with_skipping_prunes_across_commits(spark, tmp_path):
+    """Commits written with stats_cols carry per-directory sidecars;
+    the pruned time-travel read sums the per-directory reports and
+    returns exactly the predicate rows — log picks directories,
+    sidecars pick files."""
+    from my_feast_spark.sources.versioned import read_version_with_skipping
+
+    path = str(tmp_path / "t")
+    a = spark.range(0, 20_000).select(F.col("id")).repartitionByRange(4, "id")
+    b = spark.range(20_000, 40_000).select(F.col("id")).repartitionByRange(
+        4, "id"
+    )
+    write_version(a, path, mode="overwrite", stats_cols=["id"])
+    write_version(b, path, mode="append", stats_cols=["id"])
+
+    df, rep = read_version_with_skipping(spark, path, {"id": (100, 300)})
+    assert rep["files_total"] == 8
+    assert rep["files_read"] < rep["files_total"]
+    assert df.count() == 201
+
+    # version 0 alone: half the files, same pruning contract
+    df0, rep0 = read_version_with_skipping(
+        spark, path, {"id": (100, 300)}, version=0
+    )
+    assert rep0["files_total"] == 4 and df0.count() == 201
+
+    # a commit WITHOUT stats makes the pruned read loud, not silent
+    write_version(
+        spark.range(50_000, 50_100).select("id"), path, mode="append"
+    )
+    with pytest.raises(RuntimeError, match="run write_file_stats"):
+        read_version_with_skipping(spark, path, {"id": (100, 300)})
