@@ -229,14 +229,38 @@ def upsert_version(
     )
 
 
-def checkpoint_version(spark: SparkSession, path: str) -> int:
-    """Log/layout maintenance: rewrite the LATEST version's content as
-    one fresh overwrite commit — an append chain of K commits collapses
-    to a single-directory version, after which ``vacuum(keep_last=1)``
-    reclaims every superseded directory. Contents are bit-identical by
-    construction (it is a read-through-the-log rewrite)."""
+def checkpoint_version(
+    spark: SparkSession,
+    path: str,
+    *,
+    zorder_by: list[str] | None = None,
+    stats_cols: list[str] | None = None,
+    num_files: int | None = None,
+) -> int:
+    """Log/layout maintenance — Delta's OPTIMIZE in one commit: rewrite
+    the LATEST version's content as one fresh overwrite commit (an
+    append chain of K commits collapses to a single-directory version;
+    ``vacuum(keep_last=1)`` then reclaims every superseded directory).
+    ``zorder_by`` clusters the rewrite on 2-3 columns (range-partitioned
+    + sorted by the interleaved z-value, the ``sources/zorder.py``
+    layout), ``stats_cols`` sweeps the skipping sidecar for the new
+    directory, ``num_files`` bounds the output file count. Contents are
+    bit-identical by construction (a read-through-the-log rewrite)."""
+    df = read_version(spark, path)
+    if zorder_by:
+        from my_feast_spark.sources.zorder import zvalue
+
+        z = zvalue(df, zorder_by).alias("__z")
+        df = df.select("*", z)
+        df = (
+            df.repartitionByRange(num_files, "__z")
+            if num_files
+            else df.repartitionByRange("__z")
+        ).sortWithinPartitions("__z").drop("__z")
+    elif num_files:
+        df = df.coalesce(num_files)
     return write_version(
-        read_version(spark, path), path, mode="overwrite"
+        df, path, mode="overwrite", stats_cols=stats_cols
     )
 
 

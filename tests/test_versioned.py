@@ -228,3 +228,36 @@ def test_read_version_with_skipping_prunes_across_commits(spark, tmp_path):
     )
     with pytest.raises(RuntimeError, match="run write_file_stats"):
         read_version_with_skipping(spark, path, {"id": (100, 300)})
+
+
+def test_checkpoint_with_zorder_and_stats_is_delta_optimize(spark, tmp_path):
+    """checkpoint_version(zorder_by=..., stats_cols=...) = compact +
+    cluster + sweep in one commit: contents identical, the new
+    directory carries a sidecar, and a pruned read on the z-ordered
+    column skips files."""
+    from my_feast_spark.sources.versioned import (
+        checkpoint_version,
+        read_version_with_skipping,
+    )
+
+    path = str(tmp_path / "t")
+    for i in range(4):
+        write_version(
+            spark.range(i * 10_000, (i + 1) * 10_000).select(
+                F.col("id"), (F.col("id") % 1000).alias("a")
+            ),
+            path,
+            mode="append" if i else "overwrite",
+        )
+    before = _rows(read_version(spark, path))
+    v = checkpoint_version(
+        spark, path, zorder_by=["id", "a"], stats_cols=["id", "a"],
+        num_files=8,
+    )
+    assert _rows(read_version(spark, path, v)) == before
+    df, rep = read_version_with_skipping(
+        spark, path, {"id": (0, 500)}, version=v
+    )
+    assert rep["files_total"] == 8
+    assert rep["files_read"] < rep["files_total"]
+    assert df.count() == 501
