@@ -492,6 +492,52 @@ def main() -> None:
     release_checkpoint(cand20)
     release_checkpoint(ref)
 
+    # ---- probe 8: versioned log at 120 commits -------------------------
+    # The claims: version RESOLUTION is one manifest read (flat in
+    # commit count), an append-chain READ costs Spark's multi-directory
+    # scan (grows with chain length until checkpointed), and
+    # checkpoint+vacuum restore single-directory reads. Honest local
+    # numbers; the structural content is the flat resolution line.
+    import shutil as _sh
+    import tempfile as _tf
+
+    from my_feast_spark.sources.versioned import (
+        checkpoint_version, list_versions, read_version, vacuum,
+        write_version,
+    )
+
+    vroot = _tf.mkdtemp(prefix="mfs_probe_vlog_")
+    vpath = vroot + "/t"
+    try:
+        slice_df = load_table(spark, sf_dir, "events").select(
+            "event_id", "value"
+        ).limit(500).localCheckpoint()
+        for i in range(120):
+            write_version(
+                slice_df, vpath, mode="append" if i else "overwrite"
+            )
+        timed("vlog_list_120_commits", lambda: len(
+            list_versions(spark, vpath)
+        ), repeats=1)
+        timed("vlog_read_chain_120dirs", lambda: read_version(
+            spark, vpath
+        ).count(), repeats=1)
+        timed("vlog_read_v0_1dir", lambda: read_version(
+            spark, vpath, 0
+        ).count(), repeats=1)
+        timed("vlog_checkpoint", lambda: checkpoint_version(
+            spark, vpath, num_files=4
+        ), repeats=1)
+        timed("vlog_vacuum", lambda: vacuum(
+            spark, vpath, keep_last=1
+        )["removed_dirs"], repeats=1)
+        timed("vlog_read_after_checkpoint", lambda: read_version(
+            spark, vpath
+        ).count(), repeats=1)
+        release_checkpoint(slice_df)
+    finally:
+        _sh.rmtree(vroot, ignore_errors=True)
+
     print(json.dumps({
         "probes": results,
         "configs": {
