@@ -1,0 +1,96 @@
+"""Property test: the versioned-table protocol against a pure-Python
+model. A random sequence of append / overwrite / upsert / checkpoint /
+vacuum must keep every RETAINED version's logical content equal to the
+model's — the invariant that makes time travel trustworthy."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from my_feast_spark.sources.versioned import (
+    checkpoint_version,
+    list_versions,
+    read_version,
+    upsert_version,
+    vacuum,
+    write_version,
+)
+
+# an operation is (kind, payload); payloads are small key->value maps
+_rows = st.dictionaries(
+    st.integers(min_value=0, max_value=12),
+    st.integers(min_value=0, max_value=99),
+    min_size=1,
+    max_size=5,
+)
+_op = st.one_of(
+    st.tuples(st.just("append"), _rows),
+    st.tuples(st.just("overwrite"), _rows),
+    st.tuples(st.just("upsert"), _rows),
+    st.tuples(st.just("checkpoint"), st.none()),
+    st.tuples(st.just("vacuum"), st.integers(min_value=1, max_value=3)),
+)
+
+
+def _to_df(spark, rows: dict[int, int]):
+    return spark.createDataFrame(
+        [(k, v) for k, v in sorted(rows.items())], ["k", "v"]
+    )
+
+
+def _read_multiset(spark, path, version):
+    return sorted(
+        (r["k"], r["v"])
+        for r in read_version(spark, path, version).collect()
+    )
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_op, min_size=2, max_size=6))
+def test_versioned_protocol_matches_model(spark, tmp_path_factory, ops):
+    path = str(tmp_path_factory.mktemp("vprop") / "t")
+    # model: committed version -> sorted multiset of (k, v)
+    model: dict[int, list[tuple[int, int]]] = {}
+
+    def latest_rows() -> list[tuple[int, int]]:
+        return model[max(model)] if model else []
+
+    # version 0 always exists (reads of an empty table are a separate,
+    # loudly-tested path)
+    write_version(_to_df(spark, {0: 0}), path, mode="overwrite")
+    model[0] = [(0, 0)]
+
+    for kind, payload in ops:
+        if kind == "append":
+            v = write_version(_to_df(spark, payload), path, mode="append")
+            model[v] = sorted(latest_rows() + sorted(payload.items()))
+        elif kind == "overwrite":
+            v = write_version(
+                _to_df(spark, payload), path, mode="overwrite"
+            )
+            model[v] = sorted(payload.items())
+        elif kind == "upsert":
+            v = upsert_version(_to_df(spark, payload), path, ["k"])
+            kept = [t for t in latest_rows() if t[0] not in payload]
+            model[v] = sorted(kept + sorted(payload.items()))
+        elif kind == "checkpoint":
+            v = checkpoint_version(spark, path)
+            model[v] = latest_rows()
+        elif kind == "vacuum":
+            rep = vacuum(spark, path, keep_last=payload)
+            retained = sorted(model)[-payload:]
+            model = {v: model[v] for v in retained}
+            assert sorted(rep["retained_versions"]) == retained
+
+        committed = list_versions(spark, path)
+        assert committed == sorted(model)
+        # every retained version's content matches the model
+        for v in committed:
+            assert _read_multiset(spark, path, v) == model[v], (
+                f"version {v} diverged after {kind}"
+            )
