@@ -7918,10 +7918,11 @@ GROUP BY 1
 #      FIRST the twelve deferral-debt queries (jaccard_dup_pairs,
 #      audio_dedup, video_dedup, semdedup — deferred twice now —
 #      priority_collapse_types, part_brand_stats, idle_customers_anti,
-#      user_value_deltas) and the two never-adjudicated tail rows
-#      (cms_heavy_hitters, streaming_sketch_ingest), then the
-#      r12-adjudicated remainder as slots allow; the r13-adjudicated
-#      window queries sit the tail out and return round 15.
+#      user_value_deltas) and the three never-adjudicated tail rows
+#      (cms_heavy_hitters, streaming_sketch_ingest, versioned_replay),
+#      then the r12-adjudicated remainder as slots allow; the
+#      r13-adjudicated window queries sit the tail out and return
+#      round 15.
 #   5. RETIRED: the registry budget is ~100 driver-adjudicated queries;
 #      retired entries are near-duplicates of in-registry coverage
 #      (their operators stay covered by other queries) that keep their
