@@ -357,7 +357,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> dict:
     n_v0 = read_version(spark, vt, 0).count()
     n_latest = read_version(spark, vt).count()
     checkpoint_version(spark, vt)
-    vac = vacuum(spark, vt, keep_last=1)
+    vac = vacuum(spark, vt, keep_last=1, grace_seconds=0)
 
     out = {
         "input_docs": n_input,

@@ -255,7 +255,13 @@ def bloom_maybe_from_bitmap(
 ) -> Column:
     """Membership as a pure expression over the literal bitmap — no
     join at all: element_at picks the word, getbit tests the bit
-    (both whole-stage-codegen native)."""
+    (both whole-stage-codegen native).
+
+    CONVENIENCE path: the hash expression is inlined into every one of
+    the k probe positions (and each position is used twice), so the
+    hash chain evaluates ~2k times per row — hot paths should project
+    the hash once and use :func:`bloom_maybe_from_bitmap_hash` (the
+    projection-collapse trap documented at bloom_position_set)."""
     col = F.col(key) if isinstance(key, str) else key
     return bloom_maybe_from_bitmap_hash(
         sketch_hash(col, hash_fn), bitmap, m_bits=m_bits, k_hashes=k_hashes

@@ -531,9 +531,26 @@ def write_ivfpq_index(enc: DataFrame, model: dict, path: str) -> None:
         .parquet(os.path.join(path, "cells"))
     )
     spark = enc.sparkSession
+    _mark_generation_committed(spark, os.path.join(path, "cells"), 0)
     spark.createDataFrame(
         [(json.dumps(model),)], ["model_json"]
     ).coalesce(1).write.mode("overwrite").json(os.path.join(path, "model"))
+
+
+#: explicit per-generation commit marker: the session's DYNAMIC
+#: partition-overwrite mode skips Hadoop's _SUCCESS for partitioned
+#: writes, so generation visibility needs its own marker
+_GEN_MARKER = "_GEN_COMMITTED"
+
+
+def _mark_generation_committed(spark, cells_root: str, gen: int) -> None:
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    mp = jvm.org.apache.hadoop.fs.Path(
+        f"{cells_root}/append_id={gen}/{_GEN_MARKER}"
+    )
+    fs = mp.getFileSystem(sc._jsc.hadoopConfiguration())
+    fs.create(mp, True).close()
 
 
 def read_ivfpq_index(spark, path: str):
@@ -545,7 +562,35 @@ def read_ivfpq_index(spark, path: str):
 
     import numpy as np
 
-    enc = spark.read.parquet(os.path.join(path, "cells")).select(
+    # committed generations only: a torn append (crash mid-write, no
+    # _SUCCESS) must not serve half its vectors
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    cells_root = os.path.join(path, "cells")
+    hp = jvm.org.apache.hadoop.fs.Path(cells_root)
+    fs = hp.getFileSystem(sc._jsc.hadoopConfiguration())
+    gen_dirs = []
+    flat_legacy = False
+    for st in fs.listStatus(hp):
+        name = st.getPath().getName()
+        if name.startswith("append_id="):
+            marker = jvm.org.apache.hadoop.fs.Path(
+                st.getPath(), _GEN_MARKER
+            )
+            if fs.exists(marker):
+                gen_dirs.append(os.path.join(cells_root, name))
+        elif name.startswith("cell="):
+            flat_legacy = True
+    if flat_legacy or not gen_dirs:
+        # pre-generation (cell=K at the root) or pre-marker layout:
+        # read as-is — torn-generation filtering only applies to
+        # indexes written by the marker-aware code
+        enc_raw = spark.read.parquet(cells_root)
+    else:
+        enc_raw = spark.read.option("basePath", cells_root).parquet(
+            *gen_dirs
+        )
+    enc = enc_raw.select(
         "corpus_id", F.col("cell").cast("int").alias("cell"), "codes"
     )
     row = spark.read.json(os.path.join(path, "model")).collect()[0]
@@ -563,6 +608,7 @@ def ivfpq_append(
     corpus_id: str = "corpus_id",
     vec_col: str = "embedding",
     deterministic: bool = True,
+    append_id: int | None = None,
 ) -> dict:
     """Append new vectors to a persisted IVFADC index WITHOUT
     retraining: encode them with the index's frozen quantizer state
@@ -581,6 +627,15 @@ def ivfpq_append(
     rebuild trigger (rebuild = ivfpq_build + write_ivfpq_index, which
     replaces every generation).
 
+    Idempotent replay needs a STABLE generation id (review-caught): the
+    auto-assigned id is derived from a directory listing, so a retry
+    after a crash-between-commit-and-ack would land a SECOND generation
+    with the same vectors. Orchestrated callers (foreachBatch, workflow
+    retries) must pass ``append_id`` — the write then overwrites its own
+    generation exactly like the dedup ingests' ``batch_id=N`` protocol.
+    Torn generations (no ``_SUCCESS``) are ignored by
+    :func:`read_ivfpq_index` and reclaimed by the next same-id retry.
+
     Returns ``{"append_id", "rows", "cells_touched", "max_cell_rows"}``.
     """
     import json
@@ -596,14 +651,19 @@ def ivfpq_append(
         raise FileNotFoundError(
             f"no index at {path}; build one with write_ivfpq_index first"
         )
-    next_id = 1 + max(
-        (
-            int(st.getPath().getName().split("=", 1)[1])
-            for st in fs.listStatus(hp)
-            if st.getPath().getName().startswith("append_id=")
-        ),
-        default=0,
-    )
+    if append_id is not None:
+        next_id = append_id
+        if next_id < 1:
+            raise ValueError("append_id must be >= 1 (0 is the build)")
+    else:
+        next_id = 1 + max(
+            (
+                int(st.getPath().getName().split("=", 1)[1])
+                for st in fs.listStatus(hp)
+                if st.getPath().getName().startswith("append_id=")
+            ),
+            default=0,
+        )
 
     row = spark.read.json(os.path.join(path, "model")).collect()[0]
     model = json.loads(row.model_json)
@@ -623,6 +683,7 @@ def ivfpq_append(
     enc.repartition("cell").write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(gen_dir)
+    _mark_generation_committed(spark, cells_root, next_id)
 
     per_cell = (
         spark.read.parquet(gen_dir)

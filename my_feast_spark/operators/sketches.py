@@ -400,6 +400,48 @@ def skew_report(
     )
 
 
+#: date_trunc units that nest transitively (each unit's period is a
+#: whole number of the next finer unit's periods); 'week' nests over
+#: these but nothing coarser nests over 'week'
+_NESTING_RANK = {
+    "microsecond": 0, "millisecond": 1, "second": 2, "minute": 3,
+    "hour": 4, "day": 5, "month": 6, "quarter": 7, "year": 8,
+}
+
+
+def _validate_rollup_levels(levels: tuple[str, ...]) -> None:
+    if not levels:
+        raise ValueError("levels must be non-empty")
+    fine = levels[0].lower()
+    for lvl in levels[1:]:
+        coarse = lvl.lower()
+        if coarse == fine:
+            continue
+        if coarse == "week":
+            # week(coarse) nests over day-or-finer fines only
+            if fine in _NESTING_RANK and _NESTING_RANK[fine] <= 5:
+                continue
+            raise ValueError(
+                f"'week' does not nest over finest level {fine!r}"
+            )
+        if fine == "week":
+            raise ValueError(
+                "finest level 'week' cannot fold into "
+                f"{coarse!r}: weeks straddle its boundaries — use "
+                "'day' (or finer) as the finest level"
+            )
+        if (
+            fine not in _NESTING_RANK
+            or coarse not in _NESTING_RANK
+            or _NESTING_RANK[coarse] < _NESTING_RANK[fine]
+        ):
+            raise ValueError(
+                f"level {coarse!r} does not nest over finest level "
+                f"{fine!r} (order levels fine -> coarse; supported: "
+                f"{sorted(_NESTING_RANK)} + 'week' over day-or-finer)"
+            )
+
+
 def hll_time_rollup(
     df: DataFrame,
     ts: Column | str,
@@ -422,8 +464,15 @@ def hll_time_rollup(
 
     Returns one row per (granularity, period, *group_by) with the usual
     estimate columns; ``granularity`` values follow ``levels``.
-    ``levels`` must be ordered fine -> coarse (each level is folded
-    from the FINEST registers; any date_trunc unit works)."""
+    ``levels`` must be ordered fine -> coarse, and every coarser level
+    must NEST the finest one — date_trunc(coarse, fine_period) must
+    equal date_trunc(coarse, ts) for every ts in the fine period.
+    Weeks break this against months/quarters/years (a week straddles
+    the month boundary, so folding week registers into months
+    misattributes whole weeks — review-caught), so 'week' is only
+    accepted as a COARSE level over day-or-finer grains, never as the
+    finest level under a non-week coarser one."""
+    _validate_rollup_levels(levels)
     tcol = F.col(ts) if isinstance(ts, str) else ts
     keys = list(group_by or [])
     fine = levels[0]

@@ -13,6 +13,7 @@ from my_feast_spark.sources.skipping import (
     write_file_stats,
 )
 from my_feast_spark.sources.versioned import (
+    VersionConflictError,
     checkpoint_version,
     list_versions,
     read_version,
@@ -39,6 +40,7 @@ __all__ = [
     "zorder_table",
     "write_version",
     "read_version",
+    "VersionConflictError",
     "read_version_with_skipping",
     "upsert_version",
     "checkpoint_version",

@@ -73,13 +73,27 @@ def _fs_and_path(path: str):
         # filesystem ABORTS the process (not raises) on an
         # unconfigured abfss URI, so unknown/unvetted schemes must be
         # rejected before from_uri ever sees them
-        if scheme not in ("file", "s3", "gs", "gcs", "hdfs", "viewfs"):
+        if scheme not in (
+            "file", "s3", "s3a", "s3n", "gs", "gcs", "hdfs", "viewfs",
+        ):
             raise ValueError(
                 f"file-stats skipping cannot resolve {path!r}: "
-                f"scheme {scheme!r} is not supported (file/s3/gcs/hdfs)"
+                f"scheme {scheme!r} is not supported (file/s3/s3a/gcs/"
+                f"hdfs)"
             )
+        # Hadoop's S3 schemes (s3a://, the one Spark actually reads;
+        # legacy s3n://) resolve through pyarrow's s3 for the
+        # listing/footer side, while the ORIGINAL scheme stays in the
+        # spark-readable base — review-caught: rejecting s3a made the
+        # advertised remote case unusable, and handing Spark a bare
+        # s3:// base fails on vanilla Hadoop (no such FileSystem)
+        arrow_uri = (
+            "s3://" + path.split("://", 1)[1]
+            if scheme in ("s3a", "s3n")
+            else path
+        )
         try:
-            fs, p = pafs.FileSystem.from_uri(path)
+            fs, p = pafs.FileSystem.from_uri(arrow_uri)
         except Exception as exc:
             raise ValueError(
                 f"file-stats skipping cannot resolve {path!r}: {exc}"

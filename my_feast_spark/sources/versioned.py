@@ -57,6 +57,12 @@ _VLOG = "_vlog"
 _DATA = "data"
 
 
+class VersionConflictError(RuntimeError):
+    """A content-dependent commit (``expected_parent``) found a
+    different latest version at publish time — the caller must re-read
+    and recompute (the registry's optimistic-concurrency contract)."""
+
+
 def _fs(spark: SparkSession, path: str):
     sc = spark.sparkContext
     jvm = sc._jvm
@@ -95,6 +101,7 @@ def list_versions(spark: SparkSession, path: str) -> list[int]:
 def write_version(
     df: DataFrame, path: str, *, mode: str = "append",
     stats_cols: list[str] | None = None,
+    expected_parent: int | None = None,
 ) -> int:
     """Commit ``df`` as a new version of the table at ``path``.
 
@@ -103,7 +110,17 @@ def write_version(
     (old versions stay readable until vacuumed). Returns the committed
     version number. Safe against concurrent writers (rename-arbitrated;
     the loser re-reads the new parent and retries) and against crashes
-    at any point (an unpublished manifest leaves the commit invisible)."""
+    at any point (an unpublished manifest leaves the commit invisible).
+
+    ``expected_parent`` makes the commit CONTENT-DEPENDENT (review-
+    caught): a df computed FROM version P (an upsert, a checkpoint)
+    must not silently publish over a table that moved past P — the
+    blind retry would commit stale content and erase the concurrent
+    commit's rows. With ``expected_parent=P`` the publish succeeds only
+    while P is still the latest; otherwise the staged data directory is
+    cleaned up and :class:`VersionConflictError` raised for the caller
+    to re-read and recompute. Plain appends/overwrites (content not
+    derived from a prior read) keep the silent retry."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
     spark = df.sparkSession
@@ -123,6 +140,12 @@ def write_version(
     while True:
         versions = list_versions(spark, path)
         parent = versions[-1] if versions else None
+        if expected_parent is not None and parent != expected_parent:
+            fs.delete(_hpath(jvm, path, commit_dir), True)
+            raise VersionConflictError(
+                f"expected parent {expected_parent} but latest is "
+                f"{parent}: recompute from the current version"
+            )
         next_v = (parent + 1) if parent is not None else 0
         if mode == "append" and parent is not None:
             dirs = _read_manifest(jvm, fs, path, parent)["dirs"] + [
@@ -218,14 +241,19 @@ def upsert_version(
     overwrite version (pre-merge versions keep time-traveling until
     vacuumed). Plan shape: one left-anti join keyed on ``keys`` — at
     scale the incoming batch side broadcasts under AQE; nothing else
-    shuffles."""
+    shuffles. The commit is pinned to the version it merged against
+    (``expected_parent``): if the table moves concurrently, the publish
+    raises :class:`VersionConflictError` instead of silently erasing
+    the concurrent commit's rows — callers retry the whole merge."""
     spark = df.sparkSession
-    current = read_version(spark, path)
+    base_version = list_versions(spark, path)[-1]
+    current = read_version(spark, path, base_version)
     kept = current.join(df.select(*keys).distinct(), keys, "left_anti")
     return write_version(
         kept.unionByName(df.select(*current.columns)),
         path,
         mode="overwrite",
+        expected_parent=base_version,
     )
 
 
@@ -246,7 +274,8 @@ def checkpoint_version(
     layout), ``stats_cols`` sweeps the skipping sidecar for the new
     directory, ``num_files`` bounds the output file count. Contents are
     bit-identical by construction (a read-through-the-log rewrite)."""
-    df = read_version(spark, path)
+    base_version = list_versions(spark, path)[-1]
+    df = read_version(spark, path, base_version)
     if zorder_by:
         from my_feast_spark.sources.zorder import zvalue
 
@@ -260,39 +289,70 @@ def checkpoint_version(
     elif num_files:
         df = df.coalesce(num_files)
     return write_version(
-        df, path, mode="overwrite", stats_cols=stats_cols
+        df, path, mode="overwrite", stats_cols=stats_cols,
+        expected_parent=base_version,
     )
 
 
 def vacuum(
     spark: SparkSession, path: str, *, keep_last: int = 1,
+    grace_seconds: float = 900.0,
 ) -> dict:
     """Drop manifests older than the newest ``keep_last`` and delete
-    every data directory no retained manifest references. Retained
-    versions keep time-traveling; a torn commit's orphaned data
-    directory (written, never published) is removed too. Idempotent."""
+    data directories no retained manifest references. Retained versions
+    keep time-traveling; a torn commit's orphaned data directory
+    (written, never published) is removed once it is old enough.
+
+    ``grace_seconds`` is the in-flight-commit guard (Delta's VACUUM
+    retention window, review-caught): a concurrent ``write_version``
+    writes its data directory BEFORE publishing its manifest, so a
+    vacuum racing it would see an unreferenced directory and delete a
+    commit about to become (or just become) visible. Directories whose
+    modification time is within the window are left alone, and the
+    retained-manifest set is RE-READ after the data listing so a
+    manifest published mid-vacuum still protects its directory. Run
+    vacuum with a grace comfortably above the longest commit's write
+    time (or 0 only when no writer can be live — the tests' setting)."""
+    import time as _time
+
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     jvm, fs = _fs(spark, path)
     versions = list_versions(spark, path)
     keep = set(versions[-keep_last:])
-    referenced: set[str] = set()
-    for v in keep:
-        referenced.update(_read_manifest(jvm, fs, path, v)["dirs"])
     dropped_manifests = 0
     for v in versions:
         if v not in keep:
             fs.delete(_hpath(jvm, path, _VLOG, f"{v}.json"), False)
             dropped_manifests += 1
-    # stale temp manifests from crashed commits
+    # stale temp manifests from crashed commits (also grace-guarded:
+    # a live writer's .tmp- file is about to be renamed)
+    cutoff_ms = (_time.time() - grace_seconds) * 1000.0
     vdir = _hpath(jvm, path, _VLOG)
     for st in fs.listStatus(vdir):
-        if st.getPath().getName().startswith(".tmp-"):
+        if (
+            st.getPath().getName().startswith(".tmp-")
+            and st.getModificationTime() < cutoff_ms
+        ):
             fs.delete(st.getPath(), False)
     removed_dirs = 0
     droot = _hpath(jvm, path, _DATA)
     if fs.exists(droot):
-        for st in fs.listStatus(droot):
+        candidates = [
+            st
+            for st in fs.listStatus(droot)
+            if st.getModificationTime() < cutoff_ms
+        ]
+        # re-read the retained manifests AFTER the listing: a commit
+        # that published between list_versions() above and now must
+        # protect its directory — and the ORIGINAL keep set stays
+        # protected too (a mid-vacuum publish shifts the keep window;
+        # versions this run did not drop must keep their data)
+        protect = keep | set(list_versions(spark, path)[-keep_last:])
+        referenced: set[str] = set()
+        for v in protect:
+            referenced.update(_read_manifest(jvm, fs, path, v)["dirs"])
+        for st in candidates:
             rel = f"{_DATA}/{st.getPath().getName()}"
             if rel not in referenced:
                 fs.delete(st.getPath(), True)

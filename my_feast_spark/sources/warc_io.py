@@ -33,9 +33,6 @@ fixtures and small sinks (per-record gzip members, the standard
 
 from __future__ import annotations
 
-import glob as _glob
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 
 #: scan output schema (DDL) — payload is the HTTP body for parsed
@@ -176,8 +173,25 @@ def warc_scan(
     (schema: :data:`WARC_SCHEMA`; module docstring for the scale
     shape). Response records carry their parsed HTTP status /
     Content-Type and the BODY as ``payload``."""
-    target = path if not os.path.isdir(path) else os.path.join(path, pattern)
-    files = sorted(_glob.glob(target))
+    # list through the Hadoop FS (globStatus), not driver-local glob —
+    # review-caught: glob.glob over a remote URI (the Common Crawl
+    # segments this format exists for live on object storage) silently
+    # returned [] and masqueraded as 'no WARC files match'; the Hadoop
+    # listing serves every scheme the session's FS config backs and
+    # still fails loudly on an empty match
+    jvm = spark.sparkContext._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hp.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(hp) and fs.getFileStatus(hp).isDirectory():
+        target = jvm.org.apache.hadoop.fs.Path(path, pattern)
+    else:
+        target = hp
+    statuses = fs.globStatus(target)
+    files = sorted(
+        str(st.getPath().toString())
+        for st in (statuses or [])
+        if st.isFile()
+    )
     if not files:
         raise FileNotFoundError(f"no WARC files match {target}")
     parse = make_warc_parser()

@@ -7733,7 +7733,8 @@ def q_versioned_replay(spark, sf_dir):
     write_version(
         ev.where(F.col("event_id") % 3 == 2), path, mode="append"
     )
-    vacuum(spark, path, keep_last=3)  # removes ONLY the orphan dir
+    # grace 0: the replay owns the table, no concurrent writer exists
+    vacuum(spark, path, keep_last=3, grace_seconds=0)
     out = None
     for v in (0, 1, 2):
         agg = read_version(spark, path, v).agg(

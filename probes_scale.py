@@ -417,8 +417,9 @@ def main() -> None:
     #     drops ~94% of candidates map-side so only the maybe fraction
     #     reaches the shuffle join; the direct path shuffles everything.
     from my_feast_spark.operators.bloom import (
-        bloom_bitmap, bloom_maybe_from_bitmap,
+        bloom_bitmap, bloom_maybe_from_bitmap_hash,
     )
+    from my_feast_spark.operators.sketches import sketch_hash
     from my_feast_spark.operators.dedup import doc_fingerprint
     from my_feast_spark.operators.sketches import hll_group_distinct
 
@@ -467,9 +468,15 @@ def main() -> None:
     bm = bloom_bitmap(ref, "fp", m_bits=bm_m, k_hashes=bm_k)
 
     def _bloom_path():
-        ann = cand20.withColumn(
+        # hash projected ONCE (the hot-path shape the workload query
+        # uses); the convenience wrapper would inline the md5 chain
+        # into every probe position
+        hashed = cand20.withColumn("__h", sketch_hash(F.col("fp")))
+        ann = hashed.withColumn(
             "maybe",
-            bloom_maybe_from_bitmap("fp", bm, m_bits=bm_m, k_hashes=bm_k),
+            bloom_maybe_from_bitmap_hash(
+                F.col("__h"), bm, m_bits=bm_m, k_hashes=bm_k
+            ),
         )
         hits = ann.where(F.col("maybe")).join(ref, "fp", "left_semi")
         return hits.count()
@@ -529,7 +536,7 @@ def main() -> None:
             spark, vpath, num_files=4
         ), repeats=1)
         timed("vlog_vacuum", lambda: vacuum(
-            spark, vpath, keep_last=1
+            spark, vpath, keep_last=1, grace_seconds=0
         )["removed_dirs"], repeats=1)
         timed("vlog_read_after_checkpoint", lambda: read_version(
             spark, vpath

@@ -452,3 +452,55 @@ def test_ivfpq_append_extends_index_without_retraining(spark, emb, tmp_path):
 
     with _pytest.raises(FileNotFoundError, match="no index"):
         ivfpq_append(spark, str(tmp_path / "nope"), newbies)
+
+
+def test_ivfpq_append_stable_id_replay_and_torn_generation(
+    spark, emb, tmp_path
+):
+    """Review-caught: auto-assigned generation ids are not
+    replay-idempotent (a retry after crash-between-commit-and-ack lands
+    the same vectors twice); a caller-supplied append_id overwrites its
+    own generation, and a torn generation (no _SUCCESS) never serves."""
+    import os
+
+    from my_feast_spark.operators.pq import (
+        ivfpq_append,
+        ivfpq_build,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    corpus = emb.where(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("corpus_id"), "embedding"
+    )
+    newbies = emb.where(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("corpus_id"), "embedding"
+    )
+    enc, model = ivfpq_build(
+        corpus, residual=True, m=M, k_codes=K, num_centroids=8
+    )
+    path = str(tmp_path / "idx")
+    write_ivfpq_index(enc, model, path)
+
+    # stable-id replay: same append_id twice -> one generation's rows
+    ivfpq_append(spark, path, newbies, append_id=7)
+    ivfpq_append(spark, path, newbies, append_id=7)  # the retry
+    enc2, _ = read_ivfpq_index(spark, path)
+    assert enc2.count() == corpus.count() + newbies.count()
+
+    # a torn generation must not serve: plant data without _SUCCESS
+    torn = os.path.join(path, "cells", "append_id=9", "cell=0")
+    newbies.limit(3).selectExpr(
+        "corpus_id", "array(1, 2) AS codes"
+    ).write.parquet(torn)
+    os.remove(os.path.join(path, "cells", "append_id=9", "_SUCCESS")) \
+        if os.path.exists(
+            os.path.join(path, "cells", "append_id=9", "_SUCCESS")
+        ) else None
+    enc3, _ = read_ivfpq_index(spark, path)
+    assert enc3.count() == corpus.count() + newbies.count()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="append_id must be >= 1"):
+        ivfpq_append(spark, path, newbies, append_id=0)

@@ -266,6 +266,26 @@ def test_hll_time_rollup_folds_registers_not_rows(spark):
         assert abs(r["est_distinct"] - want) / want < 4 * 1.04 / 32.0
 
 
+def test_hll_time_rollup_rejects_non_nesting_levels(spark):
+    """Review-caught: folding WEEK registers into months misattributes
+    whole straddling weeks — non-nesting level pairs must be rejected,
+    nesting ones accepted."""
+    import pytest as _pytest
+
+    from my_feast_spark.operators.sketches import _validate_rollup_levels
+
+    with _pytest.raises(ValueError, match="straddle"):
+        _validate_rollup_levels(("week", "month"))
+    with _pytest.raises(ValueError, match="does not nest"):
+        _validate_rollup_levels(("month", "week"))
+    with _pytest.raises(ValueError, match="does not nest"):
+        _validate_rollup_levels(("month", "day"))  # coarse finer than fine
+    # nesting pairs pass
+    _validate_rollup_levels(("day", "week", "month"))
+    _validate_rollup_levels(("hour", "day", "quarter", "year"))
+    _validate_rollup_levels(("day", "day"))
+
+
 def test_skew_report_finds_hot_keys_and_sizes_salt(spark):
     """A key holding ~25% of a 40k-row stream must surface with a
     tight never-underestimating count, a sane share, and a salt factor

@@ -418,3 +418,25 @@ def test_update_file_stats_sweeps_only_new_files(spark, tmp_path):
         .filter(F.col("id") >= 10_500).collect()
     )
     assert got == want and srep["files_skipped"] > 0
+
+
+def test_hadoop_s3_schemes_pass_the_allowlist():
+    """Review-caught: s3a:// (the scheme Spark reads) was rejected by
+    the allowlist while bare s3:// produced a Spark-unreadable base.
+    s3a/s3n now map to pyarrow's s3 for the listing side and keep the
+    original scheme in the spark base. No bucket is contacted here —
+    assert the allowlist/mapping shape only."""
+    from my_feast_spark.sources.skipping import _fs_and_path
+
+    try:
+        fs, p, base = _fs_and_path("s3a://bucket/table")
+    except ValueError as exc:
+        # pyarrow s3 init may fail in this offline container — but it
+        # must be an s3-resolution failure, never the allowlist
+        assert "not supported" not in str(exc)
+    else:
+        assert base == "s3a://bucket/table"  # spark keeps s3a
+        assert p == "bucket/table"           # pyarrow-side path
+
+    with pytest.raises(ValueError, match="not supported"):
+        _fs_and_path("ftp://host/table")

@@ -58,7 +58,7 @@ def test_torn_commit_is_invisible_and_vacuumed(spark, tmp_path):
     # plant a torn commit: data dir without a manifest
     _df(spark, 900, 950, "torn").write.parquet(f"{path}/data/vdeadbeef0000")
     assert read_version(spark, path).count() == 10
-    rep = vacuum(spark, path, keep_last=1)
+    rep = vacuum(spark, path, keep_last=1, grace_seconds=0)
     assert rep["removed_dirs"] == 1
     assert read_version(spark, path).count() == 10
     assert not os.path.exists(f"{path}/data/vdeadbeef0000")
@@ -95,7 +95,7 @@ def test_vacuum_keeps_retained_versions_working(spark, tmp_path):
     write_version(_df(spark, 10, 20, "b"), path, mode="append")  # v1
     write_version(_df(spark, 90, 95, "c"), path, mode="overwrite")  # v2
     write_version(_df(spark, 20, 30, "d"), path, mode="append")  # v3
-    rep = vacuum(spark, path, keep_last=2)
+    rep = vacuum(spark, path, keep_last=2, grace_seconds=0)
     assert rep["retained_versions"] == [2, 3]
     # v2's and v3's dirs survive; v0/v1's two dirs are gone (they are
     # referenced by no retained manifest)
@@ -106,7 +106,7 @@ def test_vacuum_keeps_retained_versions_working(spark, tmp_path):
     with pytest.raises(ValueError, match="not in committed set"):
         read_version(spark, path, 0)
     # idempotent
-    rep2 = vacuum(spark, path, keep_last=2)
+    rep2 = vacuum(spark, path, keep_last=2, grace_seconds=0)
     assert rep2["removed_dirs"] == 0 and rep2["dropped_manifests"] == 0
 
 
@@ -179,7 +179,7 @@ def test_checkpoint_collapses_append_chain(spark, tmp_path):
     m5 = json.load(open(f"{path}/_vlog/{v}.json"))
     assert len(m5["dirs"]) == 1  # collapsed
     assert _rows(read_version(spark, path)) == before
-    rep = vacuum(spark, path, keep_last=1)
+    rep = vacuum(spark, path, keep_last=1, grace_seconds=0)
     assert rep["removed_dirs"] == 5
     assert _rows(read_version(spark, path)) == before
 
@@ -261,3 +261,67 @@ def test_checkpoint_with_zorder_and_stats_is_delta_optimize(spark, tmp_path):
     assert rep["files_total"] == 8
     assert rep["files_read"] < rep["files_total"]
     assert df.count() == 501
+
+
+def test_vacuum_grace_protects_inflight_commits(spark, tmp_path):
+    """Review-caught race: a data directory written but not yet
+    published (a commit in flight) must survive a concurrent vacuum —
+    the grace window treats young unreferenced directories as
+    in-flight, not garbage; old ones still collect."""
+    path = str(tmp_path / "t")
+    write_version(_df(spark, 0, 10, "a"), path)
+    # an in-flight commit: data written, manifest not yet renamed
+    _df(spark, 100, 110, "inflight").write.parquet(
+        f"{path}/data/vinflight00001"
+    )
+    rep = vacuum(spark, path, keep_last=1, grace_seconds=3600)
+    assert rep["removed_dirs"] == 0  # young + unreferenced -> protected
+    assert os.path.exists(f"{path}/data/vinflight00001")
+    # with the guard off (single-writer maintenance) it is garbage
+    rep = vacuum(spark, path, keep_last=1, grace_seconds=0)
+    assert rep["removed_dirs"] == 1
+    assert not os.path.exists(f"{path}/data/vinflight00001")
+
+
+def test_upsert_conflicts_instead_of_losing_concurrent_commit(
+    spark, tmp_path
+):
+    """Review-caught lost update: an upsert computed from version P
+    must refuse to publish once the table moved past P — simulate the
+    concurrent append by committing between the upsert's read and its
+    publish via a monkeypatched write."""
+    from my_feast_spark.sources import versioned as V
+
+    path = str(tmp_path / "t")
+    write_version(
+        spark.createDataFrame([(1, 10)], ["k", "v"]), path
+    )
+
+    real_write = V.write_version
+    fired = {"done": False}
+
+    def racing_write(df, p, **kw):
+        # first entry from upsert: sneak a concurrent append in first
+        if kw.get("expected_parent") is not None and not fired["done"]:
+            fired["done"] = True
+            real_write(
+                spark.createDataFrame([(9, 90)], ["k", "v"]), p,
+                mode="append",
+            )
+        return real_write(df, p, **kw)
+
+    V.write_version, orig = racing_write, V.write_version
+    try:
+        with pytest.raises(V.VersionConflictError, match="expected parent"):
+            V.upsert_version(
+                spark.createDataFrame([(1, 11)], ["k", "v"]), path, ["k"]
+            )
+    finally:
+        V.write_version = orig
+    # the concurrent append's row is intact; retrying the merge now
+    # sees it and succeeds
+    V.upsert_version(
+        spark.createDataFrame([(1, 11)], ["k", "v"]), path, ["k"]
+    )
+    got = {r["k"]: r["v"] for r in read_version(spark, path).collect()}
+    assert got == {1: 11, 9: 90}

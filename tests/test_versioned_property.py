@@ -82,7 +82,7 @@ def test_versioned_protocol_matches_model(spark, tmp_path_factory, ops):
             v = checkpoint_version(spark, path)
             model[v] = latest_rows()
         elif kind == "vacuum":
-            rep = vacuum(spark, path, keep_last=payload)
+            rep = vacuum(spark, path, keep_last=payload, grace_seconds=0)
             retained = sorted(model)[-payload:]
             model = {v: model[v] for v in retained}
             assert sorted(rep["retained_versions"]) == retained
