@@ -523,15 +523,30 @@ def write_ivfpq_index(enc: DataFrame, model: dict, path: str) -> None:
     import json
     import os
 
+    spark = enc.sparkSession
+    cells_root = os.path.join(path, "cells")
+    # A (re)build REPLACES the whole index — every prior generation, not
+    # just the partitions present in this build. The session runs with
+    # partitionOverwriteMode=dynamic (session.py), under which the
+    # partitioned overwrite below would only replace append_id=0 and
+    # leave ivfpq_append generations (encoded with the OLD quantizers)
+    # to be unioned against the new model by read_ivfpq_index — silent
+    # result corruption. Same trap as core/store.py's online overwrite:
+    # clear the root first, so "rebuild replaces every generation" is
+    # structural rather than mode-dependent.
+    jvm = spark.sparkContext._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(cells_root)
+    fs = hp.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(hp):
+        fs.delete(hp, True)
     (
         enc.withColumn("append_id", F.lit(0))
         .repartition("cell")
         .write.mode("overwrite")
         .partitionBy("append_id", "cell")
-        .parquet(os.path.join(path, "cells"))
+        .parquet(cells_root)
     )
-    spark = enc.sparkSession
-    _mark_generation_committed(spark, os.path.join(path, "cells"), 0)
+    _mark_generation_committed(spark, cells_root, 0)
     spark.createDataFrame(
         [(json.dumps(model),)], ["model_json"]
     ).coalesce(1).write.mode("overwrite").json(os.path.join(path, "model"))
@@ -571,6 +586,7 @@ def read_ivfpq_index(spark, path: str):
     fs = hp.getFileSystem(sc._jsc.hadoopConfiguration())
     gen_dirs = []
     flat_legacy = False
+    torn_gens = 0
     for st in fs.listStatus(hp):
         name = st.getPath().getName()
         if name.startswith("append_id="):
@@ -579,17 +595,32 @@ def read_ivfpq_index(spark, path: str):
             )
             if fs.exists(marker):
                 gen_dirs.append(os.path.join(cells_root, name))
+            else:
+                torn_gens += 1
         elif name.startswith("cell="):
             flat_legacy = True
-    if flat_legacy or not gen_dirs:
-        # pre-generation (cell=K at the root) or pre-marker layout:
-        # read as-is — torn-generation filtering only applies to
-        # indexes written by the marker-aware code
+    if flat_legacy:
+        # pre-generation layout (cell=K at the root): read as-is —
+        # torn-generation filtering only applies to indexes written by
+        # the marker-aware code
         enc_raw = spark.read.parquet(cells_root)
-    else:
+    elif gen_dirs:
         enc_raw = spark.read.option("basePath", cells_root).parquet(
             *gen_dirs
         )
+    elif torn_gens:
+        # generation layout with ZERO committed generations can only be
+        # a build that crashed before _GEN_COMMITTED — serving it would
+        # expose half-written parquet (review-caught: the old
+        # `not gen_dirs -> read root` fallback defeated the torn guard
+        # for exactly this initial-build crash)
+        raise FileNotFoundError(
+            f"no committed generations under {cells_root} — torn build; "
+            "rerun write_ivfpq_index"
+        )
+    else:
+        # no partition dirs at all: pre-marker flat-parquet layout
+        enc_raw = spark.read.parquet(cells_root)
     enc = enc_raw.select(
         "corpus_id", F.col("cell").cast("int").alias("cell"), "codes"
     )

@@ -47,9 +47,13 @@ all compose (they are per-directory artifacts).
 from __future__ import annotations
 
 import json
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+#: committed-manifest file names: {N}.json exactly
+_MANIFEST_RE = re.compile(r"^\d+\.json$")
 
 #: manifest directory name
 _VLOG = "_vlog"
@@ -93,7 +97,10 @@ def list_versions(spark: SparkSession, path: str) -> list[int]:
     out = []
     for st in fs.listStatus(vdir):
         name = st.getPath().getName()
-        if name.endswith(".json") and not name.startswith("."):
+        # strict {N}.json only: a stray non-numeric json (editor backup,
+        # tooling artifact) must not poison every read/write/vacuum with
+        # a ValueError from int()
+        if _MANIFEST_RE.fullmatch(name):
             out.append(int(name[:-5]))
     return sorted(out)
 
@@ -246,7 +253,13 @@ def upsert_version(
     raises :class:`VersionConflictError` instead of silently erasing
     the concurrent commit's rows — callers retry the whole merge."""
     spark = df.sparkSession
-    base_version = list_versions(spark, path)[-1]
+    versions = list_versions(spark, path)
+    if not versions:
+        raise FileNotFoundError(
+            f"no committed versions under {path}: the initial version "
+            "must come from write_version"
+        )
+    base_version = versions[-1]
     current = read_version(spark, path, base_version)
     kept = current.join(df.select(*keys).distinct(), keys, "left_anti")
     return write_version(
@@ -274,7 +287,10 @@ def checkpoint_version(
     layout), ``stats_cols`` sweeps the skipping sidecar for the new
     directory, ``num_files`` bounds the output file count. Contents are
     bit-identical by construction (a read-through-the-log rewrite)."""
-    base_version = list_versions(spark, path)[-1]
+    versions = list_versions(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    base_version = versions[-1]
     df = read_version(spark, path, base_version)
     if zorder_by:
         from my_feast_spark.sources.zorder import zvalue

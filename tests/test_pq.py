@@ -504,3 +504,88 @@ def test_ivfpq_append_stable_id_replay_and_torn_generation(
 
     with _pytest.raises(ValueError, match="append_id must be >= 1"):
         ivfpq_append(spark, path, newbies, append_id=0)
+
+
+def test_ivfpq_rebuild_replaces_every_generation(spark, emb, tmp_path):
+    """Advisor-caught: the session runs partitionOverwriteMode=dynamic
+    (session.py), under which write_ivfpq_index's partitioned overwrite
+    would only replace append_id=0 — prior append generations (encoded
+    with the OLD quantizers) would survive and be unioned against the
+    new model. A rebuild must wipe the cells root: old generations AND
+    stale cell=K dirs from a previous larger build are gone."""
+    import os
+
+    from my_feast_spark.operators.pq import (
+        ivfpq_append,
+        ivfpq_build,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    corpus = emb.where(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("corpus_id"), "embedding"
+    )
+    newbies = emb.where(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("corpus_id"), "embedding"
+    )
+    path = str(tmp_path / "idx")
+    enc, model = ivfpq_build(
+        corpus, residual=True, m=M, k_codes=K, num_centroids=8
+    )
+    write_ivfpq_index(enc, model, path)
+    ivfpq_append(spark, path, newbies, append_id=1)
+    assert read_ivfpq_index(spark, path)[0].count() == (
+        corpus.count() + newbies.count()
+    )
+
+    # the documented drift remedy: rebuild over the FULL corpus with a
+    # smaller cell count (so the old layout has cell dirs the new one
+    # never writes)
+    full = corpus.unionByName(newbies)
+    enc2, model2 = ivfpq_build(
+        full, residual=True, m=M, k_codes=K, num_centroids=4
+    )
+    write_ivfpq_index(enc2, model2, path)
+
+    cells_root = os.path.join(path, "cells")
+    gens = [
+        d for d in os.listdir(cells_root) if d.startswith("append_id=")
+    ]
+    assert gens == ["append_id=0"], f"stale generations survived: {gens}"
+    # no stale cell dirs beyond the new build's 4 centroids
+    cells = [
+        d
+        for d in os.listdir(os.path.join(cells_root, "append_id=0"))
+        if d.startswith("cell=")
+    ]
+    assert all(int(c.split("=")[1]) < 4 for c in cells)
+    enc3, model3 = read_ivfpq_index(spark, path)
+    assert enc3.count() == full.count()
+    assert model3["centroids"].shape[0] == 4
+
+
+def test_ivfpq_torn_initial_build_refuses_to_serve(spark, emb, tmp_path):
+    """Advisor-caught: a build that crashed before _GEN_COMMITTED left a
+    generation layout with zero committed generations — the old
+    `not gen_dirs -> read root` fallback served the half-written data.
+    Now it raises."""
+    import os
+
+    from my_feast_spark.operators.pq import read_ivfpq_index
+
+    path = str(tmp_path / "idx")
+    # plant a torn initial build: append_id=0 data, no _GEN_COMMITTED,
+    # and a model dir (written after the cells in write_ivfpq_index, but
+    # a crash between the parquet write and the marker leaves exactly
+    # this when retrying a rebuild over an existing model)
+    emb.limit(3).selectExpr(
+        "vec_id AS corpus_id", "0 AS cell", "array(1, 2) AS codes"
+    ).write.parquet(os.path.join(path, "cells", "append_id=0"))
+    spark.createDataFrame(
+        [('{"centroids": [], "codebooks": [], "m": 1, "k_codes": 1, '
+          '"residual": true}',)],
+        ["model_json"],
+    ).coalesce(1).write.json(os.path.join(path, "model"))
+
+    with pytest.raises(FileNotFoundError, match="torn build"):
+        read_ivfpq_index(spark, path)

@@ -325,3 +325,42 @@ def test_upsert_conflicts_instead_of_losing_concurrent_commit(
     )
     got = {r["k"]: r["v"] for r in read_version(spark, path).collect()}
     assert got == {1: 11, 9: 90}
+
+
+def test_stray_vlog_json_is_ignored(spark, tmp_path):
+    """Advisor-caught: a stray non-numeric json under _vlog (editor
+    backup, tooling artifact) must not poison every read/write/vacuum
+    with a ValueError from int()."""
+    from my_feast_spark.sources import versioned as V
+
+    path = str(tmp_path / "t")
+    v0 = V.write_version(
+        spark.createDataFrame([(1, 10)], ["k", "v"]), path, mode="append"
+    )
+    (tmp_path / "t" / "_vlog" / "notes.json").write_text("{}")
+    (tmp_path / "t" / "_vlog" / "3.json.bak").write_text("{}")
+    assert V.list_versions(spark, path) == [v0]
+    assert V.read_version(spark, path).count() == 1
+    v1 = V.write_version(
+        spark.createDataFrame([(2, 20)], ["k", "v"]), path, mode="append"
+    )
+    assert v1 == v0 + 1
+    V.vacuum(spark, path, keep_last=2, grace_seconds=0.0)
+    assert V.read_version(spark, path).count() == 2
+
+
+def test_upsert_and_checkpoint_on_empty_table_are_loud(spark, tmp_path):
+    """Advisor-caught: upsert/checkpoint on a path with no committed
+    versions raise the read path's FileNotFoundError, not a bare
+    IndexError."""
+    import pytest as _pytest
+
+    from my_feast_spark.sources import versioned as V
+
+    path = str(tmp_path / "nothing")
+    with _pytest.raises(FileNotFoundError, match="no committed versions"):
+        V.upsert_version(
+            spark.createDataFrame([(1, 1)], ["k", "v"]), path, ["k"]
+        )
+    with _pytest.raises(FileNotFoundError, match="no committed versions"):
+        V.checkpoint_version(spark, path)
