@@ -130,6 +130,8 @@ def train_bpe_merges(
     min_pair_count: int = 2,
     lowercase: bool = True,
     distributed_rounds: bool = False,
+    min_word_count: int = 1,
+    max_train_words: int | None = 1_000_000,
 ) -> list[dict]:
     """Learn up to ``rounds`` BPE merges from a corpus.
 
@@ -145,7 +147,14 @@ def train_bpe_merges(
     module docstring). ``distributed_rounds=True`` keeps the loop on
     the cluster (2 jobs + 1 argmax row per round) for word tables too
     big to collect.
-    """
+
+    The in-process path's collect is BOUNDED (wordpiece.py shares the
+    contract; unigram's ``seed_size`` is the model): ``min_word_count``
+    is a frequency floor pushed into the aggregate, ``max_train_words``
+    a top-N-by-(count desc, word asc) cap — exact-integer total order,
+    TakeOrderedAndProject, never a global sort — so a 1e8-distinct-word
+    corpus collects at most N rows. Both bounds apply to the
+    distributed-rounds state too (the same training table)."""
     t = F.col(text_col)
     if lowercase:
         t = F.lower(t)
@@ -155,6 +164,12 @@ def train_bpe_merges(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    if min_word_count > 1:
+        words = words.filter(F.col("n") >= int(min_word_count))
+    if max_train_words is not None:
+        words = words.orderBy(
+            F.col("n").desc(), F.col("word").asc()
+        ).limit(int(max_train_words))
 
     if not distributed_rounds:
         # the ONLY distributed work: the corpus scan. The collected

@@ -193,3 +193,44 @@ def test_vocab_dedupes_same_surface_merges(spark):
     vocab_prefix = bpe_vocab(corpus, "text", merges[:3])
     assert vocab == vocab_prefix + []  # same table: dup added nothing
     assert syms.index("abc") < syms.index("ab")
+
+
+def test_bpe_trainer_collect_is_bounded(spark):
+    """wordpiece.py's bound contract, shared: min_word_count floors the
+    aggregate, max_train_words caps the collected table to the top-N by
+    (count desc, word asc) — training with the cap equals training on
+    the hand-truncated table."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from my_feast_spark.operators.bpe import EOW, _merge_loop_local
+
+    core = ["aaab aaac aaad"] * 30
+    tail = [f"t{i:04d}" for i in range(1000)]
+    texts = core + [" ".join(tail[i : i + 10]) for i in range(0, 1000, 10)]
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = train_bpe_merges(corpus, "text", rounds=6, max_train_words=16)
+
+    # oracle: the exact word table, hand-truncated the same way
+    from my_feast_spark.operators.bpe import tokens
+
+    wc = {
+        r["word"]: int(r["n"])
+        for r in corpus.select(
+            F.explode(tokens(F.lower(F.col("text")))).alias("word")
+        ).groupBy("word").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:16]
+    local_vocab = {tuple(w) + (EOW,): n for w, n in top}
+    assert got == _merge_loop_local(local_vocab, 6, 2)
+
+    # frequency floor drops the singleton tail entirely
+    floored = train_bpe_merges(
+        corpus, "text", rounds=6, min_word_count=2, max_train_words=None
+    )
+    core_vocab = {
+        tuple(w) + (EOW,): 30 for w in ["aaab", "aaac", "aaad"]
+    }
+    assert floored == _merge_loop_local(core_vocab, 6, 2)
