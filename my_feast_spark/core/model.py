@@ -72,15 +72,42 @@ class Feature:
 
 @dataclass
 class FileSource:
-    """Pointer to physical data (the reference's SparkSource)."""
+    """Pointer to physical data (the reference's SparkSource).
+
+    ``file_format="versioned"`` addresses a versioned parquet table
+    (``sources/versioned.py`` — the transaction-log layout standing in
+    for the reference cloud tier's Delta, CASE.MD:107): ``path`` is the
+    table root and reads resolve through the manifest log. ``version``
+    optionally PINS the source to one committed version — the
+    reproducible-training-set contract (every retrieval/materialize
+    over this source reads the same bytes forever, appends after the
+    pin invisible); ``None`` follows the latest commit. Per-call
+    ``as_of_version`` on :meth:`FeatureStore.get_historical_features` /
+    :meth:`FeatureStore.materialize` overrides the pin."""
 
     path: str
     file_format: str = "parquet"
     timestamp_field: str = "event_timestamp"
     created_timestamp_column: str | None = None
     name: str = ""
+    version: int | None = None
 
-    def load(self, spark):
+    def load(self, spark, *, version: int | None = None):
+        """``version`` (call-site override) > ``self.version`` (pinned)
+        > latest. Only meaningful for ``file_format="versioned"`` —
+        passing one for a plain file format raises rather than silently
+        reading the un-versioned path."""
+        if self.file_format == "versioned":
+            from my_feast_spark.sources.versioned import read_version
+
+            v = version if version is not None else self.version
+            return read_version(spark, self.path, v)
+        if version is not None or self.version is not None:
+            raise ValueError(
+                f"source {self.name or self.path!r} has file_format="
+                f"{self.file_format!r}; version pinning requires "
+                "file_format='versioned'"
+            )
         reader = spark.read.format(self.file_format)
         if self.file_format == "csv":
             reader = reader.option("header", True)

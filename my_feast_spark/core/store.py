@@ -170,6 +170,7 @@ class FeatureStore:
         entity_ts_col: str = "event_timestamp",
         full_feature_names: bool = False,
         strategy: str | None = None,
+        as_of_version: int | dict | None = None,
     ) -> RetrievalJob:
         """``entity_df`` may be a Spark DataFrame or a pandas DataFrame —
         the reference's notebooks pass pandas (entity df built in pandas at
@@ -179,7 +180,13 @@ class FeatureStore:
         ``strategy`` overrides the PIT join strategy for every view
         ("union_window" / "sliced_window" / "range_join" / "auto");
         default comes from ``feature_store.yaml``'s
-        ``offline_store.pit_strategy``, else "union_window"."""
+        ``offline_store.pit_strategy``, else "union_window".
+
+        ``as_of_version`` (int, or dict view-name -> int) reads each
+        versioned feature source as of a pinned table version — a
+        training set that reproduces bit-for-bit no matter what has been
+        committed to the feature table since (the Delta time-travel
+        contract, over ``sources/versioned.py``'s log)."""
         if not isinstance(entity_df, DataFrame):  # pandas path (Arrow)
             entity_df = self.spark.createDataFrame(entity_df)
         views = {fv.name: fv for fv in self.registry.list_feature_views()}
@@ -198,6 +205,7 @@ class FeatureStore:
             entity_ts_col=entity_ts_col,
             full_feature_names=full_feature_names,
             strategy=strategy,
+            as_of_version=as_of_version,
         )
         return RetrievalJob(df)
 
@@ -244,17 +252,29 @@ class FeatureStore:
         with open(meta) as fh:
             return int(json.load(fh).get("buckets", 0) or 0)
 
-    def materialize(self, start, end, feature_views: Sequence[str]) -> None:
+    def materialize(
+        self, start, end, feature_views: Sequence[str],
+        *, as_of_version: int | dict | None = None,
+    ) -> None:
         """Latest feature row per entity with event ts in [start, end] →
         online snapshot table (the reference's fs.materialize,
-        chicago_taxi_trips_hourly_gold.ipynb:473-479)."""
+        chicago_taxi_trips_hourly_gold.ipynb:473-479).
+
+        ``as_of_version`` (int, or dict view-name -> int) materializes
+        versioned feature sources as of a pinned table version — the
+        offline/online parity guarantee: serve exactly the snapshot a
+        time-traveled training set was built from."""
         for view_name in feature_views:
             fv = self.get_feature_view(view_name)
             join_keys: list[str] = []
             for ent in fv.entities:
                 join_keys.extend(self.registry.get_entity(ent).join_keys)
             src = fv.source
-            df = src.load(self.spark).filter(
+            if isinstance(as_of_version, dict):
+                view_version = as_of_version.get(view_name)
+            else:
+                view_version = as_of_version
+            df = src.load(self.spark, version=view_version).filter(
                 (F.col(src.timestamp_field) >= F.lit(start))
                 & (F.col(src.timestamp_field) <= F.lit(end))
             )

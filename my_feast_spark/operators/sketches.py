@@ -389,9 +389,18 @@ def skew_report(
         .select(
             "key",
             "est_count",
-            F.round(F.col("est_count") / F.lit(float(total)), 6).alias(
-                "est_share"
-            ),
+            # stable 6dp round (floor(x*1e6 + .5)/1e6): both engines
+            # compute the identical IEEE quotient, so the explicit form
+            # can never diverge on a .5 boundary the way native round's
+            # shortest-decimal repr can (the repo-wide parity rule)
+            (
+                F.floor(
+                    F.col("est_count") * F.lit(1_000_000.0)
+                    / F.lit(float(total))
+                    + F.lit(0.5)
+                )
+                / F.lit(1_000_000.0)
+            ).alias("est_share"),
             F.greatest(
                 F.lit(1),
                 F.ceil(F.col("est_count") / F.lit(float(rows_per_task))),

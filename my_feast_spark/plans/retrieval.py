@@ -120,6 +120,7 @@ def build_historical_retrieval(
     entity_ts_col: str = "event_timestamp",
     full_feature_names: bool = False,
     strategy: str = "union_window",
+    as_of_version: int | dict | None = None,
 ) -> DataFrame:
     """Compose the multi-view PIT retrieval plan.
 
@@ -128,6 +129,14 @@ def build_historical_retrieval(
     Untitled.ipynb:260). ``strategy`` passes through to every view's
     :func:`point_in_time_join` — "auto" probes each view's key
     distribution (see asof_join) when the skew profile is unknown.
+
+    ``as_of_version`` time-travels versioned sources (the reproducible-
+    training-set contract the reference's cloud tier gets from Delta):
+    an int applies to every requested view — each must then be backed
+    by a versioned source, a plain file source raises loudly rather
+    than silently reading its mutable latest state — a dict maps view
+    name -> version for mixed repos (unnamed views follow their
+    source's own pin/latest).
     """
     refs = parse_feature_refs(features)
 
@@ -142,7 +151,11 @@ def build_historical_retrieval(
             raise KeyError(f"view {view_name!r} has no features {unknown}")
 
         src = fv.source
-        feature_df = src.load(spark)
+        if isinstance(as_of_version, dict):
+            view_version = as_of_version.get(view_name)
+        else:
+            view_version = as_of_version
+        feature_df = src.load(spark, version=view_version)
         # column pruning before the join: keys + timestamps + requested only
         keep = (
             join_keys

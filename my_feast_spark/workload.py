@@ -7762,6 +7762,253 @@ GROUP BY 1
 """
 
 
+def q_pit_versioned_asof(spark, sf_dir):
+    """Time-traveled PIT retrieval — the versioned log composed with the
+    feature-store surface (core/model.py FileSource(file_format=
+    "versioned") + get_historical_features(as_of_version=...)): the
+    hourly gold table lands as TWO commits (even-hour buckets, then the
+    odd-hour append), and the SAME probe set is retrieved as of v0 and
+    as of latest in one result — the reproducible-training-set contract
+    the reference's cloud tier gets from Delta time travel
+    (/root/reference/CASE.MD:107). The oracle recomputes both versions'
+    PIT answers from the even/odd split, so the hash pins that v0 reads
+    see NONE of the appended buckets while latest sees all."""
+    from my_feast_spark.core import (
+        Entity,
+        Feature,
+        FeatureStore,
+        FeatureView,
+        FileSource,
+    )
+    from my_feast_spark.sources.versioned import write_version
+
+    events = _t(spark, sf_dir, "events")
+    gold = events.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+    ).agg(
+        _stable_round_avg("value", 4).alias("avg_value"),
+        F.count(F.lit(1)).alias("cnt_events"),
+    )
+    scratch = _scratch_dir("mfs_vstore_")
+    vt = f"{scratch}/vgold"
+    write_version(gold.where(F.hour("bucket_ts") % 2 == 0), vt)
+    write_version(
+        gold.where(F.hour("bucket_ts") % 2 == 1), vt, mode="append"
+    )
+    fs = FeatureStore(f"{scratch}/repo", spark=spark)
+    fs.apply([
+        Entity(name="user", value_type="INT64", join_keys=["user_id"]),
+        FeatureView(
+            name="user_hourly",
+            entities=["user"],
+            features=[
+                Feature("avg_value", "DOUBLE"),
+                Feature("cnt_events", "INT64"),
+            ],
+            source=FileSource(
+                path=vt, file_format="versioned",
+                timestamp_field="bucket_ts",
+            ),
+            ttl=dt.timedelta(days=2),
+        ),
+    ])
+    probes = events.where(
+        (F.col("event_type") == "purchase") & (F.col("event_id") % 3 == 0)
+    ).select("event_id", "user_id", F.col("ts").alias("event_timestamp"))
+    out = None
+    for v in (0, 1):
+        df = fs.get_historical_features(
+            probes,
+            ["user_hourly:avg_value", "user_hourly:cnt_events"],
+            as_of_version=v,
+        ).to_spark_df().select(
+            F.lit(v).alias("version"),
+            "event_id",
+            "user_id",
+            F.col("event_timestamp").cast("timestamp_ntz").alias(
+                "event_timestamp"
+            ),
+            "avg_value",
+            "cnt_events",
+        )
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+SQL_PIT_VERSIONED_ASOF = f"""
+WITH feat AS (
+  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_ts,
+         {_sql_stable_round_avg("value", 4)} AS avg_value,
+         CAST(count(*) AS BIGINT) AS cnt_events
+  FROM events GROUP BY 1, 2
+), probe AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS event_timestamp
+  FROM events WHERE event_type = 'purchase' AND event_id % 3 = 0
+), j AS (
+  SELECT v.version, p.event_id, p.user_id, p.event_timestamp,
+         f.avg_value, f.cnt_events,
+         row_number() OVER (
+           PARTITION BY v.version, p.event_id
+           ORDER BY f.bucket_ts DESC
+         ) AS rn
+  FROM (VALUES (0), (1)) v(version)
+  CROSS JOIN probe p
+  LEFT JOIN feat f
+    ON f.user_id = p.user_id
+   AND f.bucket_ts <= p.event_timestamp
+   AND f.bucket_ts >= p.event_timestamp - INTERVAL 2 DAY
+   AND (v.version = 1 OR hour(f.bucket_ts) % 2 = 0)
+)
+SELECT version, event_id, user_id, event_timestamp, avg_value, cnt_events
+FROM j WHERE rn = 1
+"""
+
+
+#: HLL precision for the time rollup — distinct from the group-distinct
+#: query's p=8 and the streaming row's p=10, so no two adjudicated rows
+#: share register content by accident
+_HLL_ROLLUP_P = 9
+
+
+def q_hll_time_rollup(spark, sf_dir, hash_fn="portable"):
+    """Distinct-count time rollup over HLL register state
+    (operators/sketches.py::hll_time_rollup — the hypertable
+    continuous-aggregate shape): daily distinct users from ONE raw
+    scan, monthly folded from the daily REGISTERS (date_trunc +
+    elementwise MAX) without rescanning the month's rows. The oracle
+    recomputes each level straight from the raw rows — register
+    max-merge associativity makes fold-coarse ≡ recompute-at-coarse,
+    and THAT mergeability contract is what the row hashes pin (digest +
+    exact-integer Z sum per period, not just the estimates)."""
+    from my_feast_spark.operators.sketches import hll_time_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    out = hll_time_rollup(
+        ev.select("ts", F.col("user_id").cast("string").alias("u")),
+        "ts", "u", p=_HLL_ROLLUP_P, levels=("day", "month"),
+        hash_fn=hash_fn,
+    )
+    res = out.select(
+        "granularity",
+        F.col("period").cast("timestamp_ntz").alias("period"),
+        "n_zero", "sum_scaled", "registers_md5", "est_distinct",
+    )
+    res._owned_caches = list(getattr(out, "_owned_caches", ()))
+    return res
+
+
+def _sql_hll_time_rollup(p: int = _HLL_ROLLUP_P) -> str:
+    from my_feast_spark.operators.sketches import (
+        HLL_SCALE_BITS,
+        hll_alpha,
+        hll_rho_sql,
+        sketch_hash_sql,
+    )
+
+    m = 1 << p
+    width = 63 - p
+    alpha = hll_alpha(m)
+    scale = 1 << HLL_SCALE_BITS
+    hs = sketch_hash_sql("CAST(user_id AS VARCHAR)")
+    rho = hll_rho_sql("rest", width)
+    reg = ("lpad(CAST(bucket AS VARCHAR),4,'0') || ':' || "
+           "lpad(CAST(rho AS VARCHAR),2,'0')")
+    raw = (f"round({alpha!r}e0 * {m} * {m} * {float(scale)!r}e0 / "
+           f"(n_zero * {scale} + sum_scaled), 4)")
+    blocks = []
+    for lvl in ("day", "month"):
+        blocks.append(f"""
+SELECT '{lvl}' AS granularity, period, n_zero, sum_scaled, registers_md5,
+       CASE WHEN {raw} <= {2.5 * m!r}e0 AND n_zero > 0
+            THEN round({float(m)!r}e0 * ln({float(m)!r}e0 / n_zero), 4)
+            ELSE {raw} END AS est_distinct
+FROM (
+  SELECT period,
+         CAST({m} - count(*) AS BIGINT) AS n_zero,
+         CAST(sum(CASE WHEN rho <= {HLL_SCALE_BITS}
+                       THEN (CAST(1 AS BIGINT) << ({HLL_SCALE_BITS} - rho))
+                       ELSE 0 END) AS BIGINT) AS sum_scaled,
+         md5(string_agg({reg}, ',' ORDER BY {reg})) AS registers_md5
+  FROM (
+    SELECT period, bucket, max({rho}) AS rho
+    FROM (
+      -- DuckDB's date_trunc('day'/'month') yields DATE; Spark's yields
+      -- TIMESTAMP — cast so the schemas agree
+      SELECT CAST(date_trunc('{lvl}', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+               AS period,
+             hv & {m - 1} AS bucket, hv >> {p} AS rest
+      FROM (SELECT ts, {hs} AS hv FROM events)
+    ) GROUP BY 1, 2
+  ) GROUP BY 1
+)""")
+    return "\nUNION ALL\n".join(blocks)
+
+
+SQL_HLL_TIME_ROLLUP = _LazySQL(_sql_hll_time_rollup)
+
+#: skew_report parameters for the adjudicated row: the salt sizing uses
+#: a deliberately small rows_per_task so the hot keys actually report
+#: salt factors > 1 at the driver's sf
+_SKEW_ROWS_PER_TASK = 1000
+_SKEW_SAMPLE_MOD = 64
+_SKEW_TOP = 5
+
+
+def q_skew_report(spark, sf_dir, hash_fn="portable"):
+    """Shuffle-skew diagnosis from sketches
+    (operators/sketches.py::skew_report): the hottest event_type keys
+    estimated from a CMS + a deterministic 1/64 row-id-hash sample —
+    never a full re-key of the relation. The oracle replays the exact
+    protocol (same sample, same CMS bit-slices, same salt arithmetic),
+    so the hashed rows pin the no-hot-key-missed guarantee: any key
+    frequent enough to matter appears in both engines' candidate sets
+    and its CMS estimate never underestimates."""
+    from my_feast_spark.operators.sketches import skew_report
+
+    ev = _t(spark, sf_dir, "events")
+    return skew_report(
+        ev.select("event_id", "event_type"),
+        "event_type", "event_id",
+        d=_CMS_D, w=_CMS_W, top=_SKEW_TOP,
+        sample_mod=_SKEW_SAMPLE_MOD,
+        rows_per_task=_SKEW_ROWS_PER_TASK,
+        hash_fn=hash_fn,
+    )
+
+
+def _sql_skew_report() -> str:
+    from my_feast_spark.operators.sketches import cms_col_sql, sketch_hash_sql
+
+    d, w = _CMS_D, _CMS_W
+    rpt, mod, top = _SKEW_ROWS_PER_TASK, _SKEW_SAMPLE_MOD, _SKEW_TOP
+    return f"""
+WITH cms AS MATERIALIZED (
+  SELECT i AS r, {cms_col_sql('event_type', 'i', w)} AS c,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events, generate_series(0, {d - 1}) t(i) GROUP BY 1, 2
+), total AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM events),
+cand AS (
+  SELECT DISTINCT event_type AS key FROM events
+  WHERE ({sketch_hash_sql('CAST(event_id AS VARCHAR)')}) % {mod} = 0
+), probe AS (
+  SELECT cand.key, i AS r, {cms_col_sql('cand.key', 'i', w)} AS c
+  FROM cand, generate_series(0, {d - 1}) t(i)
+), est AS (
+  SELECT probe.key, min(coalesce(cms.cnt, 0)) AS est_count
+  FROM probe LEFT JOIN cms USING (r, c) GROUP BY 1
+)
+SELECT key, est_count,
+       floor(est_count * 1000000.0 / (SELECT n FROM total) + 0.5)
+         / 1000000.0 AS est_share,
+       CAST(greatest(1, ceil(est_count / {float(rpt)!r})) AS INTEGER)
+         AS suggested_salt
+FROM est ORDER BY est_count DESC, key ASC LIMIT {top}
+"""
+
+
+SQL_SKEW_REPORT = _LazySQL(_sql_skew_report)
+
+
 # --- BM25 ranked retrieval (operators/bm25.py) ------------------------------
 
 
@@ -7938,59 +8185,122 @@ GROUP BY 1
 ADJUDICATION_WINDOW = 50
 
 QUERIES: dict[str, tuple] = {
-    # --- tier 1: flagship + core aggregations (always in-window) ----------
+    # ======================= ROUND-14 WINDOW (first 50) ====================
+    # Rotation contract executed: overlap with the CORRECTNESS_r13 window
+    # is EXACTLY 2 tier-1 anchors (<= 10 as promised); every named r13
+    # deferral is back in-window; the three rows tail-registered with
+    # round-14 claims (versioned_replay, cms_heavy_hitters,
+    # streaming_sketch_ingest) take their promised slots. The window is
+    # tight this round — 42 rotated-in re-adjudications + 6 new/claimed —
+    # so three of the five usual tier-1 anchors (pit_late_arrival,
+    # hourly_global_agg, event_types_salted: 13 consecutive green rows,
+    # the most-proven code in the repo) step to the tail for ONE round
+    # rather than let any r12-adjudicated query sit out two rounds.
+    # --- tier 1 anchors ----------------------------------------------------
     "pit_user_features": (q_pit_user_features, SQL_PIT_USER_FEATURES),
-    "pit_late_arrival": (q_pit_late_arrival, SQL_PIT_LATE_ARRIVAL),
     "hourly_user_agg": (q_hourly_user_agg, SQL_HOURLY_USER_AGG),
+    # --- round-13 claims honored: the versioned-table protocol (the
+    # largest never-adjudicated component of r13) and the two sketch
+    # rows registered with explicit round-14 window notes.
+    "versioned_replay": (q_versioned_replay, SQL_VERSIONED_REPLAY),
+    "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
+    "streaming_sketch_ingest": (
+        q_streaming_sketch_ingest, SQL_STREAMING_SKETCH_INGEST,
+    ),
+    # --- NEW in round 14: the versioned log wired into the feature-store
+    # surface (FileSource(file_format="versioned") +
+    # get_historical_features(as_of_version=N) — reproducible
+    # training sets over a time-traveled feature table), plus the two
+    # sketch-tier operators that were pytest-only in r13 (verdict ask
+    # #6): the HLL continuous-aggregate rollup and the CMS+sample skew
+    # diagnosis.
+    "pit_versioned_asof": (q_pit_versioned_asof, SQL_PIT_VERSIONED_ASOF),
+    "hll_time_rollup": (q_hll_time_rollup, SQL_HLL_TIME_ROLLUP),
+    "skew_report": (q_skew_report, SQL_SKEW_REPORT),
+    # --- the r13 tail named deferrals, back in-window as promised ---------
+    "priority_collapse_types": (
+        q_priority_collapse_types, SQL_PRIORITY_COLLAPSE_TYPES,
+    ),
+    "part_brand_stats": (q_part_brand_stats, SQL_PART_BRAND_STATS),
+    "idle_customers_anti": (q_idle_customers_anti, SQL_IDLE_CUSTOMERS_ANTI),
+    "user_value_deltas": (q_user_value_deltas, SQL_USER_VALUE_DELTAS),
+    "jaccard_dup_pairs": (q_jaccard_dup_pairs, SQL_JACCARD_DUP_PAIRS),
+    "audio_dedup": (q_audio_dedup, SQL_AUDIO_DEDUP),
+    "video_dedup": (q_video_dedup, SQL_VIDEO_DEDUP),
+    "semdedup": (q_semdedup, SQL_SEMDEDUP),
+    # --- rotated IN for round 14: the r12-adjudicated tail (all green at
+    # their last driver appearance and value-checked every pytest run by
+    # tests/test_oracle_parity.py).
+    "compact_table_replay": (q_compact_table_replay, SQL_COMPACT_TABLE_REPLAY),
+    "scd2_stream_maintain": (q_scd2_stream_maintain, SQL_SCD2_STREAM_MAINTAIN),
+    "audio_vad": (q_audio_vad, SQL_AUDIO_VAD),
+    "dsir_resample": (q_dsir_resample, SQL_DSIR_RESAMPLE),
+    "domain_pagerank": (q_domain_pagerank, SQL_DOMAIN_PAGERANK),
+    "gopher_quality_filter": (
+        q_gopher_quality_filter, SQL_GOPHER_QUALITY_FILTER,
+    ),
+    "score_weighted_sample": (
+        q_score_weighted_sample, SQL_SCORE_WEIGHTED_SAMPLE,
+    ),
+    "lm_perplexity_kn": (q_lm_perplexity_kn, SQL_LM_PERPLEXITY_KN),
+    "scd2_lookup": (q_scd2_lookup, SQL_SCD2_LOOKUP),
+    "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
+    "ivfpq_topk": (q_ivfpq_topk, SQL_IVFPQ_TOPK),
+    "image_dedup": (q_image_dedup, SQL_IMAGE_DEDUP),
+    "streaming_neardup_ingest": (
+        q_streaming_neardup_ingest, SQL_STREAMING_NEARDUP_INGEST,
+    ),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "packed_sequences": (q_packed_sequences, SQL_PACKED_SEQUENCES),
+    "mixture_temperature": (q_mixture_temperature, SQL_MIXTURE_TEMPERATURE),
+    "token_rarity": (q_token_rarity, SQL_TOKEN_RARITY),
+    "boilerplate_ngrams": (q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS),
+    "global_shuffle": (q_global_shuffle, SQL_GLOBAL_SHUFFLE),
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+    "column_profile": (q_column_profile, SQL_COLUMN_PROFILE),
+    "cluster_keep_longest": (q_cluster_keep_longest, SQL_CLUSTER_KEEP_LONGEST),
+    "stratum_ksample": (q_stratum_ksample, SQL_STRATUM_KSAMPLE),
+    "profile_drift": (q_profile_drift, SQL_PROFILE_DRIFT),
+    "token_pmi": (q_token_pmi, SQL_TOKEN_PMI),
+    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
+    "online_snapshot": (q_online_snapshot, SQL_ONLINE_SNAPSHOT),
+    "contamination_report": (q_contamination_report, SQL_CONTAMINATION_REPORT),
+    "avro_scan": (q_avro_scan, SQL_AVRO_SCAN),
+    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
+    "stream_capture_files": (q_stream_capture_files, SQL_STREAM_CAPTURE_FILES),
+    "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
+    "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
+    "top_terms_tfidf": (q_top_terms_tfidf, SQL_TOP_TERMS_TFIDF),
+    # ======================= TAIL (not in this round's window) ============
+    # --- deferred ONE round to fund the r14 window's 6 new/claimed slots
+    # (each deferral's operator surface runs inside an in-window query;
+    # both r12-green and value-checked every pytest run; back in-window
+    # round 15):
+    #   cosine_topk — exact-cosine baseline; the ANN family is in-window
+    #     via ivfpq_topk (+ r13-green ivf_topk/embedding_near_dupes_lsh);
+    #   ann_lsh_topk — hyperplane-LSH bucketing inside r13-green
+    #     embedding_near_dupes_lsh.
+    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+    # --- the round-13 window (all 50/50 green in CORRECTNESS_r13; two
+    # tier-1 anchors stayed in-window above, these three tier-1 rows
+    # rejoin them round 15). Oldest-out-first when round 15 rotates.
+    "pit_late_arrival": (q_pit_late_arrival, SQL_PIT_LATE_ARRIVAL),
     "hourly_global_agg": (q_hourly_global_agg, SQL_HOURLY_GLOBAL_AGG),
     "event_types_salted": (q_event_types_salted, SQL_EVENT_TYPES_SALTED),
-    # --- NEW in round 13 ---------------------------------------------------
-    # zorder_scan adjudicates the z-order rewrite + file-stats skipping
-    # pair end-to-end (write -> zorder_table -> DISTRIBUTED footer sweep
-    # -> pruned scan; raises unless files_read < files_total, prune facts
-    # stamped in-row); materialize_stream adjudicates the streaming
-    # online-store merge against the batch latest-per-key oracle on a
-    # bucketed layout — the round-12 verdict asks #2 and #3.
     "zorder_scan": (q_zorder_scan, SQL_ZORDER_SCAN),
     "materialize_stream": (q_materialize_stream, SQL_MATERIALIZE_STREAM),
-    # --- behavior-changed in round 13, so they STAY in-window: the
-    # unigram encode case fold moved Python-side (ADVICE r12), and
-    # registered_domain now resolves PSL wildcard/exception rules
-    # (url_domain_curation exercises both new rule classes).
     "unigram_tokenize": (q_unigram_tokenize, SQL_UNIGRAM_TOKENIZE),
     "url_domain_curation": (q_url_domain_curation, SQL_URL_DOMAIN_CURATION),
-    # --- NEW in round 13, continuation session: the sketch tier
-    # (operators/sketches.py) — constant-state mergeable cardinality /
-    # overlap estimation, the planning inputs for bloom sizing, band
-    # counts, and dedup-index bucket counts at 100 TB. Both rows
-    # hash-adjudicate the SKETCH (register digests / bottom-k members),
-    # not just the scalar estimate.
     "hll_group_distinct": (q_hll_group_distinct, SQL_HLL_GROUP_DISTINCT),
     "kmv_corpus_overlap": (q_kmv_corpus_overlap, SQL_KMV_CORPUS_OVERLAP),
-    # --- NEW in round 13, continuation: broadcast Bloom prefilter for
-    # cross-corpus containment dedup (operators/bloom.py) — the row's
-    # n_bloom_maybe column hash-pins the filter's exact bit behavior,
-    # false positives included.
     "bloom_prefilter_dedup": (
         q_bloom_prefilter_dedup, SQL_BLOOM_PREFILTER_DEDUP,
     ),
-    # --- NEW in round 13, continuation: BM25 ranked retrieval (the
-    # queries themselves derived from the corpus so the hash covers the
-    # derivation) and the ORC round-trip (Spark's other first-class
-    # columnar format; oracle = the parquet-source aggregate).
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "orc_scan": (q_orc_scan, SQL_ORC_SCAN),
-    # wordpiece_tokenize + warc_text_extract were tail-registered by the
-    # first round-13 session with "window slot round 14" notes — but a
-    # never-adjudicated surface outranks a re-adjudication, so they take
-    # their window slots NOW (displacing two rotated-in r11 re-checks to
-    # round 14; those stay value-checked every pytest run).
     "wordpiece_tokenize": (q_wordpiece_tokenize, SQL_WORDPIECE_TOKENIZE),
     "warc_text_extract": (q_warc_text_extract, SQL_WARC_TEXT_EXTRACT),
-    # --- rotated IN for round 13 (the r12 tail, back in-window as the
-    # r12 block promised; all green in r11 or earlier and value-checked
-    # every pytest run by tests/test_oracle_parity.py). Window overlap
-    # with round 12: the 5 tier-1 + the 2 behavior-changed = 7 <= 10.
     "compaction_replay": (q_compaction_replay, SQL_COMPACTION_REPLAY),
     "jsonl_scan": (q_jsonl_scan, SQL_JSONL_SCAN),
     "pack_bfd": (q_pack_bfd, SQL_PACK_BFD),
@@ -8035,93 +8345,6 @@ QUERIES: dict[str, tuple] = {
     "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
     "order_priority_count": (q_order_priority_count, SQL_ORDER_PRIORITY_COUNT),
     "top_spenders": (q_top_spenders, SQL_TOP_SPENDERS),
-    # --- rotation tail for round 13 (adjudicated round 12 — every one a
-    # green row in CORRECTNESS_r12 — or deferred one round with an
-    # in-window superset sibling: jaccard_dup_pairs ⊂ minhash_dup_pairs,
-    # audio/video_dedup next to the r12-green image_dedup/audio_vad,
-    # semdedup next to in-window embedding_near_dupes_lsh + ivf_topk.
-    # Back in-window round 14.
-    # Four more one-round deferrals fund the continuation session's five
-    # never-adjudicated components taking window slots; each deferral's
-    # operator surface runs inside an in-window query (r11-green,
-    # value-checked every pytest run; back in-window round 14):
-    #   priority_collapse_types — when/otherwise decode chain inside
-    #     case-handling of in-window curation + PIT queries;
-    #   part_brand_stats — min/max/avg/count shape of in-window
-    #     pricing_summary;
-    #   idle_customers_anti — anti join, the decontamination step inside
-    #     in-window curation_pipeline_full;
-    #   user_value_deltas — lag/window arithmetic, the interval windows
-    #     inside in-window scd2_user_state.
-    "priority_collapse_types": (
-        q_priority_collapse_types, SQL_PRIORITY_COLLAPSE_TYPES,
-    ),
-    "part_brand_stats": (q_part_brand_stats, SQL_PART_BRAND_STATS),
-    "idle_customers_anti": (q_idle_customers_anti, SQL_IDLE_CUSTOMERS_ANTI),
-    "user_value_deltas": (q_user_value_deltas, SQL_USER_VALUE_DELTAS),
-    "jaccard_dup_pairs": (q_jaccard_dup_pairs, SQL_JACCARD_DUP_PAIRS),
-    "audio_dedup": (q_audio_dedup, SQL_AUDIO_DEDUP),
-    "video_dedup": (q_video_dedup, SQL_VIDEO_DEDUP),
-    "semdedup": (q_semdedup, SQL_SEMDEDUP),
-    "compact_table_replay": (q_compact_table_replay, SQL_COMPACT_TABLE_REPLAY),
-    "scd2_stream_maintain": (q_scd2_stream_maintain, SQL_SCD2_STREAM_MAINTAIN),
-    "audio_vad": (q_audio_vad, SQL_AUDIO_VAD),
-    "dsir_resample": (q_dsir_resample, SQL_DSIR_RESAMPLE),
-    "domain_pagerank": (q_domain_pagerank, SQL_DOMAIN_PAGERANK),
-    "gopher_quality_filter": (
-        q_gopher_quality_filter, SQL_GOPHER_QUALITY_FILTER,
-    ),
-    "score_weighted_sample": (
-        q_score_weighted_sample, SQL_SCORE_WEIGHTED_SAMPLE,
-    ),
-    "lm_perplexity_kn": (q_lm_perplexity_kn, SQL_LM_PERPLEXITY_KN),
-    "scd2_lookup": (q_scd2_lookup, SQL_SCD2_LOOKUP),
-    "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
-    "ivfpq_topk": (q_ivfpq_topk, SQL_IVFPQ_TOPK),
-    "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
-    "image_dedup": (q_image_dedup, SQL_IMAGE_DEDUP),
-    "streaming_neardup_ingest": (
-        q_streaming_neardup_ingest, SQL_STREAMING_NEARDUP_INGEST,
-    ),
-    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
-    "packed_sequences": (q_packed_sequences, SQL_PACKED_SEQUENCES),
-    "mixture_temperature": (q_mixture_temperature, SQL_MIXTURE_TEMPERATURE),
-    "token_rarity": (q_token_rarity, SQL_TOKEN_RARITY),
-    "boilerplate_ngrams": (q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS),
-    "global_shuffle": (q_global_shuffle, SQL_GLOBAL_SHUFFLE),
-    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
-    "column_profile": (q_column_profile, SQL_COLUMN_PROFILE),
-    "cluster_keep_longest": (q_cluster_keep_longest, SQL_CLUSTER_KEEP_LONGEST),
-    "stratum_ksample": (q_stratum_ksample, SQL_STRATUM_KSAMPLE),
-    "profile_drift": (q_profile_drift, SQL_PROFILE_DRIFT),
-    "token_pmi": (q_token_pmi, SQL_TOKEN_PMI),
-    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
-    "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
-    "online_snapshot": (q_online_snapshot, SQL_ONLINE_SNAPSHOT),
-    "contamination_report": (q_contamination_report, SQL_CONTAMINATION_REPORT),
-    "avro_scan": (q_avro_scan, SQL_AVRO_SCAN),
-    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
-    "stream_capture_files": (q_stream_capture_files, SQL_STREAM_CAPTURE_FILES),
-    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
-    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
-    "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
-    "top_terms_tfidf": (q_top_terms_tfidf, SQL_TOP_TERMS_TFIDF),
-    "event_type_pivot": (q_event_type_pivot, SQL_EVENT_TYPE_PIVOT),
-    "customer_balance_deciles": (
-        q_customer_balance_deciles, SQL_CUSTOMER_BALANCE_DECILES,
-    ),
-    # NEW in the round-13 continuation at the TAIL: the deferral well is
-    # dry (every remaining rotated-in query would go two rounds without
-    # a row), so CMS waits one round like wordpiece did in the first
-    # session; pytest- and oracle-parity-pinned now, window slot round
-    # 14.
-    "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
-    "streaming_sketch_ingest": (
-        q_streaming_sketch_ingest, SQL_STREAMING_SKETCH_INGEST,
-    ),
-    "versioned_replay": (q_versioned_replay, SQL_VERSIONED_REPLAY),
-    # (wordpiece_tokenize / warc_text_extract moved INTO the window
-    # above — never-adjudicated surfaces outrank re-adjudications.)
 }
 
 #: Retired from the driver registry (budget: ~100 adjudicated queries).
@@ -8312,4 +8535,28 @@ RETIRED_QUERIES: dict[str, tuple] = {
     #                                scd2_lookup (range predicates over
     #                                entity timelines)
     "post_signup_activity": (q_post_signup_activity, SQL_POST_SIGNUP_ACTIVITY),
+    # round 14 (registry budget for the three new rows —
+    # pit_versioned_asof / hll_time_rollup / skew_report — keeping the
+    # registry at <= 100 adjudicated queries):
+    #   exact_dedup_docs (md5-fingerprint groupBy dedup) ->
+    #                                incremental_dedup (the same
+    #                                fingerprint index, plus the
+    #                                partitioned ingest protocol) +
+    #                                chunk_dedup (first-occurrence
+    #                                keep rule)
+    #   event_type_pivot (CASE-WHEN-inside-SUM breakout) ->
+    #                                part_brand_stats + revenue_rollup
+    #                                (the Expand-based grouping family) +
+    #                                column_profile (the stack/unstack
+    #                                reshape machinery)
+    #   customer_balance_deciles (rank-bucket ntile family) ->
+    #                                ccnet_buckets (percentile bucketing
+    #                                driving a decision) +
+    #                                user_value_deltas (the rank/lag
+    #                                window family)
+    "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
+    "event_type_pivot": (q_event_type_pivot, SQL_EVENT_TYPE_PIVOT),
+    "customer_balance_deciles": (
+        q_customer_balance_deciles, SQL_CUSTOMER_BALANCE_DECILES,
+    ),
 }

@@ -597,3 +597,93 @@ def test_heal_snapshot_tolerates_concurrent_healer(tmp_path):
         except FileNotFoundError:
             raised = True
     assert raised
+
+
+def test_versioned_source_time_travel_retrieval(spark, tmp_path):
+    """A FeatureView over a VERSIONED table (file_format="versioned",
+    sources/versioned.py): get_historical_features(as_of_version=N)
+    reproduces the training set as of commit N no matter what was
+    committed since — the Delta time-travel lever wired into the
+    feature-store surface. Also: source-level version pin, materialize
+    as-of, and the loud error for version pinning on a plain source."""
+    from my_feast_spark.sources.versioned import write_version
+
+    vt = str(tmp_path / "vgold")
+    # v0: d1's fare is 10.0
+    write_version(
+        spark.createDataFrame([
+            Row(driver_id="d1", event_timestamp=TS(2024, 1, 1, 10),
+                avg_fare=10.0),
+            Row(driver_id="d2", event_timestamp=TS(2024, 1, 1, 10),
+                avg_fare=7.0),
+        ]), vt,
+    )
+    # v1: a later feature row changes the PIT answer for d1
+    write_version(
+        spark.createDataFrame([
+            Row(driver_id="d1", event_timestamp=TS(2024, 1, 1, 12),
+                avg_fare=50.0),
+        ]), vt, mode="append",
+    )
+
+    fs = FeatureStore(str(tmp_path / "repo"), spark=spark)
+    fs.apply([
+        Entity(name="driver", value_type="STRING", join_keys=["driver_id"]),
+        FeatureView(
+            name="drv", entities=["driver"],
+            features=[Feature("avg_fare", "DOUBLE")],
+            source=FileSource(path=vt, file_format="versioned",
+                              timestamp_field="event_timestamp"),
+            ttl=dt.timedelta(days=2),
+        ),
+    ])
+    entity_df = spark.createDataFrame(
+        [Row(driver_id="d1", event_timestamp=TS(2024, 1, 1, 13))]
+    )
+
+    def fare(**kw):
+        return fs.get_historical_features(
+            entity_df, ["drv:avg_fare"], **kw
+        ).to_spark_df().collect()[0]["avg_fare"]
+
+    assert fare() == 50.0                       # latest (v1)
+    assert fare(as_of_version=0) == 10.0        # time travel
+    assert fare(as_of_version={"drv": 0}) == 10.0
+    assert fare(as_of_version={"other": 0}) == 50.0  # unnamed -> latest
+
+    # registry round-trip preserves a SOURCE-LEVEL pin: the view is
+    # frozen at v0 for every consumer until re-applied
+    fv = fs.get_feature_view("drv")
+    fv.source.version = 0
+    fs.apply([fv])
+    fs2 = FeatureStore(str(tmp_path / "repo"), spark=spark)
+    assert fs2.get_feature_view("drv").source.version == 0
+    assert fs2.get_historical_features(
+        entity_df, ["drv:avg_fare"]
+    ).to_spark_df().collect()[0]["avg_fare"] == 10.0
+    # call-site override still wins over the pin
+    assert fs2.get_historical_features(
+        entity_df, ["drv:avg_fare"], as_of_version=1
+    ).to_spark_df().collect()[0]["avg_fare"] == 50.0
+
+    # materialize as-of: the online snapshot serves v0's latest row
+    fs2.materialize(TS(2024, 1, 1), TS(2024, 1, 2), ["drv"],
+                    as_of_version=0)
+    online = fs2.get_online_features([{"driver_id": "d1"}], ["drv:avg_fare"])
+    assert online["avg_fare"] == [10.0]
+
+    # version pinning a plain file source is loud
+    gold = str(tmp_path / "plain")
+    spark.createDataFrame(
+        [Row(driver_id="d1", event_timestamp=TS(2024, 1, 1, 10),
+             avg_fare=1.0)]
+    ).write.parquet(gold)
+    fs2.apply([FeatureView(
+        name="plain_v", entities=["driver"],
+        features=[Feature("avg_fare", "DOUBLE")],
+        source=FileSource(path=gold, timestamp_field="event_timestamp"),
+    )])
+    with pytest.raises(ValueError, match="version pinning requires"):
+        fs2.get_historical_features(
+            entity_df, ["plain_v:avg_fare"], as_of_version=0
+        ).to_spark_df().collect()

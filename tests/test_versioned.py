@@ -364,3 +364,35 @@ def test_upsert_and_checkpoint_on_empty_table_are_loud(spark, tmp_path):
         )
     with _pytest.raises(FileNotFoundError, match="no committed versions"):
         V.checkpoint_version(spark, path)
+
+
+def test_checkpoint_if_due_bounds_reader_chain(spark, tmp_path):
+    """The incremental checkpoint hook: appends grow the directory
+    chain until max_dirs, then one checkpoint collapses it to a single
+    directory — content identical throughout, old versions still
+    time-travel until vacuumed."""
+    from my_feast_spark.sources import versioned as V
+
+    path = str(tmp_path / "t")
+
+    def chain_len():
+        vs = V.list_versions(spark, path)
+        jvm, fs = V._fs(spark, path)
+        return len(V._read_manifest(jvm, fs, path, vs[-1])["dirs"])
+
+    total = 0
+    checkpoints = 0
+    for i in range(9):
+        V.write_version(
+            spark.createDataFrame([(i, i * 10)], ["k", "v"]), path,
+            mode="append",
+        )
+        total += 1
+        if V.checkpoint_if_due(spark, path, max_dirs=4) is not None:
+            checkpoints += 1
+        assert chain_len() < 4 or chain_len() == 1
+        assert V.read_version(spark, path).count() == total
+    assert checkpoints == 2  # chains of 4 collapsed twice in 9 appends
+    assert V.checkpoint_if_due(spark, path, max_dirs=4) is None  # not due
+    # empty table: no-op, not an error
+    assert V.checkpoint_if_due(spark, str(tmp_path / "none")) is None

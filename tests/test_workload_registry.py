@@ -11,80 +11,38 @@ from __future__ import annotations
 
 from my_feast_spark import workload
 
-# Round-13 rotation (executes the rotation round 12 promised): the r12
-# tail (last adjudicated round 11) is back IN the window in full except
-# four one-round deferrals with in-window superset siblings; the
-# queries adjudicated green in round 12 sit in the tail this round and
-# return in round 14. Window overlap with the r12 window is the 5
-# tier-1 flagships + the 2 behavior-changed queries = 7 (<= 10).
+# Round-14 rotation (executes the rotation round 13 promised): every
+# named r13 deferral is back in-window, the three rows tail-registered
+# with round-14 claims (versioned_replay, cms_heavy_hitters,
+# streaming_sketch_ingest) take their slots, and the r13-adjudicated
+# window sits in the tail. Window overlap with the r13 window is
+# EXACTLY 2 tier-1 flagships (<= 10): the window is tight (42
+# rotated-in + 6 new/claimed), so three 13-rounds-green tier-1 rows
+# step out for one round rather than let any r12-adjudicated query sit
+# out two.
 ROTATION_TAIL = {
-    # deferred ONE round (were already tail in r12; each has an
-    # in-window superset sibling: jaccard ⊂ minhash_dup_pairs,
-    # audio/video_dedup next to r12-green image_dedup/audio_vad,
-    # semdedup next to embedding_near_dupes_lsh + ivf_topk);
-    # MUST be in-window round 14
-    "jaccard_dup_pairs",
-    "audio_dedup",
-    "video_dedup",
-    "semdedup",
-    # deferred ONE round by the continuation session to fund the five
-    # never-adjudicated components' window slots; operator surfaces run
-    # inside in-window queries (rationale at the QUERIES tail block);
-    # MUST be in-window round 14
-    "priority_collapse_types",
-    "part_brand_stats",
-    "idle_customers_anti",
-    "user_value_deltas",
-    # adjudicated green in round 12 (CORRECTNESS_r12); unchanged
-    "compact_table_replay",
-    "scd2_stream_maintain",
-    "audio_vad",
-    "dsir_resample",
-    "domain_pagerank",
-    "gopher_quality_filter",
-    "score_weighted_sample",
-    "lm_perplexity_kn",
-    "scd2_lookup",
-    "ccnet_buckets",
-    "ivfpq_topk",
-    "normalize_text",
-    "image_dedup",
-    "streaming_neardup_ingest",
-    "dedup_clusters",
-    "packed_sequences",
-    "mixture_temperature",
-    "token_rarity",
-    "boilerplate_ngrams",
-    "global_shuffle",
-    "incremental_dedup",
-    "column_profile",
-    "cluster_keep_longest",
-    "stratum_ksample",
-    "profile_drift",
-    "token_pmi",
-    "inverted_index",
-    "exact_dedup_docs",
-    "online_snapshot",
-    "contamination_report",
-    "avro_scan",
-    "multimodal_frames",
-    "stream_capture_files",
+    # deferred ONE round to fund the r14 new/claimed slots (operator
+    # surfaces run inside in-window queries; rationale at the QUERIES
+    # tail block); MUST be in-window round 15
     "cosine_topk",
     "ann_lsh_topk",
-    "label_centroids",
-    "top_terms_tfidf",
-    # NEW in the continuation session at the TAIL (deferral well dry);
-    # pytest- and oracle-parity-pinned now, window slot round 14
-    "cms_heavy_hitters",
-    "streaming_sketch_ingest",
-    "versioned_replay",
-    "event_type_pivot",
-    "customer_balance_deciles",
-}
-
-#: last adjudicated in round 11 — round 13 MUST give them fresh rows
-#: (the rotation invariant: nothing sits out two consecutive rounds)
-ROTATED_IN = {
+    # tier-1 anchors stepping out for one round (13 consecutive green
+    # rows); MUST be in-window round 15
+    "pit_late_arrival",
+    "hourly_global_agg",
+    "event_types_salted",
+    # adjudicated green in round 13 (CORRECTNESS_r13); unchanged
+    "zorder_scan",
+    "materialize_stream",
+    "unigram_tokenize",
+    "url_domain_curation",
+    "hll_group_distinct",
+    "kmv_corpus_overlap",
+    "bloom_prefilter_dedup",
+    "bm25_topk",
+    "orc_scan",
+    "wordpiece_tokenize",
+    "warc_text_extract",
     "compaction_replay",
     "jsonl_scan",
     "pack_bfd",
@@ -121,32 +79,72 @@ ROTATED_IN = {
     "top_spenders",
 }
 
-#: new in round 13, or BEHAVIOR changed in round 13 — must be in-window
-#: so the change gets an adjudication row
+#: last adjudicated in round 12 (or deferred one round with an
+#: in-window superset sibling) — round 14 MUST give them fresh rows
+#: (the rotation invariant: nothing sits out two consecutive rounds)
+ROTATED_IN = {
+    # the r13 named deferrals, back in-window as promised
+    "priority_collapse_types",
+    "part_brand_stats",
+    "idle_customers_anti",
+    "user_value_deltas",
+    "jaccard_dup_pairs",
+    "audio_dedup",
+    "video_dedup",
+    "semdedup",
+    # the r12-adjudicated tail
+    "compact_table_replay",
+    "scd2_stream_maintain",
+    "audio_vad",
+    "dsir_resample",
+    "domain_pagerank",
+    "gopher_quality_filter",
+    "score_weighted_sample",
+    "lm_perplexity_kn",
+    "scd2_lookup",
+    "ccnet_buckets",
+    "ivfpq_topk",
+    "normalize_text",
+    "image_dedup",
+    "streaming_neardup_ingest",
+    "dedup_clusters",
+    "packed_sequences",
+    "mixture_temperature",
+    "token_rarity",
+    "boilerplate_ngrams",
+    "global_shuffle",
+    "incremental_dedup",
+    "column_profile",
+    "cluster_keep_longest",
+    "stratum_ksample",
+    "profile_drift",
+    "token_pmi",
+    "inverted_index",
+    "online_snapshot",
+    "contamination_report",
+    "avro_scan",
+    "multimodal_frames",
+    "stream_capture_files",
+    "label_centroids",
+    "top_terms_tfidf",
+}
+
+#: new in round 14, or carrying an explicit round-14 window claim from
+#: r13 — must be in-window so the change gets an adjudication row
 CHANGED_OR_NEW_THIS_ROUND = {
-    # new: z-order rewrite + distributed file-stats sweep + pruned scan
-    # end-to-end, prune facts stamped in-row (r12 verdict ask #2)
-    "zorder_scan",
-    # new: streaming online-store merge vs the batch latest-per-key
-    # oracle on a bucketed layout, replay-idempotency included
-    # (r12 verdict ask #3)
-    "materialize_stream",
-    # changed: unigram encode now case-folds Python-side in the worker
-    # closure (ADVICE r12), matching training and the mirror
-    "unigram_tokenize",
-    # changed: registered_domain resolves PSL wildcard (*.ck) and
-    # exception (!www.ck) rules; the synthetic URLs exercise both
-    "url_domain_curation",
-    # new in the round-13 continuation session — the sketch tier, the
-    # Bloom prefilter, BM25 retrieval, the ORC round-trip, and the two
-    # components the first r13 session left tail-registered
-    "hll_group_distinct",
-    "kmv_corpus_overlap",
-    "bloom_prefilter_dedup",
-    "bm25_topk",
-    "orc_scan",
-    "wordpiece_tokenize",
-    "warc_text_extract",
+    # r13 claims honored: the versioned-table protocol (the largest
+    # never-adjudicated r13 component) + the two claimed sketch rows
+    "versioned_replay",
+    "cms_heavy_hitters",
+    "streaming_sketch_ingest",
+    # new: the versioned log wired into the feature-store surface —
+    # FileSource(file_format="versioned") +
+    # get_historical_features(as_of_version=N)
+    "pit_versioned_asof",
+    # new rows for the two sketch operators that were pytest-only in
+    # r13 (verdict ask #6)
+    "hll_time_rollup",
+    "skew_report",
 }
 
 #: retired from the driver registry — near-duplicates of in-registry
@@ -194,6 +192,11 @@ RETIRED_THIS_ROUND = {
     "moving_avg_revenue",
     "lineitem_unpivot",
     "post_signup_activity",
+    # round 14 (registry budget for pit_versioned_asof /
+    # hll_time_rollup / skew_report; successors in workload.py)
+    "exact_dedup_docs",
+    "event_type_pivot",
+    "customer_balance_deciles",
 }
 
 
