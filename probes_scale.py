@@ -545,6 +545,48 @@ def main() -> None:
     finally:
         _sh.rmtree(vroot, ignore_errors=True)
 
+    # ---- probe 9: versioned log at 1000 commits (r13 verdict ask #7) ----
+    # The open question: checkpoint_version's read-through rewrite at a
+    # WIDE chain inherits a 1000-directory listing — is resolution still
+    # flat, what does the chain read cost, and does the incremental
+    # checkpoint_if_due hook (chain-length trigger) keep readers bounded?
+    # The directory list IS handed to Spark in one read (the manifest
+    # names every dir; spark.read.parquet(*dirs) builds one
+    # InMemoryFileIndex over them, parallelized above
+    # spark.sql.sources.parallelPartitionDiscovery.threshold=32 dirs).
+    vroot2 = _tf.mkdtemp(prefix="mfs_probe_vlog1k_")
+    vpath2 = vroot2 + "/t"
+    try:
+        tiny = load_table(spark, sf_dir, "events").select(
+            "event_id", "value"
+        ).limit(50).coalesce(1).localCheckpoint()
+        t0 = time.monotonic()
+        for i in range(1000):
+            write_version(
+                tiny, vpath2, mode="append" if i else "overwrite"
+            )
+        results["vlog1k_write_1000_commits"] = round(
+            time.monotonic() - t0, 3
+        )
+        timed("vlog1k_list_versions", lambda: len(
+            list_versions(spark, vpath2)
+        ), repeats=1)
+        timed("vlog1k_resolve_v500_1manifest", lambda: read_version(
+            spark, vpath2, 500
+        ), repeats=1)  # plan build only: resolution cost, no scan
+        timed("vlog1k_read_chain_1000dirs", lambda: read_version(
+            spark, vpath2
+        ).count(), repeats=1)
+        timed("vlog1k_checkpoint", lambda: checkpoint_version(
+            spark, vpath2, num_files=4
+        ), repeats=1)
+        timed("vlog1k_read_after_checkpoint", lambda: read_version(
+            spark, vpath2
+        ).count(), repeats=1)
+        release_checkpoint(tiny)
+    finally:
+        _sh.rmtree(vroot2, ignore_errors=True)
+
     print(json.dumps({
         "probes": results,
         "configs": {
