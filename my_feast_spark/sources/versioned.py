@@ -109,6 +109,8 @@ def write_version(
     df: DataFrame, path: str, *, mode: str = "append",
     stats_cols: list[str] | None = None,
     expected_parent: int | None = None,
+    txn: tuple[str, int] | None = None,
+    _carry_txn: bool = False,
 ) -> int:
     """Commit ``df`` as a new version of the table at ``path``.
 
@@ -127,9 +129,36 @@ def write_version(
     while P is still the latest; otherwise the staged data directory is
     cleaned up and :class:`VersionConflictError` raised for the caller
     to re-read and recompute. Plain appends/overwrites (content not
-    derived from a prior read) keep the silent retry."""
+    derived from a prior read) keep the silent retry.
+
+    ``txn=(app_id, txn_version)`` makes an APPEND idempotent under
+    replay (Delta's txnAppId/txnVersion lever, for
+    ``streaming/versioned.py``'s foreachBatch sink): each manifest
+    carries a ``txn`` map of the highest transaction version committed
+    per app, and an append whose ``txn_version`` is <= the recorded one
+    returns the current version WITHOUT committing — a retry after
+    crash-between-publish-and-ack never lands the same rows twice.
+    Requires monotonically increasing ``txn_version`` per app (a
+    Structured Streaming ``batch_id`` is). The map survives
+    content-preserving rewrites (``upsert_version`` /
+    ``checkpoint_version`` carry it through — the compaction-then-crash
+    replay is exactly the case a directory-containment check would
+    get wrong), and a plain overwrite RESETS it (new table contents,
+    new transaction history). A torn earlier attempt's directory is
+    invisible (no manifest names it) and reclaimed by vacuum."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
+    if txn is not None:
+        if mode != "append":
+            raise ValueError("txn idempotency applies to appends only")
+        txn_app, txn_v = str(txn[0]), int(txn[1])
+        spark = df.sparkSession
+        jvm, fs = _fs(spark, path)
+        versions = list_versions(spark, path)
+        if versions:
+            latest = _read_manifest(jvm, fs, path, versions[-1])
+            if latest.get("txn", {}).get(txn_app, -1) >= txn_v:
+                return versions[-1]  # replayed commit, already applied
     spark = df.sparkSession
     jvm, fs = _fs(spark, path)
     commit_dir = f"{_DATA}/v{uuid.uuid4().hex[:12]}"
@@ -154,18 +183,36 @@ def write_version(
                 f"{parent}: recompute from the current version"
             )
         next_v = (parent + 1) if parent is not None else 0
+        txn_map: dict = {}
         if mode == "append" and parent is not None:
-            dirs = _read_manifest(jvm, fs, path, parent)["dirs"] + [
-                commit_dir
-            ]
+            pm = _read_manifest(jvm, fs, path, parent)
+            txn_map = dict(pm.get("txn", {}))
+            if txn is not None and txn_map.get(txn_app, -1) >= txn_v:
+                # a racing same-app writer published between our check
+                # and this retry — the transaction is already applied
+                fs.delete(_hpath(jvm, path, commit_dir), True)
+                return parent
+            dirs = pm["dirs"] + [commit_dir]
         else:
+            # overwrite resets the txn history — UNLESS this is a
+            # content-preserving rewrite (upsert/checkpoint), which must
+            # carry it or a compacted-away streaming batch would replay
+            # as new after a crash
+            if _carry_txn and parent is not None:
+                txn_map = dict(
+                    _read_manifest(jvm, fs, path, parent).get("txn", {})
+                )
             dirs = [commit_dir]
+        if txn is not None:
+            txn_map[txn_app] = max(txn_map.get(txn_app, -1), txn_v)
         manifest = {
             "version": next_v,
             "parent": parent,
             "mode": mode,
             "dirs": dirs,
         }
+        if txn_map:
+            manifest["txn"] = txn_map
         tmp = _hpath(
             jvm, path, _VLOG, f".tmp-{next_v}-{uuid.uuid4().hex[:8]}"
         )
@@ -267,6 +314,7 @@ def upsert_version(
         path,
         mode="overwrite",
         expected_parent=base_version,
+        _carry_txn=True,
     )
 
 
@@ -307,6 +355,7 @@ def checkpoint_version(
     return write_version(
         df, path, mode="overwrite", stats_cols=stats_cols,
         expected_parent=base_version,
+        _carry_txn=True,
     )
 
 

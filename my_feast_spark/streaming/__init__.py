@@ -10,6 +10,7 @@ from my_feast_spark.streaming.ingest import (
     streaming_dedup,
     tumbling_window_agg,
 )
+from my_feast_spark.streaming.versioned import versioned_ingest_stream
 from my_feast_spark.streaming.sketches import (
     cms_ingest_stream,
     compact_cms,
@@ -41,4 +42,5 @@ __all__ = [
     "compact_cms",
     "kmv_ingest_stream",
     "read_kmv_sketch",
+    "versioned_ingest_stream",
 ]

@@ -1,0 +1,98 @@
+"""Streaming ingest into a versioned parquet table.
+
+The reference's cloud tier lands streams in Delta tables
+(/root/reference/CASE.MD:107 — Event Hub capture -> bronze Delta); this
+module gives the same shape over ``sources/versioned.py``'s transaction
+log: every micro-batch becomes ONE atomic table version, so downstream
+consumers time-travel across batch boundaries ("train on the table as
+it stood after batch 7") and a reader never observes a half-landed
+batch.
+
+Exactly-once layering (the repo's ingest-family protocol, third
+instance after the dedup-index and online-store sinks):
+
+* Structured Streaming's checkpoint guarantees a replayed micro-batch
+  keeps its ``batch_id``;
+* ``write_version(..., txn=(app_id, batch_id))`` is Delta's
+  txnAppId/txnVersion lever: the manifest records the highest batch id
+  committed per app, and a replayed append with ``batch_id`` <= that
+  record returns without committing — a retry after
+  crash-between-publish-and-ack never lands the same rows twice, and a
+  torn attempt (directory written, manifest missing) is invisible
+  until vacuumed;
+* ``checkpoint_if_due`` (optional, ``compact_chain_at``) collapses the
+  append chain once it reaches the threshold — the same
+  ``compact_every`` shape every other ingest uses, keeping reader cost
+  bounded at ``O(compact_chain_at)`` directories no matter how long
+  the stream runs. The txn map SURVIVES the compaction
+  (content-preserving rewrites carry it), so the
+  commit→compact→crash→replay sequence — which a
+  directory-containment idempotency check would turn into a duplicate
+  — stays exactly-once.
+
+Scale notes: per batch the log adds one latest-manifest read, one
+directory write, and one rename — O(1) in both table size and commit
+count. The per-batch data write is the same partitioned append any
+sink pays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from my_feast_spark.sources.versioned import checkpoint_if_due, write_version
+
+
+def versioned_ingest_stream(
+    stream_df: DataFrame,
+    table_path: str,
+    *,
+    checkpoint: str,
+    app_id: str = "versioned_ingest",
+    stats_cols: list[str] | None = None,
+    compact_chain_at: int | None = None,
+    compact_kwargs: dict | None = None,
+    trigger_interval: str | None = None,
+    available_now: bool = False,
+):
+    """Start a stream that commits each micro-batch as one table
+    version under ``table_path``. Returns the StreamingQuery.
+
+    ``app_id`` namespaces the idempotency record — two different
+    streams (different checkpoints, so independent batch-id sequences)
+    writing the same table must use different app ids. ``stats_cols``
+    sweeps the skipping sidecar for every batch directory (each version
+    is then fully skippable at read time); ``compact_chain_at`` runs
+    :func:`checkpoint_if_due` after each commit with
+    ``max_dirs=compact_chain_at`` (``compact_kwargs`` pass through to
+    ``checkpoint_version`` — ``zorder_by``, ``num_files``). Empty
+    micro-batches commit nothing (no empty versions)."""
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_version(
+            batch_df,
+            table_path,
+            mode="append",
+            stats_cols=stats_cols,
+            txn=(app_id, batch_id),
+        )
+        if compact_chain_at is not None:
+            checkpoint_if_due(
+                batch_df.sparkSession,
+                table_path,
+                max_dirs=compact_chain_at,
+                **(compact_kwargs or {}),
+            )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_interval:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()

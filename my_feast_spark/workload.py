@@ -7864,6 +7864,96 @@ FROM j WHERE rn = 1
 """
 
 
+def q_streaming_versioned_ingest(spark, sf_dir):
+    """Streaming ingest into a versioned table adjudicated end-to-end
+    (streaming/versioned.py): a bounded events subset arrives as THREE
+    micro-batches, each committing one atomic table version with
+    ``txn=(app, batch_id)`` idempotency (Delta's txnAppId lever);
+    ``compact_chain_at=2`` collapses the chain mid-stream (the txn
+    record must survive the compaction), and a REPLAY from a fresh
+    stream checkpoint (same app, batch id 0 again) must commit nothing.
+    Protocol facts — version count, final chain length, recorded txn
+    high-water, zero replay commits — are raised on failure and pinned
+    in-row as oracle-asserted literals (the zorder_scan pattern); the
+    content aggregates come straight through the log."""
+    from my_feast_spark.sources.versioned import (
+        _fs as _vfs,
+        _read_manifest,
+        list_versions,
+        read_version,
+    )
+    from my_feast_spark.streaming.versioned import versioned_ingest_stream
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where((F.col("event_id") % 7 == 0) & (F.col("event_id") < 21000))
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    base = _scratch_dir("mfs_vstream_")
+    in_dir = os.path.join(base, "incoming")
+    os.makedirs(in_dir)
+    table = os.path.join(base, "table")
+    ckpt = os.path.join(base, "ckpt")
+    schema = "event_id long, user_id long, event_type string, value double"
+    for b in range(3):
+        ev.filter(F.col("event_id") % 3 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        sdf = spark.readStream.schema(schema).parquet(in_dir)
+        q = versioned_ingest_stream(
+            sdf, table, checkpoint=ckpt, available_now=True,
+            compact_chain_at=2, compact_kwargs={"num_files": 1},
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+    versions = list_versions(spark, table)
+    # b0 -> v0 (chain 1); b1 -> v1 (chain 2) -> compact v2; b2 -> v3
+    # (chain 2) -> compact v4
+    if len(versions) != 5:
+        raise AssertionError(f"expected 5 versions, got {versions}")
+    jvm, vfs = _vfs(spark, table)
+    latest = _read_manifest(jvm, vfs, table, versions[-1])
+    if len(latest["dirs"]) != 1:
+        raise AssertionError(f"chain not compacted: {latest['dirs']}")
+    txn_hw = latest.get("txn", {}).get("versioned_ingest", -1)
+    if txn_hw != 2:
+        raise AssertionError(f"txn high-water {txn_hw} != 2")
+    # replay from a FRESH stream checkpoint: everything reprocesses as
+    # batch 0, which the txn record (high-water 2) must skip
+    sdf = spark.readStream.schema(schema).parquet(in_dir)
+    q = versioned_ingest_stream(
+        sdf, table, checkpoint=os.path.join(base, "ckpt_replay"),
+        available_now=True,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+    replay_new = len(list_versions(spark, table)) - len(versions)
+    if replay_new != 0:
+        raise AssertionError(f"replay committed {replay_new} versions")
+    return read_version(spark, table).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    ).select(
+        "*",
+        F.lit(5).alias("n_versions"),
+        F.lit(1).alias("final_chain_dirs"),
+        F.lit(2).alias("txn_last_batch"),
+        F.lit(0).alias("replay_new_versions"),
+    )
+
+
+SQL_STREAMING_VERSIONED_INGEST = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(value), 4) AS sum_value,
+       min(event_id) AS min_id, max(event_id) AS max_id,
+       5 AS n_versions, 1 AS final_chain_dirs,
+       2 AS txn_last_batch, 0 AS replay_new_versions
+FROM events WHERE event_id % 7 = 0 AND event_id < 21000
+"""
+
+
 #: HLL precision for the time rollup — distinct from the group-distinct
 #: query's p=8 and the streaming row's p=10, so no two adjudicated rows
 #: share register content by accident
@@ -8263,7 +8353,6 @@ QUERIES: dict[str, tuple] = {
     "profile_drift": (q_profile_drift, SQL_PROFILE_DRIFT),
     "token_pmi": (q_token_pmi, SQL_TOKEN_PMI),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
-    "online_snapshot": (q_online_snapshot, SQL_ONLINE_SNAPSHOT),
     "contamination_report": (q_contamination_report, SQL_CONTAMINATION_REPORT),
     "avro_scan": (q_avro_scan, SQL_AVRO_SCAN),
     "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
@@ -8272,15 +8361,14 @@ QUERIES: dict[str, tuple] = {
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "top_terms_tfidf": (q_top_terms_tfidf, SQL_TOP_TERMS_TFIDF),
     # ======================= TAIL (not in this round's window) ============
-    # --- deferred ONE round to fund the r14 window's 6 new/claimed slots
-    # (each deferral's operator surface runs inside an in-window query;
-    # both r12-green and value-checked every pytest run; back in-window
-    # round 15):
-    #   cosine_topk — exact-cosine baseline; the ANN family is in-window
-    #     via ivfpq_topk (+ r13-green ivf_topk/embedding_near_dupes_lsh);
+    # cosine_topk slid back INTO the window when online_snapshot was
+    # retired (see RETIRED_QUERIES round-14 block) — no deferral needed.
+    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    # --- deferred ONE round to fund the r14 window's new/claimed slots
+    # (operator surface runs inside an in-window query; r12-green and
+    # value-checked every pytest run; back in-window round 15):
     #   ann_lsh_topk — hyperplane-LSH bucketing inside r13-green
     #     embedding_near_dupes_lsh.
-    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     # --- the round-13 window (all 50/50 green in CORRECTNESS_r13; two
     # tier-1 anchors stayed in-window above, these three tier-1 rows
@@ -8345,6 +8433,14 @@ QUERIES: dict[str, tuple] = {
     "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
     "order_priority_count": (q_order_priority_count, SQL_ORDER_PRIORITY_COUNT),
     "top_spenders": (q_top_spenders, SQL_TOP_SPENDERS),
+    # NEW in round 14 at the TAIL (the window is full and a new surface
+    # should not bump a promised re-adjudication): streaming ingest into
+    # a versioned table — txn-idempotent batch commits + mid-stream
+    # compaction + replay. Pytest- and oracle-parity-pinned now; window
+    # slot round 15.
+    "streaming_versioned_ingest": (
+        q_streaming_versioned_ingest, SQL_STREAMING_VERSIONED_INGEST,
+    ),
 }
 
 #: Retired from the driver registry (budget: ~100 adjudicated queries).
@@ -8559,4 +8655,15 @@ RETIRED_QUERIES: dict[str, tuple] = {
     "customer_balance_deciles": (
         q_customer_balance_deciles, SQL_CUSTOMER_BALANCE_DECILES,
     ),
+    #   online_snapshot (latest row per entity in an interval — M6's
+    #   batch semantics) -> latest_event_per_user (the identical
+    #                                latest_per_key window shape) +
+    #                                materialize_stream (the SAME
+    #                                latest-per-key merge, adjudicated
+    #                                through the full online-store
+    #                                path) + online_lookup (reading the
+    #                                materialized snapshot); retired to
+    #                                fund streaming_versioned_ingest's
+    #                                registry slot
+    "online_snapshot": (q_online_snapshot, SQL_ONLINE_SNAPSHOT),
 }

@@ -22,9 +22,8 @@ from my_feast_spark import workload
 # out two.
 ROTATION_TAIL = {
     # deferred ONE round to fund the r14 new/claimed slots (operator
-    # surfaces run inside in-window queries; rationale at the QUERIES
+    # surface runs inside in-window queries; rationale at the QUERIES
     # tail block); MUST be in-window round 15
-    "cosine_topk",
     "ann_lsh_topk",
     # tier-1 anchors stepping out for one round (13 consecutive green
     # rows); MUST be in-window round 15
@@ -77,6 +76,9 @@ ROTATION_TAIL = {
     "regional_revenue",
     "order_priority_count",
     "top_spenders",
+    # NEW in round 14 at the TAIL (window full); pytest- and
+    # oracle-parity-pinned now, window slot round 15
+    "streaming_versioned_ingest",
 }
 
 #: last adjudicated in round 12 (or deferred one round with an
@@ -120,8 +122,8 @@ ROTATED_IN = {
     "profile_drift",
     "token_pmi",
     "inverted_index",
-    "online_snapshot",
     "contamination_report",
+    "cosine_topk",
     "avro_scan",
     "multimodal_frames",
     "stream_capture_files",
@@ -193,10 +195,12 @@ RETIRED_THIS_ROUND = {
     "lineitem_unpivot",
     "post_signup_activity",
     # round 14 (registry budget for pit_versioned_asof /
-    # hll_time_rollup / skew_report; successors in workload.py)
+    # hll_time_rollup / skew_report / streaming_versioned_ingest;
+    # successors in workload.py)
     "exact_dedup_docs",
     "event_type_pivot",
     "customer_balance_deciles",
+    "online_snapshot",
 }
 
 
