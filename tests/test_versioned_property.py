@@ -94,3 +94,86 @@ def test_versioned_protocol_matches_model(spark, tmp_path_factory, ops):
             assert _read_multiset(spark, path, v) == model[v], (
                 f"version {v} diverged after {kind}"
             )
+
+
+# --- txn (idempotent-append) protocol against the same model ------------
+
+_txn_op = st.one_of(
+    st.tuples(st.just("append"), _rows),
+    st.tuples(st.just("overwrite"), _rows),
+    st.tuples(st.just("upsert"), _rows),
+    st.tuples(st.just("checkpoint"), st.none()),
+    st.tuples(
+        st.just("txn_append"),
+        st.tuples(
+            _rows,
+            st.sampled_from(["appA", "appB"]),
+            st.integers(min_value=0, max_value=3),
+        ),
+    ),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_txn_op, min_size=2, max_size=6))
+def test_txn_protocol_matches_model(spark, tmp_path_factory, ops):
+    """The Delta-style txn high-water protocol: a txn append with an id
+    at or below the per-app record is a no-op (content AND version
+    count), content-preserving rewrites carry the record, a plain
+    overwrite resets it — random interleavings vs a pure-Python model
+    of both the content and the txn map."""
+    from my_feast_spark.sources.versioned import _fs, _read_manifest
+
+    path = str(tmp_path_factory.mktemp("vtxn") / "t")
+    model: dict[int, list[tuple[int, int]]] = {}
+    txn_model: dict[str, int] = {}
+
+    def latest_rows() -> list[tuple[int, int]]:
+        return model[max(model)] if model else []
+
+    write_version(_to_df(spark, {0: 0}), path, mode="overwrite")
+    model[0] = [(0, 0)]
+
+    for kind, payload in ops:
+        if kind == "append":
+            v = write_version(_to_df(spark, payload), path, mode="append")
+            model[v] = sorted(latest_rows() + sorted(payload.items()))
+        elif kind == "overwrite":
+            v = write_version(
+                _to_df(spark, payload), path, mode="overwrite"
+            )
+            model[v] = sorted(payload.items())
+            txn_model = {}  # new contents, new transaction history
+        elif kind == "upsert":
+            v = upsert_version(_to_df(spark, payload), path, ["k"])
+            kept = [t for t in latest_rows() if t[0] not in payload]
+            model[v] = sorted(kept + sorted(payload.items()))
+        elif kind == "checkpoint":
+            v = checkpoint_version(spark, path)
+            model[v] = latest_rows()
+        elif kind == "txn_append":
+            rows, app, tid = payload
+            v = write_version(
+                _to_df(spark, rows), path, mode="append", txn=(app, tid)
+            )
+            if tid <= txn_model.get(app, -1):
+                assert v == max(model), "replay must not commit"
+            else:
+                model[v] = sorted(latest_rows() + sorted(rows.items()))
+                txn_model[app] = tid
+
+        committed = list_versions(spark, path)
+        assert committed == sorted(model)
+        for v in committed:
+            assert _read_multiset(spark, path, v) == model[v], (
+                f"version {v} diverged after {kind}"
+            )
+        jvm, fs = _fs(spark, path)
+        got_txn = _read_manifest(jvm, fs, path, committed[-1]).get(
+            "txn", {}
+        )
+        assert got_txn == txn_model, f"txn map diverged after {kind}"
