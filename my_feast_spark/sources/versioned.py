@@ -67,6 +67,56 @@ class VersionConflictError(RuntimeError):
     and recompute (the registry's optimistic-concurrency contract)."""
 
 
+class SchemaEvolutionError(ValueError):
+    """An append's schema is incompatible with the table's: a column
+    type changed (never allowed), or new columns arrived without
+    ``merge_schema=True`` (Delta's mergeSchema contract)."""
+
+
+def _schema_merge(parent_schema, new_schema, merge_schema: bool):
+    """Validate an append's schema against the table's and return the
+    merged table schema (parent fields first, genuinely-new fields
+    appended, everything nullable). Type comparison uses simpleString —
+    nullability differences are not conflicts (parquet makes everything
+    nullable anyway); a same-name different-type column always is."""
+    from pyspark.sql.types import StructField, StructType
+
+    pmap = {f.name: f for f in parent_schema.fields}
+    conflicts = [
+        f"{f.name}: {pmap[f.name].dataType.simpleString()} -> "
+        f"{f.dataType.simpleString()}"
+        for f in new_schema.fields
+        if f.name in pmap
+        and f.dataType.simpleString() != pmap[f.name].dataType.simpleString()
+    ]
+    if conflicts:
+        raise SchemaEvolutionError(
+            f"column type changes are not allowed: {conflicts}"
+        )
+    extra = [f for f in new_schema.fields if f.name not in pmap]
+    if extra and not merge_schema:
+        raise SchemaEvolutionError(
+            f"append adds columns {[f.name for f in extra]} not in the "
+            "table schema; pass merge_schema=True to evolve it"
+        )
+    return StructType(
+        [StructField(f.name, f.dataType, True)
+         for f in parent_schema.fields]
+        + [StructField(f.name, f.dataType, True) for f in extra]
+    )
+
+
+def _parent_schema(spark, jvm, fs, path: str, parent: int, pm: dict):
+    """The parent version's table schema: from its manifest when
+    recorded, else inferred from its data directories (legacy tables
+    adopt the schema contract on their next commit)."""
+    from pyspark.sql.types import StructType
+
+    if "schema" in pm:
+        return StructType.fromJson(pm["schema"])
+    return spark.read.parquet(*[f"{path}/{d}" for d in pm["dirs"]]).schema
+
+
 def _fs(spark: SparkSession, path: str):
     sc = spark.sparkContext
     jvm = sc._jvm
@@ -110,6 +160,7 @@ def write_version(
     stats_cols: list[str] | None = None,
     expected_parent: int | None = None,
     txn: tuple[str, int] | None = None,
+    merge_schema: bool = False,
     _carry_txn: bool = False,
 ) -> int:
     """Commit ``df`` as a new version of the table at ``path``.
@@ -145,7 +196,18 @@ def write_version(
     replay is exactly the case a directory-containment check would
     get wrong), and a plain overwrite RESETS it (new table contents,
     new transaction history). A torn earlier attempt's directory is
-    invisible (no manifest names it) and reclaimed by vacuum."""
+    invisible (no manifest names it) and reclaimed by vacuum.
+
+    Schema contract (Delta's fourth lever): every manifest records the
+    table SCHEMA at that version, and ``read_version`` scans with it —
+    no footer inference, and a directory written before a column
+    existed serves NULLs for it. An append whose schema adds columns
+    needs ``merge_schema=True`` (the new columns join the table schema,
+    old versions keep theirs — time travel returns each version's own
+    shape); a same-name different-type column is always a loud
+    :class:`SchemaEvolutionError`. An overwrite resets the schema to
+    the new contents'. Legacy manifests without a recorded schema keep
+    inference and adopt the contract on their next commit."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
     if txn is not None:
@@ -192,6 +254,17 @@ def write_version(
                 # and this retry — the transaction is already applied
                 fs.delete(_hpath(jvm, path, commit_dir), True)
                 return parent
+            # schema check against the FINAL parent (it may have moved
+            # since the caller's view — the same reason expected_parent
+            # lives in this loop)
+            try:
+                table_schema = _schema_merge(
+                    _parent_schema(spark, jvm, fs, path, parent, pm),
+                    df.schema, merge_schema,
+                )
+            except SchemaEvolutionError:
+                fs.delete(_hpath(jvm, path, commit_dir), True)
+                raise
             dirs = pm["dirs"] + [commit_dir]
         else:
             # overwrite resets the txn history — UNLESS this is a
@@ -203,6 +276,12 @@ def write_version(
                     _read_manifest(jvm, fs, path, parent).get("txn", {})
                 )
             dirs = [commit_dir]
+            from pyspark.sql.types import StructField, StructType
+
+            table_schema = StructType([
+                StructField(f.name, f.dataType, True)
+                for f in df.schema.fields
+            ])
         if txn is not None:
             txn_map[txn_app] = max(txn_map.get(txn_app, -1), txn_v)
         manifest = {
@@ -210,6 +289,7 @@ def write_version(
             "parent": parent,
             "mode": mode,
             "dirs": dirs,
+            "schema": table_schema.jsonValue(),
         }
         if txn_map:
             manifest["txn"] = txn_map
@@ -234,7 +314,10 @@ def read_version(
     spark: SparkSession, path: str, version: int | None = None,
 ) -> DataFrame:
     """The table as of ``version`` (default: latest). One manifest read
-    resolves the directory list; Spark scans exactly those."""
+    resolves the directory list AND the schema — the scan plans with
+    the log's recorded schema (no footer-inference job; a directory
+    written before a column existed serves NULLs for it). Legacy
+    manifests without a recorded schema fall back to inference."""
     jvm, fs = _fs(spark, path)
     versions = list_versions(spark, path)
     if not versions:
@@ -246,7 +329,12 @@ def read_version(
             f"version {version} not in committed set {versions}"
         )
     m = _read_manifest(jvm, fs, path, version)
-    return spark.read.parquet(*[f"{path}/{d}" for d in m["dirs"]])
+    reader = spark.read
+    if "schema" in m:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(m["schema"]))
+    return reader.parquet(*[f"{path}/{d}" for d in m["dirs"]])
 
 
 def read_version_with_skipping(
@@ -282,7 +370,12 @@ def read_version_with_skipping(
         df, rep = scan_with_skipping(spark, f"{path}/{d}", predicates)
         for k in report:
             report[k] += rep[k]
-        out = df if out is None else out.unionByName(df)
+        # allowMissingColumns: under schema evolution an older commit's
+        # directory lacks the newer columns — serve NULLs, like the
+        # schema-planned read_version scan does
+        out = df if out is None else out.unionByName(
+            df, allowMissingColumns=True
+        )
     return out, report
 
 
@@ -315,6 +408,37 @@ def upsert_version(
         mode="overwrite",
         expected_parent=base_version,
         _carry_txn=True,
+    )
+
+
+def delete_version(
+    spark: SparkSession, path: str, condition,
+) -> int:
+    """Row-level DELETE (Delta's DELETE WHERE): commit a new version
+    holding the latest version's rows with ``condition`` NOT true —
+    rows where the predicate evaluates NULL are KEPT (SQL DELETE
+    semantics). ``condition`` is a Column or a SQL string. One
+    content-preserving rewrite pinned to the version it read
+    (``expected_parent`` — a concurrent commit raises
+    :class:`VersionConflictError` instead of silently resurrecting or
+    dropping its rows); the txn history carries through. Pre-delete
+    versions keep time-traveling until vacuumed."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    if not isinstance(cond, Column):
+        raise TypeError("condition must be a Column or SQL string")
+    versions = list_versions(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    base_version = versions[-1]
+    kept = read_version(spark, path, base_version).where(
+        ~F.coalesce(cond, F.lit(False))
+    )
+    return write_version(
+        kept, path, mode="overwrite",
+        expected_parent=base_version, _carry_txn=True,
     )
 
 

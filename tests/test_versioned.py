@@ -396,3 +396,111 @@ def test_checkpoint_if_due_bounds_reader_chain(spark, tmp_path):
     assert V.checkpoint_if_due(spark, path, max_dirs=4) is None  # not due
     # empty table: no-op, not an error
     assert V.checkpoint_if_due(spark, str(tmp_path / "none")) is None
+
+
+def test_schema_evolution_is_gated_and_reads_plan_with_log_schema(
+    spark, tmp_path
+):
+    """Delta's fourth lever: appends adding columns need
+    merge_schema=True, type changes always raise, reads plan with the
+    manifest's recorded schema (old directories serve NULLs for newer
+    columns, each version time-travels with its own shape)."""
+    from my_feast_spark.sources import versioned as V
+
+    path = str(tmp_path / "t")
+    V.write_version(spark.createDataFrame([(1, 10)], ["k", "v"]), path)
+    wide = spark.createDataFrame([(2, 20, "x")], ["k", "v", "w"])
+
+    with pytest.raises(V.SchemaEvolutionError, match="merge_schema=True"):
+        V.write_version(wide, path, mode="append")
+    assert V.list_versions(spark, path) == [0]  # nothing committed
+
+    v1 = V.write_version(wide, path, mode="append", merge_schema=True)
+    latest = V.read_version(spark, path)
+    assert latest.columns == ["k", "v", "w"]
+    got = {r["k"]: (r["v"], r["w"]) for r in latest.collect()}
+    assert got == {1: (10, None), 2: (20, "x")}  # old dir serves NULL w
+    # each version keeps its own shape
+    assert V.read_version(spark, path, 0).columns == ["k", "v"]
+
+    # a type change is never allowed, merge_schema or not
+    retyped = spark.createDataFrame([("no", 1, "y")], ["k", "v", "w"])
+    with pytest.raises(V.SchemaEvolutionError, match="type changes"):
+        V.write_version(retyped, path, mode="append", merge_schema=True)
+
+    # appends MISSING a table column are fine: the scan fills NULLs
+    v2 = V.write_version(
+        spark.createDataFrame([(3, 30)], ["k", "v"]), path, mode="append"
+    )
+    assert v2 == v1 + 1
+    got = {r["k"]: r["w"] for r in V.read_version(spark, path).collect()}
+    assert got == {1: None, 2: "x", 3: None}
+
+    # checkpoint + upsert keep working over the evolved table
+    V.checkpoint_version(spark, path, num_files=1)
+    assert V.read_version(spark, path).count() == 3
+    jvm, fs = V._fs(spark, path)
+    m = V._read_manifest(jvm, fs, path, V.list_versions(spark, path)[-1])
+    assert [f["name"] for f in m["schema"]["fields"]] == ["k", "v", "w"]
+
+    # an overwrite RESETS the schema contract
+    V.write_version(
+        spark.createDataFrame([(9,)], ["z"]), path, mode="overwrite"
+    )
+    assert V.read_version(spark, path).columns == ["z"]
+
+
+def test_skipping_read_spans_evolved_commits(spark, tmp_path):
+    from my_feast_spark.sources import versioned as V
+
+    path = str(tmp_path / "t")
+    V.write_version(
+        spark.createDataFrame([(1, 10)], ["k", "v"]), path,
+        stats_cols=["k"],
+    )
+    V.write_version(
+        spark.createDataFrame([(5, 50, "x")], ["k", "v", "w"]), path,
+        mode="append", stats_cols=["k"], merge_schema=True,
+    )
+    df, rep = V.read_version_with_skipping(spark, path, {"k": (5, 9)})
+    rows = df.collect()
+    assert [(r["k"], r["w"]) for r in rows] == [(5, "x")]
+    assert rep["files_skipped"] >= 1  # the k=1 commit pruned
+
+
+def test_delete_version_sql_semantics(spark, tmp_path):
+    """DELETE WHERE: matching rows go, NULL-predicate rows STAY, old
+    versions time-travel, the txn history survives the rewrite."""
+    from pyspark.sql import Row
+
+    from my_feast_spark.sources import versioned as V
+
+    path = str(tmp_path / "t")
+    V.write_version(
+        spark.createDataFrame(
+            [Row(k=1, v=5), Row(k=2, v=15), Row(k=3, v=None)]
+        ),
+        path, txn=("app", 0),
+    )
+    v_del = V.delete_version(spark, path, "v > 10")
+    got = {r["k"] for r in V.read_version(spark, path).collect()}
+    assert got == {1, 3}  # k=2 deleted; k=3 (NULL predicate) kept
+    assert V.read_version(spark, path, v_del - 1).count() == 3
+
+    # txn record carried: the replay of batch 0 after the delete is a
+    # no-op
+    latest = V.list_versions(spark, path)[-1]
+    assert V.write_version(
+        spark.createDataFrame([Row(k=1, v=5)]), path, txn=("app", 0)
+    ) == latest
+
+    # Column condition + conflict pinning
+    from pyspark.sql import functions as F
+
+    V.delete_version(spark, path, F.col("k") == 3)
+    assert {r["k"] for r in V.read_version(spark, path).collect()} == {1}
+
+    with pytest.raises(FileNotFoundError):
+        V.delete_version(spark, str(tmp_path / "none"), "k = 1")
+    with pytest.raises(TypeError):
+        V.delete_version(spark, path, 42)
