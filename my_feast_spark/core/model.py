@@ -127,6 +127,31 @@ class FeatureView:
         return [f.name for f in self.features]
 
 
+def resolve_as_of(as_of_version, view_name: str):
+    """Per-view pinned version from an ``as_of_version`` argument (int
+    applies to every view; dict maps view name -> version; None follows
+    each source's own pin/latest) — the one resolution both
+    ``get_historical_features`` and ``materialize`` use."""
+    if isinstance(as_of_version, dict):
+        return as_of_version.get(view_name)
+    return as_of_version
+
+
+def check_as_of_views(as_of_version, known_views) -> None:
+    """A dict ``as_of_version`` naming a view that is not part of this
+    call is almost certainly a typo — and a typo here silently reads
+    the MUTABLE latest state, violating the reproducible-training-set
+    contract (review-caught). Fail loudly instead."""
+    if not isinstance(as_of_version, dict):
+        return
+    unknown = set(as_of_version) - set(known_views)
+    if unknown:
+        raise KeyError(
+            f"as_of_version names views {sorted(unknown)} not in this "
+            f"call's views {sorted(known_views)}"
+        )
+
+
 # --- JSON (de)serialization -------------------------------------------------
 
 def to_json_dict(obj) -> dict:

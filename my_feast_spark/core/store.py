@@ -264,17 +264,19 @@ class FeatureStore:
         versioned feature sources as of a pinned table version — the
         offline/online parity guarantee: serve exactly the snapshot a
         time-traveled training set was built from."""
+        from my_feast_spark.core.model import check_as_of_views, resolve_as_of
+
+        check_as_of_views(as_of_version, feature_views)
         for view_name in feature_views:
             fv = self.get_feature_view(view_name)
             join_keys: list[str] = []
             for ent in fv.entities:
                 join_keys.extend(self.registry.get_entity(ent).join_keys)
             src = fv.source
-            if isinstance(as_of_version, dict):
-                view_version = as_of_version.get(view_name)
-            else:
-                view_version = as_of_version
-            df = src.load(self.spark, version=view_version).filter(
+            df = src.load(
+                self.spark,
+                version=resolve_as_of(as_of_version, view_name),
+            ).filter(
                 (F.col(src.timestamp_field) >= F.lit(start))
                 & (F.col(src.timestamp_field) <= F.lit(end))
             )

@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 
 from my_feast_spark.functions.text import adjacent_pairs, tokens
 from my_feast_spark.operators.graph import release_checkpoint
+from my_feast_spark.operators.wordpiece import MAX_TRAIN_WORDS
 
 #: end-of-word marker symbol (Sennrich): distinguishes "est"-as-suffix
 #: from "est"-mid-word, and makes word reconstruction unambiguous
@@ -131,7 +132,7 @@ def train_bpe_merges(
     lowercase: bool = True,
     distributed_rounds: bool = False,
     min_word_count: int = 1,
-    max_train_words: int | None = 1_000_000,
+    max_train_words: int | None = MAX_TRAIN_WORDS,
 ) -> list[dict]:
     """Learn up to ``rounds`` BPE merges from a corpus.
 
@@ -178,6 +179,19 @@ def train_bpe_merges(
         local_vocab = {
             tuple(r["word"]) + (EOW,): int(r["n"]) for r in words.collect()
         }
+        if (
+            max_train_words is not None
+            and len(local_vocab) >= max_train_words
+        ):
+            import warnings
+
+            warnings.warn(
+                f"word table hit the max_train_words cap "
+                f"({max_train_words}) — training sees only the most "
+                "frequent words; raise the cap (or pass None) to train "
+                "on the full table",
+                stacklevel=2,
+            )
         return _merge_loop_local(local_vocab, rounds, min_pair_count)
 
     # distributed rounds: every checkpoint lives in `live` until

@@ -522,34 +522,58 @@ def write_ivfpq_index(enc: DataFrame, model: dict, path: str) -> None:
     streaming dedup index's pbucket layout."""
     import json
     import os
+    import uuid as _uuid
 
     spark = enc.sparkSession
     cells_root = os.path.join(path, "cells")
     # A (re)build REPLACES the whole index — every prior generation, not
-    # just the partitions present in this build. The session runs with
-    # partitionOverwriteMode=dynamic (session.py), under which the
-    # partitioned overwrite below would only replace append_id=0 and
-    # leave ivfpq_append generations (encoded with the OLD quantizers)
-    # to be unioned against the new model by read_ivfpq_index — silent
-    # result corruption. Same trap as core/store.py's online overwrite:
-    # clear the root first, so "rebuild replaces every generation" is
-    # structural rather than mode-dependent.
+    # just the partitions present in this build (the session's DYNAMIC
+    # partition-overwrite mode would only replace append_id=0 and leave
+    # ivfpq_append generations, encoded with the OLD quantizers, to be
+    # unioned against the new model — silent result corruption). And it
+    # must not DESTROY the serving index before the replacement exists
+    # (review-caught: a delete-then-write rebuild that crashes mid-write
+    # leaves nothing to serve). So: stage the complete new layout —
+    # codes AND the quantizer state, under one root so they can never
+    # be observed mismatched — then swap with delete+rename; the
+    # no-index window is two metadata ops, and a crash inside it is
+    # healed by the read path (a committed staging root is renamed into
+    # place on the next read/append).
     jvm = spark.sparkContext._jvm
     hp = jvm.org.apache.hadoop.fs.Path(cells_root)
     fs = hp.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    if fs.exists(hp):
-        fs.delete(hp, True)
+    staging = os.path.join(path, f"cells.staging-{_uuid.uuid4().hex[:8]}")
     (
         enc.withColumn("append_id", F.lit(0))
         .repartition("cell")
         .write.mode("overwrite")
         .partitionBy("append_id", "cell")
-        .parquet(cells_root)
+        .parquet(staging)
     )
-    _mark_generation_committed(spark, cells_root, 0)
+    spark.createDataFrame(
+        [(json.dumps(model),)], ["model_json"]
+    ).coalesce(1).write.mode("overwrite").json(
+        os.path.join(staging, "_model")
+    )
+    _mark_generation_committed(spark, staging, 0)
+    if fs.exists(hp):
+        fs.delete(hp, True)
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(staging), hp):
+        raise RuntimeError(
+            f"failed to swap staged index {staging!r} into {cells_root!r}"
+        )
+    # legacy-layout model copy (pre-staging readers look at path/model);
+    # written AFTER the swap so old readers never see a new model over
+    # old codes
     spark.createDataFrame(
         [(json.dumps(model),)], ["model_json"]
     ).coalesce(1).write.mode("overwrite").json(os.path.join(path, "model"))
+    # best-effort cleanup of older crashed stagings
+    pp = jvm.org.apache.hadoop.fs.Path(path)
+    for st in fs.listStatus(pp):
+        name = st.getPath().getName()
+        if name.startswith("cells.staging-"):
+            fs.delete(st.getPath(), True)
 
 
 #: explicit per-generation commit marker: the session's DYNAMIC
@@ -568,6 +592,53 @@ def _mark_generation_committed(spark, cells_root: str, gen: int) -> None:
     fs.create(mp, True).close()
 
 
+def _heal_staged_index(jvm, fs, path: str) -> bool:
+    """Finish a rebuild that crashed between delete and rename: if the
+    cells root is missing but a COMPLETE staged build exists (its
+    generation-0 marker present), rename the newest one into place.
+    Returns True when a cells root exists afterwards."""
+    import os
+
+    pp = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(pp):
+        return False
+    best = None
+    for st in fs.listStatus(pp):
+        name = st.getPath().getName()
+        if not name.startswith("cells.staging-"):
+            continue
+        marker = jvm.org.apache.hadoop.fs.Path(
+            st.getPath(), f"append_id=0/{_GEN_MARKER}"
+        )
+        if fs.exists(marker) and (
+            best is None
+            or st.getModificationTime() > best.getModificationTime()
+        ):
+            best = st
+    dest = jvm.org.apache.hadoop.fs.Path(os.path.join(path, "cells"))
+    if best is None:
+        return fs.exists(dest)
+    # a concurrent healer may win the rename — either way the root exists
+    return fs.rename(best.getPath(), dest) or fs.exists(dest)
+
+
+def _read_model(spark, jvm, fs, path: str) -> dict:
+    """Quantizer state: from inside the cells root (staged-swap layout,
+    moves atomically with the codes) when present, else the legacy
+    sibling ``path/model``."""
+    import json
+    import os
+
+    inner = os.path.join(path, "cells", "_model")
+    target = (
+        inner
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(inner))
+        else os.path.join(path, "model")
+    )
+    row = spark.read.json(target).collect()[0]
+    return json.loads(row.model_json)
+
+
 def read_ivfpq_index(spark, path: str):
     """Load ``(enc, model)`` written by :func:`write_ivfpq_index` (+ any
     :func:`ivfpq_append` generations) — ``enc`` scans the partitioned
@@ -584,6 +655,11 @@ def read_ivfpq_index(spark, path: str):
     cells_root = os.path.join(path, "cells")
     hp = jvm.org.apache.hadoop.fs.Path(cells_root)
     fs = hp.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(hp):
+        # a rebuild that crashed between delete and rename left a
+        # complete staged build next door — finish its swap
+        if not _heal_staged_index(jvm, fs, path):
+            raise FileNotFoundError(f"no index at {path}")
     gen_dirs = []
     flat_legacy = False
     torn_gens = 0
@@ -624,8 +700,7 @@ def read_ivfpq_index(spark, path: str):
     enc = enc_raw.select(
         "corpus_id", F.col("cell").cast("int").alias("cell"), "codes"
     )
-    row = spark.read.json(os.path.join(path, "model")).collect()[0]
-    model = json.loads(row.model_json)
+    model = _read_model(spark, jvm, fs, path)
     model["centroids"] = np.asarray(model["centroids"], dtype=np.float64)
     model["codebooks"] = np.asarray(model["codebooks"], dtype=np.float64)
     return enc, model
@@ -678,7 +753,7 @@ def ivfpq_append(
     cells_root = os.path.join(path, "cells")
     hp = jvm.org.apache.hadoop.fs.Path(cells_root)
     fs = hp.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    if not fs.exists(hp):
+    if not fs.exists(hp) and not _heal_staged_index(jvm, fs, path):
         raise FileNotFoundError(
             f"no index at {path}; build one with write_ivfpq_index first"
         )
@@ -696,8 +771,7 @@ def ivfpq_append(
             default=0,
         )
 
-    row = spark.read.json(os.path.join(path, "model")).collect()[0]
-    model = json.loads(row.model_json)
+    model = _read_model(spark, jvm, fs, path)
     centroids = np.asarray(model["centroids"], dtype=np.float64)
     cb = np.asarray(model["codebooks"], dtype=np.float64)
 

@@ -223,6 +223,15 @@ def train_wordpiece(
             F.col("n").desc(), F.col("word").asc()
         ).limit(int(max_train_words))
     wc = {r["word"]: int(r["n"]) for r in words.collect()}
+    if max_train_words is not None and len(wc) >= max_train_words:
+        import warnings
+
+        warnings.warn(
+            f"word table hit the max_train_words cap ({max_train_words})"
+            " — training sees only the most frequent words; raise the"
+            " cap (or pass None) to train on the full table",
+            stacklevel=2,
+        )
     if not wc:
         raise ValueError("no words in the corpus — nothing to train on")
     pieces = train_from_word_counts(
@@ -321,8 +330,15 @@ def train_wordpiece_local(
     if min_word_count > 1:
         wc = {w: n for w, n in wc.items() if n >= min_word_count}
     if max_train_words is not None and len(wc) > max_train_words:
+        import warnings
+
         top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))
         wc = dict(top[:max_train_words])
+        warnings.warn(
+            f"word table hit the max_train_words cap ({max_train_words})"
+            " — training sees only the most frequent words",
+            stacklevel=2,
+        )
     if not wc:
         raise ValueError("no words in the corpus — nothing to train on")
     return train_from_word_counts(

@@ -29,7 +29,11 @@ from typing import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from my_feast_spark.core.model import FeatureView
+from my_feast_spark.core.model import (
+    FeatureView,
+    check_as_of_views,
+    resolve_as_of,
+)
 from my_feast_spark.operators.asof_join import point_in_time_join
 
 #: surrogate probe row id for the multi-view narrow-probe merge
@@ -139,6 +143,7 @@ def build_historical_retrieval(
     source's own pin/latest).
     """
     refs = parse_feature_refs(features)
+    check_as_of_views(as_of_version, refs)
 
     def _view_pit(probe, view_name, feat_names):
         fv = feature_views[view_name]
@@ -151,11 +156,9 @@ def build_historical_retrieval(
             raise KeyError(f"view {view_name!r} has no features {unknown}")
 
         src = fv.source
-        if isinstance(as_of_version, dict):
-            view_version = as_of_version.get(view_name)
-        else:
-            view_version = as_of_version
-        feature_df = src.load(spark, version=view_version)
+        feature_df = src.load(
+            spark, version=resolve_as_of(as_of_version, view_name)
+        )
         # column pruning before the join: keys + timestamps + requested only
         keep = (
             join_keys

@@ -332,12 +332,20 @@ def scan_with_skipping(
     spark: SparkSession,
     path: str,
     predicates: Mapping[str, tuple],
+    schema=None,
 ) -> tuple[DataFrame, dict]:
     """Plan a scan of ``path`` reading ONLY the files whose stats ranges
     intersect every ``col: (lo, hi)`` predicate (either bound may be
     None for one-sided ranges). Returns ``(df, report)`` where the
     DataFrame already has the predicates applied row-level and the
     report records ``{"files_total", "files_read", "files_skipped"}``.
+
+    ``schema`` (optional StructType) makes the scan plan with an
+    explicit table schema instead of footer inference — columns absent
+    from this directory's files read as NULL, so a predicate on a
+    column added by schema evolution resolves (and drops every row)
+    rather than failing analysis. Files without stats for a predicate
+    column are conservatively kept either way.
 
     Raises if the sidecar is missing or stale (unknown data files) —
     a skipping scan that silently fell back to reading everything
@@ -480,6 +488,8 @@ def scan_with_skipping(
     # columns would silently vanish from the pruned scan's schema
     base = spark_base.rstrip("/")
     reader = spark.read.option("basePath", base)
+    if schema is not None:
+        reader = reader.schema(schema)
     if keep:
         df = reader.parquet(*[f"{base}/{r}" for r in keep])
     else:

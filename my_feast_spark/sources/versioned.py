@@ -106,7 +106,7 @@ def _schema_merge(parent_schema, new_schema, merge_schema: bool):
     )
 
 
-def _parent_schema(spark, jvm, fs, path: str, parent: int, pm: dict):
+def _parent_schema(spark, path: str, pm: dict):
     """The parent version's table schema: from its manifest when
     recorded, else inferred from its data directories (legacy tables
     adopt the schema contract on their next commit)."""
@@ -259,7 +259,7 @@ def write_version(
             # lives in this loop)
             try:
                 table_schema = _schema_merge(
-                    _parent_schema(spark, jvm, fs, path, parent, pm),
+                    _parent_schema(spark, path, pm),
                     df.schema, merge_schema,
                 )
             except SchemaEvolutionError:
@@ -364,10 +364,21 @@ def read_version_with_skipping(
             f"version {version} not in committed set {versions}"
         )
     m = _read_manifest(jvm, fs, path, version)
+    # plan every per-directory scan with the version's recorded schema:
+    # a predicate on a merge_schema-added column then resolves against
+    # pre-evolution directories (as all-NULL, matching nothing) instead
+    # of failing analysis (review-caught)
+    schema = None
+    if "schema" in m:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(m["schema"])
     out = None
     report = {"files_total": 0, "files_read": 0, "files_skipped": 0}
     for d in m["dirs"]:
-        df, rep = scan_with_skipping(spark, f"{path}/{d}", predicates)
+        df, rep = scan_with_skipping(
+            spark, f"{path}/{d}", predicates, schema=schema
+        )
         for k in report:
             report[k] += rep[k]
         # allowMissingColumns: under schema evolution an older commit's

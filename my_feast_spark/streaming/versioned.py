@@ -79,11 +79,14 @@ def versioned_ingest_stream(
             txn=(app_id, batch_id),
         )
         if compact_chain_at is not None:
+            # the compacted version must stay as skippable as the batch
+            # directories it replaces (review-caught): sweep the same
+            # stats_cols unless compact_kwargs overrides them
             checkpoint_if_due(
                 batch_df.sparkSession,
                 table_path,
                 max_dirs=compact_chain_at,
-                **(compact_kwargs or {}),
+                **{"stats_cols": stats_cols, **(compact_kwargs or {})},
             )
 
     writer = (

@@ -7782,19 +7782,27 @@ def q_pit_versioned_asof(spark, sf_dir):
     )
     from my_feast_spark.sources.versioned import write_version
 
+    from my_feast_spark.operators.graph import release_checkpoint
+
     events = _t(spark, sf_dir, "events")
+    # pin the gold aggregate once (eager): both filtered commits below
+    # read the checkpointed blocks instead of re-running the events
+    # scan + groupBy twice (review-caught)
     gold = events.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
     ).agg(
         _stable_round_avg("value", 4).alias("avg_value"),
         F.count(F.lit(1)).alias("cnt_events"),
-    )
+    ).localCheckpoint()
     scratch = _scratch_dir("mfs_vstore_")
     vt = f"{scratch}/vgold"
-    write_version(gold.where(F.hour("bucket_ts") % 2 == 0), vt)
-    write_version(
-        gold.where(F.hour("bucket_ts") % 2 == 1), vt, mode="append"
-    )
+    try:
+        write_version(gold.where(F.hour("bucket_ts") % 2 == 0), vt)
+        write_version(
+            gold.where(F.hour("bucket_ts") % 2 == 1), vt, mode="append"
+        )
+    finally:
+        release_checkpoint(gold)
     fs = FeatureStore(f"{scratch}/repo", spark=spark)
     fs.apply([
         Entity(name="user", value_type="INT64", join_keys=["user_id"]),

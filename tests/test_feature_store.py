@@ -649,7 +649,13 @@ def test_versioned_source_time_travel_retrieval(spark, tmp_path):
     assert fare() == 50.0                       # latest (v1)
     assert fare(as_of_version=0) == 10.0        # time travel
     assert fare(as_of_version={"drv": 0}) == 10.0
-    assert fare(as_of_version={"other": 0}) == 50.0  # unnamed -> latest
+    # a dict naming a view not in the call is a typo that would
+    # silently read mutable latest — loud instead
+    with pytest.raises(KeyError, match="not in this call"):
+        fare(as_of_version={"other": 0})
+    with pytest.raises(KeyError, match="not in this call"):
+        fs.materialize(TS(2024, 1, 1), TS(2024, 1, 2), ["drv"],
+                       as_of_version={"othre": 0})
 
     # registry round-trip preserves a SOURCE-LEVEL pin: the view is
     # frozen at v0 for every consumer until re-applied

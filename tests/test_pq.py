@@ -589,3 +589,60 @@ def test_ivfpq_torn_initial_build_refuses_to_serve(spark, emb, tmp_path):
 
     with pytest.raises(FileNotFoundError, match="torn build"):
         read_ivfpq_index(spark, path)
+
+
+def test_rebuild_stages_then_swaps_and_heals(spark, emb, tmp_path):
+    """Review-caught: a rebuild must not destroy the serving index
+    before its replacement exists. The new layout (codes + quantizer
+    state under one staged root) swaps in two metadata ops; a failed
+    staging write leaves the old index serving, and a crash between
+    delete and rename is healed by the read path."""
+    import os
+
+    from pyspark.sql import functions as F2
+    from pyspark.sql.functions import udf
+
+    from my_feast_spark.operators.pq import (
+        ivfpq_build,
+        ivfpq_search,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    path = str(tmp_path / "idx")
+    enc, model = ivfpq_build(
+        corpus, residual=True, m=M, k_codes=K, num_centroids=4
+    )
+    write_ivfpq_index(enc, model, path)
+    n = read_ivfpq_index(spark, path)[0].count()
+
+    # (a) a rebuild whose staging WRITE fails leaves the old index
+    # fully serving
+    @udf("int")
+    def boom(c):
+        raise ValueError("boom")
+
+    bad = enc.withColumn("cell", boom(F2.col("cell")))
+    with pytest.raises(Exception):
+        write_ivfpq_index(bad, model, path)
+    enc2, model2 = read_ivfpq_index(spark, path)
+    assert enc2.count() == n
+    q = corpus.limit(1).select(
+        F.col("corpus_id").alias("query_id"), "embedding"
+    )
+    assert ivfpq_search(enc2, model2, q, nprobe=4, k=3).count() > 0
+
+    # (b) crash between delete and rename: cells root gone, a complete
+    # staging next door — the read path heals it into place
+    os.rename(
+        os.path.join(path, "cells"),
+        os.path.join(path, "cells.staging-deadbeef"),
+    )
+    enc3, model3 = read_ivfpq_index(spark, path)
+    assert enc3.count() == n
+    assert os.path.isdir(os.path.join(path, "cells"))
+    assert model3["centroids"].shape[0] == 4
+
+    # (c) quantizer state rides INSIDE the swapped root
+    assert os.path.isdir(os.path.join(path, "cells", "_model"))

@@ -145,3 +145,25 @@ def test_stream_with_compaction_keeps_chain_bounded(spark, tmp_path):
     df, rep = V.read_version_with_skipping(spark, table2, {"k": (2, 2)})
     assert df.count() == 1
     assert rep["files_total"] >= 1
+
+
+def test_compaction_keeps_the_skipping_sidecar(spark, tmp_path):
+    """Review-caught: the compacted version must stay as skippable as
+    the batch directories it replaced — commit_batch forwards the
+    stream's stats_cols to checkpoint_if_due."""
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    for i in range(3):
+        _feed(spark, in_dir, [Row(k=i * 10, v=i)])
+        _run_once(spark, in_dir, table, ckpt, stats_cols=["k"],
+                  compact_chain_at=2, compact_kwargs={"num_files": 1})
+    # at least one compaction ran (3 batches, chain cap 2)
+    jvm, fs = V._fs(spark, table)
+    vs = V.list_versions(spark, table)
+    assert len(vs) > 3
+    # the skipping read works over the COMPACTED latest version
+    df, rep = V.read_version_with_skipping(spark, table, {"k": (10, 10)})
+    assert [r["k"] for r in df.collect()] == [10]
+    assert rep["files_total"] >= 1

@@ -504,3 +504,23 @@ def test_delete_version_sql_semantics(spark, tmp_path):
         V.delete_version(spark, str(tmp_path / "none"), "k = 1")
     with pytest.raises(TypeError):
         V.delete_version(spark, path, 42)
+
+
+def test_skipping_predicate_on_evolved_column(spark, tmp_path):
+    """Review-caught: a predicate on a merge_schema-added column must
+    resolve against pre-evolution directories (as all-NULL, matching
+    nothing) instead of failing analysis."""
+    from my_feast_spark.sources import versioned as V
+
+    path = str(tmp_path / "t")
+    V.write_version(
+        spark.createDataFrame([(1, 10)], ["k", "v"]), path,
+        stats_cols=["k"],
+    )
+    V.write_version(
+        spark.createDataFrame([(2, 20, 7)], ["k", "v", "score"]), path,
+        mode="append", stats_cols=["k"], merge_schema=True,
+    )
+    df, rep = V.read_version_with_skipping(spark, path, {"score": (0, 10)})
+    assert [(r["k"], r["score"]) for r in df.collect()] == [(2, 7)]
+    assert rep["files_total"] == rep["files_read"] + rep["files_skipped"]
