@@ -422,6 +422,115 @@ def upsert_version(
     )
 
 
+def restore_version(
+    spark: SparkSession, path: str, version: int,
+) -> int:
+    """Delta's RESTORE TO VERSION: make ``version``'s content the
+    LATEST again by publishing ONE new manifest that references the
+    restored version's data directories — no data is rewritten or
+    copied, the rollback costs one manifest write. The restored-from
+    manifest's schema comes along; the txn history carries through
+    (a restore is an operator action, not new stream content — a
+    replayed streaming batch must still be recognized). History is
+    preserved: the rolled-back versions keep time-traveling until
+    vacuumed, and vacuum keeps every directory a retained manifest
+    references, so restoring an old version protects its directories
+    again."""
+    jvm, fs = _fs(spark, path)
+    versions = list_versions(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    if version not in versions:
+        raise ValueError(
+            f"version {version} not in committed set {versions} — a "
+            "vacuumed version cannot be restored"
+        )
+    src = _read_manifest(jvm, fs, path, version)
+    while True:
+        parent = list_versions(spark, path)[-1]
+        if parent == version:
+            return version  # restoring the latest is a no-op
+        next_v = parent + 1
+        manifest = {
+            "version": next_v,
+            "parent": parent,
+            "mode": "restore",
+            "restored_from": version,
+            "dirs": list(src["dirs"]),
+        }
+        if "schema" in src:
+            manifest["schema"] = src["schema"]
+        txn_map = dict(
+            _read_manifest(jvm, fs, path, parent).get("txn", {})
+        )
+        if txn_map:
+            manifest["txn"] = txn_map
+        tmp = _hpath(
+            jvm, path, _VLOG, f".tmp-{next_v}-{uuid.uuid4().hex[:8]}"
+        )
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(json.dumps(manifest).encode("utf-8")))
+        finally:
+            out.close()
+        if fs.rename(tmp, _hpath(jvm, path, _VLOG, f"{next_v}.json")):
+            return next_v
+        fs.delete(tmp, False)
+
+
+def diff_versions(
+    spark: SparkSession,
+    path: str,
+    v_old: int,
+    v_new: int,
+    keys: list[str],
+) -> DataFrame:
+    """Audit diff between two versions: one row per key present in
+    either version with ``change`` ∈ {'added', 'removed', 'changed'}
+    (unchanged keys are absent). Non-key columns are compared as a
+    whole row (null-safe). Plan shape: one full outer join on ``keys``
+    — the two sides are version scans, so every pushdown/skipping lever
+    applies to each."""
+    from pyspark.sql import functions as F
+
+    old = read_version(spark, path, v_old)
+    new = read_version(spark, path, v_new)
+    # under schema evolution the two versions have different shapes:
+    # compare over the UNION of non-key columns, absent ones as typed
+    # NULLs, so both structs line up
+    types = {f.name: f.dataType for f in old.schema.fields}
+    types.update({f.name: f.dataType for f in new.schema.fields})
+    cols = [
+        c for c in dict.fromkeys([*old.columns, *new.columns])
+        if c not in keys
+    ]
+
+    def _side(df, alias):
+        struct_cols = [
+            (F.col(c) if c in df.columns
+             else F.lit(None).cast(types[c])).alias(c)
+            for c in cols
+        ]
+        return df.select(*keys, F.struct(*struct_cols).alias(alias))
+
+    o = _side(old, "__old")
+    n = _side(new, "__new")
+    j = o.join(n, keys, "full_outer")
+    return (
+        j.withColumn(
+            "change",
+            F.when(F.col("__old").isNull(), F.lit("added"))
+            .when(F.col("__new").isNull(), F.lit("removed"))
+            .when(
+                ~F.col("__old").eqNullSafe(F.col("__new")),
+                F.lit("changed"),
+            ),
+        )
+        .where(F.col("change").isNotNull())
+        .select(*keys, "change")
+    )
+
+
 def delete_version(
     spark: SparkSession, path: str, condition,
 ) -> int:
