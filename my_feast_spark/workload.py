@@ -7962,6 +7962,92 @@ FROM events WHERE event_id % 7 = 0 AND event_id < 21000
 """
 
 
+def q_versioned_restore_diff(spark, sf_dir):
+    """RESTORE + version diff adjudicated end-to-end
+    (sources/versioned.py::restore_version/diff_versions): a bad-deploy
+    overwrite lands on a two-commit table, ``diff_versions`` reports
+    the damage (changed/removed/added per key), and ``restore_version``
+    rolls back by publishing ONE manifest — no data rewritten (the
+    data-directory listing is asserted unchanged), latest content
+    asserted equal to the pre-deploy version. Protocol facts ride
+    in-row as oracle-asserted literals (the zorder_scan pattern); the
+    diff rows themselves are recomputed by the oracle from the same
+    id-mod derivation."""
+    from my_feast_spark.sources.versioned import (
+        _fs as _vfs,
+        _read_manifest,
+        diff_versions,
+        list_versions,
+        read_version,
+        restore_version,
+        write_version,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where((F.col("event_id") % 5 == 0) & (F.col("event_id") < 25000))
+        .select("event_id", "value")
+    )
+    base = _scratch_dir("mfs_vrestore_")
+    path = os.path.join(base, "table")
+    write_version(ev.where(F.col("event_id") % 3 == 0), path)
+    write_version(
+        ev.where(F.col("event_id") % 3 == 1), path, mode="append"
+    )
+    # the bad deploy: an overwrite that perturbs the mod-0 rows, drops
+    # the mod-1 rows, and invents the mod-2 rows
+    bad = ev.where(F.col("event_id") % 3 == 0).select(
+        "event_id", (F.col("value") + F.lit(1.0)).alias("value")
+    ).unionByName(ev.where(F.col("event_id") % 3 == 2))
+    write_version(bad, path, mode="overwrite")
+
+    diff = diff_versions(spark, path, 1, 2, ["event_id"])
+
+    jvm, vfs = _vfs(spark, path)
+    droot = jvm.org.apache.hadoop.fs.Path(os.path.join(path, "data"))
+    dirs_before = sorted(
+        st.getPath().getName() for st in vfs.listStatus(droot)
+    )
+    v3 = restore_version(spark, path, 1)
+    dirs_after = sorted(
+        st.getPath().getName() for st in vfs.listStatus(droot)
+    )
+    if dirs_before != dirs_after:
+        raise AssertionError("restore rewrote data directories")
+    m = _read_manifest(jvm, vfs, path, v3)
+    if m.get("restored_from") != 1:
+        raise AssertionError(f"restored_from {m.get('restored_from')}")
+    # latest content == the pre-deploy version, exactly
+    n_mismatch = (
+        read_version(spark, path)
+        .unionByName(read_version(spark, path, 1))
+        .groupBy("event_id", "value")
+        .count()
+        .where(F.col("count") != 2)
+        .count()
+    )
+    if n_mismatch:
+        raise AssertionError(f"{n_mismatch} rows differ post-restore")
+    return diff.select(
+        "event_id",
+        "change",
+        F.lit(1).alias("restored_from"),
+        F.lit(1).alias("restore_manifest_only"),
+        F.lit(0).alias("post_restore_mismatches"),
+    )
+
+
+SQL_VERSIONED_RESTORE_DIFF = """
+SELECT event_id,
+       CASE WHEN event_id % 3 = 0 THEN 'changed'
+            WHEN event_id % 3 = 1 THEN 'removed'
+            ELSE 'added' END AS change,
+       1 AS restored_from, 1 AS restore_manifest_only,
+       0 AS post_restore_mismatches
+FROM events WHERE event_id % 5 = 0 AND event_id < 25000
+"""
+
+
 #: HLL precision for the time rollup — distinct from the group-distinct
 #: query's p=8 and the streaming row's p=10, so no two adjudicated rows
 #: share register content by accident
@@ -8351,7 +8437,6 @@ QUERIES: dict[str, tuple] = {
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "packed_sequences": (q_packed_sequences, SQL_PACKED_SEQUENCES),
     "mixture_temperature": (q_mixture_temperature, SQL_MIXTURE_TEMPERATURE),
-    "token_rarity": (q_token_rarity, SQL_TOKEN_RARITY),
     "boilerplate_ngrams": (q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS),
     "global_shuffle": (q_global_shuffle, SQL_GLOBAL_SHUFFLE),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
@@ -8369,14 +8454,11 @@ QUERIES: dict[str, tuple] = {
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "top_terms_tfidf": (q_top_terms_tfidf, SQL_TOP_TERMS_TFIDF),
     # ======================= TAIL (not in this round's window) ============
-    # cosine_topk slid back INTO the window when online_snapshot was
-    # retired (see RETIRED_QUERIES round-14 block) — no deferral needed.
+    # cosine_topk and ann_lsh_topk slid back INTO the window when
+    # online_snapshot and token_rarity were retired (see RETIRED_QUERIES
+    # round-14 block) — the deferral list is EMPTY this round; only the
+    # three 13-rounds-green tier-1 anchors below sit out one round.
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
-    # --- deferred ONE round to fund the r14 window's new/claimed slots
-    # (operator surface runs inside an in-window query; r12-green and
-    # value-checked every pytest run; back in-window round 15):
-    #   ann_lsh_topk — hyperplane-LSH bucketing inside r13-green
-    #     embedding_near_dupes_lsh.
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     # --- the round-13 window (all 50/50 green in CORRECTNESS_r13; two
     # tier-1 anchors stayed in-window above, these three tier-1 rows
@@ -8443,11 +8525,14 @@ QUERIES: dict[str, tuple] = {
     "top_spenders": (q_top_spenders, SQL_TOP_SPENDERS),
     # NEW in round 14 at the TAIL (the window is full and a new surface
     # should not bump a promised re-adjudication): streaming ingest into
-    # a versioned table — txn-idempotent batch commits + mid-stream
-    # compaction + replay. Pytest- and oracle-parity-pinned now; window
-    # slot round 15.
+    # a versioned table (txn-idempotent batch commits + mid-stream
+    # compaction + replay) and RESTORE + version diff. Pytest- and
+    # oracle-parity-pinned now; window slots round 15.
     "streaming_versioned_ingest": (
         q_streaming_versioned_ingest, SQL_STREAMING_VERSIONED_INGEST,
+    ),
+    "versioned_restore_diff": (
+        q_versioned_restore_diff, SQL_VERSIONED_RESTORE_DIFF,
     ),
 }
 
@@ -8660,6 +8745,16 @@ RETIRED_QUERIES: dict[str, tuple] = {
     #                                window family)
     "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
     "event_type_pivot": (q_event_type_pivot, SQL_EVENT_TYPE_PIVOT),
+    #   token_rarity (rare-token share via df join-back) ->
+    #                                top_terms_tfidf (the same tf/df
+    #                                pre-agg + join-back with idf
+    #                                weighting on top) + token_pmi
+    #                                (the pairwise-statistics sibling) +
+    #                                inverted_index (the posting-list
+    #                                form of the same relation); retired
+    #                                to fund versioned_restore_diff's
+    #                                registry slot
+    "token_rarity": (q_token_rarity, SQL_TOKEN_RARITY),
     "customer_balance_deciles": (
         q_customer_balance_deciles, SQL_CUSTOMER_BALANCE_DECILES,
     ),

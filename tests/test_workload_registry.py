@@ -21,10 +21,6 @@ from my_feast_spark import workload
 # step out for one round rather than let any r12-adjudicated query sit
 # out two.
 ROTATION_TAIL = {
-    # deferred ONE round to fund the r14 new/claimed slots (operator
-    # surface runs inside in-window queries; rationale at the QUERIES
-    # tail block); MUST be in-window round 15
-    "ann_lsh_topk",
     # tier-1 anchors stepping out for one round (13 consecutive green
     # rows); MUST be in-window round 15
     "pit_late_arrival",
@@ -77,8 +73,9 @@ ROTATION_TAIL = {
     "order_priority_count",
     "top_spenders",
     # NEW in round 14 at the TAIL (window full); pytest- and
-    # oracle-parity-pinned now, window slot round 15
+    # oracle-parity-pinned now, window slots round 15
     "streaming_versioned_ingest",
+    "versioned_restore_diff",
 }
 
 #: last adjudicated in round 12 (or deferred one round with an
@@ -112,7 +109,6 @@ ROTATED_IN = {
     "dedup_clusters",
     "packed_sequences",
     "mixture_temperature",
-    "token_rarity",
     "boilerplate_ngrams",
     "global_shuffle",
     "incremental_dedup",
@@ -124,6 +120,7 @@ ROTATED_IN = {
     "inverted_index",
     "contamination_report",
     "cosine_topk",
+    "ann_lsh_topk",
     "avro_scan",
     "multimodal_frames",
     "stream_capture_files",
@@ -201,6 +198,7 @@ RETIRED_THIS_ROUND = {
     "event_type_pivot",
     "customer_balance_deciles",
     "online_snapshot",
+    "token_rarity",
 }
 
 
