@@ -284,12 +284,15 @@ def write_version(
             ])
         if txn is not None:
             txn_map[txn_app] = max(txn_map.get(txn_app, -1), txn_v)
+        import time as _time
+
         manifest = {
             "version": next_v,
             "parent": parent,
             "mode": mode,
             "dirs": dirs,
             "schema": table_schema.jsonValue(),
+            "committed_at": _time.time(),
         }
         if txn_map:
             manifest["txn"] = txn_map
@@ -310,8 +313,42 @@ def write_version(
         fs.delete(tmp, False)
 
 
+def version_at_timestamp(
+    spark: SparkSession, path: str, ts,
+) -> int:
+    """TIMESTAMP AS OF resolution (Delta's second time-travel axis):
+    the highest committed version whose publish time is <= ``ts`` (a
+    datetime, or epoch seconds). Publish times live IN the manifests
+    (``committed_at``, stamped at the atomic rename) — never file
+    mtimes, which copies and restores perturb. Manifests from before
+    this field existed sort as epoch 0 (always <= ts); raises when
+    every retained commit is newer than ``ts`` (the asked-for state
+    predates retained history)."""
+    import datetime as _dt
+
+    if isinstance(ts, _dt.datetime):
+        ts = ts.timestamp()
+    ts = float(ts)
+    jvm, fs = _fs(spark, path)
+    versions = list_versions(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    best = None
+    for v in versions:
+        at = _read_manifest(jvm, fs, path, v).get("committed_at", 0.0)
+        if at <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no committed version at or before timestamp {ts} — the "
+            f"oldest retained commit is newer"
+        )
+    return best
+
+
 def read_version(
     spark: SparkSession, path: str, version: int | None = None,
+    *, as_of_timestamp=None,
 ) -> DataFrame:
     """The table as of ``version`` (default: latest). One manifest read
     resolves the directory list AND the schema — the scan plans with
@@ -322,7 +359,17 @@ def read_version(
     columns depending on which file wins; the recorded schema makes
     every read deterministic and serves NULLs from pre-evolution
     directories. Legacy manifests without a recorded schema fall back
-    to inference."""
+    to inference.
+
+    ``as_of_timestamp`` (datetime or epoch seconds; mutually exclusive
+    with ``version``) resolves through :func:`version_at_timestamp` —
+    TIMESTAMP AS OF."""
+    if as_of_timestamp is not None:
+        if version is not None:
+            raise ValueError(
+                "pass version OR as_of_timestamp, not both"
+            )
+        version = version_at_timestamp(spark, path, as_of_timestamp)
     jvm, fs = _fs(spark, path)
     versions = list_versions(spark, path)
     if not versions:
@@ -456,12 +503,15 @@ def restore_version(
         if parent == version:
             return version  # restoring the latest is a no-op
         next_v = parent + 1
+        import time as _time
+
         manifest = {
             "version": next_v,
             "parent": parent,
             "mode": "restore",
             "restored_from": version,
             "dirs": list(src["dirs"]),
+            "committed_at": _time.time(),
         }
         if "schema" in src:
             manifest["schema"] = src["schema"]

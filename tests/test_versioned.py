@@ -593,3 +593,43 @@ def test_diff_versions_reports_added_removed_changed(spark, tmp_path):
     # k=1 gains only a NULL w -> still "changed"? No: NULL w vs absent w
     # compare equal through the typed-NULL alignment -> unchanged.
     assert got == {2: "changed", 3: "removed", 4: "added"}
+
+
+def test_timestamp_as_of_resolution(spark, tmp_path):
+    """TIMESTAMP AS OF: versions resolve by the manifest's committed_at
+    stamp — between two commits the earlier one wins, before all
+    retained commits raises, and the stamp lives in the log (not file
+    mtimes)."""
+    import time
+
+    from my_feast_spark.sources import versioned as V
+
+    path = str(tmp_path / "t")
+    t_before = time.time() - 1.0
+    V.write_version(spark.createDataFrame([(1, 10)], ["k", "v"]), path)
+    time.sleep(0.05)
+    t_mid = time.time()
+    time.sleep(0.05)
+    V.write_version(
+        spark.createDataFrame([(2, 20)], ["k", "v"]), path, mode="append"
+    )
+
+    assert V.version_at_timestamp(spark, path, t_mid) == 0
+    assert V.version_at_timestamp(spark, path, time.time() + 1) == 1
+    assert V.read_version(spark, path, as_of_timestamp=t_mid).count() == 1
+    assert V.read_version(
+        spark, path, as_of_timestamp=time.time() + 1
+    ).count() == 2
+
+    import datetime as dt_
+
+    # datetime input works too
+    assert V.read_version(
+        spark, path,
+        as_of_timestamp=dt_.datetime.now() + dt_.timedelta(seconds=1),
+    ).count() == 2
+
+    with pytest.raises(ValueError, match="oldest retained commit"):
+        V.version_at_timestamp(spark, path, t_before)
+    with pytest.raises(ValueError, match="not both"):
+        V.read_version(spark, path, 0, as_of_timestamp=t_mid)
