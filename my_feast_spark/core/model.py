@@ -92,17 +92,27 @@ class FileSource:
     name: str = ""
     version: int | None = None
 
-    def load(self, spark, *, version: int | None = None):
-        """``version`` (call-site override) > ``self.version`` (pinned)
-        > latest. Only meaningful for ``file_format="versioned"`` —
-        passing one for a plain file format raises rather than silently
-        reading the un-versioned path."""
+    def load(self, spark, *, version: int | None = None,
+             as_of_timestamp=None):
+        """``as_of_timestamp`` (TIMESTAMP AS OF) > ``version``
+        (call-site override) > ``self.version`` (pinned) > latest. Only
+        meaningful for ``file_format="versioned"`` — passing either for
+        a plain file format raises rather than silently reading the
+        un-versioned path."""
         if self.file_format == "versioned":
             from my_feast_spark.sources.versioned import read_version
 
+            if as_of_timestamp is not None:
+                return read_version(
+                    spark, self.path, as_of_timestamp=as_of_timestamp
+                )
             v = version if version is not None else self.version
             return read_version(spark, self.path, v)
-        if version is not None or self.version is not None:
+        if (
+            version is not None
+            or as_of_timestamp is not None
+            or self.version is not None
+        ):
             raise ValueError(
                 f"source {self.name or self.path!r} has file_format="
                 f"{self.file_format!r}; version pinning requires "

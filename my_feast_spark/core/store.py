@@ -171,6 +171,7 @@ class FeatureStore:
         full_feature_names: bool = False,
         strategy: str | None = None,
         as_of_version: int | dict | None = None,
+        as_of_timestamp=None,
     ) -> RetrievalJob:
         """``entity_df`` may be a Spark DataFrame or a pandas DataFrame —
         the reference's notebooks pass pandas (entity df built in pandas at
@@ -206,6 +207,7 @@ class FeatureStore:
             full_feature_names=full_feature_names,
             strategy=strategy,
             as_of_version=as_of_version,
+            as_of_timestamp=as_of_timestamp,
         )
         return RetrievalJob(df)
 

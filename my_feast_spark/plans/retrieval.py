@@ -125,6 +125,7 @@ def build_historical_retrieval(
     full_feature_names: bool = False,
     strategy: str = "union_window",
     as_of_version: int | dict | None = None,
+    as_of_timestamp=None,
 ) -> DataFrame:
     """Compose the multi-view PIT retrieval plan.
 
@@ -134,8 +135,12 @@ def build_historical_retrieval(
     :func:`point_in_time_join` — "auto" probes each view's key
     distribution (see asof_join) when the skew profile is unknown.
 
-    ``as_of_version`` time-travels versioned sources (the reproducible-
-    training-set contract the reference's cloud tier gets from Delta):
+    ``as_of_timestamp`` (datetime or epoch seconds — one wall-clock
+    instant is meaningful across every view, unlike version numbers, so
+    it takes no per-view dict) reads each versioned source TIMESTAMP AS
+    OF; ``as_of_version`` time-travels versioned sources (the
+    reproducible-training-set contract the reference's cloud tier gets
+    from Delta):
     an int applies to every requested view — each must then be backed
     by a versioned source, a plain file source raises loudly rather
     than silently reading its mutable latest state — a dict maps view
@@ -144,6 +149,8 @@ def build_historical_retrieval(
     """
     refs = parse_feature_refs(features)
     check_as_of_views(as_of_version, refs)
+    if as_of_timestamp is not None and as_of_version is not None:
+        raise ValueError("pass as_of_version OR as_of_timestamp, not both")
 
     def _view_pit(probe, view_name, feat_names):
         fv = feature_views[view_name]
@@ -157,7 +164,9 @@ def build_historical_retrieval(
 
         src = fv.source
         feature_df = src.load(
-            spark, version=resolve_as_of(as_of_version, view_name)
+            spark,
+            version=resolve_as_of(as_of_version, view_name),
+            as_of_timestamp=as_of_timestamp,
         )
         # column pruning before the join: keys + timestamps + requested only
         keep = (

@@ -649,6 +649,16 @@ def test_versioned_source_time_travel_retrieval(spark, tmp_path):
     assert fare() == 50.0                       # latest (v1)
     assert fare(as_of_version=0) == 10.0        # time travel
     assert fare(as_of_version={"drv": 0}) == 10.0
+    # TIMESTAMP AS OF: an instant between the two commits reads v0
+    from my_feast_spark.sources.versioned import _fs as _vfs
+    from my_feast_spark.sources.versioned import _read_manifest
+
+    jvm, vfs = _vfs(spark, vt)
+    t_mid = (_read_manifest(jvm, vfs, vt, 0)["committed_at"]
+             + _read_manifest(jvm, vfs, vt, 1)["committed_at"]) / 2
+    assert fare(as_of_timestamp=t_mid) == 10.0
+    with pytest.raises(ValueError, match="not both"):
+        fare(as_of_version=0, as_of_timestamp=t_mid)
     # a dict naming a view not in the call is a typo that would
     # silently read mutable latest — loud instead
     with pytest.raises(KeyError, match="not in this call"):
