@@ -155,7 +155,13 @@ def train_bpe_merges(
     a top-N-by-(count desc, word asc) cap — exact-integer total order,
     TakeOrderedAndProject, never a global sort — so a 1e8-distinct-word
     corpus collects at most N rows. Both bounds apply to the
-    distributed-rounds state too (the same training table)."""
+    distributed-rounds state too (the same training table).
+
+    BEHAVIOR CHANGE (round 13): ``max_train_words`` defaults to
+    ``MAX_TRAIN_WORDS`` (1e6) — a corpus with more distinct words than
+    the cap trains on the top 1e6 (loud warning, strict truncation
+    check) where it previously trained on everything; pass
+    ``max_train_words=None`` for the old unbounded behavior."""
     t = F.col(text_col)
     if lowercase:
         t = F.lower(t)
@@ -167,32 +173,39 @@ def train_bpe_merges(
     )
     if min_word_count > 1:
         words = words.filter(F.col("n") >= int(min_word_count))
-    if max_train_words is not None:
-        words = words.orderBy(
-            F.col("n").desc(), F.col("word").asc()
-        ).limit(int(max_train_words))
 
     if not distributed_rounds:
         # the ONLY distributed work: the corpus scan. The collected
         # state is (distinct word -> count), bounded by vocabulary
-        # size, not corpus size.
-        local_vocab = {
-            tuple(r["word"]) + (EOW,): int(r["n"]) for r in words.collect()
-        }
-        if (
-            max_train_words is not None
-            and len(local_vocab) >= max_train_words
-        ):
+        # size, not corpus size. The cap fetch is one row OVER so the
+        # truncation warning is strict — it fires exactly when the
+        # distinct-word table EXCEEDS the cap (advice-caught; the
+        # wordpiece trainer and local mirrors share the condition).
+        if max_train_words is not None:
+            words = words.orderBy(
+                F.col("n").desc(), F.col("word").asc()
+            ).limit(int(max_train_words) + 1)
+        rows = words.collect()
+        if max_train_words is not None and len(rows) > max_train_words:
             import warnings
 
+            rows = rows[:max_train_words]
             warnings.warn(
-                f"word table hit the max_train_words cap "
+                f"word table exceeds the max_train_words cap "
                 f"({max_train_words}) — training sees only the most "
                 "frequent words; raise the cap (or pass None) to train "
                 "on the full table",
                 stacklevel=2,
             )
+        local_vocab = {
+            tuple(r["word"]) + (EOW,): int(r["n"]) for r in rows
+        }
         return _merge_loop_local(local_vocab, rounds, min_pair_count)
+
+    if max_train_words is not None:
+        words = words.orderBy(
+            F.col("n").desc(), F.col("word").asc()
+        ).limit(int(max_train_words))
 
     # distributed rounds: every checkpoint lives in `live` until
     # explicitly released, so an exception between pinning new_vocab

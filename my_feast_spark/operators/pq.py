@@ -559,20 +559,38 @@ def write_ivfpq_index(enc: DataFrame, model: dict, path: str) -> None:
     if fs.exists(hp):
         fs.delete(hp, True)
     if not fs.rename(jvm.org.apache.hadoop.fs.Path(staging), hp):
-        raise RuntimeError(
-            f"failed to swap staged index {staging!r} into {cells_root!r}"
-        )
+        # single-writer is the contract, but a concurrent READER's
+        # _heal_staged_index can legitimately win this rename inside
+        # the delete->rename window (it saw no cells root and renamed
+        # OUR completed staging into place). The index landed either
+        # way — only fail when no cells root exists afterwards
+        # (advice-caught: the spurious RuntimeError also skipped the
+        # legacy model write below).
+        if not fs.exists(hp):
+            raise RuntimeError(
+                f"failed to swap staged index {staging!r} into "
+                f"{cells_root!r}"
+            )
     # legacy-layout model copy (pre-staging readers look at path/model);
     # written AFTER the swap so old readers never see a new model over
     # old codes
     spark.createDataFrame(
         [(json.dumps(model),)], ["model_json"]
     ).coalesce(1).write.mode("overwrite").json(os.path.join(path, "model"))
-    # best-effort cleanup of older crashed stagings
+    # best-effort cleanup of crashed stagings — scoped to directories
+    # older than the grace window, so a concurrent build's in-flight
+    # staging can never be deleted out from under it (advice-caught;
+    # the same guard vacuum() uses for in-flight commits)
+    import time as _time
+
+    cutoff_ms = (_time.time() - _STAGING_GRACE_SECONDS) * 1000.0
     pp = jvm.org.apache.hadoop.fs.Path(path)
     for st in fs.listStatus(pp):
         name = st.getPath().getName()
-        if name.startswith("cells.staging-"):
+        if (
+            name.startswith("cells.staging-")
+            and st.getModificationTime() < cutoff_ms
+        ):
             fs.delete(st.getPath(), True)
 
 
@@ -580,6 +598,10 @@ def write_ivfpq_index(enc: DataFrame, model: dict, path: str) -> None:
 #: partition-overwrite mode skips Hadoop's _SUCCESS for partitioned
 #: writes, so generation visibility needs its own marker
 _GEN_MARKER = "_GEN_COMMITTED"
+
+#: crashed-staging cleanup grace: a cells.staging-* directory younger
+#: than this may belong to a live concurrent build and is left alone
+_STAGING_GRACE_SECONDS = 900.0
 
 
 def _mark_generation_committed(spark, cells_root: str, gen: int) -> None:
@@ -619,7 +641,25 @@ def _heal_staged_index(jvm, fs, path: str) -> bool:
     if best is None:
         return fs.exists(dest)
     # a concurrent healer may win the rename — either way the root exists
-    return fs.rename(best.getPath(), dest) or fs.exists(dest)
+    healed = fs.rename(best.getPath(), dest) or fs.exists(dest)
+    if healed:
+        # the crashed writer never reached its legacy path/model write,
+        # so a pre-staging-layout reader would pair the OLD quantizer
+        # with the healed NEW codes — silently wrong distances
+        # (advice-caught; in-repo readers use _read_model, inner-first,
+        # and are unaffected). Refresh the legacy copy from the healed
+        # cells/_model so both layouts agree.
+        inner = jvm.org.apache.hadoop.fs.Path(dest, "_model")
+        legacy = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(path, "model")
+        )
+        if fs.exists(inner):
+            if fs.exists(legacy):
+                fs.delete(legacy, True)
+            jvm.org.apache.hadoop.fs.FileUtil.copy(
+                fs, inner, fs, legacy, False, fs.getConf()
+            )
+    return healed
 
 
 def _read_model(spark, jvm, fs, path: str) -> dict:

@@ -213,25 +213,41 @@ def train_wordpiece(
     integer total order, executed as TakeOrderedAndProject (bounded
     per-partition top-N + one driver merge, never a global sort).
     Truncation only drops words rarer than every retained one, the
-    same approximation every production WordPiece/BPE trainer ships."""
+    same approximation every production WordPiece/BPE trainer ships.
+
+    BEHAVIOR CHANGE (round 13): ``max_train_words`` defaults to
+    ``MAX_TRAIN_WORDS`` (1e6) — a corpus with more distinct words than
+    the cap trains on the top 1e6 (with a loud warning) where it
+    previously trained on all of them (and OOM'd the driver at scale);
+    pass ``max_train_words=None`` for the old unbounded behavior.
+
+    The truncation check is STRICT (advice-caught): the query fetches
+    ``cap + 1`` rows, so the warning fires exactly when the distinct-
+    word table EXCEEDS the cap — a table of exactly cap words trains in
+    full, silently, in both this and the local mirror."""
     spark = docs.sparkSession
     words = _word_counts(docs, text_col)
     if min_word_count > 1:
         words = words.filter(F.col("n") >= int(min_word_count))
     if max_train_words is not None:
+        # one row past the cap: rows > cap <=> genuine truncation,
+        # without a separate count() job over the full word table
         words = words.orderBy(
             F.col("n").desc(), F.col("word").asc()
-        ).limit(int(max_train_words))
-    wc = {r["word"]: int(r["n"]) for r in words.collect()}
-    if max_train_words is not None and len(wc) >= max_train_words:
+        ).limit(int(max_train_words) + 1)
+    rows = words.collect()
+    if max_train_words is not None and len(rows) > max_train_words:
         import warnings
 
+        rows = rows[:max_train_words]
         warnings.warn(
-            f"word table hit the max_train_words cap ({max_train_words})"
-            " — training sees only the most frequent words; raise the"
-            " cap (or pass None) to train on the full table",
+            f"word table exceeds the max_train_words cap "
+            f"({max_train_words}) — training sees only the most frequent"
+            " words; raise the cap (or pass None) to train on the full"
+            " table",
             stacklevel=2,
         )
+    wc = {r["word"]: int(r["n"]) for r in rows}
     if not wc:
         raise ValueError("no words in the corpus — nothing to train on")
     pieces = train_from_word_counts(
@@ -335,8 +351,9 @@ def train_wordpiece_local(
         top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))
         wc = dict(top[:max_train_words])
         warnings.warn(
-            f"word table hit the max_train_words cap ({max_train_words})"
-            " — training sees only the most frequent words",
+            f"word table exceeds the max_train_words cap "
+            f"({max_train_words}) — training sees only the most frequent"
+            " words",
             stacklevel=2,
         )
     if not wc:

@@ -320,9 +320,16 @@ def version_at_timestamp(
     the highest committed version whose publish time is <= ``ts`` (a
     datetime, or epoch seconds). Publish times live IN the manifests
     (``committed_at``, stamped at the atomic rename) — never file
-    mtimes, which copies and restores perturb. Manifests from before
-    this field existed sort as epoch 0 (always <= ts); raises when
-    every retained commit is newer than ``ts`` (the asked-for state
+    mtimes, which copies and restores perturb. A manifest from before
+    this field existed inherits the maximum ``committed_at`` seen so
+    far in version order (versions commit sequentially, so a commit
+    can never precede its parent): a mixed-version writer fleet — a
+    legacy writer publishing AFTER stamped versions exist — can then
+    never make its commit sort before earlier stamped ones, which
+    would resolve TIMESTAMP AS OF to a version committed after the
+    requested instant (advice-caught). An all-legacy prefix inherits
+    epoch 0 (always <= ts), the old behavior. Raises when every
+    retained commit is newer than ``ts`` (the asked-for state
     predates retained history)."""
     import datetime as _dt
 
@@ -334,8 +341,11 @@ def version_at_timestamp(
     if not versions:
         raise FileNotFoundError(f"no committed versions under {path}")
     best = None
+    high_water = 0.0
     for v in versions:
-        at = _read_manifest(jvm, fs, path, v).get("committed_at", 0.0)
+        at = _read_manifest(jvm, fs, path, v).get("committed_at")
+        at = high_water if at is None else float(at)
+        high_water = max(high_water, at)
         if at <= ts:
             best = v
     if best is None:

@@ -40,7 +40,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from my_feast_spark.sources.versioned import checkpoint_if_due, write_version
+from my_feast_spark.sources.versioned import (
+    VersionConflictError,
+    checkpoint_if_due,
+    write_version,
+)
 
 
 def versioned_ingest_stream(
@@ -82,12 +86,23 @@ def versioned_ingest_stream(
             # the compacted version must stay as skippable as the batch
             # directories it replaces (review-caught): sweep the same
             # stats_cols unless compact_kwargs overrides them
-            checkpoint_if_due(
-                batch_df.sparkSession,
-                table_path,
-                max_dirs=compact_chain_at,
-                **{"stats_cols": stats_cols, **(compact_kwargs or {})},
-            )
+            try:
+                checkpoint_if_due(
+                    batch_df.sparkSession,
+                    table_path,
+                    max_dirs=compact_chain_at,
+                    **{"stats_cols": stats_cols, **(compact_kwargs or {})},
+                )
+            except VersionConflictError:
+                # a concurrent writer (another app_id, an operator
+                # upsert) landed between this batch's append and the
+                # compaction — checkpoint_version is expected_parent-
+                # pinned so it refuses rather than erase that commit.
+                # The BATCH already committed; failing the micro-batch
+                # over optional maintenance would restart the stream
+                # for nothing (advice-caught). The chain is still over
+                # threshold, so compaction is due again next batch.
+                pass
 
     writer = (
         stream_df.writeStream.foreachBatch(commit_batch)

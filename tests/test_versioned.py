@@ -633,3 +633,51 @@ def test_timestamp_as_of_resolution(spark, tmp_path):
         V.version_at_timestamp(spark, path, t_before)
     with pytest.raises(ValueError, match="not both"):
         V.read_version(spark, path, 0, as_of_timestamp=t_mid)
+
+
+def test_timestamp_as_of_legacy_manifest_inherits_high_water(
+    spark, tmp_path
+):
+    """Advice-caught mixed-version-writer case: a manifest WITHOUT
+    committed_at (legacy writer) publishing after stamped versions must
+    not sort as epoch 0 — it inherits the running max stamp, so a
+    TIMESTAMP AS OF before the first stamped commit raises instead of
+    resolving to the later legacy version."""
+    import time
+
+    from my_feast_spark.sources import versioned as V
+
+    path = str(tmp_path / "t")
+    t_before = time.time() - 1.0
+    V.write_version(spark.createDataFrame([(1, 10)], ["k", "v"]), path)
+    V.write_version(
+        spark.createDataFrame([(2, 20)], ["k", "v"]), path, mode="append"
+    )
+    def _strip_stamp(version):
+        # rewrite the manifest out-of-band (a legacy writer's shape);
+        # drop Hadoop LocalFS's checksum sidecar, stale after the edit
+        mpath = os.path.join(path, "_vlog", f"{version}.json")
+        with open(mpath) as f:
+            m = json.load(f)
+        del m["committed_at"]
+        with open(mpath, "w") as f:
+            json.dump(m, f)
+        crc = os.path.join(path, "_vlog", f".{version}.json.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+
+    # strip v1's stamp: the commit now looks like a pre-field writer's
+    _strip_stamp(1)
+
+    # pre-fix: v1 sorted as epoch 0, so a ts BEFORE v0 resolved to v1 —
+    # a version committed after the requested instant
+    with pytest.raises(ValueError, match="oldest retained commit"):
+        V.version_at_timestamp(spark, path, t_before)
+    # the legacy commit inherits its parent's stamp, so it is still
+    # reachable for any ts at/after that stamp
+    assert V.version_at_timestamp(spark, path, time.time() + 1) == 1
+
+    # an ALL-legacy table keeps the old behavior: epoch-0 prefix, any
+    # non-negative ts resolves to the latest
+    _strip_stamp(0)
+    assert V.version_at_timestamp(spark, path, t_before) == 1

@@ -181,3 +181,36 @@ def test_trainer_collect_is_bounded(spark):
     assert [r.piece for r in
             train_wordpiece(docs, "text", **kw).orderBy("piece_id")
             .collect()] == train_from_word_counts(wc, **kw)
+
+
+def test_cap_warning_is_strict(spark):
+    """Advice-caught: the truncation warning fires only when the
+    distinct-word table EXCEEDS the cap. A table of exactly cap words
+    trains in full and SILENTLY, identically in the Spark path and the
+    local mirror (the 'identical by construction' contract includes
+    the warning behavior)."""
+    import warnings
+
+    from my_feast_spark.operators.bpe import train_bpe_merges
+
+    texts = ["alpha beta gamma delta"] * 3  # exactly 4 distinct words
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    kw = dict(vocab_size=12, min_pair_count=2)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        got = train_wordpiece(docs, "text", max_train_words=4, **kw)
+        local = train_wordpiece_local(texts, max_train_words=4, **kw)
+        merges = train_bpe_merges(
+            docs, "text", rounds=3, max_train_words=4
+        )
+    assert [r.piece for r in got.orderBy("piece_id").collect()] == local
+    assert merges  # trained, silently
+
+    with pytest.warns(UserWarning, match="exceeds the max_train_words"):
+        train_wordpiece(docs, "text", max_train_words=3, **kw)
+    with pytest.warns(UserWarning, match="exceeds the max_train_words"):
+        train_wordpiece_local(texts, max_train_words=3, **kw)
+    with pytest.warns(UserWarning, match="exceeds the max_train_words"):
+        train_bpe_merges(docs, "text", rounds=3, max_train_words=3)
