@@ -8355,6 +8355,17 @@ GROUP BY 1
 #      then the r12-adjudicated remainder as slots allow; the
 #      r13-adjudicated window queries sit the tail out and return
 #      round 15.
+#      ROUND-15 CONTRACT (executed below): with the registry at exactly
+#      100 and both halves at 50, the rotation is a clean swap — the
+#      entire r13-adjudicated tail rotates back in-window (nothing goes
+#      two consecutive rounds without a fresh row), led by the two
+#      queries that have NEVER had a driver row
+#      (streaming_versioned_ingest, versioned_restore_diff — the
+#      round-15 claims the r14 verdict holds us to) and the three
+#      returning tier-1 anchors. Window overlap with CORRECTNESS_r14 is
+#      ZERO: the r14-adjudicated 50 (every one green, re-value-checked
+#      by test_oracle_parity.py each pytest run) sit the tail out and
+#      return round 16 — that is the ROUND-16 CONTRACT.
 #   5. RETIRED: the registry budget is ~100 driver-adjudicated queries;
 #      retired entries are near-duplicates of in-registry coverage
 #      (their operators stay covered by other queries) that keep their
@@ -8369,103 +8380,30 @@ GROUP BY 1
 ADJUDICATION_WINDOW = 50
 
 QUERIES: dict[str, tuple] = {
-    # ======================= ROUND-14 WINDOW (first 50) ====================
-    # Rotation contract executed: overlap with the CORRECTNESS_r13 window
-    # is EXACTLY 2 tier-1 anchors (<= 10 as promised); every named r13
-    # deferral is back in-window; the three rows tail-registered with
-    # round-14 claims (versioned_replay, cms_heavy_hitters,
-    # streaming_sketch_ingest) take their promised slots. The window is
-    # tight this round — 42 rotated-in re-adjudications + 6 new/claimed —
-    # so three of the five usual tier-1 anchors (pit_late_arrival,
-    # hourly_global_agg, event_types_salted: 13 consecutive green rows,
-    # the most-proven code in the repo) step to the tail for ONE round
-    # rather than let any r12-adjudicated query sit out two rounds.
-    # --- tier 1 anchors ----------------------------------------------------
-    "pit_user_features": (q_pit_user_features, SQL_PIT_USER_FEATURES),
-    "hourly_user_agg": (q_hourly_user_agg, SQL_HOURLY_USER_AGG),
-    # --- round-13 claims honored: the versioned-table protocol (the
-    # largest never-adjudicated component of r13) and the two sketch
-    # rows registered with explicit round-14 window notes.
-    "versioned_replay": (q_versioned_replay, SQL_VERSIONED_REPLAY),
-    "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
-    "streaming_sketch_ingest": (
-        q_streaming_sketch_ingest, SQL_STREAMING_SKETCH_INGEST,
-    ),
-    # --- NEW in round 14: the versioned log wired into the feature-store
-    # surface (FileSource(file_format="versioned") +
-    # get_historical_features(as_of_version=N) — reproducible
-    # training sets over a time-traveled feature table), plus the two
-    # sketch-tier operators that were pytest-only in r13 (verdict ask
-    # #6): the HLL continuous-aggregate rollup and the CMS+sample skew
-    # diagnosis.
-    "pit_versioned_asof": (q_pit_versioned_asof, SQL_PIT_VERSIONED_ASOF),
-    "hll_time_rollup": (q_hll_time_rollup, SQL_HLL_TIME_ROLLUP),
-    "skew_report": (q_skew_report, SQL_SKEW_REPORT),
-    # --- the r13 tail named deferrals, back in-window as promised ---------
-    "priority_collapse_types": (
-        q_priority_collapse_types, SQL_PRIORITY_COLLAPSE_TYPES,
-    ),
-    "part_brand_stats": (q_part_brand_stats, SQL_PART_BRAND_STATS),
-    "idle_customers_anti": (q_idle_customers_anti, SQL_IDLE_CUSTOMERS_ANTI),
-    "user_value_deltas": (q_user_value_deltas, SQL_USER_VALUE_DELTAS),
-    "jaccard_dup_pairs": (q_jaccard_dup_pairs, SQL_JACCARD_DUP_PAIRS),
-    "audio_dedup": (q_audio_dedup, SQL_AUDIO_DEDUP),
-    "video_dedup": (q_video_dedup, SQL_VIDEO_DEDUP),
-    "semdedup": (q_semdedup, SQL_SEMDEDUP),
-    # --- rotated IN for round 14: the r12-adjudicated tail (all green at
-    # their last driver appearance and value-checked every pytest run by
-    # tests/test_oracle_parity.py).
-    "compact_table_replay": (q_compact_table_replay, SQL_COMPACT_TABLE_REPLAY),
-    "scd2_stream_maintain": (q_scd2_stream_maintain, SQL_SCD2_STREAM_MAINTAIN),
-    "audio_vad": (q_audio_vad, SQL_AUDIO_VAD),
-    "dsir_resample": (q_dsir_resample, SQL_DSIR_RESAMPLE),
-    "domain_pagerank": (q_domain_pagerank, SQL_DOMAIN_PAGERANK),
-    "gopher_quality_filter": (
-        q_gopher_quality_filter, SQL_GOPHER_QUALITY_FILTER,
-    ),
-    "score_weighted_sample": (
-        q_score_weighted_sample, SQL_SCORE_WEIGHTED_SAMPLE,
-    ),
-    "lm_perplexity_kn": (q_lm_perplexity_kn, SQL_LM_PERPLEXITY_KN),
-    "scd2_lookup": (q_scd2_lookup, SQL_SCD2_LOOKUP),
-    "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
-    "ivfpq_topk": (q_ivfpq_topk, SQL_IVFPQ_TOPK),
-    "image_dedup": (q_image_dedup, SQL_IMAGE_DEDUP),
-    "streaming_neardup_ingest": (
-        q_streaming_neardup_ingest, SQL_STREAMING_NEARDUP_INGEST,
-    ),
-    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
-    "packed_sequences": (q_packed_sequences, SQL_PACKED_SEQUENCES),
-    "mixture_temperature": (q_mixture_temperature, SQL_MIXTURE_TEMPERATURE),
-    "boilerplate_ngrams": (q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS),
-    "global_shuffle": (q_global_shuffle, SQL_GLOBAL_SHUFFLE),
-    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
-    "column_profile": (q_column_profile, SQL_COLUMN_PROFILE),
-    "cluster_keep_longest": (q_cluster_keep_longest, SQL_CLUSTER_KEEP_LONGEST),
-    "stratum_ksample": (q_stratum_ksample, SQL_STRATUM_KSAMPLE),
-    "profile_drift": (q_profile_drift, SQL_PROFILE_DRIFT),
-    "token_pmi": (q_token_pmi, SQL_TOKEN_PMI),
-    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
-    "contamination_report": (q_contamination_report, SQL_CONTAMINATION_REPORT),
-    "avro_scan": (q_avro_scan, SQL_AVRO_SCAN),
-    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
-    "stream_capture_files": (q_stream_capture_files, SQL_STREAM_CAPTURE_FILES),
-    "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
-    "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
-    "top_terms_tfidf": (q_top_terms_tfidf, SQL_TOP_TERMS_TFIDF),
-    # ======================= TAIL (not in this round's window) ============
-    # cosine_topk and ann_lsh_topk slid back INTO the window when
-    # online_snapshot and token_rarity were retired (see RETIRED_QUERIES
-    # round-14 block) — the deferral list is EMPTY this round; only the
-    # three 13-rounds-green tier-1 anchors below sit out one round.
-    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
-    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
-    # --- the round-13 window (all 50/50 green in CORRECTNESS_r13; two
-    # tier-1 anchors stayed in-window above, these three tier-1 rows
-    # rejoin them round 15). Oldest-out-first when round 15 rotates.
+    # ======================= ROUND-15 WINDOW (first 50) ====================
+    # Rotation contract executed as a clean half-swap (registry = 100,
+    # window = 50): the entire r13-adjudicated tail is back in-window,
+    # so nothing goes two consecutive rounds without a fresh row, and
+    # overlap with the CORRECTNESS_r14 window is ZERO. Led by the two
+    # queries that had never had a driver row (the r14 verdict's #1
+    # ask) and the three returning tier-1 anchors (13 consecutive green
+    # rows before their one-round tail stint).
+    # --- tier 1 anchors, back as promised ----------------------------------
     "pit_late_arrival": (q_pit_late_arrival, SQL_PIT_LATE_ARRIVAL),
     "hourly_global_agg": (q_hourly_global_agg, SQL_HOURLY_GLOBAL_AGG),
     "event_types_salted": (q_event_types_salted, SQL_EVENT_TYPES_SALTED),
+    # --- the round-15 claims: first-ever driver rows for the last two
+    # versioned-log levers — txn-idempotent streaming ingest (commit +
+    # mid-stream compaction + replay) and RESTORE TO VERSION + diff.
+    "streaming_versioned_ingest": (
+        q_streaming_versioned_ingest, SQL_STREAMING_VERSIONED_INGEST,
+    ),
+    "versioned_restore_diff": (
+        q_versioned_restore_diff, SQL_VERSIONED_RESTORE_DIFF,
+    ),
+    # --- the r13-adjudicated set, rotated back in (all 50/50 green in
+    # CORRECTNESS_r13, value-checked every pytest run since by
+    # tests/test_oracle_parity.py).
     "zorder_scan": (q_zorder_scan, SQL_ZORDER_SCAN),
     "materialize_stream": (q_materialize_stream, SQL_MATERIALIZE_STREAM),
     "unigram_tokenize": (q_unigram_tokenize, SQL_UNIGRAM_TOKENIZE),
@@ -8523,17 +8461,72 @@ QUERIES: dict[str, tuple] = {
     "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
     "order_priority_count": (q_order_priority_count, SQL_ORDER_PRIORITY_COUNT),
     "top_spenders": (q_top_spenders, SQL_TOP_SPENDERS),
-    # NEW in round 14 at the TAIL (the window is full and a new surface
-    # should not bump a promised re-adjudication): streaming ingest into
-    # a versioned table (txn-idempotent batch commits + mid-stream
-    # compaction + replay) and RESTORE + version diff. Pytest- and
-    # oracle-parity-pinned now; window slots round 15.
-    "streaming_versioned_ingest": (
-        q_streaming_versioned_ingest, SQL_STREAMING_VERSIONED_INGEST,
+    # ======================= TAIL (not in this round's window) ============
+    # The ROUND-14 window, in full: every row green in CORRECTNESS_r14,
+    # unchanged since, value-checked at three scale factors by every
+    # pytest run (test_oracle_parity.py). ROUND-16 CONTRACT: this block
+    # rotates back in-window next round, oldest-debt first (none carries
+    # more than the standard one-round tail stint).
+    "pit_user_features": (q_pit_user_features, SQL_PIT_USER_FEATURES),
+    "hourly_user_agg": (q_hourly_user_agg, SQL_HOURLY_USER_AGG),
+    "versioned_replay": (q_versioned_replay, SQL_VERSIONED_REPLAY),
+    "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
+    "streaming_sketch_ingest": (
+        q_streaming_sketch_ingest, SQL_STREAMING_SKETCH_INGEST,
     ),
-    "versioned_restore_diff": (
-        q_versioned_restore_diff, SQL_VERSIONED_RESTORE_DIFF,
+    "pit_versioned_asof": (q_pit_versioned_asof, SQL_PIT_VERSIONED_ASOF),
+    "hll_time_rollup": (q_hll_time_rollup, SQL_HLL_TIME_ROLLUP),
+    "skew_report": (q_skew_report, SQL_SKEW_REPORT),
+    "priority_collapse_types": (
+        q_priority_collapse_types, SQL_PRIORITY_COLLAPSE_TYPES,
     ),
+    "part_brand_stats": (q_part_brand_stats, SQL_PART_BRAND_STATS),
+    "idle_customers_anti": (q_idle_customers_anti, SQL_IDLE_CUSTOMERS_ANTI),
+    "user_value_deltas": (q_user_value_deltas, SQL_USER_VALUE_DELTAS),
+    "jaccard_dup_pairs": (q_jaccard_dup_pairs, SQL_JACCARD_DUP_PAIRS),
+    "audio_dedup": (q_audio_dedup, SQL_AUDIO_DEDUP),
+    "video_dedup": (q_video_dedup, SQL_VIDEO_DEDUP),
+    "semdedup": (q_semdedup, SQL_SEMDEDUP),
+    "compact_table_replay": (q_compact_table_replay, SQL_COMPACT_TABLE_REPLAY),
+    "scd2_stream_maintain": (q_scd2_stream_maintain, SQL_SCD2_STREAM_MAINTAIN),
+    "audio_vad": (q_audio_vad, SQL_AUDIO_VAD),
+    "dsir_resample": (q_dsir_resample, SQL_DSIR_RESAMPLE),
+    "domain_pagerank": (q_domain_pagerank, SQL_DOMAIN_PAGERANK),
+    "gopher_quality_filter": (
+        q_gopher_quality_filter, SQL_GOPHER_QUALITY_FILTER,
+    ),
+    "score_weighted_sample": (
+        q_score_weighted_sample, SQL_SCORE_WEIGHTED_SAMPLE,
+    ),
+    "lm_perplexity_kn": (q_lm_perplexity_kn, SQL_LM_PERPLEXITY_KN),
+    "scd2_lookup": (q_scd2_lookup, SQL_SCD2_LOOKUP),
+    "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
+    "ivfpq_topk": (q_ivfpq_topk, SQL_IVFPQ_TOPK),
+    "image_dedup": (q_image_dedup, SQL_IMAGE_DEDUP),
+    "streaming_neardup_ingest": (
+        q_streaming_neardup_ingest, SQL_STREAMING_NEARDUP_INGEST,
+    ),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "packed_sequences": (q_packed_sequences, SQL_PACKED_SEQUENCES),
+    "mixture_temperature": (q_mixture_temperature, SQL_MIXTURE_TEMPERATURE),
+    "boilerplate_ngrams": (q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS),
+    "global_shuffle": (q_global_shuffle, SQL_GLOBAL_SHUFFLE),
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+    "column_profile": (q_column_profile, SQL_COLUMN_PROFILE),
+    "cluster_keep_longest": (q_cluster_keep_longest, SQL_CLUSTER_KEEP_LONGEST),
+    "stratum_ksample": (q_stratum_ksample, SQL_STRATUM_KSAMPLE),
+    "profile_drift": (q_profile_drift, SQL_PROFILE_DRIFT),
+    "token_pmi": (q_token_pmi, SQL_TOKEN_PMI),
+    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
+    "contamination_report": (q_contamination_report, SQL_CONTAMINATION_REPORT),
+    "avro_scan": (q_avro_scan, SQL_AVRO_SCAN),
+    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
+    "stream_capture_files": (q_stream_capture_files, SQL_STREAM_CAPTURE_FILES),
+    "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
+    "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
+    "top_terms_tfidf": (q_top_terms_tfidf, SQL_TOP_TERMS_TFIDF),
+    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
 }
 
 #: Retired from the driver registry (budget: ~100 adjudicated queries).

@@ -11,22 +11,76 @@ from __future__ import annotations
 
 from my_feast_spark import workload
 
-# Round-14 rotation (executes the rotation round 13 promised): every
-# named r13 deferral is back in-window, the three rows tail-registered
-# with round-14 claims (versioned_replay, cms_heavy_hitters,
-# streaming_sketch_ingest) take their slots, and the r13-adjudicated
-# window sits in the tail. Window overlap with the r13 window is
-# EXACTLY 2 tier-1 flagships (<= 10): the window is tight (42
-# rotated-in + 6 new/claimed), so three 13-rounds-green tier-1 rows
-# step out for one round rather than let any r12-adjudicated query sit
-# out two.
+# Round-15 rotation (executes the rotation round 14 promised): with
+# the registry at exactly 100 and both halves at 50, the swap is clean
+# — the entire r13-adjudicated tail is back in-window (led by the two
+# never-driver-checked queries, the r14 verdict's #1 ask, and the three
+# returning tier-1 anchors), and the r14-adjudicated window sits the
+# tail out. Window overlap with the r14 window is ZERO; nothing goes
+# two consecutive rounds without a fresh CORRECTNESS row. ROUND-16
+# CONTRACT: this tail rotates back in-window next round.
 ROTATION_TAIL = {
-    # tier-1 anchors stepping out for one round (13 consecutive green
-    # rows); MUST be in-window round 15
+    # the round-14 window, in full (all 50/50 green in CORRECTNESS_r14)
+    "pit_user_features",
+    "hourly_user_agg",
+    "versioned_replay",
+    "cms_heavy_hitters",
+    "streaming_sketch_ingest",
+    "pit_versioned_asof",
+    "hll_time_rollup",
+    "skew_report",
+    "priority_collapse_types",
+    "part_brand_stats",
+    "idle_customers_anti",
+    "user_value_deltas",
+    "jaccard_dup_pairs",
+    "audio_dedup",
+    "video_dedup",
+    "semdedup",
+    "compact_table_replay",
+    "scd2_stream_maintain",
+    "audio_vad",
+    "dsir_resample",
+    "domain_pagerank",
+    "gopher_quality_filter",
+    "score_weighted_sample",
+    "lm_perplexity_kn",
+    "scd2_lookup",
+    "ccnet_buckets",
+    "ivfpq_topk",
+    "image_dedup",
+    "streaming_neardup_ingest",
+    "dedup_clusters",
+    "packed_sequences",
+    "mixture_temperature",
+    "boilerplate_ngrams",
+    "global_shuffle",
+    "incremental_dedup",
+    "column_profile",
+    "cluster_keep_longest",
+    "stratum_ksample",
+    "profile_drift",
+    "token_pmi",
+    "inverted_index",
+    "contamination_report",
+    "avro_scan",
+    "multimodal_frames",
+    "stream_capture_files",
+    "normalize_text",
+    "label_centroids",
+    "top_terms_tfidf",
+    "cosine_topk",
+    "ann_lsh_topk",
+}
+
+#: last adjudicated in round 13 — round 15 MUST give them fresh rows
+#: (the rotation invariant: nothing sits out two consecutive rounds)
+ROTATED_IN = {
+    # tier-1 anchors returning from their one-round tail stint
     "pit_late_arrival",
     "hourly_global_agg",
     "event_types_salted",
-    # adjudicated green in round 13 (CORRECTNESS_r13); unchanged
+    # the r13-adjudicated remainder
     "zorder_scan",
     "materialize_stream",
     "unigram_tokenize",
@@ -72,78 +126,15 @@ ROTATION_TAIL = {
     "regional_revenue",
     "order_priority_count",
     "top_spenders",
-    # NEW in round 14 at the TAIL (window full); pytest- and
-    # oracle-parity-pinned now, window slots round 15
+}
+
+#: carrying an explicit round-15 window claim — the only two registered
+#: queries with no driver row EVER (tail-registered in r14); must be
+#: in-window so the txn-idempotency and RESTORE protocols get their
+#: adjudication
+CHANGED_OR_NEW_THIS_ROUND = {
     "streaming_versioned_ingest",
     "versioned_restore_diff",
-}
-
-#: last adjudicated in round 12 (or deferred one round with an
-#: in-window superset sibling) — round 14 MUST give them fresh rows
-#: (the rotation invariant: nothing sits out two consecutive rounds)
-ROTATED_IN = {
-    # the r13 named deferrals, back in-window as promised
-    "priority_collapse_types",
-    "part_brand_stats",
-    "idle_customers_anti",
-    "user_value_deltas",
-    "jaccard_dup_pairs",
-    "audio_dedup",
-    "video_dedup",
-    "semdedup",
-    # the r12-adjudicated tail
-    "compact_table_replay",
-    "scd2_stream_maintain",
-    "audio_vad",
-    "dsir_resample",
-    "domain_pagerank",
-    "gopher_quality_filter",
-    "score_weighted_sample",
-    "lm_perplexity_kn",
-    "scd2_lookup",
-    "ccnet_buckets",
-    "ivfpq_topk",
-    "normalize_text",
-    "image_dedup",
-    "streaming_neardup_ingest",
-    "dedup_clusters",
-    "packed_sequences",
-    "mixture_temperature",
-    "boilerplate_ngrams",
-    "global_shuffle",
-    "incremental_dedup",
-    "column_profile",
-    "cluster_keep_longest",
-    "stratum_ksample",
-    "profile_drift",
-    "token_pmi",
-    "inverted_index",
-    "contamination_report",
-    "cosine_topk",
-    "ann_lsh_topk",
-    "avro_scan",
-    "multimodal_frames",
-    "stream_capture_files",
-    "label_centroids",
-    "top_terms_tfidf",
-}
-
-#: new in round 14, or carrying an explicit round-14 window claim from
-#: r13 — must be in-window so the change gets an adjudication row
-CHANGED_OR_NEW_THIS_ROUND = {
-    # r13 claims honored: the versioned-table protocol (the largest
-    # never-adjudicated r13 component) + the two claimed sketch rows
-    "versioned_replay",
-    "cms_heavy_hitters",
-    "streaming_sketch_ingest",
-    # new: the versioned log wired into the feature-store surface —
-    # FileSource(file_format="versioned") +
-    # get_historical_features(as_of_version=N)
-    "pit_versioned_asof",
-    # new rows for the two sketch operators that were pytest-only in
-    # r13 (verdict ask #6)
-    "hll_time_rollup",
-    "skew_report",
 }
 
 #: retired from the driver registry — near-duplicates of in-registry
