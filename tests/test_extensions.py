@@ -516,26 +516,43 @@ def test_ivf_topk_blas_query_runs(spark):
 
 
 def test_minhash_numpy_signature_path_matches_xxhash64_pairs(spark, docs):
-    """The vectorized numpy signature fan-out is a different hash family
-    but the same LSH quality: on the planted near-dup corpus (jaccard
-    >= 0.9, capture probability ~1) it must find exactly the pairs the
-    xxhash64 path finds — the exact-Jaccard verify keeps precision 1 in
-    both."""
+    """The vectorized fan-out (the round-15 "xxhash64" default, alias
+    "numpy") and the legacy expression family ("xxhash64_expr") are
+    different hash families but the same LSH quality: on the planted
+    near-dup corpus (jaccard >= 0.9, capture probability ~1) both must
+    find exactly the same pairs — the exact-Jaccard verify keeps
+    precision 1 in both."""
     a = {(r.doc_a, r.doc_b) for r in minhash_lsh_dup_pairs(
         docs, "doc_id", "text", n=3, threshold=0.5, hash_fn="xxhash64").collect()}
     b = {(r.doc_a, r.doc_b) for r in minhash_lsh_dup_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.5, hash_fn="numpy").collect()}
+        docs, "doc_id", "text", n=3, threshold=0.5, hash_fn="xxhash64_expr").collect()}
     assert a == b and len(a) == 25
+
+    # "xxhash64" and "numpy" are now the SAME path — signatures must be
+    # bit-identical, and a typo'd family name is loud
+    from my_feast_spark.operators.dedup import minhash_signatures
+
+    sa = sorted(map(tuple, minhash_signatures(
+        docs, "doc_id", "text", n=3, num_hashes=8, hash_fn="xxhash64"
+    ).collect()))
+    sb = sorted(map(tuple, minhash_signatures(
+        docs, "doc_id", "text", n=3, num_hashes=8, hash_fn="numpy"
+    ).collect()))
+    assert sa == sb
+    with pytest.raises(ValueError, match="unknown hash_fn"):
+        minhash_signatures(docs, "doc_id", "text", hash_fn="sha1").collect()
 
 
 def test_simhash_numpy_fingerprints_bit_identical_to_xxhash64(spark, docs):
-    """The map-only numpy SimHash uses the same token hash and majority
-    rule as the explode+aggregate xxhash64 path — fingerprints must be
-    bit-identical, not just similar."""
+    """The map-only Arrow SimHash (the "xxhash64" default since round
+    15) uses the same token hash and majority rule as the legacy
+    explode+aggregate shape ("xxhash64_expr") — fingerprints must be
+    bit-identical, not just similar, so the default flip changed no
+    output anywhere."""
     from my_feast_spark.operators.dedup import simhash
 
     a = {r.doc: r.simhash for r in simhash(docs, "doc_id", "text", hash_fn="xxhash64").collect()}
-    b = {r.doc: r.simhash for r in simhash(docs, "doc_id", "text", hash_fn="numpy").collect()}
+    b = {r.doc: r.simhash for r in simhash(docs, "doc_id", "text", hash_fn="xxhash64_expr").collect()}
     assert a == b
 
 
