@@ -161,6 +161,7 @@ def write_version(
     expected_parent: int | None = None,
     txn: tuple[str, int] | None = None,
     merge_schema: bool = False,
+    partition_by: list[str] | None = None,
     _carry_txn: bool = False,
 ) -> int:
     """Commit ``df`` as a new version of the table at ``path``.
@@ -207,9 +208,42 @@ def write_version(
     shape); a same-name different-type column is always a loud
     :class:`SchemaEvolutionError`. An overwrite resets the schema to
     the new contents'. Legacy manifests without a recorded schema keep
-    inference and adopt the contract on their next commit."""
+    inference and adopt the contract on their next commit.
+
+    ``partition_by`` writes this commit's data directory hive-
+    partitioned (the reference's dominant ``created=`` date layout,
+    ingest_taxy.py:70-76) — a partition predicate through
+    ``read_version`` then prunes DIRECTORIES at planning time inside
+    every commit of the version, composing with the recorded-schema
+    scan and the skipping sidecar (which records partition values as
+    exact point stats). Partitioning is a TABLE layout, recorded in
+    the manifest: every commit of a version must agree, so an append
+    whose ``partition_by`` differs from the table's raises (a mixed-
+    layout directory list would fail partition discovery); an
+    overwrite may change it, and content-preserving rewrites
+    (upsert/delete/checkpoint) inherit the parent's automatically."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
+    partition_by = list(partition_by) if partition_by else None
+    if partition_by:
+        missing = [c for c in partition_by if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"partition_by columns {missing} not in the DataFrame"
+            )
+    if _carry_txn and partition_by is None:
+        # content-preserving rewrite: keep the table's layout (a
+        # checkpoint that silently flattened a date-partitioned table
+        # would cost every future read its static pruning)
+        _spark = df.sparkSession
+        _versions = list_versions(_spark, path)
+        if _versions:
+            _jvm, _pfs = _fs(_spark, path)
+            parent_pb = _read_manifest(
+                _jvm, _pfs, path, _versions[-1]
+            ).get("partition_by")
+            if parent_pb and all(c in df.columns for c in parent_pb):
+                partition_by = list(parent_pb)
     if txn is not None:
         if mode != "append":
             raise ValueError("txn idempotency applies to appends only")
@@ -224,7 +258,10 @@ def write_version(
     spark = df.sparkSession
     jvm, fs = _fs(spark, path)
     commit_dir = f"{_DATA}/v{uuid.uuid4().hex[:12]}"
-    df.write.mode("error").parquet(f"{path}/{commit_dir}")
+    writer = df.write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(f"{path}/{commit_dir}")
     if stats_cols:
         # sweep the skipping sidecar for THIS commit's directory before
         # publishing: every directory a manifest references then carries
@@ -254,6 +291,17 @@ def write_version(
                 # and this retry — the transaction is already applied
                 fs.delete(_hpath(jvm, path, commit_dir), True)
                 return parent
+            # the table layout is per-VERSION: a commit whose
+            # partitioning differs from the parent's would hand readers
+            # a mixed directory list partition discovery rejects
+            parent_pb = pm.get("partition_by") or None
+            if parent_pb != partition_by:
+                fs.delete(_hpath(jvm, path, commit_dir), True)
+                raise SchemaEvolutionError(
+                    f"append partition_by={partition_by} does not match "
+                    f"the table's {parent_pb} — repartition the table "
+                    "with an overwrite/checkpoint to change its layout"
+                )
             # schema check against the FINAL parent (it may have moved
             # since the caller's view — the same reason expected_parent
             # lives in this loop)
@@ -294,6 +342,8 @@ def write_version(
             "schema": table_schema.jsonValue(),
             "committed_at": _time.time(),
         }
+        if partition_by:
+            manifest["partition_by"] = partition_by
         if txn_map:
             manifest["txn"] = txn_map
         tmp = _hpath(
@@ -356,6 +406,42 @@ def version_at_timestamp(
     return best
 
 
+def _scan_manifest_dirs(
+    spark: SparkSession, path: str, m: dict,
+    dirs: list[str] | None = None,
+) -> DataFrame:
+    """Plan a scan of a manifest's data directories (or an explicit
+    subset) with the recorded schema. A hive-partitioned table
+    (``partition_by``) cannot hand Spark multiple partitioned roots in
+    one relation (CONFLICTING_DIRECTORY_STRUCTURES — each commit dir is
+    its own discovery root), so multi-directory partitioned versions
+    scan per-directory and union: partition pruning and pushdown apply
+    to every branch, and ``checkpoint_if_due`` bounds the branch
+    count."""
+    dirs = m["dirs"] if dirs is None else dirs
+    schema = None
+    if "schema" in m:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(m["schema"])
+
+    def _one(paths):
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*paths)
+
+    if m.get("partition_by") and len(dirs) > 1:
+        out = None
+        for d in dirs:
+            df = _one([f"{path}/{d}"])
+            out = df if out is None else out.unionByName(
+                df, allowMissingColumns=True
+            )
+        return out
+    return _one([f"{path}/{d}" for d in dirs])
+
+
 def read_version(
     spark: SparkSession, path: str, version: int | None = None,
     *, as_of_timestamp=None,
@@ -391,12 +477,7 @@ def read_version(
             f"version {version} not in committed set {versions}"
         )
     m = _read_manifest(jvm, fs, path, version)
-    reader = spark.read
-    if "schema" in m:
-        from pyspark.sql.types import StructType
-
-        reader = reader.schema(StructType.fromJson(m["schema"]))
-    return reader.parquet(*[f"{path}/{d}" for d in m["dirs"]])
+    return _scan_manifest_dirs(spark, path, m)
 
 
 def read_version_with_skipping(
@@ -525,6 +606,8 @@ def restore_version(
         }
         if "schema" in src:
             manifest["schema"] = src["schema"]
+        if "partition_by" in src:
+            manifest["partition_by"] = src["partition_by"]
         txn_map = dict(
             _read_manifest(jvm, fs, path, parent).get("txn", {})
         )
@@ -543,20 +626,82 @@ def restore_version(
         fs.delete(tmp, False)
 
 
+def _append_chain_added_dirs(
+    jvm, fs, path: str, v_old: int, v_new: int,
+) -> list[str] | None:
+    """If every commit from ``v_old`` (exclusive) up to ``v_new`` is a
+    plain append, return the data directories ADDED after ``v_old``;
+    else None. O(chain) manifest reads, no data touched."""
+    m = _read_manifest(jvm, fs, path, v_new)
+    v = v_new
+    while v != v_old:
+        if v < v_old:  # pragma: no cover - parents decrement by 1
+            return None
+        cur = _read_manifest(jvm, fs, path, v)
+        if cur.get("mode") != "append" or cur.get("parent") is None:
+            return None
+        v = cur["parent"]
+    old_dirs = set(_read_manifest(jvm, fs, path, v_old)["dirs"])
+    added = [d for d in m["dirs"] if d not in old_dirs]
+    if not old_dirs <= set(m["dirs"]):  # pragma: no cover - append
+        return None  # chains accumulate dirs by construction
+    return added
+
+
 def diff_versions(
     spark: SparkSession,
     path: str,
     v_old: int,
     v_new: int,
     keys: list[str],
+    *,
+    prefer_manifest_delta: bool = True,
 ) -> DataFrame:
     """Audit diff between two versions: one row per key present in
     either version with ``change`` ∈ {'added', 'removed', 'changed'}
     (unchanged keys are absent). Non-key columns are compared as a
-    whole row (null-safe). Plan shape: one full outer join on ``keys``
-    — the two sides are version scans, so every pushdown/skipping lever
-    applies to each."""
+    whole row (null-safe).
+
+    Plan shape — the CDF-lite lever (Delta's change-data-feed answers
+    the same question with per-commit change logs): when the commits
+    from ``v_old`` to ``v_new`` are ALL plain appends, the manifest log
+    already IS the change log — the diff reads ONLY the directories
+    those appends added (``change='added'`` for every row in them) and
+    never scans, joins, or shuffles the two snapshots. At 100 TB that
+    turns "diff yesterday's table against today's" from two full-table
+    shuffles into a scan of the day's increment. Correctness rests on
+    the keyed-table contract the snapshot diff already assumes (keys
+    unique per version): an append can then only introduce NEW keys —
+    and every key-modifying operator in this log (``upsert_version``,
+    ``delete_version``, ``checkpoint_version``, ``restore_version``)
+    commits as a non-append mode, which automatically disables the
+    fast path. ``prefer_manifest_delta=False`` forces the snapshot
+    join (e.g. for a table whose appends deliberately duplicate keys).
+
+    Across any overwrite/restore boundary: one full outer join on
+    ``keys`` — the two sides are version scans, so every
+    pushdown/skipping lever applies to each."""
     from pyspark.sql import functions as F
+
+    if prefer_manifest_delta:
+        jvm, fs = _fs(spark, path)
+        versions = list_versions(spark, path)
+        if v_old in versions and v_new in versions and v_old <= v_new:
+            added = _append_chain_added_dirs(jvm, fs, path, v_old, v_new)
+            if added is not None:
+                m = _read_manifest(jvm, fs, path, v_new)
+                if not added:  # same content: empty diff, zero scans
+                    return (
+                        read_version(spark, path, v_new)
+                        .select(*keys)
+                        .withColumn("change", F.lit("added"))
+                        .limit(0)
+                    )
+                return (
+                    _scan_manifest_dirs(spark, path, m, dirs=added)
+                    .select(*keys)
+                    .withColumn("change", F.lit("added"))
+                )
 
     old = read_version(spark, path, v_old)
     new = read_version(spark, path, v_new)
@@ -634,6 +779,7 @@ def checkpoint_version(
     zorder_by: list[str] | None = None,
     stats_cols: list[str] | None = None,
     num_files: int | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Log/layout maintenance — Delta's OPTIMIZE in one commit: rewrite
     the LATEST version's content as one fresh overwrite commit (an
@@ -642,8 +788,11 @@ def checkpoint_version(
     ``zorder_by`` clusters the rewrite on 2-3 columns (range-partitioned
     + sorted by the interleaved z-value, the ``sources/zorder.py``
     layout), ``stats_cols`` sweeps the skipping sidecar for the new
-    directory, ``num_files`` bounds the output file count. Contents are
-    bit-identical by construction (a read-through-the-log rewrite)."""
+    directory, ``num_files`` bounds the output file count,
+    ``partition_by`` re-keys the hive layout (default: inherit the
+    table's — a checkpoint never silently flattens a partitioned
+    table). Contents are bit-identical by construction (a
+    read-through-the-log rewrite)."""
     versions = list_versions(spark, path)
     if not versions:
         raise FileNotFoundError(f"no committed versions under {path}")
@@ -664,6 +813,7 @@ def checkpoint_version(
     return write_version(
         df, path, mode="overwrite", stats_cols=stats_cols,
         expected_parent=base_version,
+        partition_by=partition_by,
         _carry_txn=True,
     )
 

@@ -494,7 +494,13 @@ def near_dedup_ingest_stream(
     rows shuffle, never the text. Band signatures are xxhash64 over the
     band's minhashes regardless of ``hash_fn`` (the index is
     engine-internal; pick hash_fn="portable" only if the SIGNATURES
-    must replay elsewhere). Returns the started StreamingQuery.
+    must replay elsewhere). The stored signatures are hash_fn-family-
+    specific: ``hash_fn`` is a per-stream-lifetime choice like
+    ``index_buckets``, and the round-15 reroute of "xxhash64" through
+    the Arrow fan-out changed that family's bit patterns — an index
+    persisted by a pre-round-15 build must be rebuilt (or the stream
+    pinned to hash_fn="xxhash64_expr") before appending to it.
+    Returns the started StreamingQuery.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")

@@ -681,3 +681,135 @@ def test_timestamp_as_of_legacy_manifest_inherits_high_water(
     # non-negative ts resolves to the latest
     _strip_stamp(0)
     assert V.version_at_timestamp(spark, path, t_before) == 1
+
+
+def test_diff_versions_append_chain_is_manifest_arithmetic(
+    spark, tmp_path
+):
+    """CDF-lite: a diff across an append-only chain must read ONLY the
+    directories the appends added — never the two snapshots — and
+    produce exactly what the snapshot join produces. Across a
+    non-append boundary it must fall back to the join."""
+    from my_feast_spark.sources import versioned as V
+
+    path = str(tmp_path / "t")
+    V.write_version(
+        spark.createDataFrame([(1, 10), (2, 20)], ["k", "v"]), path
+    )
+    V.write_version(
+        spark.createDataFrame([(3, 30)], ["k", "v"]), path, mode="append"
+    )
+    V.write_version(
+        spark.createDataFrame([(4, 40), (5, 50)], ["k", "v"]),
+        path, mode="append",
+    )
+
+    fast = V.diff_versions(spark, path, 0, 2, ["k"])
+    join = V.diff_versions(
+        spark, path, 0, 2, ["k"], prefer_manifest_delta=False
+    )
+    rows = sorted(tuple(r) for r in fast.collect())
+    assert rows == sorted(tuple(r) for r in join.collect())
+    assert rows == [(3, "added"), (4, "added"), (5, "added")]
+
+    # the fast path's relation IS the added-dirs scan: its input files
+    # all live under the two appended commit dirs, none under v0's
+    with open(os.path.join(path, "_vlog", "0.json")) as f:
+        v0_dirs = set(json.load(f)["dirs"])
+    with open(os.path.join(path, "_vlog", "2.json")) as f:
+        v2_dirs = set(json.load(f)["dirs"])
+    added = v2_dirs - v0_dirs
+    files = fast.inputFiles()
+    assert files and all(
+        any(f"/{d}/" in f for d in added) for f in files
+    ), files
+    assert not any(
+        any(f"/{d}/" in f for d in v0_dirs) for f in files
+    ), files
+    # the snapshot join scans BOTH snapshots (v0's dirs included)
+    assert any(
+        any(f"/{d}/" in f for d in v0_dirs) for f in join.inputFiles()
+    )
+
+    # same-version diff: empty, still no snapshot scan needed
+    assert V.diff_versions(spark, path, 1, 1, ["k"]).count() == 0
+
+    # an overwrite (here: a keyed upsert touching k=3) breaks the
+    # append chain -> snapshot join, which sees the CHANGE
+    V.upsert_version(
+        spark.createDataFrame([(3, 99)], ["k", "v"]), path, ["k"]
+    )
+    got = {
+        r["k"]: r["change"]
+        for r in V.diff_versions(spark, path, 0, 3, ["k"]).collect()
+    }
+    assert got == {3: "added", 4: "added", 5: "added"}
+    got2 = {
+        r["k"]: r["change"]
+        for r in V.diff_versions(spark, path, 2, 3, ["k"]).collect()
+    }
+    assert got2 == {3: "changed"}
+
+
+def test_partition_by_passthrough_prunes_reads(spark, tmp_path):
+    """partition_by= writes hive-partitioned commit directories (the
+    reference's created= date layout) — a partition predicate through
+    read_version then reads ONLY the matching leaf directories of
+    every commit, the layout is manifest-recorded and enforced across
+    appends, and content-preserving rewrites inherit it."""
+    from my_feast_spark.sources import versioned as V
+
+    path = str(tmp_path / "t")
+    days = [f"2024-01-{d:02d}" for d in (1, 2, 3)]
+    df = spark.createDataFrame(
+        [(i, days[i % 3]) for i in range(30)], ["id", "created"]
+    )
+    V.write_version(df, path, partition_by=["created"])
+    df2 = spark.createDataFrame(
+        [(100 + i, days[i % 3]) for i in range(30)], ["id", "created"]
+    )
+    V.write_version(df2, path, mode="append", partition_by=["created"])
+
+    cur = V.read_version(spark, path)
+    assert cur.count() == 60
+    # the recorded schema keeps the partition column's declared type
+    # (hive inference alone would type a yyyy-MM-dd value as DATE)
+    assert dict(cur.dtypes)["created"] == "string"
+
+    def files_read(df_):
+        return {
+            r.f for r in df_.select(F.input_file_name().alias("f"))
+            .distinct().collect()
+        }
+
+    pred = cur.where(F.col("created") == "2024-01-02")
+    assert pred.count() == 20
+    got = files_read(pred)
+    assert got and all("created=2024-01-02" in f for f in got)
+    # ... and it is a strict subset of the full scan (both commits
+    # contribute, each pruned to one of its three leaf dirs)
+    assert got < files_read(cur)
+
+    # a mixed-layout append is loud, never a broken directory list
+    with pytest.raises(V.SchemaEvolutionError, match="partition_by"):
+        V.write_version(df, path, mode="append")
+    with pytest.raises(V.SchemaEvolutionError, match="partition_by"):
+        V.write_version(df, path, mode="append", partition_by=["id"])
+
+    # checkpoint inherits the table layout (manifest-recorded), and the
+    # collapsed single-directory version still partition-prunes
+    v = V.checkpoint_version(spark, path)
+    with open(f"{path}/_vlog/{v}.json") as fh:
+        assert json.load(fh)["partition_by"] == ["created"]
+    pred2 = V.read_version(spark, path, v).where(
+        F.col("created") == "2024-01-03"
+    )
+    assert pred2.count() == 20
+    got2 = files_read(pred2)
+    assert got2 and all("created=2024-01-03" in f for f in got2)
+
+    # delete_version keeps the layout too
+    v3 = V.delete_version(spark, path, F.col("created") == "2024-01-01")
+    with open(f"{path}/_vlog/{v3}.json") as fh:
+        assert json.load(fh)["partition_by"] == ["created"]
+    assert V.read_version(spark, path).count() == 40
