@@ -54,7 +54,7 @@ def versioned_ingest_stream(
     checkpoint: str,
     app_id: str = "versioned_ingest",
     stats_cols: list[str] | None = None,
-    compact_chain_at: int | None = None,
+    compact_chain_at: int | None = 64,
     compact_kwargs: dict | None = None,
     trigger_interval: str | None = None,
     available_now: bool = False,
@@ -70,7 +70,21 @@ def versioned_ingest_stream(
     :func:`checkpoint_if_due` after each commit with
     ``max_dirs=compact_chain_at`` (``compact_kwargs`` pass through to
     ``checkpoint_version`` — ``zorder_by``, ``num_files``). Empty
-    micro-batches commit nothing (no empty versions)."""
+    micro-batches commit nothing (no empty versions).
+
+    The default ``compact_chain_at=64`` is probe-derived (probe 10,
+    COVERAGE.md): every reader of the latest version pays ONE directory
+    listing per append in the chain — driver-serial below Spark's
+    ``parallelPartitionDiscovery.threshold`` (32 paths), a distributed
+    job above it. Measured locally the listing is linear in chain
+    length (0.15s/0.34s/0.76s plan-build at 16/64/256 dirs); at
+    object-store latency (~50ms per LIST) an unbounded stream's chain
+    costs seconds of pure listing per read (1000 dirs: ~50s serial,
+    ~1.6s at 32-way parallel), while a 64-bounded chain lists in ~2
+    parallel rounds (~0.1s + one job round) and pays the full-table
+    rewrite only once per 64 batches (O(N) amortized write
+    amplification — checkpoint_if_due's contract). Pass ``None`` to
+    disable compaction entirely (an operator-managed table)."""
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -587,6 +587,58 @@ def main() -> None:
     finally:
         _sh.rmtree(vroot2, ignore_errors=True)
 
+    # ---- probe 10: chain LISTING cost vs length -> compact_chain_at ----
+    # (r14 verdict ask #6.) The versioned read hands Spark one directory
+    # per append; building the relation LISTS each of them (one
+    # FileSystem list call per dir — driver-serial below
+    # spark.sql.sources.parallelPartitionDiscovery.threshold=32 paths, a
+    # distributed job above it). Locally a list call is ~0.1ms so the
+    # measured numbers only pin the SHAPE (flat resolution, listing
+    # linear in dirs, the threshold crossover); the cloud projection is
+    # arithmetic on the measured call COUNT: at ~50ms per object-store
+    # LIST, a chain of N dirs costs N x 50ms serial, or
+    # ceil(N/parallelism) x 50ms + one job round above the threshold.
+    # That arithmetic is what sets versioned_ingest_stream's
+    # compact_chain_at=64 default: 64 dirs stays ABOVE the parallel
+    # threshold (discovery distributes: 2 x 50ms rounds on 32 cores,
+    # ~0.1s + job overhead) while an unbounded chain pays ~1 LIST round
+    # per 32 dirs forever — 1000 dirs ~ 1.6s of pure listing per read,
+    # before any footer or data byte.
+    vroot3 = _tf.mkdtemp(prefix="mfs_probe_vlog_list_")
+    vpath3 = vroot3 + "/t"
+    try:
+        tiny3 = load_table(spark, sf_dir, "events").select(
+            "event_id", "value"
+        ).limit(50).coalesce(1).localCheckpoint()
+        for i in range(256):
+            write_version(
+                tiny3, vpath3, mode="append" if i else "overwrite"
+            )
+        for n_dirs in (16, 64, 256):
+            v = n_dirs - 1  # version v has v+1 dirs (append chain)
+            timed(
+                f"vlog_planbuild_{n_dirs}dirs",
+                lambda v=v: len(read_version(spark, vpath3, v).columns),
+                repeats=2,
+            )
+        thresh = int(spark.conf.get(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold"
+        ))
+        results["parallel_discovery_threshold"] = thresh
+        # the projection the compact_chain_at=64 default rests on
+        for n_dirs in (64, 1000):
+            serial_s = n_dirs * 0.05
+            par_s = -(-n_dirs // int(cpus)) * 0.05
+            results[f"cloud50ms_list_{n_dirs}dirs_serial_s"] = round(
+                serial_s, 2
+            )
+            results[f"cloud50ms_list_{n_dirs}dirs_parallel_s"] = round(
+                par_s, 2
+            )
+        release_checkpoint(tiny3)
+    finally:
+        _sh.rmtree(vroot3, ignore_errors=True)
+
     print(json.dumps({
         "probes": results,
         "configs": {
