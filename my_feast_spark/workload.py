@@ -1626,9 +1626,10 @@ def q_minhash_dup_pairs(spark, sf_dir, *, hash_fn="portable"):
     stage — signatures, band sigs, bucket cap, candidate join, exact
     verify — bit-reproducible in DuckDB, so the oracle replays the FULL
     pipeline (SQL_MINHASH_DUP_PAIRS) rather than a weaker rows-only
-    check. The pure-Spark scale path keeps xxhash64 (cheaper; recall
-    behavior identical — asserted in tests/test_extensions.py); bench.py
-    times BOTH so the recorded number reflects the 100 TB path."""
+    check. The scale path keeps xxhash64 (the Arrow fan-out since
+    round 15 — cheaper; recall behavior identical, asserted in
+    tests/test_extensions.py); bench.py times BOTH so the recorded
+    number reflects the 100 TB path."""
     from my_feast_spark.operators.dedup import minhash_lsh_dup_pairs
 
     docs = _t(spark, sf_dir, "documents")
