@@ -334,8 +334,11 @@ def video_near_dup_pairs(
     sampled frame hashes, so it collides in some band and survives the
     verify; candidates never come from a cross join.
 
-    ``hash_fn``: "xxhash64" (default; seeded independent hashes, the
-    pure-Spark scale path) or "portable" (the md5 Carter-Wegman family
+    ``hash_fn``: "xxhash64" (default; seeded independent hashes as
+    expressions — unlike the text MinHash tier this stays affordable
+    because the hashed array is the asset's SAMPLED FRAME set, bounded
+    at tens of entries, not a document's hundreds of shingles) or
+    "portable" (the md5 Carter-Wegman family
     over the frame hashes, same as the text MinHash tier — lets a SQL
     oracle replay the signatures bit-for-bit; band signatures stay
     xxhash64 either way, an injective-up-to-collisions rename of the

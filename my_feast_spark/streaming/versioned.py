@@ -116,7 +116,14 @@ def versioned_ingest_stream(
                 # over optional maintenance would restart the stream
                 # for nothing (advice-caught). The chain is still over
                 # threshold, so compaction is due again next batch.
-                pass
+                import warnings
+
+                warnings.warn(
+                    f"versioned_ingest_stream[{app_id}] batch "
+                    f"{batch_id}: compaction lost a version race and "
+                    "was skipped; it is due again next batch",
+                    stacklevel=2,
+                )
 
     writer = (
         stream_df.writeStream.foreachBatch(commit_batch)

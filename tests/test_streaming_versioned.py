@@ -167,3 +167,37 @@ def test_compaction_keeps_the_skipping_sidecar(spark, tmp_path):
     df, rep = V.read_version_with_skipping(spark, table, {"k": (10, 10)})
     assert [r["k"] for r in df.collect()] == [10]
     assert rep["files_total"] >= 1
+
+
+def test_compaction_version_race_does_not_fail_the_batch(
+    spark, tmp_path, monkeypatch
+):
+    """Advice-caught: a concurrent writer landing between the batch
+    append and the inline compaction makes checkpoint_if_due raise
+    VersionConflictError — the micro-batch must NOT fail (the batch's
+    own commit already landed; compaction is due again next batch)."""
+    import warnings
+
+    from my_feast_spark.streaming import versioned as sv
+
+    calls = {"n": 0}
+
+    def conflicted(*a, **kw):
+        calls["n"] += 1
+        raise V.VersionConflictError("concurrent writer won")
+
+    monkeypatch.setattr(sv, "checkpoint_if_due", conflicted)
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    _feed(spark, in_dir, [Row(k=1, v=10), Row(k=2, v=20)])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _run_once(spark, in_dir, table, ckpt, compact_chain_at=2)
+    assert calls["n"] == 1
+    assert any("lost a version race" in str(x.message) for x in w)
+    # the batch itself committed despite the failed compaction
+    assert V.read_version(spark, table).count() == 2
+    assert V.list_versions(spark, table) == [0]
