@@ -162,6 +162,7 @@ def write_version(
     txn: tuple[str, int] | None = None,
     merge_schema: bool = False,
     partition_by: list[str] | None = None,
+    optimized_write: bool = True,
     _carry_txn: bool = False,
 ) -> int:
     """Commit ``df`` as a new version of the table at ``path``.
@@ -221,7 +222,18 @@ def write_version(
     whose ``partition_by`` differs from the table's raises (a mixed-
     layout directory list would fail partition discovery); an
     overwrite may change it, and content-preserving rewrites
-    (upsert/delete/checkpoint) inherit the parent's automatically."""
+    (upsert/delete/checkpoint) inherit the parent's automatically.
+
+    ``optimized_write`` (default on, Delta's optimizeWrite lever;
+    no-op without ``partition_by``) shuffles the commit onto its
+    partition values before writing, so a partitioned append lands
+    ONE file per partition value instead of (input partitions x
+    values) shards — an unshuffled 32-partition batch touching 3
+    dates would otherwise write 96 tiny files per commit (probe 10b),
+    and a chain of such commits drowns every reader in per-file task
+    overhead. Pass ``False`` when one task per partition value is the
+    wrong shape (a huge backfill whose per-date volume needs many
+    writer tasks — pre-repartition yourself instead)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
     partition_by = list(partition_by) if partition_by else None
@@ -258,7 +270,10 @@ def write_version(
     spark = df.sparkSession
     jvm, fs = _fs(spark, path)
     commit_dir = f"{_DATA}/v{uuid.uuid4().hex[:12]}"
-    writer = df.write.mode("error")
+    out_df = df
+    if partition_by and optimized_write:
+        out_df = df.repartition(*partition_by)
+    writer = out_df.write.mode("error")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(f"{path}/{commit_dir}")
@@ -814,6 +829,10 @@ def checkpoint_version(
         df, path, mode="overwrite", stats_cols=stats_cols,
         expected_parent=base_version,
         partition_by=partition_by,
+        # a z-ordered rewrite already owns its task layout (range
+        # partition + sort on the z-value); the optimized-write shuffle
+        # would destroy exactly the clustering the checkpoint built
+        optimized_write=not zorder_by,
         _carry_txn=True,
     )
 

@@ -786,6 +786,12 @@ def test_partition_by_passthrough_prunes_reads(spark, tmp_path):
     assert pred.count() == 20
     got = files_read(pred)
     assert got and all("created=2024-01-02" in f for f in got)
+    # optimized write: ONE file per partition value per commit (the
+    # unshuffled input spans many partitions — without the pre-write
+    # shuffle each commit would spray input_partitions x values tiny
+    # files, probe 10b)
+    assert len(got) == 2  # 2 commits x 1 file for this date
+    assert len(files_read(cur)) == 6  # 2 commits x 3 dates
     # ... and it is a strict subset of the full scan (both commits
     # contribute, each pruned to one of its three leaf dirs)
     assert got < files_read(cur)
