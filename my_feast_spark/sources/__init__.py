@@ -13,13 +13,19 @@ from my_feast_spark.sources.skipping import (
     write_file_stats,
 )
 from my_feast_spark.sources.versioned import (
+    SchemaEvolutionError,
     VersionConflictError,
+    checkpoint_if_due,
     checkpoint_version,
+    delete_version,
+    diff_versions,
     list_versions,
     read_version,
     read_version_with_skipping,
+    restore_version,
     upsert_version,
     vacuum,
+    version_at_timestamp,
     write_version,
 )
 from my_feast_spark.sources.zorder import zorder_table, zvalue
@@ -43,7 +49,13 @@ __all__ = [
     "VersionConflictError",
     "read_version_with_skipping",
     "upsert_version",
+    "delete_version",
+    "diff_versions",
+    "restore_version",
+    "version_at_timestamp",
     "checkpoint_version",
+    "checkpoint_if_due",
+    "SchemaEvolutionError",
     "list_versions",
     "vacuum",
     "zvalue",
