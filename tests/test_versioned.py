@@ -819,3 +819,42 @@ def test_partition_by_passthrough_prunes_reads(spark, tmp_path):
     with open(f"{path}/_vlog/{v3}.json") as fh:
         assert json.load(fh)["partition_by"] == ["created"]
     assert V.read_version(spark, path).count() == 40
+
+
+def test_zorder_checkpoint_of_partitioned_table(spark, tmp_path):
+    """Interplay pin: a z-ordered checkpoint of a hive-partitioned
+    table keeps the table's partition layout (manifest-recorded,
+    pruned reads still work), keeps content bit-identical, and the
+    z-order path skips the optimized-write shuffle (the z layout owns
+    the task shape)."""
+    from my_feast_spark.sources import versioned as V
+
+    path = str(tmp_path / "t")
+    days = [f"2024-02-{d:02d}" for d in (1, 2)]
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 100, days[i % 2]) for i in range(400)],
+        ["id", "x", "created"],
+    )
+    V.write_version(df, path, partition_by=["created"])
+    V.write_version(
+        df.select((F.col("id") + 1000).alias("id"), "x", "created"),
+        path, mode="append", partition_by=["created"],
+    )
+    before = _rows(V.read_version(spark, path))
+
+    v = V.checkpoint_version(
+        spark, path, zorder_by=["id", "x"], num_files=4
+    )
+    with open(f"{path}/_vlog/{v}.json") as fh:
+        m = json.load(fh)
+    assert m["partition_by"] == ["created"]
+    assert len(m["dirs"]) == 1
+    after = V.read_version(spark, path, v)
+    assert _rows(after) == before
+    # pruned read over the checkpointed layout
+    pred = after.where(F.col("created") == days[0])
+    files = {
+        r.f for r in pred.select(F.input_file_name().alias("f"))
+        .distinct().collect()
+    }
+    assert files and all(f"created={days[0]}" in f for f in files)
