@@ -858,3 +858,39 @@ def test_zorder_checkpoint_of_partitioned_table(spark, tmp_path):
         .distinct().collect()
     }
     assert files and all(f"created={days[0]}" in f for f in files)
+
+
+def test_stats_sidecar_composes_with_partitioned_commits(
+    spark, tmp_path
+):
+    """stats_cols + partition_by on one commit: the sidecar sweep walks
+    the hive layout (partition values recorded as exact point stats),
+    so read_version_with_skipping prunes BOTH on the data column range
+    and on the partition value."""
+    from my_feast_spark.sources.versioned import (
+        read_version_with_skipping,
+    )
+
+    path = str(tmp_path / "t")
+    days = [f"2024-03-{d:02d}" for d in (1, 2, 3, 4)]
+    df = spark.createDataFrame(
+        [(i, days[i % 4]) for i in range(4000)], ["id", "created"]
+    ).repartitionByRange(4, "id")  # disjoint id ranges -> prunable
+    write_version(
+        df, path, partition_by=["created"], stats_cols=["id"],
+        optimized_write=False,  # keep the ranged layout: 4 ranges x 4 days
+    )
+    # partition-value predicate alone prunes 3/4 of the files
+    got, rep = read_version_with_skipping(
+        spark, path, {"created": ("2024-03-02", "2024-03-02")}
+    )
+    assert rep["files_total"] == 16
+    assert rep["files_read"] == 4
+    assert got.count() == 1000
+    # combined with the data-column range: one file survives
+    got2, rep2 = read_version_with_skipping(
+        spark, path,
+        {"created": ("2024-03-02", "2024-03-02"), "id": (0, 100)},
+    )
+    assert rep2["files_read"] == 1
+    assert got2.count() == 25  # ids 1, 5, ..., 97 land on day 2
