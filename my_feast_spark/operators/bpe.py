@@ -162,6 +162,11 @@ def train_bpe_merges(
     the cap trains on the top 1e6 (loud warning, strict truncation
     check) where it previously trained on everything; pass
     ``max_train_words=None`` for the old unbounded behavior."""
+    if max_train_words is not None:
+        # normalize once: a float cap (1e6) must not TypeError the
+        # truncation slice exactly when it fires (review-caught;
+        # wordpiece.py shares the guard)
+        max_train_words = int(max_train_words)
     t = F.col(text_col)
     if lowercase:
         t = F.lower(t)

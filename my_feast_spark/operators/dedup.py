@@ -838,7 +838,11 @@ def _simhash_numpy(df, id_col, text_col, bits) -> DataFrame:
         F.transform(
             tokens(F.lower(F.col(text_col))), lambda t: F.xxhash64(t)
         ).alias("__h"),
-    )
+        # NULL text -> NULL token array: drop the doc like the
+        # explode_outer + isNotNull expression path does (review-caught:
+        # np.asarray(None) would otherwise crash the whole job on one
+        # NULL row, where the legacy default silently dropped it)
+    ).filter(F.col("__h").isNotNull())
 
     @pandas_udf("long")
     def fingerprint(col: pd.Series) -> pd.Series:

@@ -588,7 +588,7 @@ def write_ivfpq_index(enc: DataFrame, model: dict, path: str) -> None:
     for st in fs.listStatus(pp):
         name = st.getPath().getName()
         if (
-            name.startswith("cells.staging-")
+            name.startswith(("cells.staging-", ".model.tmp-"))
             and st.getModificationTime() < cutoff_ms
         ):
             fs.delete(st.getPath(), True)
@@ -654,11 +654,22 @@ def _heal_staged_index(jvm, fs, path: str) -> bool:
             os.path.join(path, "model")
         )
         if fs.exists(inner):
+            # copy to a temp name FIRST, then delete+rename: the
+            # no-legacy-model window is two metadata ops, not the whole
+            # copy (review-caught — a crash mid-copy after an eager
+            # delete would leave legacy readers with nothing)
+            import uuid as _uuid
+
+            tmp = jvm.org.apache.hadoop.fs.Path(
+                os.path.join(path, f".model.tmp-{_uuid.uuid4().hex[:8]}")
+            )
+            jvm.org.apache.hadoop.fs.FileUtil.copy(
+                fs, inner, fs, tmp, False, fs.getConf()
+            )
             if fs.exists(legacy):
                 fs.delete(legacy, True)
-            jvm.org.apache.hadoop.fs.FileUtil.copy(
-                fs, inner, fs, legacy, False, fs.getConf()
-            )
+            if not fs.rename(tmp, legacy):
+                fs.delete(tmp, True)  # a concurrent healer won
     return healed
 
 

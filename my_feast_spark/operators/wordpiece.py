@@ -225,6 +225,10 @@ def train_wordpiece(
     ``cap + 1`` rows, so the warning fires exactly when the distinct-
     word table EXCEEDS the cap — a table of exactly cap words trains in
     full, silently, in both this and the local mirror."""
+    if max_train_words is not None:
+        # normalize once: a float cap (1e6) must not TypeError the
+        # truncation slice exactly when it fires (review-caught)
+        max_train_words = int(max_train_words)
     spark = docs.sparkSession
     words = _word_counts(docs, text_col)
     if min_word_count > 1:
@@ -336,6 +340,8 @@ def train_wordpiece_local(
     construction: the SAME split/lower tokenization as `_word_counts`,
     exact-integer counts, the same (count desc, word asc) top-N bound,
     and the shared `train_from_word_counts` loop."""
+    if max_train_words is not None:
+        max_train_words = int(max_train_words)
     wc: dict[str, int] = {}
     for t in texts:
         if not isinstance(t, str):

@@ -218,11 +218,13 @@ def write_version(
     every commit of the version, composing with the recorded-schema
     scan and the skipping sidecar (which records partition values as
     exact point stats). Partitioning is a TABLE layout, recorded in
-    the manifest: every commit of a version must agree, so an append
-    whose ``partition_by`` differs from the table's raises (a mixed-
-    layout directory list would fail partition discovery); an
-    overwrite may change it, and content-preserving rewrites
-    (upsert/delete/checkpoint) inherit the parent's automatically.
+    the manifest: every commit of a version must agree. An append that
+    names NO layout adopts the table's automatically (so streams and
+    plain appends keep working when an operator partitions the table);
+    an append naming a DIFFERENT layout raises (a mixed-layout
+    directory list would fail partition discovery); an overwrite may
+    change it; content-preserving rewrites (upsert/delete/checkpoint)
+    inherit the parent's.
 
     ``optimized_write`` (default on, Delta's optimizeWrite lever;
     no-op without ``partition_by``) shuffles the commit onto its
@@ -243,10 +245,14 @@ def write_version(
             raise ValueError(
                 f"partition_by columns {missing} not in the DataFrame"
             )
-    if _carry_txn and partition_by is None:
-        # content-preserving rewrite: keep the table's layout (a
-        # checkpoint that silently flattened a date-partitioned table
-        # would cost every future read its static pruning)
+    if partition_by is None and (mode == "append" or _carry_txn):
+        # appends and content-preserving rewrites ADOPT the table's
+        # layout when the caller names none (Delta's behavior): a
+        # checkpoint must not silently flatten a date-partitioned
+        # table, and a plain append (e.g. a versioned ingest stream's
+        # batch) must not wedge against the layout check below just
+        # because an operator partitioned the table mid-stream
+        # (review-caught). An explicit MISMATCHED layout still raises.
         _spark = df.sparkSession
         _versions = list_versions(_spark, path)
         if _versions:
@@ -643,24 +649,26 @@ def restore_version(
 
 def _append_chain_added_dirs(
     jvm, fs, path: str, v_old: int, v_new: int,
-) -> list[str] | None:
+) -> tuple[list[str], dict] | None:
     """If every commit from ``v_old`` (exclusive) up to ``v_new`` is a
-    plain append, return the data directories ADDED after ``v_old``;
-    else None. O(chain) manifest reads, no data touched."""
+    plain append, return ``(dirs added after v_old, v_new's manifest)``
+    — the manifest rides along so the caller never re-reads it; else
+    None. O(chain) manifest reads, no data touched."""
     m = _read_manifest(jvm, fs, path, v_new)
-    v = v_new
+    cur, v = m, v_new
     while v != v_old:
         if v < v_old:  # pragma: no cover - parents decrement by 1
             return None
-        cur = _read_manifest(jvm, fs, path, v)
         if cur.get("mode") != "append" or cur.get("parent") is None:
             return None
         v = cur["parent"]
+        if v != v_old:
+            cur = _read_manifest(jvm, fs, path, v)
     old_dirs = set(_read_manifest(jvm, fs, path, v_old)["dirs"])
     added = [d for d in m["dirs"] if d not in old_dirs]
     if not old_dirs <= set(m["dirs"]):  # pragma: no cover - append
         return None  # chains accumulate dirs by construction
-    return added
+    return added, m
 
 
 def diff_versions(
@@ -702,9 +710,9 @@ def diff_versions(
         jvm, fs = _fs(spark, path)
         versions = list_versions(spark, path)
         if v_old in versions and v_new in versions and v_old <= v_new:
-            added = _append_chain_added_dirs(jvm, fs, path, v_old, v_new)
-            if added is not None:
-                m = _read_manifest(jvm, fs, path, v_new)
+            chain = _append_chain_added_dirs(jvm, fs, path, v_old, v_new)
+            if chain is not None:
+                added, m = chain
                 if not added:  # same content: empty diff, zero scans
                     return (
                         read_version(spark, path, v_new)

@@ -39,6 +39,67 @@ from my_feast_spark.functions.scalar import floor_round
 _memory_table_ids = itertools.count()
 
 
+#: layout-contract marker each dedup index carries at its root
+_INDEX_META = "_mfs_index_meta.json"
+
+
+def _ensure_index_meta(spark: SparkSession, index_path: str, meta: dict):
+    """Pin an index's per-stream-lifetime layout choices (hash family,
+    banding config, pbucket count) in a root marker and validate them
+    on every stream (re)start. The choices are invisible in the stored
+    rows themselves, so without the marker a resumed stream with a
+    different config appends incompatible state SILENTLY — e.g. the
+    round-15 xxhash64 bit-pattern change, or an ``index_buckets`` flip:
+    new signatures simply never collide with old ones and every
+    cross-era duplicate is missed with no error (review-caught). A
+    mismatch now fails the stream START, loudly, naming the key.
+
+    Written atomically (hidden temp + rename) BEFORE the first batch;
+    idempotent across restarts. Pre-marker indexes (built before this
+    existed) adopt the current stream's config on first resume — the
+    one unverifiable generation."""
+    import json as _json
+
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    mp = jvm.org.apache.hadoop.fs.Path(f"{index_path}/{_INDEX_META}")
+    fs = mp.getFileSystem(sc._jsc.hadoopConfiguration())
+    if fs.exists(mp):
+        stream = fs.open(mp)
+        try:
+            stored = _json.loads(
+                bytes(stream.readAllBytes()).decode("utf-8")
+            )
+        finally:
+            stream.close()
+        bad = {
+            k: (stored.get(k), v)
+            for k, v in meta.items()
+            if stored.get(k) != v
+        }
+        if bad:
+            raise ValueError(
+                f"index at {index_path!r} was built with a different "
+                f"layout: {bad} (stored, requested) — these are "
+                "per-stream-lifetime choices; rebuild the index or "
+                "match the stored config"
+            )
+        return
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(index_path))
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{index_path}/.{_INDEX_META}.tmp"
+    )
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(_json.dumps(meta).encode("utf-8")))
+    finally:
+        out.close()
+    if not fs.rename(tmp, mp):
+        # a concurrent starter won the rename: validate against theirs
+        fs.delete(tmp, False)
+        _ensure_index_meta(spark, index_path, meta)
+
+
 def _fs_nonempty(spark: SparkSession, path: str) -> bool:
     """True when ``path`` exists and holds at least one non-hidden
     entry, probed through Spark's Hadoop FileSystem — so ``s3a://``,
@@ -364,6 +425,10 @@ def dedup_ingest_stream(
     from my_feast_spark.functions.text import doc_fingerprint
 
     spark = sdf.sparkSession
+    _ensure_index_meta(spark, index_path, {
+        "kind": "exact_fingerprint",
+        "index_buckets": index_buckets,
+    })
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         import os
@@ -509,6 +574,15 @@ def near_dedup_ingest_stream(
     from my_feast_spark.operators.graph import release_checkpoint
 
     spark = sdf.sparkSession
+    _ensure_index_meta(spark, index_path, {
+        "kind": "neardup_minhash",
+        # "numpy" is an alias of "xxhash64" (same fan-out family)
+        "hash_fn": "xxhash64" if hash_fn == "numpy" else hash_fn,
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "n": n,
+        "index_buckets": index_buckets,
+    })
     bands_dir = os.path.join(index_path, "bands")
     sigs_dir = os.path.join(index_path, "sigs")
 
@@ -719,6 +793,14 @@ def embedding_dedup_ingest_stream(
     )
 
     spark = sdf.sparkSession
+    _ensure_index_meta(spark, index_path, {
+        "kind": "embedding_lsh",
+        "num_planes": num_planes,
+        "num_tables": num_tables,
+        "dim": dim,
+        "seed": seed,
+        "index_buckets": index_buckets,
+    })
     buckets_dir = os.path.join(index_path, "buckets")
     vecs_dir = os.path.join(index_path, "vecs")
     planes = [

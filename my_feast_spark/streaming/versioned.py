@@ -54,6 +54,7 @@ def versioned_ingest_stream(
     checkpoint: str,
     app_id: str = "versioned_ingest",
     stats_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
     compact_chain_at: int | None = 64,
     compact_kwargs: dict | None = None,
     trigger_interval: str | None = None,
@@ -66,7 +67,10 @@ def versioned_ingest_stream(
     streams (different checkpoints, so independent batch-id sequences)
     writing the same table must use different app ids. ``stats_cols``
     sweeps the skipping sidecar for every batch directory (each version
-    is then fully skippable at read time); ``compact_chain_at`` runs
+    is then fully skippable at read time); ``partition_by`` hive-
+    partitions each batch's commit (needed only when the STREAM creates
+    the table — appends onto an existing partitioned table adopt its
+    layout automatically); ``compact_chain_at`` runs
     :func:`checkpoint_if_due` after each commit with
     ``max_dirs=compact_chain_at`` (``compact_kwargs`` pass through to
     ``checkpoint_version`` — ``zorder_by``, ``num_files``). Empty
@@ -94,6 +98,7 @@ def versioned_ingest_stream(
             table_path,
             mode="append",
             stats_cols=stats_cols,
+            partition_by=partition_by,
             txn=(app_id, batch_id),
         )
         if compact_chain_at is not None:

@@ -934,3 +934,20 @@ WHERE (CAST((md5_number_lower(CAST(doc_id AS VARCHAR) || ':pareto')
 """).fetchall()
     }
     assert got == want
+
+
+def test_simhash_null_text_drops_doc_in_every_family(spark):
+    """Review-caught regression guard: a NULL text row must be DROPPED
+    (the explode path's semantics) in every hash family — the Arrow
+    default must not crash the job on it."""
+    from my_feast_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma"),
+         Row(doc_id=2, text=None)],
+        schema="doc_id long, text string",
+    )
+    for fam in ("xxhash64", "xxhash64_expr", "portable"):
+        got = {r.doc for r in simhash(df, "doc_id", "text",
+                                      hash_fn=fam).collect()}
+        assert got == {1}, fam

@@ -204,3 +204,42 @@ def test_bucketed_replay_is_idempotent(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert {r.doc_id for r in rows} == {1, 2}
     assert len(rows) == 2, "replay double-appended"
+
+
+def test_index_meta_pins_layout_choices(spark, tmp_path):
+    """Review-caught: hash family / banding / pbucket count are
+    per-stream-lifetime choices invisible in the stored rows — a
+    resumed stream with a different config must fail at START, not
+    silently stop colliding with the existing index."""
+    import pytest as _pytest
+
+    in_dir = str(tmp_path / "incoming")
+    os.makedirs(in_dir)
+    out = str(tmp_path / "corpus")
+    idx = str(tmp_path / "mh_index")
+    spark.createDataFrame(
+        [Row(doc_id=1, text=BASE)]
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    _run(spark, in_dir, out, idx, str(tmp_path / "ck1"))
+    assert os.path.exists(os.path.join(idx, "_mfs_index_meta.json"))
+
+    # same config resumes fine
+    _run(spark, in_dir, out, idx, str(tmp_path / "ck2"))
+
+    # a different hash family against the same index is loud
+    sdf = spark.readStream.schema("doc_id long, text string").parquet(
+        in_dir
+    )
+    with _pytest.raises(ValueError, match="different layout"):
+        near_dedup_ingest_stream(
+            sdf, out_path=out, index_path=idx,
+            checkpoint=str(tmp_path / "ck3"),
+            threshold=0.5, hash_fn="xxhash64_expr", available_now=True,
+        )
+    # ...and so is flipping index_buckets
+    with _pytest.raises(ValueError, match="different layout"):
+        near_dedup_ingest_stream(
+            sdf, out_path=out, index_path=idx,
+            checkpoint=str(tmp_path / "ck4"),
+            threshold=0.5, index_buckets=8, available_now=True,
+        )

@@ -796,9 +796,18 @@ def test_partition_by_passthrough_prunes_reads(spark, tmp_path):
     # contribute, each pruned to one of its three leaf dirs)
     assert got < files_read(cur)
 
-    # a mixed-layout append is loud, never a broken directory list
-    with pytest.raises(V.SchemaEvolutionError, match="partition_by"):
-        V.write_version(df, path, mode="append")
+    # an append naming NO layout ADOPTS the table's (review-caught: a
+    # plain append — a stream's batch — must not wedge after an
+    # operator partitions the table)...
+    v_adopt = V.write_version(
+        spark.createDataFrame([(900, days[0])], ["id", "created"]),
+        path, mode="append",
+    )
+    with open(f"{path}/_vlog/{v_adopt}.json") as fh:
+        assert json.load(fh)["partition_by"] == ["created"]
+    assert V.read_version(spark, path).count() == 61
+    # ...but an append naming a DIFFERENT layout is loud, never a
+    # broken directory list
     with pytest.raises(V.SchemaEvolutionError, match="partition_by"):
         V.write_version(df, path, mode="append", partition_by=["id"])
 
