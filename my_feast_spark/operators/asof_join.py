@@ -418,7 +418,19 @@ def _window_order():
     # Feature rows sort BEFORE probe rows at equal timestamps => the `<=`
     # boundary is inclusive; (ts asc, created asc) ordering makes "last
     # non-null payload" = max event_ts then max created — J2+J3 in one sort.
-    return (F.col(_TS).asc(), F.col(_IS_PROBE).asc(), F.col(_CREATED).asc())
+    # The PAYLOAD struct is the FINAL tie-breaker (Hypothesis-caught):
+    # two feature rows identical in (key, ts, created) but different in
+    # value would otherwise resolve by partition order — a different
+    # winner per plan/strategy/retry, i.e. non-reproducible training
+    # sets. With the payload in the total order the greatest struct
+    # wins everywhere (arbitrary but deterministic; all three
+    # strategies share the rule).
+    return (
+        F.col(_TS).asc(),
+        F.col(_IS_PROBE).asc(),
+        F.col(_CREATED).asc(),
+        F.col(_PAYLOAD).asc_nulls_first(),
+    )
 
 
 def _union_window(
@@ -476,8 +488,9 @@ def _sliced_window(
 
     # latest feature row per (key, slice) — the boundary-carry candidates
     w_latest = Window.partitionBy(*join_keys, "__slice").orderBy(
-        F.col(_TS).desc(), F.col(_CREATED).desc_nulls_last()
-    )
+        F.col(_TS).desc(), F.col(_CREATED).desc_nulls_last(),
+        F.col(_PAYLOAD).desc_nulls_last(),  # same full-tie rule as
+    )                                       # _window_order()
     slice_latest = (
         feat_side.withColumn("__rn", F.row_number().over(w_latest))
         .filter(F.col("__rn") == 1)
@@ -564,7 +577,10 @@ def _range_join(
             F.col(_TS) >= F.col(entity_ts_col) - F.expr(f"INTERVAL {int(ttl_s)} SECOND")
         )
     joined = e.join(f, on=cond, how="left")
-    w = Window.partitionBy(_ROW_ID).orderBy(F.col(_TS).desc_nulls_last(), F.col(_CREATED).desc_nulls_last())
+    w = Window.partitionBy(_ROW_ID).orderBy(
+        F.col(_TS).desc_nulls_last(), F.col(_CREATED).desc_nulls_last(),
+        F.col(_PAYLOAD).desc_nulls_last(),  # full-tie rule, see
+    )                                       # _window_order()
     best = (
         joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
