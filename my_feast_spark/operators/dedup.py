@@ -485,7 +485,18 @@ def minhash_signatures(
     fan-out (judge-caught inversion — the 'scale default' was the
     slowest family two committed benches running). Signatures are
     engine-internal, so only PERSISTED signature artifacts (the
-    streaming near-dup index) need a rebuild across that boundary."""
+    streaming near-dup index) need a rebuild across that boundary.
+
+    MEASURED (round 16, COVERAGE probe 11): at sf0.1 the two Arrow
+    fan-outs TIE within run spread (N=5 alternating, min 2.451s
+    xxhash64 vs 2.478s portable; warm ranges fully overlap) — the
+    pipeline is dominated by the shared shingling/banding/join stages,
+    not the hash family. The structural difference that matters at
+    scale is the BASE hash: one xxhash64 intrinsic per shingle vs
+    md5 + hex-substring parsing, plus the splitmix remix being ~3x
+    cheaper per element than CW's multiply-mod (numpy microbench,
+    same probe). Below bench noise at sf0.1; favors xxhash64 as
+    corpus size grows."""
     return _signatures_from_shingles(
         _with_shingles(df, id_col, text_col, n), num_hashes, hash_fn
     )
