@@ -43,6 +43,36 @@ _memory_table_ids = itertools.count()
 _INDEX_META = "_mfs_index_meta.json"
 
 
+def _legacy_index_layout(fs, jvm, index_path: str):
+    """Inspect a pre-marker index's actual on-disk layout. Returns
+    ``(has_data, bucketed, max_pbucket)`` aggregated over the index's
+    datasets — the known sub-datasets (``bands``/``sigs``,
+    ``buckets``/``vecs``) when present, else the root itself (exact
+    ingest). Driver-side directory listing only, two levels deep
+    (generation dirs + their immediate ``pbucket=`` children) — never
+    reads data files."""
+    root = jvm.org.apache.hadoop.fs.Path(index_path)
+    if not fs.exists(root):
+        return False, False, -1
+    subs = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name in ("bands", "sigs", "buckets", "vecs") and st.isDirectory():
+            subs.append(st.getPath())
+    has_data, bucketed, max_pb = False, False, -1
+    for d in subs or [root]:
+        for st in fs.listStatus(d):
+            if not st.getPath().getName().startswith("batch_id="):
+                continue
+            has_data = True
+            for sub in fs.listStatus(st.getPath()):
+                sname = sub.getPath().getName()
+                if sname.startswith("pbucket="):
+                    bucketed = True
+                    max_pb = max(max_pb, int(sname.split("=", 1)[1]))
+    return has_data, bucketed, max_pb
+
+
 def _ensure_index_meta(spark: SparkSession, index_path: str, meta: dict):
     """Pin an index's per-stream-lifetime layout choices (hash family,
     banding config, pbucket count) in a root marker and validate them
@@ -56,8 +86,15 @@ def _ensure_index_meta(spark: SparkSession, index_path: str, meta: dict):
 
     Written atomically (hidden temp + rename) BEFORE the first batch;
     idempotent across restarts. Pre-marker indexes (built before this
-    existed) adopt the current stream's config on first resume — the
-    one unverifiable generation."""
+    existed) are LAYOUT-CHECKED against their actual on-disk shape
+    before adoption: the bucketed-vs-flat axis and the bucket-count
+    lower bound are inferrable from the ``pbucket=`` directory
+    structure, so a resume whose ``index_buckets`` contradicts the data
+    fails loudly instead of silently never pruning/colliding. Only the
+    hash-family/banding axes stay unverifiable for that one legacy
+    generation — the adoption warns, names them, and records
+    ``legacy_adopted`` in the marker it stamps (round-16; closes the
+    r15 "one unverifiable generation" nit as far as the data allows)."""
     import json as _json
 
     sc = spark.sparkContext
@@ -85,6 +122,44 @@ def _ensure_index_meta(spark: SparkSession, index_path: str, meta: dict):
                 "match the stored config"
             )
         return
+    has_data, bucketed, max_pb = _legacy_index_layout(fs, jvm, index_path)
+    if has_data:
+        # pre-marker index: verify what the directory structure proves
+        req = meta.get("index_buckets")
+        if bucketed and not req:
+            raise ValueError(
+                f"index at {index_path!r} (pre-marker) is laid out as "
+                "pbucket= partition directories but the resuming stream "
+                "requested index_buckets=None — a flat probe against a "
+                "bucketed index breaks partition-column inference; pass "
+                "the original index_buckets or rebuild the index"
+            )
+        if req and not bucketed:
+            raise ValueError(
+                f"index at {index_path!r} (pre-marker) is FLAT but the "
+                f"resuming stream requested index_buckets={req} — a "
+                "bucketed probe would prune against partition "
+                "directories that do not exist and silently miss every "
+                "stored row; resume flat or rebuild the index"
+            )
+        if req and bucketed and max_pb >= req:
+            raise ValueError(
+                f"index at {index_path!r} (pre-marker) holds "
+                f"pbucket={max_pb} but the resuming stream requested "
+                f"index_buckets={req} (pbuckets must be < B) — the "
+                "bucket counts differ; match the original or rebuild"
+            )
+        import warnings as _warnings
+
+        _warnings.warn(
+            f"adopting pre-marker index at {index_path!r}: the "
+            "bucketed-vs-flat layout matches the on-disk structure, "
+            "but the hash-family/banding axes of its legacy generation "
+            "cannot be verified — a config change across that "
+            "generation would not be caught",
+            stacklevel=2,
+        )
+        meta = {**meta, "legacy_adopted": True}
     fs.mkdirs(jvm.org.apache.hadoop.fs.Path(index_path))
     tmp = jvm.org.apache.hadoop.fs.Path(
         f"{index_path}/.{_INDEX_META}.tmp"
