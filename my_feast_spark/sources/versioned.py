@@ -51,6 +51,7 @@ import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as _T
 
 #: committed-manifest file names: {N}.json exactly
 _MANIFEST_RE = re.compile(r"^\d+\.json$")
@@ -164,6 +165,7 @@ def write_version(
     partition_by: list[str] | None = None,
     optimized_write: bool = True,
     _carry_txn: bool = False,
+    _manifest_extra: dict | None = None,
 ) -> int:
     """Commit ``df`` as a new version of the table at ``path``.
 
@@ -363,6 +365,10 @@ def write_version(
             "schema": table_schema.jsonValue(),
             "committed_at": _time.time(),
         }
+        if _manifest_extra:
+            # operator-level facts (op="upsert"/"delete"/"checkpoint",
+            # the change-sidecar pointer) — never the core log keys
+            manifest.update(_manifest_extra)
         if partition_by:
             manifest["partition_by"] = partition_by
         if txn_map:
@@ -554,8 +560,20 @@ def read_version_with_skipping(
     return out, report
 
 
+def _write_change_sidecar(spark, path: str, ev: DataFrame) -> str:
+    """Persist a commit's change rows (op + full pre/post images) as a
+    ``data/c<uuid>`` directory — increment-sized (Delta's CDF shape:
+    the changed rows travel with the commit, so a later diff never
+    re-derives them from two snapshots). Written BEFORE the manifest
+    publish; an unpublished sidecar is invisible (no manifest names
+    it) and reclaimed by vacuum like a torn commit's data dir."""
+    chdir = f"{_DATA}/c{uuid.uuid4().hex[:12]}"
+    ev.write.mode("error").parquet(f"{path}/{chdir}")
+    return chdir
+
+
 def upsert_version(
-    df: DataFrame, path: str, keys: list[str],
+    df: DataFrame, path: str, keys: list[str], *, change_feed: bool = True,
 ) -> int:
     """Keyed upsert (the MERGE shape): the new version is the latest
     version's rows whose key is absent from ``df``, plus every row of
@@ -566,7 +584,22 @@ def upsert_version(
     shuffles. The commit is pinned to the version it merged against
     (``expected_parent``): if the table moves concurrently, the publish
     raises :class:`VersionConflictError` instead of silently erasing
-    the concurrent commit's rows — callers retry the whole merge."""
+    the concurrent commit's rows — callers retry the whole merge.
+
+    ``change_feed`` (default on — Delta's CDF lever, round 16):
+    the merge already computes exactly which keys it touches, so the
+    commit also persists an increment-sized change sidecar — one row
+    per incoming key with ``op`` ('insert' when the key was absent
+    from the parent, else 'update') and the full pre/post row images —
+    and records it in the manifest (``op``/``changes``).
+    :func:`diff_versions` then composes diffs ACROSS upsert commits by
+    reading only the sidecars, never joining two snapshots. Costs one
+    extra broadcast join against the parent (the preimage lookup — the
+    parent relation is scanned twice per upsert instead of once); pass
+    ``False`` to skip it, which sends diffs over this commit back to
+    the snapshot join."""
+    from pyspark.sql import functions as F
+
     spark = df.sparkSession
     versions = list_versions(spark, path)
     if not versions:
@@ -576,14 +609,46 @@ def upsert_version(
         )
     base_version = versions[-1]
     current = read_version(spark, path, base_version)
+    incoming = df.select(*current.columns)
     kept = current.join(df.select(*keys).distinct(), keys, "left_anti")
-    return write_version(
-        kept.unionByName(df.select(*current.columns)),
-        path,
-        mode="overwrite",
-        expected_parent=base_version,
-        _carry_txn=True,
-    )
+    extra = None
+    if change_feed:
+        # preimage lookup: one broadcast-keyed join — `incoming` is the
+        # (small) batch side, so AQE broadcasts it and the parent scan
+        # never shuffles
+        pre = current.select(
+            *keys,
+            F.struct(*current.columns).alias("_change_pre"),
+            F.lit(True).alias("__matched"),
+        )
+        ev = (
+            incoming.join(pre, keys, "left")
+            .select(
+                F.when(
+                    F.col("__matched").isNotNull(), F.lit("update")
+                ).otherwise(F.lit("insert")).alias("_change_op"),
+                F.col("_change_pre"),
+                F.struct(*[
+                    incoming[c] for c in current.columns
+                ]).alias("_change_post"),
+            )
+        )
+        chdir = _write_change_sidecar(spark, path, ev)
+        extra = {"op": "upsert", "changes": chdir}
+    try:
+        return write_version(
+            kept.unionByName(incoming),
+            path,
+            mode="overwrite",
+            expected_parent=base_version,
+            _carry_txn=True,
+            _manifest_extra=extra,
+        )
+    except Exception:
+        if extra is not None:
+            jvm, fs = _fs(spark, path)
+            fs.delete(_hpath(jvm, path, extra["changes"]), True)
+        raise
 
 
 def restore_version(
@@ -671,6 +736,160 @@ def _append_chain_added_dirs(
     return added, m
 
 
+def _chain_change_plan(jvm, fs, path: str, v_old: int, v_new: int):
+    """Walk ``v_new`` back to ``v_old``; return the ordered per-commit
+    change descriptors ``[(version, kind, payload, manifest)]`` with
+    ``kind`` ∈ {'append' (payload = added dirs), 'changes' (payload =
+    sidecar dir)} — checkpoints contribute nothing (content-preserving
+    by construction) — or None when any commit is a plain overwrite,
+    restore, or pre-change-feed upsert/delete: those commits don't
+    describe their own increment, so the diff needs the snapshot join.
+    O(chain) manifest reads, no data touched."""
+    manifests: dict[int, dict] = {}
+
+    def _m(v):
+        if v not in manifests:
+            manifests[v] = _read_manifest(jvm, fs, path, v)
+        return manifests[v]
+
+    out = []
+    v = v_new
+    while v != v_old:
+        m = _m(v)
+        parent = m.get("parent")
+        if parent is None or parent < v_old:
+            return None
+        if m.get("mode") == "append":
+            pdirs = set(_m(parent)["dirs"])
+            added = [d for d in m["dirs"] if d not in pdirs]
+            out.append((v, "append", added, m))
+        elif m.get("op") in ("upsert", "delete") and m.get("changes"):
+            out.append((v, "changes", m["changes"], m))
+        elif m.get("op") == "checkpoint":
+            pass
+        else:
+            return None
+        v = parent
+    out.reverse()
+    return out
+
+
+def _compose_chain_changes(
+    spark: SparkSession, path: str, plan: list, keys: list[str],
+) -> DataFrame | None:
+    """Fold a chain of per-commit change descriptors into the keyed
+    diff relative to the chain's base version — reading ONLY appended
+    directories and change sidecars, never a snapshot.
+
+    Per key, the FIRST event decides presence in the base version (an
+    'insert'/append preimage is null → absent) and carries the base-
+    version image; the LAST event decides presence and image in the
+    head version. Classification then mirrors the snapshot join
+    exactly: added / removed / changed-iff-images-differ (a key whose
+    final image null-safe-equals its base image — e.g. an update
+    chain that restores the original row, or a no-op upsert — drops
+    out, exactly as the snapshot join drops it). Correctness rests on
+    the same keyed-table contract as the append-only fast path: keys
+    unique per version, appends introduce only new keys.
+
+    Returns None when the sidecars' schemas can't be composed (a key
+    column missing from some commit's image — possible only on tables
+    whose key columns themselves evolved; the caller falls back)."""
+    from pyspark.sql import functions as F
+
+    # one scan per append (the added dirs, with that commit's recorded
+    # schema) / one per sidecar; normalize every event to the canonical
+    # field set (union across the chain — schema evolution only ever
+    # ADDS columns, same-name retypes are loud at commit time)
+    raw = []  # (seq, pre_schema_fields, post_fields, DataFrame)
+    for seq, kind, payload, m in plan:
+        if kind == "append":
+            if not payload:
+                continue
+            df = _scan_manifest_dirs(spark, path, m, dirs=payload)
+            ev = df.select(
+                F.lit("insert").alias("_change_op"),
+                F.lit(None).cast(
+                    _T.StructType(df.schema.fields)
+                ).alias("_change_pre"),
+                F.struct(*df.columns).alias("_change_post"),
+            )
+        else:
+            ev = spark.read.parquet(f"{path}/{payload}")
+        raw.append((seq, ev))
+    if not raw:
+        # empty chain (only checkpoints / empty appends): empty diff
+        return None
+    canonical: dict[str, object] = {}
+    for _seq, ev in raw:
+        for side in ("_change_pre", "_change_post"):
+            for f in ev.schema[side].dataType.fields:
+                canonical.setdefault(f.name, f.dataType)
+    if any(k not in canonical for k in keys):
+        return None
+    non_keys = [c for c in canonical if c not in keys]
+
+    def _norm(ev, seq):
+        def _side(col):
+            have = {f.name for f in ev.schema[col].dataType.fields}
+            inner = [
+                (F.col(f"{col}.`{name}`") if name in have
+                 else F.lit(None).cast(dt)).alias(name)
+                for name, dt in canonical.items()
+            ]
+            return F.when(F.col(col).isNotNull(), F.struct(*inner))
+
+        pre, post = _side("_change_pre"), _side("_change_post")
+        key_cols = [
+            F.coalesce(
+                post.getField(k), pre.getField(k)
+            ).alias(k)
+            for k in keys
+        ]
+
+        def _img(side_col):
+            return F.when(
+                side_col.isNotNull(),
+                F.struct(*[side_col.getField(c).alias(c) for c in non_keys])
+                if non_keys else F.struct(F.lit(0).alias("__none")),
+            )
+
+        return ev.select(
+            F.lit(seq).alias("__seq"), *key_cols,
+            _img(pre).alias("__pre"), _img(post).alias("__post"),
+        )
+
+    events = None
+    for seq, ev in raw:
+        n = _norm(ev, seq)
+        events = n if events is None else events.unionByName(n)
+    agg = events.groupBy(*keys).agg(
+        F.min_by(F.col("__pre"), F.col("__seq")).alias("__first_pre"),
+        F.max_by(F.col("__post"), F.col("__seq")).alias("__last_post"),
+    )
+    return (
+        agg.withColumn(
+            "change",
+            F.when(
+                F.col("__first_pre").isNull()
+                & F.col("__last_post").isNotNull(),
+                F.lit("added"),
+            )
+            .when(
+                F.col("__first_pre").isNotNull()
+                & F.col("__last_post").isNull(),
+                F.lit("removed"),
+            )
+            .when(
+                ~F.col("__first_pre").eqNullSafe(F.col("__last_post")),
+                F.lit("changed"),
+            ),
+        )
+        .where(F.col("change").isNotNull())
+        .select(*keys, "change")
+    )
+
+
 def diff_versions(
     spark: SparkSession,
     path: str,
@@ -694,16 +913,20 @@ def diff_versions(
     turns "diff yesterday's table against today's" from two full-table
     shuffles into a scan of the day's increment. Correctness rests on
     the keyed-table contract the snapshot diff already assumes (keys
-    unique per version): an append can then only introduce NEW keys —
-    and every key-modifying operator in this log (``upsert_version``,
-    ``delete_version``, ``checkpoint_version``, ``restore_version``)
-    commits as a non-append mode, which automatically disables the
-    fast path. ``prefer_manifest_delta=False`` forces the snapshot
-    join (e.g. for a table whose appends deliberately duplicate keys).
+    unique per version): an append can then only introduce NEW keys.
+    ``prefer_manifest_delta=False`` forces the snapshot join (e.g. for
+    a table whose appends deliberately duplicate keys).
 
-    Across any overwrite/restore boundary: one full outer join on
-    ``keys`` — the two sides are version scans, so every
-    pushdown/skipping lever applies to each."""
+    Round 16 extends increment-only diffs ACROSS keyed rewrites:
+    ``upsert_version``/``delete_version`` commits that carry a change
+    sidecar (``change_feed=True``, the default) and ``checkpoint``
+    commits (content-preserving, zero changes) compose via
+    :func:`_compose_chain_changes` — the diff reads only appended
+    directories and increment-sized sidecars, one groupBy on the
+    TOUCHED keys, never a snapshot. Only a plain overwrite, a restore,
+    or a pre-change-feed upsert/delete in the chain falls back to the
+    snapshot join: one full outer join on ``keys`` — the two sides are
+    version scans, so every pushdown/skipping lever applies to each."""
     from pyspark.sql import functions as F
 
     if prefer_manifest_delta:
@@ -725,6 +948,24 @@ def diff_versions(
                     .select(*keys)
                     .withColumn("change", F.lit("added"))
                 )
+            # mixed chain (round 16): appends + change-feed upserts/
+            # deletes + checkpoints compose from their increments —
+            # sidecars and added dirs only, never a snapshot scan
+            plan = _chain_change_plan(jvm, fs, path, v_old, v_new)
+            if plan is not None:
+                if not any(
+                    (kind == "append" and payload) or kind == "changes"
+                    for _v, kind, payload, _m in plan
+                ):
+                    return (  # checkpoints/empty appends only
+                        read_version(spark, path, v_new)
+                        .select(*keys)
+                        .withColumn("change", F.lit("added"))
+                        .limit(0)
+                    )
+                composed = _compose_chain_changes(spark, path, plan, keys)
+                if composed is not None:
+                    return composed
 
     old = read_version(spark, path, v_old)
     new = read_version(spark, path, v_new)
@@ -765,7 +1006,7 @@ def diff_versions(
 
 
 def delete_version(
-    spark: SparkSession, path: str, condition,
+    spark: SparkSession, path: str, condition, *, change_feed: bool = True,
 ) -> int:
     """Row-level DELETE (Delta's DELETE WHERE): commit a new version
     holding the latest version's rows with ``condition`` NOT true —
@@ -775,7 +1016,14 @@ def delete_version(
     (``expected_parent`` — a concurrent commit raises
     :class:`VersionConflictError` instead of silently resurrecting or
     dropping its rows); the txn history carries through. Pre-delete
-    versions keep time-traveling until vacuumed."""
+    versions keep time-traveling until vacuumed.
+
+    ``change_feed`` (default on): also persist the DELETED rows as a
+    change sidecar (op='delete', full preimage) recorded in the
+    manifest, so :func:`diff_versions` composes diffs across this
+    commit from the increment alone. Costs one extra scan with the
+    predicate inverted — pushdown applies, so it reads roughly what
+    the delete removes."""
     from pyspark.sql import Column
     from pyspark.sql import functions as F
 
@@ -786,13 +1034,31 @@ def delete_version(
     if not versions:
         raise FileNotFoundError(f"no committed versions under {path}")
     base_version = versions[-1]
-    kept = read_version(spark, path, base_version).where(
-        ~F.coalesce(cond, F.lit(False))
-    )
-    return write_version(
-        kept, path, mode="overwrite",
-        expected_parent=base_version, _carry_txn=True,
-    )
+    current = read_version(spark, path, base_version)
+    kept = current.where(~F.coalesce(cond, F.lit(False)))
+    extra = None
+    if change_feed:
+        removed = current.where(F.coalesce(cond, F.lit(False)))
+        ev = removed.select(
+            F.lit("delete").alias("_change_op"),
+            F.struct(*current.columns).alias("_change_pre"),
+            F.lit(None).cast(
+                _T.StructType(current.schema.fields)
+            ).alias("_change_post"),
+        )
+        chdir = _write_change_sidecar(spark, path, ev)
+        extra = {"op": "delete", "changes": chdir}
+    try:
+        return write_version(
+            kept, path, mode="overwrite",
+            expected_parent=base_version, _carry_txn=True,
+            _manifest_extra=extra,
+        )
+    except Exception:
+        if extra is not None:
+            jvm, fs = _fs(spark, path)
+            fs.delete(_hpath(jvm, path, extra["changes"]), True)
+        raise
 
 
 def checkpoint_version(
@@ -842,6 +1108,10 @@ def checkpoint_version(
         # would destroy exactly the clustering the checkpoint built
         optimized_write=not zorder_by,
         _carry_txn=True,
+        # content-preserving by construction: mark it so diff_versions'
+        # chain composer treats the commit as zero changes instead of
+        # falling back to the two-snapshot join (round 16)
+        _manifest_extra={"op": "checkpoint"},
     )
 
 
@@ -938,7 +1208,12 @@ def vacuum(
         protect = keep | set(list_versions(spark, path)[-keep_last:])
         referenced: set[str] = set()
         for v in protect:
-            referenced.update(_read_manifest(jvm, fs, path, v)["dirs"])
+            pm = _read_manifest(jvm, fs, path, v)
+            referenced.update(pm["dirs"])
+            if pm.get("changes"):
+                # change sidecars live under data/ too: keep a retained
+                # commit's change feed diffable until its manifest goes
+                referenced.add(pm["changes"])
         for st in candidates:
             rel = f"{_DATA}/{st.getPath().getName()}"
             if rel not in referenced:

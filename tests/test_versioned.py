@@ -734,8 +734,11 @@ def test_diff_versions_append_chain_is_manifest_arithmetic(
     # same-version diff: empty, still no snapshot scan needed
     assert V.diff_versions(spark, path, 1, 1, ["k"]).count() == 0
 
-    # an overwrite (here: a keyed upsert touching k=3) breaks the
-    # append chain -> snapshot join, which sees the CHANGE
+    # a keyed upsert touching k=3 ends the PURE-append arithmetic;
+    # since round 16 the diff composes its change sidecar instead of
+    # joining snapshots (pinned by
+    # test_diff_versions_composes_across_keyed_rewrites) — either
+    # path must see the CHANGE
     V.upsert_version(
         spark.createDataFrame([(3, 99)], ["k", "v"]), path, ["k"]
     )
@@ -903,3 +906,162 @@ def test_stats_sidecar_composes_with_partitioned_commits(
     )
     assert rep2["files_read"] == 1
     assert got2.count() == 25  # ids 1, 5, ..., 97 land on day 2
+
+
+def test_diff_versions_composes_across_keyed_rewrites(spark, tmp_path):
+    """Round-16 CDF lever: upsert/delete commits persist increment-
+    sized change sidecars (op + full pre/post images) and checkpoints
+    are marked content-preserving, so a diff across a mixed
+    append/upsert/delete/checkpoint chain reads ONLY the appended
+    directories and the sidecars — inputFiles-pinned, never a snapshot
+    — and matches the snapshot join exactly, including a key whose
+    update chain restores its original row (drops out of the diff)."""
+    from my_feast_spark.sources import versioned as V
+
+    path = str(tmp_path / "t")
+    V.write_version(
+        spark.createDataFrame([(1, 10), (2, 20), (3, 30)], ["k", "v"]),
+        path,
+    )                                                             # v0
+    V.write_version(
+        spark.createDataFrame([(4, 40)], ["k", "v"]), path, mode="append"
+    )                                                             # v1
+    V.upsert_version(
+        spark.createDataFrame([(2, 99), (5, 50)], ["k", "v"]), path, ["k"]
+    )                                                             # v2
+    V.checkpoint_version(spark, path)                             # v3
+    V.delete_version(spark, path, "k = 3")                        # v4
+    V.upsert_version(
+        spark.createDataFrame([(2, 20)], ["k", "v"]), path, ["k"]
+    )                                                             # v5: revert
+
+    fast = V.diff_versions(spark, path, 0, 5, ["k"])
+    join = V.diff_versions(
+        spark, path, 0, 5, ["k"], prefer_manifest_delta=False
+    )
+    rows = sorted(tuple(r) for r in fast.collect())
+    assert rows == sorted(tuple(r) for r in join.collect())
+    assert rows == [(3, "removed"), (4, "added"), (5, "added")]
+
+    # read-set pin: ONLY v1's added dir + the three sidecars; never a
+    # v0 snapshot dir, never the checkpoint's rewritten directory
+    ms = {}
+    for i in range(6):
+        with open(os.path.join(path, "_vlog", f"{i}.json")) as f:
+            ms[i] = json.load(f)
+    assert ms[3].get("op") == "checkpoint"
+    sidecars = {ms[i]["changes"] for i in (2, 4, 5)}
+    added_v1 = set(ms[1]["dirs"]) - set(ms[0]["dirs"])
+    allowed = sidecars | added_v1
+    files = fast.inputFiles()
+    assert files and all(
+        any(f"/{d}/" in f for d in allowed) for f in files
+    ), files
+    for banned in (
+        set(ms[0]["dirs"]) | (set(ms[3]["dirs"]) - set(ms[2]["dirs"]))
+    ):
+        assert not any(f"/{banned}/" in f for f in files), banned
+    # the snapshot join, by contrast, scans the v0 snapshot
+    assert any(
+        any(f"/{d}/" in f for d in ms[0]["dirs"])
+        for f in join.inputFiles()
+    )
+
+    # a mid-chain window crossing only the upsert+checkpoint+delete
+    got = {
+        r["k"]: r["change"]
+        for r in V.diff_versions(spark, path, 1, 4, ["k"]).collect()
+    }
+    exp = {
+        r["k"]: r["change"]
+        for r in V.diff_versions(
+            spark, path, 1, 4, ["k"], prefer_manifest_delta=False
+        ).collect()
+    }
+    assert got == exp == {2: "changed", 3: "removed", 5: "added"}
+
+    # a checkpoint-only window is an empty diff with zero data reads
+    ck_only = V.diff_versions(spark, path, 2, 3, ["k"])
+    assert ck_only.count() == 0
+
+    # change_feed=False commits don't describe their increment: the
+    # diff over them falls back to the snapshot join (v0 dirs read)
+    V.upsert_version(
+        spark.createDataFrame([(6, 60)], ["k", "v"]), path, ["k"],
+        change_feed=False,
+    )                                                             # v6
+    assert "changes" not in json.load(
+        open(os.path.join(path, "_vlog", "6.json"))
+    )
+    fb = V.diff_versions(spark, path, 0, 6, ["k"])
+    assert any(
+        any(f"/{d}/" in f for d in ms[0]["dirs"])
+        for f in fb.inputFiles()
+    )
+    got = {r["k"]: r["change"] for r in fb.collect()}
+    assert got == {
+        3: "removed", 4: "added", 5: "added", 6: "added"
+    }
+
+
+def test_change_sidecar_vacuum_and_conflict_lifecycle(spark, tmp_path):
+    """Change sidecars follow the commit lifecycle: vacuum keeps a
+    retained manifest's sidecar and reclaims a dropped one; a publish
+    that loses its expected_parent race cleans its sidecar up."""
+    import pytest as _pytest
+
+    from my_feast_spark.sources import versioned as V
+
+    path = str(tmp_path / "t")
+    V.write_version(
+        spark.createDataFrame([(1, 10), (2, 20)], ["k", "v"]), path
+    )                                                             # v0
+    V.upsert_version(
+        spark.createDataFrame([(1, 11)], ["k", "v"]), path, ["k"]
+    )                                                             # v1
+    V.upsert_version(
+        spark.createDataFrame([(2, 22)], ["k", "v"]), path, ["k"]
+    )                                                             # v2
+    ch = {}
+    for i in (1, 2):
+        with open(os.path.join(path, "_vlog", f"{i}.json")) as f:
+            ch[i] = json.load(f)["changes"]
+    assert os.path.isdir(os.path.join(path, ch[1]))
+    V.vacuum(spark, path, keep_last=1, grace_seconds=0)
+    assert not os.path.exists(os.path.join(path, ch[1])), (
+        "dropped manifest's sidecar must be reclaimed"
+    )
+    assert os.path.isdir(os.path.join(path, ch[2])), (
+        "retained manifest's sidecar must survive vacuum"
+    )
+
+    # losing the expected_parent race cleans up the staged sidecar:
+    # emulate the upsert-that-read-a-stale-parent with a direct
+    # write_version carrying expected_parent=0 (the table is at v2)
+    # plus a staged sidecar, mirroring upsert_version's cleanup path
+    before = {
+        d for d in os.listdir(os.path.join(path, "data"))
+        if d.startswith("c")
+    }
+    ev = spark.createDataFrame([(9, 90)], ["k", "v"])
+    with _pytest.raises(V.VersionConflictError):
+        chdir = V._write_change_sidecar(spark, path, ev.selectExpr(
+            "'insert' as _change_op",
+            "CAST(NULL AS STRUCT<k BIGINT, v BIGINT>) as _change_pre",
+            "struct(k, v) as _change_post",
+        ))
+        try:
+            V.write_version(
+                ev, path, mode="overwrite", expected_parent=0,
+                _manifest_extra={"op": "upsert", "changes": chdir},
+            )
+        except Exception:
+            # mirror upsert_version's cleanup contract
+            jvm, fs = V._fs(spark, path)
+            fs.delete(V._hpath(jvm, path, chdir), True)
+            raise
+    after = {
+        d for d in os.listdir(os.path.join(path, "data"))
+        if d.startswith("c")
+    }
+    assert after == before, "conflicted publish leaked its sidecar"
