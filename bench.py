@@ -158,6 +158,14 @@ def main() -> None:
          lambda: counted(workload.q_bloom_prefilter_dedup(spark, sf_dir, hash_fn="xxhash64"))),
         ("cms_heavy_hitters_xxhash64",
          lambda: counted(workload.q_cms_heavy_hitters(spark, sf_dir, hash_fn="xxhash64"))),
+        # chunk_dedup retired from the driver registry in round 16
+        # (successor cdc_chunk_dedup; pinned-anchor budget) — keep the
+        # portable-family base timing here so the family-inversion pair
+        # below still has data. corpus_vocab (retired same round) has
+        # no scale variant and simply leaves the timing set; its count
+        # shape stays timed inside vocab_encode_join / top_terms_tfidf.
+        ("chunk_dedup",
+         lambda: counted(workload.q_chunk_dedup(spark, sf_dir))),
         ("chunk_dedup_xxhash64",
          lambda: counted(workload.q_chunk_dedup(spark, sf_dir, hash_fn="xxhash64"))),
         ("cdc_chunk_dedup_xxhash64",

@@ -62,6 +62,94 @@ _VLOG = "_vlog"
 _DATA = "data"
 
 
+#: ``optimized_write="auto"``'s default split granularity: a hot
+#: partition value splits into ceil(rows / this) writer tasks. Probed
+#: at sf0.1 (COVERAGE.md probe 13): the crossover where splitting a hot
+#: value beats the single-writer-task serialization is well under 4M
+#: rows on local[32]; 4M rows of the events shape is ~128 MB of raw
+#: columns (one healthy parquet file), so the default keeps cold values
+#: at exactly one file while a 10x-skewed backfill date fans out to
+#: ~10 parallel writers instead of one straggler.
+_AUTO_SPLIT_ROWS = 4_000_000
+
+
+def _optimized_write_df(df, partition_by, optimized_write, split_rows):
+    """The optimizeWrite shuffle for a hive-partitioned commit.
+
+    ``True`` (the probed default): one shuffle onto the partition
+    columns — one writer task and one file per partition value, the
+    shape that prevents the probe-10b pathology (input_partitions x
+    values tiny files per commit). ``"auto"``: same, except partition
+    values whose row count exceeds ``split_rows`` are salted across
+    ceil(rows / split_rows) writer tasks — the escape hatch for a
+    skewed backfill (one hot date otherwise serializes into a single
+    writer while 31 cores idle). Costs ONE extra count aggregation
+    over the commit batch (collected per distinct partition value —
+    bounded by the same low-cardinality contract as the hive layout
+    itself); cache the input first if it is expensive to recompute.
+    The salt is a deterministic row hash, so a task retry rebuilds the
+    same file contents, and it exists only in the shuffle key — the
+    written rows are untouched.
+    """
+    if not partition_by or not optimized_write:
+        return df
+    if optimized_write is True:
+        return df.repartition(*partition_by)
+    if optimized_write != "auto":
+        raise ValueError(
+            f"optimized_write must be True, False or 'auto', "
+            f"got {optimized_write!r}"
+        )
+    from pyspark.sql import functions as F
+
+    import math
+
+    # alias the count: a commit batch may itself carry a "count" column
+    counts = df.groupBy(*partition_by).agg(
+        F.count(F.lit(1)).alias("__mfs_ow_n")
+    ).collect()
+    splits = {
+        tuple(r[c] for c in partition_by):
+            math.ceil(r["__mfs_ow_n"] / split_rows)
+        for r in counts
+    }
+    if not splits or max(splits.values()) <= 1:
+        return df.repartition(*partition_by)
+    spark = df.sparkSession
+    splits_df = spark.createDataFrame(
+        [(*k, int(n)) for k, n in splits.items()],
+        schema=df.select(*partition_by).schema.add(
+            "__mfs_ow_splits", _T.IntegerType(), False
+        ),
+    )
+    renamed = splits_df.withColumnsRenamed(
+        {c: f"__mfs_ow_{c}" for c in partition_by}
+    )
+    # NULL-safe equality (a hive layout can hold NULL partition values
+    # as __HIVE_DEFAULT_PARTITION__): join on eqNullSafe per column
+    cond = None
+    for c in partition_by:
+        this = df[c].eqNullSafe(renamed[f"__mfs_ow_{c}"])
+        cond = this if cond is None else (cond & this)
+    salted = df.join(F.broadcast(renamed), cond, "left").withColumn(
+        "__mfs_ow_salt",
+        F.pmod(
+            F.xxhash64(*[df[c] for c in df.columns]),
+            F.coalesce(F.col("__mfs_ow_splits"), F.lit(1)).cast("long"),
+        ),
+    )
+    # pin the shuffle's partition count: an unpinned repartition(cols)
+    # is AQE-coalesce-eligible, and AQE would merge the salt fan-out
+    # right back into one writer task at exactly the advisory-size
+    # boundary the hot value sits near. 2x the distinct (value, salt)
+    # key count keeps hash-bucket collisions (two salt groups sharing
+    # a task) rare; empty buckets write nothing.
+    n_tasks = 2 * sum(splits.values())
+    return salted.repartition(
+        n_tasks, *[df[c] for c in partition_by], F.col("__mfs_ow_salt")
+    ).select(*[df[c] for c in df.columns])
+
+
 class VersionConflictError(RuntimeError):
     """A content-dependent commit (``expected_parent``) found a
     different latest version at publish time — the caller must re-read
@@ -163,7 +251,8 @@ def write_version(
     txn: tuple[str, int] | None = None,
     merge_schema: bool = False,
     partition_by: list[str] | None = None,
-    optimized_write: bool = True,
+    optimized_write: bool | str = True,
+    optimized_write_split_rows: int = _AUTO_SPLIT_ROWS,
     _carry_txn: bool = False,
     _manifest_extra: dict | None = None,
 ) -> int:
@@ -235,9 +324,13 @@ def write_version(
     values) shards — an unshuffled 32-partition batch touching 3
     dates would otherwise write 96 tiny files per commit (probe 10b),
     and a chain of such commits drowns every reader in per-file task
-    overhead. Pass ``False`` when one task per partition value is the
-    wrong shape (a huge backfill whose per-date volume needs many
-    writer tasks — pre-repartition yourself instead)."""
+    overhead. ``"auto"`` keeps that shape for cold values but salts any
+    partition value above ``optimized_write_split_rows`` rows across
+    ceil(rows / split_rows) writer tasks — the skew escape hatch for a
+    backfill whose hot date would otherwise serialize into one writer
+    task (costs one extra count aggregation over the batch; see
+    ``_optimized_write_df``). Pass ``False`` to skip the shuffle
+    entirely and take full control via your own pre-repartition."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
     partition_by = list(partition_by) if partition_by else None
@@ -278,9 +371,9 @@ def write_version(
     spark = df.sparkSession
     jvm, fs = _fs(spark, path)
     commit_dir = f"{_DATA}/v{uuid.uuid4().hex[:12]}"
-    out_df = df
-    if partition_by and optimized_write:
-        out_df = df.repartition(*partition_by)
+    out_df = _optimized_write_df(
+        df, partition_by, optimized_write, optimized_write_split_rows
+    )
     writer = out_df.write.mode("error")
     if partition_by:
         writer = writer.partitionBy(*partition_by)

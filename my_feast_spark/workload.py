@@ -8367,6 +8367,19 @@ GROUP BY 1
 #      ZERO: the r14-adjudicated 50 (every one green, re-value-checked
 #      by test_oracle_parity.py each pytest run) sit the tail out and
 #      return round 16 — that is the ROUND-16 CONTRACT.
+#      ROUND-16 (executed below) adds the PINNED-ANCHOR CONTRACT (the
+#      r15 verdict's ask #2): the two tier-1 anchors — pit_user_features
+#      and hourly_user_agg, the flagship gold-build + PIT retrieval
+#      path — hold window slots EVERY round from now on, so the r15
+#      situation (a perfect-complement rotation leaving the flagship
+#      path without a driver row for a round) cannot recur. With the
+#      window driver-fixed at 50, pinning 2 slots means the rotating
+#      halves must be 48, so two near-duplicate r15-window queries
+#      retire (corpus_vocab, chunk_dedup — successors in the RETIRED
+#      block) and the registry settles at 98 = 2 + 48 + 48. The r16
+#      window is the anchors + the full r14 block (per the r15
+#      contract); ROUND-17 CONTRACT: anchors + the r15-adjudicated
+#      tail, exactly 50.
 #   5. RETIRED: the registry budget is ~100 driver-adjudicated queries;
 #      retired entries are near-duplicates of in-registry coverage
 #      (their operators stay covered by other queries) that keep their
@@ -8381,93 +8394,22 @@ GROUP BY 1
 ADJUDICATION_WINDOW = 50
 
 QUERIES: dict[str, tuple] = {
-    # ======================= ROUND-15 WINDOW (first 50) ====================
-    # Rotation contract executed as a clean half-swap (registry = 100,
-    # window = 50): the entire r13-adjudicated tail is back in-window,
-    # so nothing goes two consecutive rounds without a fresh row, and
-    # overlap with the CORRECTNESS_r14 window is ZERO. Led by the two
-    # queries that had never had a driver row (the r14 verdict's #1
-    # ask) and the three returning tier-1 anchors (13 consecutive green
-    # rows before their one-round tail stint).
-    # --- tier 1 anchors, back as promised ----------------------------------
-    "pit_late_arrival": (q_pit_late_arrival, SQL_PIT_LATE_ARRIVAL),
-    "hourly_global_agg": (q_hourly_global_agg, SQL_HOURLY_GLOBAL_AGG),
-    "event_types_salted": (q_event_types_salted, SQL_EVENT_TYPES_SALTED),
-    # --- the round-15 claims: first-ever driver rows for the last two
-    # versioned-log levers — txn-idempotent streaming ingest (commit +
-    # mid-stream compaction + replay) and RESTORE TO VERSION + diff.
-    "streaming_versioned_ingest": (
-        q_streaming_versioned_ingest, SQL_STREAMING_VERSIONED_INGEST,
-    ),
-    "versioned_restore_diff": (
-        q_versioned_restore_diff, SQL_VERSIONED_RESTORE_DIFF,
-    ),
-    # --- the r13-adjudicated set, rotated back in (all 50/50 green in
-    # CORRECTNESS_r13, value-checked every pytest run since by
-    # tests/test_oracle_parity.py).
-    "zorder_scan": (q_zorder_scan, SQL_ZORDER_SCAN),
-    "materialize_stream": (q_materialize_stream, SQL_MATERIALIZE_STREAM),
-    "unigram_tokenize": (q_unigram_tokenize, SQL_UNIGRAM_TOKENIZE),
-    "url_domain_curation": (q_url_domain_curation, SQL_URL_DOMAIN_CURATION),
-    "hll_group_distinct": (q_hll_group_distinct, SQL_HLL_GROUP_DISTINCT),
-    "kmv_corpus_overlap": (q_kmv_corpus_overlap, SQL_KMV_CORPUS_OVERLAP),
-    "bloom_prefilter_dedup": (
-        q_bloom_prefilter_dedup, SQL_BLOOM_PREFILTER_DEDUP,
-    ),
-    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
-    "orc_scan": (q_orc_scan, SQL_ORC_SCAN),
-    "wordpiece_tokenize": (q_wordpiece_tokenize, SQL_WORDPIECE_TOKENIZE),
-    "warc_text_extract": (q_warc_text_extract, SQL_WARC_TEXT_EXTRACT),
-    "compaction_replay": (q_compaction_replay, SQL_COMPACTION_REPLAY),
-    "jsonl_scan": (q_jsonl_scan, SQL_JSONL_SCAN),
-    "pack_bfd": (q_pack_bfd, SQL_PACK_BFD),
-    "minhash_dup_pairs": (q_minhash_dup_pairs, SQL_MINHASH_DUP_PAIRS),
-    "curation_pipeline_full": (
-        q_curation_pipeline_full, SQL_CURATION_PIPELINE_FULL,
-    ),
-    "chunk_dedup": (q_chunk_dedup, SQL_CHUNK_DEDUP),
-    "cdc_chunk_dedup": (q_cdc_chunk_dedup, SQL_CDC_CHUNK_DEDUP),
-    "streaming_embedding_ingest": (
-        q_streaming_embedding_ingest, SQL_STREAMING_EMBEDDING_INGEST,
-    ),
-    "lsh_recall": (q_lsh_recall, SQL_LSH_RECALL),
-    "scd2_user_state": (q_scd2_user_state, SQL_SCD2_USER_STATE),
-    "bpe_merge_replay": (q_bpe_merge_replay, SQL_BPE_MERGE_REPLAY),
-    "vocab_encode_join": (q_vocab_encode_join, SQL_VOCAB_ENCODE_JOIN),
-    "span_removal": (q_span_removal, SQL_SPAN_REMOVAL),
-    "nb_quality_score": (q_nb_quality_score, SQL_NB_QUALITY_SCORE),
-    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
-    "feature_store_retrieval": (
-        q_feature_store_retrieval, SQL_FEATURE_STORE_RETRIEVAL,
-    ),
-    "streaming_sessionize": (q_streaming_sessionize, SQL_STREAMING_SESSIONIZE),
-    "streaming_hourly_agg": (q_streaming_hourly_agg, SQL_STREAMING_HOURLY_AGG),
-    "repetition_filter": (q_repetition_filter, SQL_REPETITION_FILTER),
-    "corpus_vocab": (q_corpus_vocab, SQL_CORPUS_VOCAB),
-    "online_lookup": (q_online_lookup, SQL_ONLINE_LOOKUP),
-    "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
-    "lang_id": (q_lang_id, SQL_LANG_ID),
-    "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
-    "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
-    "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
-    "embedding_near_dupes_lsh": (
-        q_embedding_near_dupes_lsh, SQL_EMBEDDING_NEAR_DUPES_LSH,
-    ),
-    "simhash_dup_pairs": (q_simhash_dup_pairs, SQL_SIMHASH_DUP_PAIRS),
-    "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
-    "latest_event_per_user": (
-        q_latest_event_per_user, SQL_LATEST_EVENT_PER_USER,
-    ),
-    "map_pivot_props": (q_map_pivot_props, SQL_MAP_PIVOT_PROPS),
-    "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
-    "order_priority_count": (q_order_priority_count, SQL_ORDER_PRIORITY_COUNT),
-    "top_spenders": (q_top_spenders, SQL_TOP_SPENDERS),
-    # ======================= TAIL (not in this round's window) ============
-    # The ROUND-14 window, in full: every row green in CORRECTNESS_r14,
-    # unchanged since, value-checked at three scale factors by every
-    # pytest run (test_oracle_parity.py). ROUND-16 CONTRACT: this block
-    # rotates back in-window next round, oldest-debt first (none carries
-    # more than the standard one-round tail stint).
+    # ================== PINNED ANCHORS (every window, every round) ========
+    # The flagship gold-build + point-in-time retrieval path (the r15
+    # verdict's ask #2): these two occupy window slots EVERY round so
+    # the tier-1 path never goes a single round without a fresh driver
+    # row. The rest of the registry rotates around them in halves of 48
+    # (registry = 98 = 2 anchors + 48 + 48 after the two round-16
+    # retirements below), so the steady-state rotation stays a clean
+    # half-swap with nothing older than two windows.
+    # ======================= ROUND-16 WINDOW ===============================
+    # The r15 contract executed: the entire r14-adjudicated block is
+    # back in-window (every row green in CORRECTNESS_r14, nothing goes
+    # two consecutive rounds without a fresh row). This window also
+    # re-adjudicates the three versioned-log queries whose write path
+    # gained per-commit change sidecars this round (versioned_replay,
+    # pit_versioned_asof, compact_table_replay — the upsert/delete
+    # committers; see CHANGED_OR_NEW in tests/test_workload_registry).
     "pit_user_features": (q_pit_user_features, SQL_PIT_USER_FEATURES),
     "hourly_user_agg": (q_hourly_user_agg, SQL_HOURLY_USER_AGG),
     "versioned_replay": (q_versioned_replay, SQL_VERSIONED_REPLAY),
@@ -8528,6 +8470,81 @@ QUERIES: dict[str, tuple] = {
     "top_terms_tfidf": (q_top_terms_tfidf, SQL_TOP_TERMS_TFIDF),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+    # ======================= TAIL (not in this round's window) ============
+    # The ROUND-15 window minus the two retirements: every row green in
+    # CORRECTNESS_r15, value-checked at three scale factors by every
+    # pytest run (test_oracle_parity.py). ROUND-17 CONTRACT: this block
+    # rotates back in-window next round alongside the pinned anchors
+    # (2 + 48 = 50 exactly). versioned_restore_diff sits the tail out
+    # with its behavior UNCHANGED by the round-16 sidecar work (its
+    # registered chain diffs a pure-append prefix, which still takes
+    # the r15 manifest-arithmetic path); when it rotates in r17, extend
+    # its chain with an upsert leg so the sidecar-composed diff gets a
+    # driver row the same round the change enters its window.
+    "pit_late_arrival": (q_pit_late_arrival, SQL_PIT_LATE_ARRIVAL),
+    "hourly_global_agg": (q_hourly_global_agg, SQL_HOURLY_GLOBAL_AGG),
+    "event_types_salted": (q_event_types_salted, SQL_EVENT_TYPES_SALTED),
+    "streaming_versioned_ingest": (
+        q_streaming_versioned_ingest, SQL_STREAMING_VERSIONED_INGEST,
+    ),
+    "versioned_restore_diff": (
+        q_versioned_restore_diff, SQL_VERSIONED_RESTORE_DIFF,
+    ),
+    "zorder_scan": (q_zorder_scan, SQL_ZORDER_SCAN),
+    "materialize_stream": (q_materialize_stream, SQL_MATERIALIZE_STREAM),
+    "unigram_tokenize": (q_unigram_tokenize, SQL_UNIGRAM_TOKENIZE),
+    "url_domain_curation": (q_url_domain_curation, SQL_URL_DOMAIN_CURATION),
+    "hll_group_distinct": (q_hll_group_distinct, SQL_HLL_GROUP_DISTINCT),
+    "kmv_corpus_overlap": (q_kmv_corpus_overlap, SQL_KMV_CORPUS_OVERLAP),
+    "bloom_prefilter_dedup": (
+        q_bloom_prefilter_dedup, SQL_BLOOM_PREFILTER_DEDUP,
+    ),
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "orc_scan": (q_orc_scan, SQL_ORC_SCAN),
+    "wordpiece_tokenize": (q_wordpiece_tokenize, SQL_WORDPIECE_TOKENIZE),
+    "warc_text_extract": (q_warc_text_extract, SQL_WARC_TEXT_EXTRACT),
+    "compaction_replay": (q_compaction_replay, SQL_COMPACTION_REPLAY),
+    "jsonl_scan": (q_jsonl_scan, SQL_JSONL_SCAN),
+    "pack_bfd": (q_pack_bfd, SQL_PACK_BFD),
+    "minhash_dup_pairs": (q_minhash_dup_pairs, SQL_MINHASH_DUP_PAIRS),
+    "curation_pipeline_full": (
+        q_curation_pipeline_full, SQL_CURATION_PIPELINE_FULL,
+    ),
+    "cdc_chunk_dedup": (q_cdc_chunk_dedup, SQL_CDC_CHUNK_DEDUP),
+    "streaming_embedding_ingest": (
+        q_streaming_embedding_ingest, SQL_STREAMING_EMBEDDING_INGEST,
+    ),
+    "lsh_recall": (q_lsh_recall, SQL_LSH_RECALL),
+    "scd2_user_state": (q_scd2_user_state, SQL_SCD2_USER_STATE),
+    "bpe_merge_replay": (q_bpe_merge_replay, SQL_BPE_MERGE_REPLAY),
+    "vocab_encode_join": (q_vocab_encode_join, SQL_VOCAB_ENCODE_JOIN),
+    "span_removal": (q_span_removal, SQL_SPAN_REMOVAL),
+    "nb_quality_score": (q_nb_quality_score, SQL_NB_QUALITY_SCORE),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "feature_store_retrieval": (
+        q_feature_store_retrieval, SQL_FEATURE_STORE_RETRIEVAL,
+    ),
+    "streaming_sessionize": (q_streaming_sessionize, SQL_STREAMING_SESSIONIZE),
+    "streaming_hourly_agg": (q_streaming_hourly_agg, SQL_STREAMING_HOURLY_AGG),
+    "repetition_filter": (q_repetition_filter, SQL_REPETITION_FILTER),
+    "online_lookup": (q_online_lookup, SQL_ONLINE_LOOKUP),
+    "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
+    "train_val_split": (q_train_val_split, SQL_TRAIN_VAL_SPLIT),
+    "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
+    "embedding_near_dupes_lsh": (
+        q_embedding_near_dupes_lsh, SQL_EMBEDDING_NEAR_DUPES_LSH,
+    ),
+    "simhash_dup_pairs": (q_simhash_dup_pairs, SQL_SIMHASH_DUP_PAIRS),
+    "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
+    "latest_event_per_user": (
+        q_latest_event_per_user, SQL_LATEST_EVENT_PER_USER,
+    ),
+    "map_pivot_props": (q_map_pivot_props, SQL_MAP_PIVOT_PROPS),
+    "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
+    "order_priority_count": (q_order_priority_count, SQL_ORDER_PRIORITY_COUNT),
+    "top_spenders": (q_top_spenders, SQL_TOP_SPENDERS),
 }
 
 #: Retired from the driver registry (budget: ~100 adjudicated queries).
@@ -8651,6 +8668,28 @@ QUERIES: dict[str, tuple] = {
 #:                                repetition_filter / stratum_ksample
 #:                                (each base stage adjudicated
 #:                                standalone)
+#: round 16 (funding the pinned-anchor contract — the window is
+#: driver-fixed at 50 and two slots are now permanently the tier-1
+#: anchors, so the rotating halves shrink to 48):
+#:   corpus_vocab              -> vocab_encode_join (its vocabulary IS
+#:                                this query's token_vocabulary build —
+#:                                same tokenize/explode/two-phase count
+#:                                /top-k, adjudicated as the encode
+#:                                input every other round) +
+#:                                top_terms_tfidf (corpus-wide term
+#:                                statistics with document frequency) +
+#:                                train_val_split / corpus splits (the
+#:                                P12 distinct shape)
+#:   chunk_dedup               -> cdc_chunk_dedup (the identical
+#:                                chunk-hash first-occurrence keep +
+#:                                doc rebuild — same window shuffle,
+#:                                same regroup — plus content-defined
+#:                                boundaries; the strict-superset
+#:                                pipeline) + packed_sequences (the
+#:                                fixed-window chunk/offset layout);
+#:                                the portable-vs-xxhash64 family
+#:                                timing stays recorded by bench.py's
+#:                                chunk_dedup base-variant row
 #: Still value-checked against DuckDB every pytest run via
 #: tests/test_oracle_parity.py.
 RETIRED_QUERIES: dict[str, tuple] = {
@@ -8763,4 +8802,10 @@ RETIRED_QUERIES: dict[str, tuple] = {
     #                                fund streaming_versioned_ingest's
     #                                registry slot
     "online_snapshot": (q_online_snapshot, SQL_ONLINE_SNAPSHOT),
+    # round 16 (funding the pinned-anchor contract: with the window
+    # driver-fixed at 50 and two slots now permanently held by the
+    # tier-1 anchors, the rotating halves must be 48 — successors in
+    # the RETIRED block narrative above):
+    "corpus_vocab": (q_corpus_vocab, SQL_CORPUS_VOCAB),
+    "chunk_dedup": (q_chunk_dedup, SQL_CHUNK_DEDUP),
 }

@@ -11,18 +11,86 @@ from __future__ import annotations
 
 from my_feast_spark import workload
 
-# Round-15 rotation (executes the rotation round 14 promised): with
-# the registry at exactly 100 and both halves at 50, the swap is clean
-# — the entire r13-adjudicated tail is back in-window (led by the two
-# never-driver-checked queries, the r14 verdict's #1 ask, and the three
-# returning tier-1 anchors), and the r14-adjudicated window sits the
-# tail out. Window overlap with the r14 window is ZERO; nothing goes
-# two consecutive rounds without a fresh CORRECTNESS row. ROUND-16
-# CONTRACT: this tail rotates back in-window next round.
-ROTATION_TAIL = {
-    # the round-14 window, in full (all 50/50 green in CORRECTNESS_r14)
+#: PINNED-ANCHOR CONTRACT (round 16, the r15 verdict's ask #2): the
+#: flagship gold-build + point-in-time retrieval path holds window
+#: slots EVERY round — a perfect-complement rotation must never again
+#: leave the tier-1 path without a fresh driver row for a round. The
+#: rest of the registry rotates around them in halves of 48.
+PINNED_ANCHORS = {
     "pit_user_features",
     "hourly_user_agg",
+}
+
+# Round-16 rotation: the r15 contract executed — the entire
+# r14-adjudicated block is back in-window (its first two entries are
+# the anchors, now pinned), and the r15-adjudicated window sits the
+# tail out minus the two round-16 retirements. Nothing goes two
+# consecutive rounds without a fresh CORRECTNESS row. ROUND-17
+# CONTRACT: this tail rotates back in-window next round alongside the
+# pinned anchors (2 + 48 = 50 exactly); extend versioned_restore_diff's
+# chain with an upsert leg that round so the sidecar-composed diff is
+# driver-adjudicated the same round it enters the window.
+ROTATION_TAIL = {
+    # the round-15 window minus {corpus_vocab, chunk_dedup} (retired),
+    # all 50/50 green in CORRECTNESS_r15
+    "pit_late_arrival",
+    "hourly_global_agg",
+    "event_types_salted",
+    "streaming_versioned_ingest",
+    "versioned_restore_diff",
+    "zorder_scan",
+    "materialize_stream",
+    "unigram_tokenize",
+    "url_domain_curation",
+    "hll_group_distinct",
+    "kmv_corpus_overlap",
+    "bloom_prefilter_dedup",
+    "bm25_topk",
+    "orc_scan",
+    "wordpiece_tokenize",
+    "warc_text_extract",
+    "compaction_replay",
+    "jsonl_scan",
+    "pack_bfd",
+    "minhash_dup_pairs",
+    "curation_pipeline_full",
+    "cdc_chunk_dedup",
+    "streaming_embedding_ingest",
+    "lsh_recall",
+    "scd2_user_state",
+    "bpe_merge_replay",
+    "vocab_encode_join",
+    "span_removal",
+    "nb_quality_score",
+    "pricing_summary",
+    "feature_store_retrieval",
+    "streaming_sessionize",
+    "streaming_hourly_agg",
+    "repetition_filter",
+    "online_lookup",
+    "streaming_dedup",
+    "lang_id",
+    "pii_redaction",
+    "train_val_split",
+    "ivf_topk",
+    "embedding_near_dupes_lsh",
+    "simhash_dup_pairs",
+    "revenue_rollup",
+    "latest_event_per_user",
+    "map_pivot_props",
+    "regional_revenue",
+    "order_priority_count",
+    "top_spenders",
+}
+
+#: last adjudicated in round 14 — round 16 MUST give them fresh rows
+#: (the rotation invariant: nothing sits out two consecutive rounds)
+ROTATED_IN = {
+    # the pinned anchors (13 consecutive green rows, then r14, now
+    # every round)
+    "pit_user_features",
+    "hourly_user_agg",
+    # the r14-adjudicated remainder
     "versioned_replay",
     "cms_heavy_hitters",
     "streaming_sketch_ingest",
@@ -73,68 +141,18 @@ ROTATION_TAIL = {
     "ann_lsh_topk",
 }
 
-#: last adjudicated in round 13 — round 15 MUST give them fresh rows
-#: (the rotation invariant: nothing sits out two consecutive rounds)
-ROTATED_IN = {
-    # tier-1 anchors returning from their one-round tail stint
-    "pit_late_arrival",
-    "hourly_global_agg",
-    "event_types_salted",
-    # the r13-adjudicated remainder
-    "zorder_scan",
-    "materialize_stream",
-    "unigram_tokenize",
-    "url_domain_curation",
-    "hll_group_distinct",
-    "kmv_corpus_overlap",
-    "bloom_prefilter_dedup",
-    "bm25_topk",
-    "orc_scan",
-    "wordpiece_tokenize",
-    "warc_text_extract",
-    "compaction_replay",
-    "jsonl_scan",
-    "pack_bfd",
-    "minhash_dup_pairs",
-    "curation_pipeline_full",
-    "chunk_dedup",
-    "cdc_chunk_dedup",
-    "streaming_embedding_ingest",
-    "lsh_recall",
-    "scd2_user_state",
-    "bpe_merge_replay",
-    "vocab_encode_join",
-    "span_removal",
-    "nb_quality_score",
-    "pricing_summary",
-    "feature_store_retrieval",
-    "streaming_sessionize",
-    "streaming_hourly_agg",
-    "repetition_filter",
-    "corpus_vocab",
-    "online_lookup",
-    "streaming_dedup",
-    "lang_id",
-    "pii_redaction",
-    "train_val_split",
-    "ivf_topk",
-    "embedding_near_dupes_lsh",
-    "simhash_dup_pairs",
-    "revenue_rollup",
-    "latest_event_per_user",
-    "map_pivot_props",
-    "regional_revenue",
-    "order_priority_count",
-    "top_spenders",
-}
-
-#: carrying an explicit round-15 window claim — the only two registered
-#: queries with no driver row EVER (tail-registered in r14); must be
-#: in-window so the txn-idempotency and RESTORE protocols get their
-#: adjudication
+#: behavior touched this round: upsert_version/delete_version now
+#: persist per-commit change sidecars (sources/versioned.py), so the
+#: registered queries that COMMIT through those paths must be
+#: re-adjudicated in the window that ships the change. (The streaming
+#: dedup-index marker hardening only affects legacy pre-marker resumes,
+#: which no registered query exercises; versioned_restore_diff's
+#: registered chain diffs a pure-append prefix, unchanged — see the
+#: TAIL block note in workload.py.)
 CHANGED_OR_NEW_THIS_ROUND = {
-    "streaming_versioned_ingest",
-    "versioned_restore_diff",
+    "versioned_replay",
+    "pit_versioned_asof",
+    "compact_table_replay",
 }
 
 #: retired from the driver registry — near-duplicates of in-registry
@@ -190,7 +208,22 @@ RETIRED_THIS_ROUND = {
     "customer_balance_deciles",
     "online_snapshot",
     "token_rarity",
+    # round 16 (funding the pinned-anchor contract; successors:
+    # vocab_encode_join/top_terms_tfidf and cdc_chunk_dedup)
+    "corpus_vocab",
+    "chunk_dedup",
 }
+
+
+def test_pinned_anchors_hold_window_slots():
+    """The pinned-anchor contract: the flagship PIT path is in EVERY
+    adjudication window, leading it."""
+    window = list(workload.QUERIES)[: workload.ADJUDICATION_WINDOW]
+    assert PINNED_ANCHORS <= set(window)
+    assert set(window[: len(PINNED_ANCHORS)]) == PINNED_ANCHORS, (
+        "anchors must lead the window so no registry growth can push "
+        "them past the driver's first-50 cut"
+    )
 
 
 def test_window_contains_rotated_in_queries():
@@ -209,6 +242,19 @@ def test_tail_is_exactly_the_declared_rotation():
         "adjudication-window overflow changed: update the rotation plan "
         "in workload.py and here explicitly"
     )
+
+
+def test_rotation_halves_close_around_the_anchors():
+    """2 pinned + 48 rotating fills the 50-slot window exactly; the
+    tail half must also be 48 so next round's swap closes at 50."""
+    assert len(workload.QUERIES) == (
+        len(PINNED_ANCHORS) + 2 * (workload.ADJUDICATION_WINDOW
+                                   - len(PINNED_ANCHORS))
+    )
+    assert len(ROTATION_TAIL) == (
+        workload.ADJUDICATION_WINDOW - len(PINNED_ANCHORS)
+    )
+    assert not (PINNED_ANCHORS & ROTATION_TAIL)
 
 
 def test_retired_set_is_exactly_the_declared_one():
