@@ -667,6 +667,8 @@ def _write_change_sidecar(spark, path: str, ev: DataFrame) -> str:
 
 def upsert_version(
     df: DataFrame, path: str, keys: list[str], *, change_feed: bool = True,
+    optimized_write: bool | str = True,
+    optimized_write_split_rows: int = _AUTO_SPLIT_ROWS,
 ) -> int:
     """Keyed upsert (the MERGE shape): the new version is the latest
     version's rows whose key is absent from ``df``, plus every row of
@@ -690,7 +692,15 @@ def upsert_version(
     extra broadcast join against the parent (the preimage lookup — the
     parent relation is scanned twice per upsert instead of once); pass
     ``False`` to skip it, which sends diffs over this commit back to
-    the snapshot join."""
+    the snapshot join.
+
+    ``optimized_write``/``optimized_write_split_rows`` pass through to
+    :func:`write_version`. A merge into a hive-partitioned table is
+    where ``"auto"`` matters most: the commit rewrites the FULL table
+    content, so every partition value's entire volume — not just the
+    batch's — flows through the optimizeWrite shuffle, and the default
+    one-task-per-value shape serializes each hot value into a single
+    writer."""
     from pyspark.sql import functions as F
 
     spark = df.sparkSession
@@ -734,6 +744,8 @@ def upsert_version(
             path,
             mode="overwrite",
             expected_parent=base_version,
+            optimized_write=optimized_write,
+            optimized_write_split_rows=optimized_write_split_rows,
             _carry_txn=True,
             _manifest_extra=extra,
         )
@@ -1100,6 +1112,8 @@ def diff_versions(
 
 def delete_version(
     spark: SparkSession, path: str, condition, *, change_feed: bool = True,
+    optimized_write: bool | str = True,
+    optimized_write_split_rows: int = _AUTO_SPLIT_ROWS,
 ) -> int:
     """Row-level DELETE (Delta's DELETE WHERE): commit a new version
     holding the latest version's rows with ``condition`` NOT true —
@@ -1144,7 +1158,10 @@ def delete_version(
     try:
         return write_version(
             kept, path, mode="overwrite",
-            expected_parent=base_version, _carry_txn=True,
+            expected_parent=base_version,
+            optimized_write=optimized_write,
+            optimized_write_split_rows=optimized_write_split_rows,
+            _carry_txn=True,
             _manifest_extra=extra,
         )
     except Exception:
@@ -1162,6 +1179,8 @@ def checkpoint_version(
     stats_cols: list[str] | None = None,
     num_files: int | None = None,
     partition_by: list[str] | None = None,
+    optimized_write: bool | str = True,
+    optimized_write_split_rows: int = _AUTO_SPLIT_ROWS,
 ) -> int:
     """Log/layout maintenance — Delta's OPTIMIZE in one commit: rewrite
     the LATEST version's content as one fresh overwrite commit (an
@@ -1199,7 +1218,8 @@ def checkpoint_version(
         # a z-ordered rewrite already owns its task layout (range
         # partition + sort on the z-value); the optimized-write shuffle
         # would destroy exactly the clustering the checkpoint built
-        optimized_write=not zorder_by,
+        optimized_write=False if zorder_by else optimized_write,
+        optimized_write_split_rows=optimized_write_split_rows,
         _carry_txn=True,
         # content-preserving by construction: mark it so diff_versions'
         # chain composer treats the commit as zero changes instead of

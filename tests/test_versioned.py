@@ -1142,3 +1142,54 @@ def test_optimized_write_auto_splits_hot_partition_values(spark, tmp_path):
             df, str(tmp_path / "t3"), partition_by=["d"],
             optimized_write="fastest",
         )
+
+
+def test_optimized_write_auto_threads_through_rewrites(spark, tmp_path):
+    """upsert/delete/checkpoint rewrite the FULL table content, so the
+    auto skew fan-out matters most there: the passthrough must reach
+    write_version, fan the hot value out, and keep the rewrite's
+    content exact."""
+    from my_feast_spark.sources import versioned as V
+
+    path = str(tmp_path / "t")
+    df = spark.range(5000).select(
+        F.col("id"),
+        F.when(F.col("id") < 4500, F.lit("h")).otherwise(F.lit("c"))
+        .alias("d"),
+    )
+    V.write_version(df, path, partition_by=["d"])
+
+    up = spark.createDataFrame(
+        [(1, "h"), (6000, "h")], ["id", "d"]
+    )
+    V.upsert_version(
+        up, path, ["id"],
+        optimized_write="auto", optimized_write_split_rows=1000,
+    )
+
+    def hot_files():
+        return {
+            r.f
+            for r in V.read_version(spark, path)
+            .where(F.col("d") == "h")
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        }
+
+    assert len(hot_files()) >= 2  # 4501 hot rows / 1000 target
+    assert V.read_version(spark, path).count() == 5001
+    # delete + checkpoint keep the passthrough and the content
+    V.delete_version(
+        spark, path, F.col("id") == 6000,
+        optimized_write="auto", optimized_write_split_rows=1000,
+    )
+    assert V.read_version(spark, path).count() == 5000
+    V.checkpoint_version(
+        spark, path,
+        optimized_write="auto", optimized_write_split_rows=1000,
+    )
+    assert len(hot_files()) >= 2
+    assert V.read_version(spark, path).count() == 5000
+    got = sorted(r.id for r in V.read_version(spark, path).collect())
+    assert got == sorted(range(5000))
