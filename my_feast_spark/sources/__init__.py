@@ -12,7 +12,9 @@ from my_feast_spark.sources.skipping import (
     update_file_stats,
     write_file_stats,
 )
+from my_feast_spark.sources.changes_stream import read_changes_stream
 from my_feast_spark.sources.versioned import (
+    ChangeFeedUnavailableError,
     SchemaEvolutionError,
     VersionConflictError,
     checkpoint_if_due,
@@ -20,6 +22,7 @@ from my_feast_spark.sources.versioned import (
     delete_version,
     diff_versions,
     list_versions,
+    read_changes,
     read_version,
     read_version_with_skipping,
     restore_version,
@@ -56,6 +59,9 @@ __all__ = [
     "checkpoint_version",
     "checkpoint_if_due",
     "SchemaEvolutionError",
+    "ChangeFeedUnavailableError",
+    "read_changes",
+    "read_changes_stream",
     "list_versions",
     "vacuum",
     "zvalue",

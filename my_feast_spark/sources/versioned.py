@@ -1110,6 +1110,146 @@ def diff_versions(
     )
 
 
+class ChangeFeedUnavailableError(RuntimeError):
+    """A version range contains a commit that does not describe its own
+    increment (plain overwrite, restore, or a pre-change-feed
+    upsert/delete) — the per-commit change feed cannot be served for
+    it. Mirror of Delta's error when CDC was not enabled for the range;
+    use :func:`diff_versions` (which falls back to the snapshot join)
+    for the NET difference instead."""
+
+
+#: the change feed's reserved metadata columns (Delta's CDF names)
+_CDF_COLS = ("_change_type", "_commit_version")
+
+
+def _changes_of_commit(spark, path: str, v: int, kind, payload, m, cols):
+    """One commit's change events, normalized to the canonical column
+    list ``cols`` + the CDF metadata columns. ``kind``/``payload`` come
+    from :func:`_chain_change_plan`."""
+    from pyspark.sql import functions as F
+
+    def _norm(df, have):
+        return [
+            (F.col(c) if c in have else F.lit(None).cast(cols[c])).alias(c)
+            for c in cols
+        ]
+
+    if kind == "append":
+        df = _scan_manifest_dirs(spark, path, m, dirs=payload)
+        return df.select(
+            *_norm(df, set(df.columns)),
+            F.lit("insert").alias("_change_type"),
+            F.lit(v).cast("long").alias("_commit_version"),
+        )
+    ev = spark.read.parquet(f"{path}/{payload}")
+
+    def _side(side_col, type_expr, op_filter):
+        have = {f.name for f in ev.schema[side_col].dataType.fields}
+        flat = [
+            (F.col(f"{side_col}.`{c}`") if c in have
+             else F.lit(None).cast(cols[c])).alias(c)
+            for c in cols
+        ]
+        return ev.where(op_filter).select(
+            *flat,
+            type_expr.alias("_change_type"),
+            F.lit(v).cast("long").alias("_commit_version"),
+        )
+
+    op = F.col("_change_op")
+    pre = _side(
+        "_change_pre",
+        F.when(op == "update", F.lit("update_preimage"))
+        .otherwise(F.lit("delete")),
+        op.isin("update", "delete"),
+    )
+    post = _side(
+        "_change_post",
+        F.when(op == "update", F.lit("update_postimage"))
+        .otherwise(F.lit("insert")),
+        op.isin("update", "insert"),
+    )
+    return pre.unionByName(post)
+
+
+def read_changes(
+    spark: SparkSession,
+    path: str,
+    since_version: int,
+    until_version: int | None = None,
+) -> DataFrame:
+    """The per-commit change feed (Delta's ``table_changes`` / CDF
+    read): every change EVENT made by the commits in
+    ``(since_version, until_version]`` — the exclusive-since /
+    inclusive-until convention :func:`diff_versions` uses ("changes
+    since the version I already consumed"); note Delta's own
+    ``startingVersion`` is inclusive. Columns: the head version's
+    table schema (older commits' events serve NULL for columns that
+    did not exist yet) plus ``_change_type`` ∈ {'insert',
+    'update_preimage', 'update_postimage', 'delete'} and
+    ``_commit_version``. An update contributes BOTH images, each its
+    own row (Delta's shape).
+
+    Unlike :func:`diff_versions` — which NETS the chain per key into
+    one added/removed/changed row and falls back to a snapshot join —
+    this is the raw event stream (a key updated twice yields four
+    rows), and it never falls back: a commit that does not describe
+    its own increment (plain overwrite, restore, ``change_feed=False``
+    rewrite) raises :class:`ChangeFeedUnavailableError`. Plan shape:
+    one scan per appended directory + one per increment-sized sidecar,
+    unioned — no join, no shuffle; at 100 TB the feed costs the
+    increments, never the table. ``sources/changes_stream.py`` wraps
+    this arithmetic as a Structured Streaming source."""
+    jvm, fs = _fs(spark, path)
+    versions = list_versions(spark, path)
+    if until_version is None:
+        if not versions:
+            raise FileNotFoundError(f"no committed versions under {path}")
+        until_version = versions[-1]
+    for v in (since_version, until_version):
+        if v not in versions:
+            raise FileNotFoundError(f"version {v} not in {path}")
+    if since_version > until_version:
+        raise ValueError(
+            f"since_version {since_version} > until_version {until_version}"
+        )
+    head = _read_manifest(jvm, fs, path, until_version)
+    schema = _parent_schema(spark, path, head)
+    clash = [c for c in _CDF_COLS if c in schema.fieldNames()]
+    if clash:
+        raise ValueError(
+            f"table columns {clash} collide with the change feed's "
+            "metadata columns"
+        )
+    cols = {f.name: f.dataType for f in schema.fields}
+    empty = spark.createDataFrame(
+        [], _T.StructType(
+            schema.fields
+            + [_T.StructField("_change_type", _T.StringType(), False),
+               _T.StructField("_commit_version", _T.LongType(), False)]
+        ),
+    )
+    if since_version == until_version:
+        return empty
+    plan = _chain_change_plan(jvm, fs, path, since_version, until_version)
+    if plan is None:
+        raise ChangeFeedUnavailableError(
+            f"commits in ({since_version}, {until_version}] of {path} "
+            "include a plain overwrite, restore, or change_feed=False "
+            "rewrite — no per-commit change feed exists for the range; "
+            "use diff_versions for the net difference"
+        )
+    out = empty
+    for v, kind, payload, m in plan:
+        if kind == "append" and not payload:
+            continue
+        out = out.unionByName(
+            _changes_of_commit(spark, path, v, kind, payload, m, cols)
+        )
+    return out
+
+
 def delete_version(
     spark: SparkSession, path: str, condition, *, change_feed: bool = True,
     optimized_write: bool | str = True,

@@ -1,0 +1,154 @@
+"""The versioned-table change feed as a Structured Streaming source
+(sources/changes_stream.py — Delta's readChangeFeed stream, built on
+the PySpark 4 Python Data Source API): offsets are commit versions,
+partitions are files, workers yield Arrow batches, and replay of a
+version range is exactly-once by construction (manifests and sidecars
+are immutable)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from my_feast_spark.sources import versioned as V
+from my_feast_spark.sources.changes_stream import read_changes_stream
+
+
+def _run_available_now(sdf, out, ckpt):
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def _rows(spark, out):
+    return sorted(tuple(r) for r in spark.read.parquet(out).collect())
+
+
+def test_changes_stream_backlog_resume_and_batch_parity(spark, tmp_path):
+    """One AvailableNow run drains the backlog since starting_version
+    and matches read_changes event-for-event; a resumed run with the
+    SAME checkpoint emits only the commits that landed in between
+    (exactly-once across restarts)."""
+    path = str(tmp_path / "t")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    V.write_version(
+        spark.createDataFrame([(k, k * 10) for k in (1, 2, 3, 4)],
+                              ["k", "v"]), path)
+    V.write_version(
+        spark.createDataFrame([(5, 50), (6, 60)], ["k", "v"]),
+        path, mode="append")
+    V.upsert_version(
+        spark.createDataFrame([(1, 11), (7, 70)], ["k", "v"]), path, ["k"])
+    V.delete_version(spark, path, F.col("k") == 2)
+
+    sdf = read_changes_stream(spark, path, starting_version=0)
+    assert sdf.columns == ["k", "v", "_change_type", "_commit_version"]
+    _run_available_now(sdf, out, ckpt)
+
+    expected = sorted([
+        (5, 50, "insert", 1), (6, 60, "insert", 1),
+        (1, 10, "update_preimage", 2), (1, 11, "update_postimage", 2),
+        (7, 70, "insert", 2),
+        (2, 20, "delete", 3),
+    ])
+    assert _rows(spark, out) == expected
+    # event-for-event parity with the batch reader over the same range
+    batch = sorted(
+        tuple(r) for r in V.read_changes(spark, path, 0, 3).collect()
+    )
+    assert batch == expected
+
+    # two new commits; the checkpointed resume reads ONLY them —
+    # a checkpoint commit advances the offset with zero events
+    V.write_version(
+        spark.createDataFrame([(8, 80)], ["k", "v"]), path, mode="append")
+    V.checkpoint_version(spark, path)
+    _run_available_now(sdf, out, ckpt)
+    assert _rows(spark, out) == sorted(expected + [(8, 80, "insert", 4)])
+    # ... and a third run with nothing new adds nothing
+    _run_available_now(sdf, out, ckpt)
+    assert _rows(spark, out) == sorted(expected + [(8, 80, "insert", 4)])
+
+
+def test_changes_stream_defaults_to_latest(spark, tmp_path):
+    """Without starting_version the stream begins at the table's
+    latest version — history does not replay, only new commits flow
+    (Delta's streaming default)."""
+    path = str(tmp_path / "t")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    V.write_version(spark.createDataFrame([(1, 10)], ["k", "v"]), path)
+    V.write_version(
+        spark.createDataFrame([(2, 20)], ["k", "v"]), path, mode="append")
+
+    sdf = read_changes_stream(spark, path)
+    _run_available_now(sdf, out, ckpt)  # fixes initialOffset = v1
+    V.write_version(
+        spark.createDataFrame([(3, 30)], ["k", "v"]), path, mode="append")
+    _run_available_now(sdf, out, ckpt)
+    assert _rows(spark, out) == [(3, 30, "insert", 2)]
+
+
+def test_changes_stream_hive_partition_columns_ride_the_path(
+    spark, tmp_path
+):
+    """A hive-partitioned commit stores the partition column in the
+    directory path, not the files — the feed reconstructs it (typed by
+    the recorded schema) like read_version does."""
+    path = str(tmp_path / "t")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02")], ["k", "d"])
+    V.write_version(df, path, partition_by=["d"])
+    V.write_version(
+        spark.createDataFrame([(3, "2024-01-01")], ["k", "d"]),
+        path, mode="append")
+
+    sdf = read_changes_stream(spark, path, starting_version=0)
+    _run_available_now(sdf, out, ckpt)
+    assert _rows(spark, out) == [(3, "2024-01-01", "insert", 1)]
+
+
+def test_changes_stream_fails_loud_on_overwrite_and_schema_change(
+    spark, tmp_path
+):
+    """A commit the feed cannot describe (plain overwrite) or a
+    mid-stream schema evolution fails the stream loudly at planning
+    time (Delta's behavior) — never a silent wrong increment. A
+    RESTARTED stream adopts the evolved schema."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    path = str(tmp_path / "t")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    V.write_version(spark.createDataFrame([(1, 10)], ["k", "v"]), path)
+    sdf = read_changes_stream(spark, path)
+    _run_available_now(sdf, out, ckpt)
+
+    V.write_version(
+        spark.createDataFrame([(9, 90)], ["k", "v"]), path,
+        mode="overwrite")
+    with pytest.raises(StreamingQueryException, match="change feed"):
+        _run_available_now(sdf, out, ckpt)
+
+    # schema evolution: the running stream (fixed schema) fails with
+    # restart guidance...
+    path2 = str(tmp_path / "t2")
+    out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    V.write_version(spark.createDataFrame([(1, 10)], ["k", "v"]), path2)
+    sdf2 = read_changes_stream(spark, path2)
+    _run_available_now(sdf2, out2, ckpt2)
+    V.write_version(
+        spark.createDataFrame([(2, 20, "en")], ["k", "v", "lang"]),
+        path2, mode="append", merge_schema=True)
+    with pytest.raises(StreamingQueryException, match="restart"):
+        _run_available_now(sdf2, out2, ckpt2)
+    # ...and a fresh stream (new schema, new checkpoint) serves the
+    # evolved shape, old events NULL-extended
+    sdf3 = read_changes_stream(spark, path2, starting_version=0)
+    out3, ckpt3 = str(tmp_path / "out3"), str(tmp_path / "ckpt3")
+    _run_available_now(sdf3, out3, ckpt3)
+    assert _rows(spark, out3) == [(2, 20, "en", "insert", 1)]

@@ -1193,3 +1193,99 @@ def test_optimized_write_auto_threads_through_rewrites(spark, tmp_path):
     assert V.read_version(spark, path).count() == 5000
     got = sorted(r.id for r in V.read_version(spark, path).collect())
     assert got == sorted(range(5000))
+
+
+def test_read_changes_per_commit_event_feed(spark, tmp_path):
+    """read_changes (Delta's table_changes / CDF read): the raw
+    per-commit event stream over a mixed append/upsert/delete/
+    checkpoint chain — both update images, _commit_version attribution,
+    checkpoint silence — and its per-key netting must reproduce
+    diff_versions exactly."""
+    from my_feast_spark.sources import versioned as V
+
+    path = str(tmp_path / "t")
+    # v0: k=1..4  v1: +k=5,6  v2: upsert (update k=1, insert k=7)
+    # v3: delete k=2  v4: checkpoint  v5: upsert (update k=1 again)
+    V.write_version(
+        spark.createDataFrame([(k, k * 10) for k in (1, 2, 3, 4)],
+                              ["k", "v"]), path)
+    V.write_version(
+        spark.createDataFrame([(5, 50), (6, 60)], ["k", "v"]),
+        path, mode="append")
+    V.upsert_version(
+        spark.createDataFrame([(1, 11), (7, 70)], ["k", "v"]), path, ["k"])
+    V.delete_version(spark, path, F.col("k") == 2)
+    V.checkpoint_version(spark, path)
+    V.upsert_version(
+        spark.createDataFrame([(1, 12)], ["k", "v"]), path, ["k"])
+
+    ch = V.read_changes(spark, path, 0)
+    assert ch.columns == ["k", "v", "_change_type", "_commit_version"]
+    got = sorted(tuple(r) for r in ch.collect())
+    assert got == sorted([
+        (5, 50, "insert", 1), (6, 60, "insert", 1),
+        (1, 10, "update_preimage", 2), (1, 11, "update_postimage", 2),
+        (7, 70, "insert", 2),
+        (2, 20, "delete", 3),
+        (1, 11, "update_preimage", 5), (1, 12, "update_postimage", 5),
+    ])
+
+    # netting the feed per key == diff_versions (which composes the
+    # same sidecars): first event's preimage vs last event's postimage
+    net = sorted(
+        (r.k, r.change)
+        for r in V.diff_versions(spark, path, 0, 5, ["k"]).collect()
+    )
+    assert net == [(1, "changed"), (2, "removed"), (5, "added"),
+                   (6, "added"), (7, "added")]
+
+    # sub-ranges honor the (since, until] convention
+    sub = sorted(
+        tuple(r) for r in V.read_changes(spark, path, 2, 3).collect()
+    )
+    assert sub == [(2, 20, "delete", 3)]
+    assert V.read_changes(spark, path, 3, 3).count() == 0
+    # checkpoint-only range: structurally empty, zero events
+    assert V.read_changes(spark, path, 3, 4).count() == 0
+
+    # a plain overwrite breaks the feed loudly (Delta's CDC-not-enabled
+    # error), while diff_versions still answers via the snapshot join
+    V.write_version(
+        spark.createDataFrame([(9, 90)], ["k", "v"]), path,
+        mode="overwrite")
+    with pytest.raises(V.ChangeFeedUnavailableError):
+        V.read_changes(spark, path, 0)
+    assert V.read_changes(spark, path, 5, 5).count() == 0
+    d = {r.k: r.change
+         for r in V.diff_versions(spark, path, 5, 6, ["k"]).collect()}
+    assert d[9] == "added" and d[1] == "removed"
+
+    # reserved-column clash is loud
+    path2 = str(tmp_path / "t2")
+    V.write_version(
+        spark.createDataFrame([(1, "x")], ["k", "_change_type"]), path2)
+    V.write_version(
+        spark.createDataFrame([(2, "y")], ["k", "_change_type"]), path2,
+        mode="append")
+    with pytest.raises(ValueError, match="_change_type"):
+        V.read_changes(spark, path2, 0)
+
+
+def test_read_changes_serves_evolved_schema_with_nulls(spark, tmp_path):
+    """Events from commits older than a column serve NULL for it, in
+    the head version's schema (the read_version contract, applied to
+    the feed)."""
+    from my_feast_spark.sources import versioned as V
+
+    path = str(tmp_path / "t")
+    V.write_version(spark.createDataFrame([(1, 10)], ["k", "v"]), path)
+    V.write_version(
+        spark.createDataFrame([(2, 20)], ["k", "v"]), path, mode="append")
+    V.write_version(
+        spark.createDataFrame([(3, 30, "en")], ["k", "v", "lang"]),
+        path, mode="append", merge_schema=True)
+    ch = V.read_changes(spark, path, 0)
+    assert ch.columns == ["k", "v", "lang", "_change_type",
+                          "_commit_version"]
+    got = {r.k: (r.lang, r._commit_version) for r in ch.collect()}
+    assert got == {2: (None, 1), 3: ("en", 2)}
