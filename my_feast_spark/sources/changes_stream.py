@@ -161,8 +161,17 @@ class _ChangesStreamReader(DataSourceStreamReader):
         canonical = {
             f["name"] for f in json.loads(self._schema_json)["fields"]
         }
-        manifests = {v: _manifest(fs, root, v)
-                     for v in range(v_old, v_new + 1)}
+        try:
+            manifests = {v: _manifest(fs, root, v)
+                         for v in range(v_old, v_new + 1)}
+        except FileNotFoundError as e:
+            # a stream resuming after its offset range was vacuumed —
+            # Delta's "files were deleted" streaming failure, loud here
+            raise ChangeFeedUnavailableError(
+                f"commits in ({v_old}, {v_new}] of {self._root} were "
+                "vacuumed before this stream consumed them — re-seed "
+                "from a snapshot with a fresh checkpoint"
+            ) from e
         out: list[_ChangesPartition] = []
         v = v_new
         while v != v_old:

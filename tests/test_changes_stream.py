@@ -152,3 +152,23 @@ def test_changes_stream_fails_loud_on_overwrite_and_schema_change(
     out3, ckpt3 = str(tmp_path / "out3"), str(tmp_path / "ckpt3")
     _run_available_now(sdf3, out3, ckpt3)
     assert _rows(spark, out3) == [(2, 20, "en", "insert", 1)]
+
+
+def test_changes_stream_fails_loud_when_range_vacuumed(spark, tmp_path):
+    """A stream resuming after vacuum reclaimed its unconsumed commits
+    fails with re-seed guidance (Delta's deleted-files streaming
+    failure), never a silent gap."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    path = str(tmp_path / "t")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    V.write_version(spark.createDataFrame([(1, 10)], ["k", "v"]), path)
+    sdf = read_changes_stream(spark, path)
+    _run_available_now(sdf, out, ckpt)  # offset fixed at v0
+
+    V.write_version(
+        spark.createDataFrame([(2, 20)], ["k", "v"]), path, mode="append")
+    V.checkpoint_version(spark, path)
+    V.vacuum(spark, path, keep_last=1, grace_seconds=0)  # drops v0/v1
+    with pytest.raises(StreamingQueryException, match="vacuum"):
+        _run_available_now(sdf, out, ckpt)

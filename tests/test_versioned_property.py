@@ -177,3 +177,105 @@ def test_txn_protocol_matches_model(spark, tmp_path_factory, ops):
             "txn", {}
         )
         assert got_txn == txn_model, f"txn map diverged after {kind}"
+
+
+# ---- change feed (round 16): the event stream must REPLAY ------------
+
+_cf_op = st.one_of(
+    st.tuples(st.just("append"), _rows),
+    st.tuples(st.just("upsert"), _rows),
+    st.tuples(st.just("delete"), st.sets(
+        st.integers(min_value=0, max_value=12), min_size=1, max_size=4)),
+    st.tuples(st.just("checkpoint"), st.none()),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=_rows,
+    ops=st.lists(_cf_op, min_size=1, max_size=5),
+)
+def test_change_feed_replays_to_the_head_version(
+    spark, tmp_path_factory, base, ops
+):
+    """The strongest contract a change feed can offer: applying the
+    event stream (ordered by commit, preimages asserted against the
+    running state) to the base version's content must reproduce the
+    head version EXACTLY, and netting first-pre vs last-post per key
+    must equal diff_versions — for ANY servable chain."""
+    from my_feast_spark.sources.versioned import (
+        delete_version,
+        diff_versions,
+        read_changes,
+    )
+
+    path = str(tmp_path_factory.mktemp("cfprop") / "t")
+    write_version(_to_df(spark, base), path)
+    state = dict(base)  # model of the live table content
+
+    for kind, payload in ops:
+        if kind == "append":
+            # the keyed contract: appends introduce only NEW keys
+            fresh = {k + 100: v for k, v in payload.items()
+                     if (k + 100) not in state}
+            if not fresh:
+                continue
+            write_version(_to_df(spark, fresh), path, mode="append")
+            state.update(fresh)
+        elif kind == "upsert":
+            upsert_version(_to_df(spark, payload), path, ["k"])
+            state.update(payload)
+        elif kind == "delete":
+            cond = F.col("k").isin([int(k) for k in payload])
+            delete_version(spark, path, cond)
+            for k in payload:
+                state.pop(k, None)
+        else:
+            checkpoint_version(spark, path)
+
+    head = list_versions(spark, path)[-1]
+    # within a commit, pre-state reads (preimage/delete) replay before
+    # post-state writes — lexicographic _change_type order would put
+    # 'update_postimage' before 'update_preimage'
+    _rank = {"update_preimage": 0, "delete": 0,
+             "insert": 1, "update_postimage": 1}
+    events = sorted(
+        ((r._commit_version, _rank[r._change_type], r.k),
+         r._change_type, r.k, r.v)
+        for r in read_changes(spark, path, 0, head).collect()
+    )
+    # replay against the base, asserting preimages against the model
+    replay = dict(base)
+    for _v, etype, k, v in events:
+        if etype == "insert":
+            # appends introduce only new keys; an upsert emits 'insert'
+            # only for keys absent from its parent
+            assert k not in replay, (k, replay.get(k))
+            replay[k] = v
+        elif etype == "update_preimage":
+            assert replay.get(k) == v, (k, v, replay.get(k))
+        elif etype == "update_postimage":
+            replay[k] = v
+        else:  # delete
+            assert replay.pop(k, None) == v
+    head_rows = dict(_read_multiset(spark, path, head))
+    assert replay == head_rows == state
+
+    # netting == diff_versions for the same range
+    net = {
+        r.k: r.change
+        for r in diff_versions(spark, path, 0, head, ["k"]).collect()
+    }
+    expect = {}
+    for k in set(base) | set(state):
+        if k not in base and k in state:
+            expect[k] = "added"
+        elif k in base and k not in state:
+            expect[k] = "removed"
+        elif base.get(k) != state.get(k):
+            expect[k] = "changed"
+    assert net == expect
