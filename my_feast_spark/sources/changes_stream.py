@@ -105,16 +105,25 @@ def _parquet_files(fs, root: str, commit_dir: str) -> list[str]:
     )
 
 
-def _hive_values(file_path: str, commit_dir: str) -> dict[str, str]:
+#: Spark's hive directory name for a NULL partition value
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _hive_values(file_path: str, commit_dir: str) -> dict:
     """key=value partition segments between the commit dir and the
     file (hive-partitioned commits carry those columns in the PATH,
-    not the file)."""
+    not the file) — URL-unescaped the way Spark wrote them (a value
+    containing ``:`` lands as ``%3A``), with the NULL sentinel mapped
+    back to None (review-caught: serving the raw segment diverged from
+    the batch reader and crashed non-string casts)."""
+    from urllib.parse import unquote
+
     rel = file_path.split(f"{commit_dir}/", 1)[-1]
     out = {}
     for seg in rel.split("/")[:-1]:
         if "=" in seg:
             k, _, val = seg.partition("=")
-            out[k] = val
+            out[unquote(k)] = None if val == _HIVE_NULL else unquote(val)
     return out
 
 
@@ -158,24 +167,42 @@ class _ChangesStreamReader(DataSourceStreamReader):
 
         fs, root = _pa_fs(self._root)
         v_old, v_new = int(start["version"]), int(end["version"])
+        if v_old > v_new:
+            # startingVersion ahead of the head, or a checkpointed
+            # offset against a recreated table — loud, never a KeyError
+            raise ChangeFeedUnavailableError(
+                f"stream offset {v_old} is ahead of the table head "
+                f"{v_new} at {self._root} — the checkpoint belongs to "
+                "a different (or recreated) table, or startingVersion "
+                "overshot; re-seed with a fresh checkpoint"
+            )
         canonical = {
             f["name"] for f in json.loads(self._schema_json)["fields"]
         }
-        try:
-            manifests = {v: _manifest(fs, root, v)
-                         for v in range(v_old, v_new + 1)}
-        except FileNotFoundError as e:
-            # a stream resuming after its offset range was vacuumed —
-            # Delta's "files were deleted" streaming failure, loud here
-            raise ChangeFeedUnavailableError(
-                f"commits in ({v_old}, {v_new}] of {self._root} were "
-                "vacuumed before this stream consumed them — re-seed "
-                "from a snapshot with a fresh checkpoint"
-            ) from e
+        # manifests read LAZILY along the parent walk (review-caught:
+        # an eager range prefetch read the already-consumed v_old
+        # manifest too, so a vacuum that dropped only the consumed
+        # prefix falsely killed a fully servable stream — sidecar
+        # commits never need their parent's manifest)
+        manifests: dict[int, dict] = {}
+
+        def _m(vv: int) -> dict:
+            if vv not in manifests:
+                try:
+                    manifests[vv] = _manifest(fs, root, vv)
+                except FileNotFoundError as e:
+                    # Delta's "files were deleted" streaming failure
+                    raise ChangeFeedUnavailableError(
+                        f"manifest {vv} of {self._root} was vacuumed "
+                        "before this stream consumed it — re-seed from "
+                        "a snapshot with a fresh checkpoint"
+                    ) from e
+            return manifests[vv]
+
         out: list[_ChangesPartition] = []
         v = v_new
         while v != v_old:
-            m = manifests[v]
+            m = _m(v)
             parent = m.get("parent")
             if parent is None or parent < v_old:
                 raise ChangeFeedUnavailableError(
@@ -196,7 +223,7 @@ class _ChangesStreamReader(DataSourceStreamReader):
                     "on schema change the same way)"
                 )
             if m.get("mode") == "append":
-                pdirs = set(manifests[parent]["dirs"])
+                pdirs = set(_m(parent)["dirs"])
                 for d in m["dirs"]:
                     if d in pdirs:
                         continue
@@ -246,9 +273,10 @@ class _ChangesStreamReader(DataSourceStreamReader):
             for f in data_fields:
                 a = cols.get(f.name)
                 if a is None:
-                    hv = partition.hive.get(f.name)
-                    if hv is not None:
-                        a = pa.array([hv] * n).cast(f.type)
+                    if f.name in partition.hive:
+                        hv = partition.hive[f.name]  # None = hive NULL
+                        a = (pa.nulls(n, f.type) if hv is None
+                             else pa.array([hv] * n).cast(f.type))
                     else:
                         a = pa.nulls(n, f.type)
                 else:

@@ -689,10 +689,11 @@ def upsert_version(
     and records it in the manifest (``op``/``changes``).
     :func:`diff_versions` then composes diffs ACROSS upsert commits by
     reading only the sidecars, never joining two snapshots. Costs one
-    extra broadcast join against the parent (the preimage lookup — the
-    parent relation is scanned twice per upsert instead of once); pass
-    ``False`` to skip it, which sends diffs over this commit back to
-    the snapshot join.
+    extra pass over the parent (the preimage lookup: a left-semi
+    restriction of the parent to the incoming keys, then a join of the
+    batch against that increment-sized relation — both joins keep the
+    small side broadcastable); pass ``False`` to skip it, which sends
+    diffs over this commit back to the snapshot join.
 
     ``optimized_write``/``optimized_write_split_rows`` pass through to
     :func:`write_version`. A merge into a hive-partitioned table is
@@ -716,10 +717,16 @@ def upsert_version(
     kept = current.join(df.select(*keys).distinct(), keys, "left_anti")
     extra = None
     if change_feed:
-        # preimage lookup: one broadcast-keyed join — `incoming` is the
-        # (small) batch side, so AQE broadcasts it and the parent scan
-        # never shuffles
-        pre = current.select(
+        # preimage lookup, staged so BOTH joins keep their small side
+        # on the broadcastable right (review-caught: a left-outer join
+        # can only broadcast its right side, and putting the full
+        # parent there would shuffle the table per upsert): first
+        # restrict the parent to the incoming keys (left-semi, the
+        # key set broadcasts), then left-join the batch against that
+        # increment-sized preimage relation (it broadcasts too)
+        pre = current.join(
+            incoming.select(*keys).distinct(), keys, "left_semi"
+        ).select(
             *keys,
             F.struct(*current.columns).alias("_change_pre"),
             F.lit(True).alias("__matched"),
@@ -815,30 +822,6 @@ def restore_version(
         if fs.rename(tmp, _hpath(jvm, path, _VLOG, f"{next_v}.json")):
             return next_v
         fs.delete(tmp, False)
-
-
-def _append_chain_added_dirs(
-    jvm, fs, path: str, v_old: int, v_new: int,
-) -> tuple[list[str], dict] | None:
-    """If every commit from ``v_old`` (exclusive) up to ``v_new`` is a
-    plain append, return ``(dirs added after v_old, v_new's manifest)``
-    — the manifest rides along so the caller never re-reads it; else
-    None. O(chain) manifest reads, no data touched."""
-    m = _read_manifest(jvm, fs, path, v_new)
-    cur, v = m, v_new
-    while v != v_old:
-        if v < v_old:  # pragma: no cover - parents decrement by 1
-            return None
-        if cur.get("mode") != "append" or cur.get("parent") is None:
-            return None
-        v = cur["parent"]
-        if v != v_old:
-            cur = _read_manifest(jvm, fs, path, v)
-    old_dirs = set(_read_manifest(jvm, fs, path, v_old)["dirs"])
-    added = [d for d in m["dirs"] if d not in old_dirs]
-    if not old_dirs <= set(m["dirs"]):  # pragma: no cover - append
-        return None  # chains accumulate dirs by construction
-    return added, m
 
 
 def _chain_change_plan(jvm, fs, path: str, v_old: int, v_new: int):
@@ -1038,24 +1021,10 @@ def diff_versions(
         jvm, fs = _fs(spark, path)
         versions = list_versions(spark, path)
         if v_old in versions and v_new in versions and v_old <= v_new:
-            chain = _append_chain_added_dirs(jvm, fs, path, v_old, v_new)
-            if chain is not None:
-                added, m = chain
-                if not added:  # same content: empty diff, zero scans
-                    return (
-                        read_version(spark, path, v_new)
-                        .select(*keys)
-                        .withColumn("change", F.lit("added"))
-                        .limit(0)
-                    )
-                return (
-                    _scan_manifest_dirs(spark, path, m, dirs=added)
-                    .select(*keys)
-                    .withColumn("change", F.lit("added"))
-                )
-            # mixed chain (round 16): appends + change-feed upserts/
-            # deletes + checkpoints compose from their increments —
-            # sidecars and added dirs only, never a snapshot scan
+            # ONE chain walk serves both increment paths (review-caught:
+            # the former separate append-only walker re-read the same
+            # manifests _chain_change_plan reads — 2x driver I/O per
+            # mixed-chain diff at object-store GET latency)
             plan = _chain_change_plan(jvm, fs, path, v_old, v_new)
             if plan is not None:
                 if not any(
@@ -1068,6 +1037,25 @@ def diff_versions(
                         .withColumn("change", F.lit("added"))
                         .limit(0)
                     )
+                if all(kind == "append" for _v, kind, _p, _m in plan):
+                    # appends (± checkpoints) only: the added dirs ARE
+                    # the diff — no groupBy, no sidecar scan. The scan
+                    # plans with the newest participating manifest's
+                    # recorded schema (the head of an all-append plan).
+                    added = [
+                        d for _v, _k, dirs, _m in plan for d in dirs
+                    ]
+                    return (
+                        _scan_manifest_dirs(
+                            spark, path, plan[-1][3], dirs=added
+                        )
+                        .select(*keys)
+                        .withColumn("change", F.lit("added"))
+                    )
+                # mixed chain (round 16): appends + change-feed
+                # upserts/deletes + checkpoints compose from their
+                # increments — sidecars and added dirs only, never a
+                # snapshot scan
                 composed = _compose_chain_changes(spark, path, plan, keys)
                 if composed is not None:
                     return composed

@@ -172,3 +172,68 @@ def test_changes_stream_fails_loud_when_range_vacuumed(spark, tmp_path):
     V.vacuum(spark, path, keep_last=1, grace_seconds=0)  # drops v0/v1
     with pytest.raises(StreamingQueryException, match="vacuum"):
         _run_available_now(sdf, out, ckpt)
+
+
+def test_changes_stream_hive_escaping_null_and_typed_values(
+    spark, tmp_path
+):
+    """Hive path values round-trip the way Spark wrote them: URL
+    escapes decoded (a ':' lands as %3A on disk), the NULL sentinel
+    directory back to a real NULL, and non-string partition columns
+    cast from the path by the recorded schema."""
+    path = str(tmp_path / "t")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    V.write_version(
+        spark.createDataFrame([(0, "seed", 0)], ["k", "d", "b"]),
+        path, partition_by=["d", "b"])
+    sdf = read_changes_stream(spark, path, starting_version=0)
+    V.write_version(
+        spark.createDataFrame(
+            [(1, "a:b", 7), (2, None, 8)], ["k", "d", "b"]),
+        path, mode="append")
+    _run_available_now(sdf, out, ckpt)
+    got = sorted(
+        ((r.k, r.d, r.b, r._change_type, r._commit_version)
+         for r in spark.read.parquet(out).collect()),
+        key=lambda t: t[0],
+    )
+    assert got == [(1, "a:b", 7, "insert", 1), (2, None, 8, "insert", 1)]
+
+
+def test_changes_stream_survives_vacuum_of_consumed_prefix(
+    spark, tmp_path
+):
+    """vacuum dropping only already-consumed manifests must NOT kill
+    the stream: sidecar commits never need their parent's manifest, so
+    the lazy walk stops at the offset without touching it."""
+    path = str(tmp_path / "t")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    V.write_version(spark.createDataFrame([(1, 10)], ["k", "v"]), path)
+    sdf = read_changes_stream(spark, path)
+    _run_available_now(sdf, out, ckpt)  # offset fixed at v0
+
+    V.upsert_version(spark.createDataFrame([(1, 11)], ["k", "v"]),
+                     path, ["k"])
+    V.upsert_version(spark.createDataFrame([(2, 20)], ["k", "v"]),
+                     path, ["k"])
+    V.vacuum(spark, path, keep_last=2, grace_seconds=0)  # drops v0 only
+    _run_available_now(sdf, out, ckpt)
+    assert _rows(spark, out) == sorted([
+        (1, 10, "update_preimage", 1), (1, 11, "update_postimage", 1),
+        (2, 20, "insert", 2),
+    ])
+
+
+def test_changes_stream_offset_ahead_of_head_is_loud(spark, tmp_path):
+    """startingVersion past the table head fails with guidance, never
+    an opaque KeyError."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    path = str(tmp_path / "t")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    V.write_version(spark.createDataFrame([(1, 10)], ["k", "v"]), path)
+    V.write_version(spark.createDataFrame([(2, 20)], ["k", "v"]),
+                    path, mode="append")
+    sdf = read_changes_stream(spark, path, starting_version=100)
+    with pytest.raises(StreamingQueryException, match="ahead of the table"):
+        _run_available_now(sdf, out, ckpt)
