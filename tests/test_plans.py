@@ -601,3 +601,34 @@ def test_auto_strategy_probes_once_per_view(spark, tmp_path, monkeypatch):
     out.collect()
     assert len(calls) == 3  # actions never re-probe
     _release_owned(out)
+
+
+def test_read_changes_plan_is_union_of_scans(spark, tmp_path):
+    """The change feed's scale claim, plan-pinned: read_changes over a
+    mixed append/upsert/delete chain is a UNION of increment scans —
+    no join, no shuffle, no snapshot relation anywhere in the plan."""
+    from pyspark.sql import functions as F
+
+    from my_feast_spark.sources import versioned as V
+
+    path = str(tmp_path / "t")
+    V.write_version(
+        spark.createDataFrame([(k, k) for k in range(4)], ["k", "v"]),
+        path)
+    V.write_version(spark.createDataFrame([(9, 9)], ["k", "v"]),
+                    path, mode="append")
+    V.upsert_version(spark.createDataFrame([(1, 11)], ["k", "v"]),
+                     path, ["k"])
+    V.delete_version(spark, path, F.col("k") == 2)
+
+    ch = V.read_changes(spark, path, 0)
+    plan = _formatted(ch)
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Union" in plan, plan
+    # and the v0 base directories are NOT inputs — only increments
+    v0_dirs = set(V._read_manifest(
+        *V._fs(spark, path), path, 0)["dirs"])
+    read = {f for f in ch.inputFiles()}
+    assert not any(any(d in f for d in v0_dirs) for f in read), (
+        v0_dirs, read)
