@@ -17,6 +17,7 @@ from my_feast_spark.sources.versioned import (
     ChangeFeedUnavailableError,
     SchemaEvolutionError,
     VersionConflictError,
+    apply_changes_version,
     checkpoint_if_due,
     checkpoint_version,
     delete_version,
@@ -61,6 +62,7 @@ __all__ = [
     "SchemaEvolutionError",
     "ChangeFeedUnavailableError",
     "read_changes",
+    "apply_changes_version",
     "read_changes_stream",
     "list_versions",
     "vacuum",

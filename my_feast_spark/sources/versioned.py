@@ -1238,6 +1238,135 @@ def read_changes(
     return out
 
 
+def apply_changes_version(
+    events: DataFrame, path: str, keys: list[str], *,
+    change_feed: bool = True,
+) -> int | None:
+    """Apply a change-event relation (the :func:`read_changes` schema)
+    to the table at ``path`` as ONE commit — Delta's APPLY CHANGES INTO
+    / the consumer half of CDC replication. Returns the committed
+    version, or None when the events net to nothing.
+
+    Netting: per key, the LAST deciding event wins (`insert` /
+    `update_postimage` / `update_preimage+postimage` pairs collapse to
+    their postimage; `delete` removes), ordered by ``_commit_version``
+    — so a key inserted then deleted across the batch's commits applies
+    as nothing, and deleted-then-reinserted applies as the final row.
+    Preimages in the INPUT are ignored: the commit's own change sidecar
+    recomputes ops and preimages against the TARGET's current state
+    (a mirror that diverged still records ITS truth, and the mirror's
+    own feed stays correct and chainable). A net-delete of a key the
+    target never had is a no-op, not an error.
+
+    Plan shape (all increment-sized sides broadcastable, the
+    upsert_version staging): one window over the events on ``keys``
+    (the only shuffle, sized by the increment), one left-anti of the
+    target against the touched keys, and — with ``change_feed`` — one
+    left-semi preimage restriction of the target. Replay-idempotent by
+    CONTENT: re-applying the same events yields the same table, which
+    is what lets a streaming consumer (``mirror_changes_stream``)
+    survive foreachBatch replays without a txn record.
+
+    Raises :class:`VersionConflictError` if the target moves between
+    the read and the publish (expected_parent-pinned, like
+    ``upsert_version``) — callers retry the whole apply."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark = events.sparkSession
+    versions = list_versions(spark, path)
+    if not versions:
+        raise FileNotFoundError(
+            f"no committed versions under {path}: seed the mirror with "
+            "write_version first (e.g. from a source snapshot)"
+        )
+    base_version = versions[-1]
+    current = read_version(spark, path, base_version)
+    data_cols = [c for c in current.columns]
+    missing = [c for c in data_cols + list(_CDF_COLS)
+               if c not in events.columns]
+    if missing:
+        raise ValueError(
+            f"events relation lacks columns {missing} — expected the "
+            "read_changes schema for this table"
+        )
+    extras = [c for c in events.columns
+              if c not in data_cols and c not in _CDF_COLS]
+    if extras:
+        raise SchemaEvolutionError(
+            f"events carry columns {extras} the target lacks — the "
+            "source schema evolved; evolve the target first (one "
+            "merge_schema=True append of an empty frame) so the apply "
+            "never silently drops data"
+        )
+
+    deciding = events.where(
+        F.col("_change_type").isin("insert", "update_postimage", "delete")
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col("_commit_version").desc())
+    net = (
+        deciding.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(*data_cols, "_change_type")
+    ).localCheckpoint()  # one small materialization: reused 3x below
+    try:
+        if net.isEmpty():
+            return None
+        upserts = net.where(F.col("_change_type") != "delete").select(
+            *data_cols
+        )
+        touched = net.select(*keys).distinct()
+        kept = current.join(touched, keys, "left_anti")
+        extra = None
+        if change_feed:
+            pre = current.join(touched, keys, "left_semi").select(
+                *keys,
+                F.struct(*data_cols).alias("_change_pre"),
+            )
+            ev = (
+                net.join(pre, keys, "left")
+                .where(  # net-delete of an absent key: a no-op, not an
+                    # event — the target never had the row
+                    (F.col("_change_type") != "delete")
+                    | F.col("_change_pre").isNotNull()
+                )
+                .select(
+                    F.when(F.col("_change_type") == "delete",
+                           F.lit("delete"))
+                    .when(F.col("_change_pre").isNotNull(),
+                          F.lit("update"))
+                    .otherwise(F.lit("insert")).alias("_change_op"),
+                    F.col("_change_pre"),
+                    F.when(
+                        F.col("_change_type") != "delete",
+                        F.struct(*[net[c] for c in data_cols]),
+                    ).alias("_change_post"),
+                )
+            )
+            chdir = _write_change_sidecar(spark, path, ev)
+            extra = {"op": "upsert", "changes": chdir}
+        try:
+            return write_version(
+                kept.unionByName(upserts),
+                path,
+                mode="overwrite",
+                expected_parent=base_version,
+                _carry_txn=True,
+                _manifest_extra=extra,
+            )
+        except Exception:
+            if extra is not None:
+                jvm, fs = _fs(spark, path)
+                fs.delete(_hpath(jvm, path, extra["changes"]), True)
+            raise
+    finally:
+        # localCheckpoint blocks are session-pinned — release them
+        # (the repo-wide iterative-operator contract, graph.py)
+        from my_feast_spark.operators.graph import release_checkpoint
+
+        release_checkpoint(net)
+
+
 def delete_version(
     spark: SparkSession, path: str, condition, *, change_feed: bool = True,
     optimized_write: bool | str = True,

@@ -10,7 +10,10 @@ from my_feast_spark.streaming.ingest import (
     streaming_dedup,
     tumbling_window_agg,
 )
-from my_feast_spark.streaming.versioned import versioned_ingest_stream
+from my_feast_spark.streaming.versioned import (
+    mirror_changes_stream,
+    versioned_ingest_stream,
+)
 from my_feast_spark.streaming.sketches import (
     cms_ingest_stream,
     compact_cms,
@@ -43,4 +46,5 @@ __all__ = [
     "kmv_ingest_stream",
     "read_kmv_sketch",
     "versioned_ingest_stream",
+    "mirror_changes_stream",
 ]

@@ -140,3 +140,95 @@ def versioned_ingest_stream(
     elif trigger_interval:
         writer = writer.trigger(processingTime=trigger_interval)
     return writer.start()
+
+
+def mirror_changes_stream(
+    spark,
+    source_path: str,
+    target_path: str,
+    keys: list[str],
+    *,
+    checkpoint: str,
+    starting_version: int | None = None,
+    seed: bool = True,
+    change_feed: bool = True,
+    max_conflict_retries: int = 3,
+    trigger_interval: str | None = None,
+    available_now: bool = False,
+):
+    """CDC replication between versioned tables (Delta's APPLY CHANGES
+    INTO, end to end): follow ``source_path``'s per-commit change feed
+    (``sources/changes_stream.py``) and apply each micro-batch's
+    events to ``target_path`` as one keyed commit
+    (``apply_changes_version``). Returns the StreamingQuery.
+
+    ``seed`` (default on) initializes an empty target: it snapshots the
+    source's CURRENT version as the mirror's v0 and starts the feed
+    from exactly that version — the snapshot+offset pair is atomic in
+    the right direction (the version is pinned BEFORE the snapshot
+    read, so a commit landing mid-seed replays into the feed rather
+    than vanishing; re-applying rows the snapshot already holds is
+    content-idempotent). Pass ``starting_version`` with ``seed=False``
+    to take over an existing mirror.
+
+    Exactly-once layering differs from ``versioned_ingest_stream``
+    deliberately: appends need the txn record because replaying an
+    append DUPLICATES rows; a keyed apply is content-idempotent —
+    replaying a micro-batch upserts the same rows and deletes the same
+    keys — so the streaming checkpoint alone (replay yields the same
+    state) suffices, and the mirror needs no txn bookkeeping.
+    ``VersionConflictError`` (an operator wrote the mirror between
+    read and publish) retries the whole apply up to
+    ``max_conflict_retries`` times, then fails the batch loudly.
+
+    The mirror's own commits carry change sidecars (``change_feed``),
+    so a mirror is itself a valid CDC source — feeds chain."""
+    from my_feast_spark.sources.changes_stream import read_changes_stream
+    from my_feast_spark.sources.versioned import (
+        apply_changes_version,
+        list_versions,
+        read_version,
+    )
+
+    if seed:
+        if list_versions(spark, target_path):
+            raise ValueError(
+                f"{target_path} already has versions — pass seed=False "
+                "and starting_version to resume mirroring it"
+            )
+        if starting_version is not None:
+            raise ValueError("seed=True derives starting_version itself")
+        # pin the offset BEFORE reading the snapshot: a commit landing
+        # mid-read is then replayed by the feed (idempotent), never lost
+        starting_version = list_versions(spark, source_path)[-1]
+        write_version(
+            read_version(spark, source_path, starting_version),
+            target_path,
+        )
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        for attempt in range(max_conflict_retries + 1):
+            try:
+                apply_changes_version(
+                    batch_df, target_path, keys, change_feed=change_feed
+                )
+                return
+            except VersionConflictError:
+                if attempt == max_conflict_retries:
+                    raise
+
+    sdf = read_changes_stream(
+        spark, source_path, starting_version=starting_version
+    )
+    writer = (
+        sdf.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_interval:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()

@@ -237,3 +237,136 @@ def test_changes_stream_offset_ahead_of_head_is_loud(spark, tmp_path):
     sdf = read_changes_stream(spark, path, starting_version=100)
     with pytest.raises(StreamingQueryException, match="ahead of the table"):
         _run_available_now(sdf, out, ckpt)
+
+
+# ---- APPLY CHANGES: the consumer half of CDC replication --------------
+
+
+def test_apply_changes_version_nets_and_records_target_truth(
+    spark, tmp_path
+):
+    """apply_changes_version nets the event stream per key (last
+    deciding event by commit wins: insert-then-delete applies as
+    nothing, delete-then-reinsert as the final row), no-op deletes of
+    absent keys vanish, and the commit's OWN sidecar records ops and
+    preimages against the TARGET's state — so a diverged mirror's feed
+    still tells its truth."""
+    src = str(tmp_path / "src")
+    # source history: v0 {1,2,3}; v1 upsert(1->11, +4); v2 delete(2);
+    # v3 upsert(+5); v4 delete(5)  -> head {1:11, 3:30, 4:40}
+    V.write_version(
+        spark.createDataFrame([(k, k * 10) for k in (1, 2, 3)],
+                              ["k", "v"]), src)
+    V.upsert_version(spark.createDataFrame([(1, 11), (4, 40)],
+                                           ["k", "v"]), src, ["k"])
+    V.delete_version(spark, src, F.col("k") == 2)
+    V.upsert_version(spark.createDataFrame([(5, 50)], ["k", "v"]),
+                     src, ["k"])
+    V.delete_version(spark, src, F.col("k") == 5)
+
+    # target: a DIVERGED mirror seeded from v0 then drifted (k=2 was
+    # already dropped locally, k=1 holds a stale value)
+    dst = str(tmp_path / "dst")
+    V.write_version(
+        spark.createDataFrame([(1, 999), (3, 30)], ["k", "v"]), dst)
+
+    events = V.read_changes(spark, src, 0, 4)
+    ver = V.apply_changes_version(events, dst, ["k"])
+    assert ver == 1
+    got = sorted((r.k, r.v) for r in V.read_version(spark, dst).collect())
+    # k=5: inserted then deleted across the range -> nets to nothing;
+    # k=2: net delete of a key the target no longer has -> no-op
+    assert got == [(1, 11), (3, 30), (4, 40)]
+
+    # the mirror's own feed: ops/preimages relative to the TARGET —
+    # k=1 update with the target's stale 999 preimage, k=4 insert,
+    # no event at all for the no-op delete of k=2 or the transient k=5
+    own = sorted(
+        (r.k, r._change_type, r.v)
+        for r in V.read_changes(spark, dst, 0, 1).collect()
+    )
+    assert own == [
+        (1, "update_postimage", 11),
+        (1, "update_preimage", 999),
+        (4, "insert", 40),
+    ]
+
+    # replay-by-content: applying the SAME events again changes the
+    # table content not at all (the streaming consumer's contract)
+    V.apply_changes_version(events, dst, ["k"])
+    assert sorted(
+        (r.k, r.v) for r in V.read_version(spark, dst).collect()
+    ) == got
+
+    # empty net -> None, no commit
+    head = V.list_versions(spark, dst)[-1]
+    assert V.apply_changes_version(
+        V.read_changes(spark, src, 4, 4), dst, ["k"]) is None
+    assert V.list_versions(spark, dst)[-1] == head
+
+    # loud guards: missing feed columns / source-evolved extras
+    with pytest.raises(ValueError, match="_commit_version"):
+        V.apply_changes_version(
+            spark.createDataFrame([(1, 1)], ["k", "v"]), dst, ["k"])
+    evolved = events.withColumn("lang", F.lit("en"))
+    with pytest.raises(V.SchemaEvolutionError, match="evolve the target"):
+        V.apply_changes_version(evolved, dst, ["k"])
+
+
+def test_mirror_changes_stream_replicates_and_chains(spark, tmp_path):
+    """End-to-end CDC replication: seed pins offset-then-snapshot,
+    the stream applies source commits incrementally, a re-run with the
+    same checkpoint is a no-op, and the mirror is itself a servable
+    CDC source (feeds chain)."""
+    from my_feast_spark.streaming import mirror_changes_stream
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    V.write_version(
+        spark.createDataFrame([(k, k * 10) for k in (1, 2, 3)],
+                              ["k", "v"]), src)
+    V.upsert_version(spark.createDataFrame([(1, 11)], ["k", "v"]),
+                     src, ["k"])
+
+    def src_rows():
+        return sorted(
+            (r.k, r.v) for r in V.read_version(spark, src).collect()
+        )
+
+    def dst_rows():
+        return sorted(
+            (r.k, r.v) for r in V.read_version(spark, dst).collect()
+        )
+
+    q = mirror_changes_stream(
+        spark, src, dst, ["k"], checkpoint=ckpt, available_now=True)
+    q.awaitTermination(180)
+    assert dst_rows() == src_rows()  # seed snapshot covers v0-v1
+
+    # new source commits flow through on the next run
+    V.upsert_version(spark.createDataFrame([(4, 40)], ["k", "v"]),
+                     src, ["k"])
+    V.delete_version(spark, src, F.col("k") == 2)
+    q = mirror_changes_stream(
+        spark, src, dst, ["k"], checkpoint=ckpt, available_now=True,
+        seed=False, starting_version=1)
+    q.awaitTermination(180)
+    assert dst_rows() == src_rows() == [(1, 11), (3, 30), (4, 40)]
+
+    # replay with the same checkpoint: content-idempotent no-op
+    head = V.list_versions(spark, dst)[-1]
+    q = mirror_changes_stream(
+        spark, src, dst, ["k"], checkpoint=ckpt, available_now=True,
+        seed=False, starting_version=1)
+    q.awaitTermination(180)
+    assert dst_rows() == src_rows()
+    assert V.list_versions(spark, dst)[-1] == head  # nothing new applied
+
+    # the mirror chains: its own change feed serves the applied commits
+    mirrored = V.read_changes(spark, dst, 0)
+    assert {r._change_type for r in mirrored.collect()} <= {
+        "insert", "update_preimage", "update_postimage", "delete"}
+    # seeding guard: a second seed into the same target is loud
+    with pytest.raises(ValueError, match="seed=False"):
+        mirror_changes_stream(
+            spark, src, dst, ["k"], checkpoint=ckpt, available_now=True)
