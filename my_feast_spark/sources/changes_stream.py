@@ -36,6 +36,11 @@ Environment notes (the honest boundaries): the control plane and the
 workers open the table through ``pyarrow.fs`` (``LocalFileSystem`` or
 ``FileSystem.from_uri`` — s3/hdfs/gcs on a real cluster), NOT the
 JVM's Hadoop FS — Python data sources cannot call into the JVM. And
+the source CLASS is pickled by reference into Spark's Python worker
+processes, so ``my_feast_spark`` must be importable there — true for
+any installed deployment; an un-installed checkout must be on
+PYTHONPATH before the session's JVM starts (the ``__spark_entry__`` /
+conftest pattern). And
 like Delta, a mid-stream schema change or a non-self-describing commit
 (plain overwrite / restore / ``change_feed=False`` rewrite) fails the
 stream loudly at planning time rather than serving wrong increments;
