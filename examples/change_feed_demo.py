@@ -74,13 +74,20 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
     by_type = {r["_change_type"]: r["count"] for r in
                feed.groupBy("_change_type").count().collect()}
 
+    def drain(q):
+        # awaitTermination returns False on timeout with the query
+        # still running — proceeding would race a second query onto
+        # the same checkpoint
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("mirror stream did not drain in 300s")
+
     # 4. CDC replication: seed + follow (the seed pins the feed offset
     # BEFORE snapshotting, so nothing can fall between).
-    q = mirror_changes_stream(
+    drain(mirror_changes_stream(
         spark, src, mirror, ["event_id"], checkpoint=ckpt,
         available_now=True,
-    )
-    q.awaitTermination(120)
+    ))
 
     # 5. The source keeps moving; the checkpointed stream picks up only
     # the new commits — and the mirror's OWN apply commits carry change
@@ -91,11 +98,10 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> dict:
         .withColumn("value", F.lit(0.0)),
         src, ["event_id"],
     )                                                              # v3
-    q = mirror_changes_stream(
+    drain(mirror_changes_stream(
         spark, src, mirror, ["event_id"], checkpoint=ckpt,
         available_now=True, seed=False, starting_version=2,
-    )
-    q.awaitTermination(120)
+    ))
     src_head = sorted(map(tuple, read_version(spark, src).collect()))
     mir_head = sorted(map(tuple, read_version(spark, mirror).collect()))
     assert src_head == mir_head, "mirror diverged"

@@ -665,6 +665,33 @@ def _write_change_sidecar(spark, path: str, ev: DataFrame) -> str:
     return chdir
 
 
+def _publish_with_changes(
+    spark, df: DataFrame, path: str, base_version: int, *,
+    ev: DataFrame | None = None, op: str | None = None, **write_kwargs,
+) -> int:
+    """The keyed-rewrite commit protocol, shared by upsert / delete /
+    apply-changes: stage the change sidecar (when ``ev`` is given),
+    publish the overwrite pinned to ``base_version``, and reclaim the
+    staged sidecar on ANY publish failure — including a lost
+    ``expected_parent`` race. ``ev=None`` (change_feed off) publishes
+    with no ``op`` in the manifest, so diff composition falls back to
+    the snapshot join for the commit, exactly as documented."""
+    extra = None
+    if ev is not None:
+        chdir = _write_change_sidecar(spark, path, ev)
+        extra = {"op": op, "changes": chdir}
+    try:
+        return write_version(
+            df, path, mode="overwrite", expected_parent=base_version,
+            _carry_txn=True, _manifest_extra=extra, **write_kwargs,
+        )
+    except Exception:
+        if extra is not None:
+            jvm, fs = _fs(spark, path)
+            fs.delete(_hpath(jvm, path, extra["changes"]), True)
+        raise
+
+
 def upsert_version(
     df: DataFrame, path: str, keys: list[str], *, change_feed: bool = True,
     optimized_write: bool | str = True,
@@ -715,7 +742,7 @@ def upsert_version(
     current = read_version(spark, path, base_version)
     incoming = df.select(*current.columns)
     kept = current.join(df.select(*keys).distinct(), keys, "left_anti")
-    extra = None
+    ev = None
     if change_feed:
         # preimage lookup, staged so BOTH joins keep their small side
         # on the broadcastable right (review-caught: a left-outer join
@@ -743,24 +770,12 @@ def upsert_version(
                 ]).alias("_change_post"),
             )
         )
-        chdir = _write_change_sidecar(spark, path, ev)
-        extra = {"op": "upsert", "changes": chdir}
-    try:
-        return write_version(
-            kept.unionByName(incoming),
-            path,
-            mode="overwrite",
-            expected_parent=base_version,
-            optimized_write=optimized_write,
-            optimized_write_split_rows=optimized_write_split_rows,
-            _carry_txn=True,
-            _manifest_extra=extra,
-        )
-    except Exception:
-        if extra is not None:
-            jvm, fs = _fs(spark, path)
-            fs.delete(_hpath(jvm, path, extra["changes"]), True)
-        raise
+    return _publish_with_changes(
+        spark, kept.unionByName(incoming), path, base_version,
+        ev=ev, op="upsert",
+        optimized_write=optimized_write,
+        optimized_write_split_rows=optimized_write_split_rows,
+    )
 
 
 def restore_version(
@@ -1303,6 +1318,23 @@ def apply_changes_version(
     deciding = events.where(
         F.col("_change_type").isin("insert", "update_postimage", "delete")
     )
+    # two deciding events for one key in ONE commit cannot be ordered —
+    # an arbitrary winner would silently diverge the mirror, so refuse
+    # (Delta's "multiple source rows matched" MERGE error). One extra
+    # aggregation over the increment; the netting across COMMITS below
+    # is what the feed's _commit_version total order makes well-defined.
+    dup = (
+        deciding.groupBy(*keys, "_commit_version")
+        .count().where(F.col("count") > 1).limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"multiple deciding change events for key "
+            f"{[dup[0][k] for k in keys]} in commit "
+            f"{dup[0]['_commit_version']} — a keyed apply needs at most "
+            "one insert/update/delete per key per commit (the source "
+            "append carried duplicate keys?)"
+        )
     w = Window.partitionBy(*keys).orderBy(F.col("_commit_version").desc())
     net = (
         deciding.withColumn("__rn", F.row_number().over(w))
@@ -1310,14 +1342,22 @@ def apply_changes_version(
         .select(*data_cols, "_change_type")
     ).localCheckpoint()  # one small materialization: reused 3x below
     try:
-        if net.isEmpty():
-            return None
         upserts = net.where(F.col("_change_type") != "delete").select(
             *data_cols
         )
-        touched = net.select(*keys).distinct()
+        # net is one row per key by construction; no distinct needed
+        touched = net.select(*keys)
+        # a batch netting to ONLY no-op deletes (keys the target never
+        # had) must not publish a content-identical commit (review-
+        # caught, probe-confirmed): nothing to upsert and no delete
+        # that matches the target -> None, like an empty net
+        if upserts.isEmpty() and (
+            net.where(F.col("_change_type") == "delete")
+            .join(current, keys, "left_semi").isEmpty()
+        ):
+            return None
         kept = current.join(touched, keys, "left_anti")
-        extra = None
+        ev = None
         if change_feed:
             pre = current.join(touched, keys, "left_semi").select(
                 *keys,
@@ -1343,22 +1383,10 @@ def apply_changes_version(
                     ).alias("_change_post"),
                 )
             )
-            chdir = _write_change_sidecar(spark, path, ev)
-            extra = {"op": "upsert", "changes": chdir}
-        try:
-            return write_version(
-                kept.unionByName(upserts),
-                path,
-                mode="overwrite",
-                expected_parent=base_version,
-                _carry_txn=True,
-                _manifest_extra=extra,
-            )
-        except Exception:
-            if extra is not None:
-                jvm, fs = _fs(spark, path)
-                fs.delete(_hpath(jvm, path, extra["changes"]), True)
-            raise
+        return _publish_with_changes(
+            spark, kept.unionByName(upserts), path, base_version,
+            ev=ev, op="upsert",
+        )
     finally:
         # localCheckpoint blocks are session-pinned — release them
         # (the repo-wide iterative-operator contract, graph.py)
@@ -1400,7 +1428,7 @@ def delete_version(
     base_version = versions[-1]
     current = read_version(spark, path, base_version)
     kept = current.where(~F.coalesce(cond, F.lit(False)))
-    extra = None
+    ev = None
     if change_feed:
         removed = current.where(F.coalesce(cond, F.lit(False)))
         ev = removed.select(
@@ -1410,22 +1438,12 @@ def delete_version(
                 _T.StructType(current.schema.fields)
             ).alias("_change_post"),
         )
-        chdir = _write_change_sidecar(spark, path, ev)
-        extra = {"op": "delete", "changes": chdir}
-    try:
-        return write_version(
-            kept, path, mode="overwrite",
-            expected_parent=base_version,
-            optimized_write=optimized_write,
-            optimized_write_split_rows=optimized_write_split_rows,
-            _carry_txn=True,
-            _manifest_extra=extra,
-        )
-    except Exception:
-        if extra is not None:
-            jvm, fs = _fs(spark, path)
-            fs.delete(_hpath(jvm, path, extra["changes"]), True)
-        raise
+    return _publish_with_changes(
+        spark, kept, path, base_version,
+        ev=ev, op="delete",
+        optimized_write=optimized_write,
+        optimized_write_split_rows=optimized_write_split_rows,
+    )
 
 
 def checkpoint_version(

@@ -168,8 +168,15 @@ def mirror_changes_stream(
     the right direction (the version is pinned BEFORE the snapshot
     read, so a commit landing mid-seed replays into the feed rather
     than vanishing; re-applying rows the snapshot already holds is
-    content-idempotent). Pass ``starting_version`` with ``seed=False``
-    to take over an existing mirror.
+    content-idempotent). The pinned version is RECORDED in the seed
+    commit's manifest (``mirror_starting_version``), so a crash between
+    the seed and the first stream checkpoint is recoverable: rerunning
+    with ``seed=True`` finds the marker on the head commit and resumes
+    from it. Once applies have landed, the offset lives in the stream
+    checkpoint — rerun with ``seed=False`` (``starting_version`` is
+    then only the fallback for a FRESH checkpoint). Pass
+    ``starting_version`` with ``seed=False`` to take over an existing
+    mirror.
 
     Exactly-once layering differs from ``versioned_ingest_stream``
     deliberately: appends need the txn record because replaying an
@@ -191,20 +198,47 @@ def mirror_changes_stream(
     )
 
     if seed:
-        if list_versions(spark, target_path):
-            raise ValueError(
-                f"{target_path} already has versions — pass seed=False "
-                "and starting_version to resume mirroring it"
-            )
         if starting_version is not None:
             raise ValueError("seed=True derives starting_version itself")
-        # pin the offset BEFORE reading the snapshot: a commit landing
-        # mid-read is then replayed by the feed (idempotent), never lost
-        starting_version = list_versions(spark, source_path)[-1]
-        write_version(
-            read_version(spark, source_path, starting_version),
-            target_path,
-        )
+        existing = list_versions(spark, target_path)
+        if existing:
+            # crash-after-seed recovery (review-caught): the seed commit
+            # records the pinned source version in its manifest, so a
+            # rerun resumes from it instead of stranding the mirror —
+            # but only a pure seed (the recorded commit is still the
+            # head) is safely resumable this way; a mirror that already
+            # applied batches has its offset in the STREAM checkpoint
+            # and must be resumed with seed=False.
+            from my_feast_spark.sources.versioned import _fs, _read_manifest
+
+            jvm, fs = _fs(spark, target_path)
+            m = _read_manifest(jvm, fs, target_path, existing[-1])
+            pinned = m.get("mirror_starting_version")
+            if pinned is None:
+                raise ValueError(
+                    f"{target_path} already has versions and its head "
+                    "is not a seed commit — pass seed=False and "
+                    "starting_version to resume mirroring it"
+                )
+            starting_version = int(pinned)
+        else:
+            src_versions = list_versions(spark, source_path)
+            if not src_versions:
+                raise FileNotFoundError(
+                    f"no committed versions under {source_path} — "
+                    "nothing to mirror"
+                )
+            # pin the offset BEFORE reading the snapshot: a commit
+            # landing mid-read is then replayed by the feed
+            # (idempotent), never lost
+            starting_version = src_versions[-1]
+            write_version(
+                read_version(spark, source_path, starting_version),
+                target_path,
+                _manifest_extra={
+                    "mirror_starting_version": starting_version
+                },
+            )
 
     def apply_batch(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():

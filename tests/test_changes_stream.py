@@ -370,3 +370,81 @@ def test_mirror_changes_stream_replicates_and_chains(spark, tmp_path):
     with pytest.raises(ValueError, match="seed=False"):
         mirror_changes_stream(
             spark, src, dst, ["k"], checkpoint=ckpt, available_now=True)
+
+
+def test_apply_changes_guards_ties_and_noop_batches(spark, tmp_path):
+    """Intra-commit key ties refuse loudly (an arbitrary winner would
+    silently diverge the mirror — Delta's multiple-source-rows MERGE
+    error); a batch netting to ONLY no-op deletes of absent keys
+    commits nothing (probe-confirmed contract: no spurious
+    content-identical versions)."""
+    src = str(tmp_path / "src")
+    # an append that deliberately duplicates a key (the log permits it;
+    # keyed consumers must refuse)
+    V.write_version(spark.createDataFrame([(1, 10)], ["k", "v"]), src)
+    V.write_version(
+        spark.createDataFrame([(2, 20), (2, 21)], ["k", "v"]),
+        src, mode="append")
+    dst = str(tmp_path / "dst")
+    V.write_version(spark.createDataFrame([(1, 10)], ["k", "v"]), dst)
+    with pytest.raises(ValueError, match="multiple deciding"):
+        V.apply_changes_version(V.read_changes(spark, src, 0), dst, ["k"])
+
+    # transient key: inserted in v1', deleted in v2' — nets to a delete
+    # of a key the target never had -> None, no commit, no version churn
+    src2 = str(tmp_path / "src2")
+    V.write_version(spark.createDataFrame([(1, 10)], ["k", "v"]), src2)
+    V.write_version(spark.createDataFrame([(9, 90)], ["k", "v"]),
+                    src2, mode="append")
+    V.delete_version(spark, src2, F.col("k") == 9)
+    dst2 = str(tmp_path / "dst2")
+    V.write_version(spark.createDataFrame([(1, 10)], ["k", "v"]), dst2)
+    head = V.list_versions(spark, dst2)[-1]
+    assert V.apply_changes_version(
+        V.read_changes(spark, src2, 0), dst2, ["k"]) is None
+    assert V.list_versions(spark, dst2)[-1] == head
+
+
+def test_mirror_seed_is_crash_recoverable_and_loud_on_empty_source(
+    spark, tmp_path
+):
+    """The seed commit records its pinned source version, so a crash
+    between seed and first checkpoint recovers by rerunning seed=True;
+    an empty source fails loudly, and seeding over a non-seed head
+    keeps the explicit-resume guidance."""
+    from my_feast_spark.streaming import mirror_changes_stream
+
+    with pytest.raises(FileNotFoundError, match="nothing to mirror"):
+        mirror_changes_stream(
+            spark, str(tmp_path / "nosrc"), str(tmp_path / "nodst"),
+            ["k"], checkpoint=str(tmp_path / "nock"))
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    V.write_version(spark.createDataFrame([(1, 10)], ["k", "v"]), src)
+    V.write_version(spark.createDataFrame([(2, 20)], ["k", "v"]),
+                    src, mode="append")
+
+    # emulate crash-after-seed: seed manually the way the helper does,
+    # recording the pinned version, with NO stream checkpoint written
+    V.write_version(
+        V.read_version(spark, src, 1), dst,
+        _manifest_extra={"mirror_starting_version": 1})
+    V.write_version(spark.createDataFrame([(3, 30)], ["k", "v"]),
+                    src, mode="append")  # lands "mid-crash"
+
+    # rerun with seed=True: resumes from the RECORDED pin — the
+    # mid-crash commit replays into the feed, nothing lost
+    q = mirror_changes_stream(
+        spark, src, dst, ["k"], checkpoint=ckpt, available_now=True)
+    assert q.awaitTermination(180)
+    assert sorted(
+        (r.k, r.v) for r in V.read_version(spark, dst).collect()
+    ) == [(1, 10), (2, 20), (3, 30)]
+
+    # once applies landed the head is no longer the seed commit:
+    # seed=True now demands the explicit seed=False resume
+    with pytest.raises(ValueError, match="seed=False"):
+        mirror_changes_stream(
+            spark, src, dst, ["k"],
+            checkpoint=str(tmp_path / "ckpt2"))
