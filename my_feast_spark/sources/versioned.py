@@ -1282,6 +1282,18 @@ def apply_changes_version(
     is what lets a streaming consumer (``mirror_changes_stream``)
     survive foreachBatch replays without a txn record.
 
+    Write amplification, stated plainly: like every keyed rewrite in
+    this log (``upsert_version``, ``delete_version``), the commit
+    REWRITES the table's full content — the manifest references whole
+    commit directories, so untouched rows cannot be kept by reference
+    (Delta's file-level MERGE rewrites only matched files; that
+    granularity is a different manifest protocol). The netting is the
+    amortizer: one apply folds an ARBITRARY number of source commits
+    into one rewrite, so a catch-up ``availableNow`` drain costs one
+    table rewrite total, and a live mirror should size its trigger
+    interval by how much write amplification a rewrite is worth —
+    probe 15 (COVERAGE.md) quantifies the flat-vs-table-size split.
+
     Raises :class:`VersionConflictError` if the target moves between
     the read and the publish (expected_parent-pinned, like
     ``upsert_version``) — callers retry the whole apply."""
