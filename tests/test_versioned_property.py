@@ -279,3 +279,108 @@ def test_change_feed_replays_to_the_head_version(
         elif base.get(k) != state.get(k):
             expect[k] = "changed"
     assert net == expect
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=_rows,
+    ops=st.lists(_cf_op, min_size=1, max_size=4),
+    target=_rows,
+)
+def test_apply_changes_matches_model_on_diverged_targets(
+    spark, tmp_path_factory, base, ops, target
+):
+    """apply_changes_version against a pure-Python model, for ANY
+    servable source chain and ANY (possibly diverged) target: the
+    applied table equals {target minus netted keys} ∪ {netted
+    upserts}, no-op-only batches commit nothing, and the commit's own
+    sidecar replays the target to the same state (the chained-mirror
+    contract)."""
+    from my_feast_spark.sources.versioned import (
+        apply_changes_version,
+        delete_version,
+        read_changes,
+    )
+
+    tmp = tmp_path_factory.mktemp("applyprop")
+    src, dst = str(tmp / "src"), str(tmp / "dst")
+    write_version(_to_df(spark, base), src)
+    state = dict(base)
+    for kind, payload in ops:
+        if kind == "append":
+            fresh = {k + 100: v for k, v in payload.items()
+                     if (k + 100) not in state}
+            if not fresh:
+                continue
+            write_version(_to_df(spark, fresh), src, mode="append")
+            state.update(fresh)
+        elif kind == "upsert":
+            upsert_version(_to_df(spark, payload), src, ["k"])
+            state.update(payload)
+        elif kind == "delete":
+            cond = F.col("k").isin([int(k) for k in payload])
+            delete_version(spark, src, cond)
+            for k in payload:
+                state.pop(k, None)
+        else:
+            checkpoint_version(spark, src)
+
+    write_version(_to_df(spark, target), dst)
+    head = list_versions(spark, src)[-1]
+    events = read_changes(spark, src, 0, head)
+
+    # pure-Python model of the netting + apply
+    raw = sorted(
+        ((r._commit_version,
+          {"update_preimage": 0, "delete": 0,
+           "insert": 1, "update_postimage": 1}[r._change_type]),
+         r._change_type, r.k, r.v)
+        for r in events.collect()
+    )
+    net: dict[int, tuple] = {}
+    for _o, etype, k, v in raw:
+        if etype in ("insert", "update_postimage"):
+            net[k] = ("upsert", v)
+        elif etype == "delete":
+            net[k] = ("delete", v)
+    expected = {k: v for k, v in target.items() if k not in net}
+    expected.update(
+        {k: v for k, (op, v) in net.items() if op == "upsert"}
+    )
+    noop_only = all(
+        op == "delete" and k not in target for k, (op, _v) in net.items()
+    )
+
+    ver = apply_changes_version(events, dst, ["k"])
+    got = dict(_read_multiset(spark, dst, list_versions(spark, dst)[-1]))
+    assert got == expected
+    if not net or noop_only:
+        assert ver is None, "no-op batch must not commit"
+        return
+    assert ver == 1
+
+    # chained-mirror contract: the apply commit's OWN feed replays the
+    # original target to the same final state
+    replay = dict(target)
+    own = sorted(
+        ((r._commit_version,
+          {"update_preimage": 0, "delete": 0,
+           "insert": 1, "update_postimage": 1}[r._change_type]),
+         r._change_type, r.k, r.v)
+        for r in read_changes(spark, dst, 0, 1).collect()
+    )
+    for _o, etype, k, v in own:
+        if etype == "insert":
+            assert k not in replay
+            replay[k] = v
+        elif etype == "update_preimage":
+            assert replay.get(k) == v
+        elif etype == "update_postimage":
+            replay[k] = v
+        else:
+            assert replay.pop(k, None) == v
+    assert replay == expected
