@@ -1253,6 +1253,28 @@ def read_changes(
     return out
 
 
+def read_changes_between(
+    spark: SparkSession,
+    path: str,
+    since_ts,
+    until_ts=None,
+) -> DataFrame:
+    """The change feed on the TIMESTAMP axis (Delta CDF's
+    ``startingTimestamp``/``endingTimestamp``): changes made by commits
+    published after ``since_ts`` up to ``until_ts`` (default: now —
+    resolved as the latest version, no clock read). Timestamps resolve
+    through :func:`version_at_timestamp` (manifest ``committed_at``,
+    never file mtimes), then delegate to :func:`read_changes` — the
+    same (since, until] event semantics, error behavior included."""
+    since_v = version_at_timestamp(spark, path, since_ts)
+    if until_ts is None:
+        versions = list_versions(spark, path)
+        until_v = versions[-1] if versions else since_v
+    else:
+        until_v = version_at_timestamp(spark, path, until_ts)
+    return read_changes(spark, path, since_v, until_v)
+
+
 def apply_changes_version(
     events: DataFrame, path: str, keys: list[str], *,
     change_feed: bool = True,

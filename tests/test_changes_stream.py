@@ -448,3 +448,44 @@ def test_mirror_seed_is_crash_recoverable_and_loud_on_empty_source(
         mirror_changes_stream(
             spark, src, dst, ["k"],
             checkpoint=str(tmp_path / "ckpt2"))
+
+
+def test_read_changes_between_resolves_the_timestamp_axis(
+    spark, tmp_path
+):
+    """The timestamp-axis feed resolves commit publish times through
+    the manifests' committed_at (the TIMESTAMP AS OF contract) and
+    keeps the (since, until] event semantics."""
+    import json as _json
+
+    path = str(tmp_path / "t")
+    V.write_version(spark.createDataFrame([(1, 10)], ["k", "v"]), path)
+    V.write_version(spark.createDataFrame([(2, 20)], ["k", "v"]),
+                    path, mode="append")
+    V.upsert_version(spark.createDataFrame([(1, 11)], ["k", "v"]),
+                     path, ["k"])
+
+    def committed_at(v):
+        with open(f"{path}/_vlog/{v}.json") as fh:
+            return _json.load(fh)["committed_at"]
+
+    # "changes since just after v0 landed": both later commits
+    got = sorted(
+        (r.k, r._change_type, r._commit_version)
+        for r in V.read_changes_between(
+            spark, path, committed_at(0)).collect()
+    )
+    assert got == [
+        (1, "update_postimage", 2), (1, "update_preimage", 2),
+        (2, "insert", 1),
+    ]
+    # bounded window ending at v1's publish time excludes the upsert
+    sub = sorted(
+        (r.k, r._change_type)
+        for r in V.read_changes_between(
+            spark, path, committed_at(0), committed_at(1)).collect()
+    )
+    assert sub == [(2, "insert")]
+    # a window before retained history is the version_at_timestamp error
+    with pytest.raises(ValueError, match="oldest retained"):
+        V.read_changes_between(spark, path, committed_at(0) - 10_000)
