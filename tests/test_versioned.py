@@ -1289,3 +1289,66 @@ def test_read_changes_serves_evolved_schema_with_nulls(spark, tmp_path):
                           "_commit_version"]
     got = {r.k: (r.lang, r._commit_version) for r in ch.collect()}
     assert got == {2: (None, 1), 3: ("en", 2)}
+
+
+def test_optimized_write_auto_handles_null_partition_values(
+    spark, tmp_path
+):
+    """The auto splits-relation join is NULL-safe (a hive layout holds
+    NULL values as __HIVE_DEFAULT_PARTITION__): a hot NULL value fans
+    out like any other and reads back as real NULLs."""
+    from my_feast_spark.sources import versioned as V
+
+    path = str(tmp_path / "t")
+    df = spark.range(3000).select(
+        F.col("id"),
+        F.when(F.col("id") < 2500, F.lit(None).cast("string"))
+        .otherwise(F.lit("a")).alias("d"),
+    )
+    V.write_version(
+        df, path, partition_by=["d"],
+        optimized_write="auto", optimized_write_split_rows=1000,
+    )
+    back = V.read_version(spark, path)
+    assert back.where(F.col("d").isNull()).count() == 2500
+    assert back.where(F.col("d") == "a").count() == 500
+    null_files = {
+        r.f for r in back.where(F.col("d").isNull())
+        .select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert len(null_files) >= 2  # 2500 rows / 1000 target fans out
+
+
+def test_apply_changes_preserves_hive_layout(spark, tmp_path):
+    """An apply commit inherits a partitioned mirror's layout (the
+    content-preserving-rewrite adoption rule), so partition pruning
+    keeps working across CDC applies."""
+    from my_feast_spark.sources import versioned as V
+
+    src = str(tmp_path / "src")
+    V.write_version(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], ["k", "d", "v"]), src)
+    V.upsert_version(
+        spark.createDataFrame([(1, "a", 11), (3, "b", 30)],
+                              ["k", "d", "v"]), src, ["k"])
+
+    dst = str(tmp_path / "dst")
+    V.write_version(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], ["k", "d", "v"]),
+        dst, partition_by=["d"])
+    V.apply_changes_version(V.read_changes(spark, src, 0), dst, ["k"])
+
+    import json
+    head = V.list_versions(spark, dst)[-1]
+    with open(f"{dst}/_vlog/{head}.json") as fh:
+        assert json.load(fh)["partition_by"] == ["d"]
+    pruned = V.read_version(spark, dst).where(F.col("d") == "b")
+    files = {
+        r.f for r in pruned.select(F.input_file_name().alias("f"))
+        .distinct().collect()
+    }
+    assert files and all("d=b" in f for f in files)
+    assert sorted((r.k, r.v) for r in pruned.collect()) == [
+        (2, 20), (3, 30)]
