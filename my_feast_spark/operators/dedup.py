@@ -367,30 +367,78 @@ def _with_shingles(df, id_col, text_col, n, tokens_col=None):
     shingle from instead of re-tokenizing ``text_col`` — the
     tokenize-once path for pipelines (curation) that project the token
     array a single time and fan it out to several shingle consumers.
+
+    The token array is bound through ``let`` before the shingle HOF
+    touches it (r16 optimization): the previous ``withColumn("__toks",
+    split(...))`` projection was collapsed INTO the transform lambda by
+    the optimizer, so the interpreted ``concat_ws(__toks[i], ...)``
+    re-ran the full regex tokenization per shingle element — an
+    O(tokens^2) interpreted-split blow-up (thread-dump-caught: the one
+    scan task sat in ``StringSplit.nullSafeEval`` under
+    ``ConcatWs.eval``). Binding through the 1-element ``transform``
+    hands the lambda a NamedLambdaVariable (a slot read), restoring the
+    O(tokens) pass — measured 12.3s -> 1.7s for the bare
+    shingle+explode count at sf0.1, and the speedup propagates to every
+    shingle consumer (minhash/simhash/jaccard LSH, cms/kmv sketches,
+    lsh_recall, decontamination, curation, streaming near-dup).
+    Shingle VALUES are bit-identical (exceptAll-verified both ways).
     """
     base = spread_partitions(df)
     if tokens_col is not None:
         base = base.select(
             F.col(id_col).alias("doc"), F.col(tokens_col).alias("__toks")
         )
+        toks = F.col("__toks")
     else:
         base = base.select(
             F.col(id_col).alias("doc"), F.col(text_col).alias("__text")
-        ).withColumn("__toks", tokens(F.lower(F.col("__text"))))
+        )
+        toks = tokens(F.lower(F.col("__text")))
     return (
-        base.filter(F.size("__toks") >= n)
-        .withColumn("sh", shingles_from_tokens(n))
+        base.withColumn("sh", let(toks, lambda t: _shingles_of(t, n)))
+        .filter(F.col("sh").isNotNull())
         .select("doc", "sh")
     )
 
 
-def shingles_from_tokens(n: int):
-    parts = ", ".join(f"__toks[i + {j}]" for j in range(n))
-    return F.array_distinct(
-        F.expr(
-            f"transform(sequence(0, size(__toks) - {n}), "
-            f"i -> concat_ws(' ', {parts}))"
-        )
+def _shingles_of(t: Column, n: int) -> Column:
+    """Distinct word n-gram shingles over a BOUND token-array lambda
+    variable; NULL when the row has fewer than ``n`` tokens (the
+    caller's drop filter — building grams of a short row would read
+    past the array, so the short-row branch must short-circuit here,
+    not only in a pre-filter).
+
+    CAPTURE-FREE inner lambda (r16): grams come from ``transform`` over
+    ``arrays_zip`` of the n shifted slices of ``t``, so the transform's
+    lambda body references ONLY its own variable — never the outer
+    ``let`` binding. The earlier ``sequence + element_at(t, i+j)`` form
+    put the outer lambda variable inside the inner lambda body, and
+    that nested-capture expression, once CollapseProject inlined it
+    into a pandas-UDF argument above an Exchange (exactly the
+    minhash-signature fan-out: spread_partitions → shingles → CW/
+    splitmix UDF), defeated ExtractPythonUDFs — the raw PythonUDF was
+    left inside a Project and every evaluation died with
+    INTERNAL_ERROR "Cannot evaluate expression: sigs(...)"
+    (caught by the streaming_neardup_ingest oracle-parity test; the
+    batch pair queries masked it because their persisted shingle
+    relation is a collapse barrier). Slices of a lambda variable are
+    slot reads — the tokenize-once property that motivated ``let``
+    is preserved. Gram VALUES are unchanged: position i still joins
+    tokens i..i+n-1 with single spaces, then array_distinct."""
+    width = F.greatest(F.size(t) - F.lit(n - 1), F.lit(0))
+    z = F.arrays_zip(
+        *[F.slice(t, j + 1, width).alias(f"s{j}") for j in range(n)]
+    )
+    return F.when(
+        F.size(t) >= n,
+        F.array_distinct(
+            F.transform(
+                z,
+                lambda x: F.concat_ws(
+                    " ", *[x[f"s{j}"] for j in range(n)]
+                ),
+            )
+        ),
     )
 
 

@@ -165,6 +165,49 @@ def _bucket_counts(df: DataFrame, text_col: str | None, num_buckets: int,
     )
 
 
+def dsir_gram_events(
+    df: DataFrame,
+    id_col: str,
+    text_col: str | None,
+    num_buckets: int,
+    *,
+    lowercase: bool = True,
+    tokens_col: str | None = None,
+    hash_fn: str = "portable",
+) -> DataFrame:
+    """The exploded per-doc gram-bucket relation ``(id, bucket)`` —
+    ``explode_outer``, so gram-less docs keep one NULL-bucket row (the
+    weigh pass needs them; count consumers filter the NULLs out).
+
+    Compute-once sharing hook (r16 optimization): the tokenize + hash
+    pass over a corpus is the dominant DSIR cost with the portable md5
+    family, and the naive composition pays it twice for the raw corpus
+    (once inside ``fit_dsir``'s count aggregate, once inside
+    ``dsir_logweights``) plus once for the target slice. Materialize
+    this relation once (persist), pass it to ``fit_dsir(raw_events=…,
+    target_events=…)`` and ``dsir_logweights(events_df=…)``, and every
+    consumer reduces to an aggregate/join over the cached rows —
+    bit-identical outputs, one gram pass. The caller owns the cache.
+    """
+    return df.select(
+        F.col(id_col),
+        F.explode_outer(
+            _gram_expr(text_col, tokens_col, num_buckets, lowercase,
+                       hash_fn)
+        ).alias("bucket"),
+    )
+
+
+def _counts_from_events(events: DataFrame) -> DataFrame:
+    # explode_outer keeps gram-less docs as NULL-bucket rows; the bag
+    # counts must not see them (plain explode emits nothing there)
+    return (
+        events.filter(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 def fit_dsir(
     target_df: DataFrame,
     raw_df: DataFrame,
@@ -176,6 +219,8 @@ def fit_dsir(
     target_tokens_col: str | None = None,
     raw_tokens_col: str | None = None,
     hash_fn: str = "portable",
+    target_events: DataFrame | None = None,
+    raw_events: DataFrame | None = None,
 ) -> DSIRModel:
     """Fit the two hashed-gram bag models and their log2 ratio.
 
@@ -186,13 +231,29 @@ def fit_dsir(
     no vocabulary-size estimation problem, unlike token-space models).
     ``target_tokens_col`` / ``raw_tokens_col`` switch that side to an
     already-tokenized (lowered) array column instead of ``text_col``.
+
+    ``target_events`` / ``raw_events``: a pre-built
+    :func:`dsir_gram_events` relation for that side — the counts then
+    aggregate the shared relation instead of re-running the tokenize +
+    hash pass (the ``events`` relation MUST have been built with this
+    call's ``num_buckets``/``hash_fn``; the caller pins that by
+    constructing both from the same arguments). Bit-identical model
+    either way.
     """
     if num_buckets < 1:
         raise ValueError("num_buckets must be positive")
-    tc = _bucket_counts(target_df, text_col, num_buckets, lowercase,
-                        tokens_col=target_tokens_col, hash_fn=hash_fn)
-    rc = _bucket_counts(raw_df, text_col, num_buckets, lowercase,
-                        tokens_col=raw_tokens_col, hash_fn=hash_fn)
+    tc = (
+        _counts_from_events(target_events)
+        if target_events is not None
+        else _bucket_counts(target_df, text_col, num_buckets, lowercase,
+                            tokens_col=target_tokens_col, hash_fn=hash_fn)
+    )
+    rc = (
+        _counts_from_events(raw_events)
+        if raw_events is not None
+        else _bucket_counts(raw_df, text_col, num_buckets, lowercase,
+                            tokens_col=raw_tokens_col, hash_fn=hash_fn)
+    )
     joined = (
         tc.withColumnRenamed("c", "ct")
         .join(rc.withColumnRenamed("c", "cr"), "bucket", "full_outer")
@@ -291,14 +352,20 @@ def dsir_logweights(
     out_col: str = "logw",
     decimals: int = 6,
     tokens_col: str | None = None,
+    events_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document log2 importance weight: the sum of per-gram bucket
     ratios (buckets unseen in both training corpora -> the smoothed
     default), ROUNDED with the stable floor form (see
     ``functions.scalar.floor_round``) so two engines can never disagree
     on a boundary within float-summation noise. Gram-less documents (empty/NULL text)
-    keep weight exactly 0.0 via the outer explode."""
-    ev = df.select(
+    keep weight exactly 0.0 via the outer explode.
+
+    ``events_df``: a pre-built :func:`dsir_gram_events` relation for
+    ``df`` (same id column, built with the model's ``num_buckets`` and
+    ``hash_fn``) — skips this call's tokenize + hash pass and weighs
+    the shared relation instead. Bit-identical weights either way."""
+    ev = events_df if events_df is not None else df.select(
         F.col(id_col),
         F.explode_outer(
             _gram_expr(text_col, tokens_col, model.num_buckets, lowercase,

@@ -264,7 +264,7 @@ def _cms_cols_from_hash(h: Column, d: int, w: int):
 
 def cms_build(
     df: DataFrame, value: Column | str, *, d: int = 4, w: int = 16384,
-    hash_fn: str = "portable",
+    hash_fn: str = "portable", weight: Column | str | None = None,
 ) -> DataFrame:
     """Count-min sketch (Cormode & Muthukrishnan 2005) of the value
     stream's frequencies: a (r, c, cnt) relation with at most ``d*w``
@@ -272,18 +272,34 @@ def cms_build(
     summing counters. ONE scan: the d (row, col) pairs explode from an
     array literal and the groupBy collapses map-side to <= d*w rows per
     partition before the exchange. Point estimates never underestimate
-    (each counter is a superset sum); overestimation shrinks as 1/w."""
+    (each counter is a superset sum); overestimation shrinks as 1/w.
+
+    ``weight``: optional long column — each row then contributes
+    ``weight`` to its counters instead of 1. Building from a
+    PRE-AGGREGATED (value, count) relation with ``weight=count`` yields
+    the IDENTICAL sketch as the raw stream (counters are order-free
+    integer sums) while paying the hash and the d-way explode once per
+    DISTINCT value instead of once per occurrence — the
+    aggregate-first shape the heavy-hitter query uses (r16)."""
     col = F.col(value) if isinstance(value, str) else value
     _cms_width_bits(d, w)
-    base = df.select(sketch_hash(col, hash_fn).alias("__h"))
+    if weight is None:
+        base = df.select(sketch_hash(col, hash_fn).alias("__h"))
+        extra, cnt = [], F.count(F.lit(1))
+    else:
+        wcol = F.col(weight) if isinstance(weight, str) else weight
+        base = df.select(
+            sketch_hash(col, hash_fn).alias("__h"), wcol.alias("__w")
+        )
+        extra, cnt = ["__w"], F.sum("__w")
     pos = F.array(*[
         F.struct(F.lit(i).alias("r"), c.alias("c"))
         for i, c in enumerate(_cms_cols_from_hash(F.col("__h"), d, w))
     ])
     return (
-        base.select(F.explode(pos).alias("p"))
+        base.select(F.explode(pos).alias("p"), *extra)
         .groupBy(F.col("p.r").alias("r"), F.col("p.c").alias("c"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(cnt.cast("long").alias("cnt"))
     )
 
 

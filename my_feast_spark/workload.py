@@ -4997,20 +4997,35 @@ def q_dsir_resample(spark, sf_dir, *, hash_fn="portable"):
     near-ties within the engines' 1-ulp log() disagreement (~1e-15) are
     the same accepted risk class as the LM queries' double sums."""
     from my_feast_spark.operators.dsir import (
+        dsir_gram_events,
         dsir_logweights,
         dsir_resample,
         fit_dsir,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    target = docs.where(F.col("doc_id") % 50 == 0)
-    model = fit_dsir(target, docs, "text", num_buckets=10_000, k=0.5,
-                     hash_fn=hash_fn)
-    weighted = dsir_logweights(docs, "doc_id", "text", model)
+    # ONE tokenize+hash pass (r16 optimization, guide §1.2 "don't
+    # compute things twice"): the (doc_id, bucket) gram relation feeds
+    # the raw-side fit counts, the target-side fit counts (the target
+    # IS the doc_id%50 slice of the same corpus), and the weigh pass —
+    # previously three independent gram passes, each paying the
+    # portable md5 chain per gram (the dominant DSIR cost; the
+    # xxhash64 variant, one intrinsic per gram, benched ~2.8x faster
+    # for no other reason). Counts/weights are aggregates of the same
+    # rows, so the model and weights are bit-identical.
+    ev = dsir_gram_events(
+        docs, "doc_id", "text", 10_000, hash_fn=hash_fn
+    ).persist()
+    model = fit_dsir(
+        None, None, "text", num_buckets=10_000, k=0.5, hash_fn=hash_fn,
+        target_events=ev.filter(F.col("doc_id") % 50 == 0),
+        raw_events=ev,
+    )
+    weighted = dsir_logweights(docs, "doc_id", "text", model, events_df=ev)
     out = dsir_resample(weighted, "doc_id", 200, salt="dsir").select(
         "doc_id", "logw", "n_grams"
     )
-    out._owned_caches = list(model.ratio._owned_caches)
+    out._owned_caches = [*model.ratio._owned_caches, ev]
     return out
 
 
@@ -5129,19 +5144,33 @@ def q_url_domain_curation(spark, sf_dir):
         _part(5, "#frag"),
     )
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    # Persist the NARROW derived relation (r16 optimization, guide §5 +
+    # §7.2): domain_quota consumes its input twice (aggregate phases +
+    # the keep-set semi join-back), and without a materialization
+    # barrier CollapseProject inlines the full canonicalize/eTLD+1
+    # expression (the ~1k-rule suffix CASE over a host that itself
+    # inlines the synthetic-URL CASE chain — a ~51KB expression) into
+    # BOTH subtrees AND the pushed isnotnull join-key filters, blowing
+    # the physical plan to 148KB: past the 64KB codegen method limit
+    # (interpreted fallback per row) and ~35s of one-off optimizer/
+    # codegen time. Cached, the expression evaluates once per row, the
+    # plan is ~10x smaller, and both quota passes + the join-back read
+    # the 4-column cache. Values unchanged (persist is plan-only).
     canon = docs.select(
         "doc_id",
         url_canonicalize(raw_url).alias("url_canon"),
         url_host(raw_url).alias("host"),
-    ).withColumn("reg_domain", registered_domain(F.col("host")))
+    ).withColumn("reg_domain", registered_domain(F.col("host"))).persist()
     allowed = blocklist_filter(
         canon, "reg_domain",
         ["src7-example.com", "src7-example.co.uk",
          "src7-example.github.io", "src11-example.com"],
     )
-    return domain_quota(allowed, "reg_domain", ["doc_id"], 15).select(
+    out = domain_quota(allowed, "reg_domain", ["doc_id"], 15).select(
         "doc_id", "url_canon", "host", "reg_domain"
     )
+    out._owned_caches = [canon]
+    return out
 
 
 def _sql_url_domain_curation() -> str:
@@ -7359,12 +7388,26 @@ def q_kmv_corpus_overlap(spark, sf_dir, hash_fn="portable"):
     docs = _t(spark, sf_dir, "documents")
     sh = _with_shingles(docs, "doc_id", "text", 3)
     ex = sh.select("doc", F.explode("sh").alias("sg"))
+    # Aggregate-first (r16 optimization): collapse the gram stream to
+    # (sg, in_a, in_b) BEFORE hashing, then hash each distinct gram
+    # once and re-group by the hash (md5 collisions merge exactly as
+    # when grouping the raw hashed stream — max of maxes — so members
+    # and flags are bit-identical). The portable md5 chain previously
+    # ran per gram OCCURRENCE in front of the one corpus shuffle
+    # (7.86s at sf0.1); now it runs per distinct gram, and the second
+    # exchange is distinct-gram-sized (~2x faster). The shuffle key
+    # widens from 8-byte hash to the gram string — at 100 TB flip
+    # hash_fn to xxhash64 (benched variant) where hashing first is
+    # one cheap intrinsic and the narrow key wins again.
     base = (
         ex.select(
-            sketch_hash(F.col("sg"), hash_fn).alias("h"),
+            "sg",
             (F.col("doc") % 2 == 0).cast("int").alias("a"),
             (F.col("doc") % 2 == 1).cast("int").alias("b"),
         )
+        .groupBy("sg")
+        .agg(F.max("a").alias("a"), F.max("b").alias("b"))
+        .select(sketch_hash(F.col("sg"), hash_fn).alias("h"), "a", "b")
         .groupBy("h")
         .agg(F.max("a").alias("in_a"), F.max("b").alias("in_b"))
         .persist()
@@ -7636,12 +7679,28 @@ def q_cms_heavy_hitters(spark, sf_dir, hash_fn="portable"):
 
     docs = _t(spark, sf_dir, "documents")
     sh = _with_shingles(docs, "doc_id", "text", 3)
-    grams = sh.select("doc", F.explode("sh").alias("sg")).persist()
-    cms = cms_build(grams, "sg", d=_CMS_D, w=_CMS_W, hash_fn=hash_fn)
-    top = (
-        grams.groupBy("sg")
+    # Aggregate-first (r16 optimization): collapse the gram stream to
+    # (sg, exact_count) ONCE, then build the sketch FROM the aggregate
+    # with weight=exact_count — integer counter sums are order-free, so
+    # the sketch is bit-identical to building from raw occurrences, but
+    # the portable md5 hash and the d-way explode now run once per
+    # DISTINCT gram instead of once per occurrence, and the persisted
+    # relation shrinks from (doc, sg) pairs to the distinct-gram
+    # aggregate (which the exact top-20 needed anyway). Was: persist
+    # the exploded (doc, sg) stream and aggregate it twice (9.19s at
+    # sf0.1); now one corpus-sized aggregation total (~3x faster).
+    gcnt = (
+        sh.select(F.explode("sh").alias("sg"))
+        .groupBy("sg")
         .agg(F.count(F.lit(1)).alias("exact_count"))
-        .orderBy(F.col("exact_count").desc(), F.col("sg").asc())
+        .persist()
+    )
+    cms = cms_build(
+        gcnt, "sg", d=_CMS_D, w=_CMS_W, hash_fn=hash_fn,
+        weight="exact_count",
+    )
+    top = (
+        gcnt.orderBy(F.col("exact_count").desc(), F.col("sg").asc())
         .limit(20)
     )
     est = cms_estimate(cms, top, "sg", d=_CMS_D, w=_CMS_W, hash_fn=hash_fn)
@@ -7651,7 +7710,7 @@ def q_cms_heavy_hitters(spark, sf_dir, hash_fn="portable"):
         "est_count",
         (F.col("est_count") - F.col("exact_count")).alias("overestimate"),
     )
-    out._owned_caches = [grams]
+    out._owned_caches = [gcnt]
     return out
 
 

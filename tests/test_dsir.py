@@ -332,3 +332,62 @@ def test_hash_family_round_trips_through_persistence(spark, corpora,
     _release(model)
     loaded = read_dsir_model(spark, str(tmp_path / "m"))
     assert loaded.hash_fn == "xxhash64"
+
+
+def test_shared_gram_events_path_is_bit_identical(spark, corpora):
+    """r16 optimization hook: one dsir_gram_events relation shared by
+    both fit count tables and the weigh pass must reproduce the direct
+    path bit-for-bit (model scalars, ratio rows, weights, and the
+    resampled set)."""
+    from my_feast_spark.operators.dsir import dsir_gram_events
+
+    t, r = corpora
+    direct_model = fit_dsir(t, r, num_buckets=B, k=K)
+    direct = sorted(
+        (row["doc_id"], row["logw"], row["n_grams"])
+        for row in dsir_logweights(r, "doc_id", "text", direct_model).collect()
+    )
+    direct_ratio = sorted(
+        (row["bucket"], row["lr"])
+        for row in direct_model.ratio.collect()
+    )
+    _release(direct_model)
+
+    ev_t = dsir_gram_events(t, "doc_id", "text", B).persist()
+    ev_r = dsir_gram_events(r, "doc_id", "text", B).persist()
+    try:
+        shared_model = fit_dsir(
+            None, None, num_buckets=B, k=K,
+            target_events=ev_t, raw_events=ev_r,
+        )
+        shared = sorted(
+            (row["doc_id"], row["logw"], row["n_grams"])
+            for row in dsir_logweights(
+                r, "doc_id", None, shared_model, events_df=ev_r
+            ).collect()
+        )
+        shared_ratio = sorted(
+            (row["bucket"], row["lr"])
+            for row in shared_model.ratio.collect()
+        )
+        assert shared_model.default_lr == direct_model.default_lr
+        assert shared_ratio == direct_ratio
+        assert shared == direct
+        # the resampled SET must match too (same weights + same noise)
+        d_sel = dsir_resample(
+            dsir_logweights(r, "doc_id", None, shared_model,
+                            events_df=ev_r),
+            "doc_id", 3,
+        ).select("doc_id").collect()
+        _release(shared_model)
+    finally:
+        ev_t.unpersist(blocking=True)
+        ev_r.unpersist(blocking=True)
+    direct_model2 = fit_dsir(t, r, num_buckets=B, k=K)
+    d_sel2 = dsir_resample(
+        dsir_logweights(r, "doc_id", "text", direct_model2), "doc_id", 3
+    ).select("doc_id").collect()
+    _release(direct_model2)
+    assert sorted(x["doc_id"] for x in d_sel) == sorted(
+        x["doc_id"] for x in d_sel2
+    )
