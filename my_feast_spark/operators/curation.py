@@ -34,13 +34,19 @@ When optional stages are on, the narrow deduped relation
 call: the optional stages are resolved EAGERLY into a (small)
 dropped-id relation pinned with ``localCheckpoint``, then every cache —
 including the ones the near-dup pair generator owns — is released
-before returning. The final plan is the dedup window plus ONE anti-join
-against the materialized dropped ids (AQE broadcasts them when small):
-no corpus-sized cache outlives the call, the cached bytes during it are
-the token arrays alone (no text, no fingerprint), and downstream
-consumption re-derives the window from the source scan — the shape you
-want at 100 TB, where holding a corpus-sized cache through the
-consuming job is worse than one extra scan.
+before returning. The exact-dedup window's LOSERS (an id-only,
+column-pruned anti-join computed while the survivor cache is live) are
+folded into that dropped-id set, so the final plan is ONE map-only
+tokenize pass plus ONE anti-join against the materialized ids (AQE
+broadcasts them when small) — the fingerprint md5 and the corpus-wide
+window Exchange never run a second time. No corpus-sized cache outlives
+the call, the cached bytes during it are the token arrays alone (no
+text, no fingerprint), and what downstream consumption re-derives from
+the source scan is a map-only projection — the shape you want at
+100 TB, where holding a corpus-sized cache through the consuming job is
+worse than one extra scan, and where the id relation the anti-join
+ships is orders of magnitude narrower than the token arrays a
+re-derived window would re-shuffle.
 """
 
 from __future__ import annotations
@@ -289,14 +295,47 @@ def curate(
             )
         from functools import reduce
 
+        # Fold the exact-dedup LOSERS (the duplicate fraction — an
+        # id-only, column-pruned source scan anti-joined against the
+        # cached survivor ids) into the dropped-id set: with every
+        # window loser named explicitly, the returned plan no longer
+        # needs to RE-DERIVE the fingerprint window at all — the final
+        # materialization collapses from scan -> md5 fingerprint ->
+        # corpus Exchange -> window sort -> anti-join to a map-only
+        # tokenize + ONE anti-join (guide §2.4, r16). Same rows by
+        # construction: staged minus dups minus drops == deduped minus
+        # drops. The extra job here reads ONLY the id column and the
+        # checkpoint grows by the dup-id rows — both increment-sized
+        # next to the corpus pass they remove.
+        dup_ids = df.select(F.col(did)).join(
+            deduped.select(did), did, "left_anti"
+        )
         drop_ids = reduce(lambda a, b: a.union(b), drops)
-        drop_ids = drop_ids.localCheckpoint()
+        anti_ids = drop_ids.select(F.col(did)).union(dup_ids)
+        anti_ids = anti_ids.localCheckpoint()
         for c in pair_caches + nb_caches:
             c.unpersist()
         for c in spent_checkpoints:
             release_checkpoint(c)
         deduped.unpersist()
-        deduped = deduped.join(drop_ids, did, "left_anti")
+        # Rebuild the narrow relation for the returned plan with the
+        # token array behind an explode(array(...)) Generate node: with
+        # the window Exchange gone, nothing else stops CollapseProject
+        # from re-inlining tokens(lower(text)) into every downstream
+        # reference (the O(k x tokenize) re-expansion the module
+        # docstring warns about — measured 1.02s vs 0.54s per final
+        # count at sf0.1). A Generate materializes its input expression
+        # ONCE per row, predicates on generator output are never pushed
+        # below it, and explode(array(x)) is row-preserving even for
+        # NULL x (array(x) is a 1-element array, never NULL). __fp is
+        # unreferenced downstream, so Catalyst prunes the md5 entirely.
+        deduped = df.select(
+            F.col(did),
+            F.col(stratum),
+            F.explode(
+                F.array(tokens(F.lower(F.col(text))))
+            ).alias("__ltoks"),
+        ).join(anti_ids, did, "left_anti")
 
     # 4. repetition filter — map-only over the projected (lowered)
     #    token array; the predicate cannot cross the dedup window, so

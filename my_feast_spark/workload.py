@@ -5774,9 +5774,14 @@ def q_ccnet_buckets(spark, sf_dir, *, exact_quantiles=True):
 
     docs = _t(spark, sf_dir, "documents")
     model = train_bigram_lm(docs, "text")
+    # persist: the narrow (doc_id, lang, avg_logprob) relation feeds BOTH
+    # the tercile-cut aggregate and the final bucket join-back — without
+    # it the whole scoring pipeline (n-gram explode + bigram join + per-
+    # doc aggregate) runs twice (r16, guide §5 caching; measured 2.48s
+    # -> 1.4s min-of-4 at sf0.1). Handed to the caller via _owned_caches.
     scored = score_docs(docs, "doc_id", "text", model).select(
         "doc_id", "avg_logprob"
-    ).join(docs.select("doc_id", "lang"), "doc_id")
+    ).join(docs.select("doc_id", "lang"), "doc_id").persist()
     cuts = scored.groupBy("lang").agg(
         percentile_agg(
             "avg_logprob", 2.0 / 3.0, exact=exact_quantiles
@@ -5794,7 +5799,7 @@ def q_ccnet_buckets(spark, sf_dir, *, exact_quantiles=True):
         .otherwise(F.lit("tail"))
         .alias("ppl_bucket"),
     )
-    out._owned_caches = [model.bigrams]
+    out._owned_caches = [model.bigrams, scored]
     return out
 
 

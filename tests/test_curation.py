@@ -85,6 +85,40 @@ def test_curate_near_dup_stage_with_no_duplicates_is_identity(spark):
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
+def test_curate_optional_stage_plan_skips_window_rederivation(spark):
+    """With optional stages on, the RETURNED plan must not re-derive the
+    exact-dedup fingerprint window: the window losers are folded into
+    the checkpointed anti-id set while the survivor cache is live, so
+    the final materialization is a map-only tokenize + one anti-join —
+    no second md5 fingerprint, no second corpus Exchange (r16
+    optimization). Values are pinned elsewhere (the oracle parity row
+    + the planted-data tests above); this pins the PLAN shape and that
+    the anti-id fold never resurrects a window loser."""
+    from my_feast_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF, "documents")
+    cfg = CurationConfig(sample_rates=None, near_dup="minhash",
+                         near_dup_threshold=0.5)
+    out = curate(docs, cfg)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" not in plan, (
+        "returned plan re-derives the dedup window"
+    )
+    assert "md5" not in plan, (
+        "returned plan recomputes the doc fingerprint"
+    )
+    # survivors of the optional-stage path must be a subset of the
+    # no-optional-stage survivors (whose returned plan still IS the
+    # window): the rewrite drops exactly the window losers plus the
+    # near-dup stage's drops, never resurrecting either
+    got = {r.doc_id for r in out.collect()}
+    base_ids = {
+        r.doc_id
+        for r in curate(docs, CurationConfig(sample_rates=None)).collect()
+    }
+    assert got <= base_ids
+
+
 def test_curate_gopher_rules_gate(spark):
     """gopher_rules=True adds the Gopher rule conjunct on the same
     map-only stage: among docs surviving every other stage, exactly the
