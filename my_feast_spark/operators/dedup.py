@@ -550,6 +550,33 @@ def minhash_signatures(
     )
 
 
+def minhash_signature_array(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 64,
+    hash_fn: str = "xxhash64",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """``(doc, __sig array<long>)`` — the array-native core of
+    :func:`minhash_signatures` (r16 optimization): element ``i`` of
+    ``__sig`` is bit-identical to column ``mh_i``. Internal consumers
+    (the LSH pair generator, the streaming near-dup ingest) band via
+    ``element_at`` on this single array column instead of fanning out
+    to ``num_hashes`` projected columns and re-assembling — at 64
+    hashes the column fan-out costs a measurable slice of driver
+    plan-build/analysis time PER QUERY (py4j expression construction +
+    a 64-alias projection in every downstream plan) for zero execution
+    benefit. The 64-column form remains the public signature view."""
+    return _signature_array_from_shingles(
+        _with_shingles(df, id_col, text_col, n, tokens_col),
+        num_hashes,
+        hash_fn,
+    )
+
+
 def _cw_hasher(a: int, b: int):
     # closure factory: transform() treats a 2-arg lambda's second param as
     # the array index, so coefficients must be captured here, not defaulted
@@ -559,6 +586,18 @@ def _cw_hasher(a: int, b: int):
 def _signatures_from_shingles(
     sh: DataFrame, num_hashes: int, hash_fn: str = "xxhash64"
 ) -> DataFrame:
+    """The 64-column ``mh_i`` view over the array-native core — kept as
+    the public shape; internal hot paths consume the array directly."""
+    sigd = _signature_array_from_shingles(sh, num_hashes, hash_fn)
+    return sigd.select(
+        "doc", *[F.col("__sig")[i].alias(f"mh_{i}") for i in range(num_hashes)]
+    )
+
+
+def _signature_array_from_shingles(
+    sh: DataFrame, num_hashes: int, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """``(doc, __sig)`` with ``__sig[i]`` bit-identical to ``mh_i``."""
     if hash_fn == "portable":
         if num_hashes > len(MINHASH_A):
             raise ValueError(f"portable family has {len(MINHASH_A)} hashes")
@@ -578,10 +617,10 @@ def _signatures_from_shingles(
         cols = [
             F.array_min(
                 F.transform(F.col("__base"), _cw_hasher(MINHASH_A[i], MINHASH_B[i]))
-            ).alias(f"mh_{i}")
+            )
             for i in range(num_hashes)
         ]
-        return based.select("doc", *cols)
+        return based.select("doc", F.array(*cols).alias("__sig"))
 
     if hash_fn in ("xxhash64", "numpy"):
         # the xxhash64-family scale path: one JVM xxhash64 per shingle,
@@ -603,10 +642,10 @@ def _signatures_from_shingles(
         return lambda s: F.xxhash64(F.lit(i), s)
 
     cols = [
-        F.array_min(F.transform(F.col("sh"), hasher(i))).alias(f"mh_{i}")
+        F.array_min(F.transform(F.col("sh"), hasher(i)))
         for i in range(num_hashes)
     ]
-    return sh.select("doc", *cols)
+    return sh.select("doc", F.array(*cols).alias("__sig"))
 
 
 def _cw_signatures_numpy(based: DataFrame, num_hashes: int) -> DataFrame:
@@ -631,10 +670,7 @@ def _cw_signatures_numpy(based: DataFrame, num_hashes: int) -> DataFrame:
             out.append(((A * x + B) % P).min(axis=1))
         return pd.Series(out)
 
-    sigd = based.select("doc", sigs(F.col("__base")).alias("__sig"))
-    return sigd.select(
-        "doc", *[F.col("__sig")[i].alias(f"mh_{i}") for i in range(num_hashes)]
-    )
+    return based.select("doc", sigs(F.col("__base")).alias("__sig"))
 
 
 def _signatures_numpy(sh: DataFrame, num_hashes: int) -> DataFrame:
@@ -678,10 +714,7 @@ def _signatures_numpy(sh: DataFrame, num_hashes: int) -> DataFrame:
                 out.append(x.min(axis=1).astype(np.int64))
         return pd.Series(out)
 
-    sigd = based.select("doc", sigs(F.col("__base")).alias("__sig"))
-    return sigd.select(
-        "doc", *[F.col("__sig")[i].alias(f"mh_{i}") for i in range(num_hashes)]
-    )
+    return based.select("doc", sigs(F.col("__base")).alias("__sig"))
 
 
 def minhash_lsh_dup_pairs(
@@ -734,14 +767,21 @@ def minhash_lsh_dup_pairs(
     # dominant LSH cost). It is also the SMALLEST relation in the
     # pipeline: n_docs x (id + num_hashes longs) ~ 0.5 KB/doc, orders
     # of magnitude under the corpus, so caching it is the scale move.
-    sig = _signatures_from_shingles(sh, num_hashes, hash_fn).persist()
+    # Array-native (r16): banding reads element_at(__sig, i) — values
+    # bit-identical to the former mh_i columns, minus the 64-column
+    # projection fan-out in every downstream plan.
+    sig = _signature_array_from_shingles(sh, num_hashes, hash_fn).persist()
+
+    def mh(b, j):
+        return F.element_at(F.col("__sig"), b * r + j + 1)
+
     if hash_fn == "portable":
         # equality-only use => the concatenated decimal string IS the sig
         def band_sig(b):
-            return F.concat_ws(",", *[F.col(f"mh_{b * r + j}") for j in range(r)])
+            return F.concat_ws(",", *[mh(b, j) for j in range(r)])
     else:
         def band_sig(b):
-            return F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)])
+            return F.xxhash64(*[mh(b, j) for j in range(r)])
     band_rows = sig.select(
         "doc",
         F.explode(

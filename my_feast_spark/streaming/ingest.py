@@ -645,7 +645,7 @@ def near_dedup_ingest_stream(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    from my_feast_spark.operators.dedup import minhash_signatures
+    from my_feast_spark.operators.dedup import minhash_signature_array
     from my_feast_spark.operators.graph import release_checkpoint
 
     spark = sdf.sparkSession
@@ -667,13 +667,14 @@ def near_dedup_ingest_stream(
         # `live` tracks every checkpoint the batch pins (the candidate
         # relation joins it under index_buckets) so an exception can't
         # leak blocks for the stream's lifetime
-        sig = minhash_signatures(
+        # array-native signatures (r16): the index stores the array
+        # anyway — consuming it directly drops the 64-column fan-out +
+        # re-assembly from every per-batch plan (values bit-identical,
+        # so existing persisted indexes stay valid)
+        sig = minhash_signature_array(
             batch_df, id_col, text_col, n=n, num_hashes=num_hashes,
             hash_fn=hash_fn,
-        ).select(
-            "doc",
-            F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig"),
-        ).localCheckpoint()
+        ).select("doc", F.col("__sig").alias("sig")).localCheckpoint()
         live = [sig]
         try:
             band_rows = sig.select(

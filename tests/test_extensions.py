@@ -543,6 +543,33 @@ def test_minhash_numpy_signature_path_matches_xxhash64_pairs(spark, docs):
         minhash_signatures(docs, "doc_id", "text", hash_fn="sha1").collect()
 
 
+def test_minhash_signature_array_matches_column_view(spark, docs):
+    """The array-native core (r16: internal consumers band via
+    element_at on ONE array column) must be element-for-element
+    bit-identical to the public mh_i column view, for every hash
+    family — the streaming index stores these arrays, so a divergence
+    would silently break index resume."""
+    from my_feast_spark.operators.dedup import (
+        minhash_signature_array,
+        minhash_signatures,
+    )
+
+    for fam in ("xxhash64", "portable", "xxhash64_expr"):
+        arr = {
+            r.doc: tuple(r.__getitem__("__sig"))
+            for r in minhash_signature_array(
+                docs, "doc_id", "text", n=3, num_hashes=8, hash_fn=fam
+            ).collect()
+        }
+        cols = {
+            r.doc: tuple(r[f"mh_{i}"] for i in range(8))
+            for r in minhash_signatures(
+                docs, "doc_id", "text", n=3, num_hashes=8, hash_fn=fam
+            ).collect()
+        }
+        assert arr == cols, f"family {fam} diverged"
+
+
 def test_simhash_numpy_fingerprints_bit_identical_to_xxhash64(spark, docs):
     """The map-only Arrow SimHash (the "xxhash64" default since round
     15) uses the same token hash and majority rule as the legacy
