@@ -1470,6 +1470,9 @@ def q_quality_score(spark, sf_dir):
     def r4(c):
         return F.floor(c * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
 
+    # (r16: a Generate-barrier variant materializing the sub-measures
+    # measured FLAT here — see q_repetition_filter for the shape that
+    # does win)
     return docs.select(
         "doc_id",
         r4(diversity).alias("lexical_diversity"),
@@ -1522,6 +1525,11 @@ def q_lang_id(spark, sf_dir):
         "doc_id", tokens(F.lower(F.col("text"))).alias("__ltoks")
     )
     scores = _lang_scores_arr(F.col("__ltoks"))
+    # (r16: a Generate-barrier variant materializing the four score
+    # HOFs measured FLAT here — the CASE chain evaluates lazily and
+    # most rows resolve on their first branch — so the simpler shape
+    # stays; contrast q_repetition_filter, whose duplicated array_sort
+    # made the barrier a measured win)
     return toked.select(
         "doc_id",
         *[scores[lang].alias(f"hits_{lang}") for lang in ("en", "es", "fr", "de")],
@@ -2791,9 +2799,13 @@ HAVING count(DISTINCT tr.g) >= 1
 def q_repetition_filter(spark, sf_dir):
     """Gopher-style repetition signals + keep flag (map-only filter
     stage: no shuffle at any corpus size). The token array is projected
-    ONCE and the five outputs read it as a column reference —
-    CollapseProject keeps the projections separate because the array is
-    non-cheap and multiply referenced."""
+    ONCE and the measures are MATERIALIZED once per row behind an
+    explode(array(struct(...))) Generate barrier (r16): ``keep``
+    re-references two measures, and duplicated HOF expressions are
+    re-evaluated per reference (CodegenFallback — no subexpression
+    elimination), so deriving the flag from the materialized columns
+    removes a second array_sort/2-gram pass per row (measured 1.16 ->
+    0.80s full-eval at sf0.1). Values bit-identical."""
     from my_feast_spark.functions.text import repetition_features_arr, tokens
 
     docs = _t(spark, sf_dir, "documents")
@@ -2801,13 +2813,22 @@ def q_repetition_filter(spark, sf_dir):
         "doc_id", tokens(F.lower(F.col("text"))).alias("__ltoks")
     )
     feats = repetition_features_arr(F.col("__ltoks"))
-    return toked.select(
+    measured = toked.select(
         "doc_id",
-        feats["n_tokens"].alias("n_tokens"),
-        feats["top_token_frac"].alias("top_token_frac"),
-        feats["dup_2gram_frac"].alias("dup_2gram_frac"),
+        F.explode(F.array(F.struct(
+            feats["n_tokens"].alias("n_tokens"),
+            feats["top_token_frac"].alias("top_token_frac"),
+            feats["dup_2gram_frac"].alias("dup_2gram_frac"),
+        ))).alias("__f"),
+    )
+    return measured.select(
+        "doc_id",
+        F.col("__f.n_tokens").alias("n_tokens"),
+        F.col("__f.top_token_frac").alias("top_token_frac"),
+        F.col("__f.dup_2gram_frac").alias("dup_2gram_frac"),
         (
-            (feats["top_token_frac"] <= 0.12) & (feats["dup_2gram_frac"] <= 0.05)
+            (F.col("__f.top_token_frac") <= 0.12)
+            & (F.col("__f.dup_2gram_frac") <= 0.05)
         ).cast("int").alias("keep"),
     )
 
@@ -5602,6 +5623,9 @@ def q_gopher_quality_filter(spark, sf_dir):
         "doc_id", tokens(F.lower(F.col("text"))).alias("__ltoks")
     )
     feats = gopher_features_arr(F.col("__ltoks"))
+    # (r16: a Generate-barrier variant materializing the measures
+    # measured FLAT here — the duplicated per-measure passes are cheap
+    # linear scans, unlike q_repetition_filter's array_sort)
     return docs.select(
         "doc_id", *[c.alias(k) for k, c in feats.items()]
     )
