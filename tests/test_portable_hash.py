@@ -81,11 +81,13 @@ def test_cw_numpy_fanout_matches_expression_form(spark):
         for i in range(n)
     ]
     expected = {r["doc"]: r for r in based.select("doc", *expr_cols).collect()}
-    got = {r["doc"]: r for r in _cw_signatures_numpy(based, n).collect()}
+    # the fan-out returns the array-native (doc, __sig) form since r16;
+    # element i must stay bit-identical to expression column mh_i
+    got = {r["doc"]: r["__sig"] for r in _cw_signatures_numpy(based, n).collect()}
     assert set(got) == set(expected)
-    for doc, row in got.items():
+    for doc, sig in got.items():
         for i in range(n):
-            assert row[f"mh_{i}"] == expected[doc][f"mh_{i}"], (doc, i)
+            assert sig[i] == expected[doc][f"mh_{i}"], (doc, i)
 
 
 @pytest.mark.parametrize("hash_fn", ["xxhash64", "portable"])
