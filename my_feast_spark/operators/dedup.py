@@ -450,6 +450,7 @@ def jaccard_dup_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int | None = None,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs via the shingle join.
 
@@ -460,10 +461,23 @@ def jaccard_dup_pairs(
     shingle sets — capping only prunes candidate generation, so pairs
     whose every shared shingle is hot can be missed (documented recall
     trade; None = fully exact).
+
+    ``shingles_df``: an already-PERSISTED ``(doc, sh)`` relation as
+    built by ``_with_shingles(df, id_col, text_col, n)`` — the sharing
+    hook for callers (``lsh_recall_report``) that run several pair
+    generators over the same corpus slice; the caller keeps cache
+    ownership (it is NOT added to ``_owned_caches``), and ``df``/
+    ``text_col`` are ignored for shingling.
     """
-    # persist: the shingle relation feeds both self-join branches and the
-    # size lookup — without it Spark re-tokenizes the corpus per branch
-    sh = _with_shingles(df, id_col, text_col, n).persist()
+    if shingles_df is not None:
+        sh = shingles_df
+        owned = []
+    else:
+        # persist: the shingle relation feeds both self-join branches and
+        # the size lookup — without it Spark re-tokenizes the corpus per
+        # branch
+        sh = _with_shingles(df, id_col, text_col, n).persist()
+        owned = [sh]
     sizes = sh.select("doc", F.size("sh").alias("n_sh"))
     # join/shuffle on the 64-bit shingle hash, not the string: ~an order
     # of magnitude less shuffle volume and cheaper key compares; exact up
@@ -501,7 +515,7 @@ def jaccard_dup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    out._owned_caches = [sh]
+    out._owned_caches = owned
     return out
 
 
@@ -729,6 +743,7 @@ def minhash_lsh_dup_pairs(
     max_bucket: int = 50,
     hash_fn: str = "xxhash64",
     tokens_col: str | None = None,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash + banded LSH + exact-Jaccard verify.
 
@@ -750,6 +765,8 @@ def minhash_lsh_dup_pairs(
 
     ``tokens_col``: pre-lowercased token-array column to shingle from
     (skips re-tokenizing ``text_col`` — see ``_with_shingles``).
+    ``shingles_df``: an already-PERSISTED ``(doc, sh)`` relation (the
+    ``jaccard_dup_pairs`` sharing hook — caller keeps cache ownership).
 
     The returned DataFrame carries its internal persisted relations in
     a ``_owned_caches`` attribute: a caller that fully materializes the
@@ -760,7 +777,12 @@ def minhash_lsh_dup_pairs(
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
     # ONE persisted shingle relation feeds signatures AND the exact verify
-    sh = _with_shingles(df, id_col, text_col, n, tokens_col).persist()
+    if shingles_df is not None:
+        sh = shingles_df
+        sh_owned = []
+    else:
+        sh = _with_shingles(df, id_col, text_col, n, tokens_col).persist()
+        sh_owned = [sh]
     # The signature relation fans out 4 ways (bucket-size agg, the
     # prune join, both self-join sides) — without a persist the whole
     # signature computation re-runs per consumer (~4x, measured the
@@ -863,7 +885,7 @@ def minhash_lsh_dup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    out._owned_caches = [sh, sig, candidates]
+    out._owned_caches = [*sh_owned, sig, candidates]
     return out
 
 

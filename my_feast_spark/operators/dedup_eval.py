@@ -58,13 +58,21 @@ def lsh_recall_report(
     cut = int(round(sample_rate * RESOLUTION))
     sample = df.filter(sample_bucket(F.col(id_col), salt=salt) < cut)
 
+    # ONE shingle relation feeds BOTH pair generators (r16: the truth
+    # and LSH sides previously each built and persisted their own —
+    # one redundant tokenize+shingle pass over the sample); ownership
+    # stays here and is handed out via _owned_caches below
+    from my_feast_spark.operators.dedup import _with_shingles
+
+    shingles = _with_shingles(sample, id_col, text_col, n).persist()
     truth_pairs_df = jaccard_dup_pairs(
-        sample, id_col, text_col, n=n, threshold=threshold
+        sample, id_col, text_col, n=n, threshold=threshold,
+        shingles_df=shingles,
     )
     lsh_pairs_df = minhash_lsh_dup_pairs(
         sample, id_col, text_col, n=n, threshold=threshold,
         num_hashes=num_hashes, bands=bands, max_bucket=max_bucket,
-        hash_fn=hash_fn,
+        hash_fn=hash_fn, shingles_df=shingles,
     )
     truth = truth_pairs_df.select("doc_a", "doc_b")
     lsh = lsh_pairs_df.select("doc_a", "doc_b")
@@ -93,10 +101,12 @@ def lsh_recall_report(
             floor_round(F.col("matched") / F.col("lsh_pairs"), 4),
         ).alias("precision"),
     )
-    # hand the pair generators' persisted relations to the caller per
-    # the repo cache-ownership rule (they'd otherwise pin blocks for
-    # the session lifetime on every A/B evaluation)
+    # hand the pair generators' persisted relations AND the shared
+    # shingle relation to the caller per the repo cache-ownership rule
+    # (they'd otherwise pin blocks for the session lifetime on every
+    # A/B evaluation)
     out._owned_caches = [
+        shingles,
         *getattr(truth_pairs_df, "_owned_caches", ()),
         *getattr(lsh_pairs_df, "_owned_caches", ()),
     ]
