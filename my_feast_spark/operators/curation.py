@@ -137,7 +137,26 @@ def curate(
     trusted reference corpus for the NB quality filter: the GPT-3 recipe
     trains reference-vs-crawl and filters ON the classifier score.
     ``dsir_target_df`` (with ``cfg.dsir_n``) supplies the target corpus
-    the DSIR resampling stage matches n-gram statistics against."""
+    the DSIR resampling stage matches n-gram statistics against.
+
+    PRECONDITION: ``cfg.id_col`` must be UNIQUE and NON-NULL per input
+    row (the standard doc-id contract every stage here keys on). The
+    dropped-id bookkeeping — and the final anti-join itself — resolve
+    documents BY id: a NULL id never matches an anti-join key (the row
+    would survive every drop), and two rows sharing an id are dropped
+    or kept together regardless of which one a window ranked first.
+    This is the same contract the reference's entity keys carry; it is
+    documented rather than asserted because verifying uniqueness would
+    cost a corpus-wide aggregation per call (advice-caught, r16).
+
+    The small pinned id relations the returned plan anti-joins against
+    (the dropped-id set; the DSIR keep set when ``cfg.dsir_n``) are
+    handed out via ``_owned_checkpoints`` per the repo ownership rule:
+    release them (``operators.graph.release_checkpoint``) once the
+    returned frame has been consumed — on high-duplication corpora the
+    dropped-id set is corpus-duplicate-fraction-sized, and repeated
+    ``curate()`` calls would otherwise accumulate pinned blocks for
+    the session lifetime (advice-caught, r16)."""
     cfg = config or CurationConfig()
     did, text, stratum = cfg.id_col, cfg.text_col, cfg.stratum_col
     if cfg.nb_quality and quality_reference_df is None:
@@ -160,6 +179,10 @@ def curate(
         doc_fingerprint(F.col(text)).alias("__fp"),
         tokens(F.lower(F.col(text))).alias("__ltoks"),
     )
+
+    #: pinned id relations the returned plan depends on — handed to the
+    #: caller via ``_owned_checkpoints`` (see docstring)
+    owned_checkpoints: list[DataFrame] = []
 
     # 1. exact dedup: min-id doc per fingerprint, one corpus shuffle
     w = Window.partitionBy("__fp").orderBy(did)
@@ -313,6 +336,7 @@ def curate(
         drop_ids = reduce(lambda a, b: a.union(b), drops)
         anti_ids = drop_ids.select(F.col(did)).union(dup_ids)
         anti_ids = anti_ids.localCheckpoint()
+        owned_checkpoints.append(anti_ids)
         for c in pair_caches + nb_caches:
             c.unpersist()
         for c in spent_checkpoints:
@@ -391,12 +415,13 @@ def curate(
         keep_ids = dsir_resample(
             weighted, did, cfg.dsir_n, salt=cfg.dsir_salt
         ).select(did).localCheckpoint()
+        owned_checkpoints.append(keep_ids)
         for c in model.ratio._owned_caches:
             c.unpersist()
         clean = clean.join(keep_ids, did, "left_semi")
 
     # 6. accounting projection — counts only, no chunk text rendered
-    return clean.select(
+    out = clean.select(
         did,
         stratum,
         F.size(F.col("__ltoks")).alias("n_tokens"),
@@ -404,3 +429,6 @@ def curate(
             F.col("__ltoks"), size=cfg.chunk_size, stride=cfg.chunk_stride
         ).alias("n_chunks"),
     )
+    if owned_checkpoints:
+        out._owned_checkpoints = owned_checkpoints
+    return out

@@ -55,6 +55,12 @@ def lsh_recall_report(
     # truncate rates that aren't exactly representable (0.29 * 1e6 ->
     # 289999.99…) and break the same-salt/same-docs pairing guarantee
     # against the other samplers
+    # fail argument validation BEFORE the shared shingle relation is
+    # persisted: minhash_lsh_dup_pairs raises on a bad bands config,
+    # and a persist staged ahead of that raise would leak for the
+    # session (advice-caught, r16)
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
     cut = int(round(sample_rate * RESOLUTION))
     sample = df.filter(sample_bucket(F.col(id_col), salt=salt) < cut)
 

@@ -720,7 +720,11 @@ def upsert_version(
     restriction of the parent to the incoming keys, then a join of the
     batch against that increment-sized relation — both joins keep the
     small side broadcastable); pass ``False`` to skip it, which sends
-    diffs over this commit back to the snapshot join.
+    diffs over this commit back to the snapshot join. The batch's OWN
+    lineage is evaluated exactly once per commit (r17): the sidecar is
+    staged first and the overwrite's batch side is read back from its
+    post images, so a composed merge plan never runs twice and the
+    committed rows are bit-identical to what the change feed records.
 
     ``optimized_write``/``optimized_write_split_rows`` pass through to
     :func:`write_version`. A merge into a hive-partitioned table is
@@ -741,41 +745,72 @@ def upsert_version(
     base_version = versions[-1]
     current = read_version(spark, path, base_version)
     incoming = df.select(*current.columns)
-    kept = current.join(df.select(*keys).distinct(), keys, "left_anti")
-    ev = None
-    if change_feed:
-        # preimage lookup, staged so BOTH joins keep their small side
-        # on the broadcastable right (review-caught: a left-outer join
-        # can only broadcast its right side, and putting the full
-        # parent there would shuffle the table per upsert): first
-        # restrict the parent to the incoming keys (left-semi, the
-        # key set broadcasts), then left-join the batch against that
-        # increment-sized preimage relation (it broadcasts too)
-        pre = current.join(
-            incoming.select(*keys).distinct(), keys, "left_semi"
-        ).select(
-            *keys,
-            F.struct(*current.columns).alias("_change_pre"),
-            F.lit(True).alias("__matched"),
+    if not change_feed:
+        kept = current.join(df.select(*keys).distinct(), keys, "left_anti")
+        return _publish_with_changes(
+            spark, kept.unionByName(incoming), path, base_version,
+            ev=None, op="upsert",
+            optimized_write=optimized_write,
+            optimized_write_split_rows=optimized_write_split_rows,
         )
-        ev = (
-            incoming.join(pre, keys, "left")
-            .select(
-                F.when(
-                    F.col("__matched").isNotNull(), F.lit("update")
-                ).otherwise(F.lit("insert")).alias("_change_op"),
-                F.col("_change_pre"),
-                F.struct(*[
-                    incoming[c] for c in current.columns
-                ]).alias("_change_post"),
-            )
-        )
-    return _publish_with_changes(
-        spark, kept.unionByName(incoming), path, base_version,
-        ev=ev, op="upsert",
-        optimized_write=optimized_write,
-        optimized_write_split_rows=optimized_write_split_rows,
+    # preimage lookup, staged so BOTH joins keep their small side
+    # on the broadcastable right (review-caught: a left-outer join
+    # can only broadcast its right side, and putting the full
+    # parent there would shuffle the table per upsert): first
+    # restrict the parent to the incoming keys (left-semi, the
+    # key set broadcasts), then left-join the batch against that
+    # increment-sized preimage relation (it broadcasts too)
+    pre = current.join(
+        incoming.select(*keys).distinct(), keys, "left_semi"
+    ).select(
+        *keys,
+        F.struct(*current.columns).alias("_change_pre"),
+        F.lit(True).alias("__matched"),
     )
+    ev = (
+        incoming.join(pre, keys, "left")
+        .select(
+            F.when(
+                F.col("__matched").isNotNull(), F.lit("update")
+            ).otherwise(F.lit("insert")).alias("_change_op"),
+            F.col("_change_pre"),
+            F.struct(*[
+                incoming[c] for c in current.columns
+            ]).alias("_change_post"),
+        )
+    )
+    # Stage the sidecar FIRST, then rebuild the commit's batch side
+    # FROM the staged parquet (r17, guide §1.2 "don't compute things
+    # twice"): the sidecar job is the ONLY evaluation of the incoming
+    # batch's lineage — previously the overwrite's union re-ran it in
+    # full (a composed merge plan pays twice), and the parent was the
+    # only shared input. The post-image read-back is increment-sized,
+    # costs no extra job, and guarantees the committed batch rows are
+    # bit-identical to the sidecar's recorded post images (the change
+    # feed can never drift from the table it describes). The parent is
+    # still scanned twice per commit — once for the preimage semi-join,
+    # once for the overwrite's anti-join — which is the floor for a
+    # two-sink split without a corpus-sized persist; at scale the
+    # semi-join side prunes through the skipping sidecar while the
+    # rewrite must read everything anyway.
+    chdir = _write_change_sidecar(spark, path, ev)
+    try:
+        ch = spark.read.parquet(f"{path}/{chdir}")
+        batch = ch.select("_change_post.*")
+        kept = current.join(
+            batch.select(*keys).distinct(), keys, "left_anti"
+        )
+        return write_version(
+            kept.unionByName(batch), path, mode="overwrite",
+            expected_parent=base_version, _carry_txn=True,
+            _manifest_extra={"op": "upsert", "changes": chdir},
+            optimized_write=optimized_write,
+            optimized_write_split_rows=optimized_write_split_rows,
+        )
+    except Exception:
+        jvm, fs = _fs(spark, path)
+        fs.delete(_hpath(jvm, path, chdir), True)
+        raise
 
 
 def restore_version(

@@ -1,13 +1,13 @@
-"""Per-query profiling harness for the r16 optimization round.
+"""Per-query profiling harness for the optimization rounds.
 
 Usage:
-    python tools/profile_query.py QUERY [QUERY ...] [--runs N] [--explain]
-    python tools/profile_query.py --variant NAME  # bench-only variants
+    python tools/profile_query.py QUERY [QUERY ...] [--runs N] \
+        [--explain-tag TAG] [--plans-dir plans/r17]
 
 Times each named registered query exactly the way bench.py does
 (count() of the result, owned caches released between runs), min over
 --runs (default 3), and optionally writes .explain("formatted") to
-plans/r16/<query>_<tag>.txt.  Jobs are labelled with
+<plans-dir>/<query>_<tag>.txt.  Jobs are labelled with
 setJobDescription so event logs stay readable.
 """
 
@@ -31,7 +31,9 @@ def main() -> None:
     ap.add_argument("queries", nargs="+")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--explain-tag", default=None,
-                    help="write plans/r16/<q>_<tag>.txt explain output")
+                    help="write <plans-dir>/<q>_<tag>.txt explain output")
+    ap.add_argument("--plans-dir", default="plans/r17",
+                    help="where --explain-tag dumps go (round dir)")
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
@@ -63,8 +65,10 @@ def main() -> None:
         fn = registry[name][0]
         if args.explain_tag:
             df = fn(spark, args.sf_dir)
-            os.makedirs("plans/r16", exist_ok=True)
-            with open(f"plans/r16/{name}_{args.explain_tag}.txt", "w") as f:
+            os.makedirs(args.plans_dir, exist_ok=True)
+            with open(
+                f"{args.plans_dir}/{name}_{args.explain_tag}.txt", "w"
+            ) as f:
                 f.write(df._sc._jvm.PythonSQLUtils.explainString(
                     df._jdf.queryExecution(), "formatted"))
             _release(df)
