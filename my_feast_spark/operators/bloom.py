@@ -88,6 +88,23 @@ def bloom_positions(
     )
 
 
+def bloom_position_set_from_hashes(
+    hashes: DataFrame, hash_col: str = "__h", *, m_bits: int, k_hashes: int,
+) -> DataFrame:
+    """:func:`bloom_position_set` from a PRECOMPUTED 63-bit hash
+    relation — the aggregate-first build path (guide §2.3, r17): a
+    caller that already holds the reference's distinct key hashes (for
+    an exact-verify join, say) builds the filter from them directly,
+    so the keys are hashed once per DISTINCT value instead of once per
+    occurrence per consumer."""
+    pos = positions_from_hash(
+        F.col(hash_col), m_bits=m_bits, k_hashes=k_hashes
+    )
+    return (
+        hashes.select(F.explode(F.array(*pos)).alias("pos")).distinct()
+    )
+
+
 def bloom_position_set(
     df: DataFrame, key: Column | str, *, m_bits: int, k_hashes: int,
     hash_fn: str = "portable",
@@ -101,11 +118,8 @@ def bloom_position_set(
     # expressions duplicates the md5 chain k times per row (optimizer
     # projection-collapse; measured on the workload query's plan)
     hashed = df.select(sketch_hash(col, hash_fn).alias("__h"))
-    pos = positions_from_hash(
-        F.col("__h"), m_bits=m_bits, k_hashes=k_hashes
-    )
-    return (
-        hashed.select(F.explode(F.array(*pos)).alias("pos")).distinct()
+    return bloom_position_set_from_hashes(
+        hashed, "__h", m_bits=m_bits, k_hashes=k_hashes
     )
 
 
@@ -196,6 +210,43 @@ def bloom_auto_geometry(
 MAX_BITMAP_BITS = 1 << 22
 
 
+def bloom_bitmap_from_hashes(
+    hashes: DataFrame, hash_col: str = "__h", *, m_bits: int, k_hashes: int,
+) -> list[int]:
+    """:func:`bloom_bitmap` from a PRECOMPUTED 63-bit hash relation
+    (see :func:`bloom_position_set_from_hashes`). Bit-identical to the
+    keyed build over the same key set: the packed words are a set OR
+    over positions, so distinct-first and per-occurrence builds land
+    the same bits."""
+    if m_bits > MAX_BITMAP_BITS:
+        raise ValueError(
+            f"m_bits={m_bits} exceeds the bitmap-literal bound "
+            f"{MAX_BITMAP_BITS}; use bloom_position_set/"
+            f"bloom_maybe_contains for large filters"
+        )
+    pos_df = bloom_position_set_from_hashes(
+        hashes, hash_col, m_bits=m_bits, k_hashes=k_hashes
+    )
+    return _pack_positions(pos_df, m_bits)
+
+
+def _pack_positions(pos_df: DataFrame, m_bits: int) -> list[int]:
+    words = (
+        pos_df.groupBy((F.col("pos") / 64).cast("long").alias("w"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+            ).alias("bits")
+        )
+        .collect()
+    )
+    n_words = (m_bits + 63) // 64
+    out = [0] * n_words
+    for r in words:
+        out[int(r["w"])] = int(r["bits"])
+    return out
+
+
 def bloom_bitmap(
     df: DataFrame, key: Column | str, *, m_bits: int, k_hashes: int,
     hash_fn: str = "portable",
@@ -213,20 +264,7 @@ def bloom_bitmap(
     pos_df = bloom_position_set(
         df, key, m_bits=m_bits, k_hashes=k_hashes, hash_fn=hash_fn
     )
-    words = (
-        pos_df.groupBy((F.col("pos") / 64).cast("long").alias("w"))
-        .agg(
-            F.bit_or(
-                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
-            ).alias("bits")
-        )
-        .collect()
-    )
-    n_words = (m_bits + 63) // 64
-    out = [0] * n_words
-    for r in words:
-        out[int(r["w"])] = int(r["bits"])
-    return out
+    return _pack_positions(pos_df, m_bits)
 
 
 def bloom_maybe_from_bitmap_hash(

@@ -196,19 +196,22 @@ def query_luts(codebooks, vecs, *, normalize: bool = True):
 def _adc_dist(m: int, kc: int, codes_col: str):
     """The ADC fold expression: dist = sum_j ``__lut[j*k + codes[j]]``
     (element_at is 1-based), summed LEFT-TO-RIGHT so an oracle can
-    replay the exact double-fold order. Pure expressions — the corpus
-    scan stays in whole-stage codegen."""
-    return F.aggregate(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda j: F.element_at(
-                F.col("__lut"),
-                (j * kc + F.element_at(F.col(codes_col), j + 1) + 1).cast("int"),
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    replay the exact double-fold order. Unrolled over the STATIC m
+    (r17, guide §4.1): the sequence/transform/aggregate HOF chain is
+    CodegenFallback — interpreted once per (corpus row x query), the
+    hottest expression of the ADC scan — while this flat Add tree is
+    the identical left-to-right double fold (seed 0.0) compiled by
+    whole-stage codegen."""
+    acc = F.lit(0.0)
+    for j in range(m):
+        acc = acc + F.element_at(
+            F.col("__lut"),
+            (
+                F.lit(j * kc) + F.element_at(F.col(codes_col), j + 1)
+                + F.lit(1)
+            ).cast("int"),
+        )
+    return acc
 
 
 def pq_topk(

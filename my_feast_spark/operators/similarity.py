@@ -40,6 +40,28 @@ def _dot(a, b):
     )
 
 
+def _dot_fixed(a, b, dim: int):
+    """``_dot`` unrolled for arrays of KNOWN length ``dim`` — the
+    verify-path fast form (r17, guide §4.1). ``ArrayAggregate``/
+    ``ZipWith`` are CodegenFallback in Spark 4: every candidate-pair
+    dot is interpreted, with a lambda-variable slot write per element —
+    the dominant per-pair cost in the LSH verify joins (profiled at
+    sf0.1). This flat ``0.0 + a[0]*b[0] + a[1]*b[1] + ...`` tree is the
+    SAME left-to-right fold over the same seed (bit-identical doubles,
+    including the ``0.0 + (-0.0)`` first-term edge the seed absorbs),
+    but whole-stage codegen compiles it to straight-line FMA-free
+    scalar code. NULL semantics match too: a NULL array or a NULL
+    element poisons the sum in both forms (``F.get`` is OOB-safe).
+
+    ONLY for fixed-dim columns (an embeddings table's contract): on a
+    ragged array the fold walks the true length while this walks
+    ``dim`` — results diverge on longer-than-dim inputs."""
+    acc = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + F.get(a, i) * F.get(b, i)
+    return acc
+
+
 def _norm(a):
     return F.sqrt(
         F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
@@ -273,8 +295,11 @@ def embedding_dup_pairs(
             )
             .select(
                 F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                # dim is structurally binding on this path (the bucket
+                # UDF's vstack @ planes matmul rejects any other
+                # length), so the unrolled codegen dot is safe
                 F.round(
-                    _dot(F.col("a.v"), F.col("b.v"))
+                    _dot_fixed(F.col("a.v"), F.col("b.v"), dim)
                     / (F.col("a.n") * F.col("b.n")),
                     sim_decimals,
                 ).alias("sim"),
@@ -447,8 +472,11 @@ def ivf_topk(
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
     sims = joined.select(
         "query_id", "neighbor_id",
+        # the assignment matmul pins every vector to the centroid dim —
+        # unrolled codegen dot is bit-identical and safe (see _dot_fixed)
         F.round(
-            _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+            _dot_fixed(F.col("qv"), F.col("cv"), int(cmat.shape[1]))
+            / (F.col("qn") * F.col("cn")),
             sim_decimals,
         ).alias("sim"),
     ).dropDuplicates(["query_id", "neighbor_id"])
@@ -580,8 +608,11 @@ def semdedup(
         )
         .select(
             F.col("b.id").alias("id"),
+            # centroid dim binds every vector (the assigner matmul) —
+            # unrolled codegen dot, bit-identical (see _dot_fixed)
             F.round(
-                _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")),
+                _dot_fixed(F.col("a.v"), F.col("b.v"), int(cmat.shape[1]))
+                / (F.col("a.n") * F.col("b.n")),
                 sim_decimals,
             ).alias("sim"),
         )
@@ -735,8 +766,11 @@ def ann_lsh_topk(
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
     sims = joined.select(
         "query_id", "neighbor_id",
+        # dim is the operator's declared vector length (the hyperplane
+        # family is built for it) — unrolled codegen dot (see _dot_fixed)
         F.round(
-            _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+            _dot_fixed(F.col("qv"), F.col("cv"), dim)
+            / (F.col("qn") * F.col("cn")),
             sim_decimals,
         ).alias("sim"),
     ).dropDuplicates(["query_id", "neighbor_id"])  # multi-probe overlap

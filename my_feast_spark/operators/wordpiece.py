@@ -288,6 +288,11 @@ def wordpiece_encode(
 
         _sw, _wu, _ew = _kernels
         vocab_set = set(_ids)
+        # per-task word memo (r17, the unigram_encode/bpe pattern):
+        # segmentation is a pure function of the word, the loop runs
+        # per occurrence — bounded by the task's distinct-word count,
+        # bit-identical by construction
+        memo: dict = {}
         for pdf in batches:
             out_id, out_ids, out_n, out_u = [], [], [], []
             for doc_id, text in zip(pdf["__id"], pdf["__text"]):
@@ -298,12 +303,18 @@ def wordpiece_encode(
                 for t in toks:
                     if not t:
                         continue
-                    ps = _ew(t, vocab_set, _mc)
+                    if t in memo:
+                        ps = memo[t]
+                    else:
+                        ps = _ew(t, vocab_set, _mc)
+                        if ps is not None:
+                            ps = [_ids[p] for p in ps]
+                        memo[t] = ps
                     if ps is None:
                         enc.append(_unk)
                         n_unk += 1
                     else:
-                        enc.extend(_ids[p] for p in ps)
+                        enc.extend(ps)
                 out_id.append(doc_id)
                 out_ids.append(enc)
                 out_n.append(len(enc))

@@ -7563,16 +7563,33 @@ def q_bloom_prefilter_dedup(spark, sf_dir, hash_fn="portable"):
     (bloom_maybe_contains — zero candidate shuffle, k broadcast joins)
     replaces the literal; equivalence is pinned in tests/test_bloom.py."""
     from my_feast_spark.operators.bloom import (
-        bloom_bitmap, bloom_maybe_from_bitmap_hash,
+        bloom_bitmap_from_hashes, bloom_maybe_from_bitmap_hash,
     )
     from my_feast_spark.operators.dedup import _with_shingles
     from my_feast_spark.operators.sketches import sketch_hash
 
     docs = _t(spark, sf_dir, "documents")
     sh = _with_shingles(docs, "doc_id", "text", 3).persist()
-    ref = sh.where(F.col("doc") % 2 == 0).select(F.explode("sh").alias("sg"))
-    bm = bloom_bitmap(
-        ref, "sg", m_bits=_BLOOM_M, k_hashes=_BLOOM_K, hash_fn=hash_fn
+    # Aggregate-first reference relation (guide §2.3, r17 — the cms/kmv
+    # shape applied here): collapse the exploded even-doc shingle stream
+    # to DISTINCT grams BEFORE the hash chain, hash once per distinct
+    # gram, and persist the (tiny) distinct-hash relation — it feeds
+    # BOTH the bitmap build and the exact-verify set, which previously
+    # each re-exploded the reference and ran the md5 chain per shingle
+    # OCCURRENCE (two full passes). Bit-identical: the bitmap is a set
+    # OR over positions (occurrence counts never mattered), and the
+    # verify set was already the distinct hash set. The trailing
+    # distinct on hk keeps the verify join keys unique even under a
+    # 2^-63 gram-hash collision, exactly as before.
+    ref_hk = (
+        sh.where(F.col("doc") % 2 == 0)
+        .select(F.explode("sh").alias("sg")).distinct()
+        .select(sketch_hash(F.col("sg"), hash_fn).alias("hk"))
+        .distinct()
+        .persist()
+    )
+    bm = bloom_bitmap_from_hashes(
+        ref_hk, "hk", m_bits=_BLOOM_M, k_hashes=_BLOOM_K
     )
     # hash ONCE per candidate shingle: the bitmap probe slices its
     # positions from it AND the exact-verify join keys on it (64-bit
@@ -7595,11 +7612,9 @@ def q_bloom_prefilter_dedup(spark, sf_dir, hash_fn="portable"):
         ),
     ).persist()
     # exact verification of the maybe fraction ONLY (bloom's contract:
-    # no false negatives, so everything else is definitely-absent)
-    ref_set = (
-        ref.select(sketch_hash(F.col("sg"), hash_fn).alias("hk"))
-        .distinct().withColumn("__r", F.lit(1))
-    )
+    # no false negatives, so everything else is definitely-absent) —
+    # reads the already-persisted distinct-hash relation
+    ref_set = ref_hk.withColumn("__r", F.lit(1))
     maybe = ann.where(F.col("maybe"))
     rest = ann.where(~F.col("maybe")).withColumn("in_ref", F.lit(False))
     ver = (
@@ -7627,7 +7642,7 @@ def q_bloom_prefilter_dedup(spark, sf_dir, hash_fn="portable"):
         )
         .withColumn("keep", F.col("containment") < 0.5)
     )
-    out._owned_caches = [sh, ann]
+    out._owned_caches = [sh, ref_hk, ann]
     return out
 
 

@@ -35,6 +35,11 @@ probes_strategy = st.lists(
 )
 
 
+#: randomized as-of property sweep (minutes-scale) — redundant next to the oracle-parity value sweep;
+#: slow tier (see pytest.ini)
+pytestmark = pytest.mark.slow
+
+
 def _run(spark, feats, probes, ttl=None, with_created=True):
     fcols = "key long, fts timestamp, created_h long, val double"
     fdf = spark.createDataFrame(

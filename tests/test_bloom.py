@@ -183,3 +183,33 @@ def test_bitmap_probe_is_pure_expression(spark, filt):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_from_hashes_builders_match_keyed_builders(spark, filt):
+    """The aggregate-first build path (r17): a bitmap / position set
+    built from the precomputed distinct-hash relation must be
+    bit-identical to the keyed build over the same key set — including
+    when the hash relation collapses duplicate occurrences first (the
+    workload query's distinct-grams-then-hash shape)."""
+    from my_feast_spark.operators.bloom import (
+        bloom_bitmap_from_hashes,
+        bloom_position_set_from_hashes,
+    )
+    from my_feast_spark.operators.sketches import sketch_hash
+
+    pos, bm = filt
+    # duplicate occurrences: every key appears 3x, as an exploded
+    # reference stream would carry it
+    ref = _df(spark, 0, 2_000)
+    dup = ref.union(ref).union(ref)
+    hashes = (
+        dup.select("v").distinct()
+        .select(sketch_hash(F.col("v"), "portable").alias("hk"))
+        .distinct()
+    )
+    bm2 = bloom_bitmap_from_hashes(hashes, "hk", m_bits=M, k_hashes=K)
+    assert bm2 == bm
+    pos2 = bloom_position_set_from_hashes(
+        hashes, "hk", m_bits=M, k_hashes=K
+    )
+    assert pos2.exceptAll(pos).isEmpty() and pos.exceptAll(pos2).isEmpty()

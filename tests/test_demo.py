@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 
 def test_demo_runs_end_to_end(spark, tmp_path):
     from examples.feature_store_demo import main
@@ -14,6 +16,7 @@ def test_demo_runs_end_to_end(spark, tmp_path):
     assert all(v is not None for v in out["online"]["avg_value"])
 
 
+@pytest.mark.slow  # end-to-end demo pipeline (191s in the r17 duration capture) — slow tier, see pytest.ini
 def test_training_pipeline_demo_runs(spark):
     from examples.training_data_pipeline_demo import main
 

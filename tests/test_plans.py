@@ -65,6 +65,7 @@ def test_pit_join_is_single_window_no_range_join(spark):
     assert "RunningWindowFunction" in plan or "Window" in plan
 
 
+@pytest.mark.slow  # all-query plan blanket (80s) — slow tier, see pytest.ini
 def test_native_queries_have_no_python_udfs(spark):
     """Everything except the intentionally-Python operators (multimodal,
     sessionize) must stay JVM-side."""
@@ -442,6 +443,7 @@ def test_image_dedup_single_fingerprint_pass_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+@pytest.mark.slow  # all-query schema blanket (105s) — slow tier, see pytest.ini
 def test_all_queries_return_scalar_only_schemas(spark):
     """The adjudication harness value-hashes SCALAR columns; array/map/
     struct results ship as deterministic strings or digests (repo

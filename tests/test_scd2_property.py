@@ -11,6 +11,8 @@ ties are frequent); for every case the `scd2_intervals` output must:
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 import pandas as pd
@@ -33,6 +35,11 @@ events_strategy = st.lists(
     min_size=1,
     max_size=20,
 )
+
+
+#: randomized SCD2 interval model — redundant next to the oracle-parity value sweep;
+#: slow tier (see pytest.ini)
+pytestmark = pytest.mark.slow
 
 
 def _state_key(s):

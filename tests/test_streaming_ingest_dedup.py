@@ -4,6 +4,8 @@ content never lands twice — across batches OR across restarts."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import Row
@@ -103,6 +105,7 @@ def test_fs_nonempty_probes_through_hadoop(spark, tmp_path):
     assert _fs_nonempty(spark, f"file://{real}") is True
 
 
+@pytest.mark.slow  # flat-vs-bucketed twin-run equivalence probe (26s) — slow tier, see pytest.ini
 def test_bucketed_index_matches_flat_and_prunes(spark, tmp_path):
     """index_buckets changes the fingerprint-index LAYOUT only: the
     bucketed stream accepts exactly what the flat stream accepts, the

@@ -5,6 +5,8 @@ restarts."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import Row, functions as F
@@ -63,6 +65,7 @@ def test_semantic_dups_drop_across_batches(spark, tmp_path):
     assert bucket_docs == {1, 3, 11}
 
 
+@pytest.mark.slow  # flat-vs-bucketed twin-run equivalence probe (31s) — slow tier, see pytest.ini
 def test_bucketed_layout_matches_flat_and_prunes(spark, tmp_path):
     batches = [
         [Row(doc_id=1, embedding=BASE), Row(doc_id=2, embedding=OTHER)],

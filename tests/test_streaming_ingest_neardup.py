@@ -5,6 +5,8 @@ across batches or across restarts."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import Row, functions as F
@@ -115,6 +117,7 @@ def _run_bucketed(spark, in_dir, out, idx, ckpt, nb=8):
     assert q.awaitTermination(300)
 
 
+@pytest.mark.slow  # flat-vs-bucketed twin-run equivalence probe (59s) — slow tier, see pytest.ini
 def test_bucketed_index_matches_flat_and_prunes(spark, tmp_path):
     """index_buckets must change the INDEX LAYOUT only: ~10 micro-batches
     through the bucketed path accept exactly what the flat path accepts,

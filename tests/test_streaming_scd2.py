@@ -5,6 +5,8 @@ alone."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 import os
 
@@ -92,6 +94,7 @@ def test_replay_converges(spark, tmp_path):
     assert _snapshot(spark, iv) == first == _batch_rebuild(spark, rows)
 
 
+@pytest.mark.slow  # 20-batch growth-bound probe (54s) — slow tier, see pytest.ini
 def test_compact_every_bounds_log_growth_over_twenty_batches(spark, tmp_path):
     """Round-12 verdict #6: the event log gained one batch_id=N dir per
     micro-batch forever — the growth pattern the r8 verdict flagged for

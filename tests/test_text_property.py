@@ -7,6 +7,8 @@ pin that the algebra is unchanged on arbitrary token streams.
 
 from __future__ import annotations
 
+import pytest
+
 from collections import Counter
 
 from hypothesis import given, settings, strategies as st
@@ -17,6 +19,11 @@ from my_feast_spark.functions.text import repetition_features_arr
 tokens_strategy = st.lists(
     st.text(alphabet="abcd", min_size=1, max_size=3), min_size=1, max_size=30
 )
+
+
+#: randomized text-feature property sweep — redundant next to the oracle-parity value sweep;
+#: slow tier (see pytest.ini)
+pytestmark = pytest.mark.slow
 
 
 @settings(max_examples=20, deadline=None)

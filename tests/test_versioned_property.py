@@ -5,6 +5,8 @@ model's — the invariant that makes time travel trustworthy."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -31,6 +33,11 @@ _op = st.one_of(
     st.tuples(st.just("checkpoint"), st.none()),
     st.tuples(st.just("vacuum"), st.integers(min_value=1, max_value=3)),
 )
+
+
+#: randomized versioned-log protocol model — redundant next to the oracle-parity value sweep;
+#: slow tier (see pytest.ini)
+pytestmark = pytest.mark.slow
 
 
 def _to_df(spark, rows: dict[int, int]):
