@@ -41,21 +41,24 @@ def _dot(a, b):
 
 
 def _dot_fixed(a, b, dim: int):
-    """``_dot`` unrolled for arrays of KNOWN length ``dim`` — the
-    verify-path fast form (r17, guide §4.1). ``ArrayAggregate``/
-    ``ZipWith`` are CodegenFallback in Spark 4: every candidate-pair
-    dot is interpreted, with a lambda-variable slot write per element —
-    the dominant per-pair cost in the LSH verify joins (profiled at
-    sf0.1). This flat ``0.0 + a[0]*b[0] + a[1]*b[1] + ...`` tree is the
-    SAME left-to-right fold over the same seed (bit-identical doubles,
-    including the ``0.0 + (-0.0)`` first-term edge the seed absorbs),
-    but whole-stage codegen compiles it to straight-line FMA-free
-    scalar code. NULL semantics match too: a NULL array or a NULL
-    element poisons the sum in both forms (``F.get`` is OOB-safe).
+    """``_dot`` unrolled for arrays of KNOWN length ``dim`` — the same
+    left-to-right fold over the same ``lit(0.0)`` seed as the HOF
+    aggregate (bit-identical doubles, NULL poisoning and sign-of-zero
+    included; pinned by ``test_dot_fixed_bit_identical_to_hof_fold``).
 
-    ONLY for fixed-dim columns (an embeddings table's contract): on a
-    ragged array the fold walks the true length while this walks
-    ``dim`` — results diverge on longer-than-dim inputs."""
+    MEASURED NEGATIVE at dim=64 (r17, kept as the contrast note): on
+    400k pairs the unrolled ``F.get`` chain ran 2.9s vs the HOF fold's
+    0.96s (int variant 3.4s vs 0.70s) — per-element ``GetArrayItem``
+    null/bounds checks across a 64-term flat tree lose to the fold's
+    single ``ArrayData`` traversal even though ``ArrayAggregate`` is
+    CodegenFallback. Every 64-dim verify site therefore keeps ``_dot``.
+    The SAME unroll at m=8 wins 3.3x (``pq._adc_dist``, 1.13s -> 0.34s
+    on 3M rows): the crossover sits between ~8 and ~64 terms — measure
+    before switching any new site.
+
+    ONLY for fixed-dim columns: on a ragged array the fold walks the
+    true length while this walks ``dim`` — results diverge on
+    longer-than-dim inputs."""
     acc = F.lit(0.0)
     for i in range(dim):
         acc = acc + F.get(a, i) * F.get(b, i)
@@ -295,11 +298,10 @@ def embedding_dup_pairs(
             )
             .select(
                 F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                # dim is structurally binding on this path (the bucket
-                # UDF's vstack @ planes matmul rejects any other
-                # length), so the unrolled codegen dot is safe
+                # HOF fold, deliberately: the dim=64 unroll measured
+                # 3x SLOWER (see _dot_fixed's contrast note, r17)
                 F.round(
-                    _dot_fixed(F.col("a.v"), F.col("b.v"), dim)
+                    _dot(F.col("a.v"), F.col("b.v"))
                     / (F.col("a.n") * F.col("b.n")),
                     sim_decimals,
                 ).alias("sim"),
@@ -472,11 +474,10 @@ def ivf_topk(
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
     sims = joined.select(
         "query_id", "neighbor_id",
-        # the assignment matmul pins every vector to the centroid dim —
-        # unrolled codegen dot is bit-identical and safe (see _dot_fixed)
+        # HOF fold, deliberately: the dim=64 unroll measured 3x
+        # SLOWER (see _dot_fixed's contrast note, r17)
         F.round(
-            _dot_fixed(F.col("qv"), F.col("cv"), int(cmat.shape[1]))
-            / (F.col("qn") * F.col("cn")),
+            _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
             sim_decimals,
         ).alias("sim"),
     ).dropDuplicates(["query_id", "neighbor_id"])
@@ -608,11 +609,10 @@ def semdedup(
         )
         .select(
             F.col("b.id").alias("id"),
-            # centroid dim binds every vector (the assigner matmul) —
-            # unrolled codegen dot, bit-identical (see _dot_fixed)
+            # HOF fold, deliberately: the dim=64 unroll measured 3x
+            # SLOWER (see _dot_fixed's contrast note, r17)
             F.round(
-                _dot_fixed(F.col("a.v"), F.col("b.v"), int(cmat.shape[1]))
-                / (F.col("a.n") * F.col("b.n")),
+                _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")),
                 sim_decimals,
             ).alias("sim"),
         )
@@ -766,11 +766,10 @@ def ann_lsh_topk(
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
     sims = joined.select(
         "query_id", "neighbor_id",
-        # dim is the operator's declared vector length (the hyperplane
-        # family is built for it) — unrolled codegen dot (see _dot_fixed)
+        # HOF fold, deliberately: the dim=64 unroll measured 3x
+        # SLOWER (see _dot_fixed's contrast note, r17)
         F.round(
-            _dot_fixed(F.col("qv"), F.col("cv"), dim)
-            / (F.col("qn") * F.col("cn")),
+            _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
             sim_decimals,
         ).alias("sim"),
     ).dropDuplicates(["query_id", "neighbor_id"])  # multi-probe overlap

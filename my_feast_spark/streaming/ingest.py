@@ -755,18 +755,18 @@ def near_dedup_ingest_stream(
                 all_sigs = sig.union(old_sigs.select("doc", "sig"))
             else:
                 cand = cand.distinct()
-            # unrolled signature-agreement count (r17, guide §4.1): the
-            # zip_with+aggregate HOF fold is CodegenFallback — it ran
-            # interpreted per candidate PAIR. Signatures are exactly
-            # num_hashes long by construction (the fan-out builds them),
-            # and integer addition is order-exact, so the flat codegen
-            # sum is bit-identical.
-            est_n = F.lit(0)
-            for _i in range(num_hashes):
-                est_n = est_n + (
-                    F.get(F.col("a_sig"), _i) == F.get(F.col("b_sig"), _i)
-                ).cast("int")
-            est_j = est_n / F.lit(num_hashes)
+            # HOF fold, deliberately: the 64-term unroll measured ~5x
+            # SLOWER (0.70s fold vs 3.43s unrolled on 400k pairs — see
+            # similarity._dot_fixed's r17 contrast note; the fold's
+            # single ArrayData traversal beats 64 GetArrayItem nodes)
+            est_j = F.aggregate(
+                F.zip_with(
+                    F.col("a_sig"), F.col("b_sig"),
+                    lambda x, y: (x == y).cast("int"),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ) / F.lit(num_hashes)
             dominated = (
                 cand
                 .join(all_sigs.select(F.col("doc").alias("dom"),
@@ -867,7 +867,7 @@ def embedding_dedup_ingest_stream(
     started StreamingQuery.
     """
     from my_feast_spark.operators.similarity import (
-        _dot_fixed,
+        _dot,
         _hyperplanes,
         _lsh_buckets_udf,
     )
@@ -972,13 +972,10 @@ def embedding_dedup_ingest_stream(
                                       F.col("v").alias("a_v")), "dom")
                 .join(base.select("doc", F.col("v").alias("b_v")), "doc")
                 .filter(
-                    # dim binds structurally (the bucket UDF's vstack @
-                    # planes matmul) — unrolled codegen dot replaces the
-                    # interpreted HOF fold per candidate pair (r17; see
-                    # similarity._dot_fixed: bit-identical doubles)
-                    floor_round(
-                        _dot_fixed(F.col("a_v"), F.col("b_v"), dim), 6
-                    )
+                    # HOF fold, deliberately: the dim=64 unroll measured
+                    # 3x SLOWER per pair (similarity._dot_fixed's r17
+                    # contrast note)
+                    floor_round(_dot(F.col("a_v"), F.col("b_v")), 6)
                     >= F.lit(threshold)
                 )
                 .select(F.col("doc").alias(id_col))
